@@ -1,0 +1,236 @@
+"""Pure numpy/stdlib image codecs, PSNR and perceptual hash.
+
+The engine's image table (BASELINE.json input_hint) carries encoded pixels as
+a binary column with a `fmt` tag. The container has no PIL/opencv/rasterio,
+so the codecs are self-contained:
+
+  fmt='raw'   lossless uint16 little-endian, C-order (bands, h, w)
+  fmt='raw8'  lossless uint8
+  fmt='png'   a genuine minimal PNG: 16-bit grayscale, filter 0, one IDAT;
+              multi-band images are stacked vertically (h*bands rows)
+  fmt='qdct'  deterministic lossy 8x8 block-DCT quantization codec (the
+              "lossy" format exercising the PSNR >= 40 dB per-row invariant
+              from BASELINE.json)
+
+These replace the reference's GeoTIFF read/write path
+(instageo/data/hls_utils.py:89-122 open_mfdataset,
+instageo/data/data_pipeline.py:222-225 rio.to_raster) with columnar binary
+payloads decoded inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+HLS_MAX = 10000.0  # valid HLS reflectance range ceiling (reference hls_utils.py:373)
+
+
+# --------------------------------------------------------------------------
+# raw
+# --------------------------------------------------------------------------
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).astype("<u2" if arr.dtype.itemsize == 2 else "u1").tobytes()
+
+
+def decode_raw(buf: bytes, w: int, h: int, bands: int, dtype: str = "<u2") -> np.ndarray:
+    return np.frombuffer(buf, dtype=dtype).reshape(bands, h, w)
+
+
+# --------------------------------------------------------------------------
+# png (minimal, 16-bit grayscale, filter type 0)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(bands, h, w) uint16 → minimal 16-bit grayscale PNG (bands stacked)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint16)
+    bands, h, w = arr.shape
+    img = arr.reshape(bands * h, w)
+    # filter byte 0 per scanline + big-endian 16-bit samples (PNG spec)
+    raw = np.zeros((bands * h, 1 + 2 * w), dtype=np.uint8)
+    be = img.astype(">u2").view(np.uint8).reshape(bands * h, 2 * w)
+    raw[:, 1:] = be
+    ihdr = struct.pack(">IIBBBBB", w, bands * h, 16, 0, 0, 0, 0)  # 16-bit gray
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes, w: int, h: int, bands: int) -> np.ndarray:
+    assert buf[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    idat = b""
+    width = height = None
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bitdepth, color = struct.unpack(">IIBB", data[:10])
+            assert bitdepth == 16 and color == 0, "codec supports 16-bit gray only"
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(height, 1 + 2 * width)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    img = raw[:, 1:].reshape(height, width, 2).copy().view(">u2").reshape(height, width)
+    return img.astype(np.uint16).reshape(bands, h, w)
+
+
+# --------------------------------------------------------------------------
+# qdct (lossy): 8x8 block DCT + uniform quantization
+# --------------------------------------------------------------------------
+
+_B = 8
+_DCT = np.zeros((_B, _B))
+for _k in range(_B):
+    for _n in range(_B):
+        _DCT[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / (2 * _B)) * (
+            np.sqrt(1.0 / _B) if _k == 0 else np.sqrt(2.0 / _B)
+        )
+# uniform quant step chosen so worst-case reconstruction error keeps
+# PSNR comfortably above 40 dB against the 10000 peak
+_QSTEP = 16.0
+
+
+def _blockify(img: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = img.shape
+    ph, pw = (-h) % _B, (-w) % _B
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    H, W = img.shape
+    blocks = img.reshape(H // _B, _B, W // _B, _B).transpose(0, 2, 1, 3)
+    return blocks.astype(np.float64), H, W
+
+
+def encode_qdct(arr: np.ndarray) -> bytes:
+    """(bands, h, w) uint16 → quantized DCT coefficients (int16, zlib)."""
+    arr = np.asarray(arr, dtype=np.uint16)
+    bands, h, w = arr.shape
+    outs = []
+    for b in range(bands):
+        blocks, H, W = _blockify(arr[b].astype(np.float64))
+        coef = np.einsum("ij,xyjk,lk->xyil", _DCT, blocks, _DCT)
+        q = np.round(coef / _QSTEP).astype(np.int16)
+        outs.append(q.tobytes())
+    header = struct.pack("<IIII", bands, h, w, int(_QSTEP))
+    return header + zlib.compress(b"".join(outs), 6)
+
+
+def decode_qdct(buf: bytes, w: int | None = None, h: int | None = None, bands: int | None = None) -> np.ndarray:
+    bands_, h_, w_, qstep = struct.unpack("<IIII", buf[:16])
+    H, W = h_ + (-h_) % _B, w_ + (-w_) % _B
+    per_band = (H // _B) * (W // _B) * _B * _B
+    q = np.frombuffer(zlib.decompress(buf[16:]), dtype=np.int16)
+    out = np.empty((bands_, h_, w_), dtype=np.uint16)
+    for b in range(bands_):
+        qb = q[b * per_band : (b + 1) * per_band].reshape(H // _B, W // _B, _B, _B)
+        coef = qb.astype(np.float64) * qstep
+        blocks = np.einsum("ji,xyjk,kl->xyil", _DCT, coef, _DCT)
+        img = blocks.transpose(0, 2, 1, 3).reshape(H, W)[:h_, :w_]
+        out[b] = np.clip(np.round(img), 0, 65535).astype(np.uint16)
+    return out
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(arr.astype(np.uint16))
+    if fmt == "raw8":
+        return encode_raw(arr.astype(np.uint8))
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "qdct":
+        return encode_qdct(arr)
+    raise NotImplementedError(
+        f"fmt={fmt!r}: external formats (jpeg/tiff) need image libs absent from "
+        "this container — plug a decoder into codecs.decode dispatch"
+    )
+
+
+def decode(buf: bytes, w: int, h: int, bands: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, w, h, bands, "<u2")
+    if fmt == "raw8":
+        return decode_raw(buf, w, h, bands, "u1").astype(np.uint16)
+    if fmt == "png":
+        return decode_png(buf, w, h, bands)
+    if fmt == "qdct":
+        return decode_qdct(buf, w, h, bands)
+    raise NotImplementedError(f"fmt={fmt!r}")
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in ("raw", "raw8", "png")
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = HLS_MAX) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical arrays)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual hash (DCT-based, numpy only).
+
+    Mean-pool the first band to 32x32, 2D DCT, take the 8x8 low-frequency
+    block, threshold at its median → 64 bits → signed int64.
+    """
+    img = np.asarray(arr, dtype=np.float64)
+    if img.ndim == 3:
+        img = img[0]
+    h, w = img.shape
+    # mean-pool to 32x32 (crop to a multiple first)
+    th, tw = (h // 32) * 32 or h, (w // 32) * 32 or w
+    img = img[:th, :tw]
+    fh, fw = max(1, th // 32), max(1, tw // 32)
+    pooled = img[: 32 * fh, : 32 * fw].reshape(
+        min(32, th), fh, min(32, tw), fw
+    ).mean(axis=(1, 3))
+    n = pooled.shape[0]
+    dct_n = np.array(
+        [
+            [
+                np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+                * (np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n))
+                for i in range(n)
+            ]
+            for k in range(n)
+        ]
+    )
+    freq = dct_n @ pooled @ dct_n.T
+    low = freq[:8, :8].ravel()
+    bits = (low > np.median(low)).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))

@@ -1,0 +1,89 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path. Each has an exact ANSI-SQL twin used by the DuckDB
+oracle (see plans/driver_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def occurrence_count(text: Column | str, needle: str) -> Column:
+    """Number of (possibly overlapping-free) occurrences of `needle`."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def alnum_ratio(text: Column | str) -> Column:
+    """Share of characters that are alphanumeric or space (quality signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+    return kept / F.length(c)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: length, alnum ratio, stopword
+    presence — the standard cheap pre-filter for web-scale corpora."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(token_count(c) / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(occurrence_count(c, " the ") / F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * alnum_ratio(c) + F.lit(0.2) * stop_score, 6
+    )
+
+
+# marker-word sets for the cheap language-ID heuristic (n-gram/stopword
+# counting — the classic fastText-free fallback)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " et ", " la "],
+    "de": [" der ", " und ", " die "],
+    "zh": [" zh ", " zhong "],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = F.lit(0.0)
+        for m in markers:
+            s = s + occurrence_count(padded, m)
+        out[lang] = s
+    return out
+
+
+def predict_lang(text: Column | str) -> Column:
+    """argmax over marker-word scores, ties broken alphabetically; 'und'
+    (undetermined) when every score is zero."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):  # strict > keeps the alphabetically-first max
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, scores[lang])
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of lowercase whitespace-normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,190 @@
+"""Deduplication operators for web-scale corpora.
+
+All md5-keyed so every stage is engine-portable (identical lowercase hex in
+Spark and any ANSI engine → exact DuckDB oracles). No Python UDFs — every
+operator is a composition of built-in functions, so the whole pipeline stays
+inside whole-stage codegen.
+
+Scale notes: exact dedup is one hash-shuffle on the digest; MinHash-LSH is
+(explode shingles → 2 hash-aggregations → band self-join). The band
+self-join is the classic skew point — a degenerate band key (e.g. empty
+docs) explodes quadratically, so callers should cap bucket sizes with
+`max_bucket` (drops pathological buckets, standard LSH practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = False
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the keeper
+    (min id) and the duplicate count."""
+    key = fingerprint(text_col) if normalized else F.md5(F.col(text_col))
+    return (
+        docs.withColumn("text_hash", key)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, exploded to (doc, shingle) rows."""
+    t = tokens(text_col)
+    parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
+    return (
+        docs.withColumn("_toks", t)
+        .filter(F.size("_toks") >= n)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))))
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+        .drop("_toks", "_i")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """(doc, j, minhash_j): j-th hash = md5('<j>:'||shingle), min per doc.
+
+    md5-as-hash-family: min over lexicographic hex strings — identical in
+    any engine, and a valid minwise family for dedup purposes.
+    """
+    return (
+        sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        .withColumn(
+            "h", F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, self-join on (band_id, band_key) → candidate
+    near-duplicate pairs (doc_a < doc_b), deduplicated.
+
+    max_bucket guards the quadratic blowup of degenerate buckets (skew)."""
+    bands = (
+        signatures.withColumn("band_id", F.floor(F.col("j") / F.lit(float(rows_per_band))).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("band_key")
+        )
+    )
+    sizes = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_bn"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("_bn") > max_bucket)),
+        ["band_id", "band_key"],
+        "left_anti",
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup candidate pipeline → (doc_a, doc_b)."""
+    sh = shingles(docs.select(id_col, text_col), text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    return lsh_candidate_pairs(sig, id_col, rows_per_band)
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash over whitespace tokens: per-bit ±1 votes from a 16-bit md5
+    prefix per token → (doc_id, simhash)."""
+    tok = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    )
+    votes = (
+        tok.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(th, b) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode distinct shingles,
+    self-join on shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    max_shingle_freq drops stop-shingles (docs-frequency cap) — the standard
+    scale guard: without it a common shingle produces a quadratic join."""
+    sh = (
+        shingles(docs.select(id_col, text_col), text_col, shingle_n)
+        .select(id_col, "shingle")
+        .distinct()
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh = sh.join(F.broadcast(freq.filter(F.col("_df") > max_shingle_freq)), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,109 @@
+"""J9: kNN lookup via k-ring cell expansion + window-ranked distance.
+
+Not present in the reference (required by the north rule): H3-style kNN —
+expand each query point's grid cell into its k-ring, equi-join candidate
+points bucketed by cell, filter by radius, rank by distance.
+
+Correctness guarantee: with ring k and cell size s, every point within
+radius r ≤ k·s of the query is covered — so "k nearest within radius r"
+is EXACT (verified against a brute-force oracle). Distances use squared
+euclidean degrees by default (pure +,* arithmetic → bit-identical across
+engines); haversine_km available for geographic ranking.
+
+Scale: the ring explode multiplies the query side by (2k+1)² — keep k small
+and res matched to the radius; candidate side is shuffled once on cell id,
+queries are typically the small side → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import cell_of
+
+
+def _ring_cells(cell: Column, k: int, res: int) -> Column:
+    """All cells within Chebyshev distance k, as a pure column expression."""
+    n = 1 << res
+    base = F.lit(res).cast("long") * F.lit(1 << 58)
+    cx = cell % F.lit(1 << 29)
+    cy = F.shiftright(cell, 29) % F.lit(1 << 29)
+    dxs = F.sequence(F.lit(-k), F.lit(k))
+    dys = F.sequence(F.lit(-k), F.lit(k))
+    return F.flatten(
+        F.transform(
+            F.filter(dys, lambda dy: (cy + dy >= 0) & (cy + dy < n)),
+            lambda dy: F.transform(
+                F.filter(dxs, lambda dx: (cx + dx >= 0) & (cx + dx < 2 * n)),
+                lambda dx: base + (cy + dy) * F.lit(1 << 29) + (cx + dx),
+            ),
+        )
+    )
+
+
+def sq_euclid_deg(qx: Column, qy: Column, px: Column, py: Column) -> Column:
+    dx = qx - px
+    dy = qy - py
+    return dx * dx + dy * dy
+
+
+def haversine_km(qx: Column, qy: Column, px: Column, py: Column) -> Column:
+    """Great-circle distance (km) — the metric the reference's splitter uses
+    (data_splitter.py:181-260 haversine ≤ 400 km components)."""
+    r = 6371.0
+    lat1, lat2 = F.radians(qy), F.radians(py)
+    dlat = lat2 - lat1
+    dlon = F.radians(px) - F.radians(qx)
+    a = F.sin(dlat / 2) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k_neighbors: int,
+    radius_deg: float,
+    res: int | None = None,
+    qid: str = "qid",
+    pid: str = "pid",
+    qx: str = "qx",
+    qy: str = "qy",
+    px: str = "x",
+    py: str = "y",
+    metric: str = "sq_euclid",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-within-radius join.
+
+    Returns (qid, pid, dist, rank) with rank ∈ [1, k_neighbors] ordered by
+    (dist asc, pid asc). res is auto-picked so one ring covers the radius.
+    """
+    if res is None:
+        res = 0
+        while 180.0 / (1 << (res + 1)) >= radius_deg and res < 15:
+            res += 1
+    ring = 1  # cell size ≥ radius ⇒ ring-1 covers every point within radius
+
+    q = queries.withColumn("_qcell", cell_of(qx, qy, res)).withColumn(
+        "cell", F.explode(_ring_cells(F.col("_qcell"), ring, res))
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    p = points.withColumn("cell", cell_of(px, py, res))
+    j = q.join(p, "cell", "inner")
+    if metric == "sq_euclid":
+        dist = sq_euclid_deg(F.col(qx), F.col(qy), F.col(px), F.col(py))
+        rfilter = dist <= F.lit(radius_deg * radius_deg)
+    elif metric == "haversine":
+        dist = haversine_km(F.col(qx), F.col(qy), F.col(px), F.col(py))
+        rfilter = dist <= F.lit(radius_deg)  # here radius is km
+    else:
+        raise ValueError(metric)
+    j = j.withColumn("dist", dist).filter(rfilter)
+    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(pid).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k_neighbors))
+        .select(qid, pid, "dist", "rank")
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Quantized-integer scoring: elements are scaled (×1000) and rounded to
+int64 before the dot product, making scores order-independent exact
+integers — bit-identical across engines (the DuckDB oracle) and across
+shuffle orders (no float-sum nondeterminism). Ranking quality at 3 decimal
+digits of precision is unchanged for normalized embeddings.
+
+  * brute_force_topk: exact baseline — query×corpus dot-product join +
+    window rank. O(Q·N) — the correctness oracle and fine for small Q.
+  * lsh_buckets / lsh_topk: sign-random-projection LSH — md5-derived
+    deterministic integer weights; candidates share a bucket → the scale
+    path (candidate set shrinks by ~2^bits).
+  * ivf_topk: IVF-style two-stage — coarse centroid assign (provided
+    centroids table) + search only the best nprobe inverted lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _quant(col: Column) -> Column:
+    """element → round(double(element)*1000) as int64 (engine-portable)."""
+    return F.round(col.cast("double") * 1000).cast("long")
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    qid: str = "qid",
+    pid: str = "pid",
+    qvec: str = "qvec",
+    pvec: str = "pvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by quantized dot product: (qid, pid, dot, rank)."""
+    j = F.broadcast(queries).crossJoin(corpus)
+    if exclude_self:
+        j = j.filter(F.col(qid) != F.col(pid))
+    j = j.withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
+    w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, pid, "dot", "rank")
+    )
+
+
+def _proj_weight(j: Column | int, i: Column, seed: str = "lsh") -> Column:
+    """Deterministic pseudo-random integer weight in [-1000, 1000] from
+    md5(seed:j:i) — identical in any engine with md5 + hex→int."""
+    jj = F.lit(j) if isinstance(j, int) else j
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), jj.cast("string"), i.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % 2001 - 1000
+
+
+def lsh_buckets(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    seed: str = "lsh",
+) -> DataFrame:
+    """(id, bucket): sign-random-projection bucket id with n_bits planes.
+
+    All-integer: quantized elements × md5 weights, summed exactly.
+    """
+    el = vecs.select(
+        id_col,
+        F.posexplode(vec_col).alias("i", "e"),
+    ).withColumn("eq", _quant(F.col("e")))
+    votes = (
+        el.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
+        .withColumn("w", _proj_weight(F.col("j"), F.col("i"), seed))
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("eq") * F.col("w")).alias("proj"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    qid: str = "qid",
+    pid: str = "pid",
+    qvec: str = "qvec",
+    pvec: str = "pvec",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the LSH bucket are scored.
+
+    Recall < 1 by design (bucketing); multi-probe = union over bit-flip
+    neighbors left to callers."""
+    qb = lsh_buckets(queries.select(F.col(qid).alias("_id"), F.col(qvec).alias("v")), "v", "_id", n_bits)
+    pb = lsh_buckets(corpus.select(F.col(pid).alias("_id"), F.col(pvec).alias("v")), "v", "_id", n_bits)
+    q = queries.join(qb.select(F.col("_id").alias(qid), "bucket"), qid)
+    p = corpus.join(pb.select(F.col("_id").alias(pid), "bucket"), pid)
+    j = (
+        F.broadcast(q)
+        .join(p, "bucket")
+        .filter(F.col(qid) != F.col(pid))
+        .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, pid, "dot", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    qid: str = "qid",
+    pid: str = "pid",
+    qvec: str = "qvec",
+    pvec: str = "pvec",
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """IVF: assign corpus rows to their nearest centroid (inverted lists),
+    probe the nprobe closest lists per query, exact-score within them.
+
+    At scale the corpus assignment is computed once and persisted
+    (list id becomes a partition key → partition pruning per query batch).
+    """
+    def assign(df: DataFrame, id_: str, vec: str, n: int) -> DataFrame:
+        j = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "cdot", int_dot(F.col(vec), F.col(cvec))
+        )
+        w = Window.partitionBy(id_).orderBy(F.col("cdot").desc(), F.col(cid).asc())
+        return (
+            j.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("cdot", "crank", cvec)
+        )
+
+    p = assign(corpus, pid, pvec, 1)
+    q = assign(queries, qid, qvec, nprobe)
+    j = (
+        F.broadcast(q)
+        .join(p, cid)
+        .filter(F.col(qid) != F.col(pid))
+        .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, pid, "dot", "rank")
+    )

@@ -1,0 +1,609 @@
+"""Driver-contract queries: every operator exposed as (spark, sf_dir) →
+DataFrame, each with an exact ANSI-SQL twin for the DuckDB oracle.
+
+Geo operators run over deterministic coordinates derived from TPC-H keys
+(FIXTURES.md §5): lon = (l_partkey % 3600)/10 − 180, lat = (l_suppkey %
+1600)/10 − 80 — closed-form in both engines, so cell encoding, density,
+tile-info, as-of, kNN and PIP are all value-checked end to end. Text /
+dedup / similarity operators run over the documents / embeddings tables.
+
+Column-name and type parity with the SQL twins is part of the contract
+(the driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import cell_of
+from ..functions.text import (
+    LANG_MARKERS,
+    alnum_ratio,
+    fingerprint,
+    predict_lang,
+    token_count,
+)
+from ..grid import sql_cell_expr
+from ..operators.asof import asof_pick
+from ..operators.dates import expand_temporal_steps
+from ..operators.dedup import exact_dedup, minhash_lsh_dedup, simhash
+from ..operators.density import density_filter
+from ..operators.knn import knn_join
+from ..operators.similarity import brute_force_topk, lsh_buckets
+from ..operators.spatial_join import pip_join
+from ..operators.tileinfo import tile_info
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+RES = 6  # cell size 2.8125°
+
+LON_SQL = "((l_partkey % 3600) / 10.0 - 180.0)"
+LAT_SQL = "((l_suppkey % 1600) / 10.0 - 80.0)"
+CELL_SQL = sql_cell_expr("lon", "lat", RES)
+PTS_SQL = f"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM lineitem"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate",
+        (F.col("l_partkey") % 3600 / 10.0 - 180.0).alias("lon"),
+        (F.col("l_suppkey") % 1600 / 10.0 - 80.0).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo-relational queries
+# ---------------------------------------------------------------------------
+
+def q01_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+A2: cell encode + per-cell counts, density-filtered (min_count 50)."""
+    pts = _points(spark, sf_dir).withColumn("cell_id", cell_of("lon", "lat", RES))
+    return (
+        pts.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= 50)
+    )
+
+
+Q01_SQL = f"""
+SELECT cell_id, count(*) AS n_points
+FROM (SELECT {CELL_SQL} AS cell_id FROM ({PTS_SQL}))
+GROUP BY cell_id HAVING count(*) >= 50
+"""
+
+
+def q02_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 row form (window count): rows surviving min_count=30 per cell."""
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("l_partkey") % 7 == 0)
+        .withColumn("cell_id", cell_of("lon", "lat", RES))
+    )
+    out = density_filter(pts, 30, key="cell_id", use_window=True)
+    return out.select(
+        "l_orderkey", "l_linenumber", "cell_id", F.col("counts").cast("long").alias("counts")
+    )
+
+
+Q02_SQL = f"""
+SELECT l_orderkey, l_linenumber, cell_id, counts FROM (
+  SELECT l_orderkey, l_linenumber, cell_id, count(*) OVER (PARTITION BY cell_id) AS counts
+  FROM (SELECT l_orderkey, l_linenumber, {CELL_SQL} AS cell_id FROM ({PTS_SQL}) WHERE l_partkey % 7 = 0)
+) WHERE counts >= 30
+"""
+
+
+def q03_tile_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+W1+W2: per-cell spatio-temporal search window (num_steps=3,
+    temporal_step=5, tolerance=5, end-of-day push)."""
+    pts = _points(spark, sf_dir).withColumn("tile", cell_of("lon", "lat", RES))
+    return tile_info(
+        pts.select(
+            F.col("tile").alias("mgrs_tile_id"),
+            F.col("lon").alias("x"),
+            F.col("lat").alias("y"),
+            F.col("l_shipdate").alias("date"),
+        ),
+        num_steps=3,
+        temporal_step=5,
+        tolerance_days=5,
+    )
+
+
+Q03_SQL = f"""
+SELECT cell_id AS tile_id,
+       strftime(min(l_shipdate) - INTERVAL 15 DAY, '%Y-%m-%dT%H:%M:%S') AS min_date,
+       strftime(date_trunc('day', max(l_shipdate) + INTERVAL 5 DAY) + INTERVAL 86399 SECOND,
+                '%Y-%m-%dT%H:%M:%S') AS max_date,
+       min(lon) AS lon_min, max(lon) AS lon_max,
+       min(lat) AS lat_min, max(lat) AS lat_max
+FROM (SELECT l_shipdate, lon, lat, {CELL_SQL} AS cell_id FROM ({PTS_SQL}))
+GROUP BY cell_id
+"""
+
+
+def q04_temporal_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 long form: 4 query dates at 7-day steps per sampled row."""
+    pts = _points(spark, sf_dir).filter(F.col("l_orderkey") % 100 == 0)
+    out = expand_temporal_steps(
+        pts.withColumnRenamed("l_shipdate", "date"), num_steps=4, temporal_step=7
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("step").cast("long").alias("step"),
+        F.date_format("query_date", "yyyy-MM-dd'T'HH:mm:ss").alias("query_date"),
+    )
+
+
+Q04_SQL = """
+SELECT l_orderkey, l_linenumber, s.step AS step,
+       strftime(l_shipdate - to_days(CAST(s.step * 7 AS INT)), '%Y-%m-%dT%H:%M:%S') AS query_date
+FROM lineitem, (SELECT unnest(generate_series(0, 3)) AS step) s
+WHERE l_orderkey % 100 = 0
+"""
+
+
+def q05_asof_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: per (obs, step) pick min-value event within ±2 days (ties: ts,
+    id); no candidate → null. Events double as obs and granule sides."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("obs_id"),
+        (F.col("user_id") % 50).alias("k"),
+        F.col("ts").alias("date"),
+    )
+    steps = expand_temporal_steps(obs, num_steps=2, temporal_step=1).select(
+        "obs_id", "k", "step", "query_date"
+    )
+    granules = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("granule_id"),
+        (F.col("user_id") % 50).alias("k"),
+        "ts",
+        F.col("value").alias("cloud_cover"),
+    )
+    candidates = obs.select("obs_id", "k").join(
+        granules.select("granule_id", "k"), "k"
+    ).select("obs_id", "granule_id")
+    picked = asof_pick(
+        steps.drop("k"), candidates, granules.drop("k"), tolerance_days=2
+    )
+    return picked.select(
+        "obs_id",
+        F.col("step").cast("long").alias("step"),
+        "picked_granule",
+        F.col("cloud_cover").alias("cloud"),
+    )
+
+
+Q05_SQL = """
+WITH obs AS (
+  SELECT event_id AS obs_id, user_id % 50 AS k, ts FROM events WHERE event_id % 20 = 0
+),
+steps AS (
+  SELECT obs_id, k, s.step AS step, ts - to_days(CAST(s.step AS INT)) AS qd
+  FROM obs, (SELECT unnest(generate_series(0, 1)) AS step) s
+),
+g AS (
+  SELECT event_id AS gid, user_id % 50 AS k, ts AS gts, value FROM events
+  WHERE event_type = 'view'
+),
+cand AS (
+  SELECT steps.obs_id, steps.step, g.gid, g.gts, g.value
+  FROM steps JOIN g USING (k)
+  WHERE abs(epoch_us(g.gts) - epoch_us(steps.qd)) <= 172800000000
+),
+picked AS (
+  SELECT obs_id, step, gid, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY obs_id, step
+                                 ORDER BY value ASC, gts ASC, gid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT s.obs_id, s.step, p.gid AS picked_granule, p.value AS cloud
+FROM steps s LEFT JOIN picked p ON s.obs_id = p.obs_id AND s.step = p.step
+"""
+
+
+def q06_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: exact k-nearest-within-radius via k-ring cells + window rank."""
+    part = _t(spark, sf_dir, "part")
+    queries = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("qid"),
+        ((F.col("p_partkey") * 13) % 3600 / 10.0 - 180.0).alias("qx"),
+        ((F.col("p_partkey") * 29) % 1600 / 10.0 - 80.0).alias("qy"),
+    )
+    points = _points(spark, sf_dir).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+    )
+    out = knn_join(queries, points, k_neighbors=5, radius_deg=2.0)
+    return out.select("qid", "pid", "dist", F.col("rank").cast("long").alias("rank"))
+
+
+Q06_SQL = f"""
+WITH q AS (
+  SELECT p_partkey AS qid,
+         ((p_partkey * 13) % 3600) / 10.0 - 180.0 AS qx,
+         ((p_partkey * 29) % 1600) / 10.0 - 80.0 AS qy
+  FROM part WHERE p_partkey % 10 = 0
+),
+p AS (SELECT l_orderkey * 10 + l_linenumber AS pid, lon AS x, lat AS y FROM ({PTS_SQL})),
+c AS (
+  SELECT qid, pid, (qx - x) * (qx - x) + (qy - y) * (qy - y) AS dist
+  FROM q JOIN p ON p.x BETWEEN q.qx - 2.0 AND q.qx + 2.0
+               AND p.y BETWEEN q.qy - 2.0 AND q.qy + 2.0
+  WHERE (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 4.0
+)
+SELECT qid, pid, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, pid) AS rank FROM c
+) WHERE rank <= 5
+"""
+
+
+def q07_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: exact point-in-polygon join (ray-casting UDF) against diamond
+    footprints; the SQL twin uses the closed-form manhattan predicate."""
+    part = _t(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") * 17) % 3400 / 10.0 - 170.0
+    cy = (F.col("p_partkey") * 31) % 1400 / 10.0 - 70.0
+    r = F.lit(0.55) + (F.col("p_size") % 3) * 0.2
+    catalog = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").cast("string").alias("granule_id"),
+        (cx - r).alias("fp_minx"),
+        (cy - r).alias("fp_miny"),
+        (cx + r).alias("fp_maxx"),
+        (cy + r).alias("fp_maxy"),
+        F.array(cx + r, cx, cx - r, cx).alias("fp_xs"),
+        F.array(cy, cy + r, cy, cy - r).alias("fp_ys"),
+    )
+    obs = _points(spark, sf_dir).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+    )
+    return pip_join(obs, catalog, obs_id="pid")
+
+
+Q07_SQL = f"""
+WITH poly AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS granule_id,
+         ((p_partkey * 17) % 3400) / 10.0 - 170.0 AS cx,
+         ((p_partkey * 31) % 1400) / 10.0 - 70.0 AS cy,
+         0.55 + (p_size % 3) * 0.2 AS r
+  FROM part WHERE p_partkey % 20 = 0
+),
+pts AS (SELECT l_orderkey * 10 + l_linenumber AS pid, lon AS x, lat AS y FROM ({PTS_SQL}))
+SELECT pid, granule_id
+FROM pts JOIN poly ON abs(x - cx) + abs(y - cy) < r
+"""
+
+
+def q08_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: per-order granule sequence (suppkeys by linenumber) valid iff
+    non-null and pairwise distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    seq = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_suppkey"))),
+            lambda s: s["l_suppkey"],
+        ).alias("granules")
+    )
+    valid = seq.filter(
+        (~F.exists("granules", lambda x: x.isNull()))
+        & (F.size(F.array_distinct("granules")) == F.size("granules"))
+    )
+    return valid.select("l_orderkey", F.size("granules").cast("long").alias("n_items"))
+
+
+Q08_SQL = """
+SELECT l_orderkey, count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+HAVING count(*) = count(DISTINCT l_suppkey)
+"""
+
+
+def q09_granule_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct granule-set keys ('_'-joined sorted distinct members)
+    with the number of orders sharing each set."""
+    li = _t(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("l_suppkey")), lambda x: x.cast("string")
+            ),
+            "_",
+        ).alias("stac_items_str")
+    )
+    return sets.groupBy("stac_items_str").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q09_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+s AS (
+  SELECT l_orderkey,
+         string_agg(CAST(l_suppkey AS VARCHAR), '_' ORDER BY l_suppkey) AS stac_items_str
+  FROM d GROUP BY l_orderkey
+)
+SELECT stac_items_str, count(*) AS n_orders FROM s GROUP BY stac_items_str
+"""
+
+
+def q10_greedy_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A8: greedy cumulative split packing over event user-groups."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 100).alias("group_id")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    w = Window.orderBy(F.col("avg_v").desc(), F.col("group_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    cum = g.withColumn("cum_size", F.sum("group_size").over(w)).withColumn(
+        "total", F.sum("group_size").over(wt)
+    )
+    return cum.select(
+        "group_id",
+        "group_size",
+        F.when(F.col("cum_size") <= 0.2 * F.col("total"), "test")
+        .when(F.col("cum_size") <= 0.4 * F.col("total"), "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+Q10_SQL = """
+WITH g AS (
+  SELECT user_id % 100 AS group_id, count(*) AS group_size, round(avg(value), 6) AS avg_v
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT group_id, group_size,
+         sum(group_size) OVER (ORDER BY avg_v DESC, group_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_size,
+         sum(group_size) OVER () AS total
+  FROM g
+)
+SELECT group_id, group_size,
+       CASE WHEN cum_size <= 0.2 * total THEN 'test'
+            WHEN cum_size <= 0.4 * total THEN 'val'
+            ELSE 'train' END AS split
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup queries
+# ---------------------------------------------------------------------------
+
+def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+Q11_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q12_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(alnum_ratio("text"), 6).alias("alnum_ratio"),
+    )
+
+
+Q12_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text), 6)
+         AS alnum_ratio
+FROM documents
+"""
+
+
+def q13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", predict_lang("text").alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{m}', ''))) * 1.0 / {len(m)}" for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    cases = "\n".join(
+        f"  WHEN s_{l} > 0 AND s_{l} >= greatest({all_s}) THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (SELECT doc_id, {", ".join(score_exprs)} FROM padded)
+SELECT doc_id, CASE
+{cases}
+  ELSE 'und' END AS lang_pred
+FROM scores
+"""
+
+
+Q13_SQL = _langid_sql()
+
+
+def q14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+Q14_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=8, rows_per_band=2
+    )
+
+
+Q15_SQL = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+h AS (
+  SELECT doc_id, j.j AS j, min(md5(CAST(j.j AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) j
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(j / 2.0) AS INT) AS band_id,
+         string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM h GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+Q16_SQL = """
+WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(t.tok), 1, 4)) AS BIGINT) AS th
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents) t
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b) b
+  GROUP BY 1, 2
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+
+def q17_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    out = brute_force_topk(q, p, k=10)
+    return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+Q17_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings),
+el AS (
+  SELECT qid, pid,
+         CAST(round(CAST(qe[i.i] AS DOUBLE) * 1000) AS BIGINT)
+         * CAST(round(CAST(pe[i.i] AS DOUBLE) * 1000) AS BIGINT) AS prod
+  FROM q, p, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE qid != pid
+),
+d AS (SELECT qid, pid, sum(prod) AS dot FROM el GROUP BY 1, 2)
+SELECT qid, pid, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, pid ASC) AS rank FROM d
+) WHERE rank <= 10
+"""
+
+
+def q18_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(_t(spark, sf_dir, "embeddings"), n_bits=8, seed="lsh")
+
+
+Q18_SQL = """
+WITH el AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000) AS BIGINT) AS eq
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+votes AS (
+  SELECT vec_id, j.j AS j,
+         sum(eq * ((CAST(('0x' || substring(md5('lsh:' || CAST(j.j AS VARCHAR) || ':'
+                       || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)) AS proj
+  FROM el, (SELECT unnest(generate_series(0, 7)) AS j) j
+  GROUP BY 1, 2
+)
+SELECT vec_id, sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+FROM votes GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_cell_density": q01_cell_density,
+    "q02_density_filter": q02_density_filter,
+    "q03_tile_info": q03_tile_info,
+    "q04_temporal_expand": q04_temporal_expand,
+    "q05_asof_pick": q05_asof_pick,
+    "q06_knn_ring": q06_knn_ring,
+    "q07_pip_polygon": q07_pip_polygon,
+    "q08_validity_filter": q08_validity_filter,
+    "q09_granule_sets": q09_granule_sets,
+    "q10_greedy_split": q10_greedy_split,
+    "q11_exact_dedup": q11_exact_dedup,
+    "q12_text_stats": q12_text_stats,
+    "q13_lang_id": q13_lang_id,
+    "q14_fingerprint": q14_fingerprint,
+    "q15_minhash_lsh": q15_minhash_lsh,
+    "q16_simhash": q16_simhash,
+    "q17_ann_topk": q17_ann_topk,
+    "q18_ann_lsh_buckets": q18_ann_lsh_buckets,
+}
+
+ORACLES = {
+    "q01_cell_density": Q01_SQL,
+    "q02_density_filter": Q02_SQL,
+    "q03_tile_info": Q03_SQL,
+    "q04_temporal_expand": Q04_SQL,
+    "q05_asof_pick": Q05_SQL,
+    "q06_knn_ring": Q06_SQL,
+    "q07_pip_polygon": Q07_SQL,
+    "q08_validity_filter": Q08_SQL,
+    "q09_granule_sets": Q09_SQL,
+    "q10_greedy_split": Q10_SQL,
+    "q11_exact_dedup": Q11_SQL,
+    "q12_text_stats": Q12_SQL,
+    "q13_lang_id": Q13_SQL,
+    "q14_fingerprint": Q14_SQL,
+    "q15_minhash_lsh": Q15_SQL,
+    "q16_simhash": Q16_SQL,
+    "q17_ann_topk": Q17_SQL,
+    "q18_ann_lsh_buckets": Q18_SQL,
+}

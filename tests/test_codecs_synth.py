@@ -1,0 +1,106 @@
+"""Codec round-trip, PSNR, phash determinism, grid index, and tile-bounds tests."""
+
+import numpy as np
+
+from instageo_e2e_geospatial_ml_spark import codecs, grid, synth
+from instageo_e2e_geospatial_ml_spark.mgrs import mgrs_precision0, mgrs_tile_bounds
+
+
+def _img(bands=3, h=96, w=80, seed=7):
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.normal(5000, 2000, (bands, h, w)), 0, 10000).astype(np.uint16)
+
+
+def test_raw_roundtrip():
+    a = _img()
+    assert np.array_equal(codecs.decode(codecs.encode(a, "raw"), 80, 96, 3, "raw"), a)
+
+
+def test_png_roundtrip():
+    a = _img()
+    buf = codecs.encode(a, "png")
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(codecs.decode(buf, 80, 96, 3, "png"), a)
+
+
+def test_qdct_psnr_above_40():
+    a = _img()
+    buf = codecs.encode(a, "qdct")
+    b = codecs.decode(buf, 80, 96, 3, "qdct")
+    p = codecs.psnr(a, b)
+    assert p >= 40.0, p
+    assert not np.array_equal(a, b)  # genuinely lossy
+
+
+def test_phash_deterministic_and_robust():
+    a = _img(1, 224, 224)
+    h1 = codecs.phash64(a)
+    h2 = codecs.phash64(a.copy())
+    assert h1 == h2
+    # qdct-compressed version should have a close hash (hamming < 10)
+    b = codecs.decode(codecs.encode(a, "qdct"), 224, 224, 1, "qdct")
+    hb = codecs.phash64(b)
+    assert bin((h1 ^ hb) & (2**64 - 1)).count("1") < 10
+
+
+def test_grid_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-179.9, 179.9, 1000)
+    lat = rng.uniform(-89.9, 89.9, 1000)
+    for res in (3, 8, 12):
+        c = grid.cell_encode(lon, lat, res)
+        r, cx, cy = grid.cell_decode(c)
+        assert (r == res).all()
+        lon_min, lat_min, lon_max, lat_max = grid.cell_bounds(c)
+        assert ((lon >= lon_min) & (lon < lon_max)).all()
+        assert ((lat >= lat_min) & (lat < lat_max)).all()
+
+
+def test_k_ring_counts():
+    c = int(grid.cell_encode(np.array([10.0]), np.array([20.0]), 8)[0])
+    assert len(grid.k_ring(c, 0)) == 1
+    assert len(grid.k_ring(c, 1)) == 9
+    assert len(grid.k_ring(c, 2)) == 25
+    assert c in set(grid.k_ring(c, 1).tolist())
+
+
+def test_covering_cells_contains_corners():
+    cells = set(grid.covering_cells(10.0, 20.0, 11.0, 21.0, 8).tolist())
+    for lon, lat in [(10.0, 20.0), (11.0, 21.0), (10.5, 20.5)]:
+        assert int(grid.cell_encode(np.array([lon]), np.array([lat]), 8)[0]) in cells
+
+
+def test_mgrs_tile_bounds_contains_golden_points():
+    # every golden point must fall inside its tile's 100km-square footprint bbox
+    for lon, lat, _d, tile in synth.GOLDEN_POINTS:
+        lon_b, lat_b = mgrs_tile_bounds(tile)
+        assert lon_b.min() - 1e-6 <= lon <= lon_b.max() + 1e-6, (tile, lon)
+        assert lat_b.min() - 1e-6 <= lat <= lat_b.max() + 1e-6, (tile, lat)
+        # the square's center re-encodes to the same zone + column/row letters
+        # (the lat band may legitimately differ: 100 km squares straddle bands)
+        clon = np.array([(lon_b.min() + lon_b.max()) / 2])
+        clat = np.array([(lat_b.min() + lat_b.max()) / 2])
+        got = mgrs_precision0(clat, clon)[0]
+        assert got[:-3] == tile[:-3] and got[-2:] == tile[-2:], (got, tile)
+
+
+def test_synth_catalog_and_images():
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB", "30RYS"], days=20, every=5)
+    assert len(cat) == 8
+    assert cat["granule_id"].is_unique
+    imgs = synth.gen_images_pdf(cat.head(2), w=64, h=48, fmt="png")
+    assert set(imgs.columns) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+    # decode + caption invariants
+    row = imgs.iloc[0]
+    px = codecs.decode(row["bytes"], int(row["w"]), int(row["h"]), 1, row["fmt"])
+    assert px.shape == (1, 48, 64)
+    assert row["caption"] == synth.caption_for(row["image_id"])
+    # determinism: regenerate → identical bytes
+    imgs2 = synth.gen_images_pdf(cat.head(2), w=64, h=48, fmt="png")
+    assert imgs.iloc[0]["bytes"] == imgs2.iloc[0]["bytes"]
+
+
+def test_observations_have_golden_mgrs():
+    obs = synth.gen_observations_pdf(n_extra_per_tile=5)
+    got = obs.head(10)["mgrs_tile_id"].tolist()
+    assert got == [g[3] for g in synth.GOLDEN_POINTS]

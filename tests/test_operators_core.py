@@ -1,0 +1,223 @@
+"""Spark tests for the relational core + spatial/as-of/kNN joins.
+
+Golden values ported from the reference's tests (cited per test).
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark import synth
+from instageo_e2e_geospatial_ml_spark.operators.asof import asof_pick, granule_sequence
+from instageo_e2e_geospatial_ml_spark.operators.dates import (
+    expand_temporal_steps,
+    normalize_dates,
+)
+from instageo_e2e_geospatial_ml_spark.operators.density import assign_tiles, density_filter
+from instageo_e2e_geospatial_ml_spark.operators.knn import knn_join
+from instageo_e2e_geospatial_ml_spark.operators.spatial_join import (
+    candidate_lists,
+    pip_join,
+    point_in_polygon,
+)
+from instageo_e2e_geospatial_ml_spark.operators.split import split_dataset
+from instageo_e2e_geospatial_ml_spark.operators.tileinfo import tile_info
+from instageo_e2e_geospatial_ml_spark.operators.validity import validity_filter
+
+
+@pytest.fixture(scope="module")
+def golden_obs(spark):
+    pdf = pd.DataFrame(
+        [{"x": x, "y": y, "date": pd.Timestamp(d)} for x, y, d, _ in synth.GOLDEN_POINTS]
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_assign_tiles_goldens(golden_obs):
+    # reference test_get_tiles, test_data_pipeline.py:87-100
+    got = [r["mgrs_tile_id"] for r in assign_tiles(golden_obs).collect()]
+    assert got == [g[3] for g in synth.GOLDEN_POINTS]
+
+
+def test_density_filter(golden_obs):
+    # min_count=3 keeps only the 4 points in 38PMB (reference get_tiles semantics)
+    df = assign_tiles(golden_obs)
+    for use_window in (False, True):
+        out = density_filter(df, 3, use_window=use_window)
+        rows = out.collect()
+        assert len(rows) == 4
+        assert all(r["mgrs_tile_id"] == "38PMB" for r in rows)
+        assert all(r["counts"] == 4 for r in rows)
+
+
+def test_tile_info_golden(golden_obs):
+    # reference test_get_tile_info (test_data_pipeline.py:125-160, FIXTURES.md):
+    # 38PMB subset, num_steps=3, temporal_step=5, tolerance=5
+    df = assign_tiles(golden_obs)
+    df = density_filter(df, 3, keep_counts=False)
+    info = tile_info(df, num_steps=3, temporal_step=5, tolerance_days=5).collect()
+    assert len(info) == 1
+    r = info[0]
+    assert r["tile_id"] == "38PMB"
+    assert r["min_date"] == "2022-05-24T00:00:00"
+    assert r["max_date"] == "2022-06-14T23:59:59"
+    assert r["lon_min"] == pytest.approx(44.451435)
+    assert r["lon_max"] == pytest.approx(44.744167)
+    assert r["lat_min"] == pytest.approx(15.099767)
+    assert r["lat_max"] == pytest.approx(15.287778)
+
+
+def test_normalize_dates_monthbegin_quirk(spark):
+    # pandas `- MonthBegin(1)`: 2022-06-15 → 2022-06-01 but 2022-06-01 → 2022-05-01
+    pdf = pd.DataFrame({"date": [pd.Timestamp("2022-06-15"), pd.Timestamp("2022-06-01")]})
+    out = normalize_dates(
+        spark.createDataFrame(pdf), shift_to_month_start=True
+    ).collect()
+    assert out[0]["date"] == dt.datetime(2022, 6, 1)
+    assert out[1]["date"] == dt.datetime(2022, 5, 1)
+
+
+def test_expand_temporal_steps(spark):
+    pdf = pd.DataFrame({"obs_id": [1], "date": [pd.Timestamp("2022-06-08")]})
+    out = (
+        expand_temporal_steps(spark.createDataFrame(pdf), num_steps=3, temporal_step=5)
+        .orderBy("step")
+        .collect()
+    )
+    assert [r["query_date"] for r in out] == [
+        dt.datetime(2022, 6, 8),
+        dt.datetime(2022, 6, 3),
+        dt.datetime(2022, 5, 29),
+    ]
+
+
+def test_point_in_polygon_numpy():
+    # concave quad with a notch: bbox contains (0.9, 0.9) but polygon doesn't
+    xs = np.array([0.5, 1.0, 1.0, 0.0, 0.0])
+    ys = np.array([0.5, 1.0, 0.0, 0.0, 1.0])
+    px = np.array([0.7, 0.5, 0.1, 1.5])  # (0.7,0.9) is inside the cut notch
+    py = np.array([0.9, 0.25, 0.5, 0.5])
+    got = point_in_polygon(px, py, xs, ys)
+    assert got.tolist() == [False, True, True, False]
+
+
+def test_pip_join_and_candidates(spark, golden_obs):
+    # candidate dispatch semantics (reference test_stac_utils.py:293-349):
+    # each obs matches exactly the granules of its own tile footprint;
+    # an obs outside every footprint gets an empty candidate list.
+    cat = synth.gen_granule_catalog_pdf(days=10, every=5, notch=False)
+    catalog = spark.createDataFrame(cat)
+    obs = assign_tiles(golden_obs).withColumn("obs_id", F.monotonically_increasing_id())
+    # add one ocean point that matches nothing
+    extra = obs.limit(1).withColumn("x", F.lit(-150.0)).withColumn("y", F.lit(-45.0)).withColumn(
+        "obs_id", F.lit(999)
+    ).withColumn("mgrs_tile_id", F.lit("06GUR"))
+    obs = obs.union(extra)
+    matches = pip_join(obs, catalog)
+    got = (
+        matches.join(obs.select("obs_id", "mgrs_tile_id"), "obs_id")
+        .withColumn("gr_tile", F.regexp_extract("granule_id", r"T(\w{5})\.", 1))
+        .collect()
+    )
+    assert len(got) > 0
+    for r in got:
+        assert r["gr_tile"] == r["mgrs_tile_id"]  # only own-tile footprints match
+    per_obs = {r["obs_id"]: r["candidate_items"] for r in candidate_lists(matches, obs).collect()}
+    assert per_obs[999] == []  # reindex-fill: no match → empty array
+    n_granules_per_tile = 2  # days=10, every=5
+    for oid, items in per_obs.items():
+        if oid != 999:
+            assert len(items) == n_granules_per_tile
+            assert items == sorted(items)
+
+
+def test_asof_pick_tolerance_and_tiebreak(spark):
+    # reference find_closest_items semantics (test_stac_utils.py:429-489):
+    # tolerance=0 days picks only exact-timestamp items; min cloud wins; no
+    # candidate within tolerance → null.
+    granules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "granule_id": ["g1", "g2", "g3"],
+                "ts": pd.to_datetime(["2022-06-08", "2022-06-08", "2022-06-20"]),
+                "cloud_cover": [50.0, 10.0, 0.0],
+            }
+        )
+    )
+    steps = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "obs_id": [1, 1],
+                "step": [0, 1],
+                "query_date": pd.to_datetime(["2022-06-08", "2022-06-03"]),
+            }
+        )
+    )
+    candidates = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1, 1, 1], "granule_id": ["g1", "g2", "g3"]})
+    )
+    out = asof_pick(steps, candidates, granules, tolerance_days=0).orderBy("step").collect()
+    assert out[0]["picked_granule"] == "g2"  # exact date, min cloud_cover
+    assert out[1]["picked_granule"] is None  # nothing within 0 days of 06-03
+    # tolerance=5: step 1 now reaches 06-08 granules
+    out5 = asof_pick(steps, candidates, granules, tolerance_days=5).orderBy("step").collect()
+    assert out5[1]["picked_granule"] == "g2"
+
+
+def test_granule_sequence_and_validity(spark):
+    picked = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "obs_id": [1, 1, 2, 2],
+                "step": [0, 1, 0, 1],
+                "picked_granule": ["a", "b", "a", None],
+            }
+        )
+    )
+    seq = granule_sequence(picked)
+    rows = {r["obs_id"]: r for r in seq.collect()}
+    assert rows[1]["granules"] == ["a", "b"]
+    assert rows[1]["stac_items_str"] == "a_b"
+    # validity: obs 2 has a null step → dropped; also duplicate check
+    valid = validity_filter(seq, num_steps=2).collect()
+    assert [r["obs_id"] for r in valid] == [1]
+    dup = spark.createDataFrame(pd.DataFrame({"obs_id": [3], "granules": [["a", "a"]]}))
+    assert validity_filter(dup).count() == 0
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    rng = np.random.default_rng(1)
+    pts = pd.DataFrame(
+        {"pid": range(500), "x": rng.uniform(0, 10, 500), "y": rng.uniform(0, 10, 500)}
+    )
+    qs = pd.DataFrame(
+        {"qid": range(20), "qx": rng.uniform(1, 9, 20), "qy": rng.uniform(1, 9, 20)}
+    )
+    radius = 1.0
+    k = 5
+    out = knn_join(
+        spark.createDataFrame(qs), spark.createDataFrame(pts), k, radius
+    ).toPandas()
+    # brute-force oracle
+    for _, q in qs.iterrows():
+        d2 = (pts["x"] - q["qx"]) ** 2 + (pts["y"] - q["qy"]) ** 2
+        cand = pts.assign(dist=d2)[d2 <= radius * radius].sort_values(
+            ["dist", "pid"]
+        ).head(k)
+        got = out[out["qid"] == q["qid"]].sort_values("rank")
+        assert got["pid"].tolist() == cand["pid"].tolist(), q["qid"]
+
+
+def test_split_dataset_fractions(spark):
+    obs = synth.gen_observations_pdf(n_extra_per_tile=50)
+    df = spark.createDataFrame(obs)
+    out = split_dataset(df, test_frac=0.2, val_frac=0.2).toPandas()
+    frac = out.groupby("split").size() / len(out)
+    assert 0.05 < frac.get("test", 0) < 0.45
+    assert 0.05 < frac.get("val", 0) < 0.45
+    assert frac.get("train", 0) > 0.3
+    # geographic coherence: each tile maps to exactly one split
+    assert (out.groupby("mgrs_tile_id")["split"].nunique() == 1).all()
