@@ -160,6 +160,12 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_raw(arr.astype(np.uint16))
     if fmt == "raw8":
         return encode_raw(arr.astype(np.uint8))
+    if fmt == "rawf4":
+        return np.ascontiguousarray(arr, dtype="<f4").tobytes()
+    if fmt == "rawf8":
+        return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+    if fmt == "rawi2":
+        return np.ascontiguousarray(arr, dtype="<i2").tobytes()
     if fmt == "png":
         return encode_png(arr)
     if fmt == "qdct":
@@ -175,6 +181,12 @@ def decode(buf: bytes, w: int, h: int, bands: int, fmt: str) -> np.ndarray:
         return decode_raw(buf, w, h, bands, "<u2")
     if fmt == "raw8":
         return decode_raw(buf, w, h, bands, "u1").astype(np.uint16)
+    if fmt == "rawf4":
+        return np.frombuffer(buf, dtype="<f4").reshape(bands, h, w)
+    if fmt == "rawf8":
+        return np.frombuffer(buf, dtype="<f8").reshape(bands, h, w)
+    if fmt == "rawi2":
+        return np.frombuffer(buf, dtype="<i2").reshape(bands, h, w)
     if fmt == "png":
         return decode_png(buf, w, h, bands)
     if fmt == "qdct":

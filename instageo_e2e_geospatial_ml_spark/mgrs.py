@@ -181,14 +181,13 @@ def utm_to_latlon(
     return np.degrees(phi), lon0 + np.degrees(lam)
 
 
-def mgrs_tile_bounds(tile_id: str, n_pts_per_edge: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Polygon (lon[], lat[]) of a precision-0 MGRS tile's 100 km square.
+def mgrs_tile_utm_square(tile_id: str) -> tuple[int, bool, float, float]:
+    """Precision-0 MGRS tile → (utm_zone, south, easting_min, northing_min)
+    of its 100 km UTM square (northing includes the southern false northing).
 
-    Inverse of `mgrs_precision0`: resolves (zone, band, col, row) letters back
-    to the UTM easting/northing square and projects its boundary to WGS84.
-    Used to synthesize granule footprints matching real MGRS tile geometry
-    (the reference gets footprints from STAC item geojson,
-    stac_utils.py:139-145).
+    Inverse of `mgrs_precision0`'s lettering; the chip engine uses this as
+    the tile's affine-transform origin (the reference gets it from the
+    GeoTIFF transform, hls_utils.py:89-122).
     """
     i = 0
     while tile_id[i].isdigit():
@@ -212,6 +211,17 @@ def mgrs_tile_bounds(tile_id: str, n_pts_per_edge: int = 3) -> tuple[np.ndarray,
     if northing + 100000.0 <= n_base:
         northing += 2000000.0
     easting = col * 100000.0
+    return zone, south, easting, northing
+
+
+def mgrs_tile_bounds(tile_id: str, n_pts_per_edge: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Polygon (lon[], lat[]) of a precision-0 MGRS tile's 100 km square.
+
+    Used to synthesize granule footprints matching real MGRS tile geometry
+    (the reference gets footprints from STAC item geojson,
+    stac_utils.py:139-145).
+    """
+    zone, south, easting, northing = mgrs_tile_utm_square(tile_id)
 
     # boundary points (counter-clockwise), densified for curvature
     t = np.linspace(0.0, 100000.0, n_pts_per_edge)

@@ -563,6 +563,76 @@ FROM votes GROUP BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# raster/chip queries (no SQL oracle — pixel kernels aren't ANSI-SQL
+# expressible; covered by pytest goldens ported from the reference and
+# recorded by the driver as rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q19_chip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full chip pipeline on deterministic synthetic data (seeded): obs →
+    MGRS assign → PIP join → as-of pick → cogrouped chip extraction.
+    Returns the chip-table metadata columns (binary payloads dropped so the
+    row set is hash-stable)."""
+    from .. import synth
+    from .pipeline import ChipPipelineConfig, run_chip_pipeline
+
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=1, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=("cloud", "water"), masking_strategy="each",
+        n_salt=2,
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs),
+        spark.createDataFrame(cat),
+        spark.createDataFrame(imgs),
+        cfg,
+    )
+    return chips.select(
+        "chip_id", "stac_items_str", "tile_key", "cx", "cy", "date_id",
+        "n_bands", "chip_size", "valid_px", "n_label_px",
+    )
+
+
+def q20_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image synthesis + decode round-trip: per-image caption
+    equality flag, phash, and decoded-pixel checksum (mapInPandas)."""
+    import pandas as pd
+
+    from .. import codecs, synth
+
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
+    imgs = synth.gen_images_df(
+        spark, list(cat["granule_id"]), w=64, h=64, fmt="png", num_partitions=8
+    )
+
+    def verify(it):
+        for pdf in it:
+            px_sum, cap_ok, ph = [], [], []
+            for _, r in pdf.iterrows():
+                arr = codecs.decode(bytes(r["bytes"]), int(r["w"]), int(r["h"]), 1, r["fmt"])
+                px_sum.append(int(arr.sum()))
+                cap_ok.append(r["caption"] == synth.caption_for(r["image_id"]))
+                ph.append(int(codecs.phash64(arr)))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "pixel_sum": px_sum,
+                    "caption_ok": cap_ok,
+                    "phash_match": [a == int(b) for a, b in zip(ph, pdf["phash"])],
+                }
+            )
+
+    return imgs.mapInPandas(
+        verify, "image_id string, pixel_sum long, caption_ok boolean, phash_match boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -585,6 +655,8 @@ QUERIES = {
     "q16_simhash": q16_simhash,
     "q17_ann_topk": q17_ann_topk,
     "q18_ann_lsh_buckets": q18_ann_lsh_buckets,
+    "q19_chip_extract": q19_chip_extract,
+    "q20_image_metadata": q20_image_metadata,
 }
 
 ORACLES = {

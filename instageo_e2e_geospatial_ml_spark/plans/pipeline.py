@@ -1,0 +1,106 @@
+"""End-to-end chip-creation pipeline (the reference's chip_creator main,
+chip_creator.py:258-326 + data_pipeline.py:761-831, Spark-first).
+
+    observations ──assign MGRS──density filter──temporal expand──┐
+    granule catalog ──bucket footprints──broadcast PIP join──────┤
+                                                                 ▼
+                           as-of pick (min cloud within tolerance)
+                                                                 ▼
+               granule sequence + validity filter + set dedup key
+                                                                 ▼
+          resume anti-join (checkpoint) ── cogrouped chip extract
+                                                                 ▼
+                    chip table (+ per-partition lineage manifest)
+
+Every stage before the extraction UDF is pure DataFrame algebra (Catalyst
+optimizes the whole prefix: filters push into the parquet scans, the PIP
+join is a broadcast hash join, the as-of pick is one shuffle keyed by
+(obs, step)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_pick, granule_sequence
+from ..operators.chips import extract_chips
+from ..operators.dates import expand_temporal_steps, normalize_dates
+from ..operators.density import assign_tiles, density_filter
+from ..operators.spatial_join import pip_join
+from ..operators.validity import validity_filter
+from ..sources.checkpoint import CheckpointTable
+
+
+@dataclass
+class ChipPipelineConfig:
+    min_count: int = 1
+    num_steps: int = 1
+    temporal_step: int = 5
+    temporal_tolerance: int = 5
+    chip_size: int = 64
+    window_size: int = 0
+    mask_types: tuple = ()
+    masking_strategy: str = "any"
+    task_type: str = "seg"
+    band_order: tuple = ("B02", "B03", "B04", "B8A", "B11", "B12")
+    n_salt: int = 4
+    shift_to_month_start: bool = False
+    extra: dict = field(default_factory=dict)
+
+
+def build_records(obs: DataFrame, catalog: DataFrame, cfg: ChipPipelineConfig) -> DataFrame:
+    """observations × granule catalog → valid records with granule sets."""
+    o = normalize_dates(obs, shift_to_month_start=cfg.shift_to_month_start)
+    o = assign_tiles(o)
+    o = density_filter(o, cfg.min_count, keep_counts=False)
+    o = o.withColumn("obs_id", F.monotonically_increasing_id())
+
+    steps = expand_temporal_steps(
+        o, num_steps=cfg.num_steps, temporal_step=cfg.temporal_step
+    ).select("obs_id", "step", "query_date")
+    candidates = pip_join(o, catalog)
+    granules = catalog.select("granule_id", "ts", "cloud_cover")
+    picked = asof_pick(
+        steps,
+        candidates,
+        granules,
+        tolerance_days=cfg.temporal_tolerance,
+        obs_id="obs_id",
+    )
+    seq = granule_sequence(picked)
+    records = o.join(seq, "obs_id", "inner")
+    return validity_filter(records, num_steps=cfg.num_steps)
+
+
+def run_chip_pipeline(
+    obs: DataFrame,
+    catalog: DataFrame,
+    images: DataFrame,
+    cfg: ChipPipelineConfig,
+    checkpoint: CheckpointTable | None = None,
+) -> DataFrame:
+    """Full pipeline → chip table DataFrame (appended to `checkpoint` when
+    given, with resume semantics: already-committed granule-sets skipped)."""
+    records = build_records(obs, catalog, cfg).select(
+        "stac_items_str", "granules", "x", "y", "date", "label"
+    )
+    if checkpoint is not None:
+        records = checkpoint.filter_uncommitted(records)
+    chips = extract_chips(
+        records,
+        images,
+        chip_size=cfg.chip_size,
+        window_size=cfg.window_size,
+        mask_types=cfg.mask_types,
+        masking_strategy=cfg.masking_strategy,
+        task_type=cfg.task_type,
+        band_order=cfg.band_order,
+        n_salt=cfg.n_salt,
+    )
+    if checkpoint is not None:
+        checkpoint.append(chips, metrics_cols=["valid_px", "n_label_px"])
+        return checkpoint.read()
+    return chips

@@ -1,0 +1,102 @@
+"""Iceberg-style checkpoint tables: partitioned Parquet + snapshot manifest.
+
+No Iceberg runtime jar ships with this pyspark distribution (SURVEY.md
+§7.0), so the checkpoint/lineage contract (north rule: "resumable from
+checkpoint with per-partition lineage + metrics") is implemented at the
+layout level:
+
+    <root>/data/            partitioned Parquet (the table)
+    <root>/manifests/       one Parquet per snapshot: per-partition row
+                            counts + metric sums + snapshot id/ts
+    <root>/_snapshots.json  append-only snapshot log
+
+Idempotent append = left-anti join of the incoming batch against the
+already-committed keys (the reference's 3-level file-existence resume,
+data_pipeline.py:690-724,776-795, collapsed into one anti-join).
+If an Iceberg jar appears, swap CheckpointTable for a real catalog behind
+the same three methods.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointTable:
+    def __init__(self, spark: SparkSession, root: str, key: str, partition_by: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.key = key
+        self.partition_by = partition_by
+        self.data_path = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "manifests")
+        self.log_path = os.path.join(root, "_snapshots.json")
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self.log_path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    def committed_keys(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.read().select(self.key).distinct()
+
+    # -- write --------------------------------------------------------------
+
+    def filter_uncommitted(self, df: DataFrame) -> DataFrame:
+        """J8 resume anti-join: drop rows whose key is already committed."""
+        keys = self.committed_keys()
+        if keys is None:
+            return df
+        return df.join(F.broadcast(keys), self.key, "left_anti")
+
+    def append(self, df: DataFrame, metrics_cols: list[str] | None = None) -> dict:
+        """Idempotent append: anti-join on key, write data + per-partition
+        lineage manifest, log the snapshot. Returns the snapshot record."""
+        batch = self.filter_uncommitted(df)
+        snapshot_id = uuid.uuid4().hex[:16]
+        batch = batch.withColumn("_snapshot_id", F.lit(snapshot_id))
+        writer = batch.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(self.data_path)
+
+        # per-partition lineage + metrics from what was just committed
+        committed = self.spark.read.parquet(self.data_path).filter(
+            F.col("_snapshot_id") == snapshot_id
+        )
+        group = [self.partition_by] if self.partition_by else []
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for m in metrics_cols or []:
+            aggs.append(F.sum(m).alias(f"sum_{m}"))
+        manifest = committed.groupBy(*group).agg(*aggs).withColumn(
+            "snapshot_id", F.lit(snapshot_id)
+        )
+        manifest.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.manifest_path, snapshot_id)
+        )
+
+        n_rows = committed.count()
+        rec = {"snapshot_id": snapshot_id, "ts": time.time(), "n_rows": n_rows}
+        log = []
+        if os.path.exists(self.log_path):
+            with open(self.log_path) as fh:
+                log = json.load(fh)
+        log.append(rec)
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.log_path, "w") as fh:
+            json.dump(log, fh, indent=1)
+        return rec
+
+    def manifests(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.manifest_path, "*"))

@@ -1,0 +1,90 @@
+"""Minimal pure-stdlib GeoTIFF reader (ingestion source).
+
+Reads strip-based, uncompressed or deflate-compressed, single-sample
+GeoTIFFs (uint8/uint16/int16/float32/float64) plus the geotransform from
+ModelPixelScaleTag/ModelTiepointTag — enough to ingest HLS-style tiles
+into the images table without rasterio (absent from this container).
+Replaces the reference's xr.open_mfdataset scan (hls_utils.py:89-122).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_DTYPES = {
+    (8, 1): "u1",
+    (16, 1): "u2",
+    (16, 2): "i2",
+    (32, 2): "i4",
+    (32, 3): "f4",
+    (64, 3): "f8",
+}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, float]]:
+    """→ (array (h, w), transform (a, c, e, f)) with x = c + a·col,
+    y = f + e·row at cell edges."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    bo = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12 : off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = e[8 : 8 + size]
+        else:
+            p = struct.unpack(bo + "I", e[8:12])[0]
+            raw = data[p : p + size]
+        if typ == 3:
+            vals = list(struct.unpack(bo + f"{cnt}H", raw))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + f"{cnt}I", raw))
+        elif typ == 12:
+            vals = list(struct.unpack(bo + f"{cnt}d", raw))
+        elif typ == 11:
+            vals = list(struct.unpack(bo + f"{cnt}f", raw))
+        elif typ == 2:
+            vals = [raw.decode("ascii", "ignore")]
+        else:
+            vals = [raw]
+        tags[tag] = vals
+
+    w, h = tags[256][0], tags[257][0]
+    bits = tags[258][0]
+    compression = tags.get(259, [1])[0]
+    sample_format = tags.get(339, [1])[0]
+    dtype = np.dtype(bo + _DTYPES[(bits, sample_format)])
+    rows_per_strip = tags.get(278, [h])[0]
+    offsets = tags[273]
+    counts = tags[279]
+
+    out = np.empty((h, w), dtype=dtype)
+    row = 0
+    for o, c in zip(offsets, counts):
+        chunk = data[o : o + c]
+        if compression == 8 or compression == 32946:  # deflate
+            chunk = zlib.decompress(chunk)
+        elif compression != 1:
+            raise NotImplementedError(f"TIFF compression {compression} unsupported")
+        nrows = min(rows_per_strip, h - row)
+        out[row : row + nrows] = np.frombuffer(
+            chunk, dtype=dtype, count=nrows * w
+        ).reshape(nrows, w)
+        row += nrows
+    # geotransform
+    sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])
+    tie = tags.get(33922, [0.0] * 6)
+    i, j, _k, x, y, _z = tie[:6]
+    a, e = float(sx), -float(sy)
+    c = float(x) - a * float(i)
+    f = float(y) - e * float(j)
+    return out, (a, c, e, f)

@@ -1,0 +1,254 @@
+"""Chip-engine tests porting the reference's golden values.
+
+Sources: tests/data_tests/test_hls_utils.py:145-159 (fmask bits),
+test_create_chips.py:80-139 (masking matrices), test_data_pipeline.py:103-122
+(chip coords vs the real 224×224 fixture raster), test_create_chips.py:27-77
+(e2e chip count/shape/id + seg⊆chip invariant). The fixture GeoTIFFs are
+read from the reference checkout with our stdlib TIFF reader — data only,
+no code.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark import codecs, synth
+from instageo_e2e_geospatial_ml_spark.mgrs import latlon_to_utm
+from instageo_e2e_geospatial_ml_spark.operators.chips import (
+    apply_mask,
+    chip_coords,
+    create_segmentation_map,
+    decode_fmask_value,
+    extract_chips,
+    mask_segmentation_map,
+)
+from instageo_e2e_geospatial_ml_spark.plans.pipeline import (
+    ChipPipelineConfig,
+    run_chip_pipeline,
+)
+from instageo_e2e_geospatial_ml_spark.sources.checkpoint import CheckpointTable
+from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff
+
+REF_DATA = "/root/reference/tests/data"
+HAVE_REF = os.path.exists(f"{REF_DATA}/HLS.S30.T38PMB.2022145T072619.v2.0.B02.tif")
+
+
+def test_fmask_bit_decode_golden():
+    # reference test_hls_utils.py:145-159: value 100 → bits per position
+    got = [int(decode_fmask_value(np.array([100]), p)[0]) for p in range(8)]
+    assert got == [0, 0, 1, 0, 0, 1, 1, 0]
+
+
+def test_masking_strategy_matrices():
+    # reference test_create_chips.py:91-139
+    chip = np.array([[1, 2, 3, 4], [1, 3, -9, 7], [6, 7, 3, 9]])
+    seg = np.array([1, -1, 1, 2])
+    each = mask_segmentation_map(chip, seg, -9, "each")
+    assert each.tolist() == [1, -1, 1, 2]
+    any_ = mask_segmentation_map(chip, seg, -9, "any")
+    assert any_.tolist() == [1, -1, -1, 2]
+    # all-ndv chip → everything −1 (test_segmentation_map_masking)
+    allnd = mask_segmentation_map(np.full((2, 4), -9), seg, -9, "any")
+    assert (allnd == -1).all()
+
+
+def test_apply_mask_each_vs_any():
+    # 2 timesteps × 1 band stack, mask bit 1 (cloud)
+    chip = np.arange(1, 9).reshape(2, 2, 2)
+    mask = np.zeros((2, 2, 2), dtype=np.uint8)
+    mask[0, 0, 0] = 2  # cloud bit set at t0 px(0,0)
+    each = apply_mask(chip, mask, 0, ["cloud"], "each")
+    assert each[0, 0, 0] == 0 and each[1, 0, 0] == 5  # only t0 masked
+    any_ = apply_mask(chip, mask, 0, ["cloud"], "any")
+    assert any_[0, 0, 0] == 0 and any_[1, 0, 0] == 0  # both timesteps masked
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference fixtures unavailable")
+def test_chip_coords_golden_real_raster():
+    # reference test_data_pipeline.py:103-122
+    tile, tr = read_geotiff(f"{REF_DATA}/HLS.S30.T38PMB.2022145T072619.v2.0.B02.tif")
+    assert tile.shape == (224, 224)
+    pts = pd.read_csv(f"{REF_DATA}/sample_4326.csv")
+    e, n, _ = latlon_to_utm(
+        pts["y"].to_numpy(), pts["x"].to_numpy(), np.full(len(pts), 13)
+    )
+    got = {tuple(c) for c in chip_coords(e, n, tr, 64)}
+    assert got == {(2, 0), (0, 3), (2, 2), (3, 2), (2, 3), (1, 2)}
+
+
+def test_segmentation_map_window_and_axis_swap():
+    # 4x6 (h=4, w=6) chip: the swapped clip bounds (rows clipped by w=6,
+    # cols by h=4) are reference behavior — verify stamping + window growth
+    tr = (1.0, 0.0, -1.0, 4.0)  # x = col, y = 4 - row
+    xs, ys, labels = np.array([2.5]), np.array([1.5]), np.array([7])
+    seg0 = create_segmentation_map((4, 6), tr, xs, ys, labels, 0)
+    assert seg0.shape == (4, 6)
+    assert (seg0 == 7).sum() == 1
+    assert seg0[2, 2] == 7  # row=floor((1.5-4)/-1)=2, col=2
+    seg1 = create_segmentation_map((4, 6), tr, xs, ys, labels, 1)
+    assert (seg1 == 7).sum() == 9
+    # obs outside the chip extent → untouched
+    seg_out = create_segmentation_map(
+        (4, 6), tr, np.array([99.0]), np.array([99.0]), np.array([3]), 1
+    )
+    assert (seg_out == -1).all()
+
+
+@pytest.fixture(scope="module")
+def ref_e2e_frames():
+    tile, tr = read_geotiff(f"{REF_DATA}/HLS.S30.T38PMB.2022145T072619.v2.0.B02.tif")
+    gid = "HLS.S30.T38PMB.2022145T072619.v2.0"
+    images = pd.DataFrame(
+        [
+            {
+                "image_id": f"{gid}:{b}",
+                "bytes": codecs.encode(tile.reshape(1, 224, 224), "rawf8"),
+                "w": 224,
+                "h": 224,
+                "fmt": "rawf8",
+                "caption": synth.caption_for(f"{gid}:{b}"),
+                "phash": 0,
+            }
+            for b in ("B02", "B04")
+        ]
+    )
+    pts = pd.read_csv(f"{REF_DATA}/sample_4326.csv")
+    records = pd.DataFrame(
+        {
+            "stac_items_str": gid,
+            "granules": [[gid]] * len(pts),
+            "x": pts["x"],
+            "y": pts["y"],
+            "date": pd.Timestamp("2020-01-01"),
+            "label": pts["label"],
+        }
+    )
+    overrides = {"38PMB": (13, tr[0], tr[1], tr[2], tr[3])}
+    return images, records, overrides
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference fixtures unavailable")
+def test_extract_chips_e2e_golden(spark, ref_e2e_frames):
+    # reference test_create_chips.py:27-77: 3 chips, (2,64,64)/(64,64),
+    # exact id chip_20200101_S30_T38PMB_2022145T072619_1_2, seg⊆chip
+    images, records, overrides = ref_e2e_frames
+    out = extract_chips(
+        spark.createDataFrame(records),
+        spark.createDataFrame(images),
+        chip_size=64,
+        window_size=0,
+        mask_types=(),
+        masking_strategy="any",
+        band_order=("B02", "B04"),
+        n_salt=2,
+        transform_overrides=overrides,
+    ).toPandas()
+    assert len(out) == 3
+    assert set(out["chip_id"]) == {
+        "chip_20200101_S30_T38PMB_2022145T072619_2_0",
+        "chip_20200101_S30_T38PMB_2022145T072619_2_2",
+        "chip_20200101_S30_T38PMB_2022145T072619_1_2",
+    }
+    for _, r in out.iterrows():
+        chip = codecs.decode(r["chip"], 64, 64, 2, r["chip_fmt"])
+        seg = np.frombuffer(r["seg"], dtype="<i2").reshape(64, 64)
+        assert chip.shape == (2, 64, 64)
+        assert np.unique(chip).size > 1
+        assert np.unique(seg).size > 1
+        # seg ⊆ chip validity: chip-invalid pixels must be −1 in seg
+        chip_invalid = (chip == 0).any(axis=0)
+        assert (seg[chip_invalid] == -1).all()
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference fixtures unavailable")
+@pytest.mark.parametrize("window_size", [0, 3, 5, 7])
+def test_extract_chips_window_sweep(spark, ref_e2e_frames, window_size):
+    # reference test_create_chips.py:142-197: larger windows → more labeled px
+    images, records, overrides = ref_e2e_frames
+    out = extract_chips(
+        spark.createDataFrame(records),
+        spark.createDataFrame(images),
+        chip_size=64,
+        window_size=window_size,
+        mask_types=(),
+        band_order=("B02", "B04"),
+        n_salt=1,
+        transform_overrides=overrides,
+    ).toPandas()
+    assert len(out) == 3
+    expected_min = (2 * window_size + 1) ** 2  # at least one full window
+    assert out["n_label_px"].max() >= min(expected_min, 64 * 64)
+
+
+def test_full_pipeline_synthetic_with_resume(spark, tmp_path):
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=15, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1,
+        num_steps=1,
+        temporal_tolerance=10,
+        chip_size=32,
+        window_size=1,
+        mask_types=("cloud", "water"),
+        masking_strategy="each",
+        n_salt=2,
+    )
+    ckpt = CheckpointTable(
+        spark, str(tmp_path / "chips"), key="stac_items_str", partition_by="tile_key"
+    )
+    out1 = run_chip_pipeline(
+        spark.createDataFrame(obs),
+        spark.createDataFrame(cat),
+        spark.createDataFrame(imgs),
+        cfg,
+        checkpoint=ckpt,
+    ).toPandas()
+    assert len(out1) > 0
+    assert out1["chip_id"].is_unique
+    assert set(out1["tile_key"].str[5:10].unique()) <= {"38PMB", "30RYS"}
+    # per-partition lineage manifest exists and sums match
+    man = ckpt.manifests().toPandas()
+    assert man["n_rows"].sum() == len(out1)
+    # resume: second run commits nothing new
+    out2 = run_chip_pipeline(
+        spark.createDataFrame(obs),
+        spark.createDataFrame(cat),
+        spark.createDataFrame(imgs),
+        cfg,
+        checkpoint=ckpt,
+    ).toPandas()
+    assert len(out2) == len(out1)
+    assert sorted(out2["chip_id"]) == sorted(out1["chip_id"])
+
+
+def test_chip_pixels_match_direct_computation(spark, ref_e2e_frames):
+    # per-row invariant: decoded chip pixels allclose vs a direct numpy
+    # computation from the same source raster (PSNR ≥ 40 dB requirement is
+    # trivially inf for lossless chip storage)
+    if not HAVE_REF:
+        pytest.skip("reference fixtures unavailable")
+    images, records, overrides = ref_e2e_frames
+    out = extract_chips(
+        spark.createDataFrame(records),
+        spark.createDataFrame(images),
+        chip_size=64,
+        window_size=0,
+        mask_types=(),
+        band_order=("B02", "B04"),
+        n_salt=1,
+        transform_overrides=overrides,
+    ).toPandas()
+    tile, _ = read_geotiff(f"{REF_DATA}/HLS.S30.T38PMB.2022145T072619.v2.0.B02.tif")
+    for _, r in out.iterrows():
+        got = codecs.decode(r["chip"], 64, 64, 2, r["chip_fmt"])
+        cx, cy = r["cx"], r["cy"]
+        want = tile[cy * 64 : (cy + 1) * 64, cx * 64 : (cx + 1) * 64]
+        for b in range(2):
+            assert codecs.psnr(got[b], want) == float("inf")
+            np.testing.assert_allclose(got[b], want)
