@@ -1,0 +1,283 @@
+"""Benchmark harness (driver-run per round).
+
+Default: runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the synthetic
+chip-extraction pipeline, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "images_per_sec": ..., ...}
+
+--scaling: runs the chipping + spatial-join job at local[8] and local[32]
+on identical input and reports throughput at both plus scaling efficiency
+(the sandbox stand-in for N vs 4N executors; BASELINE.md) →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from instageo_e2e_geospatial_ml_spark import synth  # noqa: E402
+from instageo_e2e_geospatial_ml_spark.plans import driver_queries as dq  # noqa: E402
+from instageo_e2e_geospatial_ml_spark.plans.pipeline import (  # noqa: E402
+    ChipPipelineConfig,
+    run_chip_pipeline,
+)
+from instageo_e2e_geospatial_ml_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_cell_density",
+    "q02_density_filter",
+    "q03_tile_info",
+    "q05_asof_pick",
+    "q06_knn_ring",
+    "q07_pip_polygon",
+    "q09_granule_sets",
+    "q11_exact_dedup",
+    "q15_minhash_lsh",
+    "q16_simhash",
+    "q17_ann_topk",
+    "q18_ann_lsh_buckets",
+]
+
+BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]
+IMAGES_CACHE = "/tmp/spark_graft_bench_images_v1"
+
+
+def warm_up(spark) -> None:
+    """Spin up the Python worker pool + Arrow path once so measurements see
+    steady state (first pandas-UDF stage otherwise pays ~1-2 s per worker
+    of interpreter/import cost — pure fixed overhead at any real scale)."""
+    import pandas as pd
+
+    def noopf(it):
+        for pdf in it:
+            yield pd.DataFrame({"v": [len(pdf)]})
+
+    spark.range(0, 10000, 1, int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        noopf, "v long"
+    ).write.mode("overwrite").format("noop").save()
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        dq.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def ensure_bench_images(
+    spark, days: int = 120, every: int = 5, w: int = 224, h: int = 224,
+    cache: str = IMAGES_CACHE,
+):
+    """Materialize the synthetic image table to parquet once (cached across
+    runs) so chipping benchmarks measure scan+decode+extract, not synthesis."""
+    cat = synth.gen_granule_catalog_pdf(tiles=BENCH_TILES, days=days, every=every)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        imgs = synth.gen_images_df(
+            spark, list(cat["granule_id"]), w=w, h=h, fmt="raw", num_partitions=64
+        )
+        imgs.write.mode("overwrite").parquet(cache)
+    return cat
+
+
+def bench_chipping(
+    spark, cat, n_obs_per_tile: int = 400, cache: str = IMAGES_CACHE, trials: int = 2
+) -> dict:
+    obs = synth.gen_observations_pdf(
+        n_extra_per_tile=n_obs_per_tile, tiles=BENCH_TILES, spread=0.35
+    ).drop(columns=["mgrs_tile_id"])
+    return _bench_chipping_obs(spark, cat, obs, cache, trials)
+
+
+def _bench_chipping_obs(spark, cat, obs, cache: str, trials: int) -> dict:
+    images = spark.read.parquet(cache)
+    n_images = images.count()
+    cfg = ChipPipelineConfig(
+        min_count=1,
+        num_steps=1,
+        temporal_tolerance=10,
+        chip_size=64,
+        window_size=1,
+        mask_types=("cloud", "cloud_shadow", "water"),
+        masking_strategy="each",
+        n_salt=4,
+    )
+    best, n_chips = None, 0
+    for _ in range(trials):
+        t0 = time.time()
+        chips = run_chip_pipeline(
+            spark.createDataFrame(obs), spark.createDataFrame(cat), images, cfg
+        )
+        n_chips = chips.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "chipping_sec": round(best, 3),
+        "n_images": n_images,
+        "n_obs": len(obs),
+        "n_chips": n_chips,
+        "images_per_sec": round(n_images / best, 2),
+    }
+
+
+def bench_spatial_join(spark, sf_dir: str) -> dict:
+    """Join-rows/sec on the PIP polygon join at bench scale."""
+    t0 = time.time()
+    n = dq.q07_pip_polygon(spark, sf_dir).count()
+    dt = time.time() - t0
+    return {
+        "pip_join_sec": round(dt, 3),
+        "pip_join_rows": n,
+        "join_rows_per_sec": round(n / dt, 2) if dt > 0 else 0.0,
+    }
+
+
+SCALING_CACHE = "/tmp/spark_graft_bench_images_scaling_xl_v1"
+SCALING_TILES = None  # filled lazily by scaling_run (60 tiles)
+
+
+def bench_big_pip_join(spark, sf_dir: str, trials: int = 2) -> dict:
+    """Heavier spatial-join workload for the scaling gate: all 20k part
+    diamonds × lineitem via the cell-bucketed PIP join."""
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.spatial_join import pip_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = (F.col("p_partkey") * 17) % 3400 / 10.0 - 170.0
+    cy = (F.col("p_partkey") * 31) % 1400 / 10.0 - 70.0
+    r = F.lit(0.55) + (F.col("p_size") % 3) * 0.2
+    catalog = part.select(
+        F.col("p_partkey").cast("string").alias("granule_id"),
+        (cx - r).alias("fp_minx"), (cy - r).alias("fp_miny"),
+        (cx + r).alias("fp_maxx"), (cy + r).alias("fp_maxy"),
+        F.array(cx + r, cx, cx - r, cx).alias("fp_xs"),
+        F.array(cy, cy + r, cy, cy - r).alias("fp_ys"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        (F.col("l_partkey") % 3600 / 10.0 - 180.0).alias("x"),
+        (F.col("l_suppkey") % 1600 / 10.0 - 80.0).alias("y"),
+    )
+    best, n = None, 0
+    for _ in range(trials):
+        t0 = time.time()
+        n = pip_join(obs, catalog, obs_id="pid").count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "pip_join_sec": round(best, 3),
+        "pip_join_rows": n,
+        "join_rows_per_sec": round(n / best, 2),
+    }
+
+
+def scaling_run(cpus: int, sf_dir: str) -> dict:
+    """Steady-state measurement at one parallelism level.
+
+    Workload sized so per-stage compute dominates scheduler/worker-launch
+    latency (the toy-size pipeline is latency-bound and cannot evidence
+    scaling): 60 tiles × 120 granules × 7 bands = 50,400 images (~5 GB),
+    180k observations → ~19k chips. Workers are warmed and the first of
+    three trials is discarded (JIT + worker-pool spin-up).
+    """
+    tiles = synth.make_tiles(60)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.executorEnv.OMP_NUM_THREADS": "1"},
+    )
+    try:
+        warm_up(spark)
+        cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=240, every=2)
+        if not os.path.exists(os.path.join(SCALING_CACHE, "_SUCCESS")):
+            synth.gen_images_df(
+                spark, list(cat["granule_id"]), w=224, h=224, fmt="raw",
+                num_partitions=256,
+            ).write.mode("overwrite").parquet(SCALING_CACHE)
+        obs = synth.gen_observations_pdf(
+            n_extra_per_tile=3000, tiles=tiles, spread=0.35
+        ).drop(columns=["mgrs_tile_id"])
+        chip = _bench_chipping_obs(spark, cat, obs, cache=SCALING_CACHE, trials=3)
+        sj = bench_big_pip_join(spark, sf_dir, trials=2)
+        return {**chip, **sj, "cpus": cpus}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    if "--scaling" in sys.argv:
+        lo = scaling_run(8, sf_dir)
+        hi = scaling_run(32, sf_dir)
+        eff_chip = (hi["images_per_sec"] / lo["images_per_sec"]) / (32 / 8)
+        eff_join = (hi["join_rows_per_sec"] / lo["join_rows_per_sec"]) / (32 / 8)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as fh:
+            fh.write(
+                "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n"
+                "Sandbox stand-in for N vs 4N executors (BASELINE.md): same job,\n"
+                "same input, two parallelism levels.\n\n"
+                "| metric | local[8] | local[32] | efficiency (target ≥ 0.8) |\n"
+                "|---|---|---|---|\n"
+                f"| chipping images/sec | {lo['images_per_sec']} | {hi['images_per_sec']} | {eff_chip:.3f} |\n"
+                f"| PIP join rows/sec | {lo['join_rows_per_sec']} | {hi['join_rows_per_sec']} | {eff_join:.3f} |\n\n"
+                f"chipping input: {lo['n_images']} images (224×224 uint16, 7 bands/granule), "
+                f"{lo['n_obs']} observations → {lo['n_chips']} chips\n\n"
+                f"PIP join: {lo['pip_join_rows']} match rows at sf {sf}\n"
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_chipping",
+                    "value": round(eff_chip, 3),
+                    "unit": "ratio",
+                    "sf": sf,
+                    "local8": lo,
+                    "local32": hi,
+                    "scaling_efficiency_join": round(eff_join, 3),
+                }
+            )
+        )
+        return
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    try:
+        warm_up(spark)
+        queries = run_headline(spark, sf_dir)
+        cat = ensure_bench_images(spark)
+        chip = bench_chipping(spark, cat)
+        sj = bench_spatial_join(spark, sf_dir)
+        total = round(sum(queries.values()) + chip["chipping_sec"] + sj["pip_join_sec"], 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    **chip,
+                    **sj,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

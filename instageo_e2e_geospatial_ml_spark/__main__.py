@@ -1,0 +1,93 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files
+instageo_e2e_geospatial_ml_spark.zip -m …`).
+
+    spark-submit --py-files dist/instageo_e2e_geospatial_ml_spark.zip \
+        main.py --mode chip --obs obs.parquet --catalog cat.parquet \
+        --images imgs.parquet --out /data/chips
+
+Modes:
+  chip       full chip pipeline (observations × catalog × images → chip
+             table, checkpointed to --out)
+  synth      generate a deterministic synthetic demo dataset and run the
+             pipeline end to end (no inputs needed)
+  split      assign train/val/test over an observation table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="instageo_e2e_geospatial_ml_spark")
+    p.add_argument("--mode", choices=["chip", "synth", "split"], default="synth")
+    p.add_argument("--obs")
+    p.add_argument("--catalog")
+    p.add_argument("--images")
+    p.add_argument("--out", default="/tmp/spark_graft_chips")
+    p.add_argument("--filters", default="", help="\"('col' ? 'op' ? val); …\" predicate string")
+    p.add_argument("--chip-size", type=int, default=64)
+    p.add_argument("--window-size", type=int, default=0)
+    p.add_argument("--num-steps", type=int, default=1)
+    p.add_argument("--temporal-step", type=int, default=5)
+    p.add_argument("--temporal-tolerance", type=int, default=10)
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--n-salt", type=int, default=4)
+    p.add_argument("--strategy", default="kmeans")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .functions.filters import filters_to_column, parse_filters
+    from .plans.pipeline import ChipPipelineConfig, run_chip_pipeline
+    from .sources.checkpoint import CheckpointTable
+
+    spark = SparkSession.builder.appName("instageo_e2e_geospatial_ml_spark").getOrCreate()
+    cfg = ChipPipelineConfig(
+        min_count=args.min_count,
+        num_steps=args.num_steps,
+        temporal_step=args.temporal_step,
+        temporal_tolerance=args.temporal_tolerance,
+        chip_size=args.chip_size,
+        window_size=args.window_size,
+        n_salt=args.n_salt,
+    )
+
+    if args.mode == "synth":
+        from . import synth
+
+        tiles = ["38PMB", "30RYS"]
+        obs_pdf = synth.gen_observations_pdf(n_extra_per_tile=10, tiles=tiles, spread=0.2)
+        obs = spark.createDataFrame(obs_pdf.drop(columns=["mgrs_tile_id"]))
+        cat_pdf = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+        catalog = spark.createDataFrame(cat_pdf)
+        images = spark.createDataFrame(synth.gen_images_pdf(cat_pdf, w=128, h=128))
+        cfg.chip_size = 32
+    elif args.mode == "chip":
+        obs = spark.read.parquet(args.obs)
+        catalog = spark.read.parquet(args.catalog)
+        images = spark.read.parquet(args.images)
+    elif args.mode == "split":
+        from .operators.splitter import split_by_strategy
+
+        obs = spark.read.parquet(args.obs)
+        out = split_by_strategy(obs, strategy=args.strategy)
+        out.write.mode("overwrite").parquet(args.out)
+        counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        print(json.dumps({"mode": "split", "out": args.out, "counts": counts}))
+        return 0
+
+    if args.filters:
+        obs = obs.filter(filters_to_column(parse_filters(args.filters)))
+
+    ckpt = CheckpointTable(spark, args.out, key="stac_items_str", partition_by="tile_key")
+    chips = run_chip_pipeline(obs, catalog, images, cfg, checkpoint=ckpt)
+    n = chips.count()
+    print(json.dumps({"mode": args.mode, "out": args.out, "n_chips": int(n)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

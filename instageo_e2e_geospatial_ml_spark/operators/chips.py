@@ -2,23 +2,33 @@
 
 Numpy kernels replicate the reference bug-for-bug (citations per kernel);
 the Spark operator replaces the reference's Dask task-per-granule-set loop
-(data_pipeline.py:797-824) with a cogrouped Arrow UDF:
+(data_pipeline.py:797-824) with a slice-early / assemble-late pipeline:
 
-    images-per-set  ⟕ cogroup ⟖  observations-per-set
-        → applyInPandas(extract) → chip table rows
+  stage A (control, obs-scale):
+      records → chip-cell assignment (vectorized UTM affine UDF) →
+      groupBy(set, cx, cy) gathering the cell's observations.
+  stage B (pixel-scale, NO image shuffle):
+      the tiny (granule → wanted cells) map broadcasts onto the image
+      scan; a mapInPandas decodes each image ONCE and emits only the
+      needed chip_size² slices (projection pushdown at the pixel level —
+      a 224² tile contributes 64² bytes per wanted cell instead of the
+      whole payload).
+  stage C (assembly):
+      slices cogroup the cell's observations on (set, cx, cy) →
+      time-major band stack, cloud/shadow/water masking, QA, label
+      rasterization, seg-map invalidation → chip-table row.
 
-Scale design:
-  * group key = (stac_items_str, salt) where salt = hash(chip cell) %
-    n_salt — obs of the same chip cell always land in the same group, so
-    seg maps stay complete and chips are never duplicated, while a hot
-    granule-set (millions of obs) fans out across n_salt tasks (AQE cannot
-    split a single applyInPandas group — explicit salting is mandatory at
-    10^12 scale; SURVEY.md §4).
-  * image payloads flow through the cogroup join keyed by granule set —
-    each task decodes only its own granules' bytes (Arrow batches, no
-    driver involvement).
-  * output is a columnar chip table (binary pixels + metadata), not a
-    filesystem of GeoTIFFs — the chip table IS the catalog (S10/S11).
+Scale properties:
+  * full image bytes never cross a shuffle — the only wide exchanges move
+    observation rows and chip_size² slices (≈ bands × 8 KB per chip);
+  * the work unit is one chip cell, so a hot granule-set fans out across
+    cells naturally — no explicit salting needed (a single cell's work is
+    bounded by chip_size² × bands regardless of observation count; only
+    the collect_list of a pathologically popular cell can skew, which a
+    pre-aggregation cap would bound);
+  * the (granule → cells) map is broadcast when small (default); set
+    broadcast_cells=False to shuffle-join instead at extreme catalog
+    sizes.
 """
 
 from __future__ import annotations
@@ -183,6 +193,11 @@ CHIP_SCHEMA = (
     "seg binary, valid_px long, n_label_px long"
 )
 
+SLICE_SCHEMA = (
+    "sis string, scx int, scy int, t int, band string, dt string, "
+    "data binary, w int, h int"
+)
+
 
 def extract_chips(
     records: DataFrame,
@@ -195,15 +210,13 @@ def extract_chips(
     band_order: tuple[str, ...] = ("B02", "B03", "B04", "B8A", "B11", "B12"),
     mask_band: str = "Fmask",
     no_data_value: int = HLS_NDV,
-    n_salt: int = 4,
+    broadcast_cells: bool = True,
     transform_overrides: dict | None = None,
+    n_salt: int = 0,  # obsolete (kept for API compat): cell grouping bounds skew structurally
 ) -> DataFrame:
     """records(stac_items_str, granules, x, y, date, label) × images
-    (input_hint schema) → chip table.
-
-    The reference's per-set sequential loop (data_pipeline.py:813-824)
-    becomes one cogrouped Arrow UDF; see module docstring for the salting
-    and shuffle story.
+    (input_hint schema) → chip table. See module docstring for the
+    slice-early / assemble-late architecture.
 
     transform_overrides: optional {tile_id: (utm_zone, a, c, e, f)} when
     rasters carry their own geotransform (the reference reads it from the
@@ -212,6 +225,7 @@ def extract_chips(
     """
     mask_types = list(mask_types)
     overrides = dict(transform_overrides or {})
+    wanted_bands = set(band_order) | {mask_band}
 
     def _tile_geo(tile_id: str, w: int, h: int):
         if tile_id in overrides:
@@ -220,141 +234,182 @@ def extract_chips(
         zone, _south, e0, n0 = mgrs_tile_utm_square(tile_id)
         return zone, (100000.0 / w, e0, -100000.0 / h, n0 + 100000.0)
 
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    w_px, h_px = _probe_image_dims(images)
+    n_chips_x = w_px // chip_size
+    n_chips_y = h_px // chip_size
+
+    @pandas_udf(
+        StructType([StructField("cx", IntegerType()), StructField("cy", IntegerType())])
+    )
+    def cell_of_obs(x: pd.Series, y: pd.Series, granules: pd.Series) -> pd.DataFrame:
+        """Vectorized chip-cell assignment: lon/lat → tile UTM → affine →
+        floor-div by chip_size (reference get_chip_coords per point)."""
+        cxo = np.full(len(x), -1, dtype=np.int32)
+        cyo = np.full(len(x), -1, dtype=np.int32)
+        if len(x):
+            xs = x.to_numpy(np.float64)
+            ys = y.to_numpy(np.float64)
+            tids = granules.map(lambda g: g[0].split(".")[2][1:] if len(g) else "")
+            for tid, idx in pd.Series(range(len(x))).groupby(tids).groups.items():
+                if not tid:
+                    continue
+                zone, (a, c, e_, f_) = _tile_geo(tid, w_px, h_px)
+                ii = np.asarray(idx)
+                ee, nn, _ = latlon_to_utm(ys[ii], xs[ii], np.full(len(ii), zone))
+                cxo[ii] = (np.floor((ee - c) / a).astype(np.int64) // chip_size).astype(np.int32)
+                cyo[ii] = (np.floor((nn - f_) / e_).astype(np.int64) // chip_size).astype(np.int32)
+        return pd.DataFrame({"cx": cxo, "cy": cyo})
+
+    # --- stage A: observations → per-cell groups --------------------------
+    rec = records.withColumn("_cell", cell_of_obs("x", "y", "granules")).select(
+        "*", F.col("_cell.cx").alias("cx"), F.col("_cell.cy").alias("cy")
+    ).drop("_cell")
+    # partial/out-of-tile cells dropped EARLY (reference data_pipeline.py:184-185)
+    rec = rec.filter(
+        (F.col("cx") >= 0) & (F.col("cy") >= 0)
+        & (F.col("cx") < n_chips_x) & (F.col("cy") < n_chips_y)
+    )
+    obs_cells = rec.groupBy("stac_items_str", "cx", "cy").agg(
+        F.first("granules").alias("granules"),
+        F.collect_list(F.struct("x", "y", "date", "label")).alias("obs"),
+    )
+
+    # --- stage B: image scan → needed slices (no payload shuffle) ----------
+    cells_small = obs_cells.select(
+        F.col("stac_items_str").alias("w_sis"),
+        F.col("cx").alias("w_cx"),
+        F.col("cy").alias("w_cy"),
+        F.posexplode("granules").alias("t", "granule_id"),
+    )
+    wants = cells_small.groupBy("granule_id").agg(
+        F.collect_list(F.struct("w_sis", "w_cx", "w_cy", "t")).alias("wants")
+    )
+    if broadcast_cells:
+        wants = F.broadcast(wants)
+
     img = (
         images.withColumn("granule_id", F.split("image_id", ":").getItem(0))
         .withColumn("band", F.split("image_id", ":").getItem(1))
+        .filter(F.col("band").isin(list(wanted_bands)))
         .select("granule_id", "band", "bytes", "w", "h", "fmt")
     )
-    needed = records.select(
-        "stac_items_str", F.explode("granules").alias("granule_id")
-    ).distinct()
-    img_tasks = img.join(needed, "granule_id")
+    tasks = img.join(wants, "granule_id")
 
-    # salt = hash(chip cell) % n_salt, computed by a vectorized pandas UDF
-    # (the cell needs the per-tile UTM origin, so it can't be a pure column
-    # expression); all obs of one chip cell share a salt → seg maps stay
-    # complete and no chip is ever emitted twice
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    def slice_images(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                if w != w_px or h != h_px:
+                    continue  # inconsistent raster dims — cell math undefined
+                arr = codecs.decode(bytes(r.bytes), w, h, 1, r.fmt)[0]
+                dt = arr.dtype.str
+                for want in r.wants:
+                    cx, cy = int(want["w_cx"]), int(want["w_cy"])
+                    sl = arr[
+                        cy * chip_size : (cy + 1) * chip_size,
+                        cx * chip_size : (cx + 1) * chip_size,
+                    ]
+                    rows.append(
+                        {
+                            "sis": want["w_sis"],
+                            "scx": cx,
+                            "scy": cy,
+                            "t": int(want["t"]),
+                            "band": r.band,
+                            "dt": dt,
+                            "data": np.ascontiguousarray(sl).tobytes(),
+                            "w": w,
+                            "h": h,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sis", "scx", "scy", "t", "band", "dt", "data", "w", "h"]
+            )
 
-    w_px, h_px = _probe_image_dims(images)
+    slices = tasks.mapInPandas(slice_images, SLICE_SCHEMA)
 
-    @pandas_udf(LongType())
-    def chip_cell_salt(x: pd.Series, y: pd.Series, granules: pd.Series) -> pd.Series:
-        out = np.zeros(len(x), dtype=np.int64)
-        if len(x) == 0:
-            return pd.Series(out)
-        xs = x.to_numpy(np.float64)
-        ys = y.to_numpy(np.float64)
-        tids = granules.map(lambda g: g[0].split(".")[2][1:] if len(g) else "")
-        for tid, idx in pd.Series(range(len(x))).groupby(tids).groups.items():
-            if not tid:
-                continue
-            zone, (a, c, e_, f_) = _tile_geo(tid, w_px, h_px)
-            ii = np.asarray(idx)
-            ee, nn, _ = latlon_to_utm(ys[ii], xs[ii], np.full(len(ii), zone))
-            cx = np.floor((ee - c) / a).astype(np.int64) // chip_size
-            cy = np.floor((nn - f_) / e_).astype(np.int64) // chip_size
-            out[ii] = cx * 1000003 + cy
-        return pd.Series(out)
-
-    rec = records.withColumn(
-        "salt", F.pmod(chip_cell_salt("x", "y", "granules"), F.lit(n_salt))
-    )
-    # fresh aliases on the image side: both cogroup inputs trace back to
-    # `records`, so reusing the same attribute ids trips Spark's ambiguous
-    # self-join check — aliased projections mint new ids
-    sets = rec.select(
-        F.col("stac_items_str").alias("sis"), F.col("salt").alias("img_salt")
-    ).distinct()
-    img_salted = img_tasks.join(
-        sets, img_tasks["stac_items_str"] == sets["sis"]
-    ).select("granule_id", "band", "bytes", "w", "h", "fmt", "sis", "img_salt")
-
-    def extract(imgs_pdf: pd.DataFrame, obs_pdf: pd.DataFrame) -> pd.DataFrame:
+    # --- stage C: assemble chips -------------------------------------------
+    def assemble(sl_pdf: pd.DataFrame, obs_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [
             "chip_id", "stac_items_str", "tile_key", "cx", "cy", "date_id",
             "n_bands", "chip_size", "chip_fmt", "chip", "seg", "valid_px",
             "n_label_px",
         ]
-        if len(obs_pdf) == 0 or len(imgs_pdf) == 0:
+        if len(obs_pdf) == 0 or len(sl_pdf) == 0:
             return pd.DataFrame(columns=cols)
-        sis = obs_pdf["stac_items_str"].iloc[0]
-        granules = list(obs_pdf["granules"].iloc[0])
-        tile_id = granules[0].split(".")[2][1:]  # T38PMB → 38PMB
+        row0 = obs_pdf.iloc[0]
+        sis = row0["stac_items_str"]
+        granules = list(row0["granules"])
+        cx, cy = int(row0["cx"]), int(row0["cy"])
+        tile_id = granules[0].split(".")[2][1:]
         tile_key = hls_tile_key(granules[0])
-        by_key = {
-            (r.granule_id, r.band): r for r in imgs_pdf.itertuples(index=False)
-        }
+        T = len(granules)
 
-        def dec(g: str, b: str) -> np.ndarray | None:
-            r = by_key.get((g, b))
-            if r is None:
-                return None
-            return codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)[0]
-
-        # time-major band stack (reference adjust_dims, data_pipeline.py:455-475)
-        planes, masks = [], []
+        by_key = {}
         w = h = None
-        for g in granules:
-            for b in band_order:
-                p = dec(g, b)
-                if p is None:
-                    return pd.DataFrame(columns=cols)
-                planes.append(p)
-                h, w = p.shape
-            m = dec(g, mask_band)
-            if m is not None:
-                masks.append(m)
-        tile = np.stack(planes)
-        if np.issubdtype(tile.dtype, np.integer):
-            tile = tile.astype(np.int32)  # headroom for the NDV sentinel
-        mask = np.stack(masks) if len(masks) == len(granules) else None
-        zone, tr = _tile_geo(tile_id, w, h)
-        a, c, e_, f_ = tr
-
-        ee, nn, _ = latlon_to_utm(
-            obs_pdf["y"].to_numpy(np.float64),
-            obs_pdf["x"].to_numpy(np.float64),
-            np.full(len(obs_pdf), zone),
-        )
-        labels = obs_pdf["label"].to_numpy()
-        date_id = pd.to_datetime(obs_pdf["date"]).min().strftime("%Y%m%d")
-
-        n_chips_x = w // chip_size
-        n_chips_y = h // chip_size
-        out_rows = []
-        for cx, cy in chip_coords(ee, nn, tr, chip_size):
-            if cx < 0 or cy < 0 or cx >= n_chips_x or cy >= n_chips_y:
-                continue  # partial chips dropped (reference data_pipeline.py:184-185)
-            sl = np.s_[:, cy * chip_size : (cy + 1) * chip_size,
-                       cx * chip_size : (cx + 1) * chip_size]
-            chip = tile[sl]
-            if mask is not None and mask_types:
-                chip = apply_mask(chip, mask[sl], no_data_value, mask_types, masking_strategy)
-            valid_px = int((chip != no_data_value).sum())
-            if valid_px == 0:
-                continue  # QA (reference data_pipeline.py:214-216)
-            # chip-local transform: origin shifted to the chip corner
-            chip_tr = (a, c + a * cx * chip_size, e_, f_ + e_ * cy * chip_size)
-            seg = create_segmentation_map(
-                (chip_size, chip_size), chip_tr, ee, nn, labels, window_size, task_type
+        for r in sl_pdf.itertuples(index=False):
+            by_key[(int(r.t), r.band)] = np.frombuffer(bytes(r.data), dtype=r.dt).reshape(
+                chip_size, chip_size
             )
-            seg = mask_segmentation_map(chip, seg, no_data_value, "any")
-            n_label_px = int((seg != SEG_NDV).sum())
-            if n_label_px == 0:
-                continue  # QA (reference data_pipeline.py:218-220)
-            if np.issubdtype(chip.dtype, np.floating):
-                chip_fmt, chip_out = "rawf8", chip.astype(np.float64)
-            else:
-                chip_fmt, chip_out = "raw", np.clip(chip, 0, 65535).astype(np.uint16)
-            out_rows.append(
+            w, h = int(r.w), int(r.h)
+
+        planes = []
+        for t in range(T):
+            for b in band_order:
+                p = by_key.get((t, b))
+                if p is None:
+                    return pd.DataFrame(columns=cols)  # incomplete stack → drop
+                planes.append(p)
+        chip = np.stack(planes)
+        if np.issubdtype(chip.dtype, np.integer):
+            chip = chip.astype(np.int32)  # headroom for the NDV sentinel
+        masks = [by_key[(t, mask_band)] for t in range(T) if (t, mask_band) in by_key]
+        mask = np.stack(masks) if len(masks) == T else None
+        if mask is not None and mask_types:
+            chip = apply_mask(chip, mask, no_data_value, mask_types, masking_strategy)
+        valid_px = int((chip != no_data_value).sum())
+        if valid_px == 0:
+            return pd.DataFrame(columns=cols)  # QA (reference data_pipeline.py:214-216)
+
+        zone, (a, c, e_, f_) = _tile_geo(tile_id, w, h)
+        obs_list = sorted(
+            (tuple(o) if not isinstance(o, dict) else (o["x"], o["y"], o["date"], o["label"]))
+            for o in row0["obs"]
+        )
+        oxs = np.array([o[0] for o in obs_list], dtype=np.float64)
+        oys = np.array([o[1] for o in obs_list], dtype=np.float64)
+        labels = np.array([o[3] for o in obs_list])
+        dates = pd.to_datetime([o[2] for o in obs_list])
+        date_id = dates.min().strftime("%Y%m%d")
+        ee, nn, _ = latlon_to_utm(oys, oxs, np.full(len(oxs), zone))
+        chip_tr = (a, c + a * cx * chip_size, e_, f_ + e_ * cy * chip_size)
+        seg = create_segmentation_map(
+            (chip_size, chip_size), chip_tr, ee, nn, labels, window_size, task_type
+        )
+        seg = mask_segmentation_map(chip, seg, no_data_value, "any")
+        n_label_px = int((seg != SEG_NDV).sum())
+        if n_label_px == 0:
+            return pd.DataFrame(columns=cols)  # QA (reference data_pipeline.py:218-220)
+        if np.issubdtype(chip.dtype, np.floating):
+            chip_fmt, chip_out = "rawf8", chip.astype(np.float64)
+        else:
+            chip_fmt, chip_out = "raw", np.clip(chip, 0, 65535).astype(np.uint16)
+        return pd.DataFrame(
+            [
                 {
                     "chip_id": f"chip_{date_id}_{tile_key}_{cx}_{cy}",
                     "stac_items_str": sis,
                     "tile_key": tile_key,
-                    "cx": int(cx),
-                    "cy": int(cy),
+                    "cx": cx,
+                    "cy": cy,
                     "date_id": date_id,
                     "n_bands": int(chip.shape[0]),
                     "chip_size": chip_size,
@@ -364,13 +419,14 @@ def extract_chips(
                     "valid_px": valid_px,
                     "n_label_px": n_label_px,
                 }
-            )
-        return pd.DataFrame(out_rows, columns=cols)
+            ],
+            columns=cols,
+        )
 
     return (
-        img_salted.groupby("sis", "img_salt")
-        .cogroup(rec.groupby("stac_items_str", "salt"))
-        .applyInPandas(extract, CHIP_SCHEMA)
+        slices.groupby("sis", "scx", "scy")
+        .cogroup(obs_cells.groupby("stac_items_str", "cx", "cy"))
+        .applyInPandas(assemble, CHIP_SCHEMA)
     )
 
 

@@ -45,14 +45,53 @@ def brute_force_topk(
     pvec: str = "pvec",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k by quantized dot product: (qid, pid, dot, rank)."""
-    j = F.broadcast(queries).crossJoin(corpus)
-    if exclude_self:
-        j = j.filter(F.col(qid) != F.col(pid))
-    j = j.withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
+    """Exact top-k by quantized dot product: (qid, pid, dot, rank).
+
+    Fast path: the (small by contract) query set is collected into an int64
+    numpy matrix and broadcast into a mapInPandas over corpus partitions —
+    one exact int64 matmul per Arrow batch, then per-partition top-k
+    pruning (≤ k rows per query per partition cross the shuffle) and a
+    final window rank. ~100× the zip_with/aggregate expression path while
+    producing bit-identical integer scores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _q(m: "np.ndarray") -> "np.ndarray":
+        # round half AWAY FROM ZERO — matches Spark/DuckDB round(), not
+        # numpy's banker's rounding
+        return (np.sign(m) * np.floor(np.abs(m) * 1000.0 + 0.5)).astype(np.int64)
+
+    q_rows = queries.select(qid, qvec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _q(np.array([r[1] for r in q_rows], dtype=np.float64))
+
+    def score(it):
+        for pdf in it:
+            pids = pdf[pid].to_numpy(np.int64)
+            pm = _q(np.stack(pdf[pvec].map(lambda v: np.asarray(v, dtype=np.float64))))
+            dots = pm @ qm.T  # (n, q) exact int64
+            out_q, out_p, out_d = [], [], []
+            for j in range(qm.shape[0]):
+                col = dots[:, j]
+                mask = pids != q_ids[j] if exclude_self else np.ones(len(pids), bool)
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                # partial top-k by (dot desc, pid asc)
+                order = np.lexsort((pids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_p.extend(pids[sel])
+                out_d.extend(col[sel])
+            yield pd.DataFrame({qid: out_q, pid: out_p, "dot": out_d})
+
+    cand = corpus.select(pid, pvec).mapInPandas(
+        score, f"{qid} long, {pid} long, dot long"
+    )
     w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid, pid, "dot", "rank")
     )

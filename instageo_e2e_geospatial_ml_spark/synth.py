@@ -46,6 +46,28 @@ GOLDEN_POINTS = [
 ]
 
 DEFAULT_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]
+
+_COL_BY_MOD = {1: "CDEF", 2: "KLMN", 0: "TUVW"}  # valid mid-square columns per zone%3
+
+
+def make_tiles(n: int) -> list[str]:
+    """Deterministic list of n valid MGRS precision-0 tile ids spread over
+    zones/bands (for large synthetic benchmarks)."""
+    out = []
+    zones = list(range(31, 51))
+    bands = "PQRS"  # northern mid-latitudes, no band-edge quirks
+    rows = "BCU"
+    i = 0
+    while len(out) < n:
+        z = zones[i % len(zones)]
+        b = bands[(i // len(zones)) % len(bands)]
+        c = _COL_BY_MOD[z % 3][(i // (len(zones) * len(bands))) % 4]
+        r = rows[(i // (len(zones) * len(bands) * 4)) % len(rows)]
+        tile = f"{z}{b}{c}{r}"
+        if tile not in out:
+            out.append(tile)
+        i += 1
+    return out
 BANDS = ["B02", "B03", "B04", "B8A", "B11", "B12"]
 MASK_BAND = "Fmask"
 BASE_DATE = datetime(2022, 5, 1)
