@@ -562,6 +562,146 @@ FROM votes GROUP BY vec_id
 """
 
 
+def q21_bbox_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (reference geo_utils.py:56-93): order min/max; degenerate
+    (zero-area) boxes buffered by ε=1e-3."""
+    part = _t(spark, sf_dir, "part")
+    x1 = (F.col("p_partkey") % 340).cast("double") - 170.0
+    y1 = (F.col("p_partkey") % 140).cast("double") - 70.0
+    x2 = x1 + (F.col("p_size") % 3).cast("double")
+    y2 = y1 + ((F.col("p_size") + 1) % 3).cast("double")
+    lo_x, hi_x = F.least(x1, x2), F.greatest(x1, x2)
+    lo_y, hi_y = F.least(y1, y2), F.greatest(y1, y2)
+    eps = F.lit(1e-3)
+    degenerate = (lo_x == hi_x) | (lo_y == hi_y)
+    return part.select(
+        "p_partkey",
+        F.when(degenerate, lo_x - eps).otherwise(lo_x).alias("minx"),
+        F.when(degenerate, lo_y - eps).otherwise(lo_y).alias("miny"),
+        F.when(degenerate, hi_x + eps).otherwise(hi_x).alias("maxx"),
+        F.when(degenerate, hi_y + eps).otherwise(hi_y).alias("maxy"),
+    )
+
+
+Q21_SQL = """
+WITH b AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 340 AS DOUBLE) - 170.0 AS x1,
+         CAST(p_partkey % 140 AS DOUBLE) - 70.0 AS y1,
+         CAST(p_partkey % 340 AS DOUBLE) - 170.0 + CAST(p_size % 3 AS DOUBLE) AS x2,
+         CAST(p_partkey % 140 AS DOUBLE) - 70.0 + CAST((p_size + 1) % 3 AS DOUBLE) AS y2
+  FROM part
+),
+o AS (
+  SELECT p_partkey, least(x1, x2) AS lo_x, greatest(x1, x2) AS hi_x,
+         least(y1, y2) AS lo_y, greatest(y1, y2) AS hi_y,
+         (least(x1,x2) = greatest(x1,x2) OR least(y1,y2) = greatest(y1,y2)) AS degen
+  FROM b
+)
+SELECT p_partkey,
+       CASE WHEN degen THEN lo_x - 0.001 ELSE lo_x END AS minx,
+       CASE WHEN degen THEN lo_y - 0.001 ELSE lo_y END AS miny,
+       CASE WHEN degen THEN hi_x + 0.001 ELSE hi_x END AS maxx,
+       CASE WHEN degen THEN hi_y + 0.001 ELSE hi_y END AS maxy
+FROM o
+"""
+
+
+def q22_grid_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 (reference geo_utils.py:166-265): chip-grid cells covering
+    sampled bboxes (0.5° cells)."""
+    from ..operators.gridgen import grid_polygons
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    bb = part.select(
+        "p_partkey",
+        ((F.col("p_partkey") * 7) % 300 - 150.0).cast("double").alias("minx"),
+        ((F.col("p_partkey") * 11) % 120 - 60.0).cast("double").alias("miny"),
+    ).withColumn("maxx", F.col("minx") + (F.col("p_partkey") % 3 + 1) * 0.5).withColumn(
+        "maxy", F.col("miny") + (F.col("p_partkey") % 2 + 1) * 0.5
+    )
+    out = grid_polygons(bb, 0.5)
+    return out.select(
+        "p_partkey",
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        "cell_minx", "cell_miny", "cell_maxx", "cell_maxy",
+    )
+
+
+Q22_SQL = """
+WITH bb AS (
+  SELECT p_partkey,
+         CAST((p_partkey * 7) % 300 - 150.0 AS DOUBLE) AS minx,
+         CAST((p_partkey * 11) % 120 - 60.0 AS DOUBLE) AS miny,
+         CAST((p_partkey * 7) % 300 - 150.0 AS DOUBLE) + (p_partkey % 3 + 1) * 0.5 AS maxx,
+         CAST((p_partkey * 11) % 120 - 60.0 AS DOUBLE) + (p_partkey % 2 + 1) * 0.5 AS maxy
+  FROM part WHERE p_partkey % 50 = 0
+),
+g AS (
+  SELECT p_partkey, minx, miny, maxx, maxy,
+         x.ix AS ix, y.iy AS iy,
+         minx + x.ix * 0.5 AS cell_minx,
+         miny + y.iy * 0.5 AS cell_miny
+  FROM bb,
+       (SELECT unnest(generate_series(0, 100)) AS ix) x,
+       (SELECT unnest(generate_series(0, 100)) AS iy) y
+  WHERE x.ix <= greatest(CAST(ceil((maxx - minx) / 0.5) AS BIGINT) - 1, 0)
+    AND y.iy <= greatest(CAST(ceil((maxy - miny) / 0.5) AS BIGINT) - 1, 0)
+)
+SELECT p_partkey, ix, iy, cell_minx, cell_miny,
+       cell_minx + 0.5 AS cell_maxx, cell_miny + 0.5 AS cell_maxy
+FROM g
+WHERE cell_minx + 0.5 <= 180.0 AND cell_miny + 0.5 <= 90.0
+"""
+
+
+def q23_top1_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/J3 (reference s2_utils.py:563-568): per group, top-1 by
+    (size desc, recency asc) — orders per customer by (totalprice desc,
+    orderdate asc, orderkey asc)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+Q23_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+_Q24_SPEC = "('l_quantity' ? '>' ? 45); ('l_returnflag' ? 'in' ? ['A', 'R'])"
+
+
+def q24_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (reference chip_creator.py:96-145): CLI predicate-string parser
+    applied as a Catalyst filter (pushes down to the parquet scan)."""
+    from ..functions.filters import filters_to_column, parse_filters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(filters_to_column(parse_filters(_Q24_SPEC))).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+def _q24_sql() -> str:
+    from ..functions.filters import filters_to_sql, parse_filters
+
+    return (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+        f"WHERE {filters_to_sql(parse_filters(_Q24_SPEC))}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # raster/chip queries (no SQL oracle — pixel kernels aren't ANSI-SQL
 # expressible; covered by pytest goldens ported from the reference and
@@ -657,6 +797,10 @@ QUERIES = {
     "q18_ann_lsh_buckets": q18_ann_lsh_buckets,
     "q19_chip_extract": q19_chip_extract,
     "q20_image_metadata": q20_image_metadata,
+    "q21_bbox_repair": q21_bbox_repair,
+    "q22_grid_polygons": q22_grid_polygons,
+    "q23_top1_pick": q23_top1_pick,
+    "q24_filter_parser": q24_filter_parser,
 }
 
 ORACLES = {
@@ -678,4 +822,8 @@ ORACLES = {
     "q16_simhash": Q16_SQL,
     "q17_ann_topk": Q17_SQL,
     "q18_ann_lsh_buckets": Q18_SQL,
+    "q21_bbox_repair": Q21_SQL,
+    "q22_grid_polygons": Q22_SQL,
+    "q23_top1_pick": Q23_SQL,
+    "q24_filter_parser": _q24_sql(),
 }

@@ -1,0 +1,62 @@
+"""Structured Streaming: batch parity of windowed counts + streaming dedup."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark.streaming.windows import (
+    read_event_stream,
+    run_available_now,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    # copy a small slice of events into a stream-source dir (several files)
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in"), ev.schema, ev
+
+
+def test_windowed_counts_batch_parity(spark, events_path, tmp_path):
+    path, schema, ev_batch = events_path
+    stream = read_event_stream(spark, path, schema)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    got = run_available_now(
+        agg, "win_counts", str(tmp_path / "ck1"), output_mode="complete"
+    ).toPandas()
+    # batch twin: same plan on the static table
+    want = (
+        ev_batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_like=True)
+
+
+def test_streaming_dedup(spark, events_path, tmp_path):
+    path, schema, ev_batch = events_path
+    stream = read_event_stream(spark, path, schema)
+    dedup = streaming_dedup(stream, ["user_id"], watermark="100 days")
+    got = run_available_now(dedup, "dedup_ev", str(tmp_path / "ck2")).toPandas()
+    n_users = ev_batch.select("user_id").distinct().count()
+    # one row per user (within one watermark horizon covering the data)
+    assert len(got) == n_users
+    assert got["user_id"].is_unique
