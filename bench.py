@@ -140,13 +140,13 @@ def bench_spatial_join(spark, sf_dir: str) -> dict:
     }
 
 
-SCALING_CACHE = "/tmp/spark_graft_bench_images_scaling_xl_v1"
-SCALING_TILES = None  # filled lazily by scaling_run (60 tiles)
+SCALING_CACHE = "/tmp/spark_graft_bench_images_scaling_xl_v2"
 
 
-def bench_big_pip_join(spark, sf_dir: str, trials: int = 2) -> dict:
+def bench_big_pip_join(spark, sf_dir: str, trials: int = 2, point_factor: int = 1) -> dict:
     """Heavier spatial-join workload for the scaling gate: all 20k part
-    diamonds × lineitem via the cell-bucketed PIP join."""
+    diamonds × lineitem (optionally exploded ×point_factor with jitter)
+    via the cell-bucketed PIP join."""
     from pyspark.sql import functions as F
 
     from instageo_e2e_geospatial_ml_spark.operators.spatial_join import pip_join
@@ -168,6 +168,14 @@ def bench_big_pip_join(spark, sf_dir: str, trials: int = 2) -> dict:
         (F.col("l_partkey") % 3600 / 10.0 - 180.0).alias("x"),
         (F.col("l_suppkey") % 1600 / 10.0 - 80.0).alias("y"),
     )
+    if point_factor > 1:
+        obs = obs.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(point_factor - 1)))
+        ).select(
+            (F.col("pid") * point_factor + F.col("j")).alias("pid"),
+            (F.col("x") + F.col("j") * 0.013).alias("x"),
+            (F.col("y") + F.col("j") * 0.007).alias("y"),
+        )
     best, n = None, 0
     for _ in range(trials):
         t0 = time.time()
@@ -185,10 +193,11 @@ def scaling_run(cpus: int, sf_dir: str) -> dict:
     """Steady-state measurement at one parallelism level.
 
     Workload sized so per-stage compute dominates scheduler/worker-launch
-    latency (the toy-size pipeline is latency-bound and cannot evidence
-    scaling): 60 tiles × 120 granules × 7 bands = 50,400 images (~5 GB),
-    180k observations → ~19k chips. Workers are warmed and the first of
-    three trials is discarded (JIT + worker-pool spin-up).
+    latency (toy-size runs in this sandbox are bound by a ~30 s serial
+    job-chain latency and cannot evidence scaling): 60 tiles × 240
+    granules × 7 bands = 100,800 PNG images (448², ~20 GB — zlib
+    decode is real per-byte work), 180k observations → ~30k chips.
+    Workers are warmed and the best of `trials` is reported.
     """
     tiles = synth.make_tiles(60)
     spark = get_spark(
@@ -198,17 +207,17 @@ def scaling_run(cpus: int, sf_dir: str) -> dict:
     )
     try:
         warm_up(spark)
-        cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=240, every=2)
+        cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=240, every=1)
         if not os.path.exists(os.path.join(SCALING_CACHE, "_SUCCESS")):
             synth.gen_images_df(
-                spark, list(cat["granule_id"]), w=224, h=224, fmt="raw",
-                num_partitions=256,
+                spark, list(cat["granule_id"]), w=448, h=448, fmt="png",
+                num_partitions=512,
             ).write.mode("overwrite").parquet(SCALING_CACHE)
         obs = synth.gen_observations_pdf(
             n_extra_per_tile=3000, tiles=tiles, spread=0.35
         ).drop(columns=["mgrs_tile_id"])
-        chip = _bench_chipping_obs(spark, cat, obs, cache=SCALING_CACHE, trials=3)
-        sj = bench_big_pip_join(spark, sf_dir, trials=2)
+        chip = _bench_chipping_obs(spark, cat, obs, cache=SCALING_CACHE, trials=2)
+        sj = bench_big_pip_join(spark, sf_dir, trials=2, point_factor=10)
         return {**chip, **sj, "cpus": cpus}
     finally:
         spark.stop()

@@ -143,6 +143,102 @@ def simhash(
     )
 
 
+def embedding_neardup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
+
+    All-integer exactness: with quantized int64 vectors, cos ≥ t (t = p/q
+    rational) ⇔ dot > 0 ∧ q²·dot² ≥ p²·|a|²·|b|² — evaluated in exact
+    int64/int128-free arithmetic, bit-identical in any engine.
+
+    use_lsh=True prunes candidates to shared sign-projection buckets (the
+    scale path; recall < 1 by design). The exact variant scores all pairs
+    via an int64 matmul over corpus partitions (the oracle/baseline path —
+    O(N²), fine for moderate N).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # rationalize the threshold: t = p / 1000; quantize elements ×100 so
+    # q²·dot² and p²·|a|²·|b|² both stay well inside int64 for dims ≤ 512
+    p = int(round(threshold * 1000))
+    p2, q2 = p * p, 1000 * 1000
+
+    def _dot100(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: F.round(x.cast("double") * 100).cast("long")
+                * F.round(y.cast("double") * 100).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    if use_lsh:
+        from .similarity import lsh_buckets
+
+        b = lsh_buckets(vecs, vec_col, id_col, n_bits)
+        v = vecs.join(b, id_col)
+        a_side = v.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "bucket"
+        )
+        b_side = v.select(
+            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "bucket"
+        )
+        j = a_side.join(b_side, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        dot = _dot100(F.col("_va"), F.col("_vb"))
+        na = _dot100(F.col("_va"), F.col("_va"))
+        nb = _dot100(F.col("_vb"), F.col("_vb"))
+        return (
+            j.withColumn("dot", dot)
+            .withColumn("_na", na)
+            .withColumn("_nb", nb)
+            .filter(
+                (F.col("dot") > 0)
+                & (F.lit(q2) * F.col("dot") * F.col("dot")
+                   >= F.lit(p2) * F.col("_na") * F.col("_nb"))
+            )
+            .select("vec_a", "vec_b", "dot")
+        )
+
+    rows = vecs.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+
+    def _q(m):
+        # ×100, round half away from zero (Spark/DuckDB round parity)
+        return (np.sign(m) * np.floor(np.abs(m) * 100.0 + 0.5)).astype(np.int64)
+
+    qm = _q(np.array([r[1] for r in rows], dtype=np.float64))
+    norms = (qm * qm).sum(axis=1)
+
+    def score(it):
+        for pdf in it:
+            pids = pdf[id_col].to_numpy(np.int64)
+            pm = _q(np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))))
+            pn = (pm * pm).sum(axis=1)
+            dots = pm @ qm.T  # (n, N) exact int64
+            out_a, out_b, out_d = [], [], []
+            for i in range(len(pids)):
+                mask = (ids > pids[i]) & (dots[i] > 0)
+                ok = mask & (q2 * dots[i] * dots[i] >= p2 * pn[i] * norms)
+                sel = np.nonzero(ok)[0]
+                out_a.extend([pids[i]] * len(sel))
+                out_b.extend(ids[sel])
+                out_d.extend(dots[i][sel])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "dot": out_d})
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        score, "vec_a long, vec_b long, dot long"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

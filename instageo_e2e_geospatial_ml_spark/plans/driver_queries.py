@@ -702,6 +702,30 @@ def _q24_sql() -> str:
     )
 
 
+def q25_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (quantized-integer exact
+    cosine ≥ 0.3)."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+Q25_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings),
+el AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, i.i AS i,
+         CAST(round(CAST(a.embedding[i.i] AS DOUBLE) * 100) AS BIGINT) AS ea,
+         CAST(round(CAST(b.embedding[i.i] AS DOUBLE) * 100) AS BIGINT) AS eb
+  FROM q a, q b, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE a.vec_id < b.vec_id
+),
+d AS (SELECT va, vb, sum(ea * eb) AS dot, sum(ea * ea) AS na, sum(eb * eb) AS nb
+      FROM el GROUP BY 1, 2)
+SELECT va AS vec_a, vb AS vec_b, dot
+FROM d WHERE dot > 0 AND 1000000 * dot * dot >= 90000 * na * nb
+"""
+
+
 # ---------------------------------------------------------------------------
 # raster/chip queries (no SQL oracle — pixel kernels aren't ANSI-SQL
 # expressible; covered by pytest goldens ported from the reference and
@@ -801,6 +825,7 @@ QUERIES = {
     "q22_grid_polygons": q22_grid_polygons,
     "q23_top1_pick": q23_top1_pick,
     "q24_filter_parser": q24_filter_parser,
+    "q25_embed_neardup": q25_embed_neardup,
 }
 
 ORACLES = {
@@ -826,4 +851,5 @@ ORACLES = {
     "q22_grid_polygons": Q22_SQL,
     "q23_top1_pick": Q23_SQL,
     "q24_filter_parser": _q24_sql(),
+    "q25_embed_neardup": Q25_SQL,
 }

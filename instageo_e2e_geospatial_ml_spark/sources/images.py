@@ -1,0 +1,158 @@
+"""Multimodal binary-column operators (image / audio / video payloads).
+
+The images table (input_hint schema) treats payloads as opaque binary +
+typed metadata. These operators run Arrow-batched over `mapInPandas` —
+schema, partitioning, UDF signature and batch shape are real and tested;
+decoders for external formats (JPEG/MP3/MP4) are STUBBED behind
+NotImplementedError because the container ships no image/audio libraries
+(plug a decoder into codecs.decode / _SAMPLERS to enable them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, w int, h int, mean double, std double, p05 double, "
+    "p95 double, nonzero_frac double, phash long"
+)
+
+
+def image_features(images: DataFrame, batch_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Decode → per-image statistics + perceptual hash (one Arrow pass)."""
+
+    def feats(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+                a = arr.astype(np.float64)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "w": int(r.w),
+                        "h": int(r.h),
+                        "mean": round(float(a.mean()), 6),
+                        "std": round(float(a.std()), 6),
+                        "p05": float(np.percentile(a, 5)),
+                        "p95": float(np.percentile(a, 95)),
+                        "nonzero_frac": round(float((a != 0).mean()), 6),
+                        "phash": codecs.phash64(arr),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "mean", "std", "p05", "p95",
+                    "nonzero_frac", "phash",
+                ],
+            )
+
+    return images.mapInPandas(feats, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Mean-pool resize (integer factors; general resampling would need an
+    image lib). Output keeps the input schema with recomputed bytes/dims."""
+
+    def rs(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+                _b, h, w = arr.shape
+                fy, fx = max(1, h // out_h), max(1, w // out_w)
+                pooled = (
+                    arr[:, : out_h * fy, : out_w * fx]
+                    .reshape(1, out_h, fy, out_w, fx)
+                    .mean(axis=(2, 4))
+                )
+                out = pooled.astype(arr.dtype)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": codecs.encode(out, r.fmt if r.fmt.startswith("raw") else "raw"),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": r.fmt if r.fmt.startswith("raw") else "raw",
+                        "caption": r.caption,
+                        "phash": codecs.phash64(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    from ..synth import IMAGES_SCHEMA
+
+    return images.mapInPandas(rs, IMAGES_SCHEMA)
+
+
+# --- stubbed external-format decoders --------------------------------------
+
+def decode_external(fmt: str, payload: bytes) -> np.ndarray:
+    """Dispatch for formats needing external libraries (absent here)."""
+    if fmt in ("jpeg", "jpg", "tiff_lzw", "webp"):
+        raise NotImplementedError(
+            f"fmt={fmt!r} needs an image library (PIL/opencv) not present in "
+            "this container; register a decoder in codecs.decode"
+        )
+    if fmt in ("mp3", "wav", "flac"):
+        raise NotImplementedError(f"audio fmt={fmt!r}: no audio library available")
+    if fmt in ("mp4", "webm"):
+        raise NotImplementedError(f"video fmt={fmt!r}: no video library available")
+    raise NotImplementedError(fmt)
+
+
+def _deterministic_frames(video_id: str, n_frames: int, w: int, h: int) -> np.ndarray:
+    """Deterministic fake video frames (stand-in for a real mp4 decoder) so
+    the frame-sampling plumbing is testable end to end."""
+    seed = int.from_bytes(hashlib.md5(video_id.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (1, h, w), dtype=np.uint16)
+    drift = np.arange(n_frames, dtype=np.uint16)[:, None, None] * 3
+    return ((base + drift) % 256).astype(np.uint16)
+
+
+FRAME_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+
+
+def sample_video_frames(
+    videos: DataFrame, every_n: int = 10, fake_decode: bool = True,
+    n_frames: int = 100, w: int = 64, h: int = 64,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame. With
+    fake_decode=True (default in this container) frames come from the
+    deterministic stand-in generator; otherwise decode_external raises
+    until a real decoder is registered."""
+
+    def sample(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if fake_decode:
+                    frames = _deterministic_frames(r.video_id, n_frames, w, h)
+                else:
+                    frames = decode_external(r.fmt, bytes(r.bytes))
+                for i in range(0, frames.shape[0], every_n):
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": i,
+                            "bytes": codecs.encode(frames[i : i + 1], "raw"),
+                            "w": frames.shape[2],
+                            "h": frames.shape[1],
+                            "fmt": "raw",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "bytes", "w", "h", "fmt"]
+            )
+
+    return videos.mapInPandas(sample, FRAME_SCHEMA)

@@ -1,0 +1,97 @@
+"""Multimodal binary-column ops, embedding near-dup, and the solar filter."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark import codecs, synth
+from instageo_e2e_geospatial_ml_spark.functions.solar import (
+    daytime_filter,
+    sunrise_sunset_utc_minutes,
+)
+from instageo_e2e_geospatial_ml_spark.operators.dedup import embedding_neardup_pairs
+from instageo_e2e_geospatial_ml_spark.sources.images import (
+    decode_external,
+    image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=10, every=5)
+    return spark.createDataFrame(synth.gen_images_pdf(cat, w=64, h=64, fmt="png"))
+
+
+def test_image_features(spark, images_df):
+    out = image_features(images_df).toPandas()
+    assert len(out) == images_df.count()
+    band_rows = out[~out["image_id"].str.endswith(":Fmask")]
+    assert (band_rows["mean"] > 1000).all()  # gradient base ~2000..9000
+    assert (band_rows["std"] > 0).all()
+    assert band_rows["phash"].nunique() > 1
+
+
+def test_resize_images(spark, images_df):
+    out = resize_images(images_df, 16, 16).toPandas()
+    r = out.iloc[0]
+    assert (r["w"], r["h"]) == (16, 16)
+    arr = codecs.decode(r["bytes"], 16, 16, 1, r["fmt"])
+    assert arr.shape == (1, 16, 16)
+    # mean-pool preserves the global mean approximately
+    src = images_df.filter(F.col("image_id") == r["image_id"]).toPandas().iloc[0]
+    src_arr = codecs.decode(src["bytes"], int(src["w"]), int(src["h"]), 1, src["fmt"])
+    assert abs(float(arr.mean()) - float(src_arr.mean())) < 200
+
+
+def test_video_frame_sampling(spark):
+    videos = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v1", "v2"], "bytes": [b"", b""], "fmt": ["fake", "fake"]})
+    )
+    frames = sample_video_frames(videos, every_n=25, n_frames=100).toPandas()
+    assert len(frames) == 2 * 4  # 100/25 per video
+    assert set(frames["frame_idx"].unique()) == {0, 25, 50, 75}
+    # deterministic: same video_id → same bytes
+    again = sample_video_frames(videos, every_n=25, n_frames=100).toPandas()
+    assert frames.iloc[0]["bytes"] == again.iloc[0]["bytes"]
+
+
+def test_external_decoders_stubbed():
+    for fmt in ("jpeg", "mp3", "mp4"):
+        with pytest.raises(NotImplementedError):
+            decode_external(fmt, b"")
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_neardup_pairs(e, threshold=0.3).toPandas()
+    assert len(exact) > 0
+    assert (exact["vec_a"] < exact["vec_b"]).all()
+    # LSH variant returns a subset (candidate pruning loses recall, never adds)
+    lsh = embedding_neardup_pairs(e, threshold=0.3, use_lsh=True).toPandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lsh_pairs <= exact_pairs
+
+
+def test_sunrise_sunset_equator_equinox():
+    # equator at equinox (doy ~80): sunrise ≈ 6:00, sunset ≈ 18:00 local
+    sr, ss = sunrise_sunset_utc_minutes(np.array([0.0]), np.array([0.0]), np.array([80.0]))
+    assert abs(sr[0] - 360) < 20
+    assert abs(ss[0] - 1080) < 20
+    # day length grows toward the summer-hemisphere pole (doy 172 = June)
+    sr_n, ss_n = sunrise_sunset_utc_minutes(np.array([60.0]), np.array([0.0]), np.array([172.0]))
+    assert (ss_n[0] - sr_n[0]) > 16 * 60
+
+
+def test_daytime_filter(spark):
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
+    g = spark.createDataFrame(cat).withColumn(
+        "fp_cx", (F.col("fp_minx") + F.col("fp_maxx")) / 2
+    ).withColumn("fp_cy", (F.col("fp_miny") + F.col("fp_maxy")) / 2)
+    # granule ts is 07:26 UTC at lon ~45E (~10:26 local) → all daytime
+    assert daytime_filter(g).count() == g.count()
+    night = g.withColumn("ts", F.col("ts") + F.expr("INTERVAL 14 HOURS"))
+    assert daytime_filter(night).count() == 0
