@@ -102,6 +102,44 @@ def clean_chip_table(
     return chips.mapInPandas(clean, schema)
 
 
+def mask_label_with_chip(
+    chip: np.ndarray,
+    seg: np.ndarray,
+    bands_per_step: int = 6,
+    chip_ndv: int = 0,
+) -> tuple[np.ndarray, bool]:
+    """R15 consumer-side QA (reference model/dataloader.py:753-781):
+    take the FIRST band of each timestep (stride bands_per_step), a pixel
+    is valid only if non-ndv in all of them; labels at invalid pixels →
+    NaN; returns (masked float label array, all_nan flag)."""
+    num_steps = max(1, chip.shape[0] // bands_per_step)
+    stacked = chip[[bands_per_step * i for i in range(num_steps)]]
+    valid = (stacked != chip_ndv).all(axis=0)
+    label = seg.astype(np.float64)
+    label[seg == SEG_NDV] = np.nan
+    label[~valid] = np.nan
+    return label, bool(np.all(np.isnan(label)))
+
+
+def consumer_qa_filter(
+    chips: DataFrame, bands_per_step: int = 6, chip_ndv: int = 0
+) -> DataFrame:
+    """Drop chip rows whose R15-masked label is all-NaN (one Arrow pass)."""
+
+    def qa(it):
+        for pdf in it:
+            keep = []
+            for i, r in pdf.iterrows():
+                chip = _decode_chip(r)
+                seg = _decode_seg(r)
+                _m, all_nan = mask_label_with_chip(chip, seg, bands_per_step, chip_ndv)
+                if not all_nan:
+                    keep.append(i)
+            yield pdf.loc[keep]
+
+    return chips.mapInPandas(qa, chips.schema)
+
+
 def limit_labels_to_observations(
     records: DataFrame, images: DataFrame, **extract_kwargs
 ) -> DataFrame:

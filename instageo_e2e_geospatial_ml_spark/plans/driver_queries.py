@@ -702,6 +702,46 @@ def _q24_sql() -> str:
     )
 
 
+def q26_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (AvailableNow over
+    the events table as a file stream), oracle-checked against the
+    equivalent batch GROUP BY on epoch-aligned 6-hour buckets."""
+    import tempfile
+
+    from ..streaming.windows import (
+        read_event_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/in"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, ev.schema)
+        agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+        out = run_available_now(
+            agg, "q26_sink", f"{td}/ck", output_mode="complete"
+        )
+        # materialize before the tempdir vanishes
+        pdf = out.toPandas()
+    res = spark.createDataFrame(pdf)
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+Q26_SQL = """
+SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 21600), '%Y-%m-%dT%H:%M:%S')
+         AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q25_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (quantized-integer exact
     cosine ≥ 0.3)."""
@@ -826,6 +866,7 @@ QUERIES = {
     "q23_top1_pick": q23_top1_pick,
     "q24_filter_parser": q24_filter_parser,
     "q25_embed_neardup": q25_embed_neardup,
+    "q26_stream_window": q26_stream_window,
 }
 
 ORACLES = {
@@ -852,4 +893,5 @@ ORACLES = {
     "q23_top1_pick": Q23_SQL,
     "q24_filter_parser": _q24_sql(),
     "q25_embed_neardup": Q25_SQL,
+    "q26_stream_window": Q26_SQL,
 }

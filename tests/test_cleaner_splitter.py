@@ -163,3 +163,49 @@ def test_spark_submit_entry(tmp_path):
 
     payload = json.loads(last)
     assert payload["n_chips"] > 0
+
+
+def test_mask_label_with_chip_r15():
+    # reference model/dataloader.py:753-781: first band of each timestep
+    # (stride 6) must be non-ndv in all timesteps
+    from instageo_e2e_geospatial_ml_spark.operators.cleaner import mask_label_with_chip
+
+    chip = np.ones((12, 2, 2), dtype=np.int32)  # 2 timesteps × 6 bands
+    chip[0, 0, 0] = 0  # t0 first band ndv at px(0,0)
+    chip[3, 1, 1] = 0  # non-first band — must NOT matter
+    seg = np.array([[5, -1], [2, 7]], dtype=np.int16)
+    label, all_nan = mask_label_with_chip(chip, seg)
+    assert not all_nan
+    assert np.isnan(label[0, 0])       # invalidated by t0 first band
+    assert np.isnan(label[0, 1])       # was SEG_NDV
+    assert label[1, 1] == 7            # band 3 ndv ignored
+    # all-ndv first bands → all NaN
+    chip2 = np.zeros((6, 2, 2), dtype=np.int32)
+    _, all_nan2 = mask_label_with_chip(chip2, seg)
+    assert all_nan2
+
+
+def test_consumer_qa_filter(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.cleaner import consumer_qa_filter
+
+    good = np.full((6, 4, 4), 7, dtype=np.uint16)
+    bad = np.zeros((6, 4, 4), dtype=np.uint16)
+    seg = np.full((4, 4), -1, dtype=np.int16)
+    seg[1, 1] = 2
+    df = spark.createDataFrame(pd.DataFrame([_chip_row(good, seg), _chip_row(bad, seg)]))
+    out = consumer_qa_filter(df).toPandas()
+    assert len(out) == 1
+
+
+def test_knn_haversine(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.knn import knn_join
+
+    pts = pd.DataFrame({"pid": [1, 2, 3], "x": [0.0, 1.0, 10.0], "y": [0.0, 0.0, 0.0]})
+    qs = pd.DataFrame({"qid": [0], "qx": [0.1], "qy": [0.0]})
+    out = knn_join(
+        spark.createDataFrame(qs), spark.createDataFrame(pts),
+        k_neighbors=2, radius_deg=300.0, res=5, metric="haversine",
+    ).toPandas()
+    assert out.sort_values("rank")["pid"].tolist() == [1, 2]
+    # haversine distances in km: 0.1° ≈ 11.1 km at the equator
+    assert abs(out[out["pid"] == 1]["dist"].iloc[0] - 11.12) < 0.5
