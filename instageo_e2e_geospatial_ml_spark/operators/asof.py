@@ -29,6 +29,8 @@ def asof_pick(
     tolerance_minutes: int = 0,
     obs_id: str = "obs_id",
     order: str = "cloud_cover",
+    keep_unmatched: bool = True,
+    align_partitioning: bool = False,
 ) -> DataFrame:
     """steps(obs_id, step, query_date) × candidates(obs_id, granule_id)
     × granules(granule_id, ts, cloud_cover, ...) → one row per (obs_id,
@@ -36,6 +38,14 @@ def asof_pick(
 
     order='cloud_cover' → J2 (min cloud, tie earliest ts);
     order='closest'     → J3-style (min |Δt|, tie asc ts).
+
+    keep_unmatched=False skips the null-preserving join-back (the
+    reference's [None]*len(dates) shape) — correct whenever the caller
+    immediately applies the validity filter, saving one shuffle.
+    align_partitioning=True repartitions candidates by obs_id before the
+    rank window; HashPartitioning(obs_id) satisfies the (obs_id, step)
+    clustering, so the window AND the downstream per-obs groupBy reuse
+    that single exchange.
     """
     tol_min = tolerance_days * 24 * 60 + tolerance_minutes
     cand = steps.join(candidates, obs_id, "inner").join(granules, "granule_id", "inner")
@@ -46,6 +56,8 @@ def asof_pick(
     )
     cand = cand.filter(dt_us <= F.lit(int(tol_min) * 60 * 1_000_000))
     dt_min = dt_us / F.lit(60e6)
+    if align_partitioning:
+        cand = cand.repartition(obs_id)
     if order == "cloud_cover":
         ordering = [F.col("cloud_cover").asc(), F.col("ts").asc(), F.col("granule_id").asc()]
     elif order == "closest":
@@ -59,6 +71,8 @@ def asof_pick(
         .select(obs_id, "step", F.col("granule_id").alias("picked_granule"),
                 "ts", "cloud_cover")
     )
+    if not keep_unmatched:
+        return picked
     return steps.join(picked, [obs_id, "step"], "left")
 
 

@@ -51,12 +51,26 @@ class ChipPipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
-def build_records(obs: DataFrame, catalog: DataFrame, cfg: ChipPipelineConfig) -> DataFrame:
-    """observations × granule catalog → valid records with granule sets."""
+def build_records(
+    obs: DataFrame, catalog: DataFrame, cfg: ChipPipelineConfig, persist_obs: bool = True
+) -> DataFrame:
+    """observations × granule catalog → valid records with granule sets.
+
+    The prepared obs table feeds three branches (temporal expansion, the
+    PIP join, the final re-join); persist_obs caches it once instead of
+    re-running the MGRS UDF + density filter per branch (at warehouse
+    scale this would be a checkpointed table instead of an in-session
+    cache). The as-of pick runs without the null-preserving join-back
+    (validity_filter drops incomplete sequences anyway) and with its
+    shuffle aligned on obs_id so the rank window and the per-obs
+    regroup share one exchange.
+    """
     o = normalize_dates(obs, shift_to_month_start=cfg.shift_to_month_start)
     o = assign_tiles(o)
     o = density_filter(o, cfg.min_count, keep_counts=False)
     o = o.withColumn("obs_id", F.monotonically_increasing_id())
+    if persist_obs:
+        o = o.persist()
 
     steps = expand_temporal_steps(
         o, num_steps=cfg.num_steps, temporal_step=cfg.temporal_step
@@ -69,6 +83,8 @@ def build_records(obs: DataFrame, catalog: DataFrame, cfg: ChipPipelineConfig) -
         granules,
         tolerance_days=cfg.temporal_tolerance,
         obs_id="obs_id",
+        keep_unmatched=False,
+        align_partitioning=True,
     )
     seq = granule_sequence(picked)
     records = o.join(seq, "obs_id", "inner")
