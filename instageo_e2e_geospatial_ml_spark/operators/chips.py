@@ -212,6 +212,7 @@ def extract_chips(
     no_data_value: int = HLS_NDV,
     broadcast_cells: bool = True,
     transform_overrides: dict | None = None,
+    label_band: str | None = None,
     n_salt: int = 0,  # obsolete (kept for API compat): cell grouping bounds skew structurally
 ) -> DataFrame:
     """records(stac_items_str, granules, x, y, date, label) × images
@@ -222,10 +223,17 @@ def extract_chips(
     rasters carry their own geotransform (the reference reads it from the
     GeoTIFF); default derives the 100 km MGRS square transform from the
     tile id.
+
+    label_band: when set, segmentation maps are sliced from that raster
+    band of the first timestep instead of rasterized from observation
+    points — the reference's raster_chip_creator path (R9,
+    raster_chip_creator.py:83-210, hls_utils.py:325-411).
     """
     mask_types = list(mask_types)
     overrides = dict(transform_overrides or {})
     wanted_bands = set(band_order) | {mask_band}
+    if label_band:
+        wanted_bands.add(label_band)
 
     def _tile_geo(tile_id: str, w: int, h: int):
         if tile_id in overrides:
@@ -391,9 +399,15 @@ def extract_chips(
         date_id = dates.min().strftime("%Y%m%d")
         ee, nn, _ = latlon_to_utm(oys, oxs, np.full(len(oxs), zone))
         chip_tr = (a, c + a * cx * chip_size, e_, f_ + e_ * cy * chip_size)
-        seg = create_segmentation_map(
-            (chip_size, chip_size), chip_tr, ee, nn, labels, window_size, task_type
-        )
+        if label_band:
+            lab = by_key.get((0, label_band))
+            if lab is None:
+                return pd.DataFrame(columns=cols)
+            seg = lab.astype(np.int16 if task_type == "seg" else np.float32)
+        else:
+            seg = create_segmentation_map(
+                (chip_size, chip_size), chip_tr, ee, nn, labels, window_size, task_type
+            )
         seg = mask_segmentation_map(chip, seg, no_data_value, "any")
         n_label_px = int((seg != SEG_NDV).sum())
         if n_label_px == 0:

@@ -29,9 +29,11 @@ def normalize_dates(
     """P5: date/time combine + MonthBegin shift + input_features_date."""
     d = F.to_timestamp(F.col(date_col))
     if time_col is not None and time_col in obs.columns:
-        d = F.to_timestamp(
-            F.concat_ws(" ", F.date_format(d, "yyyy-MM-dd"), F.col(time_col))
-        )
+        t = F.col(time_col)
+        if dict(obs.dtypes).get(time_col) in ("timestamp", "timestamp_ntz"):
+            # CSV inference turns bare HH:MM:SS into a full timestamp
+            t = F.date_format(t, "HH:mm:ss")
+        d = F.to_timestamp(F.concat_ws(" ", F.date_format(d, "yyyy-MM-dd"), t))
     if shift_to_month_start:
         # pandas `- MonthBegin(1)`: day 1 → previous month start; else → own
         # month start (reference chip_creator.py:289-293, bug-for-bug)

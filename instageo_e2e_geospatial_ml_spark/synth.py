@@ -198,10 +198,11 @@ def gen_observations_pdf(
 
 
 def gen_images_pdf(
-    catalog: pd.DataFrame, w: int = 224, h: int = 224, fmt: str = "raw", with_mask: bool = True
+    catalog: pd.DataFrame, w: int = 224, h: int = 224, fmt: str = "raw",
+    with_mask: bool = True, extra_bands: list[str] | None = None,
 ) -> pd.DataFrame:
     """Driver-side image table for unit tests: rows (granule × band)."""
-    bands = list(BANDS) + ([MASK_BAND] if with_mask else [])
+    bands = list(BANDS) + ([MASK_BAND] if with_mask else []) + list(extra_bands or [])
     rows = [
         _image_row(f"{gid}:{band}", w, h, fmt)
         for gid in catalog["granule_id"].unique()

@@ -1,0 +1,135 @@
+"""Catalog search (S7), band rename (P8), observation readers (S1-S3),
+raster-label pipeline (R9/3.2), P11 regex extraction, J3 closest order."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark import synth
+from instageo_e2e_geospatial_ml_spark.operators.asof import asof_pick
+from instageo_e2e_geospatial_ml_spark.plans.pipeline import ChipPipelineConfig
+from instageo_e2e_geospatial_ml_spark.plans.raster_pipeline import run_raster_pipeline
+from instageo_e2e_geospatial_ml_spark.sources.catalog import (
+    common_band_name,
+    search_granules,
+)
+from instageo_e2e_geospatial_ml_spark.sources.observations import read_observations
+
+
+def test_search_granules(spark):
+    cat = spark.createDataFrame(synth.gen_granule_catalog_pdf(days=60, every=5))
+    out = search_granules(
+        cat,
+        min_date="2022-05-10",
+        max_date="2022-06-10",
+        max_cloud_cover=50.0,
+        tile_ids=["38PMB"],
+    ).toPandas()
+    assert len(out) > 0
+    assert (out["tile_id"] == "38PMB").all()
+    assert (out["cloud_cover"] <= 50.0).all()
+    assert out["ts"].is_monotonic_increasing
+    # bbox that misses every footprint
+    assert search_granules(cat, bbox=(-150.0, -60.0, -140.0, -50.0)).count() == 0
+
+
+def test_common_band_name(spark):
+    df = spark.createDataFrame(pd.DataFrame({"band": ["B02", "Fmask", "XYZ"]}))
+    got = [r[0] for r in df.select(common_band_name("band")).collect()]
+    assert got == ["blue", "fmask", "XYZ"]
+
+
+def test_read_observations_csv_parquet(spark, tmp_path):
+    pdf = synth.gen_observations_pdf(n_extra_per_tile=3)
+    pdf["time"] = "07:30:00"
+    pdf["date"] = pdf["date"].dt.strftime("%Y-%m-%d")
+    csv_path = str(tmp_path / "obs.csv")
+    pdf.to_csv(csv_path, index=False)
+    obs_csv = read_observations(spark, csv_path, fmt="csv")
+    row = obs_csv.first()
+    assert row["date"].hour == 7 and row["date"].minute == 30  # time combined
+    pq_path = str(tmp_path / "obs_pq")
+    spark.createDataFrame(pdf).write.partitionBy("year").parquet(pq_path)
+    obs_pq = read_observations(
+        spark, pq_path, fmt="parquet", filter_spec="('label' ? '==' ? 1)"
+    )
+    got = obs_pq.toPandas()
+    assert (got["label"] == 1).all()
+    assert len(got) == (pdf["label"] == 1).sum()
+
+
+def test_asof_closest_order(spark):
+    # J3 (s2_utils.py:508-587): pick min |Δt| regardless of cloud
+    granules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "granule_id": ["far_clear", "near_cloudy"],
+                "ts": pd.to_datetime(["2022-06-01", "2022-06-07"]),
+                "cloud_cover": [0.0, 99.0],
+            }
+        )
+    )
+    steps = spark.createDataFrame(
+        pd.DataFrame(
+            {"obs_id": [1], "step": [0], "query_date": pd.to_datetime(["2022-06-08"])}
+        )
+    )
+    cands = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1, 1], "granule_id": ["far_clear", "near_cloudy"]})
+    )
+    closest = asof_pick(steps, cands, granules, tolerance_days=10, order="closest").first()
+    assert closest["picked_granule"] == "near_cloudy"
+    cloud = asof_pick(steps, cands, granules, tolerance_days=10, order="cloud_cover").first()
+    assert cloud["picked_granule"] == "far_clear"
+
+
+def test_regexp_tile_year_extraction(spark):
+    # P11 (data_splitter.py:141-177): MGRS tile + year from file paths
+    paths = spark.createDataFrame(
+        pd.DataFrame(
+            {"p": ["chips/chip_20200101_S30_T38PMB_2022145T072619_1_2.tif",
+                    "x/chip_19990215_S30_T30RYS_2022001T000000_0_0.tif"]}
+        )
+    )
+    out = paths.select(
+        F.regexp_extract("p", r"T(\d{1,2}[A-Za-z]{3})", 1).alias("tile"),
+        F.regexp_extract("p", r"((?:19|20)\d{2})", 1).alias("year"),
+    ).collect()
+    assert [r["tile"] for r in out] == ["38PMB", "30RYS"]
+    assert [r["year"] for r in out] == ["2020", "1999"]
+
+
+def test_raster_pipeline_label_band(spark):
+    tiles = ["38PMB"]
+    cat_pdf = synth.gen_granule_catalog_pdf(tiles=tiles, days=30, every=5)
+    imgs = synth.gen_images_pdf(cat_pdf, w=96, h=96, fmt="raw", extra_bands=["LABEL"])
+    lon_b, lat_b = __import__(
+        "instageo_e2e_geospatial_ml_spark.mgrs", fromlist=["mgrs_tile_bounds"]
+    ).mgrs_tile_bounds("38PMB")
+    cx, cy = float(lon_b.mean()), float(lat_b.mean())
+    bboxes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1],
+                "minx": [cx - 0.1],
+                "miny": [cy - 0.1],
+                "maxx": [cx + 0.1],
+                "maxy": [cy + 0.1],
+                "date": [pd.Timestamp("2022-05-15")],
+            }
+        )
+    )
+    cfg = ChipPipelineConfig(num_steps=1, temporal_tolerance=10, chip_size=32)
+    out = run_raster_pipeline(
+        bboxes,
+        spark.createDataFrame(cat_pdf),
+        spark.createDataFrame(imgs),
+        cfg,
+        chip_deg=0.1,
+    ).toPandas()
+    assert len(out) > 0
+    import numpy as np
+
+    seg = np.frombuffer(out.iloc[0]["seg"], dtype="<i2").reshape(32, 32)
+    # raster-sliced labels: many distinct values (a gradient), unlike point stamps
+    assert len(np.unique(seg)) > 10
