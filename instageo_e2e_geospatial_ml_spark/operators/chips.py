@@ -45,9 +45,13 @@ from ..mgrs import latlon_to_utm, mgrs_tile_utm_square
 
 SEG_NDV = -1  # NO_DATA_VALUES.SEG_MAP (reference settings.py:80-86)
 HLS_NDV = 0
-# bit positions in the HLS Fmask bitfield (reference data_pipeline.py:44-47)
-MASK_DECODING_POS = {"cloud": 1, "near_cloud_or_shadow": 2, "cloud_shadow": 3, "water": 5}
-DEFAULT_MASK_TYPES = list(MASK_DECODING_POS)
+# mask decode positions per data source (reference data_pipeline.py:44-47):
+# HLS Fmask = bitfield positions; S2 SCL = class-id lists
+MASK_DECODING_POS = {
+    "HLS": {"cloud": 1, "near_cloud_or_shadow": 2, "cloud_shadow": 3, "water": 5},
+    "S2": {"cloud": [8, 9], "water": [6]},
+}
+DEFAULT_MASK_TYPES = list(MASK_DECODING_POS["HLS"])
 
 
 # ---------------------------------------------------------------------------
@@ -61,26 +65,36 @@ def decode_fmask_value(mask: np.ndarray, pos: int) -> np.ndarray:
     return q - (q // 2) * 2
 
 
+def create_mask_from_scl(scl: np.ndarray, class_ids: list[int]) -> np.ndarray:
+    """R2 (reference s2_utils.py:410-422): SCL class-id membership mask."""
+    return np.isin(scl, class_ids).astype(np.int8)
+
+
 def apply_mask(
     chip: np.ndarray,
     mask: np.ndarray,
     no_data_value: int,
     mask_types: Iterable[str] = DEFAULT_MASK_TYPES,
     masking_strategy: str = "each",
+    data_source: str = "HLS",
 ) -> np.ndarray:
     """Cloud/shadow/water masking (reference data_pipeline.py:229-267).
 
-    chip: (T*B, h, w); mask: (T, h, w) Fmask bitfields.
+    chip: (T*B, h, w); mask: (T, h, w) — HLS Fmask bitfields (bit decode)
+    or S2 SCL class-id rasters (membership decode).
     'each': each timestep's mask repeats across that timestep's bands
     (time-major stacking); 'any': a pixel masked in any timestep is masked
     everywhere.
     """
     chip = chip.copy()
     for mask_type in mask_types:
-        pos = MASK_DECODING_POS.get(mask_type)
+        pos = MASK_DECODING_POS[data_source].get(mask_type)
         if not pos:
             continue
-        decoded = decode_fmask_value(mask, pos)
+        if data_source == "S2":
+            decoded = create_mask_from_scl(mask, pos)
+        else:
+            decoded = decode_fmask_value(mask, pos)
         if masking_strategy == "each":
             decoded = decoded.repeat(chip.shape[0] // mask.shape[0], axis=0)
         elif masking_strategy == "any":
@@ -213,6 +227,7 @@ def extract_chips(
     broadcast_cells: bool = True,
     transform_overrides: dict | None = None,
     label_band: str | None = None,
+    data_source: str = "HLS",
     n_salt: int = 0,  # obsolete (kept for API compat): cell grouping bounds skew structurally
 ) -> DataFrame:
     """records(stac_items_str, granules, x, y, date, label) × images
@@ -382,7 +397,9 @@ def extract_chips(
         masks = [by_key[(t, mask_band)] for t in range(T) if (t, mask_band) in by_key]
         mask = np.stack(masks) if len(masks) == T else None
         if mask is not None and mask_types:
-            chip = apply_mask(chip, mask, no_data_value, mask_types, masking_strategy)
+            chip = apply_mask(
+                chip, mask, no_data_value, mask_types, masking_strategy, data_source
+            )
         valid_px = int((chip != no_data_value).sum())
         if valid_px == 0:
             return pd.DataFrame(columns=cols)  # QA (reference data_pipeline.py:214-216)

@@ -252,3 +252,19 @@ def test_chip_pixels_match_direct_computation(spark, ref_e2e_frames):
         for b in range(2):
             assert codecs.psnr(got[b], want) == float("inf")
             np.testing.assert_allclose(got[b], want)
+
+
+def test_scl_class_mask_s2():
+    # R2 (reference s2_utils.py:410-422): SCL class-id masks — cloud {8,9},
+    # water {6}
+    from instageo_e2e_geospatial_ml_spark.operators.chips import (
+        apply_mask,
+        create_mask_from_scl,
+    )
+
+    scl = np.array([[[6, 8], [9, 4]]], dtype=np.uint8)  # (T=1, 2, 2)
+    assert create_mask_from_scl(scl, [8, 9]).tolist() == [[[0, 1], [1, 0]]]
+    chip = np.full((2, 2, 2), 5, dtype=np.int32)  # 2 bands × 1 timestep
+    out = apply_mask(chip, scl, 0, ["cloud", "water"], "each", data_source="S2")
+    assert out[0].tolist() == [[0, 0], [0, 5]]  # water(6)+cloud(8,9) masked
+    assert out[1].tolist() == [[0, 0], [0, 5]]
