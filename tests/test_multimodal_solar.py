@@ -95,3 +95,24 @@ def test_daytime_filter(spark):
     assert daytime_filter(g).count() == g.count()
     night = g.withColumn("ts", F.col("ts") + F.expr("INTERVAL 14 HOURS"))
     assert daytime_filter(night).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over a lazy dog",  # near-dup of 1
+                "completely different content with no overlap at all here",
+            ],
+        }
+    )
+    out = ngram_jaccard_pairs(
+        spark.createDataFrame(docs), shingle_n=3, threshold=0.3
+    ).toPandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["doc_a"], out.iloc[0]["doc_b"]) == (1, 2)
+    assert 0.3 <= out.iloc[0]["jaccard"] <= 1.0
