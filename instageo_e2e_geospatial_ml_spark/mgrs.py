@@ -233,6 +233,16 @@ def mgrs_tile_bounds(tile_id: str, n_pts_per_edge: int = 3) -> tuple[np.ndarray,
     return lon, lat
 
 
+def bbox_tile_ids(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float
+) -> set[str]:
+    """MGRS precision-0 ids of a bbox's four corners (reference
+    geo_utils.py:31-49 get_polygon_tile_ids)."""
+    lons = np.array([lon_min, lon_max, lon_min, lon_max])
+    lats = np.array([lat_min, lat_min, lat_max, lat_max])
+    return set(mgrs_precision0(lats, lons))
+
+
 def webmercator_to_latlon(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """EPSG:3857 → EPSG:4326 (spherical Mercator closed form)."""
     x = np.asarray(x, dtype=np.float64)

@@ -184,6 +184,28 @@ def chip_coords(
     return np.unique(np.stack((cols // chip_size, rows // chip_size), axis=-1), axis=0)
 
 
+def crop_to_bounds(
+    arr: np.ndarray,
+    transform: tuple[float, float, float, float],
+    bounds: tuple[float, float, float, float],
+    chip_size: int | None = None,
+) -> np.ndarray | None:
+    """R9 (reference geo_utils.py:96-144 slice_xr_dataset): crop a
+    (bands, h, w) raster to geometry bounds via the inverse affine; when
+    chip_size is given the window is forced to exactly chip_size (the
+    reprojection-fuzz guard). None when the crop is empty."""
+    a, c, e, f = transform
+    minx, miny, maxx, maxy = bounds
+    rows = sorted(int(np.floor((y - f) / e)) for y in (miny, maxy))
+    cols = sorted(int(np.floor((x - c) / a)) for x in (minx, maxx))
+    row_min, row_max = rows
+    col_min, col_max = cols
+    if chip_size:
+        row_max, col_max = row_min + chip_size, col_min + chip_size
+    out = arr[:, max(row_min, 0) : row_max, max(col_min, 0) : col_max]
+    return None if out.size == 0 else out
+
+
 def hls_tile_key(granule_id: str) -> str:
     """'HLS.S30.T38PMB.2022145T072619.v2.0' → 'S30_T38PMB_2022145T072619'
     (reference data_pipeline.py:162-165)."""

@@ -268,3 +268,23 @@ def test_scl_class_mask_s2():
     out = apply_mask(chip, scl, 0, ["cloud", "water"], "each", data_source="S2")
     assert out[0].tolist() == [[0, 0], [0, 5]]  # water(6)+cloud(8,9) masked
     assert out[1].tolist() == [[0, 0], [0, 5]]
+
+
+def test_crop_to_bounds_r9():
+    from instageo_e2e_geospatial_ml_spark.operators.chips import crop_to_bounds
+
+    arr = np.arange(100).reshape(1, 10, 10)
+    tr = (1.0, 0.0, -1.0, 10.0)  # x = col, y = 10 - row
+    out = crop_to_bounds(arr, tr, (2.0, 3.0, 6.0, 7.0))
+    assert out.shape == (1, 4, 4)
+    # forced chip_size window
+    out2 = crop_to_bounds(arr, tr, (2.0, 3.0, 6.0, 7.0), chip_size=3)
+    assert out2.shape == (1, 3, 3)
+    assert crop_to_bounds(arr, tr, (50.0, 50.0, 60.0, 60.0)) is None
+
+
+def test_bbox_tile_ids():
+    from instageo_e2e_geospatial_ml_spark.mgrs import bbox_tile_ids
+
+    ids = bbox_tile_ids(44.4, 15.0, 44.6, 15.2)
+    assert "38PMB" in ids and 1 <= len(ids) <= 4
