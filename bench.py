@@ -240,9 +240,13 @@ def scaling_run(cpus: int, sf_dir: str, frac: int = 1) -> dict:
         obs = synth.gen_observations_pdf(
             n_extra_per_tile=3000 // frac, tiles=tiles, spread=0.35
         ).drop(columns=["mgrs_tile_id"])
-        images = spark.read.parquet(SCALING_CACHE)
+        # read the pruned partition DIRECTORY directly: DataFrame.inputFiles
+        # (used by the payload_source='files' reader) lists the scan's file
+        # index before filters, so directory-level selection is explicit
         if frac > 1:
-            images = images.filter(F.col("gbucket") == 0)  # partition-pruned
+            images = spark.read.parquet(os.path.join(SCALING_CACHE, "gbucket=0"))
+        else:
+            images = spark.read.parquet(SCALING_CACHE)
         n_images = images.count()
         cfg = ChipPipelineConfig(
             min_count=1, num_steps=1, temporal_tolerance=10, chip_size=64,
@@ -250,10 +254,11 @@ def scaling_run(cpus: int, sf_dir: str, frac: int = 1) -> dict:
             masking_strategy="each",
         )
         best, n_chips = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n_chips = run_chip_pipeline(
-                spark.createDataFrame(obs), spark.createDataFrame(cat), images, cfg
+                spark.createDataFrame(obs), spark.createDataFrame(cat), images, cfg,
+                payload_source="files",
             ).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

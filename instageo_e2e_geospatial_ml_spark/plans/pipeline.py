@@ -97,6 +97,7 @@ def run_chip_pipeline(
     images: DataFrame,
     cfg: ChipPipelineConfig,
     checkpoint: CheckpointTable | None = None,
+    payload_source: str = "rows",
 ) -> DataFrame:
     """Full pipeline → chip table DataFrame (appended to `checkpoint` when
     given, with resume semantics: already-committed granule-sets skipped)."""
@@ -114,6 +115,7 @@ def run_chip_pipeline(
         masking_strategy=cfg.masking_strategy,
         task_type=cfg.task_type,
         band_order=cfg.band_order,
+        payload_source=payload_source,
         n_salt=cfg.n_salt,
     )
     if checkpoint is not None:

@@ -288,3 +288,32 @@ def test_bbox_tile_ids():
 
     ids = bbox_tile_ids(44.4, 15.0, 44.6, 15.2)
     assert "38PMB" in ids and 1 <= len(ids) <= 4
+
+
+def test_payload_source_files_matches_rows(spark, tmp_path):
+    # the pyarrow file-reader path must produce byte-identical chips
+    tiles = ["38PMB"]
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=30, every=5)
+    imgs_pdf = synth.gen_images_pdf(cat, w=96, h=96, fmt="png")
+    img_path = str(tmp_path / "imgs")
+    spark.createDataFrame(imgs_pdf).write.parquet(img_path)
+    images = spark.read.parquet(img_path)
+    obs = synth.gen_observations_pdf(n_extra_per_tile=10, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"] == "38PMB"].drop(columns=["mgrs_tile_id"])
+    cfg = ChipPipelineConfig(
+        num_steps=1, temporal_tolerance=10, chip_size=32, window_size=1,
+        mask_types=("cloud",), masking_strategy="each",
+    )
+    a = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat), images, cfg,
+        payload_source="rows",
+    ).toPandas().sort_values("chip_id").reset_index(drop=True)
+    b = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat), images, cfg,
+        payload_source="files",
+    ).toPandas().sort_values("chip_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a["chip_id"].tolist() == b["chip_id"].tolist()
+    for i in range(len(a)):
+        assert a.iloc[i]["chip"] == b.iloc[i]["chip"]
+        assert a.iloc[i]["seg"] == b.iloc[i]["seg"]
