@@ -170,9 +170,17 @@ def gen_granule_catalog_pdf(
 
 
 def gen_observations_pdf(
-    n_extra_per_tile: int = 30, tiles: list[str] | None = None, spread: float = 0.15
+    n_extra_per_tile: int = 30,
+    tiles: list[str] | None = None,
+    spread: float = 0.15,
+    date_lo: int = 20,
+    date_hi: int = 55,
 ) -> pd.DataFrame:
-    """The 10 golden observation rows + seeded clusters near tile centers."""
+    """The 10 golden observation rows + seeded clusters near tile centers.
+
+    date_lo/date_hi: observation dates drawn uniformly from
+    BASE_DATE + [date_lo, date_hi) days.
+    """
     tiles = tiles or DEFAULT_TILES
     rows = [
         {"x": x, "y": y, "date": pd.Timestamp(d), "label": i % 2, "year": 2022}
@@ -187,7 +195,9 @@ def gen_observations_pdf(
                 {
                     "x": cx + rng.uniform(-spread, spread),
                     "y": cy + rng.uniform(-spread, spread),
-                    "date": pd.Timestamp(BASE_DATE + timedelta(days=int(rng.integers(20, 55)))),
+                    "date": pd.Timestamp(
+                        BASE_DATE + timedelta(days=int(rng.integers(date_lo, date_hi)))
+                    ),
                     "label": int(rng.integers(0, 2)),
                     "year": 2022,
                 }
