@@ -40,8 +40,16 @@ def cell_of(lon: Column | str, lat: Column | str, res: int) -> Column:
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     n = 1 << res
-    cx = F.floor((lon + F.lit(180.0)) * n / F.lit(180.0)).cast("long")
-    cy = F.floor((lat + F.lit(90.0)) * n / F.lit(180.0)).cast("long")
+    # clamp to the grid exactly like grid.cell_encode (np.clip) so boundary
+    # inputs (lon=180, lat=90) yield the same id in every path
+    cx = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) * n / F.lit(180.0)).cast("long"), F.lit(0)),
+        F.lit(2 * n - 1),
+    )
+    cy = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) * n / F.lit(180.0)).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
     return (
         F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
         + cy * F.lit(1 << _Y_SHIFT)

@@ -94,8 +94,16 @@ def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
     which is how the driver's oracle verifies the cell index.
     """
     n = 1 << res
+    cy = (
+        f"least(greatest(CAST(floor(({lat_expr} + 90.0) * {n} / 180.0) AS BIGINT), "
+        f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT))"
+    )
+    cx = (
+        f"least(greatest(CAST(floor(({lon_expr} + 180.0) * {n} / 180.0) AS BIGINT), "
+        f"CAST(0 AS BIGINT)), CAST({2 * n - 1} AS BIGINT))"
+    )
     return (
         f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} "
-        f"+ CAST(floor(({lat_expr} + 90.0) * {n} / 180.0) AS BIGINT) * {1 << _Y_SHIFT} "
-        f"+ CAST(floor(({lon_expr} + 180.0) * {n} / 180.0) AS BIGINT))"
+        f"+ {cy} * {1 << _Y_SHIFT} "
+        f"+ {cx})"
     )

@@ -59,7 +59,13 @@ def asof_pick(
     if align_partitioning:
         cand = cand.repartition(obs_id)
     if order == "cloud_cover":
-        ordering = [F.col("cloud_cover").asc(), F.col("ts").asc(), F.col("granule_id").asc()]
+        # reference treats missing cloud cover as WORST, not best:
+        # item.properties.get('eo:cloud_cover', 100) — so nulls sort last
+        ordering = [
+            F.coalesce(F.col("cloud_cover"), F.lit(100.0)).asc(),
+            F.col("ts").asc(),
+            F.col("granule_id").asc(),
+        ]
     elif order == "closest":
         ordering = [dt_min.asc(), F.col("ts").asc(), F.col("granule_id").asc()]
     else:

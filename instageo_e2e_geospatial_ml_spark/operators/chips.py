@@ -481,10 +481,15 @@ def extract_chips(
         if np.issubdtype(chip.dtype, np.integer):
             chip = chip.astype(np.int32)  # headroom for the NDV sentinel
         masks = [by_key[(t, mask_band)] for t in range(T) if (t, mask_band) in by_key]
-        mask = np.stack(masks) if len(masks) == T else None
-        if mask is not None and mask_types:
+        if mask_types:
+            # QA was requested: an incomplete mask stack must drop the cell
+            # (same contract as an incomplete spectral stack above) — never
+            # silently emit unmasked pixels that look QA'd
+            if len(masks) != T:
+                return pd.DataFrame(columns=cols)
             chip = apply_mask(
-                chip, mask, no_data_value, mask_types, masking_strategy, data_source
+                chip, np.stack(masks), no_data_value,
+                mask_types, masking_strategy, data_source,
             )
         valid_px = int((chip != no_data_value).sum())
         if valid_px == 0:

@@ -148,19 +148,25 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    exact: bool = False,
     n_bits: int = 8,
+    max_exact_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
 
     All-integer exactness: with quantized int64 vectors, cos ≥ t (t = p/q
     rational) ⇔ dot > 0 ∧ q²·dot² ≥ p²·|a|²·|b|² — evaluated in exact
-    int64/int128-free arithmetic, bit-identical in any engine.
+    int64 arithmetic, bit-identical in any engine.
 
-    use_lsh=True prunes candidates to shared sign-projection buckets (the
-    scale path; recall < 1 by design). The exact variant scores all pairs
-    via an int64 matmul over corpus partitions (the oracle/baseline path —
-    O(N²), fine for moderate N).
+    The DEFAULT path is LSH-bucketed (sign-random-projection): candidates
+    are pruned to shared buckets before exact scoring — fully distributed,
+    no driver materialization, the plan you'd run on a cluster (recall < 1
+    by design, standard for near-dup mining).
+
+    exact=True scores ALL pairs via a broadcast int64 matmul over corpus
+    partitions — the oracle/baseline path. O(N²) compute and O(N·dim)
+    broadcast, so it is opt-in and guarded by max_exact_rows: above the cap
+    it raises rather than silently OOM-ing the driver.
     """
     import numpy as np
     import pandas as pd
@@ -181,7 +187,7 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v,
         )
 
-    if use_lsh:
+    if not exact:
         from .similarity import lsh_buckets
 
         b = lsh_buckets(vecs, vec_col, id_col, n_bits)
@@ -208,29 +214,38 @@ def embedding_neardup_pairs(
             .select("vec_a", "vec_b", "dot")
         )
 
-    rows = vecs.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # exact opt-in path: guard, then broadcast the quantized matrix once
+    # (sc.broadcast — NOT closure capture, which re-serializes per task)
+    rows = vecs.select(id_col, vec_col).limit(max_exact_rows + 1).collect()
+    if len(rows) > max_exact_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs(exact=True) capped at {max_exact_rows} "
+            "rows; use the default LSH path for larger corpora"
+        )
 
     def _q(m):
         # ×100, round half away from zero (Spark/DuckDB round parity)
         return (np.sign(m) * np.floor(np.abs(m) * 100.0 + 0.5)).astype(np.int64)
 
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = _q(np.array([r[1] for r in rows], dtype=np.float64))
     norms = (qm * qm).sum(axis=1)
+    bc = vecs.sparkSession.sparkContext.broadcast((ids, qm, norms))
 
     def score(it):
+        b_ids, b_qm, b_norms = bc.value
         for pdf in it:
             pids = pdf[id_col].to_numpy(np.int64)
             pm = _q(np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))))
             pn = (pm * pm).sum(axis=1)
-            dots = pm @ qm.T  # (n, N) exact int64
+            dots = pm @ b_qm.T  # (n, N) exact int64
             out_a, out_b, out_d = [], [], []
             for i in range(len(pids)):
-                mask = (ids > pids[i]) & (dots[i] > 0)
-                ok = mask & (q2 * dots[i] * dots[i] >= p2 * pn[i] * norms)
+                mask = (b_ids > pids[i]) & (dots[i] > 0)
+                ok = mask & (q2 * dots[i] * dots[i] >= p2 * pn[i] * b_norms)
                 sel = np.nonzero(ok)[0]
                 out_a.extend([pids[i]] * len(sel))
-                out_b.extend(ids[sel])
+                out_b.extend(b_ids[sel])
                 out_d.extend(dots[i][sel])
             yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "dot": out_d})
 

@@ -44,15 +44,21 @@ def brute_force_topk(
     qvec: str = "qvec",
     pvec: str = "pvec",
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by quantized dot product: (qid, pid, dot, rank).
 
     Fast path: the (small by contract) query set is collected into an int64
-    numpy matrix and broadcast into a mapInPandas over corpus partitions —
-    one exact int64 matmul per Arrow batch, then per-partition top-k
-    pruning (≤ k rows per query per partition cross the shuffle) and a
-    final window rank. ~100× the zip_with/aggregate expression path while
+    numpy matrix, sc.broadcast once (NOT closure-captured — closures are
+    re-serialized per task), and scored in a mapInPandas over corpus
+    partitions — one exact int64 matmul per Arrow batch, then per-partition
+    top-k pruning (≤ k rows per query per partition cross the shuffle) and
+    a final window rank. ~100× the zip_with/aggregate expression path while
     producing bit-identical integer scores.
+
+    Guarded by max_queries: a miscall with a huge query side raises loudly
+    instead of OOM-ing the driver. For query sets beyond the cap, use
+    lsh_topk / ivf_topk (the at-scale entries).
     """
     import numpy as np
     import pandas as pd
@@ -62,11 +68,18 @@ def brute_force_topk(
         # numpy's banker's rounding
         return (np.sign(m) * np.floor(np.abs(m) * 1000.0 + 0.5)).astype(np.int64)
 
-    q_rows = queries.select(qid, qvec).collect()
+    q_rows = queries.select(qid, qvec).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk capped at {max_queries} queries; "
+            "use lsh_topk/ivf_topk for large query sets"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = _q(np.array([r[1] for r in q_rows], dtype=np.float64))
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, qm))
 
     def score(it):
+        q_ids, qm = bc.value
         for pdf in it:
             pids = pdf[pid].to_numpy(np.int64)
             pm = _q(np.stack(pdf[pvec].map(lambda v: np.asarray(v, dtype=np.float64))))

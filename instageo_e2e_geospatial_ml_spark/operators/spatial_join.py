@@ -81,10 +81,15 @@ def bucket_polygons(catalog: DataFrame, res: int = DEFAULT_PIP_RES) -> DataFrame
     Pure column expressions (sequence × sequence cross) — no Python.
     """
     n = 1 << res
-    cx0 = F.floor((F.col("fp_minx") + 180.0) * n / 180.0).cast("long")
-    cx1 = F.floor((F.col("fp_maxx") + 180.0) * n / 180.0).cast("long")
-    cy0 = F.floor((F.col("fp_miny") + 90.0) * n / 180.0).cast("long")
-    cy1 = F.floor((F.col("fp_maxy") + 90.0) * n / 180.0).cast("long")
+
+    def _clamp(c, hi):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(hi))
+
+    # clamp like grid.cell_encode so boundary footprints bucket identically
+    cx0 = _clamp(F.floor((F.col("fp_minx") + 180.0) * n / 180.0).cast("long"), 2 * n - 1)
+    cx1 = _clamp(F.floor((F.col("fp_maxx") + 180.0) * n / 180.0).cast("long"), 2 * n - 1)
+    cy0 = _clamp(F.floor((F.col("fp_miny") + 90.0) * n / 180.0).cast("long"), n - 1)
+    cy1 = _clamp(F.floor((F.col("fp_maxy") + 90.0) * n / 180.0).cast("long"), n - 1)
     return (
         catalog.withColumn("_cx", F.explode(F.sequence(cx0, cx1)))
         .withColumn("_cy", F.explode(F.sequence(cy0, cy1)))

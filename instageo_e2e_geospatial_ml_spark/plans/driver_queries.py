@@ -504,7 +504,8 @@ votes AS (
   FROM tok, (SELECT unnest(generate_series(0, 15)) AS b) b
   GROUP BY 1, 2
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -533,7 +534,7 @@ el AS (
   FROM q, p, (SELECT unnest(generate_series(1, 64)) AS i) i
   WHERE qid != pid
 ),
-d AS (SELECT qid, pid, sum(prod) AS dot FROM el GROUP BY 1, 2)
+d AS (SELECT qid, pid, CAST(sum(prod) AS BIGINT) AS dot FROM el GROUP BY 1, 2)
 SELECT qid, pid, dot, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, pid ASC) AS rank FROM d
 ) WHERE rank <= 10
@@ -557,7 +558,8 @@ votes AS (
   FROM el, (SELECT unnest(generate_series(0, 7)) AS j) j
   GROUP BY 1, 2
 )
-SELECT vec_id, sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+SELECT vec_id,
+       CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
 FROM votes GROUP BY vec_id
 """
 
@@ -747,7 +749,11 @@ def q25_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.3)."""
     from ..operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    # exact=True: the oracle checks exact all-pairs semantics at oracle
+    # scale; the operator's DEFAULT is the LSH-bucketed distributed path
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, exact=True
+    )
 
 
 Q25_SQL = """
@@ -759,7 +765,10 @@ el AS (
   FROM q a, q b, (SELECT unnest(generate_series(1, 64)) AS i) i
   WHERE a.vec_id < b.vec_id
 ),
-d AS (SELECT va, vb, sum(ea * eb) AS dot, sum(ea * ea) AS na, sum(eb * eb) AS nb
+d AS (SELECT va, vb,
+             CAST(sum(ea * eb) AS BIGINT) AS dot,
+             CAST(sum(ea * ea) AS BIGINT) AS na,
+             CAST(sum(eb * eb) AS BIGINT) AS nb
       FROM el GROUP BY 1, 2)
 SELECT va AS vec_a, vb AS vec_b, dot
 FROM d WHERE dot > 0 AND 1000000 * dot * dot >= 90000 * na * nb

@@ -40,11 +40,27 @@ class CheckpointTable:
 
     # -- read ---------------------------------------------------------------
 
+    def _log(self) -> list[dict]:
+        if not os.path.exists(self.log_path):
+            return []
+        with open(self.log_path) as fh:
+            return json.load(fh)
+
+    def committed_snapshot_ids(self) -> list[str]:
+        return [r["snapshot_id"] for r in self._log()]
+
     def exists(self) -> bool:
-        return os.path.exists(self.log_path)
+        return len(self._log()) > 0
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.data_path)
+        """Committed rows only: a crash between the data write and the log
+        write leaves a torn snapshot in data/ — rows whose _snapshot_id is
+        not in the snapshot log are orphans and are filtered out (Iceberg
+        semantics: a snapshot exists only once its metadata is committed)."""
+        ids = self.committed_snapshot_ids()
+        return self.spark.read.parquet(self.data_path).filter(
+            F.col("_snapshot_id").isin(ids)
+        )
 
     def committed_keys(self) -> DataFrame | None:
         if not self.exists():
@@ -88,14 +104,17 @@ class CheckpointTable:
 
         n_rows = committed.count()
         rec = {"snapshot_id": snapshot_id, "ts": time.time(), "n_rows": n_rows}
-        log = []
-        if os.path.exists(self.log_path):
-            with open(self.log_path) as fh:
-                log = json.load(fh)
+        log = self._log()
         log.append(rec)
         os.makedirs(self.root, exist_ok=True)
-        with open(self.log_path, "w") as fh:
+        # atomic commit: the log IS the commit point, so it must never be
+        # observable half-written — write to a temp file, fsync, rename
+        tmp = self.log_path + f".{snapshot_id}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(log, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self.log_path)
         return rec
 
     def manifests(self) -> DataFrame:

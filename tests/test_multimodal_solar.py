@@ -66,11 +66,12 @@ def test_external_decoders_stubbed():
 
 def test_embedding_neardup_exact_vs_lsh(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    exact = embedding_neardup_pairs(e, threshold=0.3).toPandas()
+    exact = embedding_neardup_pairs(e, threshold=0.3, exact=True).toPandas()
     assert len(exact) > 0
     assert (exact["vec_a"] < exact["vec_b"]).all()
-    # LSH variant returns a subset (candidate pruning loses recall, never adds)
-    lsh = embedding_neardup_pairs(e, threshold=0.3, use_lsh=True).toPandas()
+    # default (LSH) variant returns a subset (candidate pruning loses
+    # recall, never adds)
+    lsh = embedding_neardup_pairs(e, threshold=0.3).toPandas()
     exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
     lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
     assert lsh_pairs <= exact_pairs
