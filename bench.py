@@ -170,6 +170,11 @@ def bench_big_pip_join(spark, sf_dir: str, trials: int = 2, point_factor: int = 
         (F.col("l_partkey") % 3600 / 10.0 - 180.0).alias("x"),
         (F.col("l_suppkey") % 1600 / 10.0 - 80.0).alias("y"),
     )
+    # sf0.1 lineitem is a single parquet file — without an explicit
+    # repartition the points run in ONE task and can't use the cores.
+    # Repartition BEFORE the explode: shuffles point_factor× less data,
+    # and the explode fans out in-task after the exchange.
+    obs = obs.repartition(spark.sparkContext.defaultParallelism * 4)
     if point_factor > 1:
         obs = obs.withColumn(
             "j", F.explode(F.sequence(F.lit(0), F.lit(point_factor - 1)))
@@ -178,10 +183,6 @@ def bench_big_pip_join(spark, sf_dir: str, trials: int = 2, point_factor: int = 
             (F.col("x") + F.col("j") * 0.013).alias("x"),
             (F.col("y") + F.col("j") * 0.007).alias("y"),
         )
-    # sf0.1 lineitem is a single parquet file — without an explicit
-    # repartition the exploded 6M points (and the Python PIP refine) run
-    # in ONE task and can't use the cores
-    obs = obs.repartition(spark.sparkContext.defaultParallelism * 4)
     best, n = None, 0
     for _ in range(trials):
         t0 = time.time()

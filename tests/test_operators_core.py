@@ -221,3 +221,123 @@ def test_split_dataset_fractions(spark):
     assert frac.get("train", 0) > 0.3
     # geographic coherence: each tile maps to exactly one split
     assert (out.groupby("mgrs_tile_id")["split"].nunique() == 1).all()
+
+
+def test_convex_sql_matches_raycast(spark):
+    # the JVM-side convex sign test must agree with the general ray-cast
+    # UDF on convex quads (the only footprint shape in this domain) —
+    # including closed rings ([v1..v4,v1]) and points outside the hull
+    rng = np.random.default_rng(7)
+    polys = []
+    for g in range(40):
+        cx, cy = rng.uniform(-160, 160), rng.uniform(-60, 60)
+        r = rng.uniform(0.3, 1.2)
+        xs = [cx + r, cx, cx - r, cx]
+        ys = [cy, cy + r, cy, cy - r]
+        if g % 2 == 0:  # half the footprints as closed rings
+            xs, ys = xs + [xs[0]], ys + [ys[0]]
+        polys.append(
+            {
+                "granule_id": f"g{g}", "fp_minx": cx - r, "fp_miny": cy - r,
+                "fp_maxx": cx + r, "fp_maxy": cy + r, "fp_xs": xs, "fp_ys": ys,
+                "_cx": cx, "_cy": cy, "_r": r,
+            }
+        )
+    cat_pdf = pd.DataFrame(polys)
+    pts = []
+    for i in range(800):
+        p = cat_pdf.iloc[i % len(cat_pdf)]
+        pts.append(
+            {
+                "obs_id": i,
+                "x": p["_cx"] + rng.uniform(-1.5, 1.5) * p["_r"],
+                "y": p["_cy"] + rng.uniform(-1.5, 1.5) * p["_r"],
+            }
+        )
+    catalog = spark.createDataFrame(cat_pdf.drop(columns=["_cx", "_cy", "_r"]))
+    obs = spark.createDataFrame(pd.DataFrame(pts))
+    sql_pairs = {
+        (r["obs_id"], r["granule_id"])
+        for r in pip_join(obs, catalog, exact="convex_sql").collect()
+    }
+    ray_pairs = {
+        (r["obs_id"], r["granule_id"])
+        for r in pip_join(obs, catalog, exact="raycast").collect()
+    }
+    assert len(sql_pairs) > 50  # non-trivial hit set
+    assert sql_pairs == ray_pairs
+
+
+def test_auto_pip_plan_is_jvm_only_for_convex_quads(spark):
+    # real-world footprints are 5-point convex rings: 'auto' must detect
+    # that and refine without crossing the Python boundary (no
+    # ArrowEvalPython / BatchEvalPython node in the plan)
+    catalog = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "granule_id": "g0", "fp_minx": 44.0, "fp_miny": 14.0,
+                    "fp_maxx": 45.0, "fp_maxy": 15.0,
+                    "fp_xs": [44.0, 45.0, 45.0, 44.0, 44.0],
+                    "fp_ys": [14.0, 14.0, 15.0, 15.0, 14.0],
+                }
+            ]
+        )
+    )
+    obs = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1], "x": [44.6], "y": [14.1]})
+    )
+    out = pip_join(obs, catalog)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert {r["obs_id"] for r in out.collect()} == {1}
+
+
+def test_auto_pip_mixed_catalog_matches_raycast(spark):
+    # notched (concave) synth footprints must route through the ray-cast
+    # refine under 'auto' and agree with forcing raycast everywhere
+    cat = synth.gen_granule_catalog_pdf(days=10, every=5, notch=True)
+    catalog = spark.createDataFrame(cat)
+    rng = np.random.default_rng(3)
+    base = cat.iloc[0]
+    pts = pd.DataFrame(
+        {
+            "obs_id": range(200),
+            "x": rng.uniform(base["fp_minx"] - 0.2, base["fp_maxx"] + 0.2, 200),
+            "y": rng.uniform(base["fp_miny"] - 0.2, base["fp_maxy"] + 0.2, 200),
+        }
+    )
+    obs = spark.createDataFrame(pts)
+    auto_pairs = {
+        (r["obs_id"], r["granule_id"]) for r in pip_join(obs, catalog).collect()
+    }
+    ray_pairs = {
+        (r["obs_id"], r["granule_id"])
+        for r in pip_join(obs, catalog, exact="raycast").collect()
+    }
+    assert auto_pairs == ray_pairs
+    assert len(auto_pairs) > 0
+
+
+def test_asof_null_cloud_cover_loses(spark):
+    # reference: item.properties.get('eo:cloud_cover', 100) — a granule
+    # with MISSING cloud cover must rank as worst (100), not best
+    granules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "granule_id": ["g_null", "g_50"],
+                "ts": pd.to_datetime(["2022-06-08", "2022-06-08"]),
+                "cloud_cover": [None, 50.0],
+            }
+        )
+    )
+    steps = spark.createDataFrame(
+        pd.DataFrame(
+            {"obs_id": [1], "step": [0], "query_date": pd.to_datetime(["2022-06-08"])}
+        )
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1, 1], "granule_id": ["g_null", "g_50"]})
+    )
+    picked = asof_pick(steps, cand, granules, tolerance_days=1).collect()
+    assert picked[0]["picked_granule"] == "g_50"
