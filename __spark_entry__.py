@@ -22,8 +22,11 @@ from instageo_e2e_geospatial_ml_spark.plans import driver_queries as _dq  # noqa
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: cell assign → density filter → tile-info aggregation."""
-    return _dq.q03_tile_info(spark, "/root/testdata/sf0.001")
+    """Flagship: the full chip pipeline slice — MGRS assign → density
+    filter → broadcast PIP join → as-of pick → validity → cogrouped chip
+    extraction (q19-sized synthetic inputs; returns the chip metadata
+    table)."""
+    return _dq.q19_chip_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,6 +59,29 @@ def utm_zone(lon: np.ndarray) -> np.ndarray:
     return (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
 
 
+def mgrs_zone(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """UTM zone with the MGRS grid exceptions (the `mgrs` lib applies these
+    implicitly; the reference inherits them from it):
+
+      * 32V widened over southwest Norway: 56–64°N, 3–12°E → zone 32
+        (31V shrinks to 0–3°E);
+      * Svalbard (X band, 72–84°N): only zones 31/33/35/37 exist —
+        0–9°E → 31, 9–21°E → 33, 21–33°E → 35, 33–42°E → 37.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    zone = utm_zone(lon)
+    zone = np.where(
+        (lat >= 56.0) & (lat < 64.0) & (lon >= 3.0) & (lon < 12.0), 32, zone
+    )
+    x = (lat >= 72.0) & (lat <= 84.0)
+    zone = np.where(x & (lon >= 0.0) & (lon < 9.0), 31, zone)
+    zone = np.where(x & (lon >= 9.0) & (lon < 21.0), 33, zone)
+    zone = np.where(x & (lon >= 21.0) & (lon < 33.0), 35, zone)
+    zone = np.where(x & (lon >= 33.0) & (lon < 42.0), 37, zone)
+    return zone
+
+
 def latlon_to_utm(
     lat: np.ndarray, lon: np.ndarray, zone: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -109,10 +132,15 @@ def mgrs_precision0(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     """
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
-    easting, northing, zone = latlon_to_utm(lat, lon)
+    zone = mgrs_zone(lat, lon)
+    easting, northing, zone = latlon_to_utm(lat, lon, zone=zone)
     band_idx = lat_band(lat)
 
-    col = np.floor(easting / 100000.0).astype(np.int64) - 1  # 0..7
+    # column letters: 24-letter cycle (no I/O), 8 nominal columns per zone;
+    # wide exception zones (32V spans 9°) index past 7 and wrap in the cycle
+    _COL_CYCLE = "ABCDEFGHJKLMNPQRSTUVWXYZ"
+    col = np.floor(easting / 100000.0).astype(np.int64) - 1
+    col_idx = (((zone - 1) % 3) * 8 + col) % 24
     row = np.floor(northing / 100000.0).astype(np.int64) % 20
     row = np.where(zone % 2 == 0, (row + 5) % 20, row)  # even zones offset by 'F'
 
@@ -122,7 +150,7 @@ def mgrs_precision0(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         out[i] = (
             f"{z}"
             + _LAT_BANDS[int(band_idx[i])]
-            + _COL_SETS[z % 3][int(np.clip(col[i], 0, 7))]
+            + _COL_CYCLE[int(col_idx[i])]
             + _ROW_LETTERS[int(row[i])]
         )
     return out

@@ -717,17 +717,15 @@ def q26_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory() as td:
-        src = f"{td}/in"
-        ev.repartition(4).write.mode("overwrite").parquet(src)
-        stream = read_event_stream(spark, src, ev.schema)
-        agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
-        out = run_available_now(
-            agg, "q26_sink", f"{td}/ck", output_mode="complete"
-        )
-        # materialize before the tempdir vanishes
-        pdf = out.toPandas()
-    res = spark.createDataFrame(pdf)
+    # mkdtemp (not TemporaryDirectory): the sink table must outlive this
+    # function — the caller collects the returned DataFrame lazily, so no
+    # driver-side materialization (toPandas) is needed here
+    td = tempfile.mkdtemp(prefix="q26_stream_")
+    src = f"{td}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src, ev.schema)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    res = run_available_now(agg, "q26_sink", f"{td}/ck", output_mode="complete")
     return res.select(
         F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
         "event_type",
@@ -845,6 +843,188 @@ def q20_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join over documents (dedup family):
+    distinct 3-shingles, self-join, |A∩B|/|A∪B| ≥ 0.2."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+    )
+
+
+Q27_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.2
+"""
+
+
+_IVF_QUANT = """CAST(round(CAST({v}[i.i] AS DOUBLE) * 1000) AS BIGINT)"""
+
+
+def q28_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: centroids = every 25th vec (offset 1), queries =
+    every 25th vec (offset 0), nprobe=2, exact rescoring within probed
+    lists."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") % 25 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    out = ivf_topk(q, p, cen, k=5, nprobe=2)
+    return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+Q28_SQL = f"""
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+cen AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 25 = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings),
+pc AS (
+  SELECT pid, cid,
+         CAST(sum({_IVF_QUANT.format(v='pe')} * {_IVF_QUANT.format(v='ce')}) AS BIGINT) AS cdot
+  FROM p, cen, idx i GROUP BY 1, 2
+),
+pa AS (
+  SELECT pid, cid FROM (
+    SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY cdot DESC, cid ASC) AS rn
+    FROM pc) WHERE rn = 1
+),
+qc AS (
+  SELECT qid, cid,
+         CAST(sum({_IVF_QUANT.format(v='qe')} * {_IVF_QUANT.format(v='ce')}) AS BIGINT) AS cdot
+  FROM q, cen, idx i GROUP BY 1, 2
+),
+qa AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cdot DESC, cid ASC) AS rn
+    FROM qc) WHERE rn <= 2
+),
+cand AS (
+  SELECT qa.qid, pa.pid FROM qa JOIN pa ON qa.cid = pa.cid WHERE qa.qid != pa.pid
+),
+d AS (
+  SELECT c.qid, c.pid,
+         CAST(sum({_IVF_QUANT.format(v='qe')} * {_IVF_QUANT.format(v='pe')}) AS BIGINT) AS dot
+  FROM cand c JOIN q ON q.qid = c.qid JOIN p ON p.pid = c.pid, idx i
+  GROUP BY 1, 2
+)
+SELECT qid, pid, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, pid ASC) AS rank FROM d
+) WHERE rank <= 5
+"""
+
+
+def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate top-k (the at-scale ANN entry): candidates
+    share the 8-bit sign-projection bucket, exact int-dot rescoring."""
+    from ..operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    out = lsh_topk(q, p, k=5, n_bits=8)
+    return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+Q29_SQL = """
+WITH el AS (
+  SELECT vec_id, i.i AS i, embedding AS e,
+         CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000) AS BIGINT) AS eq
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+votes AS (
+  SELECT vec_id, j.j AS j,
+         sum(eq * ((CAST(('0x' || substring(md5('lsh:' || CAST(j.j AS VARCHAR) || ':'
+                       || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)) AS proj
+  FROM el, (SELECT unnest(generate_series(0, 7)) AS j) j
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM votes GROUP BY vec_id
+),
+q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id % 25 = 0),
+p AS (SELECT e.vec_id AS pid, e.embedding AS pe, b.bucket
+      FROM embeddings e JOIN b ON b.vec_id = e.vec_id),
+d AS (
+  SELECT qid, pid,
+         CAST(sum(CAST(round(CAST(qe[i.i] AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(round(CAST(pe[i.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+  FROM q JOIN p ON q.bucket = p.bucket AND q.qid != p.pid,
+       (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+)
+SELECT qid, pid, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, pid ASC) AS rank FROM d
+) WHERE rank <= 5
+"""
+
+
+def q30_chip_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaner family over the q19 chip table (rows-only like q19 — pixel
+    kernels aren't ANSI-SQL-expressible): R12 no-data-ratio drop, R13
+    label buffering, R15 consumer QA; returns per-chip metadata with the
+    recomputed label-pixel count and rounded no-data ratio."""
+    from ..operators.cleaner import clean_chip_table, consumer_qa_filter
+    from .. import synth
+    from .pipeline import ChipPipelineConfig, run_chip_pipeline
+
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=1, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=("cloud", "water"), masking_strategy="each",
+        n_salt=2,
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat),
+        spark.createDataFrame(imgs), cfg,
+    )
+    cleaned = clean_chip_table(
+        chips, no_data_value=0, max_nodata_ratio=0.9, nodata_strategy="any",
+        buffer_window=1,
+    )
+    qa = consumer_qa_filter(cleaned, bands_per_step=len(cfg.band_order), chip_ndv=0)
+    return qa.select(
+        "chip_id", "tile_key", "cx", "cy", "n_label_px",
+        F.round("nodata_ratio", 6).alias("nodata_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -876,6 +1056,10 @@ QUERIES = {
     "q24_filter_parser": q24_filter_parser,
     "q25_embed_neardup": q25_embed_neardup,
     "q26_stream_window": q26_stream_window,
+    "q27_ngram_jaccard": q27_ngram_jaccard,
+    "q28_ann_ivf": q28_ann_ivf,
+    "q29_ann_lsh_topk": q29_ann_lsh_topk,
+    "q30_chip_cleaning": q30_chip_cleaning,
 }
 
 ORACLES = {
@@ -903,4 +1087,8 @@ ORACLES = {
     "q24_filter_parser": _q24_sql(),
     "q25_embed_neardup": Q25_SQL,
     "q26_stream_window": Q26_SQL,
+    "q27_ngram_jaccard": Q27_SQL,
+    "q28_ann_ivf": Q28_SQL,
+    "q29_ann_lsh_topk": Q29_SQL,
+    # q30_chip_cleaning: rows-only (pixel kernels, like q19/q20)
 }

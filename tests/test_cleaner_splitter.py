@@ -209,3 +209,51 @@ def test_knn_haversine(spark):
     assert out.sort_values("rank")["pid"].tolist() == [1, 2]
     # haversine distances in km: 0.1° ≈ 11.1 km at the equator
     assert abs(out[out["pid"] == 1]["dist"].iloc[0] - 11.12) < 0.5
+
+
+def test_limit_labels_to_observations_r14(spark):
+    # R14 (reference data_cleaner.py:203-268): undo the stamped label
+    # windows — keep labels only at the exact observation pixels. Since the
+    # operator is a window_size=0 re-rasterization, the windowed chip must
+    # have strictly more labeled pixels and the limited chip exactly as
+    # many as the distinct observation pixels per chip.
+    from instageo_e2e_geospatial_ml_spark.operators.cleaner import (
+        limit_labels_to_observations,
+    )
+    from instageo_e2e_geospatial_ml_spark.operators.chips import extract_chips
+
+    tiles = ["38PMB"]
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=10, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    gid = cat.iloc[0]["granule_id"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=10, tiles=tiles, spread=0.1)
+    obs = obs[obs["mgrs_tile_id"] == "38PMB"]
+    records = pd.DataFrame(
+        {
+            "stac_items_str": gid,
+            "granules": [[gid]] * len(obs),
+            "x": obs["x"].to_numpy(),
+            "y": obs["y"].to_numpy(),
+            "date": pd.Timestamp("2022-01-01"),
+            "label": obs["label"].to_numpy(),
+        }
+    )
+    kwargs = dict(
+        chip_size=32,
+        mask_types=(),
+        band_order=("B02", "B03", "B04", "B8A", "B11", "B12"),
+        n_salt=1,
+    )
+    r = spark.createDataFrame(records)
+    im = spark.createDataFrame(imgs)
+    windowed = extract_chips(r, im, window_size=2, **kwargs).toPandas()
+    limited = limit_labels_to_observations(r, im, **kwargs).toPandas()
+    assert len(limited) == len(windowed) > 0
+    w = windowed.set_index("chip_id")["n_label_px"]
+    l = limited.set_index("chip_id")["n_label_px"]
+    assert set(w.index) == set(l.index)
+    assert (l <= w).all() and (w > l).any()  # windows stamped more pixels
+    # exactly the observation pixels survive: window 0 n_label_px equals
+    # the independently-computed distinct pixel count is covered by the
+    # window-sweep golden; here assert every limited chip keeps >= 1 label
+    assert (l >= 1).all()

@@ -84,3 +84,41 @@ def test_utm_32633_to_4326():
     lat, lon = utm_to_latlon(np.array([500000.0]), np.array([4649776.22]), 33)
     assert abs(lon[0] - 15.0) < 0.01
     assert abs(lat[0] - 42.0) < 0.1  # ~42N
+
+
+def test_mgrs_norway_svalbard_zone_exceptions():
+    from instageo_e2e_geospatial_ml_spark.mgrs import (
+        latlon_to_utm,
+        mgrs_precision0,
+        mgrs_tile_utm_square,
+        mgrs_zone,
+    )
+
+    # 32V widened over SW Norway: (60.5N, 5E) would be zone 31 by the
+    # plain lon rule but is 32V in MGRS
+    assert mgrs_zone(np.array([60.5]), np.array([5.0]))[0] == 32
+    t_bergen = mgrs_precision0(np.array([60.5]), np.array([5.0]))[0]
+    assert t_bergen.startswith("32V")
+    # Svalbard X band uses only zones 31/33/35/37: (78N, 15E) → 33X
+    assert mgrs_zone(np.array([78.0]), np.array([15.0]))[0] == 33
+    t_svalbard = mgrs_precision0(np.array([78.0]), np.array([15.0]))[0]
+    assert t_svalbard.startswith("33X")
+    for lon, z in [(4.0, 31), (15.0, 33), (25.0, 35), (36.0, 37)]:
+        assert mgrs_zone(np.array([78.0]), np.array([lon]))[0] == z
+    # outside the exception regions the plain rule still applies
+    assert mgrs_zone(np.array([55.0]), np.array([5.0]))[0] == 31
+    assert mgrs_zone(np.array([60.5]), np.array([13.0]))[0] == 33
+
+    # self-consistency: each point's UTM coordinates (in its MGRS zone)
+    # fall inside the 100 km square of the tile id we produced
+    for lat, lon, tile in [
+        (60.5, 5.0, t_bergen),
+        (78.0, 15.0, t_svalbard),
+        (60.39, 5.32, mgrs_precision0(np.array([60.39]), np.array([5.32]))[0]),
+    ]:
+        zone, south, e0, n0 = mgrs_tile_utm_square(tile)
+        e, n, _ = latlon_to_utm(
+            np.array([lat]), np.array([lon]), np.array([zone])
+        )
+        assert e0 <= e[0] < e0 + 100000.0, (tile, e[0], e0)
+        assert n0 <= n[0] < n0 + 100000.0, (tile, n[0], n0)
