@@ -90,8 +90,14 @@ def knn_cell_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
 def reproject_to_4326_udf(x: pd.Series, y: pd.Series, epsg: pd.Series) -> pd.DataFrame:
     """CRS reprojection → EPSG:4326 (reference data_pipeline.py:330-349).
 
-    Supports 4326 (identity), 3857 (web mercator), 326xx/327xx (UTM N/S).
+    Supports 4326 (identity), 3857 (web mercator), 326xx/327xx (UTM N/S),
+    and the common continental CRS via projections.py closed forms: 5070
+    (Conus Albers), 3577 (Australian Albers), 2154 (Lambert-93), 3978
+    (Canada Atlas LCC), 3035 (LAEA Europe). Other codes raise with a clear
+    message (the reference would delegate to pyproj, absent here).
     """
+    from .. import projections as _proj
+
     code = int(epsg.iloc[0])
     xs = x.to_numpy(dtype=np.float64)
     ys = y.to_numpy(dtype=np.float64)
@@ -103,8 +109,13 @@ def reproject_to_4326_udf(x: pd.Series, y: pd.Series, epsg: pd.Series) -> pd.Dat
         lat, lon = _mgrs.utm_to_latlon(xs, ys, code - 32600, south=False)
     elif 32701 <= code <= 32760:
         lat, lon = _mgrs.utm_to_latlon(xs, ys, code - 32700, south=True)
+    elif code in _proj.EPSG_INVERSE:
+        lat, lon = _proj.EPSG_INVERSE[code](xs, ys)
     else:
-        raise NotImplementedError(f"EPSG:{code} not supported without pyproj")
+        raise NotImplementedError(
+            f"EPSG:{code} not supported without pyproj (supported: 4326, "
+            f"3857, UTM 326xx/327xx, {sorted(_proj.EPSG_INVERSE)})"
+        )
     return pd.DataFrame({"x_4326": lon, "y_4326": lat})
 
 
