@@ -45,6 +45,9 @@ HEADLINE = [
     "q16_simhash",
     "q17_ann_topk",
     "q18_ann_lsh_buckets",
+    "q27_ngram_jaccard",
+    "q28_ann_ivf",
+    "q29_ann_lsh_topk",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

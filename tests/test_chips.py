@@ -317,3 +317,35 @@ def test_payload_source_files_matches_rows(spark, tmp_path):
     for i in range(len(a)):
         assert a.iloc[i]["chip"] == b.iloc[i]["chip"]
         assert a.iloc[i]["seg"] == b.iloc[i]["seg"]
+
+
+def test_checkpoint_torn_commit_recovery(spark, tmp_path):
+    # crash-atomicity: a parquet write NOT followed by a snapshot-log
+    # update (torn commit) must be invisible — read() filters orphan rows,
+    # and the re-run appends the batch again without duplicating anything
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "torn")
+    ckpt = CheckpointTable(spark, root, key="k")
+    batch = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+
+    # simulate the crash: write data WITH a snapshot id but never commit
+    # the log (exactly what append() does before the log rename)
+    torn = batch.withColumn("_snapshot_id", F.lit("deadbeefdeadbeef"))
+    torn.write.mode("append").parquet(ckpt.data_path)
+    assert not ckpt.exists()  # no committed snapshot yet
+    assert ckpt.filter_uncommitted(batch).count() == 2  # nothing committed
+
+    # healthy re-run commits the same batch
+    rec = ckpt.append(batch)
+    assert rec["n_rows"] == 2
+    out = ckpt.read().toPandas()
+    # torn rows are orphans: exactly one committed copy of each key
+    assert sorted(out["k"]) == ["a", "b"]
+    assert set(out["_snapshot_id"]) == {rec["snapshot_id"]}
+
+    # second append of the same keys is a no-op (idempotent resume)
+    rec2 = ckpt.append(batch)
+    assert rec2["n_rows"] == 0
+    assert sorted(ckpt.read().toPandas()["k"]) == ["a", "b"]

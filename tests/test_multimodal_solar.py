@@ -117,3 +117,20 @@ def test_ngram_jaccard_pairs(spark):
     assert len(out) == 1
     assert (out.iloc[0]["doc_a"], out.iloc[0]["doc_b"]) == (1, 2)
     assert 0.3 <= out.iloc[0]["jaccard"] <= 1.0
+
+
+def test_embedding_exact_guard_raises(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="capped"):
+        embedding_neardup_pairs(e, threshold=0.3, exact=True, max_exact_rows=3)
+
+
+def test_brute_force_topk_query_cap(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    with pytest.raises(ValueError, match="capped"):
+        brute_force_topk(q, p, k=2, max_queries=3)
