@@ -200,22 +200,39 @@ def ivf_topk(
     """IVF: assign corpus rows to their nearest centroid (inverted lists),
     probe the nprobe closest lists per query, exact-score within them.
 
-    At scale the corpus assignment is computed once and persisted
-    (list id becomes a partition key → partition pruning per query batch).
+    Scale notes: the corpus→centroid assignment is a broadcast cross score
+    + map-side `max(struct(cdot, -cid))` aggregation — partial aggregation
+    combines the C candidate rows per vector inside each task, so the one
+    shuffle moves N rows, not N×C (a window rank would shuffle the full
+    cross product). At real scale the assignment is computed once and
+    persisted with the list id as a partition key → partition pruning per
+    query batch. The query side is small by contract, so its nprobe-rank
+    window is immaterial.
     """
-    def assign(df: DataFrame, id_: str, vec: str, n: int) -> DataFrame:
-        j = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "cdot", int_dot(F.col(vec), F.col(cvec))
+    # corpus side: top-1 centroid by (cdot desc, cid asc) via max(struct)
+    pj = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdot", int_dot(F.col(pvec), F.col(cvec))
+    )
+    p = (
+        pj.groupBy(pid)
+        .agg(
+            F.max(F.struct(F.col("cdot"), (-F.col(cid)).alias("_nc"))).alias("_m"),
+            F.first(pvec).alias(pvec),
         )
-        w = Window.partitionBy(id_).orderBy(F.col("cdot").desc(), F.col(cid).asc())
-        return (
-            j.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .drop("cdot", "crank", cvec)
-        )
+        .withColumn(cid, -F.col("_m._nc"))
+        .drop("_m")
+    )
 
-    p = assign(corpus, pid, pvec, 1)
-    q = assign(queries, qid, qvec, nprobe)
+    # query side: nprobe lists per query (small side — window rank is fine)
+    qj = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdot", int_dot(F.col(qvec), F.col(cvec))
+    )
+    wq = Window.partitionBy(qid).orderBy(F.col("cdot").desc(), F.col(cid).asc())
+    q = (
+        qj.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .drop("cdot", "crank", cvec)
+    )
     j = (
         F.broadcast(q)
         .join(p, cid)

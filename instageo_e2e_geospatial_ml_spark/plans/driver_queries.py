@@ -1025,6 +1025,38 @@ def q30_chip_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (batch twin of the
+    applyInPandasWithState streaming operator): 30-minute gap per event_type."""
+    from ..streaming.sessions import sessionize_batch
+
+    return sessionize_batch(
+        _t(spark, sf_dir, "events"), key="event_type", gap_minutes=30
+    )
+
+
+Q31_SQL = """
+WITH flagged AS (
+  SELECT event_type, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY event_type ORDER BY ts ASC)
+              > CAST(30 AS BIGINT) * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sid AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY event_type ORDER BY ts ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) + 1 AS session_id
+  FROM flagged
+)
+SELECT event_type, session_id,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sid GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1060,6 +1092,7 @@ QUERIES = {
     "q28_ann_ivf": q28_ann_ivf,
     "q29_ann_lsh_topk": q29_ann_lsh_topk,
     "q30_chip_cleaning": q30_chip_cleaning,
+    "q31_sessionize": q31_sessionize,
 }
 
 ORACLES = {
@@ -1091,4 +1124,5 @@ ORACLES = {
     "q28_ann_ivf": Q28_SQL,
     "q29_ann_lsh_topk": Q29_SQL,
     # q30_chip_cleaning: rows-only (pixel kernels, like q19/q20)
+    "q31_sessionize": Q31_SQL,
 }

@@ -60,3 +60,38 @@ def test_streaming_dedup(spark, events_path, tmp_path):
     # one row per user (within one watermark horizon covering the data)
     assert len(got) == n_users
     assert got["user_id"].is_unique
+
+
+def test_sessionize_stream_matches_batch(spark, events_path, tmp_path):
+    # the applyInPandasWithState sessionizer must emit exactly the batch
+    # twin's sessions: every closed session it emits appears verbatim in
+    # sessionize_batch's output, and the only sessions it may withhold are
+    # each key's final (still-open) one when no timeout batch fires
+    from instageo_e2e_geospatial_ml_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    path, schema, ev_batch = events_path
+    stream = read_event_stream(spark, path, schema, max_files=100)
+    sessions = sessionize_stream(
+        stream, key="event_type", gap_minutes=30, watermark="1 minute"
+    )
+    got = run_available_now(sessions, "sess_ev", str(tmp_path / "ck3")).toPandas()
+
+    want = sessionize_batch(ev_batch, key="event_type", gap_minutes=30).toPandas()
+    want_keyed = {
+        (r["event_type"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for _, r in want.iterrows()
+    }
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        k = (r["event_type"], r["session_start"], r["session_end"])
+        assert k in want_keyed, k
+        assert (r["n_events"], round(r["sum_value"], 6)) == want_keyed[k]
+    # at most one session per key (the open tail) may be unemitted
+    n_keys = want["event_type"].nunique()
+    assert len(got) >= len(want) - n_keys
