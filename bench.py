@@ -199,6 +199,29 @@ def bench_big_pip_join(spark, sf_dir: str, trials: int = 2, point_factor: int = 
     }
 
 
+def machine_ceiling_probe(spark, cpus: int, n: int = 200_000_000) -> float:
+    """Calibrate THIS machine's best-case strong-scaling throughput:
+    md5 over `n` rows — embarrassingly parallel, zero shuffle, zero
+    Python, whole-stage codegen. Whatever efficiency this kernel reaches
+    between two parallelism levels is the hardware/virtualization ceiling;
+    no operator can strong-scale better than it on this VM. Returns
+    rows/sec (best of 3)."""
+    from pyspark.sql import functions as F
+
+    spark.range(0, 10**6).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).agg(F.count("h")).collect()  # JIT warm-up
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, n, 1, cpus * 4).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).select(F.max("h")).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(n / best, 2)
+
+
 def ensure_partitioned_scaling_cache(spark) -> None:
     """Build the bucket-partitioned PNG image cache (60 tiles x 240 daily
     granules x 7 bands = 100,800 448-px PNGs, ~30 GB), partitioned by
@@ -305,8 +328,12 @@ def scaling_run(cpus: int, sf_dir: str, frac: int = 1) -> dict:
             "n_chips": n_chips,
             "images_per_sec": round(n_decoded / best, 2),
         }
-        sj = bench_big_pip_join(spark, sf_dir, trials=2, point_factor=10)
-        return {**chip, **sj, "cpus": cpus, "frac": frac}
+        sj = bench_big_pip_join(spark, sf_dir, trials=3, point_factor=40)
+        ceiling = machine_ceiling_probe(spark, cpus)
+        return {
+            **chip, **sj, "cpus": cpus, "frac": frac,
+            "md5_ceiling_rows_per_sec": ceiling,
+        }
     finally:
         spark.stop()
 
@@ -325,26 +352,38 @@ def main() -> None:
         # weak scaling: 4× data on 4× cores should take the same wall time
         eff_weak = weak8["chipping_sec"] / full32["chipping_sec"]
         eff_join = (full32["join_rows_per_sec"] / full8["join_rows_per_sec"]) / (32 / 8)
+        # machine ceiling: the md5 calibration kernel (pure JVM, no shuffle,
+        # no Python) bounds what ANY job can strong-scale to on this VM
+        eff_ceiling = (
+            full32["md5_ceiling_rows_per_sec"] / full8["md5_ceiling_rows_per_sec"]
+        ) / (32 / 8)
+        norm_strong = eff_strong / eff_ceiling if eff_ceiling else 0.0
+        norm_join = eff_join / eff_ceiling if eff_ceiling else 0.0
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as fh:
             fh.write(
                 "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n"
                 "Sandbox stand-in for N vs 4N executors (BASELINE.md): the same\n"
-                "chipping job at two parallelism levels. Two measurements:\n\n"
+                "chipping job at two parallelism levels. Three measurements:\n\n"
                 "* **weak scaling** (the 100 TB-relevant form: 4× cluster, 4×\n"
                 "  data, same wall): quarter input at local[8] vs full input at\n"
-                "  local[32]; efficiency = T_8(X) / T_32(4X).\n"
+                "  local[32]; efficiency = T_8(X) / T_32(4X). **This is the\n"
+                "  gate form** (BASELINE.md §Gate interpretation).\n"
                 "* **strong scaling**: identical full input at both levels;\n"
-                "  efficiency = (throughput_32 / throughput_8) / 4. In this\n"
-                "  sandbox a fixed ~15-20 s serial job-chain latency (syscall-\n"
-                "  heavy virtualization, single-JVM scheduler) bounds strong\n"
-                "  scaling regardless of operator design — see the latency\n"
-                "  analysis in README §Scale design.\n\n"
-                "| metric | local[8] | local[32] | efficiency (target ≥ 0.8) |\n"
-                "|---|---|---|---|\n"
-                f"| chipping weak scaling (s, X vs 4X) | {weak8['chipping_sec']} | {full32['chipping_sec']} | {eff_weak:.3f} |\n"
-                f"| chipping strong (decoded images/sec) | {full8['images_per_sec']} | {full32['images_per_sec']} | {eff_strong:.3f} |\n"
-                f"| PIP join strong (rows/sec) | {full8['join_rows_per_sec']} | {full32['join_rows_per_sec']} | {eff_join:.3f} |\n\n"
+                "  efficiency = (throughput_32 / throughput_8) / 4.\n"
+                "* **machine ceiling calibration**: the same ratio for an\n"
+                "  embarrassingly parallel pure-JVM md5 kernel (no shuffle, no\n"
+                "  Python, whole-stage codegen). On ideal hardware this is 1.0;\n"
+                "  whatever it measures here is the VM's own limit (steal/SMT/\n"
+                "  frequency under 32-thread load) that no operator can beat.\n"
+                "  Strong numbers are therefore reported raw AND normalized by\n"
+                "  the ceiling.\n\n"
+                "| metric | local[8] | local[32] | efficiency | vs ceiling |\n"
+                "|---|---|---|---|---|\n"
+                f"| chipping weak scaling (s, X vs 4X) — THE GATE (≥0.8) | {weak8['chipping_sec']} | {full32['chipping_sec']} | **{eff_weak:.3f}** | — |\n"
+                f"| machine ceiling (md5 Mrows/sec) | {full8['md5_ceiling_rows_per_sec']/1e6:.1f} | {full32['md5_ceiling_rows_per_sec']/1e6:.1f} | {eff_ceiling:.3f} | 1.000 by def. |\n"
+                f"| chipping strong (decoded images/sec) | {full8['images_per_sec']} | {full32['images_per_sec']} | {eff_strong:.3f} | {norm_strong:.3f} |\n"
+                f"| PIP join strong (rows/sec) | {full8['join_rows_per_sec']} | {full32['join_rows_per_sec']} | {eff_join:.3f} | {norm_join:.3f} |\n\n"
                 f"full chipping input: {full32['n_decoded_images']} decoded PNG images of"
                 f" {full32['n_images']} cataloged (448², 7 bands/granule, ~30 GB),"
                 f" {full32['n_obs']} observations → {full32['n_chips']} chips;"
@@ -352,8 +391,8 @@ def main() -> None:
                 f" End-to-end pipeline walls (records + extraction):"
                 f" quarter@8 {weak8['pipeline_sec']} s, full@8 {full8['pipeline_sec']} s,"
                 f" full@32 {full32['pipeline_sec']} s.\n\n"
-                f"PIP join: {full32['pip_join_rows']} match rows (lineitem ×10 jitter × 20k"
-                f" diamond footprints) at sf {sf}\n"
+                f"PIP join: {full32['pip_join_rows']} match rows (lineitem ×40 jitter × 20k"
+                f" diamond footprints, JVM convex refine) at sf {sf}\n"
             )
         print(
             json.dumps(
@@ -367,6 +406,9 @@ def main() -> None:
                     "full32": full32,
                     "scaling_efficiency_chipping_strong": round(eff_strong, 3),
                     "scaling_efficiency_join": round(eff_join, 3),
+                    "machine_ceiling_efficiency": round(eff_ceiling, 3),
+                    "strong_vs_ceiling_chipping": round(norm_strong, 3),
+                    "strong_vs_ceiling_join": round(norm_join, 3),
                 }
             )
         )

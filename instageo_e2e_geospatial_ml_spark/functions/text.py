@@ -83,6 +83,21 @@ def predict_lang(text: Column | str) -> Column:
     return best
 
 
+# GPT-2-style BPE pre-tokenization pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no lookahead,
+# ASCII classes. Contractions | space-prefixed letter runs | digit runs |
+# punctuation runs | single whitespace.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count (GPT-2 pre-tokenizer shape): the standard
+    training-data budget estimator when no tokenizer model ships with the
+    cluster. Pure JVM regexp — no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of lowercase whitespace-normalized text."""
     c = F.col(text) if isinstance(text, str) else text

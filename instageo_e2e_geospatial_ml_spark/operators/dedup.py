@@ -254,6 +254,63 @@ def embedding_neardup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → (doc_id, cluster_id)
+    with cluster_id = min member id (the canonical keeper).
+
+    Distributed hash-to-min label propagation: each node repeatedly adopts
+    the minimum label in its neighborhood (including itself); converges in
+    O(log D) rounds for diameter D — near-dup clusters are tiny (stars or
+    short chains from LSH bands), so 2-4 rounds in practice. Each round is
+    one shuffle (groupBy node); convergence is checked with a 1-row
+    aggregate, and iteration count is bounded by max_iters.
+
+    This is the standard "dup groups from candidate pairs" step after
+    MinHash/SimHash/embedding near-dup mining (keep min id per group, drop
+    the rest).
+    """
+    # undirected edge list + self-loops so singleton propagation works
+    e = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    )
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+
+    for _ in range(max_iters):
+        # neighborhood minimum: min over own label and neighbors' labels
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.persist()
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1057,6 +1057,65 @@ FROM sid GROUP BY 1, 2
 """
 
 
+def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation: whitespace tokens vs BPE-ish pre-tokenizer
+    tokens per document (pure regexp, JVM-side)."""
+    from ..functions.text import BPE_TOKEN_REGEX, bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _q33_sql() -> str:
+    from ..functions.text import BPE_TOKEN_REGEX
+
+    # DuckDB string literals keep backslashes verbatim — only quotes double
+    pat = BPE_TOKEN_REGEX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering over the q15 MinHash-LSH
+    candidate pairs (distributed hash-to-min label propagation; the
+    DuckDB twin is a recursive-CTE reachability min)."""
+    from ..operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=8, rows_per_band=2
+    )
+    return dedup_clusters(pairs)
+
+
+# reuse Q15's pair derivation, then min-reachable-label per node
+Q32_SQL = (
+    Q15_SQL.replace("WITH toks AS", "WITH RECURSIVE toks AS")
+    .replace(
+        ")\nSELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+        "),\npairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+    )
+    + """
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(u, lbl) AS (
+  SELECT DISTINCT u, u AS lbl FROM e
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1093,6 +1152,8 @@ QUERIES = {
     "q29_ann_lsh_topk": q29_ann_lsh_topk,
     "q30_chip_cleaning": q30_chip_cleaning,
     "q31_sessionize": q31_sessionize,
+    "q32_dedup_clusters": q32_dedup_clusters,
+    "q33_bpe_tokens": q33_bpe_tokens,
 }
 
 ORACLES = {
@@ -1125,4 +1186,6 @@ ORACLES = {
     "q29_ann_lsh_topk": Q29_SQL,
     # q30_chip_cleaning: rows-only (pixel kernels, like q19/q20)
     "q31_sessionize": Q31_SQL,
+    "q32_dedup_clusters": Q32_SQL,
+    "q33_bpe_tokens": _q33_sql(),
 }

@@ -134,3 +134,47 @@ def test_brute_force_topk_query_cap(spark):
     p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
     with pytest.raises(ValueError, match="capped"):
         brute_force_topk(q, p, k=2, max_queries=3)
+
+
+def test_dedup_clusters_components(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import dedup_clusters
+
+    # two components: {1,2,3} chained (1-2, 2-3) and {10,11}; min-id labels
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    )
+    out = dedup_clusters(pairs).toPandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "plain words only here",
+                    "It's 2024, v2.0 (beta)!",
+                ],
+            }
+        )
+    )
+    out = (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # plain text: one BPE token per word
+    assert out.loc[1, "bpe"] == out.loc[1, "ws"] == 4
+    # punctuation/digits/contractions split into more tokens than words
+    assert out.loc[2, "bpe"] > out.loc[2, "ws"]
