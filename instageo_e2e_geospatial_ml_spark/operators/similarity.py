@@ -27,7 +27,14 @@ def _quant(col: Column) -> Column:
 
 
 def int_dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two array<float> columns."""
+    """Exact integer dot product of two array<float> columns.
+
+    Measured note: the zip_with/aggregate shape beats an unrolled
+    element_at chain (the HOF scans the array storage contiguously;
+    per-index element_at re-derives offsets and defeats JIT inlining at
+    dim 64) — keep this shape. Parallelism, not expression form, is the
+    lever on cross scores: callers must ensure the fact side has enough
+    partitions (a single-file parquet scan otherwise runs one task)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
         F.lit(0).cast("long"),

@@ -895,7 +895,11 @@ def q28_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    # single-file parquet scans read as ONE task — spread the corpus-side
+    # cross score over the cores (at scale the table has many splits)
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = ivf_topk(q, p, cen, k=5, nprobe=2)
     return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
 
@@ -949,7 +953,9 @@ def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = lsh_topk(q, p, k=5, n_bits=8)
     return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
 
