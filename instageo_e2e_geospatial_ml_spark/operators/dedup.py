@@ -254,6 +254,67 @@ def embedding_neardup_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    word k-gram, then in every sliding window of `window` consecutive
+    hashes select the minimum (ties → rightmost), and keep the distinct
+    selected (hash, position) pairs per document.
+
+    Guarantees: any shared run of ≥ window+k−1 tokens between two docs
+    shares ≥ 1 fingerprint — the standard sublinear-size digest for
+    near-dup / plagiarism detection at corpus scale.
+
+    Engine-portable tie-break trick: the window minimum is taken over the
+    single integer key hash·2²⁰ + (2²⁰−1−pos) — min(key) = min hash,
+    ties resolved to the LARGEST position (rightmost), no struct ordering
+    semantics needed (identical in Spark and any ANSI engine). One window
+    + one distinct, both keyed by doc — a single hash exchange.
+    """
+    pos = F.col("_i")  # 1-based shingle position from shingles() explode
+    sh = (
+        shingles_with_pos(docs.select(id_col, text_col), text_col, shingle_n)
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn("key", F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - pos))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(pos.asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = (
+        sh.withColumn("sel_key", F.min("key").over(w))
+        .filter(pos >= window)  # full windows only
+        .select(id_col, "sel_key")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.floor(F.col("sel_key") / F.lit(1 << 20)).cast("long").alias("fp_hash"),
+        (F.lit((1 << 20) - 1) - F.col("sel_key") % F.lit(1 << 20)).cast("long").alias("fp_pos"),
+    )
+
+
+def shingles_with_pos(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles keeping the 1-based start position `_i`."""
+    t = tokens(text_col)
+    parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
+    return (
+        docs.withColumn("_toks", t)
+        .filter(F.size("_toks") >= n)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))))
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+        .drop("_toks")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1122,6 +1122,44 @@ SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
 )
 
 
+def q34_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: 3-gram rolling hashes,
+    window-4 minimum selection with rightmost tie-break."""
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), shingle_n=3, window=4
+    )
+
+
+Q34_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+k AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))
+              AS BIGINT) * 1048576 + (1048575 - i) AS key
+  FROM pos
+),
+sel AS (
+  SELECT doc_id, i,
+         min(key) OVER (PARTITION BY doc_id ORDER BY i ASC
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel_key
+  FROM k
+),
+fp AS (SELECT DISTINCT doc_id, sel_key FROM sel WHERE i >= 4)
+SELECT doc_id,
+       CAST(floor(sel_key / 1048576) AS BIGINT) AS fp_hash,
+       CAST(1048575 - sel_key % 1048576 AS BIGINT) AS fp_pos
+FROM fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1160,6 +1198,7 @@ QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_dedup_clusters": q32_dedup_clusters,
     "q33_bpe_tokens": q33_bpe_tokens,
+    "q34_winnow_fingerprints": q34_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -1194,4 +1233,5 @@ ORACLES = {
     "q31_sessionize": Q31_SQL,
     "q32_dedup_clusters": Q32_SQL,
     "q33_bpe_tokens": _q33_sql(),
+    "q34_winnow_fingerprints": Q34_SQL,
 }

@@ -178,3 +178,32 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert out.loc[1, "bpe"] == out.loc[1, "ws"] == 4
     # punctuation/digits/contractions split into more tokens than words
     assert out.loc[2, "bpe"] > out.loc[2, "ws"]
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "one two three " + shared + " four five",
+                shared + " completely other tail words here",
+                "unrelated content having no overlap with anything else at all",
+            ],
+        }
+    )
+    out = winnow_fingerprints(
+        spark.createDataFrame(docs), shingle_n=3, window=4
+    ).toPandas()
+    # winnowing guarantee: a shared run of >= window+k-1 = 6 tokens
+    # (we share 8) forces >= 1 common fingerprint hash between docs 1 and 2
+    h1 = set(out[out["doc_id"] == 1]["fp_hash"])
+    h2 = set(out[out["doc_id"] == 2]["fp_hash"])
+    h3 = set(out[out["doc_id"] == 3]["fp_hash"])
+    assert h1 & h2
+    assert not (h1 & h3)
+    # digest is sublinear: fewer fingerprints than shingles
+    n_shingles_1 = len(docs.loc[0, "text"].split()) - 2
+    assert len(out[out["doc_id"] == 1]) < n_shingles_1
