@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must be visible in the executed plans, not just intended.
+
+Each test pins one plan property that matters at 100 TB:
+  * filter pushdown reaches the parquet scan (PushedFilters);
+  * dim-side joins broadcast (BroadcastHashJoin / BroadcastNestedLoop);
+  * the PIP refine stays JVM-side for convex catalogs (no EvalPython);
+  * aggregations partial-aggregate map-side (two HashAggregate levels);
+  * kNN rank uses the WindowGroupLimit pushdown (Spark 3.5+) rather than
+    ranking every candidate row.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from instageo_e2e_geospatial_ml_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q24_filter_pushdown(spark):
+    plan = _formatted(dq.QUERIES["q24_filter_parser"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_q01_partial_aggregation(spark):
+    plan = _plan(dq.QUERIES["q01_cell_density"](spark, SF))
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(cell_id" in plan
+
+
+def test_q07_pip_join_broadcast_and_jvm(spark):
+    plan = _plan(dq.QUERIES["q07_pip_polygon"](spark, SF))
+    assert "Broadcast" in plan  # dim side broadcast, fact side not shuffled
+    assert "EvalPython" not in plan  # convex refine stays in the JVM
+
+
+def test_knn_window_group_limit(spark):
+    plan = _plan(dq.QUERIES["q06_knn_ring"](spark, SF))
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the sort
+
+
+def test_asof_single_exchange_for_rank(spark):
+    # the as-of pick's rank window must not introduce a second exchange
+    # beyond the obs_id alignment (align_partitioning contract)
+    from instageo_e2e_geospatial_ml_spark.operators.asof import asof_pick
+
+    steps = spark.createDataFrame(
+        pd.DataFrame(
+            {"obs_id": [1], "step": [0], "query_date": pd.to_datetime(["2022-06-08"])}
+        )
+    )
+    cand = spark.createDataFrame(pd.DataFrame({"obs_id": [1], "granule_id": ["g"]}))
+    gran = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "granule_id": ["g"],
+                "ts": pd.to_datetime(["2022-06-08"]),
+                "cloud_cover": [1.0],
+            }
+        )
+    )
+    picked = asof_pick(steps, cand, gran, keep_unmatched=False, align_partitioning=True)
+    plan = _plan(picked)
+    # exactly one hashpartitioning exchange on obs_id feeds the window
+    assert plan.count("Exchange hashpartitioning(obs_id") == 1
