@@ -57,6 +57,41 @@ def image_features(images: DataFrame, batch_cols: tuple[str, ...] = ()) -> DataF
     return images.mapInPandas(feats, IMAGE_FEATURES_SCHEMA)
 
 
+def image_embeddings(
+    images: DataFrame, grid: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Deterministic visual embeddings WITHOUT any model dependency:
+    decode → grid×grid mean-pooled patches → per-image z-normalization →
+    flat array<float> of dim grid². This is the real Spark plumbing for a
+    model-backed encoder (swap the pooling for an ONNX/torch call inside
+    the same mapInPandas) and produces vectors directly consumable by the
+    similarity/dedup operators (lsh_buckets, *_topk,
+    embedding_neardup_pairs) — the multimodal → embedding → ANN path end
+    to end, no stubs."""
+
+    def emb(it):
+        for pdf in it:
+            ids, vecs = [], []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+                _b, h, w = arr.shape
+                fy, fx = max(1, h // grid), max(1, w // grid)
+                pooled = (
+                    arr[:, : grid * fy, : grid * fx]
+                    .reshape(grid, fy, grid, fx)
+                    .mean(axis=(1, 3))
+                    .astype(np.float64)
+                    .ravel()
+                )
+                std = pooled.std()
+                v = (pooled - pooled.mean()) / (std if std > 0 else 1.0)
+                ids.append(getattr(r, id_col))
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: ids, "embedding": vecs})
+
+    return images.mapInPandas(emb, f"{id_col} string, embedding array<float>")
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Mean-pool resize (integer factors; general resampling would need an
     image lib). Output keeps the input schema with recomputed bytes/dims."""

@@ -207,3 +207,31 @@ def test_winnow_fingerprints_guarantee(spark):
     # digest is sublinear: fewer fingerprints than shingles
     n_shingles_1 = len(docs.loc[0, "text"].split()) - 2
     assert len(out[out["doc_id"] == 1]) < n_shingles_1
+
+
+def test_image_embeddings_to_ann_end_to_end(spark, images_df):
+    # multimodal → embedding → ANN, no stubs: decode, pool, bucket, score
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import lsh_topk
+    from instageo_e2e_geospatial_ml_spark.sources.images import image_embeddings
+
+    emb = image_embeddings(images_df, grid=4)
+    pdf = emb.toPandas()
+    assert len(pdf) == images_df.count()
+    assert all(len(v) == 16 for v in pdf["embedding"])
+    # z-normalized: per-image mean ~0 (float32 tolerance)
+    assert all(abs(float(np.mean(v))) < 1e-3 for v in pdf["embedding"])
+    # deterministic
+    again = image_embeddings(images_df, grid=4).toPandas()
+    a0 = dict(zip(pdf["image_id"], pdf["embedding"]))
+    a1 = dict(zip(again["image_id"], again["embedding"]))
+    assert all((np.asarray(a0[k]) == np.asarray(a1[k])).all() for k in a0)
+
+    # feed straight into the ANN operator (string ids → hash to long keys)
+    keyed = emb.select(
+        F.abs(F.xxhash64("image_id")).alias("vid"), "embedding"
+    )
+    q = keyed.limit(4).select(F.col("vid").alias("qid"), F.col("embedding").alias("qvec"))
+    p = keyed.select(F.col("vid").alias("pid"), F.col("embedding").alias("pvec"))
+    out = lsh_topk(q, p, k=3, n_bits=4).toPandas()
+    assert len(out) > 0
+    assert (out.groupby("qid").size() <= 3).all()
