@@ -349,3 +349,39 @@ def test_checkpoint_torn_commit_recovery(spark, tmp_path):
     rec2 = ckpt.append(batch)
     assert rec2["n_rows"] == 0
     assert sorted(ckpt.read().toPandas()["k"]) == ["a", "b"]
+
+
+def test_checkpoint_manifest_carries_psnr_metrics(spark, tmp_path):
+    # north-star contract: per-partition lineage with row counts AND
+    # quality (PSNR) metric sums checkpointed alongside the data — here
+    # over lossy-coded (qdct) images, whose per-row PSNR >= 40 dB
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=10, every=5)
+    imgs = synth.gen_images_pdf(cat, w=64, h=64, fmt="qdct")
+
+    def add_psnr(it):
+        for pdf in it:
+            vals = []
+            for r in pdf.itertuples(index=False):
+                dec = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+                is_mask = r.image_id.endswith(":Fmask")
+                src = synth.synth_pixels(r.image_id, int(r.w), int(r.h), is_mask)
+                vals.append(round(float(codecs.psnr(dec[0], src[0])), 3))
+            out = pdf[["image_id"]].copy()
+            out["tile"] = [i.split(".")[2][1:] for i in out["image_id"]]
+            out["psnr"] = vals
+            yield out
+
+    scored = spark.createDataFrame(imgs).mapInPandas(
+        add_psnr, "image_id string, tile string, psnr double"
+    )
+    ckpt = CheckpointTable(
+        spark, str(tmp_path / "imgq"), key="image_id", partition_by="tile"
+    )
+    ckpt.append(scored, metrics_cols=["psnr"])
+    man = ckpt.manifests().toPandas()
+    assert (man["n_rows"] > 0).all()
+    # every row >= 40 dB → the manifest metric sum implies the mean too
+    assert (man["sum_psnr"] / man["n_rows"] >= 40.0).all()
