@@ -31,6 +31,8 @@ def asof_pick(
     order: str = "cloud_cover",
     keep_unmatched: bool = True,
     align_partitioning: bool = False,
+    join_key: str = "granule_id",
+    broadcast_granules: bool = False,
 ) -> DataFrame:
     """steps(obs_id, step, query_date) × candidates(obs_id, granule_id)
     × granules(granule_id, ts, cloud_cover, ...) → one row per (obs_id,
@@ -46,9 +48,18 @@ def asof_pick(
     rank window; HashPartitioning(obs_id) satisfies the (obs_id, step)
     clustering, so the window AND the downstream per-obs groupBy reuse
     that single exchange.
+
+    join_key: the column joining candidates to granules. The default
+    'granule_id' is the per-granule contract (J2 parity). Passing a
+    coarser key (e.g. the footprint id from spatial_join.footprint_key,
+    with candidates at footprint granularity) fuses the granule fan-out
+    with the tolerance filter inside one broadcast-join stage — the
+    obs × all-revisits intermediate never crosses an exchange. Set
+    broadcast_granules=True when the granule side is the dim table.
     """
     tol_min = tolerance_days * 24 * 60 + tolerance_minutes
-    cand = steps.join(candidates, obs_id, "inner").join(granules, "granule_id", "inner")
+    g = F.broadcast(granules) if broadcast_granules else granules
+    cand = steps.join(candidates, obs_id, "inner").join(g, join_key, "inner")
     # microsecond-exact tolerance (events may carry sub-second timestamps)
     dt_us = F.abs(
         F.unix_micros(F.col("ts").cast("timestamp"))

@@ -169,6 +169,7 @@ def pip_join(
     y: str = "y",
     exact: bool | str = "auto",
     broadcast_catalog: bool = True,
+    expand_granules: bool = True,
 ) -> DataFrame:
     """(obs_id, granule_id) match pairs: observation point within footprint.
 
@@ -187,10 +188,26 @@ def pip_join(
     The probe in 'auto' is one tiny aggregate on the catalog (dim side,
     ≤ millions of rows) — negligible next to the fact-side join it speeds
     up ~100× by keeping the refine inside whole-stage codegen.
+
+    Footprint dedup: catalogs routinely carry MANY granules per identical
+    footprint (every revisit of a tile shares its polygon — 240× for a
+    daily 8-month HLS catalog). The containment test runs once per
+    DISTINCT footprint and the granule list is re-attached afterwards by
+    a broadcast equi-join on the footprint id, so exact-refine work is
+    O(obs × distinct footprints), not O(obs × granules). Output pairs are
+    identical.
+
+    expand_granules=False returns (obs_id, _fp_id) matches WITHOUT the
+    granule fan-out — for callers that fuse the fan-out with a later
+    filter (the chip pipeline joins granules per footprint WITH the
+    temporal-tolerance predicate, so the obs × all-revisits intermediate
+    never crosses an exchange; see plans/pipeline.build_records). Pair
+    with footprint_key() to key the granule side.
     """
-    cat = catalog.select(
-        "granule_id", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy", "fp_xs", "fp_ys"
-    )
+    geom = ["fp_minx", "fp_miny", "fp_maxx", "fp_maxy", "fp_xs", "fp_ys"]
+    with_fp = catalog.withColumn("_fp_id", F.xxhash64(*geom))
+    fp_granules = with_fp.select("_fp_id", "granule_id")
+    cat = with_fp.select("_fp_id", *geom).distinct()
     if exact == "auto":
         cat = cat.withColumn(
             "_convex", ring_is_convex(F.col("fp_xs"), F.col("fp_ys"))
@@ -214,7 +231,7 @@ def pip_join(
     )
     _sql_test = convex_inside(F.col(x), F.col(y), F.col("fp_xs"), F.col("fp_ys"))
     _udf_test = pip_udf(
-        F.col("granule_id"), F.col(x), F.col(y), F.col("fp_xs"), F.col("fp_ys")
+        F.col("_fp_id"), F.col(x), F.col(y), F.col("fp_xs"), F.col("fp_ys")
     )
     if exact == "convex_sql":
         j = j.filter(_sql_test)
@@ -228,7 +245,21 @@ def pip_join(
         )
     elif exact:
         raise ValueError(exact)
-    return j.select(obs_id, "granule_id")
+    if not expand_granules:
+        return j.select(obs_id, "_fp_id")
+    # re-attach the granules sharing each matched footprint (broadcast —
+    # the map is the dim side)
+    out = j.select(obs_id, "_fp_id").join(F.broadcast(fp_granules), "_fp_id")
+    return out.select(obs_id, "granule_id")
+
+
+FP_GEOM_COLS = ["fp_minx", "fp_miny", "fp_maxx", "fp_maxy", "fp_xs", "fp_ys"]
+
+
+def footprint_key(catalog: DataFrame) -> DataFrame:
+    """catalog + `_fp_id` column — the same footprint-identity key
+    pip_join uses internally (xxhash64 of the geometry columns)."""
+    return catalog.withColumn("_fp_id", F.xxhash64(*FP_GEOM_COLS))
 
 
 def candidate_lists(matches: DataFrame, obs: DataFrame, obs_id: str = "obs_id") -> DataFrame:

@@ -29,7 +29,7 @@ from ..operators.asof import asof_pick, granule_sequence
 from ..operators.chips import extract_chips
 from ..operators.dates import expand_temporal_steps, normalize_dates
 from ..operators.density import assign_tiles, density_filter
-from ..operators.spatial_join import pip_join
+from ..operators.spatial_join import footprint_key, pip_join
 from ..operators.validity import validity_filter
 from ..sources.checkpoint import CheckpointTable
 
@@ -75,16 +75,24 @@ def build_records(
     steps = expand_temporal_steps(
         o, num_steps=cfg.num_steps, temporal_step=cfg.temporal_step
     ).select("obs_id", "step", "query_date")
-    candidates = pip_join(o, catalog)
-    granules = catalog.select("granule_id", "ts", "cloud_cover")
+    # footprint-granularity matches: the exact PIP test runs once per
+    # distinct footprint, and the per-granule fan-out happens INSIDE the
+    # as-of broadcast join, fused with the tolerance filter — the
+    # obs × every-revisit candidate set never crosses an exchange
+    fp_matches = pip_join(o, catalog, expand_granules=False)
+    granules = footprint_key(catalog).select(
+        "_fp_id", "granule_id", "ts", "cloud_cover"
+    )
     picked = asof_pick(
         steps,
-        candidates,
+        fp_matches,
         granules,
         tolerance_days=cfg.temporal_tolerance,
         obs_id="obs_id",
         keep_unmatched=False,
         align_partitioning=True,
+        join_key="_fp_id",
+        broadcast_granules=True,
     )
     seq = granule_sequence(picked)
     records = o.join(seq, "obs_id", "inner")
