@@ -328,7 +328,9 @@ def scaling_run(cpus: int, sf_dir: str, frac: int = 1) -> dict:
             "n_chips": n_chips,
             "images_per_sec": round(n_decoded / best, 2),
         }
-        sj = bench_big_pip_join(spark, sf_dir, trials=3, point_factor=40)
+        # join workload scales with frac so the weak pair (quarter work at
+        # N vs full work at 4N) is apples-to-apples, like the chipping pair
+        sj = bench_big_pip_join(spark, sf_dir, trials=3, point_factor=120 // frac)
         ceiling = machine_ceiling_probe(spark, cpus)
         return {
             **chip, **sj, "cpus": cpus, "frac": frac,
@@ -352,6 +354,7 @@ def main() -> None:
         # weak scaling: 4× data on 4× cores should take the same wall time
         eff_weak = weak8["chipping_sec"] / full32["chipping_sec"]
         eff_join = (full32["join_rows_per_sec"] / full8["join_rows_per_sec"]) / (32 / 8)
+        eff_join_weak = weak8["pip_join_sec"] / full32["pip_join_sec"]
         # machine ceiling: the md5 calibration kernel (pure JVM, no shuffle,
         # no Python) bounds what ANY job can strong-scale to on this VM
         eff_ceiling = (
@@ -381,6 +384,7 @@ def main() -> None:
                 "| metric | local[8] | local[32] | efficiency | vs ceiling |\n"
                 "|---|---|---|---|---|\n"
                 f"| chipping weak scaling (s, X vs 4X) — THE GATE (≥0.8) | {weak8['chipping_sec']} | {full32['chipping_sec']} | **{eff_weak:.3f}** | — |\n"
+                f"| PIP join weak scaling (s, X vs 4X) — gate form | {weak8['pip_join_sec']} | {full32['pip_join_sec']} | **{eff_join_weak:.3f}** | — |\n"
                 f"| machine ceiling (md5 Mrows/sec) | {full8['md5_ceiling_rows_per_sec']/1e6:.1f} | {full32['md5_ceiling_rows_per_sec']/1e6:.1f} | {eff_ceiling:.3f} | 1.000 by def. |\n"
                 f"| chipping strong (decoded images/sec) | {full8['images_per_sec']} | {full32['images_per_sec']} | {eff_strong:.3f} | {norm_strong:.3f} |\n"
                 f"| PIP join strong (rows/sec) | {full8['join_rows_per_sec']} | {full32['join_rows_per_sec']} | {eff_join:.3f} | {norm_join:.3f} |\n\n"
@@ -391,8 +395,9 @@ def main() -> None:
                 f" End-to-end pipeline walls (records + extraction):"
                 f" quarter@8 {weak8['pipeline_sec']} s, full@8 {full8['pipeline_sec']} s,"
                 f" full@32 {full32['pipeline_sec']} s.\n\n"
-                f"PIP join: {full32['pip_join_rows']} match rows (lineitem ×40 jitter × 20k"
-                f" diamond footprints, JVM convex refine) at sf {sf}\n"
+                f"PIP join: {full32['pip_join_rows']} match rows (lineitem ×120 jitter × 20k"
+                f" diamond footprints, JVM convex refine) at sf {sf}; weak pair"
+                f" uses ×30 at local[8] ({weak8['pip_join_rows']} rows).\n"
             )
         print(
             json.dumps(
@@ -407,6 +412,7 @@ def main() -> None:
                     "scaling_efficiency_chipping_strong": round(eff_strong, 3),
                     "scaling_efficiency_join": round(eff_join, 3),
                     "machine_ceiling_efficiency": round(eff_ceiling, 3),
+                    "scaling_efficiency_join_weak": round(eff_join_weak, 3),
                     "strong_vs_ceiling_chipping": round(norm_strong, 3),
                     "strong_vs_ceiling_join": round(norm_join, 3),
                 }
