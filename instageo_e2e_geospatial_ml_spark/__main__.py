@@ -11,6 +11,10 @@ Modes:
   synth      generate a deterministic synthetic demo dataset and run the
              pipeline end to end (no inputs needed)
   split      assign train/val/test over an observation table
+  dedup      corpus dedup over a documents table (--strategy exact |
+             minhash | simhash | jaccard | winnow | cluster)
+  text       per-document text stats (quality, lang-id, ws/BPE tokens,
+             fingerprint)
 """
 
 from __future__ import annotations
@@ -22,8 +26,13 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="instageo_e2e_geospatial_ml_spark")
-    p.add_argument("--mode", choices=["chip", "synth", "split"], default="synth")
+    p.add_argument(
+        "--mode",
+        choices=["chip", "synth", "split", "dedup", "text"],
+        default="synth",
+    )
     p.add_argument("--obs")
+    p.add_argument("--input", help="documents parquet for dedup/text modes")
     p.add_argument("--catalog")
     p.add_argument("--images")
     p.add_argument("--out", default="/tmp/spark_graft_chips")
@@ -77,6 +86,46 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
         print(json.dumps({"mode": "split", "out": args.out, "counts": counts}))
+        return 0
+    elif args.mode == "dedup":
+        from .operators import dedup as dd
+
+        docs = spark.read.parquet(args.input)
+        strat = args.strategy
+        if strat in ("exact", "kmeans"):  # kmeans is the --strategy default
+            out = dd.exact_dedup(docs)
+        elif strat == "minhash":
+            out = dd.minhash_lsh_dedup(docs)
+        elif strat == "simhash":
+            out = dd.simhash(docs)
+        elif strat == "jaccard":
+            out = dd.ngram_jaccard_pairs(docs)
+        elif strat == "winnow":
+            out = dd.winnow_fingerprints(docs)
+        elif strat == "cluster":
+            out = dd.dedup_clusters(dd.minhash_lsh_dedup(docs))
+        else:
+            raise SystemExit(f"unknown dedup strategy {strat!r}")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mode": "dedup", "strategy": strat, "out": args.out,
+                          "n_rows": out.count()}))
+        return 0
+    elif args.mode == "text":
+        from pyspark.sql import functions as F
+
+        from .functions import text as tx
+
+        docs = spark.read.parquet(args.input)
+        out = docs.select(
+            "doc_id",
+            tx.token_count("text").alias("n_ws_tokens"),
+            tx.bpe_token_count("text").alias("n_bpe_tokens"),
+            tx.quality_score("text").alias("quality"),
+            tx.predict_lang("text").alias("lang"),
+            tx.fingerprint("text").alias("fingerprint"),
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mode": "text", "out": args.out, "n_rows": out.count()}))
         return 0
 
     if args.filters:
