@@ -254,6 +254,59 @@ def embedding_neardup_pairs(
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    lang: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The standard corpus-cleaning pipeline as ONE operator: cheap quality
+    + language gates → exact dedup (keep min id per normalized text) →
+    MinHash-LSH near-dup clustering (keep the min id of each connected
+    component). Returns the surviving documents with their quality score.
+
+    Plan shape: the gates are pure column predicates (pushed to the scan);
+    exact dedup is one hash shuffle; near-dup clustering runs on the
+    already-deduped survivors (strictly smaller input); the final keep is
+    a broadcast anti-join against the non-keeper set. Every stage is the
+    scale path of its family.
+    """
+    from ..functions.text import fingerprint as _fp
+    from ..functions.text import predict_lang, quality_score
+
+    gated = docs.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= F.lit(min_quality)
+    )
+    if lang is not None:
+        gated = gated.filter(predict_lang(text_col) == F.lit(lang))
+
+    # exact: keep min id per normalized fingerprint
+    keyed = gated.withColumn("_fh", _fp(text_col))
+    w_keep = Window.partitionBy("_fh").orderBy(F.col(id_col).asc())
+    exact_kept = (
+        keyed.withColumn("_rn", F.row_number().over(w_keep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fh")
+    )
+
+    # near-dup: cluster candidates, drop every non-minimal member
+    pairs = minhash_lsh_dedup(
+        exact_kept.select(id_col, text_col), text_col, id_col,
+        shingle_n, num_hashes, rows_per_band,
+    )
+    clusters = dedup_clusters(pairs, max_iters=20)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return exact_kept.join(F.broadcast(losers), id_col, "left_anti").select(
+        id_col, "quality"
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

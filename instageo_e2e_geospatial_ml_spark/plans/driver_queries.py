@@ -1160,6 +1160,96 @@ FROM fp
 """
 
 
+def q35_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline: quality ≥ 0.5 gate + English
+    language gate + exact dedup keep-min + MinHash near-dup cluster
+    keep-min — one operator, one exact oracle."""
+    from ..operators.dedup import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"), min_quality=0.5, lang="en"
+    )
+
+
+def _q35_sql() -> str:
+    # language scores replicate Q13's proven twins (padded marker counts);
+    # 'en' wins iff it beats the alphabetically-earlier 'de' strictly and
+    # every later language non-strictly (predict_lang's iteration order)
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{m}', ''))) * 1.0 / {len(m)}"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    all_s = ", ".join(f"s_{l}" for l in sorted(LANG_MARKERS))
+    return f"""
+WITH RECURSIVE
+q AS (
+  SELECT doc_id, text,
+         round(0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+             + 0.4 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                      * 1.0 / length(text))
+             + 0.2 * least(((length(text) - length(replace(text, ' the ', ''))) / 5)
+                           / 5.0, 1.0), 6) AS quality
+  FROM documents
+),
+padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (SELECT doc_id, {", ".join(score_exprs)} FROM padded),
+gate AS (
+  SELECT g.doc_id, g.text, g.quality
+  FROM q g JOIN scores s ON s.doc_id = g.doc_id
+  WHERE g.quality >= 0.5
+    AND s.s_en > 0 AND s.s_en >= greatest({all_s}) AND s.s_de < s.s_en
+),
+fpk AS (
+  SELECT doc_id, text, quality,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fh
+  FROM gate
+),
+kept AS (
+  SELECT doc_id, text, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY fh ORDER BY doc_id) AS rn FROM fpk
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM kept),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+h AS (
+  SELECT doc_id, j.j AS j, min(md5(CAST(j.j AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) j
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(j / 2.0) AS INT) AS band_id,
+         string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM h GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(u, lbl) AS (
+  SELECT DISTINCT u, u AS lbl FROM e
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+),
+losers AS (
+  SELECT u AS doc_id FROM (SELECT u, min(lbl) AS cl FROM walk GROUP BY u)
+  WHERE u != cl
+)
+SELECT k.doc_id, k.quality
+FROM kept k LEFT JOIN losers l ON l.doc_id = k.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1199,6 +1289,7 @@ QUERIES = {
     "q32_dedup_clusters": q32_dedup_clusters,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_winnow_fingerprints": q34_winnow_fingerprints,
+    "q35_clean_corpus": q35_clean_corpus,
 }
 
 ORACLES = {
@@ -1234,4 +1325,5 @@ ORACLES = {
     "q32_dedup_clusters": Q32_SQL,
     "q33_bpe_tokens": _q33_sql(),
     "q34_winnow_fingerprints": Q34_SQL,
+    "q35_clean_corpus": _q35_sql(),
 }

@@ -235,3 +235,30 @@ def test_image_embeddings_to_ann_end_to_end(spark, images_df):
     out = lsh_topk(q, p, k=3, n_bits=4).toPandas()
     assert len(out) > 0
     assert (out.groupby("qid").size() <= 3).all()
+
+
+def test_clean_corpus_pipeline(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import clean_corpus
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # en, good quality, unique
+                "the quick brown fox jumps over the lazy dog and the cat sat on the mat with the hat",
+                # exact duplicate of 1 (higher id → dropped by keep-min)
+                "the quick brown fox jumps over the lazy dog and the cat sat on the mat with the hat",
+                # near-duplicate of 1 (one word changed)
+                "the quick brown fox jumps over the lazy dog and the cat sat on the mat with the cap",
+                # German → dropped by the language gate
+                "der hund und die katze und der vogel und die maus und der baer",
+                # junk → dropped by the quality gate
+                "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))",
+            ],
+        }
+    )
+    out = clean_corpus(
+        spark.createDataFrame(docs), min_quality=0.3, lang="en"
+    ).toPandas()
+    assert sorted(out["doc_id"]) == [1]  # 2 exact-dup, 3 near-dup, 4 de, 5 junk
+    assert (out["quality"] >= 0.3).all()
