@@ -191,6 +191,43 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    vecs: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    assemble: bool = False,
+) -> DataFrame:
+    """Per-label centroid of an embedding column — the IVF coarse-quantizer
+    builder (feed the assembled form into ivf_topk as `centroids`).
+
+    Exactness: elements are quantized ×1000 to int64 and SUMMED exactly
+    (integer partial aggregation, order-independent), then one fixed-shape
+    division produces the double centroid — deterministic across shuffle
+    orders and engines, unlike a float avg().
+
+    assemble=False → long form (label, i, c) for value checks;
+    assemble=True → (cid, cvec array<float>) ready for ivf_topk.
+    """
+    el = vecs.select(
+        F.col(label_col).alias("cid"), F.posexplode(vec_col).alias("i", "e")
+    ).withColumn("eq", _quant(F.col("e")))
+    agg = el.groupBy("cid", "i").agg(
+        F.sum("eq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    long_form = agg.select(
+        "cid",
+        (F.col("i") + 1).alias("i"),  # 1-based, matching SQL array indexing
+        F.round(F.col("s") / (F.col("n") * F.lit(1000.0)), 6).alias("c"),
+    )
+    if not assemble:
+        return long_form
+    return long_form.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).cast("array<float>").alias("cvec")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1250,6 +1250,61 @@ WHERE l.doc_id IS NULL
 """
 
 
+def q36_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer field out of the JSON
+    props column and aggregate per event type (the mean is derived from
+    the EXACT integer sum so it is order-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "sum_k",
+        F.round(F.col("sum_k") / F.col("n_events"), 6).alias("avg_k"),
+    )
+
+
+Q36_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             / count(*), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q37_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (IVF coarse-quantizer builder) in
+    long form — exact integer sums, one deterministic division."""
+    from ..operators.similarity import label_centroids
+
+    out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("i").cast("long").alias("i"),
+        "c",
+    )
+
+
+Q37_SQL = """
+WITH pos AS (
+  SELECT label AS cid, embedding AS v, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+el AS (
+  SELECT cid, i, CAST(round(CAST(v[i] AS DOUBLE) * 1000) AS BIGINT) AS eq FROM pos
+)
+SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS i,
+       round(CAST(sum(eq) AS BIGINT) / (count(*) * 1000.0), 6) AS c
+FROM el GROUP BY cid, i
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1290,6 +1345,8 @@ QUERIES = {
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_winnow_fingerprints": q34_winnow_fingerprints,
     "q35_clean_corpus": q35_clean_corpus,
+    "q36_json_stats": q36_json_stats,
+    "q37_label_centroids": q37_label_centroids,
 }
 
 ORACLES = {
@@ -1326,4 +1383,6 @@ ORACLES = {
     "q33_bpe_tokens": _q33_sql(),
     "q34_winnow_fingerprints": Q34_SQL,
     "q35_clean_corpus": _q35_sql(),
+    "q36_json_stats": Q36_SQL,
+    "q37_label_centroids": Q37_SQL,
 }

@@ -262,3 +262,24 @@ def test_clean_corpus_pipeline(spark):
     ).toPandas()
     assert sorted(out["doc_id"]) == [1]  # 2 exact-dup, 3 near-dup, 4 de, 5 junk
     assert (out["quality"] >= 0.3).all()
+
+
+def test_label_centroids_feed_ivf(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import (
+        ivf_topk,
+        label_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cen = label_centroids(e, assemble=True).withColumnRenamed("cid", "cid")
+    n_labels = e.select("label").distinct().count()
+    cen_pdf = cen.toPandas()
+    assert len(cen_pdf) == n_labels
+    assert all(len(v) == 64 for v in cen_pdf["cvec"])
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    out = ivf_topk(q, p, cen, k=3, nprobe=2).toPandas()
+    assert len(out) > 0
+    assert (out.groupby("qid").size() <= 3).all()
