@@ -48,6 +48,11 @@ HEADLINE = [
     "q27_ngram_jaccard",
     "q28_ann_ivf",
     "q29_ann_lsh_topk",
+    "q31_sessionize",
+    "q33_bpe_tokens",
+    "q34_winnow_fingerprints",
+    "q36_json_stats",
+    "q37_label_centroids",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]
