@@ -135,6 +135,11 @@ def mgrs_precision0(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     zone = mgrs_zone(lat, lon)
     easting, northing, zone = latlon_to_utm(lat, lon, zone=zone)
     band_idx = lat_band(lat)
+    # hemisphere consistency at the equator boundary: a vanishingly
+    # negative lat gets the southern false northing from latlon_to_utm but
+    # rounds into the northern 'N' band — strip the false northing so the
+    # row letter matches the band's hemisphere (found by hypothesis)
+    northing = np.where((lat < 0.0) & (band_idx >= 10), northing - 10000000.0, northing)
 
     # column letters: 24-letter cycle (no I/O), 8 nominal columns per zone;
     # wide exception zones (32V spans 9°) index past 7 and wrap in the cycle

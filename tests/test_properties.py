@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the pure numpy kernels: grid
+index, UTM/MGRS, projections, and codecs — fast, no Spark session."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from instageo_e2e_geospatial_ml_spark import codecs, grid, mgrs, projections as proj
+
+LON = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+LAT = st.floats(min_value=-79.9, max_value=83.9, allow_nan=False)
+RES = st.integers(min_value=0, max_value=15)
+
+
+@settings(max_examples=200, deadline=None)
+@given(LON, LAT, RES)
+def test_cell_encode_decode_bounds_contain_point(lon, lat, res):
+    cell = grid.cell_encode(np.array([lon]), np.array([lat]), res)
+    r, cx, cy = grid.cell_decode(cell)
+    assert int(r[0]) == res
+    lon_min, lat_min, lon_max, lat_max = grid.cell_bounds(cell)
+    # floating floor can land a boundary point in the neighbor cell only
+    # within one ulp of the edge
+    eps = 1e-9 * (1 << res)
+    assert lon_min[0] - eps <= lon <= lon_max[0] + eps
+    assert lat_min[0] - eps <= lat <= lat_max[0] + eps
+
+
+@settings(max_examples=200, deadline=None)
+@given(LON, LAT)
+def test_utm_roundtrip(lon, lat):
+    e, n, zone = mgrs.latlon_to_utm(np.array([lat]), np.array([lon]))
+    south = lat < 0
+    lat2, lon2 = mgrs.utm_to_latlon(
+        e, n - (10000000.0 if south else 0.0) + (10000000.0 if south else 0.0),
+        int(zone[0]), south=south,
+    )
+    assert abs(lat2[0] - lat) < 1e-7
+    assert abs(lon2[0] - lon) < 1e-7
+
+
+@settings(max_examples=150, deadline=None)
+@given(LON, LAT)
+def test_mgrs_tile_contains_its_point(lon, lat):
+    tile = mgrs.mgrs_precision0(np.array([lat]), np.array([lon]))[0]
+    zone, south, e0, n0 = mgrs.mgrs_tile_utm_square(tile)
+    e, n, _ = mgrs.latlon_to_utm(np.array([lat]), np.array([lon]), np.array([zone]))
+    nv = n[0]
+    if lat < 0 and not south:
+        nv -= 10000000.0  # equator-boundary sliver: band is northern
+    assert e0 <= e[0] < e0 + 100000.0
+    assert n0 <= nv < n0 + 100000.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=42.2, max_value=49.8),
+    st.floats(min_value=-3.8, max_value=7.8),
+)
+def test_lambert93_roundtrip(lat, lon):
+    x, y = proj.EPSG_FORWARD[2154](np.array([lat]), np.array([lon]))
+    lat2, lon2 = proj.EPSG_INVERSE[2154](x, y)
+    assert abs(lat2[0] - lat) < 1e-9
+    assert abs(lon2[0] - lon) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_codec_roundtrips(seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 10001, size=(1, 16, 16), dtype=np.uint16)
+    for fmt in ("raw", "png"):
+        got = codecs.decode(codecs.encode(a, fmt), 16, 16, 1, fmt)
+        assert (got == a).all(), fmt
+    lossy = codecs.decode(codecs.encode(a, "qdct"), 16, 16, 1, "qdct")
+    assert codecs.psnr(lossy[0], a[0]) >= 40.0
