@@ -377,12 +377,14 @@ def dedup_clusters(
     """Connected components over near-duplicate PAIRS → (doc_id, cluster_id)
     with cluster_id = min member id (the canonical keeper).
 
-    Distributed hash-to-min label propagation: each node repeatedly adopts
-    the minimum label in its neighborhood (including itself); converges in
-    O(log D) rounds for diameter D — near-dup clusters are tiny (stars or
-    short chains from LSH bands), so 2-4 rounds in practice. Each round is
-    one shuffle (groupBy node); convergence is checked with a 1-row
-    aggregate, and iteration count is bounded by max_iters.
+    Distributed hash-to-min label propagation WITH pointer jumping: each
+    round every node adopts the minimum label in its neighborhood, then
+    compresses through its label's own label (label-of-label) — the
+    doubling step that turns O(diameter) plain propagation into O(log D)
+    rounds, so even pathological chain-shaped components converge inside
+    max_iters. Near-dup clusters are tiny (stars or short chains from LSH
+    bands), so 2-3 rounds in practice. Each round is two keyed shuffles;
+    convergence is checked with one isEmpty aggregate.
 
     This is the standard "dup groups from candidate pairs" step after
     MinHash/SimHash/embedding near-dup mining (keep min id per group, drop
@@ -392,8 +394,13 @@ def dedup_clusters(
     e = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
-    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("u").distinct().withColumn("lbl", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iters):
         # neighborhood minimum: min over own label and neighbors' labels
@@ -402,7 +409,7 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
@@ -410,15 +417,30 @@ def dedup_clusters(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            # truncate lineage BEFORE the self-join — an iterative plan
+            # that self-joins its own previous round otherwise doubles in
+            # size every iteration (2^k analyzer nodes → driver OOM)
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.persist()
+        # pointer jumping: compress through the label's own label so the
+        # minimum travels ~2^k hops after k rounds, not k hops
+        lbl_of = stepped.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2"))
+        new_labels = (
+            stepped.join(lbl_of, "lbl", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
         converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .isEmpty()
         )
-        labels.unpersist()
         labels = new_labels
         if converged:
             break

@@ -283,3 +283,17 @@ def test_label_centroids_feed_ivf(spark):
     out = ivf_topk(q, p, cen, k=3, nprobe=2).toPandas()
     assert len(out) > 0
     assert (out.groupby("qid").size() <= 3).all()
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # pointer jumping must collapse a 120-node chain (worst-case diameter)
+    # in O(log n) rounds — well inside the default iteration bound
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import dedup_clusters
+
+    n = 120
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
+    )
+    out = dedup_clusters(pairs, max_iters=12).toPandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
