@@ -117,7 +117,11 @@ def sessionize_stream(
                 n += 1
                 s += float(v)
             state.update((st, last, n, s))
-            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+            # a key whose newest event is already behind the advanced
+            # watermark (late batch arrival) must still get a FUTURE
+            # timeout — Spark rejects timestamps ≤ the current watermark
+            want_ms = last // 1000 + gap_minutes * 60 * 1000
+            state.setTimeoutTimestamp(max(want_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             closed,
             columns=[key, "session_start", "session_end", "n_events", "sum_value"],

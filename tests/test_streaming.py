@@ -95,3 +95,33 @@ def test_sessionize_stream_matches_batch(spark, events_path, tmp_path):
     # at most one session per key (the open tail) may be unemitted
     n_keys = want["event_type"].nunique()
     assert len(got) >= len(want) - n_keys
+
+
+def test_sessionize_stream_multi_batch_state(spark, events_path, tmp_path):
+    # force MANY micro-batches (one file per trigger): sessions spanning
+    # batch boundaries must survive in state, and event-time timeouts must
+    # flush open sessions as the watermark advances between batches
+    from instageo_e2e_geospatial_ml_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    path, schema, ev_batch = events_path
+    stream = read_event_stream(spark, path, schema, max_files=1)
+    sessions = sessionize_stream(
+        stream, key="event_type", gap_minutes=30, watermark="1 minute"
+    )
+    got = run_available_now(sessions, "sess_mb", str(tmp_path / "ckmb")).toPandas()
+    want = sessionize_batch(ev_batch, key="event_type", gap_minutes=30).toPandas()
+
+    # with unordered file batches the stream may split sessions the batch
+    # twin merges (late-arriving earlier events), but every event must be
+    # accounted for exactly once across emitted + still-open sessions:
+    # per-key totals of emitted sessions never exceed the batch totals
+    got_n = got.groupby("event_type")["n_events"].sum()
+    want_n = want.groupby("event_type")["n_events"].sum()
+    assert len(got) > 0
+    for k, n in got_n.items():
+        assert n <= want_n[k]
+    # and a decent share of sessions closed (timeouts + gap closures)
+    assert got_n.sum() >= 0.5 * want_n.sum()
