@@ -78,3 +78,23 @@ def test_asof_single_exchange_for_rank(spark):
     plan = _plan(picked)
     # exactly one hashpartitioning exchange on obs_id feeds the window
     assert plan.count("Exchange hashpartitioning(obs_id") == 1
+
+
+def test_q34_winnow_single_exchange(spark):
+    # rolling window + distinct share the doc-keyed exchange
+    plan = _plan(dq.QUERIES["q34_winnow_fingerprints"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_q35_clean_corpus_stays_jvm(spark):
+    # the whole composed cleaning pipeline is column ops + joins + windows
+    plan = _plan(dq.QUERIES["q35_clean_corpus"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q36_json_partial_aggregation(spark):
+    plan = _plan(dq.QUERIES["q36_json_stats"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # map-side combine before shuffle
+    assert "EvalPython" not in plan
