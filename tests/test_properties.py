@@ -74,3 +74,53 @@ def test_codec_roundtrips(seed):
         assert (got == a).all(), fmt
     lossy = codecs.decode(codecs.encode(a, "qdct"), 16, 16, 1, "qdct")
     assert codecs.psnr(lossy[0], a[0]) >= 40.0
+
+
+# --- filter-spec parser fuzz (pure, no Spark) --------------------------------
+
+_COLS = st.sampled_from(["label", "year", "x", "name"])
+_NUM = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+)
+_VAL = st.one_of(
+    _NUM,
+    st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=4),
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=8),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _COLS,
+            st.sampled_from(["==", ">", ">=", "<", "<=", "!=", "in", "not-in"]),
+            _VAL,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_filter_spec_parse_roundtrip(clauses):
+    from instageo_e2e_geospatial_ml_spark.functions.filters import parse_filters
+
+    spec = "; ".join(f"('{c}' ? '{o}' ? {v!r})" for c, o, v in clauses)
+    parsed = parse_filters(spec)
+    assert len(parsed) == len(clauses)
+    for (c, o, v), (pc, po, pv) in zip(clauses, parsed):
+        assert (pc, po) == (c, o)
+        assert pv == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40))
+def test_filter_spec_garbage_never_crashes_silently(garbage):
+    # any non-empty unparseable spec raises ValueError; empty → []
+    from instageo_e2e_geospatial_ml_spark.functions.filters import parse_filters
+
+    try:
+        out = parse_filters(garbage)
+    except (ValueError, SyntaxError):
+        return
+    assert isinstance(out, list)
