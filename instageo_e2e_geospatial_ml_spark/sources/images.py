@@ -129,6 +129,60 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(rs, IMAGES_SCHEMA)
 
 
+# --- JPEG-2000 header parsing (S5, reference s2_utils.py:360-407) -----------
+
+_JP2_SIG = bytes.fromhex("0000000c6a5020200d0a870a")  # JP2 signature box
+_SOC = b"\xff\x4f"  # codestream start
+_SIZ = b"\xff\x51"  # image/tile size marker
+
+
+def parse_jp2_header(buf: bytes) -> dict:
+    """Parse a JPEG-2000 header to (w, h, n_components, bit_depth) — the
+    metadata the catalog/validation path needs from S2 JP2 assets, parsed
+    directly from the SIZ marker (ISO 15444-1 A.5.1), no image library.
+    Accepts both a raw codestream (SOC..SIZ) and a JP2 container (the
+    codestream lives in the 'jp2c' box). Pixel DECODE still requires a
+    real JPEG-2000 library (EBCOT/MQ arithmetic coding) and stays behind
+    decode_external.
+    """
+    cs = buf
+    if buf[:12] == _JP2_SIG:
+        # walk the box structure to the jp2c (contiguous codestream) box
+        off = 0
+        while off + 8 <= len(buf):
+            ln = int.from_bytes(buf[off : off + 4], "big")
+            btype = buf[off + 4 : off + 8]
+            if btype == b"jp2c":
+                cs = buf[off + 8 :]
+                break
+            if ln == 0:
+                break
+            off += ln if ln >= 8 else 8
+        else:
+            raise ValueError("no jp2c codestream box in JP2 container")
+    if cs[:2] != _SOC:
+        raise ValueError("not a JPEG-2000 codestream (missing SOC)")
+    if cs[2:4] != _SIZ:
+        raise ValueError("SIZ marker must immediately follow SOC")
+    # SIZ segment: Lsiz(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4)
+    # XTsiz(4) YTsiz(4) XTOsiz(4) YTOsiz(4) Csiz(2) then per-component
+    # Ssiz(1) XRsiz(1) YRsiz(1)
+    p = 4
+    xsiz = int.from_bytes(cs[p + 4 : p + 8], "big")
+    ysiz = int.from_bytes(cs[p + 8 : p + 12], "big")
+    xosiz = int.from_bytes(cs[p + 12 : p + 16], "big")
+    yosiz = int.from_bytes(cs[p + 16 : p + 20], "big")
+    csiz = int.from_bytes(cs[p + 36 : p + 38], "big")
+    ssiz = cs[p + 38]
+    return {
+        "w": xsiz - xosiz,
+        "h": ysiz - yosiz,
+        "n_components": csiz,
+        "bit_depth": (ssiz & 0x7F) + 1,
+        "signed": bool(ssiz & 0x80),
+    }
+
+
 # --- stubbed external-format decoders --------------------------------------
 
 def decode_external(fmt: str, payload: bytes) -> np.ndarray:

@@ -297,3 +297,38 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = dedup_clusters(pairs, max_iters=12).toPandas()
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
+
+
+def _make_siz_codestream(w, h, n_comp=1, depth=16):
+    # minimal valid SOC+SIZ prefix per ISO 15444-1 A.5.1
+    body = (
+        (0).to_bytes(2, "big")          # Rsiz
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")      # Xsiz Ysiz
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # XOsiz YOsiz
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")      # XTsiz YTsiz
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # XTOsiz YTOsiz
+        + n_comp.to_bytes(2, "big")
+        + bytes([depth - 1, 1, 1]) * n_comp                # Ssiz XRsiz YRsiz
+    )
+    lsiz = (2 + len(body)).to_bytes(2, "big")
+    return b"\xff\x4f" + b"\xff\x51" + lsiz + body
+
+
+def test_parse_jp2_header_codestream_and_container():
+    from instageo_e2e_geospatial_ml_spark.sources.images import parse_jp2_header
+
+    cs = _make_siz_codestream(10980, 10980, n_comp=1, depth=16)
+    got = parse_jp2_header(cs)
+    assert got == {
+        "w": 10980, "h": 10980, "n_components": 1, "bit_depth": 16,
+        "signed": False,
+    }
+    # JP2 container: signature box + ftyp box + jp2c box wrapping the stream
+    sig = bytes.fromhex("0000000c6a5020200d0a870a")
+    ftyp = (20).to_bytes(4, "big") + b"ftypjp2 " + b"\x00" * 8
+    jp2c = (8 + len(cs)).to_bytes(4, "big") + b"jp2c" + cs
+    got2 = parse_jp2_header(sig + ftyp + jp2c)
+    assert got2["w"] == 10980 and got2["n_components"] == 1
+
+    with pytest.raises(ValueError):
+        parse_jp2_header(b"\x00" * 32)
