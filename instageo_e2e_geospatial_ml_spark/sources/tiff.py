@@ -1,9 +1,11 @@
 """Minimal pure-stdlib GeoTIFF reader (ingestion source).
 
-Reads strip-based, uncompressed or deflate-compressed, single-sample
-GeoTIFFs (uint8/uint16/int16/float32/float64) plus the geotransform from
-ModelPixelScaleTag/ModelTiepointTag — enough to ingest HLS-style tiles
-into the images table without rasterio (absent from this container).
+Reads strip-based AND tiled (COG-layout) uncompressed or
+deflate-compressed single-sample GeoTIFFs (uint8/uint16/int16/float32/
+float64) plus the geotransform from ModelPixelScaleTag/ModelTiepointTag —
+enough to ingest HLS-style tiles into the images table without rasterio
+(absent from this container). Real HLS/S2 COGs are internally tiled
+(512×512 deflate), which is the tiled branch here.
 Replaces the reference's xr.open_mfdataset scan (hls_utils.py:89-122).
 """
 
@@ -63,23 +65,36 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, floa
     compression = tags.get(259, [1])[0]
     sample_format = tags.get(339, [1])[0]
     dtype = np.dtype(bo + _DTYPES[(bits, sample_format)])
-    rows_per_strip = tags.get(278, [h])[0]
-    offsets = tags[273]
-    counts = tags[279]
+
+    def _inflate(chunk: bytes) -> bytes:
+        if compression == 8 or compression == 32946:  # deflate
+            return zlib.decompress(chunk)
+        if compression != 1:
+            raise NotImplementedError(f"TIFF compression {compression} unsupported")
+        return chunk
 
     out = np.empty((h, w), dtype=dtype)
-    row = 0
-    for o, c in zip(offsets, counts):
-        chunk = data[o : o + c]
-        if compression == 8 or compression == 32946:  # deflate
-            chunk = zlib.decompress(chunk)
-        elif compression != 1:
-            raise NotImplementedError(f"TIFF compression {compression} unsupported")
-        nrows = min(rows_per_strip, h - row)
-        out[row : row + nrows] = np.frombuffer(
-            chunk, dtype=dtype, count=nrows * w
-        ).reshape(nrows, w)
-        row += nrows
+    if 322 in tags:  # tiled layout (cloud-optimized GeoTIFF)
+        tw, th = tags[322][0], tags[323][0]
+        tiles_across = (w + tw - 1) // tw
+        for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
+            tile = np.frombuffer(
+                _inflate(data[o : o + c]), dtype=dtype, count=tw * th
+            ).reshape(th, tw)
+            ty, tx = divmod(idx, tiles_across)
+            r0, c0 = ty * th, tx * tw
+            nr, nc = min(th, h - r0), min(tw, w - c0)
+            out[r0 : r0 + nr, c0 : c0 + nc] = tile[:nr, :nc]  # edge tiles padded
+    else:  # strip layout
+        rows_per_strip = tags.get(278, [h])[0]
+        row = 0
+        for o, c in zip(tags[273], tags[279]):
+            chunk = _inflate(data[o : o + c])
+            nrows = min(rows_per_strip, h - row)
+            out[row : row + nrows] = np.frombuffer(
+                chunk, dtype=dtype, count=nrows * w
+            ).reshape(nrows, w)
+            row += nrows
     # geotransform
     sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])
     tie = tags.get(33922, [0.0] * 6)

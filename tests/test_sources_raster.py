@@ -133,3 +133,78 @@ def test_raster_pipeline_label_band(spark):
     seg = np.frombuffer(out.iloc[0]["seg"], dtype="<i2").reshape(32, 32)
     # raster-sliced labels: many distinct values (a gradient), unlike point stamps
     assert len(np.unique(seg)) > 10
+
+
+def test_read_geotiff_tiled_cog_layout(tmp_path):
+    # hand-build a tiled (COG-style) deflate GeoTIFF: 96x80 uint16, 64x64
+    # tiles (2x2 grid, right/bottom tiles padded) — the layout real HLS/S2
+    # assets use
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff
+
+    w, h, tw, th = 96, 80, 64, 64
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 10000, (h, w), dtype=np.uint16)
+
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((th, tw), dtype=np.uint16)
+            r0, c0 = ty * th, tx * tw
+            nr, nc = min(th, h - r0), min(tw, w - c0)
+            if nr > 0 and nc > 0:
+                tile[:nr, :nc] = img[r0 : r0 + nr, c0 : c0 + nc]
+            tiles.append(zlib.compress(tile.tobytes()))
+
+    def entry(tag, typ, cnt, val_bytes):
+        if len(val_bytes) < 4:
+            val_bytes = val_bytes + b"\x00" * (4 - len(val_bytes))
+        return struct.pack("<HHI", tag, typ, cnt) + val_bytes[:4]
+
+    header = b"II*\x00" + struct.pack("<I", 8)
+    n_entries = 11
+    ifd_size = 2 + n_entries * 12 + 4
+    data_start = 8 + ifd_size
+    # external arrays: tile offsets (4x4B), byte counts, pixel scale, tiepoint
+    off_tileoffsets = data_start
+    off_bytecounts = off_tileoffsets + 16
+    off_scale = off_bytecounts + 16
+    off_tie = off_scale + 24
+    tile_data_start = off_tie + 48
+    offsets, pos = [], tile_data_start
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+
+    entries = b"".join([
+        entry(256, 3, 1, struct.pack("<H", w)),
+        entry(257, 3, 1, struct.pack("<H", h)),
+        entry(258, 3, 1, struct.pack("<H", 16)),
+        entry(259, 3, 1, struct.pack("<H", 8)),       # deflate
+        entry(322, 3, 1, struct.pack("<H", tw)),
+        entry(323, 3, 1, struct.pack("<H", th)),
+        entry(324, 4, 4, struct.pack("<I", off_tileoffsets)),
+        entry(325, 4, 4, struct.pack("<I", off_bytecounts)),
+        entry(339, 3, 1, struct.pack("<H", 1)),
+        entry(33550, 12, 3, struct.pack("<I", off_scale)),
+        entry(33922, 12, 6, struct.pack("<I", off_tie)),
+    ])
+    ifd = struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+    body = (
+        struct.pack("<4I", *offsets)
+        + struct.pack("<4I", *[len(t) for t in tiles])
+        + struct.pack("<3d", 30.0, 30.0, 0.0)
+        + struct.pack("<6d", 0.0, 0.0, 0.0, 500000.0, 8000000.0, 0.0)
+        + b"".join(tiles)
+    )
+    path = tmp_path / "tiled.tif"
+    path.write_bytes(header + ifd + body)
+
+    arr, (a, c, e, f) = read_geotiff(str(path))
+    assert arr.shape == (h, w)
+    assert (arr == img).all()
+    assert (a, c, e, f) == (30.0, 500000.0, -30.0, 8000000.0)
