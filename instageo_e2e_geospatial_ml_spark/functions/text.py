@@ -98,6 +98,35 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
 
 
+def token_rarity_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Zipf-bucket commonness score per document (the CCNet-style
+    perplexity-filter shape without a language model): every token joins
+    the corpus-wide document frequency table, is bucketed by
+    floor(log2(freq)) — integer-exact in any engine for realistic freqs —
+    and the document score is the bucket mean derived from the exact
+    integer sum. Low scores flag rare-token-heavy (noisy) documents, high
+    scores boilerplate.
+
+    Plan: one explode + one vocab-sized groupBy (broadcast back) + one
+    doc-keyed aggregation — two shuffles total at any scale.
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F811
+
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    b = freq.withColumn("bucket", F.floor(F.log2("df")).cast("long"))
+    joined = tok.join(F.broadcast(b.select("tok", "bucket")), "tok")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bucket").alias("bucket_sum"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "bucket_sum",
+        F.round(F.col("bucket_sum") / F.col("n_tokens"), 6).alias("rarity_score"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of lowercase whitespace-normalized text."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1305,6 +1305,29 @@ FROM el GROUP BY cid, i
 """
 
 
+def q38_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-bucket token-rarity scores (integer log2 buckets of corpus
+    document frequency; exact sums, one deterministic division)."""
+    from ..functions.text import token_rarity_scores
+
+    return token_rarity_scores(_t(spark, sf_dir, "documents"))
+
+
+Q38_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+b AS (SELECT tok, CAST(floor(log2(df)) AS BIGINT) AS bucket FROM freq)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(b.bucket) AS BIGINT) AS bucket_sum,
+       round(CAST(sum(b.bucket) AS BIGINT) / count(*), 6) AS rarity_score
+FROM tok t JOIN b ON b.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1347,6 +1370,7 @@ QUERIES = {
     "q35_clean_corpus": q35_clean_corpus,
     "q36_json_stats": q36_json_stats,
     "q37_label_centroids": q37_label_centroids,
+    "q38_token_rarity": q38_token_rarity,
 }
 
 ORACLES = {
@@ -1385,4 +1409,5 @@ ORACLES = {
     "q35_clean_corpus": _q35_sql(),
     "q36_json_stats": Q36_SQL,
     "q37_label_centroids": Q37_SQL,
+    "q38_token_rarity": Q38_SQL,
 }
