@@ -98,3 +98,12 @@ def test_q36_json_partial_aggregation(spark):
     plan = _plan(dq.QUERIES["q36_json_stats"](spark, SF))
     assert plan.count("HashAggregate") >= 2  # map-side combine before shuffle
     assert "EvalPython" not in plan
+
+
+def test_q38_rarity_two_shuffles_with_broadcast_back(spark):
+    plan = _plan(dq.QUERIES["q38_token_rarity"](spark, SF))
+    # vocab-frequency table broadcasts back onto the token stream
+    assert "BroadcastHashJoin" in plan
+    # both aggregations partial-aggregate map-side
+    assert plan.count("HashAggregate") >= 4
+    assert "EvalPython" not in plan
