@@ -98,7 +98,12 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
 
 
-def token_rarity_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+def token_rarity_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
+):
     """Zipf-bucket commonness score per document (the CCNet-style
     perplexity-filter shape without a language model): every token joins
     the corpus-wide document frequency table, is bucketed by
@@ -107,15 +112,22 @@ def token_rarity_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     integer sum. Low scores flag rare-token-heavy (noisy) documents, high
     scores boilerplate.
 
-    Plan: one explode + one vocab-sized groupBy (broadcast back) + one
-    doc-keyed aggregation — two shuffles total at any scale.
+    Plan: one explode + one vocab-sized groupBy + one token-keyed join +
+    one doc-keyed aggregation. The vocabulary of a web corpus is unbounded
+    (every typo/URL is a distinct token), so the token join defaults to a
+    shuffle hash/sort-merge join — AQE converts it to broadcast at runtime
+    when the vocab side is actually small. Pass broadcast_vocab=True only
+    when the vocabulary is known-bounded (e.g. a fixed tokenizer model).
     """
     from pyspark.sql import DataFrame, functions as F  # noqa: F811
 
     tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     b = freq.withColumn("bucket", F.floor(F.log2("df")).cast("long"))
-    joined = tok.join(F.broadcast(b.select("tok", "bucket")), "tok")
+    vocab = b.select("tok", "bucket")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    joined = tok.join(vocab, "tok")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("bucket").alias("bucket_sum"),

@@ -100,10 +100,40 @@ def test_q36_json_partial_aggregation(spark):
     assert "EvalPython" not in plan
 
 
-def test_q38_rarity_two_shuffles_with_broadcast_back(spark):
+def test_q38_rarity_no_forced_vocab_broadcast(spark):
+    # The vocabulary of a web corpus is unbounded, so the token<->vocab
+    # join must NOT hard-code a broadcast: the static plan has to be a
+    # shuffle join (AQE may still downgrade to broadcast at runtime when
+    # the vocab turns out small — that's the safe direction).
+    # Prove the join is size-driven, not hint-forced: with auto-broadcast
+    # disabled the planner must fall back to a shuffle join. (A forced
+    # F.broadcast hint would override the threshold and keep broadcasting.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = dq.QUERIES["q38_token_rarity"](spark, SF)
+        static = df._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastExchange" not in static
+        assert ("SortMergeJoin" in static) or ("ShuffledHashJoin" in static)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     plan = _plan(dq.QUERIES["q38_token_rarity"](spark, SF))
-    # vocab-frequency table broadcasts back onto the token stream
-    assert "BroadcastHashJoin" in plan
-    # both aggregations partial-aggregate map-side
+    # both aggregations still partial-aggregate map-side, no Python
     assert plan.count("HashAggregate") >= 4
     assert "EvalPython" not in plan
+
+
+def test_q38_rarity_broadcast_opt_in(spark):
+    # broadcast_vocab=True plants the hint for known-bounded vocabularies:
+    # it must survive even with auto-broadcast disabled.
+    from instageo_e2e_geospatial_ml_spark.functions.text import token_rarity_scores
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = token_rarity_scores(docs, broadcast_vocab=True)
+        static = df._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in static
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
