@@ -49,18 +49,37 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """(doc, j, minhash_j): j-th hash = md5('<j>:'||shingle), min per doc.
+    """(doc, sig: array<bigint> of length num_hashes): j-th hash = the
+    first 60 bits of md5('<j>:'||shingle) as a BIGINT, elementwise min
+    over the doc's shingles.
 
-    md5-as-hash-family: min over lexicographic hex strings — identical in
-    any engine, and a valid minwise family for dedup purposes.
+    md5-as-hash-family: a 60-bit truncation is a valid minwise family for
+    dedup purposes, and a numeric min (unlike min over the hex string,
+    which Spark can only SortAggregate) hash-aggregates, so each map task
+    compresses its partition to one row per doc without sorting the
+    shingle stream.
+
+    All num_hashes hashes are computed as columns of the SAME shingle row
+    and min-aggregated in ONE doc-keyed aggregation — no j-explode, so the
+    pre-aggregation volume is 1× the shingle stream (not num_hashes×).
     """
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"_mh{j}")
+        for j in range(num_hashes)
+    ]
     return (
-        sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-        .withColumn(
-            "h", F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")))
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[f"_mh{j}" for j in range(num_hashes)]).alias("sig"),
         )
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("mh"))
     )
 
 
@@ -69,23 +88,45 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     max_bucket: int = 1000,
+    num_hashes: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Band the signature, self-join on (band_id, band_key) → candidate
-    near-duplicate pairs (doc_a < doc_b), deduplicated.
+    """Band the signature array, self-join on (band_id, band_key) →
+    candidate near-duplicate pairs (doc_a < doc_b), deduplicated.
 
-    max_bucket guards the quadratic blowup of degenerate buckets (skew)."""
-    bands = (
-        signatures.withColumn("band_id", F.floor(F.col("j") / F.lit(float(rows_per_band))).cast("int"))
-        .groupBy(id_col, "band_id")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
-                ),
-            ).alias("band_key")
-        )
+    Band b's key is the '|'-join of sig[b*rows_per_band : (b+1)*rows_per_band]
+    (the same j-ordered key the long-format band groupBy produced, without
+    the per-(doc, band) aggregation). max_bucket guards the quadratic
+    blowup of degenerate buckets (skew).
+
+    The band table is consumed four times (bucket-size count, skew
+    anti-join, both self-join sides); Catalyst does not reuse the exchange
+    across these subtrees, so by default it is materialized once with a
+    lazy localCheckpoint — otherwise the whole shingle→minhash pipeline
+    re-executes 4× (and the source scan 8×). Pass materialize=False for
+    pure-lineage plans (e.g. streaming or explain-only use)."""
+    n_bands = -(-num_hashes // rows_per_band)  # ceil: last band may be partial
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[j]
+                        for j in range(
+                            b * rows_per_band,
+                            min((b + 1) * rows_per_band, num_hashes),
+                        )
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bands = signatures.select(id_col, F.inline(band_structs))
+    if materialize:
+        bands = bands.localCheckpoint(eager=False)
     sizes = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_bn"))
     bands = bands.join(
         F.broadcast(sizes.filter(F.col("_bn") > max_bucket)),
@@ -115,7 +156,7 @@ def minhash_lsh_dedup(
     """Full MinHash+LSH near-dup candidate pipeline → (doc_a, doc_b)."""
     sh = shingles(docs.select(id_col, text_col), text_col, shingle_n)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    return lsh_candidate_pairs(sig, id_col, rows_per_band)
+    return lsh_candidate_pairs(sig, id_col, rows_per_band, num_hashes=num_hashes)
 
 
 def simhash(

@@ -473,13 +473,15 @@ sh AS (
   FROM toks WHERE len(t) >= 3
 ),
 h AS (
-  SELECT doc_id, j.j AS j, min(md5(CAST(j.j AS VARCHAR) || ':' || s)) AS mh
+  SELECT doc_id, j.j AS j,
+         min(CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || s), 1, 15))
+                  AS BIGINT)) AS mh
   FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) j
   GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, CAST(floor(j / 2.0) AS INT) AS band_id,
-         string_agg(mh, '|' ORDER BY j) AS band_key
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
   FROM h GROUP BY 1, 2
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1219,13 +1221,15 @@ sh AS (
   FROM toks WHERE len(t) >= 3
 ),
 h AS (
-  SELECT doc_id, j.j AS j, min(md5(CAST(j.j AS VARCHAR) || ':' || s)) AS mh
+  SELECT doc_id, j.j AS j,
+         min(CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || s), 1, 15))
+                  AS BIGINT)) AS mh
   FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) j
   GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, CAST(floor(j / 2.0) AS INT) AS band_id,
-         string_agg(mh, '|' ORDER BY j) AS band_key
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
   FROM h GROUP BY 1, 2
 ),
 pairs AS (

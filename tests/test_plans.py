@@ -137,3 +137,24 @@ def test_q38_rarity_broadcast_opt_in(spark):
         assert "BroadcastHashJoin" in static
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q15_minhash_no_explode_single_band_materialization(spark):
+    df = dq.QUERIES["q15_minhash_lsh"](spark, SF)
+    plan = _plan(df)
+    # the band table is materialized once (lazy localCheckpoint) and the
+    # self-join consumes the RDD, not 4 re-executions of the minhash agg
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    # signatures are computed without the j-explode: the only Generate in
+    # the signature subtree is the shingle positions + band inline
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures(shingles(docs, "text", 3))
+    splan = sig._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Generate") == 1  # shingle explode only, no j-explode
+    assert splan.count("HashAggregate") >= 2  # partial + final min agg
