@@ -33,6 +33,20 @@ def exact_dedup(
     )
 
 
+def keep_min_per_key(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly the row with the minimum id per key value — the shared
+    keeper rule for every dedup stage.
+
+    groupBy-min + semi-join rather than a row_number window: the
+    aggregation moves only (key, id) pairs (map-side combined to one row
+    per key per partition) where the window form would shuffle full rows;
+    the semi-join back carries no payload columns from the keeper side and
+    AQE broadcasts it when the keeper set is small.
+    """
+    keepers = df.groupBy(key_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, [key_col, id_col], "left_semi")
+
+
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles, exploded to (doc, shingle) rows."""
     t = tokens(text_col)
@@ -327,12 +341,7 @@ def clean_corpus(
 
     # exact: keep min id per normalized fingerprint
     keyed = gated.withColumn("_fh", _fp(text_col))
-    w_keep = Window.partitionBy("_fh").orderBy(F.col(id_col).asc())
-    exact_kept = (
-        keyed.withColumn("_rn", F.row_number().over(w_keep))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_fh")
-    )
+    exact_kept = keep_min_per_key(keyed, "_fh", id_col).drop("_fh")
 
     # near-dup: cluster candidates, drop every non-minimal member
     pairs = minhash_lsh_dedup(
