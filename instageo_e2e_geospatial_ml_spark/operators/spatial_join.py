@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
@@ -58,16 +58,22 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndar
 
 @pandas_udf(BooleanType())
 def pip_udf(
-    gid: pd.Series, px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series
+    gid1: pd.Series,
+    gid2: pd.Series,
+    px: pd.Series,
+    py: pd.Series,
+    xs: pd.Series,
+    ys: pd.Series,
 ) -> pd.Series:
     """Exact PIP refine (general polygons); batches are grouped by the
-    polygon's id so each unique polygon is tested against all its candidate
-    points in one vectorized pass (grouping on the cheap scalar key, not on
-    serialized vertex bytes)."""
+    polygon's 128-bit id (two scalar halves, so the pandas groupby stays
+    1-dimensional) — each unique polygon is tested against all its
+    candidate points in one vectorized pass (grouping on the cheap scalar
+    keys, not on serialized vertex bytes)."""
     out = np.zeros(len(px), dtype=bool)
     pxv = px.to_numpy(dtype=np.float64)
     pyv = py.to_numpy(dtype=np.float64)
-    for _, idx in pd.Series(range(len(px))).groupby(gid).groups.items():
+    for _, idx in pd.Series(range(len(px))).groupby([gid1, gid2]).groups.items():
         ii = np.asarray(idx)
         poly_x = np.asarray(xs.iloc[ii[0]], dtype=np.float64)
         poly_y = np.asarray(ys.iloc[ii[0]], dtype=np.float64)
@@ -204,8 +210,8 @@ def pip_join(
     never crosses an exchange; see plans/pipeline.build_records). Pair
     with footprint_key() to key the granule side.
     """
-    geom = ["fp_minx", "fp_miny", "fp_maxx", "fp_maxy", "fp_xs", "fp_ys"]
-    with_fp = catalog.withColumn("_fp_id", F.xxhash64(*geom))
+    geom = list(FP_GEOM_COLS)
+    with_fp = catalog.withColumn("_fp_id", _fp_identity())
     fp_granules = with_fp.select("_fp_id", "granule_id")
     cat = with_fp.select("_fp_id", *geom).distinct()
     if exact == "auto":
@@ -231,7 +237,12 @@ def pip_join(
     )
     _sql_test = convex_inside(F.col(x), F.col(y), F.col("fp_xs"), F.col("fp_ys"))
     _udf_test = pip_udf(
-        F.col("_fp_id"), F.col(x), F.col(y), F.col("fp_xs"), F.col("fp_ys")
+        F.col("_fp_id.h1"),
+        F.col("_fp_id.h2"),
+        F.col(x),
+        F.col(y),
+        F.col("fp_xs"),
+        F.col("fp_ys"),
     )
     if exact == "convex_sql":
         j = j.filter(_sql_test)
@@ -256,10 +267,25 @@ def pip_join(
 FP_GEOM_COLS = ["fp_minx", "fp_miny", "fp_maxx", "fp_maxy", "fp_xs", "fp_ys"]
 
 
+def _fp_identity() -> Column:
+    """128-bit footprint identity: a struct of two independently-salted
+    xxhash64s over the geometry columns. 16 bytes per row (vs carrying the
+    polygon arrays through every match exchange); the chance that two
+    DISTINCT footprints collide — which would silently merge them and
+    attach the wrong granules — is ~n²/2^129: even at 10^9 distinct
+    footprints that is ~10^-21, far below any hardware error rate. A
+    single xxhash64 (n²/2^65) would reach ~3% at 10^9 — not acceptable.
+    """
+    return F.struct(
+        F.xxhash64(*FP_GEOM_COLS).alias("h1"),
+        F.xxhash64(F.lit("fp-salt-2"), *FP_GEOM_COLS).alias("h2"),
+    )
+
+
 def footprint_key(catalog: DataFrame) -> DataFrame:
     """catalog + `_fp_id` column — the same footprint-identity key
-    pip_join uses internally (xxhash64 of the geometry columns)."""
-    return catalog.withColumn("_fp_id", F.xxhash64(*FP_GEOM_COLS))
+    pip_join uses internally (128-bit salted-double-xxhash64 struct)."""
+    return catalog.withColumn("_fp_id", _fp_identity())
 
 
 def candidate_lists(matches: DataFrame, obs: DataFrame, obs_id: str = "obs_id") -> DataFrame:

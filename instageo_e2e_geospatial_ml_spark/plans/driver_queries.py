@@ -46,6 +46,29 @@ CELL_SQL = sql_cell_expr("lon", "lat", RES)
 PTS_SQL = f"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM lineitem"
 
 
+_SCRATCH_ROOT: str | None = None
+_SCRATCH_SEQ = 0
+
+
+def _scratch_subdir(tag: str) -> str:
+    """Fresh subdirectory under one atexit-cleaned per-process scratch root
+    — scratch for queries whose sink must outlive the function (lazy
+    collection by the caller) but not the process."""
+    global _SCRATCH_ROOT, _SCRATCH_SEQ
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="driver_queries_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    _SCRATCH_SEQ += 1
+    d = os.path.join(_SCRATCH_ROOT, f"{tag}_{_SCRATCH_SEQ}")
+    os.makedirs(d)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -710,8 +733,6 @@ def q26_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation (AvailableNow over
     the events table as a file stream), oracle-checked against the
     equivalent batch GROUP BY on epoch-aligned 6-hour buckets."""
-    import tempfile
-
     from ..streaming.windows import (
         read_event_stream,
         run_available_now,
@@ -719,10 +740,11 @@ def q26_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    # mkdtemp (not TemporaryDirectory): the sink table must outlive this
-    # function — the caller collects the returned DataFrame lazily, so no
-    # driver-side materialization (toPandas) is needed here
-    td = tempfile.mkdtemp(prefix="q26_stream_")
+    # scratch subdir under an atexit-cleaned parent: the sink table must
+    # outlive this function (the caller collects the returned DataFrame
+    # lazily) but not the process — each invocation gets a fresh subdir so
+    # the streaming checkpoint never collides with a previous run
+    td = _scratch_subdir("q26_stream")
     src = f"{td}/in"
     ev.repartition(4).write.mode("overwrite").parquet(src)
     stream = read_event_stream(spark, src, ev.schema)

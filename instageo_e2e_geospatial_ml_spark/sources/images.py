@@ -152,12 +152,21 @@ def parse_jp2_header(buf: bytes) -> dict:
         while off + 8 <= len(buf):
             ln = int.from_bytes(buf[off : off + 4], "big")
             btype = buf[off + 4 : off + 8]
+            # LBox==1: extended-length box — the real 64-bit length (XLBox)
+            # follows the type, and the box header is 16 bytes (ISO 15444-1
+            # I.5.1); LBox==0: box runs to EOF
+            hdr = 8
+            if ln == 1:
+                if off + 16 > len(buf):
+                    break
+                ln = int.from_bytes(buf[off + 8 : off + 16], "big")
+                hdr = 16
             if btype == b"jp2c":
-                cs = buf[off + 8 :]
+                cs = buf[off + hdr :]
                 break
             if ln == 0:
                 break
-            off += ln if ln >= 8 else 8
+            off += ln if ln >= hdr else hdr
         else:
             raise ValueError("no jp2c codestream box in JP2 container")
     if cs[:2] != _SOC:

@@ -5,7 +5,15 @@ are ≤ `gap` apart (the classic gap-based sessionization the reference's RQ
 job queue has no analogue for; a web-scale ingest pipeline needs it to
 group observation bursts per tile).
 
-Two implementations with identical semantics:
+Two implementations, identical on in-order input (and any input where
+cross-batch disorder stays within one micro-batch — batches are sorted
+before folding). For cross-batch late events the streaming twin is
+best-effort append-mode: an in-gap event older than the open session
+extends session_start backward; an out-of-gap older event becomes its own
+immediately-emitted session; but an event that would MERGE two
+already-emitted sessions cannot retract emitted rows (Spark's append mode
+has no retractions — the exact twin would need full event buffering until
+the watermark).
 
   * `sessionize_batch` — pure DataFrame algebra: lag() gap flags → running
     sum over the key window = session ordinal → one groupBy. Exactly
@@ -76,6 +84,12 @@ def sessionize_stream(
     event in any batch, or (when `emit_open_on_timeout`) by event-time
     timeout once the watermark passes session_end + gap. Late rows older
     than an emitted session are dropped by the watermark upstream.
+
+    Cross-batch late events (older than the OPEN session but within the
+    watermark): an in-gap one extends session_start backward; an
+    out-of-gap one is emitted as its own immediate session (two such
+    events within a gap of each other emit separately — append mode
+    cannot retract; see the module docstring for the exact-twin caveat).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -112,7 +126,14 @@ def sessionize_stream(
                 t = int(t)
                 if n > 0 and t - last > gap_us:
                     closed.append((k[0], fmt(st), fmt(last), n, round(s, 6)))
-                    st, n, s = t, 0, 0.0
+                    st, last, n, s = t, t, 0, 0.0
+                elif n > 0 and st - t > gap_us:
+                    # late event more than a gap OLDER than the open
+                    # session: its own session, emitted immediately
+                    # (append-mode best effort — see docstring)
+                    closed.append((k[0], fmt(t), fmt(t), 1, round(float(v), 6)))
+                    continue
+                st = min(st, t)
                 last = max(last, t)
                 n += 1
                 s += float(v)

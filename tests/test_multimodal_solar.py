@@ -332,3 +332,32 @@ def test_parse_jp2_header_codestream_and_container():
 
     with pytest.raises(ValueError):
         parse_jp2_header(b"\x00" * 32)
+
+
+def test_parse_jp2_header_extended_length_boxes():
+    """LBox==1 boxes carry their real length in a 64-bit XLBox after the
+    type and use a 16-byte header (ISO 15444-1 I.5.1) — both before jp2c
+    and on the jp2c box itself."""
+    from instageo_e2e_geospatial_ml_spark.sources.images import parse_jp2_header
+
+    cs = _make_siz_codestream(512, 256, n_comp=3, depth=12)
+    sig = bytes.fromhex("0000000c6a5020200d0a870a")
+    # an extended-length ftyp box sitting before jp2c
+    ftyp_payload = b"jp2 " + b"\x00" * 8
+    ftyp_ext = (
+        (1).to_bytes(4, "big") + b"ftyp"
+        + (16 + len(ftyp_payload)).to_bytes(8, "big") + ftyp_payload
+    )
+    jp2c = (8 + len(cs)).to_bytes(4, "big") + b"jp2c" + cs
+    got = parse_jp2_header(sig + ftyp_ext + jp2c)
+    assert got == {
+        "w": 512, "h": 256, "n_components": 3, "bit_depth": 12,
+        "signed": False,
+    }
+    # the jp2c box itself extended-length (how >4GiB codestreams ship)
+    jp2c_ext = (
+        (1).to_bytes(4, "big") + b"jp2c" + (16 + len(cs)).to_bytes(8, "big") + cs
+    )
+    ftyp = (20).to_bytes(4, "big") + b"ftypjp2 " + b"\x00" * 8
+    got2 = parse_jp2_header(sig + ftyp + jp2c_ext)
+    assert got2["w"] == 512 and got2["bit_depth"] == 12

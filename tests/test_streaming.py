@@ -133,3 +133,69 @@ def test_sessionize_stream_multi_batch_state(spark, events_path, tmp_path):
     for _, r in got.iterrows():
         assert rng.loc[r["event_type"], "lo"] <= r["session_start"]
         assert r["session_end"] <= rng.loc[r["event_type"], "hi"]
+
+
+def test_sessionize_stream_late_event_extends_session_start(spark, tmp_path):
+    # a cross-batch event OLDER than the open session but within the gap
+    # must extend session_start backward; one older by MORE than the gap
+    # becomes its own immediately-emitted session
+    from instageo_e2e_geospatial_ml_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    import glob
+    import os
+    import shutil
+    import time
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    now = time.time()
+
+    def write_one(name, ts, value, age):
+        # write via a scratch dir, then move the single part-file FLAT into
+        # the stream-source dir (FileStreamSource does not recurse into
+        # the name.parquet directory a DataFrame write produces)
+        tmp = tmp_path / f"_w_{name}"
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_type": ["k"],
+                    "ts": pd.to_datetime([ts]),
+                    "value": [float(value)],
+                }
+            )
+        ).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dest = d / name
+        shutil.move(part, dest)
+        # maxFilesPerTrigger takes oldest-first: pin mod times so the
+        # micro-batch order is deterministic
+        os.utime(dest, (now - age, now - age))
+
+    write_one("a.parquet", "2024-01-01 10:00:00", 1.0, 400)  # opens the session
+    write_one("b.parquet", "2024-01-01 09:58:00", 2.0, 300)  # late, in-gap
+    write_one("c.parquet", "2024-01-01 05:00:00", 4.0, 200)  # late, out-of-gap
+    write_one("d.parquet", "2024-01-01 20:00:00", 8.0, 100)  # closes the session
+
+    schema = spark.read.parquet(str(d / "a.parquet")).schema
+    stream = read_event_stream(spark, str(d), schema, max_files=1)
+    sessions = sessionize_stream(
+        stream, key="event_type", gap_minutes=30, watermark="6 hours"
+    )
+    got = run_available_now(
+        sessions, "sess_late", str(tmp_path / "cklate")
+    ).toPandas()
+    got = got.sort_values("session_start").reset_index(drop=True)
+    # the out-of-gap late singleton and the backward-extended session
+    # (d.parquet's 20:00 closes it in-loop; 20:00 itself stays open)
+    assert list(got["session_start"]) == [
+        "2024-01-01T05:00:00",
+        "2024-01-01T09:58:00",
+    ]
+    assert list(got["session_end"]) == [
+        "2024-01-01T05:00:00",
+        "2024-01-01T10:00:00",
+    ]
+    assert list(got["n_events"]) == [1, 2]
+    assert list(got["sum_value"]) == [4.0, 3.0]
