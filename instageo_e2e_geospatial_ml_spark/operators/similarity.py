@@ -168,15 +168,28 @@ def lsh_topk(
     qvec: str = "qvec",
     pvec: str = "pvec",
     n_bits: int = 8,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the LSH bucket are scored.
 
-    Recall < 1 by design (bucketing); multi-probe = union over bit-flip
-    neighbors left to callers."""
+    Recall < 1 by design (bucketing). multi_probe=True additionally probes
+    every single-bit-flip neighbor of each query's bucket (the standard
+    multi-probe recall knob): the query side explodes into n_bits+1 probe
+    buckets — all distinct, and each corpus row lives in exactly one
+    bucket, so a (query, candidate) pair still joins at most once (no
+    dedup needed). Cost: the broadcast query side grows ×(n_bits+1);
+    corpus-side work grows only with the extra candidates actually
+    matched."""
     qb = lsh_buckets(queries.select(F.col(qid).alias("_id"), F.col(qvec).alias("v")), "v", "_id", n_bits)
     pb = lsh_buckets(corpus.select(F.col(pid).alias("_id"), F.col(pvec).alias("v")), "v", "_id", n_bits)
     q = queries.join(qb.select(F.col("_id").alias(qid), "bucket"), qid)
     p = corpus.join(pb.select(F.col("_id").alias(pid), "bucket"), pid)
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     j = (
         F.broadcast(q)
         .join(p, "bucket")
@@ -288,4 +301,99 @@ def ivf_topk(
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid, pid, "dot", "rank")
+    )
+
+
+def train_centroids(
+    vecs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Distributed k-means (Lloyd) over an embedding column → (cid,
+    c: array<long>) centroids in the ×1000-quantized integer domain —
+    the unsupervised IVF coarse-quantizer builder (label_centroids needs a
+    label column; corpora have none). Reference analogue: the splitter's
+    KMeans cascade (data_splitter.py:856-950), which runs driver-side over
+    a tiny per-tile table; this is the full-corpus distributed form.
+
+    Every quantity is integer-exact and engine-portable (DuckDB oracle):
+      * seed: the k vectors ranked first by md5(id) — a deterministic
+        pseudo-random draw computed as a distributed partial top-k
+        (TakeOrderedAndProject), not a global sort;
+      * assign: argmin ||v − c||² = argmax(2·v·c − |c|²) over quantized
+        int64 elements, as a broadcast cross-score + map-side
+        max(struct(score, −cid)) aggregation — the one shuffle per round
+        moves N rows, not N×k (the ivf_topk assignment pattern);
+      * update: per-(cluster, dim) exact integer sums, one fixed-shape
+        round(sum/n) per element (half-away-from-zero in both engines).
+
+    Empty clusters are dropped (k may shrink — the standard Lloyd
+    degeneracy; k-means‖ style re-seeding is a caller concern). Each
+    round's centroid table (≤ k rows) is cut from the lineage with a lazy
+    localCheckpoint so the iterative plan doesn't grow exponentially
+    (pass materialize=False for explain-only use).
+
+    Feed the result through centroids_as_vectors() for ivf_topk.
+    """
+    zero = F.lit(0).cast("long")
+    q = vecs.select(
+        id_col, F.transform(F.col(vec_col), lambda e: _quant(e)).alias("v")
+    )
+    if materialize:
+        q = q.localCheckpoint(eager=False)
+
+    # deterministic seeding: distributed top-k by hash order
+    seeds = (
+        q.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    cents = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_h", F.col(id_col)))
+    ).select("cid", F.col("v").alias("c"))
+
+    for _ in range(n_iters):
+        scored = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "score",
+                F.lit(2)
+                * F.aggregate(
+                    F.zip_with("v", "c", lambda x, y: x * y), zero, lambda a, x: a + x
+                )
+                - F.aggregate("c", zero, lambda a, x: a + x * x),
+            )
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(F.struct(F.col("score"), (-F.col("cid")).alias("_nc"))).alias("_m"),
+                F.first("v").alias("v"),
+            )
+            .select(id_col, (-F.col("_m._nc")).alias("cid"), "v")
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("i", "e"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.sum("e") / F.count(F.lit(1))).cast("long").alias("ce"))
+        )
+        cents = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ce"))), lambda s: s["ce"]
+            ).alias("c")
+        )
+        if materialize:
+            cents = cents.localCheckpoint(eager=False)
+    return cents
+
+
+def centroids_as_vectors(cents: DataFrame) -> DataFrame:
+    """(cid, c array<long>) from train_centroids → (cid, cvec array<float>)
+    in the embedding domain, ready for ivf_topk."""
+    return cents.select(
+        "cid",
+        F.transform("c", lambda x: x / F.lit(1000.0)).cast("array<float>").alias("cvec"),
     )

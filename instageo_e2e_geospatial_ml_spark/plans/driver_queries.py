@@ -1354,6 +1354,113 @@ GROUP BY t.doc_id
 """
 
 
+def q40_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (the recall knob): each query also probes all
+    single-bit-flip neighbors of its bucket."""
+    from ..operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = lsh_topk(q, p, k=5, n_bits=8, multi_probe=True)
+    return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+# the multi-probe twin: identical to Q29 except the query side explodes
+# into its bucket + the 8 single-bit-flip neighbor buckets
+Q40_SQL = Q29_SQL.replace(
+    """q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id % 25 = 0),""",
+    """q0 AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+      FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id % 25 = 0),
+q AS (SELECT qid, qe,
+             unnest(list_prepend(bucket,
+                    list_transform(generate_series(0, 7),
+                                   bb -> xor(bucket, CAST(1 AS BIGINT) << bb))))
+               AS bucket
+      FROM q0),""",
+)
+assert Q40_SQL != Q29_SQL
+
+
+_Q39_K = 6
+_Q39_ITERS = 2
+
+
+def q39_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings (unsupervised IVF
+    coarse-quantizer training): fixed iteration count, integer-exact
+    assign/update, long-form quantized centroids."""
+    from ..operators.similarity import train_centroids
+
+    cents = train_centroids(
+        _t(spark, sf_dir, "embeddings"), k=_Q39_K, n_iters=_Q39_ITERS
+    )
+    return cents.select(
+        F.col("cid").cast("long").alias("cid"), F.posexplode("c").alias("i0", "ce")
+    ).select("cid", (F.col("i0") + 1).cast("long").alias("i"), "ce")
+
+
+def _kmeans_sql(k: int, n_iters: int, dim: int = 64) -> str:
+    """Unrolled-iteration DuckDB twin of train_centroids: one
+    (score→assign→update→assemble) CTE block per Lloyd round."""
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         v AS c
+  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f""",
+s{t} AS (
+  SELECT v.vec_id, c.cid,
+         CAST(2 * sum(v.v[i.i] * c.c[i.i]) - sum(c.c[i.i] * c.c[i.i]) AS BIGINT)
+           AS score
+  FROM v, {prev} c, (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM s{t}
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cid, i.i AS i,
+         CAST(round(CAST(sum(v.v[i.i]) AS BIGINT) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS ce
+  FROM a{t} a JOIN v ON v.vec_id = a.vec_id,
+       (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY 1, 2
+),
+c{t} AS (SELECT cid, list(ce ORDER BY i) AS c FROM u{t} GROUP BY cid)"""
+        )
+    parts.append(
+        f"""
+SELECT cid, i, ce
+FROM (SELECT cid, unnest(generate_series(1, {dim})) AS i, unnest(c) AS ce
+      FROM c{n_iters})"""
+    )
+    return "".join(parts)
+
+
+Q39_SQL = _kmeans_sql(_Q39_K, _Q39_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1397,6 +1504,8 @@ QUERIES = {
     "q36_json_stats": q36_json_stats,
     "q37_label_centroids": q37_label_centroids,
     "q38_token_rarity": q38_token_rarity,
+    "q39_kmeans_centroids": q39_kmeans_centroids,
+    "q40_ann_lsh_multiprobe": q40_ann_lsh_multiprobe,
 }
 
 ORACLES = {
@@ -1436,4 +1545,6 @@ ORACLES = {
     "q36_json_stats": Q36_SQL,
     "q37_label_centroids": Q37_SQL,
     "q38_token_rarity": Q38_SQL,
+    "q39_kmeans_centroids": Q39_SQL,
+    "q40_ann_lsh_multiprobe": Q40_SQL,
 }

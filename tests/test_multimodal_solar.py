@@ -361,3 +361,78 @@ def test_parse_jp2_header_extended_length_boxes():
     ftyp = (20).to_bytes(4, "big") + b"ftypjp2 " + b"\x00" * 8
     got2 = parse_jp2_header(sig + ftyp + jp2c_ext)
     assert got2["w"] == 512 and got2["bit_depth"] == 12
+
+
+def test_train_centroids_unsupervised_ivf_recall(spark):
+    # distributed Lloyd must (a) be deterministic, (b) strictly improve the
+    # k-means objective over the raw seeds, and (c) produce centroids that
+    # give ivf_topk useful recall against the exact brute-force top-k
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import (
+        brute_force_topk,
+        centroids_as_vectors,
+        ivf_topk,
+        train_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    c0 = train_centroids(e, k=4, n_iters=0).toPandas()
+    c3 = train_centroids(e, k=4, n_iters=3).toPandas()
+    c3b = train_centroids(e, k=4, n_iters=3).toPandas()
+    # deterministic across runs
+    key = lambda p: sorted((int(r["cid"]), tuple(r["c"])) for _, r in p.iterrows())
+    assert key(c3) == key(c3b)
+
+    vecs = np.array(
+        [np.asarray(v, dtype=np.float64) for v in e.toPandas()["embedding"]]
+    )
+    qv = np.rint(vecs * 1000.0)
+
+    def objective(cents_pdf):
+        cm = np.array([np.asarray(c, dtype=np.float64) for c in cents_pdf["c"]])
+        d2 = ((qv[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    assert objective(c3) < objective(c0)  # Lloyd improved the seeds
+
+    cen = centroids_as_vectors(train_centroids(e, k=4, n_iters=3))
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    exact = brute_force_topk(q, p, k=5).toPandas()
+    approx = ivf_topk(q, p, cen, k=5, nprobe=2).toPandas()
+    exact_pairs = set(zip(exact["qid"], exact["pid"]))
+    approx_pairs = set(zip(approx["qid"], approx["pid"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    exact = set(map(tuple, brute_force_topk(q, p, k=10).select("qid", "pid").collect()))
+
+    def recall(multi):
+        got = set(
+            map(
+                tuple,
+                lsh_topk(q, p, k=10, n_bits=6, multi_probe=multi)
+                .select("qid", "pid")
+                .collect(),
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r1, rm = recall(False), recall(True)
+    assert rm > r1, (r1, rm)  # the recall knob must actually turn
