@@ -252,6 +252,7 @@ def extract_chips(
     data_source: str = "HLS",
     payload_source: str = "rows",
     n_salt: int = 0,  # obsolete (kept for API compat): cell grouping bounds skew structurally
+    max_wants_granules: int = 200_000,
 ) -> DataFrame:
     """records(stac_items_str, granules, x, y, date, label) × images
     (input_hint schema) → chip table. See module docstring for the
@@ -272,6 +273,12 @@ def extract_chips(
     payloads directly with pyarrow (vectorized-reader pattern — pixels
     never cross the JVM↔Python socket; requires a file-backed table).
     Both produce identical output.
+
+    max_wants_granules guards the 'files' path, whose (granule → wanted
+    cells) map is collected to the driver and rebroadcast as a dict (a
+    Python task reading raw parquet cannot consume a broadcast JOIN):
+    above the cap it raises with instructions to use 'rows', whose wants
+    map is a plain broadcast join and scales to any granule count.
     """
     mask_types = list(mask_types)
     overrides = dict(transform_overrides or {})
@@ -399,7 +406,13 @@ def extract_chips(
         paths = [p for p in images.inputFiles()]
         if not paths:
             raise ValueError("payload_source='files' requires a file-backed images table")
-        wants_rows = wants.collect()
+        wants_rows = wants.limit(max_wants_granules + 1).collect()
+        if len(wants_rows) > max_wants_granules:
+            raise ValueError(
+                f"payload_source='files' is capped at {max_wants_granules} "
+                "granules (the wants map is driver-collected); use "
+                "payload_source='rows', whose wants map is a broadcast join"
+            )
         wants_map = {
             r["granule_id"]: [w.asDict() for w in r["wants"]] for r in wants_rows
         }

@@ -83,20 +83,51 @@ def test_asof_closest_order(spark):
     assert cloud["picked_granule"] == "far_clear"
 
 
-def test_regexp_tile_year_extraction(spark):
-    # P11 (data_splitter.py:141-177): MGRS tile + year from file paths
+def test_p11_path_field_extraction(spark):
+    # P11 (data_splitter.py:141-177) as a NAMED operator: the reference's
+    # exact semantics — basename only, first permissive tile run uppercased,
+    # first 19xx/20xx year, NULL when absent
+    from instageo_e2e_geospatial_ml_spark.functions.paths import (
+        extract_mgrs_tile,
+        extract_year,
+    )
+
     paths = spark.createDataFrame(
         pd.DataFrame(
-            {"p": ["chips/chip_20200101_S30_T38PMB_2022145T072619_1_2.tif",
-                    "x/chip_19990215_S30_T30RYS_2022001T000000_0_0.tif"]}
+            {
+                "p": [
+                    "chips/chip_20200101_S30_T38PMB_2022145T072619_1_2.tif",
+                    "x/chip_19990215_S30_T30RYS_2022001T000000_0_0.tif",
+                    # lowercase tile is uppercased (reference .upper())
+                    "y/seg_t15xwh_no_year_here.tif",
+                    # a year in the DIRECTORY must be ignored (basename only)
+                    "2021/plain_file.tif",
+                ]
+            }
         )
     )
     out = paths.select(
-        F.regexp_extract("p", r"T(\d{1,2}[A-Za-z]{3})", 1).alias("tile"),
-        F.regexp_extract("p", r"((?:19|20)\d{2})", 1).alias("year"),
+        extract_mgrs_tile("p").alias("tile"), extract_year("p").alias("year")
     ).collect()
-    assert [r["tile"] for r in out] == ["38PMB", "30RYS"]
-    assert [r["year"] for r in out] == ["2020", "1999"]
+    assert [r["tile"] for r in out] == ["38PMB", "30RYS", "15XWH", None]
+    assert [r["year"] for r in out] == [2020, 1999, None, None]
+
+    # reference parity on the same inputs (pure-Python twin of
+    # data_splitter.extract_mgrs_tile / extract_year)
+    import os
+    import re
+
+    def ref_tile(p):
+        m = re.search(r"(\d{1,2}[a-zA-Z]{3})", os.path.basename(p))
+        return m.group(1).upper() if m else None
+
+    def ref_year(p):
+        m = re.findall(r"(19[0-9]{2}|20[0-9]{2})", os.path.basename(p))
+        return int(m[0]) if m else None
+
+    pdf = paths.toPandas()
+    assert [r["tile"] for r in out] == [ref_tile(p) for p in pdf["p"]]
+    assert [r["year"] for r in out] == [ref_year(p) for p in pdf["p"]]
 
 
 def test_raster_pipeline_label_band(spark):
