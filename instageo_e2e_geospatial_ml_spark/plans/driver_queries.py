@@ -806,8 +806,10 @@ FROM d WHERE dot > 0 AND 1000000 * dot * dot >= 90000 * na * nb
 def q19_chip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full chip pipeline on deterministic synthetic data (seeded): obs →
     MGRS assign → PIP join → as-of pick → cogrouped chip extraction.
-    Returns the chip-table metadata columns (binary payloads dropped so the
-    row set is hash-stable)."""
+    Returns the chip-table metadata columns plus md5 digests of the binary
+    chip/seg payloads — the digests ride the driver's rows-only hash, so a
+    silent pixel regression flips the recorded hash even without a DuckDB
+    twin."""
     from .. import synth
     from .pipeline import ChipPipelineConfig, run_chip_pipeline
 
@@ -830,6 +832,8 @@ def q19_chip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chips.select(
         "chip_id", "stac_items_str", "tile_key", "cx", "cy", "date_id",
         "n_bands", "chip_size", "valid_px", "n_label_px",
+        F.md5("chip").alias("chip_md5"),
+        F.md5("seg").alias("seg_md5"),
     )
 
 
@@ -1049,9 +1053,13 @@ def q30_chip_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         buffer_window=1,
     )
     qa = consumer_qa_filter(cleaned, bands_per_step=len(cfg.band_order), chip_ndv=0)
+    # payload digests ride the driver's rows-only hash: a silent pixel or
+    # buffered-seg regression flips the recorded hash without a DuckDB twin
     return qa.select(
         "chip_id", "tile_key", "cx", "cy", "n_label_px",
         F.round("nodata_ratio", 6).alias("nodata_ratio"),
+        F.md5("chip").alias("chip_md5"),
+        F.md5("seg").alias("seg_md5"),
     )
 
 
