@@ -385,3 +385,79 @@ def test_checkpoint_manifest_carries_psnr_metrics(spark, tmp_path):
     assert (man["n_rows"] > 0).all()
     # every row >= 40 dB → the manifest metric sum implies the mean too
     assert (man["sum_psnr"] / man["n_rows"] >= 40.0).all()
+
+
+def test_streaming_chip_ingestion_matches_batch(spark, tmp_path):
+    # two micro-batches (one observation file per tile) must produce
+    # byte-identical chips to a single batch run over the union
+    import glob
+    import shutil
+
+    from instageo_e2e_geospatial_ml_spark.plans.pipeline import (
+        run_chip_pipeline_streaming,
+    )
+
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)]
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=1, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=("cloud", "water"), masking_strategy="each",
+        n_salt=2,
+    )
+    cat_df = spark.createDataFrame(cat)
+    img_df = spark.createDataFrame(imgs)
+
+    # one observation file per tile, flat in the stream-source dir
+    src = tmp_path / "obs_in"
+    src.mkdir()
+    for i, t in enumerate(tiles):
+        part_dir = tmp_path / f"_obs_{i}"
+        spark.createDataFrame(
+            obs[obs["mgrs_tile_id"] == t].drop(columns=["mgrs_tile_id"])
+        ).coalesce(1).write.parquet(str(part_dir))
+        shutil.move(
+            glob.glob(str(part_dir / "part-*.parquet"))[0], src / f"{i}.parquet"
+        )
+
+    obs_schema = spark.read.parquet(str(src / "0.parquet")).schema
+    ckpt_s = CheckpointTable(
+        spark, str(tmp_path / "chips_s"), key="stac_items_str",
+        partition_by="tile_key",
+    )
+    got = run_chip_pipeline_streaming(
+        spark, str(src), obs_schema, cat_df, img_df, cfg,
+        checkpoint=ckpt_s, stream_checkpoint_dir=str(tmp_path / "ck_s"),
+        max_files=1,
+    )
+    # two micro-batches ran → two committed snapshots
+    assert len(ckpt_s.committed_snapshot_ids()) == 2
+
+    want = run_chip_pipeline(
+        spark.createDataFrame(obs.drop(columns=["mgrs_tile_id"])),
+        cat_df, img_df, cfg,
+    )
+
+    def fingerprint(df):
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    "chip_id", "tile_key", "cx", "cy", "valid_px", "n_label_px",
+                    F.md5("chip"), F.md5("seg"),
+                ).collect(),
+            )
+        )
+
+    assert fingerprint(got) == fingerprint(want)  # byte-identical payloads
+
+    # idempotence under replay: draining the same directory again (fresh
+    # stream checkpoint → all files re-delivered) commits nothing new
+    got2 = run_chip_pipeline_streaming(
+        spark, str(src), obs_schema, cat_df, img_df, cfg,
+        checkpoint=ckpt_s, stream_checkpoint_dir=str(tmp_path / "ck_s2"),
+        max_files=1,
+    )
+    assert fingerprint(got2) == fingerprint(want)
