@@ -56,6 +56,9 @@ HEADLINE = [
     "q38_token_rarity",
     "q39_kmeans_centroids",
     "q40_ann_lsh_multiprobe",
+    "q41_bm25",
+    "q42_bigram_surprisal",
+    "q44_top_terms",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

@@ -1,0 +1,168 @@
+"""Retrieval / language-model-flavoured document scoring.
+
+The remaining text-quality tools a training-data pipeline reaches for
+once dedup + heuristic gates are in place:
+
+  * bm25_scores — classic lexical relevance of every document against a
+    FIXED query term set (data selection by relevance to a seed query is
+    the standard "quality by similarity-to-known-good" trick);
+  * bigram_surprisal_scores — a count-based stand-in for LM-perplexity
+    filtering (the CCNet recipe without a trained LM): rare bigram
+    transitions ⇒ high surprisal ⇒ likely noise;
+  * top_terms — per-group vocabulary report (top-n tokens by frequency).
+
+Exactness rules (driver oracle gate):
+  * BM25 keeps every per-term contribution as a FIXED-SHAPE expression
+    (the term list is static, so tf/df pivot into columns and the final
+    score is a literal chained sum — no order-dependent float agg);
+  * surprisal stays in integers until the final division: the bucket is
+    floor(log2(1 + (c1 + V) div (c12 + 1))) — the token_rarity log2-bucket
+    pattern, summed exactly as int64.
+
+All pure Catalyst column algebra — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 score of every document against `query_terms` →
+    (id, dl, tf_<i>..., bm25).
+
+    One token explode → one doc-keyed aggregation (per-term tf as
+    conditional sums — integers) → one single-row corpus-stats aggregate
+    (N, Σdl, per-term df) broadcast back → a fixed-shape score expression.
+    Two shuffles total at any corpus size; the per-term pivot keeps the
+    float arithmetic order-independent (each contribution is one literal
+    expression, summed in term order).
+    """
+    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    per = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+        )
+        contrib = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = contrib if score is None else score + contrib
+    return j.select(
+        id_col,
+        "dl",
+        *[f"tf_{i}" for i in range(len(query_terms))],
+        F.round(score, 6).alias("bm25"),
+    )
+
+
+def bigram_surprisal_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count-based bigram surprisal per document →
+    (id, n_bigrams, surprisal_sum, surprisal_mean).
+
+    Per bigram occurrence (w1, w2): with c1 = corpus count of w1 as a
+    bigram left-token, c12 = corpus count of (w1, w2), and V = distinct
+    left-token vocabulary (add-V smoothing), the surprisal bucket is
+    floor(log2(1 + (c1 + V) div (c12 + 1))) — an integer proxy for
+    −log2 P(w2|w1) that stays exact in any engine (the token_rarity
+    pattern). High mean ⇒ improbable transitions ⇒ likely noise.
+
+    Plan: one bigram explode shared (via lineage) by the c12/c1/V
+    aggregates, then two token-keyed joins back (AQE sizes them) and one
+    doc-keyed aggregation.
+    """
+    t = tokens(text_col)
+    big = (
+        docs.withColumn("_toks", t)
+        .filter(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.element_at("_toks", F.col("_i")).alias("w1"),
+            F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+        )
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "bucket",
+            F.floor(
+                F.log2(
+                    F.lit(1)
+                    + F.expr("(c1 + v) div (c12 + 1)")
+                )
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bucket").alias("surprisal_sum"),
+        F.round(F.sum("bucket") / F.count(F.lit(1)), 6).alias("surprisal_mean"),
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    n: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n tokens by frequency per group → (group, tok, cnt, rank).
+
+    groupBy + rank window with ties broken by token — Spark turns the
+    rank<=n filter into a WindowGroupLimit (partial top-n below the sort),
+    so only n rows per group per partition reach the final exchange.
+    """
+    cnt = (
+        docs.select(group_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(group_col, "tok", "cnt", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1362,6 +1362,141 @@ GROUP BY t.doc_id
 """
 
 
+_Q41_TERMS = ["spark", "table", "hash"]
+
+
+def q41_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set
+    (data selection by similarity-to-seed-query). Fixed-shape float
+    expression per term — hash-exact."""
+    from ..functions.retrieval import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _Q41_TERMS)
+
+
+def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n       + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {k1 + 1.0}) / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / (sum_dl / n_docs)))"
+        for i in range(len(terms))
+    )
+    tf_names = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+per AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM per
+)
+SELECT doc_id, dl, {tf_names},
+       round({contribs}, 6) AS bm25
+FROM per, stats
+"""
+
+
+Q41_SQL = _bm25_sql(_Q41_TERMS)
+
+
+def q42_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram surprisal per document (the LM-perplexity
+    quality filter without a trained LM): integer log2 buckets of the
+    smoothed inverse transition probability."""
+    from ..functions.retrieval import bigram_surprisal_scores
+
+    return bigram_surprisal_scores(_t(spark, sf_dir, "documents"))
+
+
+Q42_SQL = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(log2(1 + (c1.c1 + v.v) // (c12.c12 + 1))) AS BIGINT) AS bucket
+  FROM big b
+  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  JOIN c1 ON b.w1 = c1.w1, v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(bucket) AS BIGINT) AS surprisal_sum,
+       round(CAST(sum(bucket) AS BIGINT) / count(*), 6) AS surprisal_mean
+FROM scored GROUP BY doc_id
+"""
+
+
+_Q43_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+_Q43_DEFAULT = 0.1
+
+
+def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed stratified sampling (per-source keep
+    rates) — membership is a pure function of the row key, identical
+    across engines, repartitions, and incremental runs."""
+    from ..operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        strata_col="source",
+        fractions=_Q43_FRACTIONS,
+        default_fraction=_Q43_DEFAULT,
+    )
+    return out.select("doc_id", "source")
+
+
+Q43_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s'), 1, 8)) AS BIGINT)
+        % 1000000
+      < CASE source
+          WHEN 'src2' THEN {int(0.2 * 1_000_000)}
+          WHEN 'src1' THEN {int(0.5 * 1_000_000)}
+          WHEN 'src0' THEN {int(1.0 * 1_000_000)}
+          ELSE {int(0.1 * 1_000_000)} END
+"""
+
+
+def q44_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per source (vocabulary report): WindowGroupLimit keeps
+    only 5 rows per group per partition ahead of the final exchange."""
+    from ..functions.retrieval import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), group_col="source", n=5)
+
+
+Q44_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT source, tok, cnt, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+  FROM cnt
+) WHERE rank <= 5
+"""
+
+
 def q40_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (the recall knob): each query also probes all
     single-bit-flip neighbors of its bucket."""
@@ -1514,6 +1649,10 @@ QUERIES = {
     "q38_token_rarity": q38_token_rarity,
     "q39_kmeans_centroids": q39_kmeans_centroids,
     "q40_ann_lsh_multiprobe": q40_ann_lsh_multiprobe,
+    "q41_bm25": q41_bm25,
+    "q42_bigram_surprisal": q42_bigram_surprisal,
+    "q43_stratified_sample": q43_stratified_sample,
+    "q44_top_terms": q44_top_terms,
 }
 
 ORACLES = {
@@ -1555,4 +1694,8 @@ ORACLES = {
     "q38_token_rarity": Q38_SQL,
     "q39_kmeans_centroids": Q39_SQL,
     "q40_ann_lsh_multiprobe": Q40_SQL,
+    "q41_bm25": Q41_SQL,
+    "q42_bigram_surprisal": Q42_SQL,
+    "q43_stratified_sample": Q43_SQL,
+    "q44_top_terms": Q44_SQL,
 }

@@ -436,3 +436,56 @@ def test_lsh_multiprobe_improves_recall(spark):
 
     r1, rm = recall(False), recall(True)
     assert rm > r1, (r1, rm)  # the recall knob must actually turn
+
+
+def test_retrieval_and_sampling_units(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import (
+        bigram_surprisal_scores,
+        bm25_scores,
+        top_terms,
+    )
+    from instageo_e2e_geospatial_ml_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "b"],
+                "text": [
+                    "spark spark table",          # tf(spark)=2 in 3 tokens
+                    "spark join join join join",  # longer, tf=1
+                    "row scan merge",             # no query terms
+                ],
+            }
+        )
+    )
+    bm = bm25_scores(docs, ["spark"]).toPandas().set_index("doc_id")
+    assert bm.loc[3, "bm25"] == 0.0
+    # doc 1: higher tf AND shorter -> strictly higher score than doc 2
+    assert bm.loc[1, "bm25"] > bm.loc[2, "bm25"] > 0
+
+    sur = bigram_surprisal_scores(docs).toPandas().set_index("doc_id").sort_index()
+    # 'spark spark'/'spark table' occur once each; doc 2 repeats
+    # 'join join' 3 times -> more probable transitions -> lower mean
+    assert sur.loc[2, "surprisal_mean"] < sur.loc[1, "surprisal_mean"]
+    assert (sur["n_bigrams"] == [2, 4, 2]).all()
+
+    tt = top_terms(docs, group_col="source", n=1).toPandas()
+    top_a = tt[tt["source"] == "a"].iloc[0]
+    assert top_a["tok"] == "join" and top_a["cnt"] == 4
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "k")
+    frac = hash_sample(big, "k", 0.25).count() / 20000
+    assert abs(frac - 0.25) < 0.02  # hash uniformity
+    # determinism + repartition stability
+    a = set(r["k"] for r in hash_sample(big, "k", 0.1).collect())
+    b = set(r["k"] for r in hash_sample(big.repartition(13), "k", 0.1).collect())
+    assert a == b
+
+    st = stratified_sample(
+        docs, "doc_id", "source", {"a": 1.0}, default_fraction=0.0
+    ).toPandas()
+    assert sorted(st["doc_id"]) == [1, 2]  # all of 'a', none of 'b'

@@ -158,3 +158,22 @@ def test_q15_minhash_no_explode_single_band_materialization(spark):
     splan = sig._jdf.queryExecution().executedPlan().toString()
     assert splan.count("Generate") == 1  # shingle explode only, no j-explode
     assert splan.count("HashAggregate") >= 2  # partial + final min agg
+
+
+def test_q44_top_terms_window_group_limit(spark):
+    plan = _plan(dq.QUERIES["q44_top_terms"](spark, SF))
+    assert "WindowGroupLimit" in plan  # partial top-n below the sort
+    assert "EvalPython" not in plan
+
+
+def test_q41_bm25_stays_jvm_with_broadcast_stats(spark):
+    plan = _plan(dq.QUERIES["q41_bm25"](spark, SF))
+    assert "EvalPython" not in plan
+    # the single-row corpus-stats aggregate rides a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4  # both aggs partial map-side
+
+
+def test_q42_surprisal_stays_jvm(spark):
+    plan = _plan(dq.QUERIES["q42_bigram_surprisal"](spark, SF))
+    assert "EvalPython" not in plan
