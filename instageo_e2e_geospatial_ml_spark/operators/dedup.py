@@ -47,8 +47,23 @@ def keep_min_per_key(df: DataFrame, key_col: str, id_col: str = "doc_id") -> Dat
     return df.join(keepers, [key_col, id_col], "left_semi")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before an explode-heavy stage.
+
+    A small input (one parquet file) scans as ONE task, but the shingle /
+    hash explode multiplies per-row work ~100×, so that one task becomes
+    the whole job's critical path. No-op when the scan already has enough
+    partitions — the 100 TB case, where adding a shuffle here would be
+    pure waste."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles, exploded to (doc, shingle) rows."""
+    docs = _ensure_parallelism(docs)
     t = tokens(text_col)
     parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
     return (
@@ -179,7 +194,7 @@ def simhash(
     """SimHash over whitespace tokens: per-bit ±1 votes from a 16-bit md5
     prefix per token → (doc_id, simhash)."""
     tok = (
-        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        _ensure_parallelism(docs).select(id_col, F.explode(tokens(text_col)).alias("tok"))
         .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
     )
     votes = (
@@ -504,19 +519,31 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: explode distinct shingles,
     self-join on shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
 
     max_shingle_freq drops stop-shingles (docs-frequency cap) — the standard
-    scale guard: without it a common shingle produces a quadratic join."""
+    scale guard: without it a common shingle produces a quadratic join.
+
+    The distinct-shingle table feeds five subtrees (stop-shingle counts,
+    the anti-join probe, doc sizes, both self-join sides); Catalyst does
+    not reuse exchanges across them, so by default both the pre- and
+    post-cap tables are materialized once with lazy localCheckpoints —
+    otherwise the explode+distinct pipeline re-executes per consumer
+    (the q15 lesson). materialize=False for explain-only plans."""
     sh = (
         shingles(docs.select(id_col, text_col), text_col, shingle_n)
         .select(id_col, "shingle")
         .distinct()
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sh = sh.join(F.broadcast(freq.filter(F.col("_df") > max_shingle_freq)), "shingle", "left_anti")
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
