@@ -59,6 +59,8 @@ HEADLINE = [
     "q41_bm25",
     "q42_bigram_surprisal",
     "q44_top_terms",
+    "q45_corpus_profile",
+    "q46_ann_ivf_trained",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

@@ -143,3 +143,26 @@ def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of lowercase whitespace-normalized text."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def corpus_profile(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+):
+    """Per-group corpus profile (the first thing anyone runs on a new
+    crawl dump): doc counts, char-length min/median/p90/max, and exact
+    token totals. percentile() is the exact interpolated form — identical
+    definition (1+(n-1)p rank, linear interpolation) in DuckDB's
+    quantile_cont, so even the float artifacts hash-match. One shuffle."""
+    from pyspark.sql import functions as F
+
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(len_col).alias("min_chars"),
+        F.expr(f"percentile({len_col}, 0.5)").alias("p50_chars"),
+        F.expr(f"percentile({len_col}, 0.9)").alias("p90_chars"),
+        F.max(len_col).alias("max_chars"),
+        F.sum(token_count(text_col)).alias("total_tokens"),
+    )

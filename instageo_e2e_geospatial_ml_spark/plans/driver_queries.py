@@ -1497,6 +1497,99 @@ SELECT source, tok, cnt, rank FROM (
 """
 
 
+def q45_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: counts, exact interpolated length
+    percentiles (bit-identical to DuckDB quantile_cont), token totals."""
+    from ..functions.text import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"))
+
+
+Q45_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q46_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised ANN end to end: distributed Lloyd k-means trains the
+    coarse quantizer, then IVF probes the nprobe nearest lists — no labels
+    anywhere. Exact oracle: the q39 centroid CTE chain feeds an
+    assignment + probe + rescore tail."""
+    from ..operators.similarity import centroids_as_vectors, ivf_topk, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cen = centroids_as_vectors(
+        train_centroids(e, k=_Q39_K, n_iters=_Q39_ITERS)
+    )
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = ivf_topk(q, p, cen, k=5, nprobe=2)
+    return out.select("qid", "pid", "dot", F.col("rank").cast("long").alias("rank"))
+
+
+def _ivf_trained_sql(k: int, n_iters: int, dim: int = 64) -> str:
+    """Q39's unrolled k-means CTEs + the IVF tail. The trained integer
+    centroids pass through the same float32 conversion ivf_topk sees
+    (cvec = float4(c/1000.0)), then the standard quantize-×1000 rescore."""
+    kmeans = _kmeans_sql(k, n_iters, dim)
+    head, _, _ = kmeans.rpartition("SELECT cid, i, ce")
+    return (
+        head.rstrip()
+        + f""",
+cen AS (
+  SELECT cid, list_transform(c, x -> CAST(round(CAST(CAST(x / 1000.0 AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)) AS cq
+  FROM c{n_iters}
+),
+passign AS (
+  SELECT vec_id AS pid, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY sum(v.v[i.i] * c.cq[i.i]) DESC, c.cid ASC) AS rn
+    FROM v, cen c, (SELECT unnest(generate_series(1, {dim})) AS i) i
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY sum(v.v[i.i] * c.cq[i.i]) DESC, c.cid ASC) AS rn
+    FROM v, cen c, (SELECT unnest(generate_series(1, {dim})) AS i) i
+    WHERE v.vec_id % 25 = 0
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.qid, p.pid
+  FROM qprobe q JOIN passign p ON p.cid = q.cid AND p.pid != q.qid
+),
+d AS (
+  SELECT c.qid, c.pid, CAST(sum(vq.v[i.i] * vp.v[i.i]) AS BIGINT) AS dot
+  FROM cand c
+  JOIN v vq ON vq.vec_id = c.qid
+  JOIN v vp ON vp.vec_id = c.pid,
+       (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY 1, 2
+)
+SELECT qid, pid, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, pid ASC) AS rank
+  FROM d
+) WHERE rank <= 5"""
+    )
+
+
 def q40_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (the recall knob): each query also probes all
     single-bit-flip neighbors of its bucket."""
@@ -1602,6 +1695,7 @@ FROM (SELECT cid, unnest(generate_series(1, {dim})) AS i, unnest(c) AS ce
 
 
 Q39_SQL = _kmeans_sql(_Q39_K, _Q39_ITERS)
+Q46_SQL = _ivf_trained_sql(_Q39_K, _Q39_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -1653,6 +1747,8 @@ QUERIES = {
     "q42_bigram_surprisal": q42_bigram_surprisal,
     "q43_stratified_sample": q43_stratified_sample,
     "q44_top_terms": q44_top_terms,
+    "q45_corpus_profile": q45_corpus_profile,
+    "q46_ann_ivf_trained": q46_ann_ivf_trained,
 }
 
 ORACLES = {
@@ -1698,4 +1794,6 @@ ORACLES = {
     "q42_bigram_surprisal": Q42_SQL,
     "q43_stratified_sample": Q43_SQL,
     "q44_top_terms": Q44_SQL,
+    "q45_corpus_profile": Q45_SQL,
+    "q46_ann_ivf_trained": Q46_SQL,
 }
