@@ -341,3 +341,44 @@ def test_asof_null_cloud_cover_loses(spark):
     )
     picked = asof_pick(steps, cand, granules, tolerance_days=1).collect()
     assert picked[0]["picked_granule"] == "g_50"
+
+
+def test_grid_chips_udtf_matches_grid_polygons(spark):
+    # the SQL table-function surface must emit exactly the JVM
+    # sequence-explode operator's rows
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.functions.udtfs import register_udtfs
+    from instageo_e2e_geospatial_ml_spark.operators.gridgen import grid_polygons
+
+    register_udtfs(spark)
+    bboxes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bbox_id": [1, 2, 3],
+                "minx": [10.0, 179.4, -1.0],
+                "miny": [40.0, 89.4, -0.5],
+                "maxx": [11.2, 180.0, -1.0],  # bbox 3 is degenerate
+                "maxy": [41.0, 90.0, -0.5],
+            }
+        )
+    )
+    bboxes.createOrReplaceTempView("udtf_bboxes")
+    got = spark.sql(
+        "SELECT * FROM grid_chips(TABLE(udtf_bboxes), 0.5)"
+    ).toPandas()
+    want = (
+        grid_polygons(bboxes, 0.5)
+        .select(
+            "bbox_id", "ix", "iy",
+            "cell_minx", "cell_miny", "cell_maxx", "cell_maxy",
+        )
+        .toPandas()
+    )
+    key = ["bbox_id", "ix", "iy"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["cell_minx", "cell_miny", "cell_maxx", "cell_maxy"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
