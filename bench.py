@@ -61,6 +61,8 @@ HEADLINE = [
     "q44_top_terms",
     "q45_corpus_profile",
     "q46_ann_ivf_trained",
+    "q47_repetition",
+    "q48_token_shards",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

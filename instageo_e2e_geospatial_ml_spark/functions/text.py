@@ -166,3 +166,70 @@ def corpus_profile(
         F.max(len_col).alias("max_chars"),
         F.sum(token_count(text_col)).alias("total_tokens"),
     )
+
+
+def repetition_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Gopher-style intra-document repetition signals per doc:
+    (id, n_grams, n_distinct, dup_ratio, top_frac_num) where dup_ratio =
+    1 − distinct/total n-grams and top_frac_num is the count of the most
+    frequent n-gram (tie-broken lexicographically — deterministic).
+    Repetitive boilerplate scores high on both. Exact integers + one
+    fixed-shape division; a single doc-keyed aggregation after the
+    n-gram counts. n-grams are built by index explode (JVM)."""
+    from pyspark.sql import functions as F
+
+    t = tokens(text_col)
+    parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
+    grams = (
+        docs.withColumn("_toks", t)
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))).alias("_i"),
+            "_toks",
+        )
+        .select(id_col, F.concat_ws(" ", *parts).alias("g"))
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ratio"),
+        F.max("c").alias("top_frac_num"),
+    )
+
+
+def pack_token_shards(
+    docs,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Assign documents to training shards of ≈ budget_tokens each:
+    order by id (deterministic), running token total, shard_id =
+    floor((cumsum − tokens) / budget) — the bin a doc STARTS in, so every
+    shard holds ≥ budget tokens except the last (greedy packing, the A8
+    pattern applied to token budgets).
+
+    One global-ordering window. At petabyte scale you'd partition the
+    window by a coarse key (date/source) and pack within partitions;
+    global order is what the reference's splitter does driver-side."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = docs.select(id_col, token_count(text_col).alias("n_tokens"))
+    return out.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(budget_tokens))
+        ).cast("long"),
+    )

@@ -1497,6 +1497,52 @@ SELECT source, tok, cnt, rank FROM (
 """
 
 
+def q47_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup n-gram ratio + most-frequent
+    n-gram count) per document — exact integers, one division."""
+    from ..functions.text import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"), n=2)
+
+
+Q47_SQL = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM pos),
+per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       count(*) AS n_distinct,
+       round(1.0 - count(*) / CAST(sum(c) AS BIGINT), 6) AS dup_ratio,
+       CAST(max(c) AS BIGINT) AS top_frac_num
+FROM per GROUP BY doc_id
+"""
+
+
+def q48_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing (training-data sharding): running
+    token total over id order, shard = floor(prefix/budget)."""
+    from ..functions.text import pack_token_shards
+
+    return pack_token_shards(_t(spark, sf_dir, "documents"), budget_tokens=5000)
+
+
+Q48_SQL = """
+SELECT doc_id, n_tokens,
+       CAST(floor((CAST(run AS BIGINT) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents)
+)
+"""
+
+
 def q45_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: counts, exact interpolated length
     percentiles (bit-identical to DuckDB quantile_cont), token totals."""
@@ -1749,6 +1795,8 @@ QUERIES = {
     "q44_top_terms": q44_top_terms,
     "q45_corpus_profile": q45_corpus_profile,
     "q46_ann_ivf_trained": q46_ann_ivf_trained,
+    "q47_repetition": q47_repetition,
+    "q48_token_shards": q48_token_shards,
 }
 
 ORACLES = {
@@ -1796,4 +1844,6 @@ ORACLES = {
     "q44_top_terms": Q44_SQL,
     "q45_corpus_profile": Q45_SQL,
     "q46_ann_ivf_trained": Q46_SQL,
+    "q47_repetition": Q47_SQL,
+    "q48_token_shards": Q48_SQL,
 }
