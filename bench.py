@@ -63,6 +63,8 @@ HEADLINE = [
     "q46_ann_ivf_trained",
     "q47_repetition",
     "q48_token_shards",
+    "q49_distance_join",
+    "q50_interval_join",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

@@ -59,26 +59,22 @@ def haversine_km(qx: Column, qy: Column, px: Column, py: Column) -> Column:
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
 
 
-def knn_join(
+def _radius_pairs(
     queries: DataFrame,
     points: DataFrame,
-    k_neighbors: int,
     radius_deg: float,
-    res: int | None = None,
-    qid: str = "qid",
-    pid: str = "pid",
-    qx: str = "qx",
-    qy: str = "qy",
-    px: str = "x",
-    py: str = "y",
-    metric: str = "sq_euclid",
-    broadcast_queries: bool = True,
+    res: int | None,
+    qid: str,
+    pid: str,
+    qx: str,
+    qy: str,
+    px: str,
+    py: str,
+    metric: str,
+    broadcast_queries: bool,
 ) -> DataFrame:
-    """Exact k-nearest-within-radius join.
-
-    Returns (qid, pid, dist, rank) with rank ∈ [1, k_neighbors] ordered by
-    (dist asc, pid asc). res is auto-picked so one ring covers the radius.
-    """
+    """Shared candidate machinery: ring-covered cell equi-join + exact
+    radius refine → (qid, pid, dist) pairs within radius."""
     if res is None:
         res = 0
         while 180.0 / (1 << (res + 1)) >= radius_deg and res < 15:
@@ -100,7 +96,58 @@ def knn_join(
         rfilter = dist <= F.lit(radius_deg)  # here radius is km
     else:
         raise ValueError(metric)
-    j = j.withColumn("dist", dist).filter(rfilter)
+    return j.withColumn("dist", dist).filter(rfilter)
+
+
+def distance_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_deg: float,
+    res: int | None = None,
+    qid: str = "qid",
+    pid: str = "pid",
+    qx: str = "qx",
+    qy: str = "qy",
+    px: str = "x",
+    py: str = "y",
+    metric: str = "sq_euclid",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Spatial range join (the ST_DWithin shape): ALL (query, point)
+    pairs within radius → (qid, pid, dist). Exact — the ring-covered cell
+    bucketing is a superset prefilter, the distance refine is exact
+    arithmetic. No window, so nothing ranks: output size is the true
+    match count, and the plan is scan → broadcast/equi-join → filter."""
+    return _radius_pairs(
+        queries, points, radius_deg, res, qid, pid, qx, qy, px, py,
+        metric, broadcast_queries,
+    ).select(qid, pid, "dist")
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k_neighbors: int,
+    radius_deg: float,
+    res: int | None = None,
+    qid: str = "qid",
+    pid: str = "pid",
+    qx: str = "qx",
+    qy: str = "qy",
+    px: str = "x",
+    py: str = "y",
+    metric: str = "sq_euclid",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-within-radius join.
+
+    Returns (qid, pid, dist, rank) with rank ∈ [1, k_neighbors] ordered by
+    (dist asc, pid asc). res is auto-picked so one ring covers the radius.
+    """
+    j = _radius_pairs(
+        queries, points, radius_deg, res, qid, pid, qx, qy, px, py,
+        metric, broadcast_queries,
+    )
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(pid).asc())
     return (
         j.withColumn("rank", F.row_number().over(w))

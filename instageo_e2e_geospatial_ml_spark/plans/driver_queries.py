@@ -1497,6 +1497,79 @@ SELECT source, tok, cnt, rank FROM (
 """
 
 
+def q49_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range join (ST_DWithin shape): all (customer, supplier)
+    derived-point pairs within 3°, squared-euclidean-degree metric
+    (pure arithmetic — hash-exact)."""
+    from ..operators.knn import distance_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("qid"),
+        ((F.col("c_custkey") * 13) % 3400 / 10.0 - 170.0).alias("qx"),
+        ((F.col("c_custkey") * 29) % 1400 / 10.0 - 70.0).alias("qy"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pid"),
+        ((F.col("s_suppkey") * 17) % 3400 / 10.0 - 170.0).alias("x"),
+        ((F.col("s_suppkey") * 31) % 1400 / 10.0 - 70.0).alias("y"),
+    )
+    out = distance_join(c, s, 3.0)
+    return out.select("qid", "pid", F.round("dist", 6).alias("dist2"))
+
+
+Q49_SQL = """
+WITH c AS (
+  SELECT c_custkey AS qid,
+         (c_custkey * 13) % 3400 / 10.0 - 170.0 AS qx,
+         (c_custkey * 29) % 1400 / 10.0 - 70.0 AS qy
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS pid,
+         (s_suppkey * 17) % 3400 / 10.0 - 170.0 AS x,
+         (s_suppkey * 31) % 1400 / 10.0 - 70.0 AS y
+  FROM supplier
+)
+SELECT qid, pid,
+       round((qx - x) * (qx - x) + (qy - y) * (qy - y), 6) AS dist2
+FROM c, s
+WHERE (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 3.0 * 3.0
+"""
+
+
+def q50_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join (band-join shape, time-bucketed rewrite):
+    incident windows [ts, ts + 90 min) derived from every 100th event,
+    joined to all events falling inside; per-window exact aggregates."""
+    from ..operators.ranges import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+    )
+    j = interval_join(
+        ev.select("event_id", "ts", "value"), iv, bucket_minutes=60,
+        broadcast_intervals=True,
+    )
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+Q50_SQL = """
+WITH iv AS (
+  SELECT event_id AS window_id, ts AS s, ts + INTERVAL 90 MINUTE AS e
+  FROM events WHERE event_id % 100 = 0
+)
+SELECT iv.window_id, count(*) AS n_events, round(sum(ev.value), 6) AS sum_value
+FROM events ev JOIN iv ON iv.s <= ev.ts AND ev.ts < iv.e
+GROUP BY iv.window_id
+"""
+
+
 def q47_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup n-gram ratio + most-frequent
     n-gram count) per document — exact integers, one division."""
@@ -1797,6 +1870,8 @@ QUERIES = {
     "q46_ann_ivf_trained": q46_ann_ivf_trained,
     "q47_repetition": q47_repetition,
     "q48_token_shards": q48_token_shards,
+    "q49_distance_join": q49_distance_join,
+    "q50_interval_join": q50_interval_join,
 }
 
 ORACLES = {
@@ -1846,4 +1921,6 @@ ORACLES = {
     "q46_ann_ivf_trained": Q46_SQL,
     "q47_repetition": Q47_SQL,
     "q48_token_shards": Q48_SQL,
+    "q49_distance_join": Q49_SQL,
+    "q50_interval_join": Q50_SQL,
 }

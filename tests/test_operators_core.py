@@ -382,3 +382,90 @@ def test_grid_chips_udtf_matches_grid_polygons(spark):
     assert len(got) == len(want) and len(got) > 0
     for c in ["cell_minx", "cell_miny", "cell_maxx", "cell_maxy"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_distance_join_matches_brute_force(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.knn import distance_join
+
+    rng = __import__("numpy").random.default_rng(7)
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": range(60), "qx": rng.uniform(-20, 20, 60), "qy": rng.uniform(-10, 10, 60)}
+        )
+    )
+    p = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": range(300), "x": rng.uniform(-20, 20, 300), "y": rng.uniform(-10, 10, 300)}
+        )
+    )
+    r = 1.7
+    got = set(
+        map(tuple, distance_join(q, p, r).select("qid", "pid").collect())
+    )
+    want = set(
+        map(
+            tuple,
+            q.crossJoin(p)
+            .filter(
+                (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
+                <= r * r
+            )
+            .select("qid", "pid")
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_matches_theta_join(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.ranges import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": range(500),
+                "ts": pd.date_range("2024-01-01", periods=500, freq="17min"),
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "window_id": range(10),
+                "start": pd.date_range("2024-01-01 01:00", periods=10, freq="11h"),
+            }
+        )
+    ).withColumn("end", F.col("start") + F.expr("INTERVAL 3 HOURS"))
+
+    got = sorted(
+        map(
+            tuple,
+            interval_join(ev, iv, bucket_minutes=45)
+            .select("window_id", "event_id")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.crossJoin(iv)
+            .filter((F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end")))
+            .select("window_id", "event_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+    # skew guard: an interval wider than the cap is dropped, not exploded
+    huge = spark.createDataFrame(
+        pd.DataFrame({"window_id": [99], "start": pd.to_datetime(["2020-01-01"])})
+    ).withColumn("end", F.col("start") + F.expr("INTERVAL 3650 DAYS"))
+    assert (
+        interval_join(ev, huge, bucket_minutes=45, max_buckets_per_interval=100).count()
+        == 0
+    )
