@@ -1497,6 +1497,25 @@ SELECT source, tok, cnt, rank FROM (
 """
 
 
+def q51_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance
+    (rows-only like q19/q20 — phash needs pixel decode, not ANSI-SQL):
+    deterministic synthetic images + their byte-identical augmented
+    copies; the block-decomposition candidate join is exact for the
+    threshold, refine is JVM bit_count(xor)."""
+    from .. import synth
+    from ..sources.images import augment_images, phash_neardup_pairs
+
+    base = synth.gen_images_df(
+        spark, [f"g{i}" for i in range(12)], w=64, h=64, fmt="raw",
+        num_partitions=8,
+    ).select("image_id", "bytes", "w", "h", "fmt")
+    dups = augment_images(base, augs=("identity",)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    return phash_neardup_pairs(base.unionByName(dups), max_hamming=4)
+
+
 def q49_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range join (ST_DWithin shape): all (customer, supplier)
     derived-point pairs within 3°, squared-euclidean-degree metric
@@ -1872,6 +1891,7 @@ QUERIES = {
     "q48_token_shards": q48_token_shards,
     "q49_distance_join": q49_distance_join,
     "q50_interval_join": q50_interval_join,
+    "q51_image_neardup": q51_image_neardup,
 }
 
 ORACLES = {

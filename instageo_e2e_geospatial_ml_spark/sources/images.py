@@ -254,3 +254,124 @@ def sample_video_frames(
             )
 
     return videos.mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUG_SCHEMA = "image_id string, aug string, bytes binary, w int, h int, fmt string"
+
+_AUGS = ("identity", "hflip", "vflip", "rot90", "rot180", "rot270")
+
+
+def augment_images(
+    images: DataFrame, augs: tuple[str, ...] = ("hflip", "rot90")
+) -> DataFrame:
+    """Deterministic geometric augmentation: one output row per (image,
+    aug) with REAL pixel transforms (numpy flips/rotations over the
+    decoded array — no external libs needed). The standard train-time
+    augmentation set; deterministic so augmented datasets are
+    reproducible and resumable (same keys on re-run)."""
+    bad = set(augs) - set(_AUGS)
+    if bad:
+        raise ValueError(f"unknown augs {bad}; available: {_AUGS}")
+
+    def apply(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), r.w, r.h, 1, r.fmt)
+                for a in augs:
+                    if a == "identity":
+                        out = arr
+                    elif a == "hflip":
+                        out = arr[:, :, ::-1]
+                    elif a == "vflip":
+                        out = arr[:, ::-1, :]
+                    elif a == "rot90":
+                        out = np.rot90(arr, 1, axes=(1, 2))
+                    elif a == "rot180":
+                        out = np.rot90(arr, 2, axes=(1, 2))
+                    else:  # rot270
+                        out = np.rot90(arr, 3, axes=(1, 2))
+                    rows.append(
+                        {
+                            "image_id": f"{r.image_id}#{a}",
+                            "aug": a,
+                            "bytes": codecs.encode(np.ascontiguousarray(out), "raw"),
+                            "w": out.shape[2],
+                            "h": out.shape[1],
+                            "fmt": "raw",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "aug", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.mapInPandas(apply, AUG_SCHEMA)
+
+
+def phash_table(images: DataFrame) -> DataFrame:
+    """(image_id, phash): 64-bit perceptual hash per image (decode +
+    DCT-free mean-hash in codecs.phash64) — one mapInPandas pass; the
+    downstream near-dup join is pure JVM."""
+
+    def hashes(it):
+        for pdf in it:
+            ids, hs = [], []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), r.w, r.h, 1, r.fmt)
+                ids.append(r.image_id)
+                # int64 view: Spark has no unsigned 64-bit
+                hs.append(np.int64(np.uint64(codecs.phash64(arr))))
+            yield pd.DataFrame({"image_id": ids, "phash": hs})
+
+    return images.mapInPandas(hashes, "image_id string, phash long")
+
+
+def phash_neardup_pairs(
+    images: DataFrame, max_hamming: int = 8, max_bucket: int = 10_000
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    EXACT for the given threshold: the 64-bit phash splits into
+    (max_hamming + 1) blocks, so any pair within Hamming distance
+    max_hamming shares at least one identical block (pigeonhole); the
+    block equi-join generates candidates and bit_count(a XOR b) refines —
+    all JVM after the one hashing pass. max_bucket drops degenerate
+    blocks (e.g. all-black thumbnails), the LSH skew-guard pattern.
+    Returns (id_a, id_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    ph = phash_table(images).localCheckpoint(eager=False)
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks + (1 if 64 % n_blocks else 0)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.expr(
+                    f"shiftright(phash, {b * width}) & "
+                    f"{(1 << min(width, 64 - b * width)) - 1}"
+                ).alias("key"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = ph.select("image_id", "phash", F.inline(blocks))
+    sizes = banded.groupBy("blk", "key").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("_n") > max_bucket)),
+        ["blk", "key"],
+        "left_anti",
+    )
+    a = banded.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("pa"), "blk", "key"
+    )
+    b = banded.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("pb"), "blk", "key"
+    )
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

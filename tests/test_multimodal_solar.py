@@ -489,3 +489,65 @@ def test_retrieval_and_sampling_units(spark):
         docs, "doc_id", "source", {"a": 1.0}, default_fraction=0.0
     ).toPandas()
     assert sorted(st["doc_id"]) == [1, 2]  # all of 'a', none of 'b'
+
+
+def test_augment_images_real_transforms(spark):
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark import codecs, synth
+    from instageo_e2e_geospatial_ml_spark.sources.images import augment_images
+
+    imgs = synth.gen_images_df(spark, ["g1", "g2"], w=64, h=32, fmt="raw")
+    out = augment_images(imgs, augs=("identity", "hflip", "rot90")).toPandas()
+    assert len(out) == imgs.count() * 3
+    src = {r["image_id"]: r for _, r in imgs.toPandas().iterrows()}
+    for _, r in out.iterrows():
+        base = src[r["image_id"].split("#")[0]]
+        orig = codecs.decode(bytes(base["bytes"]), base["w"], base["h"], 1, base["fmt"])
+        got = codecs.decode(bytes(r["bytes"]), r["w"], r["h"], 1, "raw")
+        if r["aug"] == "identity":
+            assert (got == orig).all()
+        elif r["aug"] == "hflip":
+            assert (got == orig[:, :, ::-1]).all()
+        else:  # rot90 swaps dims
+            assert (r["w"], r["h"]) == (base["h"], base["w"])
+            assert (got == np.rot90(orig, 1, axes=(1, 2))).all()
+    with pytest.raises(ValueError):
+        augment_images(imgs, augs=("zoom",))
+
+
+def test_phash_neardup_exact_for_threshold(spark):
+    from instageo_e2e_geospatial_ml_spark import synth
+    from instageo_e2e_geospatial_ml_spark.sources.images import (
+        augment_images,
+        phash_neardup_pairs,
+        phash_table,
+    )
+
+    base = synth.gen_images_df(spark, [f"g{i}" for i in range(12)], w=64, h=64, fmt="raw")
+    # identity augs are byte-identical -> hamming 0 against their source
+    dups = augment_images(base, augs=("identity",)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    all_imgs = base.select("image_id", "bytes", "w", "h", "fmt").unionByName(dups)
+
+    got = phash_neardup_pairs(all_imgs, max_hamming=4).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    # brute-force oracle over the phash table
+    ph = phash_table(all_imgs).toPandas()
+    want = set()
+    rows = list(ph.itertuples(index=False))
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            a, b = rows[i], rows[j]
+            if a.image_id < b.image_id:
+                d = bin((a.phash ^ b.phash) & ((1 << 64) - 1)).count("1")
+                if d <= 4:
+                    want.add((a.image_id, b.image_id))
+    assert got_pairs == want
+    # every image matches its identity duplicate at hamming 0
+    for i in range(12):
+        assert (f"g{i}:im", f"g{i}:im#identity") in got_pairs or any(
+            f"g{i}" in p[0] and "#identity" in p[1] for p in got_pairs
+        )
