@@ -375,3 +375,90 @@ def phash_neardup_pairs(
         .distinct()
     )
     return pairs
+
+
+# --- audio plumbing (PCM payloads; real numpy compute, no external libs) ----
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, n_samples long, rms double, peak long, zcr double"
+)
+
+
+def synth_audio_pdf(audio_ids: list[str], n_samples: int = 16000) -> pd.DataFrame:
+    """Deterministic 16-bit mono PCM stand-ins (seeded per id): a few
+    summed sinusoids + noise — enough structure that features are
+    meaningful and reproducible."""
+    rows = []
+    for aid in audio_ids:
+        seed = int.from_bytes(hashlib.md5(aid.encode()).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        t = np.arange(n_samples, dtype=np.float64)
+        f1, f2 = rng.uniform(50, 400), rng.uniform(400, 3000)
+        wave = (
+            0.6 * np.sin(2 * np.pi * f1 * t / 16000.0)
+            + 0.3 * np.sin(2 * np.pi * f2 * t / 16000.0)
+            + 0.1 * rng.standard_normal(n_samples)
+        )
+        pcm = np.clip(wave * 20000.0, -32768, 32767).astype("<i2")
+        rows.append(
+            {"audio_id": aid, "bytes": pcm.tobytes(), "sr": 16000, "fmt": "pcm16"}
+        )
+    return pd.DataFrame(rows, columns=["audio_id", "bytes", "sr", "fmt"])
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Per-clip features straight off the PCM bytes (RMS energy, integer
+    peak, zero-crossing rate) — the cheap audio quality/VAD gates a
+    training pipeline applies before any model. Encoded formats (mp3/flac)
+    raise via decode_external until a decoder is registered."""
+
+    def feats(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "pcm16":
+                    decode_external(r.fmt, bytes(r.bytes))  # raises (stub)
+                x = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "n_samples": len(x),
+                        "rms": round(float(np.sqrt((x * x).mean())), 6),
+                        "peak": int(np.abs(x).max()),
+                        "zcr": round(zc / max(len(x) - 1, 1), 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "n_samples", "rms", "peak", "zcr"]
+            )
+
+    return audio.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_windows(
+    audio: DataFrame, window_samples: int = 4000, hop_samples: int = 4000
+) -> DataFrame:
+    """Split clips into fixed windows (the frame-sampling analogue for the
+    audio modality): one row per window with its own PCM payload."""
+
+    def wins(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.frombuffer(bytes(r.bytes), dtype="<i2")
+                for i, s in enumerate(range(0, len(x) - window_samples + 1, hop_samples)):
+                    rows.append(
+                        {
+                            "audio_id": r.audio_id,
+                            "win_idx": i,
+                            "bytes": x[s : s + window_samples].tobytes(),
+                            "sr": int(r.sr),
+                            "fmt": "pcm16",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "win_idx", "bytes", "sr", "fmt"]
+            )
+
+    return audio.mapInPandas(wins, "audio_id string, win_idx int, bytes binary, sr int, fmt string")

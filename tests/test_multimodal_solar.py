@@ -551,3 +551,44 @@ def test_phash_neardup_exact_for_threshold(spark):
         assert (f"g{i}:im", f"g{i}:im#identity") in got_pairs or any(
             f"g{i}" in p[0] and "#identity" in p[1] for p in got_pairs
         )
+
+
+def test_audio_plumbing(spark):
+    from instageo_e2e_geospatial_ml_spark.sources.images import (
+        audio_features,
+        audio_windows,
+        synth_audio_pdf,
+    )
+
+    clips = spark.createDataFrame(synth_audio_pdf(["a1", "a2", "a3"], n_samples=16000))
+    feats = audio_features(clips).toPandas().set_index("audio_id").sort_index()
+    assert (feats["n_samples"] == 16000).all()
+    assert (feats["rms"] > 1000).all()  # sinusoids at ~0.6*20000 amplitude
+    assert (feats["peak"] <= 32767).all()
+    assert (feats["zcr"] > 0).all() and (feats["zcr"] < 1).all()
+    # deterministic across runs
+    again = audio_features(clips).toPandas().set_index("audio_id").sort_index()
+    assert (feats == again).all().all()
+
+    wins = audio_windows(clips, window_samples=4000, hop_samples=4000).toPandas()
+    assert len(wins) == 3 * 4
+    assert set(wins["win_idx"]) == {0, 1, 2, 3}
+    assert all(len(b) == 8000 for b in wins["bytes"])  # 4000 × int16
+
+    # encoded formats stay stubbed
+    import pandas as pd
+
+    mp3 = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["x"], "bytes": [b""], "sr": [16000], "fmt": ["mp3"]})
+    )
+    with pytest.raises(Exception, match="audio"):
+        audio_features(mp3).collect()
+
+
+def test_register_views_sql(spark):
+    from instageo_e2e_geospatial_ml_spark.session import register_views
+
+    done = register_views(spark, "/root/testdata/sf0.001")
+    assert "documents" in done and "lineitem" in done
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n > 0
