@@ -28,9 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="instageo_e2e_geospatial_ml_spark")
     p.add_argument(
         "--mode",
-        choices=["chip", "synth", "split", "dedup", "text"],
+        choices=["chip", "synth", "split", "dedup", "text", "ann", "sample", "profile"],
         default="synth",
     )
+    p.add_argument("--k", type=int, default=10, help="ann: neighbors per query")
+    p.add_argument("--fraction", type=float, default=0.1, help="sample: keep rate")
     p.add_argument("--obs")
     p.add_argument("--input", help="documents parquet for dedup/text modes")
     p.add_argument("--catalog")
@@ -108,6 +110,48 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"unknown dedup strategy {strat!r}")
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"mode": "dedup", "strategy": strat, "out": args.out,
+                          "n_rows": out.count()}))
+        return 0
+    elif args.mode == "ann":
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import (
+            centroids_as_vectors,
+            ivf_topk,
+            lsh_topk,
+            train_centroids,
+        )
+
+        vecs = spark.read.parquet(args.input)
+        q = vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        p = vecs.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+        if args.strategy in ("ivf", "kmeans"):
+            cen = centroids_as_vectors(train_centroids(vecs, k=8, n_iters=3))
+            out = ivf_topk(q, p, cen, k=args.k, nprobe=2)
+        elif args.strategy == "lsh":
+            out = lsh_topk(q, p, k=args.k, multi_probe=True)
+        else:
+            raise SystemExit(f"unknown ann strategy {args.strategy!r}")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mode": "ann", "strategy": args.strategy, "out": args.out,
+                          "n_rows": out.count()}))
+        return 0
+    elif args.mode == "sample":
+        from .operators.sampling import hash_sample
+
+        docs = spark.read.parquet(args.input)
+        out = hash_sample(docs, "doc_id", args.fraction)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mode": "sample", "fraction": args.fraction,
+                          "out": args.out, "n_rows": out.count()}))
+        return 0
+    elif args.mode == "profile":
+        from .functions.text import corpus_profile
+
+        docs = spark.read.parquet(args.input)
+        out = corpus_profile(docs)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mode": "profile", "out": args.out,
                           "n_rows": out.count()}))
         return 0
     elif args.mode == "text":
