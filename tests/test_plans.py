@@ -177,3 +177,20 @@ def test_q41_bm25_stays_jvm_with_broadcast_stats(spark):
 def test_q42_surprisal_stays_jvm(spark):
     plan = _plan(dq.QUERIES["q42_bigram_surprisal"](spark, SF))
     assert "EvalPython" not in plan
+
+
+def test_q49_distance_join_broadcast_jvm(spark):
+    plan = _plan(dq.QUERIES["q49_distance_join"](spark, SF))
+    # ring-covered cell equi-join broadcasts the query side; exact refine
+    # is arithmetic — no Python anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q50_interval_join_equi_not_nested_loop(spark):
+    # the time-bucketed rewrite must plan as an EQUI join on bucket id,
+    # never the O(N*M) BroadcastNestedLoopJoin a raw theta join produces
+    plan = _plan(dq.QUERIES["q50_interval_join"](spark, SF))
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "EvalPython" not in plan
