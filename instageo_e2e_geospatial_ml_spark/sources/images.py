@@ -341,14 +341,19 @@ def phash_neardup_pairs(
 
     ph = phash_table(images).localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks + (1 if 64 % n_blocks else 0)
+    if n_blocks > 64:
+        raise ValueError("max_hamming must be < 64")
+    # evenly-distributed block boundaries: every block is non-empty (a
+    # fixed width of ceil(64/n) would leave trailing blocks empty — an
+    # empty block has a constant key, i.e. one all-pairs bucket)
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
                 F.expr(
-                    f"shiftright(phash, {b * width}) & "
-                    f"{(1 << min(width, 64 - b * width)) - 1}"
+                    f"shiftright(phash, {bounds[b]}) & "
+                    f"{(1 << (bounds[b + 1] - bounds[b])) - 1}"
                 ).alias("key"),
             )
             for b in range(n_blocks)

@@ -592,3 +592,34 @@ def test_register_views_sql(spark):
     assert "documents" in done and "lineitem" in done
     n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
     assert n > 0
+
+
+def test_phash_neardup_high_threshold_no_degenerate_block(spark):
+    # max_hamming=8 -> 9 blocks: a fixed ceil-width split would leave the
+    # last block EMPTY (constant key = one all-pairs bucket); the even
+    # boundary split must keep exactness without that blowup
+    from instageo_e2e_geospatial_ml_spark import synth
+    from instageo_e2e_geospatial_ml_spark.sources.images import (
+        phash_neardup_pairs,
+        phash_table,
+    )
+
+    imgs = synth.gen_images_df(spark, [f"h{i}" for i in range(8)], w=64, h=64, fmt="raw").select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    got = set(
+        map(
+            tuple,
+            phash_neardup_pairs(imgs, max_hamming=8).select("id_a", "id_b").collect(),
+        )
+    )
+    ph = phash_table(imgs).toPandas()
+    rows = list(ph.itertuples(index=False))
+    want = {
+        (a.image_id, b.image_id)
+        for a in rows
+        for b in rows
+        if a.image_id < b.image_id
+        and bin((a.phash ^ b.phash) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    assert got == want
