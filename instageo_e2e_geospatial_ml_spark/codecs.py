@@ -246,3 +246,97 @@ def phash64(arr: np.ndarray) -> int:
     for b in bits:
         val = (val << np.uint64(1)) | b
     return int(val.astype(np.int64))
+
+
+# --- TIFF LZW (compression 5) -----------------------------------------------
+# Pure-Python TIFF 6.0 LZW with the spec's "early change": code width bumps
+# one code earlier than strictly necessary (libtiff convention), MSB-first
+# bit packing, CLEAR=256 / EOI=257, 12-bit cap with table reset. This
+# upgrades the former tiff_lzw stub to a real decoder — LZW is the other
+# compression real HLS/S2 GeoTIFF mirrors ship besides deflate.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    emit(_LZW_CLEAR, width)
+    table = fresh()
+    next_code = 258
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: bump BEFORE next_code's value would need width+1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # table (nearly) full → reset
+            emit(_LZW_CLEAR, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in buf:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _LZW_EOI:
+                return bytes(out)
+            if code == _LZW_CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # mirror the encoder's early change — one entry EARLIER again,
+            # because the decoder creates entry e_{i-1} only while reading
+            # code C_i (its table lags the encoder's by one)
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)

@@ -195,8 +195,15 @@ def parse_jp2_header(buf: bytes) -> dict:
 # --- stubbed external-format decoders --------------------------------------
 
 def decode_external(fmt: str, payload: bytes) -> np.ndarray:
-    """Dispatch for formats needing external libraries (absent here)."""
-    if fmt in ("jpeg", "jpg", "tiff_lzw", "webp"):
+    """Dispatch for formats needing external libraries (absent here).
+    tiff_lzw is REAL (pure-Python TIFF 6.0 LZW in codecs.lzw_decode via
+    the stdlib GeoTIFF reader), the rest remain stubs."""
+    if fmt == "tiff_lzw":
+        from .tiff import read_geotiff_bytes
+
+        arr, _ = read_geotiff_bytes(payload)
+        return arr[None, ...]
+    if fmt in ("jpeg", "jpg", "webp"):
         raise NotImplementedError(
             f"fmt={fmt!r} needs an image library (PIL/opencv) not present in "
             "this container; register a decoder in codecs.decode"

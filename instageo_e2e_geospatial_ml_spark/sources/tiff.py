@@ -1,11 +1,13 @@
 """Minimal pure-stdlib GeoTIFF reader (ingestion source).
 
-Reads strip-based AND tiled (COG-layout) uncompressed or
-deflate-compressed single-sample GeoTIFFs (uint8/uint16/int16/float32/
-float64) plus the geotransform from ModelPixelScaleTag/ModelTiepointTag —
-enough to ingest HLS-style tiles into the images table without rasterio
-(absent from this container). Real HLS/S2 COGs are internally tiled
-(512×512 deflate), which is the tiled branch here.
+Reads strip-based AND tiled (COG-layout) GeoTIFFs — uncompressed,
+deflate, or LZW (TIFF 6.0 early-change, codecs.lzw_decode), with the
+horizontal-differencing predictor (tag 317 == 2) — single-sample
+uint8/uint16/int16/float32/float64, plus the geotransform from
+ModelPixelScaleTag/ModelTiepointTag — enough to ingest HLS-style tiles
+into the images table without rasterio (absent from this container).
+Real HLS/S2 COGs are internally tiled (512×512 deflate), the tiled
+branch here; LZW+predictor is the other combination public mirrors ship.
 Replaces the reference's xr.open_mfdataset scan (hls_utils.py:89-122).
 """
 
@@ -31,7 +33,12 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, floa
     """→ (array (h, w), transform (a, c, e, f)) with x = c + a·col,
     y = f + e·row at cell edges."""
     with open(path, "rb") as fh:
-        data = fh.read()
+        return read_geotiff_bytes(fh.read())
+
+
+def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, float, float]]:
+    """read_geotiff over an in-memory payload (the images-table bytes
+    column path — no filesystem round-trip)."""
     bo = "<" if data[:2] == b"II" else ">"
     off = struct.unpack(bo + "I", data[4:8])[0]
     n = struct.unpack(bo + "H", data[off : off + 2])[0]
@@ -66,21 +73,39 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, floa
     sample_format = tags.get(339, [1])[0]
     dtype = np.dtype(bo + _DTYPES[(bits, sample_format)])
 
+    predictor = tags.get(317, [1])[0]
+
     def _inflate(chunk: bytes) -> bytes:
         if compression == 8 or compression == 32946:  # deflate
             return zlib.decompress(chunk)
+        if compression == 5:  # LZW (TIFF 6.0 early-change variant)
+            from ..codecs import lzw_decode
+
+            return lzw_decode(chunk)
         if compression != 1:
             raise NotImplementedError(f"TIFF compression {compression} unsupported")
         return chunk
+
+    def _unpredict(block: "np.ndarray") -> "np.ndarray":
+        if predictor == 2:  # horizontal differencing, per row
+            if not np.issubdtype(block.dtype, np.integer):
+                raise NotImplementedError("predictor 2 on non-integer samples")
+            block = block.copy()
+            np.add.accumulate(block, axis=1, dtype=block.dtype, out=block)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+        return block
 
     out = np.empty((h, w), dtype=dtype)
     if 322 in tags:  # tiled layout (cloud-optimized GeoTIFF)
         tw, th = tags[322][0], tags[323][0]
         tiles_across = (w + tw - 1) // tw
         for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
-            tile = np.frombuffer(
-                _inflate(data[o : o + c]), dtype=dtype, count=tw * th
-            ).reshape(th, tw)
+            tile = _unpredict(
+                np.frombuffer(
+                    _inflate(data[o : o + c]), dtype=dtype, count=tw * th
+                ).reshape(th, tw)
+            )
             ty, tx = divmod(idx, tiles_across)
             r0, c0 = ty * th, tx * tw
             nr, nc = min(th, h - r0), min(tw, w - c0)
@@ -91,9 +116,9 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, floa
         for o, c in zip(tags[273], tags[279]):
             chunk = _inflate(data[o : o + c])
             nrows = min(rows_per_strip, h - row)
-            out[row : row + nrows] = np.frombuffer(
-                chunk, dtype=dtype, count=nrows * w
-            ).reshape(nrows, w)
+            out[row : row + nrows] = _unpredict(
+                np.frombuffer(chunk, dtype=dtype, count=nrows * w).reshape(nrows, w)
+            )
             row += nrows
     # geotransform
     sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])

@@ -239,3 +239,79 @@ def test_read_geotiff_tiled_cog_layout(tmp_path):
     assert arr.shape == (h, w)
     assert (arr == img).all()
     assert (a, c, e, f) == (30.0, 500000.0, -30.0, 8000000.0)
+
+
+def _make_strip_tiff(img, compressor, compression_tag, predictor=1):
+    # minimal little-endian single-strip TIFF builder
+    import struct
+
+    h, w = img.shape
+    payload = img
+    if predictor == 2:
+        deltas = img.copy()
+        deltas[:, 1:] = img[:, 1:] - img[:, :-1]  # dtype wraparound ok
+        payload = deltas
+    strip = compressor(payload.tobytes())
+
+    def entry(tag, typ, cnt, val_bytes):
+        if len(val_bytes) < 4:
+            val_bytes = val_bytes + b"\x00" * (4 - len(val_bytes))
+        return struct.pack("<HHI", tag, typ, cnt) + val_bytes[:4]
+
+    header = b"II*\x00" + struct.pack("<I", 8)
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    data_start = 8 + ifd_size
+    off_scale = data_start
+    off_tie = off_scale + 24
+    strip_off = off_tie + 48
+    entries = b"".join([
+        entry(256, 3, 1, struct.pack("<H", w)),
+        entry(257, 3, 1, struct.pack("<H", h)),
+        entry(258, 3, 1, struct.pack("<H", img.dtype.itemsize * 8)),
+        entry(259, 3, 1, struct.pack("<H", compression_tag)),
+        entry(273, 4, 1, struct.pack("<I", strip_off)),
+        entry(279, 4, 1, struct.pack("<I", len(strip))),
+        entry(317, 3, 1, struct.pack("<H", predictor)),
+        entry(339, 3, 1, struct.pack("<H", 1)),
+        entry(33550, 12, 3, struct.pack("<I", off_scale)),
+        entry(33922, 12, 6, struct.pack("<I", off_tie)),
+    ])
+    ifd = struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+    body = (
+        struct.pack("<3d", 30.0, 30.0, 0.0)
+        + struct.pack("<6d", 0.0, 0.0, 0.0, 500000.0, 8000000.0, 0.0)
+        + strip
+    )
+    return header + ifd + body
+
+
+def test_read_geotiff_lzw_with_predictor(tmp_path):
+    # TIFF 6.0 LZW (early change) + horizontal-differencing predictor —
+    # the other compression real GeoTIFF mirrors ship besides deflate
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import lzw_decode, lzw_encode
+    from instageo_e2e_geospatial_ml_spark.sources.images import decode_external
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff
+
+    rng = np.random.default_rng(5)
+    # smooth-ish field: predictor-2 deltas actually compress
+    base = np.cumsum(rng.integers(-3, 4, (40, 60)), axis=1).astype(np.int64)
+    img = (base - base.min() + 2000).astype(np.uint16)
+
+    for predictor in (1, 2):
+        buf = _make_strip_tiff(img, lzw_encode, 5, predictor=predictor)
+        p = tmp_path / f"lzw_p{predictor}.tif"
+        p.write_bytes(buf)
+        arr, (a, c, e, f) = read_geotiff(str(p))
+        assert (arr == img).all(), predictor
+        assert (a, c, e, f) == (30.0, 500000.0, -30.0, 8000000.0)
+
+    # predictor-2 LZW should beat no-predictor LZW on smooth rasters
+    deltas = img.copy(); deltas[:, 1:] = img[:, 1:] - img[:, :-1]
+    assert len(lzw_encode(deltas.tobytes())) < len(lzw_encode(img.tobytes()))
+
+    # the former tiff_lzw stub now decodes for real
+    out = decode_external("tiff_lzw", _make_strip_tiff(img, lzw_encode, 5, 2))
+    assert out.shape == (1, 40, 60) and (out[0] == img).all()
