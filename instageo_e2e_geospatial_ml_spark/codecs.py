@@ -340,3 +340,54 @@ def lzw_decode(buf: bytes) -> bytes:
             if len(table) == (1 << width) - 2 and width < 12:
                 width += 1
     return bytes(out)
+
+
+# --- TIFF PackBits (compression 32773) --------------------------------------
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 PackBits RLE: runs of 2-128 equal bytes → (257-n, byte);
+    literal spans of 1-128 → (n-1, bytes). The spec's recommended encoder
+    (break literals for runs ≥ 3; 2-byte runs join literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure run
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        # literal span: until the next run of >= 3 (or 128 bytes)
+        k = i
+        while k < n and k - i < 128:
+            r = k + 1
+            while r < n and r - k < 3 and data[r] == data[k]:
+                r += 1
+            if r - k >= 3:
+                break
+            k += 1
+        k = max(k, i + 1)
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
+def packbits_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(buf):
+        h = buf[i]
+        i += 1
+        if h < 128:  # literal of h+1 bytes
+            out += buf[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # run of 257-h copies
+            out += bytes([buf[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)

@@ -82,6 +82,10 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
             from ..codecs import lzw_decode
 
             return lzw_decode(chunk)
+        if compression == 32773:  # PackBits RLE
+            from ..codecs import packbits_decode
+
+            return packbits_decode(chunk)
         if compression != 1:
             raise NotImplementedError(f"TIFF compression {compression} unsupported")
         return chunk

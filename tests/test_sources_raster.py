@@ -315,3 +315,30 @@ def test_read_geotiff_lzw_with_predictor(tmp_path):
     # the former tiff_lzw stub now decodes for real
     out = decode_external("tiff_lzw", _make_strip_tiff(img, lzw_encode, 5, 2))
     assert out.shape == (1, 40, 60) and (out[0] == img).all()
+
+
+def test_read_geotiff_packbits(tmp_path):
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import (
+        packbits_decode,
+        packbits_encode,
+    )
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff
+
+    # the TIFF 6.0 spec's own PackBits example round-trips exactly
+    spec_unpacked = bytes.fromhex(
+        "aaaaaa80002aaaaaaaaa80002a22aaaaaaaaaaaaaaaaaaaa"
+    )
+    spec_packed = bytes.fromhex("feaa0280002afdaa0380002a22f7aa")
+    assert packbits_decode(spec_packed) == spec_unpacked
+    assert packbits_encode(spec_unpacked) == spec_packed
+
+    img = np.zeros((20, 30), dtype=np.uint8)
+    img[5:15, 4:20] = 200  # flat regions -> runs
+    img[0] = np.arange(30) % 251  # a literal row
+    buf = _make_strip_tiff(img, packbits_encode, 32773)
+    p = tmp_path / "pb.tif"
+    p.write_bytes(buf)
+    arr, _ = read_geotiff(str(p))
+    assert (arr == img).all()
