@@ -170,9 +170,19 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "qdct":
         return encode_qdct(arr)
+    if fmt == "jpeg":
+        # real baseline JPEG (jpeg.py, validated against javax.imageio):
+        # 8-bit lossy — (1,h,w) -> grayscale, (3,h,w) -> RGB
+        from .jpeg import jpeg_encode
+
+        a = np.clip(np.asarray(arr), 0, 255).astype(np.uint8)
+        if a.shape[0] == 1:
+            return jpeg_encode(a[0])
+        if a.shape[0] == 3:
+            return jpeg_encode(np.moveaxis(a, 0, -1))
+        raise ValueError("jpeg: 1 (gray) or 3 (RGB) bands")
     raise NotImplementedError(
-        f"fmt={fmt!r}: external formats (jpeg/tiff) need image libs absent from "
-        "this container — plug a decoder into codecs.decode dispatch"
+        f"fmt={fmt!r}: no codec available — plug one into codecs.encode dispatch"
     )
 
 
@@ -191,6 +201,13 @@ def decode(buf: bytes, w: int, h: int, bands: int, fmt: str) -> np.ndarray:
         return decode_png(buf, w, h, bands)
     if fmt == "qdct":
         return decode_qdct(buf, w, h, bands)
+    if fmt == "jpeg":
+        from .jpeg import jpeg_decode
+
+        a = jpeg_decode(buf)
+        if a.ndim == 2:
+            return a[None, ...].astype(np.uint16)
+        return np.moveaxis(a, -1, 0).astype(np.uint16)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 

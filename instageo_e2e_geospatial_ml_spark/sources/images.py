@@ -2,9 +2,10 @@
 
 The images table (input_hint schema) treats payloads as opaque binary +
 typed metadata. These operators run Arrow-batched over `mapInPandas` —
-schema, partitioning, UDF signature and batch shape are real and tested;
-decoders for external formats (JPEG/MP3/MP4) are STUBBED behind
-NotImplementedError because the container ships no image/audio libraries
+schema, partitioning, UDF signature and batch shape are real and tested.
+JPEG (baseline, jpeg.py) and TIFF-LZW (codecs.lzw_decode) decode for REAL
+with no external libraries; audio/video codecs (MP3/MP4/webp) are STUBBED
+behind NotImplementedError because the container ships no such libraries
 (plug a decoder into codecs.decode / _SAMPLERS to enable them).
 """
 
@@ -196,14 +197,20 @@ def parse_jp2_header(buf: bytes) -> dict:
 
 def decode_external(fmt: str, payload: bytes) -> np.ndarray:
     """Dispatch for formats needing external libraries (absent here).
-    tiff_lzw is REAL (pure-Python TIFF 6.0 LZW in codecs.lzw_decode via
-    the stdlib GeoTIFF reader), the rest remain stubs."""
+    tiff_lzw and jpeg are REAL (pure-Python TIFF 6.0 LZW and baseline
+    JPEG — jpeg.py, validated against the JVM's javax.imageio); the rest
+    remain stubs."""
     if fmt == "tiff_lzw":
         from .tiff import read_geotiff_bytes
 
         arr, _ = read_geotiff_bytes(payload)
         return arr[None, ...]
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
+        from ..jpeg import jpeg_decode
+
+        a = jpeg_decode(payload)
+        return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
+    if fmt == "webp":
         raise NotImplementedError(
             f"fmt={fmt!r} needs an image library (PIL/opencv) not present in "
             "this container; register a decoder in codecs.decode"

@@ -1,0 +1,105 @@
+"""Baseline JPEG codec: self round-trips plus INTEROP with the JVM's
+javax.imageio — an independent implementation, so format conventions
+(zigzag, canonical Huffman, byte stuffing, JFIF color) are externally
+validated, not just self-consistent."""
+
+import numpy as np
+import pytest
+
+from instageo_e2e_geospatial_ml_spark.codecs import psnr
+from instageo_e2e_geospatial_ml_spark.jpeg import jpeg_decode, jpeg_encode
+
+
+def _gradient(h, w):
+    return (np.add.outer(np.arange(h), np.arange(w)) * 2 % 256).astype(np.uint8)
+
+
+def test_jpeg_self_roundtrip_gray_and_rgb():
+    g = _gradient(48, 64)
+    out = jpeg_decode(jpeg_encode(g, quality=90))
+    assert out.shape == (48, 64)
+    assert psnr(g.astype(float), out.astype(float), peak=255.0) > 40
+
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=-1)
+    out = jpeg_decode(jpeg_encode(rgb, quality=90))
+    assert out.shape == (48, 64, 3)
+    assert psnr(rgb.astype(float), out.astype(float), peak=255.0) > 35
+
+    # non-multiple-of-8 dims (edge padding path)
+    odd = _gradient(19, 30)
+    out = jpeg_decode(jpeg_encode(odd, quality=85))
+    assert out.shape == (19, 30)
+    assert psnr(odd.astype(float), out.astype(float), peak=255.0) > 35
+
+    with pytest.raises(ValueError):
+        jpeg_encode(_gradient(8, 8).astype(np.uint16))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01")
+
+
+def test_jpeg_quality_monotone():
+    g = _gradient(40, 40)
+    sizes = [len(jpeg_encode(g, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    p = [
+        psnr(g.astype(float), jpeg_decode(jpeg_encode(g, quality=q)).astype(float), peak=255.0)
+        for q in (30, 90)
+    ]
+    assert p[0] < p[1]
+
+
+def test_jpeg_codecs_dispatch():
+    from instageo_e2e_geospatial_ml_spark import codecs
+
+    g = _gradient(32, 32)
+    buf = codecs.encode(g[None, ...].astype(np.uint16), "jpeg")
+    out = codecs.decode(buf, 32, 32, 1, "jpeg")
+    assert out.shape == (1, 32, 32) and out.dtype == np.uint16
+    assert psnr(g.astype(float), out[0].astype(float), peak=255.0) > 40
+
+
+def _java_decode(jvm, buf, gray):
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img is not None, "javax.imageio rejected our JPEG"
+    W, H = img.getWidth(), img.getHeight()
+    if gray:
+        # raw raster sample — getRGB would apply linear-gray->sRGB gamma
+        raster = img.getRaster()
+        out = np.zeros((H, W), dtype=np.uint8)
+        for y in range(H):
+            for x in range(W):
+                out[y, x] = raster.getSample(x, y, 0)
+        return out
+    out = np.zeros((H, W, 3), dtype=np.uint8)
+    for y in range(H):
+        for x in range(W):
+            p = img.getRGB(x, y)
+            out[y, x] = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+    return out
+
+
+def test_jpeg_interop_with_javax_imageio(spark):
+    jvm = spark._jvm
+    g = _gradient(48, 64)
+    jv = _java_decode(jvm, jpeg_encode(g, quality=90), gray=True)
+    assert psnr(g.astype(float), jv.astype(float), peak=255.0) > 40
+
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=-1)
+    jv = _java_decode(jvm, jpeg_encode(rgb, quality=90), gray=False)
+    assert psnr(rgb.astype(float), jv.astype(float), peak=255.0) > 35
+
+    # reverse direction: javax.imageio encodes (4:2:0 typical), we decode
+    h, w = 48, 64
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, gg, b = int(rgb[y, x, 0]), int(rgb[y, x, 1]), int(rgb[y, x, 2])
+            bimg.setRGB(x, y, (r << 16) | (gg << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg, "jpg", baos)
+    ours = jpeg_decode(bytes(baos.toByteArray()))
+    assert ours.shape == (h, w, 3)
+    assert psnr(rgb.astype(float), ours.astype(float), peak=255.0) > 25

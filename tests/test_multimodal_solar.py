@@ -59,7 +59,8 @@ def test_video_frame_sampling(spark):
 
 
 def test_external_decoders_stubbed():
-    for fmt in ("jpeg", "mp3", "mp4"):
+    # jpeg and tiff_lzw are REAL now; audio/video stay env-limited stubs
+    for fmt in ("webp", "mp3", "mp4"):
         with pytest.raises(NotImplementedError):
             decode_external(fmt, b"")
 
