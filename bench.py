@@ -65,6 +65,9 @@ HEADLINE = [
     "q48_token_shards",
     "q49_distance_join",
     "q50_interval_join",
+    "q52_chunking",
+    "q53_pii_scrub",
+    "q54_decontamination",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]

@@ -233,3 +233,71 @@ def pack_token_shards(
             / F.lit(float(budget_tokens))
         ).cast("long"),
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into fixed-token-budget training chunks with
+    overlap → (id, chunk_idx, chunk_text, n_tokens). The pretraining
+    chunker: stride = chunk_tokens − overlap; the final partial chunk is
+    kept (models see document tails). Pure JVM: one tokens() split, an
+    index-sequence explode, slice() + array_join — no Python, and the
+    explode multiplies rows only by ceil(len/stride)."""
+    from pyspark.sql import functions as F
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    d = docs.withColumn("_toks", t).withColumn("_n", F.size("_toks"))
+    # chunk starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    d = d.withColumn(
+        "_starts",
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.col("_n") - F.lit(overlap), F.lit(1)),
+            F.lit(stride),
+        ),
+    )
+    out = d.select(
+        id_col,
+        F.posexplode("_starts").alias("chunk_idx", "_s"),
+        "_toks",
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("_toks", F.col("_s"), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_toks") - F.col("_s") + 1
+        ).cast("long").alias("n_tokens"),
+    )
+    return out
+
+
+# PII patterns restricted to lookahead-free constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
+]
+
+
+def scrub_pii(text: "Column | str") -> "Column":
+    """Replace common PII shapes (emails, phones, IPs, card numbers) with
+    typed placeholders — the standard pre-training scrub. Chained JVM
+    regexp_replace; patterns are Java/RE2-identical so the DuckDB oracle
+    applies the same chain. Order matters (IPs would otherwise eat phone
+    fragments): the chain applies top-down."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -569,3 +569,35 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 rule): flag every TRAIN
+    document sharing any n-gram (default 13 tokens) with any BENCHMARK
+    document → (train_id, bench_id, n_shared) pairs.
+
+    Both sides explode to distinct n-gram shingles; the join runs on the
+    shingle (benchmark side is tiny by nature — AQE broadcasts it), so
+    cost is train-corpus-linear. Drop or quarantine the flagged ids
+    before training."""
+    tr = (
+        shingles(train.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("train_id"), "shingle")
+        .distinct()
+    )
+    be = (
+        shingles(benchmark.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("bench_id"), "shingle")
+        .distinct()
+    )
+    return (
+        tr.join(be, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -1497,6 +1497,112 @@ SELECT source, tok, cnt, rank FROM (
 """
 
 
+def q52_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training chunks with overlap (stride 48,
+    chunk 64): the pretraining chunker, pure JVM slice/join."""
+    from ..functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+Q52_SQL = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s,
+         generate_series(1, greatest(len(t) - 16, 1), 48) AS all_s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(list_position(all_s, s) - 1 AS BIGINT) AS chunk_idx,
+       array_to_string(t[s : s + 63], ' ') AS chunk_text,
+       CAST(least(64, len(t) - s + 1) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+def q53_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/IPs/cards → typed placeholders) over a
+    deterministically PII-injected copy of the documents table; returns
+    the scrubbed text digest + how many rows changed."""
+    from ..functions.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    # inject deterministic PII shapes into a third of the docs
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 123 4567 from 192.168.0.1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.md5(scrub_pii("text")).alias("scrubbed_md5"),
+        (scrub_pii("text") != F.col("text")).alias("was_scrubbed"),
+    )
+
+
+Q53_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1 555 123 4567 from 192.168.0.1'
+              ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CARD>', 'g') AS sc
+  FROM injected
+)
+SELECT doc_id, md5(sc) AS scrubbed_md5, sc != text AS was_scrubbed FROM scrubbed
+"""
+
+
+def q54_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 13-gram rule, here 5-gram at
+    corpus scale, n=4): flag train docs sharing any n-gram with the 'benchmark'
+    slice (every 50th document)."""
+    from ..operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_check(train, bench, n=4)
+
+
+Q54_SQL = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+           AS s
+  FROM toks WHERE len(t) >= 4
+),
+tr AS (SELECT DISTINCT doc_id AS train_id, s FROM sh WHERE doc_id % 50 != 0),
+be AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
+SELECT tr.train_id, be.bench_id, count(*) AS n_shared
+FROM tr JOIN be ON be.s = tr.s
+GROUP BY 1, 2
+"""
+
+
 def q51_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance
     (rows-only like q19/q20 — phash needs pixel decode, not ANSI-SQL):
@@ -1892,6 +1998,9 @@ QUERIES = {
     "q49_distance_join": q49_distance_join,
     "q50_interval_join": q50_interval_join,
     "q51_image_neardup": q51_image_neardup,
+    "q52_chunking": q52_chunking,
+    "q53_pii_scrub": q53_pii_scrub,
+    "q54_decontamination": q54_decontamination,
 }
 
 ORACLES = {
@@ -1943,4 +2052,7 @@ ORACLES = {
     "q48_token_shards": Q48_SQL,
     "q49_distance_join": Q49_SQL,
     "q50_interval_join": Q50_SQL,
+    "q52_chunking": Q52_SQL,
+    "q53_pii_scrub": Q53_SQL,
+    "q54_decontamination": Q54_SQL,
 }

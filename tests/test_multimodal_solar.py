@@ -624,3 +624,64 @@ def test_phash_neardup_high_threshold_no_degenerate_block(spark):
         and bin((a.phash ^ b.phash) & ((1 << 64) - 1)).count("1") <= 8
     }
     assert got == want
+
+
+def test_chunking_pii_decontamination_units(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.text import (
+        chunk_documents,
+        scrub_pii,
+    )
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [words, "short doc"]})
+    )
+    ch = chunk_documents(docs, chunk_tokens=40, overlap=10).toPandas()
+    d1 = ch[ch["doc_id"] == 1].sort_values("chunk_idx")
+    # stride 30: starts 1, 31, 61 -> 3 chunks; last one is partial (40 toks
+    # from 61 = tokens 61..100)
+    assert list(d1["n_tokens"]) == [40, 40, 40]
+    assert d1.iloc[0]["chunk_text"].startswith("w0 w1 ")
+    assert d1.iloc[1]["chunk_text"].startswith("w30 ")
+    # overlap: chunk 0 ends with the 10 tokens chunk 1 starts with
+    assert d1.iloc[0]["chunk_text"].split()[-10:] == d1.iloc[1]["chunk_text"].split()[:10]
+    # short doc -> single (partial) chunk
+    d2 = ch[ch["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "short doc"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+    pii = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": [
+                    "mail a.b@x.io call +1 555 123 4567 ip 10.0.0.1 "
+                    "card 1234 5678 9012 3456 ok"
+                ],
+            }
+        )
+    )
+    got = pii.select(scrub_pii("text").alias("t")).collect()[0]["t"]
+    assert got == "mail <EMAIL> call <PHONE> ip <IP> card <CARD> ok"
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",  # contains bench 5-gram
+                    "totally different words here now ok",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["x alpha beta gamma delta epsilon y"]})
+    )
+    flagged = contamination_check(train, bench, n=5).toPandas()
+    assert set(flagged["train_id"]) == {10}
+    assert (flagged["bench_id"] == 99).all()
