@@ -408,3 +408,91 @@ def packbits_decode(buf: bytes) -> bytes:
             i += 1
         # h == 128: no-op per spec
     return bytes(out)
+
+
+def decode_png_any(buf: bytes) -> np.ndarray:
+    """General PNG decoder (real-world files, not just this module's
+    minimal writer): bit depths 8/16, color types gray / RGB / palette /
+    gray+alpha / RGBA, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Non-interlaced only (Adam7 raises). Returns (h, w) for gray
+    or (h, w, channels) uint8/uint16 — lossless, so tests pin BIT-EXACT
+    equality against javax.imageio's PNG writer."""
+    assert buf[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    idat = b""
+    plte = None
+    width = height = bitdepth = color = interlace = None
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    if bitdepth not in (8, 16):
+        raise NotImplementedError(f"bit depth {bitdepth}")
+    sample_bytes = bitdepth // 8
+    bpp = channels * sample_bytes  # filter unit
+    stride = width * bpp
+    raw = zlib.decompress(idat)
+    assert len(raw) >= height * (1 + stride), "truncated PNG data"
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        off += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    if bitdepth == 16:
+        img = out.reshape(height, width, channels, 2).astype(np.uint16)
+        img = (img[..., 0] << 8) | img[..., 1]  # network byte order
+    else:
+        img = out.reshape(height, width, channels).astype(np.uint8)
+    if color == 3:  # palette lookup → RGB
+        assert plte is not None, "palette PNG without PLTE"
+        img = plte[img[..., 0]]
+    if img.shape[-1] == 1:
+        img = img[..., 0]
+    return img

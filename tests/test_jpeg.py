@@ -151,3 +151,44 @@ def test_image_pipeline_over_real_jpeg_payloads(spark):
     pairs = embedding_neardup_pairs(e, threshold=0.98, exact=True).toPandas()
     got = set(zip(pairs["vec_a"], pairs["vec_b"]))
     assert (0, 1) in got  # the near-dup pair survives JPEG compression
+
+
+def test_decode_png_any_bit_exact_vs_javax(spark):
+    # PNG is lossless: decoding Java's adaptively-filtered output must be
+    # BIT-EXACT (exercises Sub/Up/Average/Paeth unfiltering paths)
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_png_any, encode_png
+
+    jvm = spark._jvm
+    h, w = 37, 53
+    rng = np.random.default_rng(2)
+    # half random, half smooth so the encoder picks varied filters
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rgb[: h // 2] = np.arange(w, dtype=np.uint8)[None, :, None] * 4
+
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = map(int, rgb[y, x])
+            bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg, "png", baos)
+    ours = decode_png_any(bytes(baos.toByteArray()))
+    assert ours.shape == (h, w, 3) and (ours == rgb).all()
+
+    gimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            gimg.getRaster().setSample(x, y, 0, int(g[y, x]))
+    baos2 = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(gimg, "png", baos2)
+    assert (decode_png_any(bytes(baos2.toByteArray())) == g).all()
+
+    # our own minimal 16-bit gray writer parses through the general path
+    arr16 = rng.integers(0, 10000, (1, 20, 24), dtype=np.uint16)
+    got16 = decode_png_any(encode_png(arr16))
+    assert got16.dtype == np.uint16 and (got16 == arr16[0]).all()
