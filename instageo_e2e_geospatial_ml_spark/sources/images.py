@@ -481,3 +481,45 @@ def audio_windows(
             )
 
     return audio.mapInPandas(wins, "audio_id string, win_idx int, bytes binary, sr int, fmt string")
+
+
+def wav_encode(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """16-bit PCM mono/stereo → RIFF/WAVE container ((n,) or (n, ch)
+    int16). The standard uncompressed audio interchange format."""
+    import struct
+
+    x = np.asarray(pcm, dtype="<i2")
+    ch = 1 if x.ndim == 1 else x.shape[1]
+    data = x.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → ((n,) or (n, ch) int16, sample_rate). PCM (format 1)
+    16-bit only; compressed WAV variants raise."""
+    import struct
+
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a WAV"
+    pos = 12
+    sr = ch = bits = None
+    data = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        chunk = buf[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("PCM 16-bit WAV only")
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    assert data is not None and sr is not None, "missing fmt/data chunk"
+    x = np.frombuffer(data, dtype="<i2")
+    if ch > 1:
+        x = x.reshape(-1, ch)
+    return x, sr

@@ -192,3 +192,35 @@ def test_decode_png_any_bit_exact_vs_javax(spark):
     arr16 = rng.integers(0, 10000, (1, 20, 24), dtype=np.uint16)
     got16 = decode_png_any(encode_png(arr16))
     assert got16.dtype == np.uint16 and (got16 == arr16[0]).all()
+
+
+def test_wav_container_interop(spark):
+    # WAV is a raw container: decoding a javax.sound-written file must be
+    # sample-exact, and javax.sound must parse our writer's metadata
+    from instageo_e2e_geospatial_ml_spark.sources.images import (
+        audio_features,
+        wav_decode,
+        wav_encode,
+    )
+
+    jvm = spark._jvm
+    pcm = np.array([0, 1, -1, 1000, -32768, 32767, 42, -42] * 100, dtype="<i2")
+    fmt = jvm.javax.sound.sampled.AudioFormat(16000.0, 16, 1, True, False)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(pcm.tobytes()))
+    ais = jvm.javax.sound.sampled.AudioInputStream(bais, fmt, len(pcm))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    wtype = jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE
+    jvm.javax.sound.sampled.AudioSystem.write(ais, wtype, baos)
+    got, sr = wav_decode(bytes(baos.toByteArray()))
+    assert sr == 16000 and (got == pcm).all()
+
+    ours = wav_encode(pcm, 16000)
+    ais2 = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(ours))
+    )
+    assert ais2.getFormat().getSampleRate() == 16000.0
+    assert int(ais2.getFrameLength()) == len(pcm)
+    # our own round trip, incl. stereo
+    st = np.stack([pcm, -pcm], axis=1)
+    got2, sr2 = wav_decode(wav_encode(st, 8000))
+    assert sr2 == 8000 and got2.shape == st.shape and (got2 == st).all()
