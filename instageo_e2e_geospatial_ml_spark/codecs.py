@@ -496,3 +496,132 @@ def decode_png_any(buf: bytes) -> np.ndarray:
     if img.shape[-1] == 1:
         img = img[..., 0]
     return img
+
+
+# --- GIF decode (87a/89a) ----------------------------------------------------
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first packing, CLEAR=2^N, EOI=CLEAR+1, width
+    grows at next_code == 2^width (no early change), 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+
+    def reset() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = reset()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = reset()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a → (n_frames, h, w, 3) uint8. Full LZW + palette +
+    interlace + frame compositing onto the previous canvas (disposal
+    'restore to background' approximated as keep — the common
+    browser-compatible interpretation for opaque frames); transparent
+    pixels keep the underlying canvas."""
+    assert buf[:6] in (b"GIF87a", b"GIF89a"), "not a GIF"
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    transparent = None
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = buf[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphics control
+                sz = buf[pos]
+                gflags = buf[pos + 1]
+                transparent = buf[pos + 4] if (gflags & 1) else None
+                pos += 1 + sz
+            while buf[pos] != 0:  # skip sub-blocks
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            assert ct is not None, "GIF image without a color table"
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, bytes(data), iw * ih), dtype=np.uint8
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                deinter = np.zeros_like(idx)
+                rows = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                deinter[rows] = idx
+                idx = deinter
+            region = ct[np.minimum(idx, len(ct) - 1)]
+            target = canvas.copy()
+            if transparent is not None:
+                mask = idx != transparent
+                sub = target[iy : iy + ih, ix : ix + iw]
+                sub[mask] = region[mask]
+                target[iy : iy + ih, ix : ix + iw] = sub
+            else:
+                target[iy : iy + ih, ix : ix + iw] = region
+            frames.append(target)
+            canvas = target
+            transparent = None
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)

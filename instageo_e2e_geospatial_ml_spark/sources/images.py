@@ -248,7 +248,12 @@ def sample_video_frames(
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                if fake_decode:
+                if r.fmt == "gif":
+                    # REAL multi-frame decode (codecs.decode_gif): animated
+                    # GIF frames -> luminance uint16
+                    rgb = codecs.decode_gif(bytes(r.bytes))
+                    frames = rgb.mean(axis=3).astype(np.uint16)
+                elif fake_decode:
                     frames = _deterministic_frames(r.video_id, n_frames, w, h)
                 else:
                     frames = decode_external(r.fmt, bytes(r.bytes))

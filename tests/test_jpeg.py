@@ -224,3 +224,93 @@ def test_wav_container_interop(spark):
     st = np.stack([pcm, -pcm], axis=1)
     got2, sr2 = wav_decode(wav_encode(st, 8000))
     assert sr2 == 8000 and got2.shape == st.shape and (got2 == st).all()
+
+
+def _lsb_pack(codes, width_seq):
+    acc = 0
+    n = 0
+    out = bytearray()
+    for c, wd in zip(codes, width_seq):
+        acc |= c << n
+        n += wd
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_frame_block(ix, iy, iw, ih, pixels):
+    # literal-only LZW stream (CLEAR before the table can force a width
+    # bump) — valid GIF data any decoder must accept
+    import struct as st
+
+    min_code = 7
+    clear, eoi = 128, 129
+    codes, widths = [clear], [8]
+    for i, p in enumerate(pixels):
+        if i and i % 100 == 0:
+            codes.append(clear)
+            widths.append(8)
+        codes.append(int(p))
+        widths.append(8)
+    codes.append(eoi)
+    widths.append(8)
+    data = _lsb_pack(codes, widths)
+    out = b"\x2c" + st.pack("<HHHHB", ix, iy, iw, ih, 0) + bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00"
+
+
+def test_gif_decode_interop_and_animation(spark):
+    import struct as st
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_gif
+
+    # 1) javax.imageio-written gray GIF decodes BIT-EXACT
+    jvm = spark._jvm
+    h, w = 33, 47
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    gimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    for y in range(h):
+        for x in range(w):
+            gimg.getRaster().setSample(x, y, 0, int(g[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(gimg, "gif", baos)
+    frames = decode_gif(bytes(baos.toByteArray()))
+    assert frames.shape == (1, h, w, 3)
+    assert (frames[0][..., 0] == g).all()
+
+    # 2) hand-built 2-frame animation: frame 2 overwrites a sub-rect and
+    # composites onto frame 1's canvas
+    W, H = 10, 6
+    gct = bytes(v for i in range(128) for v in (2 * i, 2 * i, 2 * i))
+    hdr = b"GIF89a" + st.pack("<HHBBB", W, H, 0x80 | 0x06, 0, 0) + gct
+    f1 = np.full(W * H, 10, dtype=np.uint8)
+    f2 = np.full(4 * 2, 99, dtype=np.uint8)  # 4x2 patch at (3,2)
+    gif = hdr + _gif_frame_block(0, 0, W, H, f1) + _gif_frame_block(3, 2, 4, 2, f2) + b"\x3b"
+    out = decode_gif(gif)
+    assert out.shape == (2, H, W, 3)
+    assert (out[0] == 20).all()  # palette doubles the index
+    assert (out[1][2:4, 3:7, 0] == 198).all()
+    assert (out[1][0, 0] == 20).all()  # rest composited from frame 1
+
+    # 3) the frame-sampling operator over a REAL animated gif
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.sources.images import sample_video_frames
+
+    vids = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["g"], "bytes": [gif], "fmt": ["gif"]})
+    )
+    fr = sample_video_frames(vids, every_n=1).toPandas()
+    assert list(fr["frame_idx"]) == [0, 1]
+    a0 = np.frombuffer(fr.iloc[0]["bytes"], dtype="<u2").reshape(H, W)
+    assert (a0 == 20).all()
