@@ -210,6 +210,12 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
 
         a = jpeg_decode(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
+    if fmt == "gif":
+        a = codecs.decode_gif(payload)  # (frames, h, w, 3)
+        return np.moveaxis(a[0], -1, 0)
+    if fmt == "png_any":
+        a = codecs.decode_png_any(payload)
+        return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
     if fmt == "webp":
         raise NotImplementedError(
             f"fmt={fmt!r} needs an image library (PIL/opencv) not present in "
