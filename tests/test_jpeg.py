@@ -314,3 +314,60 @@ def test_gif_decode_interop_and_animation(spark):
     assert list(fr["frame_idx"]) == [0, 1]
     a0 = np.frombuffer(fr.iloc[0]["bytes"], dtype="<u2").reshape(H, W)
     assert (a0 == 20).all()
+
+
+def test_lzw_hand_vector_and_roundtrips():
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.codecs import lzw_decode, lzw_encode
+
+    # hand-packed vector: encoding ABABAB must emit exactly
+    # [CLEAR, A, B, 258, 258, EOI] as 9-bit MSB-first codes
+    codes = [256, 65, 66, 258, 258, 257]
+    acc = n = 0
+    by = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        n += 9
+        while n >= 8:
+            by.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        by.append((acc << (8 - n)) & 0xFF)
+    assert lzw_encode(b"ABABAB") == bytes(by)
+    assert lzw_decode(bytes(by)) == b"ABABAB"
+
+    # round-trips across width changes, table resets, and KwKwK
+    random.seed(3)
+    for size in (0, 1, 300, 700, 5000):
+        d = bytes(random.randrange(40) for _ in range(size))
+        assert lzw_decode(lzw_encode(d)) == d, size
+    d = bytes(random.randrange(256) for _ in range(300_000))  # multiple resets
+    assert lzw_decode(lzw_encode(d)) == d
+    d = (b"the quick brown fox " * 3000) + bytes(range(256))
+    assert lzw_decode(lzw_encode(d)) == d
+
+
+def test_codec_roundtrip_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from instageo_e2e_geospatial_ml_spark.codecs import (
+        lzw_decode,
+        lzw_encode,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(max_size=4000))
+    def lzw_rt(d):
+        assert lzw_decode(lzw_encode(d)) == d
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(max_size=4000))
+    def pb_rt(d):
+        assert packbits_decode(packbits_encode(d)) == d
+
+    lzw_rt()
+    pb_rt()
