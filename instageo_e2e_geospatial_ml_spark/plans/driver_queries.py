@@ -1550,7 +1550,19 @@ def q53_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q53_SQL = """
+def _pii_scrub_sql_expr(col: str) -> str:
+    """Build the DuckDB regexp_replace chain from the SAME PII_PATTERNS
+    the Spark operator uses — one source of truth, no drift."""
+    from ..functions.text import PII_PATTERNS
+
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return expr
+
+
+Q53_SQL = f"""
 WITH injected AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0
@@ -1560,15 +1572,7 @@ WITH injected AS (
   FROM documents
 ),
 scrubbed AS (
-  SELECT doc_id, text,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
-             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
-           '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CARD>', 'g') AS sc
+  SELECT doc_id, text, {_pii_scrub_sql_expr("text")} AS sc
   FROM injected
 )
 SELECT doc_id, md5(sc) AS scrubbed_md5, sc != text AS was_scrubbed FROM scrubbed
