@@ -16,6 +16,12 @@ NotImplementedError.
 
 The DCT convention is the orthonormal 8×8 DCT-II shared with
 codecs._DCT; color transform is the JFIF YCbCr matrix.
+
+Throughput note: the entropy coder is per-symbol Python (numpy only for
+DCT/color), fine for thumbnails/QA-scale payloads and correctness work;
+bulk pixel ingest at 100 TB would plug a native decoder into the same
+codecs dispatch — the Spark-side plumbing (schemas, batching, operators)
+is unchanged either way.
 """
 
 from __future__ import annotations
