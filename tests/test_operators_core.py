@@ -469,3 +469,71 @@ def test_interval_join_matches_theta_join(spark):
         interval_join(ev, huge, bucket_minutes=45, max_buckets_per_interval=100).count()
         == 0
     )
+
+
+def test_salted_join_row_identical_and_spread(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.skew import salted_join
+
+    # one pathological hot key (90% of facts) + a long tail
+    n = 5000
+    fact = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("cell"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"cell": list(range(100)), "tile": [f"t{i}" for i in range(100)]})
+    )
+    got = salted_join(fact, dim, "cell", n_salt=8).toPandas()
+    want = fact.join(dim, "cell").toPandas()
+    key = ["row_id"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+
+    # the hot key's rows really spread over multiple salt values
+    from instageo_e2e_geospatial_ml_spark.operators.skew import F as _F  # noqa: F401
+    salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    )
+    spread = salted.filter(F.col("cell") == 7).select("_salt").distinct().count()
+    assert spread == 8
+
+
+def test_write_clustered_files_prune_by_range(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.skew import write_clustered
+
+    df = spark.range(100_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("cell")
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, "cell", num_files=8)
+
+    # per-file min/max ranges must be (nearly) disjoint — that's what lets
+    # parquet row-group stats prune a cell-range scan to ~1 file
+    got = (
+        spark.read.parquet(out)
+        .select("cell", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"))
+        .toPandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 6
+    for i in range(1, len(got)):
+        assert got.loc[i, "lo"] >= got.loc[i - 1, "hi"]  # ranges don't interleave
+    # and a narrow range predicate actually reads a small file subset
+    narrow = (
+        spark.read.parquet(out)
+        .filter((F.col("cell") >= 100) & (F.col("cell") < 200))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert narrow <= 2
