@@ -534,3 +534,54 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     if ch > 1:
         x = x.reshape(-1, ch)
     return x, sr
+
+
+# --- G.711 companding (mu-law / A-law) — real telephony PCM ------------------
+
+def mulaw_encode(pcm: np.ndarray) -> bytes:
+    """16-bit linear PCM → G.711 μ-law bytes (ITU-T G.711 segmented
+    approximation, the exact table javax.sound implements)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    BIAS, CLIP = 0x84, 32635
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), CLIP) + BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def mulaw_decode(buf: bytes) -> np.ndarray:
+    u = ~np.frombuffer(buf, dtype=np.uint8).astype(np.int64) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(pcm: np.ndarray) -> bytes:
+    """16-bit linear PCM → G.711 A-law bytes (the classic segmented
+    algorithm on 13-bit magnitudes, even-bit inversion mask)."""
+    x = np.asarray(pcm, dtype=np.int64) >> 3  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    m = np.where(x >= 0, x, -x - 1)
+    # segment = index of the first boundary >= m over
+    # {0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF}
+    seg = np.searchsorted(
+        np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]), m, "left"
+    )
+    seg = np.minimum(seg, 7)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((m >> shift) & 0x0F)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def alaw_decode(buf: bytes) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    # the <<4 plus segment offsets bake the 13->16-bit scaling in (g711
+    # convention) — no further shift
+    t = ((a & 0x0F) << 4) + 8
+    t = np.where(seg >= 1, t + 0x100, t)
+    t = np.where(seg > 1, t << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)

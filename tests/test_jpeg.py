@@ -371,3 +371,53 @@ def test_codec_roundtrip_properties():
 
     lzw_rt()
     pb_rt()
+
+
+def test_g711_companding_vs_javax(spark):
+    from instageo_e2e_geospatial_ml_spark.sources.images import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    jvm = spark._jvm
+    pcm = np.arange(-32768, 32768, 7).astype(np.int16)
+
+    def java_compand(pcm, enc_name):
+        src_fmt = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+        enc = getattr(jvm.javax.sound.sampled.AudioFormat.Encoding, enc_name)
+        dst = jvm.javax.sound.sampled.AudioFormat(enc, 8000.0, 8, 1, 1, 8000.0, False)
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(pcm.tobytes()))
+        ais = jvm.javax.sound.sampled.AudioInputStream(bais, src_fmt, len(pcm))
+        conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(dst, ais)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        t = jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE
+        jvm.javax.sound.sampled.AudioSystem.write(conv, t, baos)
+        raw = bytes(baos.toByteArray())
+        i = raw.find(b"data")
+        return np.frombuffer(raw[i + 8 : i + 8 + len(pcm)], dtype=np.uint8)
+
+    # byte agreement with the JVM's converters; the residual percent is
+    # Java's historic conventions (mu-law negation overflow at the int16
+    # floor, A-law "-sample-8" rounding bias), not G.711 divergence
+    ju = java_compand(pcm, "ULAW")
+    ours_u = np.frombuffer(mulaw_encode(pcm), dtype=np.uint8)
+    assert (ju == ours_u).mean() > 0.99
+    mism = pcm[ju != ours_u]
+    assert (np.abs(mism.astype(int)) > 31000).all()  # only at the extremes
+
+    ja = java_compand(pcm, "ALAW")
+    ours_a = np.frombuffer(alaw_encode(pcm), dtype=np.uint8)
+    assert (ja == ours_a).mean() > 0.97
+
+    # our own round trips hold the G.711 error bounds
+    du = mulaw_decode(mulaw_encode(pcm)).astype(int)
+    assert np.abs(du - pcm).max() <= 1024
+    da = alaw_decode(alaw_encode(pcm)).astype(int)
+    assert np.abs(da - pcm).max() <= 1024
+    # decoding JAVA's bytes also reconstructs the signal (no sign flips) —
+    # outside the int16 floor where Java's own negation overflow corrupts
+    # ITS bytes before we ever see them
+    ok = np.abs(pcm.astype(int)) <= 31000
+    assert np.abs(mulaw_decode(ju.tobytes()).astype(int)[ok] - pcm[ok]).max() <= 1024
