@@ -88,7 +88,10 @@ def bm25_scores(
 
 
 def bigram_surprisal_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Count-based bigram surprisal per document →
     (id, n_bigrams, surprisal_sum, surprisal_mean).
@@ -100,9 +103,11 @@ def bigram_surprisal_scores(
     −log2 P(w2|w1) that stays exact in any engine (the token_rarity
     pattern). High mean ⇒ improbable transitions ⇒ likely noise.
 
-    Plan: one bigram explode shared (via lineage) by the c12/c1/V
-    aggregates, then two token-keyed joins back (AQE sizes them) and one
-    doc-keyed aggregation.
+    Plan: the bigram table feeds three subtrees (c12, c1, and the scored
+    join); Catalyst does not reuse the exchange across them, so by default
+    it is materialized once with a lazy localCheckpoint (the q15 lesson),
+    then two token-keyed joins back (AQE sizes them) and one doc-keyed
+    aggregation.
     """
     t = tokens(text_col)
     big = (
@@ -119,6 +124,8 @@ def bigram_surprisal_scores(
             F.element_at("_toks", F.col("_i") + 1).alias("w2"),
         )
     )
+    if materialize:
+        big = big.localCheckpoint(eager=False)
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
