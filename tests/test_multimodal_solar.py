@@ -685,3 +685,36 @@ def test_chunking_pii_decontamination_units(spark):
     flagged = contamination_check(train, bench, n=5).toPandas()
     assert set(flagged["train_id"]) == {10}
     assert (flagged["bench_id"] == 99).all()
+
+
+def test_chunking_reconstruction_property(spark):
+    # dropping each chunk's overlap prefix and concatenating must
+    # reproduce the original token stream exactly, for any doc length
+    from instageo_e2e_geospatial_ml_spark.functions.text import chunk_documents
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    lengths = [1, 15, 16, 17, 47, 48, 49, 100, 257]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(lengths)),
+                "text": [
+                    " ".join(f"t{rng.integers(0, 50)}_{i}_{j}" for j in range(n))
+                    for i, n in enumerate(lengths)
+                ],
+            }
+        )
+    )
+    chunk_tokens, overlap = 48, 16
+    out = chunk_documents(docs, chunk_tokens, overlap).toPandas()
+    src = {r["doc_id"]: r["text"].split() for _, r in docs.toPandas().iterrows()}
+    for doc_id, toks in src.items():
+        chunks = out[out["doc_id"] == doc_id].sort_values("chunk_idx")
+        rebuilt = []
+        for k, (_, r) in enumerate(chunks.iterrows()):
+            ts = r["chunk_text"].split()
+            assert len(ts) == r["n_tokens"]
+            rebuilt.extend(ts if k == 0 else ts[overlap:])
+        assert rebuilt == toks, (doc_id, len(toks))
