@@ -1465,15 +1465,20 @@ def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+# CASE chain generated from the SAME fractions dict the Spark operator
+# uses (sampling.stratified_sample builds its when-chain over
+# sorted(items) too) — one source of truth, no drift
+_Q43_CASES = "\n          ".join(
+    f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+    for k, v in sorted(_Q43_FRACTIONS.items())
+)
 Q43_SQL = f"""
 SELECT doc_id, source FROM documents
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s'), 1, 8)) AS BIGINT)
         % 1000000
       < CASE source
-          WHEN 'src2' THEN {int(0.2 * 1_000_000)}
-          WHEN 'src1' THEN {int(0.5 * 1_000_000)}
-          WHEN 'src0' THEN {int(1.0 * 1_000_000)}
-          ELSE {int(0.1 * 1_000_000)} END
+          {_Q43_CASES}
+          ELSE {int(_Q43_DEFAULT * 1_000_000)} END
 """
 
 
