@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
     filter → broadcast PIP join → as-of pick → validity → cogrouped chip
     extraction (q19-sized synthetic inputs; returns the chip metadata
     table)."""
-    return _dq.q19_chip_extract(spark, "/root/testdata/sf0.001")
+    return _dq.q52_chip_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -354,17 +354,33 @@ def phash_table(images: DataFrame) -> DataFrame:
 def phash_neardup_pairs(
     images: DataFrame, max_hamming: int = 8, max_bucket: int = 10_000
 ) -> DataFrame:
-    """Image near-duplicate pairs by perceptual-hash Hamming distance —
-    EXACT for the given threshold: the 64-bit phash splits into
-    (max_hamming + 1) blocks, so any pair within Hamming distance
-    max_hamming shares at least one identical block (pigeonhole); the
-    block equi-join generates candidates and bit_count(a XOR b) refines —
-    all JVM after the one hashing pass. max_bucket drops degenerate
-    blocks (e.g. all-black thumbnails), the LSH skew-guard pattern.
+    """Image near-duplicate pairs by perceptual-hash Hamming distance:
+    one decode+hash pass (phash_table), then the exact pigeonhole
+    block join over the hash column (hamming_neardup_pairs).
     Returns (id_a, id_b, hamming)."""
+    ph = phash_table(images).localCheckpoint(eager=False)
+    return hamming_neardup_pairs(ph, max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def hamming_neardup_pairs(
+    ph: DataFrame,
+    max_hamming: int = 8,
+    max_bucket: int = 10_000,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit hash column — EXACT for the
+    given threshold: the hash splits into (max_hamming + 1) blocks, so
+    any pair within Hamming distance max_hamming shares at least one
+    identical block (pigeonhole); the block equi-join generates
+    candidates and bit_count(a XOR b) refines — all JVM. max_bucket
+    drops degenerate blocks (e.g. all-black thumbnails), the LSH
+    skew-guard pattern. This is the north-star per-row `phash:int64`
+    column join (the table shape in BASELINE.json input_hint); feed it
+    phash_table(images) to go from pixels. Returns (id_a, id_b, hamming)."""
     from pyspark.sql import functions as F
 
-    ph = phash_table(images).localCheckpoint(eager=False)
+    ph = ph.select(F.col(id_col).alias("image_id"), F.col(hash_col).alias("phash"))
     n_blocks = max_hamming + 1
     if n_blocks > 64:
         raise ValueError("max_hamming must be < 64")
