@@ -169,6 +169,7 @@ def lsh_topk(
     pvec: str = "pvec",
     n_bits: int = 8,
     multi_probe: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the LSH bucket are scored.
 
@@ -179,7 +180,14 @@ def lsh_topk(
     bucket, so a (query, candidate) pair still joins at most once (no
     dedup needed). Cost: the broadcast query side grows ×(n_bits+1);
     corpus-side work grows only with the extra candidates actually
-    matched."""
+    matched.
+
+    broadcast_queries=True fits the interactive-lookup shape (query set
+    small by contract). For the corpus-scale shape — a full kNN graph
+    where queries == corpus (LLM-dedup's canonical use) — pass False: the
+    candidate join then shuffles both sides on the bucket key instead of
+    broadcasting a corpus-sized query table to every executor (AQE still
+    picks a broadcast at runtime when the query side is genuinely small)."""
     qb = lsh_buckets(queries.select(F.col(qid).alias("_id"), F.col(qvec).alias("v")), "v", "_id", n_bits)
     pb = lsh_buckets(corpus.select(F.col(pid).alias("_id"), F.col(pvec).alias("v")), "v", "_id", n_bits)
     q = queries.join(qb.select(F.col("_id").alias(qid), "bucket"), qid)
@@ -191,7 +199,7 @@ def lsh_topk(
         )
         q = q.withColumn("bucket", F.explode(probes))
     j = (
-        F.broadcast(q)
+        (F.broadcast(q) if broadcast_queries else q)
         .join(p, "bucket")
         .filter(F.col(qid) != F.col(pid))
         .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
@@ -253,6 +261,7 @@ def ivf_topk(
     pvec: str = "pvec",
     cid: str = "cid",
     cvec: str = "cvec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF: assign corpus rows to their nearest centroid (inverted lists),
     probe the nprobe closest lists per query, exact-score within them.
@@ -263,8 +272,12 @@ def ivf_topk(
     shuffle moves N rows, not N×C (a window rank would shuffle the full
     cross product). At real scale the assignment is computed once and
     persisted with the list id as a partition key → partition pruning per
-    query batch. The query side is small by contract, so its nprobe-rank
-    window is immaterial.
+    query batch. The centroid table (k rows) is always broadcast; the
+    QUERY side is broadcast only when broadcast_queries=True (the
+    interactive-lookup contract) — for corpus-scale query sets (full
+    kNN-graph builds where queries == corpus) pass False and the probe
+    join shuffles both sides on the list id instead (AQE still broadcasts
+    a genuinely small side at runtime).
     """
     # corpus side: top-1 centroid by (cdot desc, cid asc) via max(struct)
     pj = corpus.crossJoin(F.broadcast(centroids)).withColumn(
@@ -291,7 +304,7 @@ def ivf_topk(
         .drop("cdot", "crank", cvec)
     )
     j = (
-        F.broadcast(q)
+        (F.broadcast(q) if broadcast_queries else q)
         .join(p, cid)
         .filter(F.col(qid) != F.col(pid))
         .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
@@ -311,6 +324,7 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed k-means (Lloyd) over an embedding column → (cid,
     c: array<long>) centroids in the ×1000-quantized integer domain —
@@ -327,8 +341,12 @@ def train_centroids(
         int64 elements, as a broadcast cross-score + map-side
         max(struct(score, −cid)) aggregation — the one shuffle per round
         moves N rows, not N×k (the ivf_topk assignment pattern);
-      * update: per-(cluster, dim) exact integer sums, one fixed-shape
-        round(sum/n) per element (half-away-from-zero in both engines).
+      * update: a FIXED-SHAPE aggregation — one sum(element_at(v, i)) per
+        dimension plus one count, all in a single hash aggregate keyed by
+        cid, then one round(sum/n) per element (half-away-from-zero in
+        both engines). No posexplode: the update shuffles k rows of dim
+        columns, never inflating the corpus ×dim in memory. `dim` is read
+        from the first row when not passed (one tiny job).
 
     Empty clusters are dropped (k may shrink — the standard Lloyd
     degeneracy; k-means‖ style re-seeding is a caller concern). Each
@@ -339,6 +357,11 @@ def train_centroids(
     Feed the result through centroids_as_vectors() for ivf_topk.
     """
     zero = F.lit(0).cast("long")
+    if dim is None:
+        head = vecs.select(F.size(vec_col).alias("_d")).head()
+        if head is None:
+            raise ValueError("train_centroids: empty input")
+        dim = int(head["_d"])
     q = vecs.select(
         id_col, F.transform(F.col(vec_col), lambda e: _quant(e)).alias("v")
     )
@@ -375,15 +398,21 @@ def train_centroids(
             )
             .select(id_col, (-F.col("_m._nc")).alias("cid"), "v")
         )
-        upd = (
-            assigned.select("cid", F.posexplode("v").alias("i", "e"))
-            .groupBy("cid", "i")
-            .agg(F.round(F.sum("e") / F.count(F.lit(1))).cast("long").alias("ce"))
+        upd = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("v", i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
         )
-        cents = upd.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "ce"))), lambda s: s["ce"]
-            ).alias("c")
+        cents = upd.select(
+            "cid",
+            F.array(
+                *[
+                    F.round(F.col(f"_s{i}") / F.col("_n")).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("c"),
         )
         if materialize:
             cents = cents.localCheckpoint(eager=False)

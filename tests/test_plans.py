@@ -188,9 +188,55 @@ def test_q49_distance_join_broadcast_jvm(spark):
 
 
 def test_q50_interval_join_equi_not_nested_loop(spark):
-    # the time-bucketed rewrite must plan as an EQUI join on bucket id,
-    # never the O(N*M) BroadcastNestedLoopJoin a raw theta join produces
+    # the time-bucketed rewrite must plan the MAIN branch as an EQUI join
+    # on bucket id — the only NestedLoop allowed is the over-cap routing
+    # branch (broadcast theta join against the ≥-cap intervals, an empty
+    # side here since every q50 window spans 2-3 buckets)
     plan = _plan(dq.QUERIES["q50_interval_join"](spark, SF))
-    assert "NestedLoop" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "_bucket" in plan and (
+        ("BroadcastHashJoin [_bucket" in plan)
+        or ("SortMergeJoin [_bucket" in plan)
+        or ("ShuffledHashJoin [_bucket" in plan)
+    )
+    assert plan.count("NestedLoop") <= 1
     assert "EvalPython" not in plan
+
+
+def test_ann_broadcast_queries_opt_out(spark):
+    """With broadcast_queries=False the candidate join must shuffle on the
+    bucket/list key — no BroadcastExchange feeding it from the query side
+    (the corpus-scale kNN-graph contract: queries == corpus would OOM the
+    executors under a forced broadcast). Values must be identical to the
+    broadcast path."""
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import (
+        ivf_topk,
+        label_centroids,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(SF + "/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    cen = label_centroids(
+        e.withColumn("label", F.col("vec_id") % 4), assemble=True
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(lsh_topk(q, p, k=3, n_bits=4, broadcast_queries=False))
+        assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+        # ivf: the k-row centroid table is STILL broadcast (two explicit
+        # hints — corpus assign + query rank), but the probe join between
+        # query and corpus lists must shuffle on the list id
+        plan = _plan(ivf_topk(q, p, cen, k=3, nprobe=2, broadcast_queries=False))
+        assert "SortMergeJoin [cid#" in plan or "ShuffledHashJoin [cid#" in plan
+        assert plan.count("BroadcastExchange") <= 2
+        # value parity: the flag changes the physical plan only
+        a = sorted(map(tuple, lsh_topk(q, p, k=3, n_bits=4, broadcast_queries=False).collect()))
+        b = sorted(map(tuple, lsh_topk(q, p, k=3, n_bits=4, broadcast_queries=True).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
