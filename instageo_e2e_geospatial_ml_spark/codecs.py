@@ -205,9 +205,15 @@ def decode(buf: bytes, w: int, h: int, bands: int, fmt: str) -> np.ndarray:
         from .jpeg import jpeg_decode
 
         a = jpeg_decode(buf)
-        if a.ndim == 2:
-            return a[None, ...].astype(np.uint16)
-        return np.moveaxis(a, -1, 0).astype(np.uint16)
+        a = a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
+        if a.shape != (bands, h, w):
+            # metadata/payload mismatch must fail loudly like the raw
+            # formats' reshape would, not silently return other dims
+            raise ValueError(
+                f"jpeg payload decodes to {a.shape}, but metadata declares "
+                f"(bands={bands}, h={h}, w={w})"
+            )
+        return a.astype(np.uint16)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 

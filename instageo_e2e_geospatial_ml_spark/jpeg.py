@@ -195,6 +195,8 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d) or (self.pos + 1 >= len(d) and d[self.pos] == 0xFF):
+            raise ValueError("truncated JPEG entropy data")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]

@@ -36,8 +36,16 @@ def salted_join(
     definition — a big-big skew join wants AQE's skew split instead);
     the fact side derives its salt deterministically from `salt_by`
     (default: every fact column via xxhash64, so re-runs place rows
-    identically). Output rows are exactly the unsalted join's.
+    identically). Output rows are exactly the unsalted join's for the
+    fact-preserving join types; right/full outer are rejected because the
+    ×n_salt dim replication would surface unmatched dim rows n_salt times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti", "leftouter", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the dim side is "
+            "replicated ×n_salt, so only fact-preserving joins (inner/"
+            "left/left_semi/left_anti) keep unsalted-join semantics"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     d = dim.withColumn("_salt", salts)
     basis = [F.col(salt_by)] if salt_by else [F.col(c) for c in fact.columns]

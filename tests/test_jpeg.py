@@ -421,3 +421,18 @@ def test_g711_companding_vs_javax(spark):
     # ITS bytes before we ever see them
     ok = np.abs(pcm.astype(int)) <= 31000
     assert np.abs(mulaw_decode(ju.tobytes()).astype(int)[ok] - pcm[ok]).max() <= 1024
+
+
+def test_jpeg_truncated_entropy_and_shape_mismatch():
+    from instageo_e2e_geospatial_ml_spark import codecs
+
+    g = _gradient(24, 24).astype(np.uint8)
+    buf = jpeg_encode(g, quality=90)
+    # chop inside the entropy segment: a descriptive error, not IndexError
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jpeg_decode(buf[:-8])
+    # declared metadata must match the payload's decoded dims
+    with pytest.raises(ValueError, match="metadata declares"):
+        codecs.decode(buf, w=99, h=24, bands=1, fmt="jpeg")
+    ok = codecs.decode(buf, w=24, h=24, bands=1, fmt="jpeg")
+    assert ok.shape == (1, 24, 24)

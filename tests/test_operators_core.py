@@ -461,12 +461,45 @@ def test_interval_join_matches_theta_join(spark):
         )
     )
     assert got == want and len(want) > 0
-    # skew guard: an interval wider than the cap is dropped, not exploded
+    # skew routing: an interval wider than the cap is NOT exploded bucket-
+    # wise, but its matches are still all present (broadcast theta branch)
     huge = spark.createDataFrame(
         pd.DataFrame({"window_id": [99], "start": pd.to_datetime(["2020-01-01"])})
     ).withColumn("end", F.col("start") + F.expr("INTERVAL 3650 DAYS"))
+    n_ev = ev.count()
     assert (
         interval_join(ev, huge, bucket_minutes=45, max_buckets_per_interval=100).count()
+        == n_ev  # the decade-wide interval contains every 2024 event
+    )
+    # mixed width: every matching pair appears exactly once across branches
+    mixed = iv.unionByName(huge)
+    got_m = sorted(
+        map(
+            tuple,
+            interval_join(ev, mixed, bucket_minutes=45, max_buckets_per_interval=100)
+            .select("window_id", "event_id")
+            .collect(),
+        )
+    )
+    want_m = sorted(
+        map(
+            tuple,
+            ev.crossJoin(mixed)
+            .filter((F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end")))
+            .select("window_id", "event_id")
+            .collect(),
+        )
+    )
+    assert got_m == want_m
+    # the pre-round-4 data-filter behavior is an explicit opt-in
+    assert (
+        interval_join(
+            ev,
+            huge,
+            bucket_minutes=45,
+            max_buckets_per_interval=100,
+            oversize_intervals="drop",
+        ).count()
         == 0
     )
 
@@ -537,3 +570,45 @@ def test_write_clustered_files_prune_by_range(spark, tmp_path):
         .count()
     )
     assert narrow <= 2
+
+
+def test_salted_join_rejects_dim_replicating_outer(spark):
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("cell"))
+    dim = spark.createDataFrame(pd.DataFrame({"cell": [1, 2], "tile": ["a", "b"]}))
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "cell", how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "cell", how="full_outer")
+    # left_anti is fact-preserving: dim replication covers every salt
+    got = sorted(
+        r["cell"] for r in salted_join(fact, dim, "cell", how="left_anti").collect()
+    )
+    assert got == [0, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_hamming_neardup_pairs_hash_column(spark):
+    """hamming_neardup_pairs over a raw int64 hash column (the north-star
+    phash table shape) vs the brute-force O(n²) pair scan."""
+    import itertools
+
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.sources.images import hamming_neardup_pairs
+
+    rng = [(f"im{i}", (i * 0x9E3779B97F4A7C15) % (1 << 60)) for i in range(64)]
+    rng += [("im7b", rng[7][1] ^ 0b101), ("im13b", rng[13][1] ^ (1 << 59))]
+    ph = spark.createDataFrame(pd.DataFrame(rng, columns=["image_id", "phash"]))
+    got = sorted(
+        map(tuple, hamming_neardup_pairs(ph, max_hamming=4).collect())
+    )
+    want = sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha), (b, hb) in itertools.combinations(rng, 2)
+        if bin(ha ^ hb).count("1") <= 4
+        for a, b in [(min(a, b), max(a, b))]
+    )
+    assert got == want and len(want) >= 2
