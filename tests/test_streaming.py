@@ -199,3 +199,73 @@ def test_sessionize_stream_late_event_extends_session_start(spark, tmp_path):
     ]
     assert list(got["n_events"]) == [1, 2]
     assert list(got["sum_value"]) == [4.0, 3.0]
+
+
+def test_sessionize_stream_cross_batch_replay_parity(spark, tmp_path):
+    # full-value parity with the batch twin under out-of-order CROSS-BATCH
+    # arrival: a late in-gap event (within the watermark) lands in its own
+    # micro-batch and must merge backward into the open session, so the
+    # stream's emitted sessions equal sessionize_batch's rows exactly,
+    # minus only the still-open tail session (append mode cannot flush it
+    # until the watermark passes its gap)
+    from instageo_e2e_geospatial_ml_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    import glob
+    import os
+    import shutil
+    import time
+
+    d = tmp_path / "replay_in"
+    d.mkdir()
+    now = time.time()
+    rows = []
+
+    def write_one(name, key, ts, value, age):
+        rows.append({"event_type": key, "ts": pd.Timestamp(ts), "value": float(value)})
+        tmp = tmp_path / f"_w_{name}"
+        spark.createDataFrame(pd.DataFrame([rows[-1]])).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dest = d / name
+        shutil.move(part, dest)
+        os.utime(dest, (now - age, now - age))
+
+    write_one("a.parquet", "k", "2024-01-01 10:00:00", 1.0, 500)
+    write_one("b.parquet", "k", "2024-01-01 09:58:00", 2.0, 460)  # late, in-gap
+    write_one("c.parquet", "k", "2024-01-01 20:00:00", 4.0, 420)  # closes s1
+    write_one("d.parquet", "k2", "2024-01-02 12:00:00", 8.0, 380)  # advances wm
+    write_one("e.parquet", "k2", "2024-01-02 12:20:00", 16.0, 340)  # wm > 20:30 → flush k
+
+    schema = spark.read.parquet(str(d / "a.parquet")).schema
+    stream = read_event_stream(spark, str(d), schema, max_files=1)
+    sessions = sessionize_stream(
+        stream, key="event_type", gap_minutes=30, watermark="30 minutes"
+    )
+    got = (
+        run_available_now(sessions, "sess_replay", str(tmp_path / "ckrep"))
+        .toPandas()
+        .sort_values(["event_type", "session_start"])
+        .reset_index(drop=True)
+    )
+    want_all = (
+        sessionize_batch(
+            spark.createDataFrame(pd.DataFrame(rows)), key="event_type", gap_minutes=30
+        )
+        .toPandas()
+        .sort_values(["event_type", "session_start"])
+        .reset_index(drop=True)
+    )
+    # the one still-open session is k2's tail; everything else matches
+    want = want_all[
+        ~(
+            (want_all["event_type"] == "k2")
+            & (want_all["session_start"] == "2024-01-02T12:00:00")
+        )
+    ].reset_index(drop=True)
+    cols = ["event_type", "session_start", "session_end", "n_events", "sum_value"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    # and the late event really merged: k's first session starts at 09:58
+    assert got.iloc[0]["session_start"] == "2024-01-01T09:58:00"
+    assert got.iloc[0]["n_events"] == 2
