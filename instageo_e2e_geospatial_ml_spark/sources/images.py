@@ -196,10 +196,11 @@ def parse_jp2_header(buf: bytes) -> dict:
 # --- stubbed external-format decoders --------------------------------------
 
 def decode_external(fmt: str, payload: bytes) -> np.ndarray:
-    """Dispatch for formats needing external libraries (absent here).
-    tiff_lzw and jpeg are REAL (pure-Python TIFF 6.0 LZW and baseline
-    JPEG — jpeg.py, validated against the JVM's javax.imageio); the rest
-    remain stubs."""
+    """Dispatch for formats beyond the core raw/png/qdct set. tiff_lzw,
+    jpeg, gif, png_any and webp (lossless VP8L) are REAL pure-Python
+    decoders validated against independent implementations (javax.imageio
+    for JPEG/PNG/GIF, the system libwebp for VP8L); mp3/mp4/lossy-VP8
+    remain documented stubs."""
     if fmt == "tiff_lzw":
         from .tiff import read_geotiff_bytes
 
@@ -217,10 +218,12 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
         a = codecs.decode_png_any(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
     if fmt == "webp":
-        raise NotImplementedError(
-            f"fmt={fmt!r} needs an image library (PIL/opencv) not present in "
-            "this container; register a decoder in codecs.decode"
-        )
+        # lossless (VP8L) decodes for real — from-scratch RFC 9649 decoder
+        # validated bit-exactly against the system libwebp in tests; lossy
+        # VP8 raises NotImplementedError inside (bool-coder/DCT class)
+        from ..webp import webp_decode
+
+        return np.moveaxis(webp_decode(payload), -1, 0)
     if fmt in ("mp3", "wav", "flac"):
         raise NotImplementedError(f"audio fmt={fmt!r}: no audio library available")
     if fmt in ("mp4", "webm"):
