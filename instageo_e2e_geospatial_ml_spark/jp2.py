@@ -1,0 +1,1044 @@
+"""JPEG-2000 Part-1 codec: reversible 5/3, single-tile, grayscale.
+
+Closes S5 (the reference reads Sentinel-2 band rasters as JP2 — one
+grayscale codestream per band, `s2_utils.py:360-407`): a from-scratch
+ISO/IEC 15444-1 (ITU-T T.800) implementation of the subset those files
+need structurally — SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, LRCP
+progression, one tile, one quality layer, default precincts, reversible
+5/3 wavelet, no quantization, MQ arithmetic coding without
+bypass/reset/termall. Multi-component images, other progression orders,
+precinct partitions and the irreversible 9/7 wavelet raise descriptive
+NotImplementedErrors.
+
+  * jp2_encode(img, levels, cblk) -> bytes   (raw codestream)
+  * jp2_decode(buf) -> np.ndarray            (codestream or JP2 container)
+
+Validation note: unlike the JPEG/PNG/GIF/WebP codecs (validated against
+javax.imageio / the system libwebp), this container ships NO independent
+JPEG-2000 implementation — so tests pin (a) exhaustive encode→decode
+bit-exact round-trips across sizes / level counts / block sizes / value
+ranges, (b) the 5/3 lifting against an independently written direct-form
+implementation inside the test, (c) the MQ coder against a hand-traced
+spec example and its own statistical sanity, and (d) codestream structure
+via parse_jp2_header. The encoder exists for tests and fixtures; the
+decoder is the product surface (sources/images.decode_external('jp2')).
+
+Implemented from the public spec text: EBCOT tier-1 coding passes
+(significance propagation / magnitude refinement / cleanup with the
+run-length shortcut) with context tables D.1-D.3, tag trees (B.10.2),
+packet headers (B.10), the MQ coder (Annex C — the 47-state Qe table
+shared with JBIG2), and the Annex F lifting with whole-sample symmetric
+extension.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# MQ arithmetic coder (T.800 Annex C)
+# ---------------------------------------------------------------------------
+
+# (Qe, NMPS, NLPS, SWITCH)
+_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+N_CTX = 19
+_CTX_UNI = 18
+_CTX_RL = 17
+
+
+def _init_states() -> list[list[int]]:
+    st = [[0, 0] for _ in range(N_CTX)]  # [state index, MPS]
+    st[0][0] = 4       # ZC all-zero context
+    st[_CTX_RL][0] = 3
+    st[_CTX_UNI][0] = 46
+    return st
+
+
+class MQEncoder:
+    """Annex C encoder (C.10 flowcharts). `out[0]` is the BPST−1 dummy
+    byte, dropped at flush."""
+
+    def __init__(self) -> None:
+        self.ctx = _init_states()
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray(b"\x00")  # dummy byte at BPST-1
+
+    def encode(self, d: int, cx: int) -> None:
+        st = self.ctx[cx]
+        qe, nmps, nlps, sw = _QE[st[0]]
+        if d == st[1]:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe  # conditional exchange
+            else:
+                self.c += qe
+            st[0] = nmps
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe  # conditional exchange
+            else:
+                self.a = qe
+            if sw:
+                st[1] ^= 1
+            st[0] = nlps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        # spec emits C>>20 / C>>19 unmasked: a pending carry rides the
+        # emitted byte (the after-FF byte may legitimately exceed 0x7F)
+        out = self.out
+        if out[-1] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            out[-1] += 1  # propagate carry
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS: fill the low 16 bits with ONES (exactly what a decoder
+        # synthesizes past end-of-data), clamped back into [C, C+A)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        out = self.out
+        if out and out[-1] == 0xFF:  # terminal FF is discardable
+            out.pop()
+        assert out[0] == 0, "carry into the pre-stream dummy byte"
+        return bytes(out[1:])
+
+
+class MQDecoder:
+    """Annex C decoder; past end-of-data it synthesizes 0xFF bytes (the
+    spec's marker-found path), so truncated-at-flush streams decode."""
+
+    def __init__(self, data: bytes) -> None:
+        self.ctx = _init_states()
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _cur(self) -> int:
+        return self.data[self.bp] if self.bp < len(self.data) else 0xFF
+
+    def _nxt(self) -> int:
+        return self.data[self.bp + 1] if self.bp + 1 < len(self.data) else 0xFF
+
+    def _bytein(self) -> None:
+        if self._cur() == 0xFF:
+            if self._nxt() > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._cur() << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._cur() << 8
+            self.ct = 8
+
+    def decode(self, cx: int) -> int:
+        st = self.ctx[cx]
+        qe, nmps, nlps, sw = _QE[st[0]]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path (MPS/LPS decided by interval sizes)
+            if self.a < qe:
+                d = st[1]
+                st[0] = nmps
+            else:
+                d = 1 - st[1]
+                if sw:
+                    st[1] ^= 1
+                st[0] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return st[1]
+            if self.a < qe:
+                d = 1 - st[1]
+                if sw:
+                    st[1] ^= 1
+                st[0] = nlps
+            else:
+                d = st[1]
+                st[0] = nmps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+# ---------------------------------------------------------------------------
+# context tables (T.800 D.1-D.3)
+# ---------------------------------------------------------------------------
+
+
+def _zc_context(h: int, v: int, d: int, band: str) -> int:
+    if band == "HL":  # transposed form of the LL/LH table
+        h, v = v, h
+    if band != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else (1 if d == 1 else 0)
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+# ---------------------------------------------------------------------------
+# EBCOT tier-1 (encoder and decoder share the scan/membership machinery,
+# so the bit-level MQ layer is the only asymmetric part)
+# ---------------------------------------------------------------------------
+
+
+class _Block:
+    def __init__(self, h: int, w: int, band: str) -> None:
+        self.h = h
+        self.w = w
+        self.band = band
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)  # padded significance
+        self.sgn = np.zeros((h + 2, w + 2), np.int8)   # padded signs (±1)
+        self.pi = np.zeros((h, w), np.uint8)           # coded-this-plane
+        self.refined = np.zeros((h, w), np.uint8)
+
+    def neighbors(self, y: int, x: int):
+        s = self.sig
+        yy, xx = y + 1, x + 1
+        hc = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
+        vc = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
+        dc = (
+            int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
+            + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1])
+        )
+        return hc, vc, dc
+
+    def sign_ctx(self, y: int, x: int):
+        s, g = self.sig, self.sgn
+        yy, xx = y + 1, x + 1
+        hc = int(s[yy, xx - 1]) * int(g[yy, xx - 1]) + int(s[yy, xx + 1]) * int(
+            g[yy, xx + 1]
+        )
+        vc = int(s[yy - 1, xx]) * int(g[yy - 1, xx]) + int(s[yy + 1, xx]) * int(
+            g[yy + 1, xx]
+        )
+        return _SC_TABLE[(max(-1, min(1, hc)), max(-1, min(1, vc)))]
+
+    def set_sig(self, y: int, x: int, negative: bool) -> None:
+        self.sig[y + 1, x + 1] = 1
+        self.sgn[y + 1, x + 1] = -1 if negative else 1
+
+
+def _stripes(h: int):
+    for y0 in range(0, h, 4):
+        yield y0, min(4, h - y0)
+
+
+class _T1:
+    """One code-block coding session (enc XOR dec is set)."""
+
+    def __init__(self, h, w, band, enc=None, dec=None, bitp=None, coefs=None, mag=None):
+        self.blk = _Block(h, w, band)
+        self.enc = enc
+        self.dec = dec
+        self.bitp = bitp    # encoder: current plane's bits
+        self.coefs = coefs  # encoder: signed coefficients
+        self.mag = mag      # decoder: magnitude accumulator
+        self.p = 0          # decoder: current plane
+
+    def code_sig(self, y: int, x: int) -> None:
+        blk = self.blk
+        hc, vc, dc = blk.neighbors(y, x)
+        cx = _zc_context(hc, vc, dc, blk.band)
+        if self.enc is not None:
+            bit = int(self.bitp[y, x])
+            self.enc.encode(bit, cx)
+        else:
+            bit = self.dec.decode(cx)
+        if bit:
+            self.code_sign_new(y, x)
+
+    def code_sign_new(self, y: int, x: int) -> None:
+        blk = self.blk
+        sctx, xorbit = blk.sign_ctx(y, x)
+        if self.enc is not None:
+            s = 1 if self.coefs[y, x] < 0 else 0
+            self.enc.encode(s ^ xorbit, sctx)
+        else:
+            s = self.dec.decode(sctx) ^ xorbit
+            self.mag[y, x] = 1 << self.p
+        blk.set_sig(y, x, bool(s))
+
+    def spp(self) -> None:
+        blk = self.blk
+        for y0, sh in _stripes(blk.h):
+            for x in range(blk.w):
+                for y in range(y0, y0 + sh):
+                    if blk.sig[y + 1, x + 1]:
+                        continue
+                    hc, vc, dc = blk.neighbors(y, x)
+                    if hc + vc + dc == 0:
+                        continue
+                    self.code_sig(y, x)
+                    blk.pi[y, x] = 1
+
+    def mrp(self) -> None:
+        blk = self.blk
+        for y0, sh in _stripes(blk.h):
+            for x in range(blk.w):
+                for y in range(y0, y0 + sh):
+                    if not blk.sig[y + 1, x + 1] or blk.pi[y, x]:
+                        continue
+                    if blk.refined[y, x]:
+                        cx = 16
+                    else:
+                        hc, vc, dc = blk.neighbors(y, x)
+                        cx = 15 if hc + vc + dc > 0 else 14
+                    if self.enc is not None:
+                        self.enc.encode(int(self.bitp[y, x]), cx)
+                    elif self.dec.decode(cx):
+                        self.mag[y, x] |= 1 << self.p
+                    blk.refined[y, x] = 1
+                    blk.pi[y, x] = 1
+
+    def cp(self) -> None:
+        blk = self.blk
+        for y0, sh in _stripes(blk.h):
+            for x in range(blk.w):
+                y = y0
+                if sh == 4 and not blk.pi[y0 : y0 + 4, x].any():
+                    rl_ok = True
+                    for yy in range(y0, y0 + 4):
+                        if blk.sig[yy + 1, x + 1]:
+                            rl_ok = False
+                            break
+                        hc, vc, dc = blk.neighbors(yy, x)
+                        if hc + vc + dc:
+                            rl_ok = False
+                            break
+                    if rl_ok:
+                        if self.enc is not None:
+                            run = [int(self.bitp[yy, x]) for yy in range(y0, y0 + 4)]
+                            if not any(run):
+                                self.enc.encode(0, _CTX_RL)
+                                continue
+                            self.enc.encode(1, _CTX_RL)
+                            r = run.index(1)
+                            self.enc.encode((r >> 1) & 1, _CTX_UNI)
+                            self.enc.encode(r & 1, _CTX_UNI)
+                        else:
+                            if not self.dec.decode(_CTX_RL):
+                                continue
+                            r = (self.dec.decode(_CTX_UNI) << 1) | self.dec.decode(
+                                _CTX_UNI
+                            )
+                        yy = y0 + r
+                        self.code_sign_new(yy, x)
+                        y = yy + 1
+                for yy in range(y, y0 + sh):
+                    if blk.sig[yy + 1, x + 1] or blk.pi[yy, x]:
+                        continue
+                    self.code_sig(yy, x)
+
+
+def tier1_encode(coefs: np.ndarray, band: str) -> tuple[bytes, int, int]:
+    """Encode one code-block's signed coefficients (all passes, one MQ
+    codeword segment). Returns (data, num_passes, num_bitplanes)."""
+    h, w = coefs.shape
+    mag = np.abs(coefs).astype(np.int64)
+    maxmag = int(mag.max()) if mag.size else 0
+    if maxmag == 0:
+        return b"", 0, 0
+    nplanes = maxmag.bit_length()
+    enc = MQEncoder()
+    t1 = _T1(h, w, band, enc=enc, coefs=coefs)
+    npasses = 0
+    for p in range(nplanes - 1, -1, -1):
+        t1.bitp = ((mag >> p) & 1).astype(np.uint8)
+        if p != nplanes - 1:
+            t1.spp()
+            t1.mrp()
+            npasses += 2
+        t1.cp()
+        npasses += 1
+        t1.blk.pi[:] = 0
+    return enc.flush(), npasses, nplanes
+
+
+def tier1_decode(
+    data: bytes, h: int, w: int, band: str, nplanes: int, npasses: int
+) -> np.ndarray:
+    mag = np.zeros((h, w), np.int64)
+    if npasses == 0 or nplanes <= 0:
+        return mag
+    dec = MQDecoder(data)
+    t1 = _T1(h, w, band, dec=dec, mag=mag)
+    left = npasses
+    p = nplanes - 1
+    first = True
+    while left > 0 and p >= 0:
+        t1.p = p
+        if not first:
+            t1.spp()
+            left -= 1
+            if left == 0:
+                break
+            t1.mrp()
+            left -= 1
+            if left == 0:
+                break
+        t1.cp()
+        left -= 1
+        t1.blk.pi[:] = 0
+        p -= 1
+        first = False
+    blk = t1.blk
+    sgn = blk.sgn[1 : h + 1, 1 : w + 1].astype(np.int64)
+    return mag * np.where(sgn == 0, 1, sgn)
+
+
+# ---------------------------------------------------------------------------
+# reversible 5/3 DWT (T.800 Annex F; image offsets 0)
+# ---------------------------------------------------------------------------
+
+
+def _refl(i: int, n: int) -> int:
+    """Whole-sample symmetric extension into [0, n)."""
+    if n == 1:
+        return 0
+    period = 2 * (n - 1)
+    i %= period
+    if i < 0:
+        i += period
+    return i if i < n else period - i
+
+
+def _fwd53_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    xi = x.astype(np.int64)
+    if n == 1:
+        return xi.copy(), xi[:0]
+    ne, no = (n + 1) // 2, n // 2
+    d = np.empty(no, np.int64)
+    for i in range(no):
+        d[i] = xi[2 * i + 1] - ((xi[2 * i] + xi[_refl(2 * i + 2, n)]) >> 1)
+    s = np.empty(ne, np.int64)
+    for i in range(ne):
+        dl = d[i - 1] if i - 1 >= 0 else d[0]
+        dr = d[i] if i < no else d[no - 1]
+        s[i] = xi[2 * i] + ((dl + dr + 2) >> 2)
+    return s, d
+
+
+def _inv53_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.astype(np.int64).copy()
+    ne, no = len(s), len(d)
+    x = np.empty(n, np.int64)
+    se, de = s.astype(np.int64), d.astype(np.int64)
+    for i in range(ne):
+        dl = de[i - 1] if i - 1 >= 0 else de[0]
+        dr = de[i] if i < no else de[no - 1]
+        x[2 * i] = se[i] - ((dl + dr + 2) >> 2)
+    for i in range(no):
+        x[2 * i + 1] = de[i] + ((x[2 * i] + x[_refl(2 * i + 2, n)]) >> 1)
+    return x
+
+
+def _fwd53_2d(a: np.ndarray):
+    h, w = a.shape
+    lo = np.empty((h, (w + 1) // 2), np.int64)
+    hi = np.empty((h, w // 2), np.int64)
+    for y in range(h):
+        lo[y], hi[y] = _fwd53_1d(a[y])
+
+    def cols(m):
+        hh, ww = m.shape
+        ls = np.empty(((hh + 1) // 2, ww), np.int64)
+        hs = np.empty((hh // 2, ww), np.int64)
+        for x in range(ww):
+            ls[:, x], hs[:, x] = _fwd53_1d(m[:, x])
+        return ls, hs
+
+    ll, lh = cols(lo)
+    hl, hh = cols(hi)
+    return ll, hl, lh, hh
+
+
+def _inv53_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
+    lo = np.empty((h, ll.shape[1]), np.int64)
+    hi = np.empty((h, hl.shape[1]), np.int64)
+    for x in range(ll.shape[1]):
+        lo[:, x] = _inv53_1d(ll[:, x], lh[:, x], h)
+    for x in range(hl.shape[1]):
+        hi[:, x] = _inv53_1d(hl[:, x], hh[:, x], h)
+    out = np.empty((h, w), np.int64)
+    for y in range(h):
+        out[y] = _inv53_1d(lo[y], hi[y], w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tag trees (T.800 B.10.2)
+# ---------------------------------------------------------------------------
+
+_INF = 1 << 30
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int, encoder: bool) -> None:
+        self.dims = []
+        while True:
+            self.dims.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        init = 0 if encoder else _INF
+        self.val = [np.full((lh, lw), init, np.int64) for lw, lh in self.dims]
+        self.low = [np.zeros((lh, lw), np.int64) for lw, lh in self.dims]
+        self.known = [np.zeros((lh, lw), bool) for lw, lh in self.dims]
+
+    # encoder side -----------------------------------------------------
+    def set_value(self, x: int, y: int, v: int) -> None:
+        self.val[0][y, x] = v
+
+    def finalize(self) -> None:
+        for lvl in range(1, len(self.dims)):
+            lw, lh = self.dims[lvl]
+            for yy in range(lh):
+                for xx in range(lw):
+                    self.val[lvl][yy, xx] = self.val[lvl - 1][
+                        2 * yy : 2 * yy + 2, 2 * xx : 2 * xx + 2
+                    ].min()
+
+    def encode(self, bw, x: int, y: int, threshold: int) -> None:
+        low = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            xx, yy = x >> lvl, y >> lvl
+            if low > self.low[lvl][yy, xx]:
+                self.low[lvl][yy, xx] = low
+            else:
+                low = int(self.low[lvl][yy, xx])
+            v = int(self.val[lvl][yy, xx])
+            while low < threshold:
+                if low >= v:
+                    if not self.known[lvl][yy, xx]:
+                        bw.put(1)
+                        self.known[lvl][yy, xx] = True
+                    break
+                bw.put(0)
+                low += 1
+            self.low[lvl][yy, xx] = low
+
+    # decoder side -----------------------------------------------------
+    def decode(self, br, x: int, y: int, threshold: int) -> bool:
+        """True iff value(x, y) < threshold; consumes exactly the bits the
+        encoder's same-threshold call emitted."""
+        low = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            xx, yy = x >> lvl, y >> lvl
+            if low > self.low[lvl][yy, xx]:
+                self.low[lvl][yy, xx] = low
+            else:
+                low = int(self.low[lvl][yy, xx])
+            while low < threshold and low < self.val[lvl][yy, xx]:
+                if br.get():
+                    self.val[lvl][yy, xx] = low
+                else:
+                    low += 1
+            self.low[lvl][yy, xx] = low
+            low = min(low, int(self.val[lvl][yy, xx]))
+        return int(self.val[0][y, x]) < threshold
+
+    def value(self, x: int, y: int) -> int:
+        return int(self.val[0][y, x])
+
+
+# ---------------------------------------------------------------------------
+# packet-header bit I/O (B.10.1: FF-stuffed big-endian bits)
+# ---------------------------------------------------------------------------
+
+
+class _HdrWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bit: int) -> None:
+        self.acc = (self.acc << 1) | bit
+        self.n += 1
+        limit = 7 if self.out and self.out[-1] == 0xFF else 8
+        if self.n == limit:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def put_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            limit = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.acc << (limit - self.n))
+        elif self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # a packet header may not end on FF
+        self.acc = 0
+        self.n = 0
+        return bytes(self.out)
+
+
+class _HdrReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            self.n = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+            self.acc = b
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        if self.n == 0 and self.prev_ff:
+            self.pos += 1  # stuffing byte after a terminal FF
+        self.n = 0
+        self.prev_ff = False
+        return self.pos
+
+
+def _npasses_write(bw: _HdrWriter, n: int) -> None:
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put_bits(0b10, 2)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b111111111, 9)
+        bw.put_bits(n - 37, 7)
+
+
+def _npasses_read(br: _HdrReader) -> int:
+    if not br.get():
+        return 1
+    if not br.get():
+        return 2
+    v = br.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.get_bits(7)
+
+
+# ---------------------------------------------------------------------------
+# codestream layout
+# ---------------------------------------------------------------------------
+
+
+def _subband_dims(w: int, h: int, levels: int):
+    """Per resolution r in 0..levels: [(band, bw, bh), ...] using the
+    offset-0 size recurrence (LL ceil, high-pass floor)."""
+    chain = []
+    cw, ch = w, h
+    for _ in range(levels):
+        lw, lh = (cw + 1) // 2, (ch + 1) // 2
+        chain.append((cw, ch, lw, lh))
+        cw, ch = lw, lh
+    out = [[("LL", cw, ch)]]
+    for cw0, ch0, lw, lh in reversed(chain):
+        out.append(
+            [("HL", cw0 - lw, lh), ("LH", lw, ch0 - lh), ("HH", cw0 - lw, ch0 - lh)]
+        )
+    return out
+
+
+def _blocks_of(bw: int, bh: int, cb: int):
+    if bw == 0 or bh == 0:
+        return [], 0, 0
+    nx = (bw + cb - 1) // cb
+    ny = (bh + cb - 1) // cb
+    blocks = []
+    for by in range(ny):
+        for bx in range(nx):
+            x0, y0 = bx * cb, by * cb
+            blocks.append((bx, by, x0, y0, min(cb, bw - x0), min(cb, bh - y0)))
+    return blocks, nx, ny
+
+
+def _qcd_index(band_res, r: int, band: str) -> int:
+    i = 0
+    for rr, bands in enumerate(band_res):
+        for b, _, _ in bands:
+            if rr == r and b == band:
+                return i
+            i += 1
+    raise KeyError((r, band))
+
+
+_GUARD = 2
+
+
+def jp2_encode(img: np.ndarray, levels: int = 3, cblk: int = 32) -> bytes:
+    """Encode a grayscale integer image as a reversible 5/3 JPEG-2000
+    codestream (raw codestream, no JP2 boxes; lossless)."""
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError("jp2_encode: grayscale (h, w) input only")
+    h, w = a.shape
+    if cblk & (cblk - 1) or not 4 <= cblk <= 64:
+        raise ValueError("cblk must be a power of two in [4, 64]")
+    signed = bool(a.min() < 0)
+    if signed:
+        lo, hi = int(a.min()), int(a.max())
+        depth = 2
+        while not (-(1 << (depth - 1)) <= lo and hi < (1 << (depth - 1))):
+            depth += 1
+    else:
+        depth = max(int(a.max()).bit_length(), 1)
+    coefs = a.astype(np.int64)
+    if not signed:
+        coefs = coefs - (1 << (depth - 1))  # DC level shift
+
+    subs = {}
+    cur = coefs
+    for lvl in range(1, levels + 1):
+        ll, hl, lh, hh = _fwd53_2d(cur)
+        subs[(lvl, "HL")] = hl
+        subs[(lvl, "LH")] = lh
+        subs[(lvl, "HH")] = hh
+        cur = ll
+    subs[(levels, "LL")] = cur
+
+    band_res = _subband_dims(w, h, levels)
+    packets = []
+    eps = []
+    for r, bands in enumerate(band_res):
+        lvl = levels if r == 0 else levels - r + 1
+        res_blocks = []
+        for band, bwd, bhd in bands:
+            arr = subs[(lvl, band)]
+            assert arr.shape == (bhd, bwd), (r, band, arr.shape, (bhd, bwd))
+            mx = int(np.abs(arr).max()) if arr.size else 0
+            band_eps = max(mx.bit_length(), 1)
+            eps.append(band_eps)
+            mb = _GUARD + band_eps - 1
+            blocks, nx, ny = _blocks_of(bwd, bhd, cblk)
+            coded = []
+            for bx, by, x0, y0, cw, ch in blocks:
+                data, npass, nplanes = tier1_encode(
+                    arr[y0 : y0 + ch, x0 : x0 + cw], band
+                )
+                coded.append((bx, by, data, npass, mb - nplanes))
+            res_blocks.append((band, nx, ny, coded))
+        packets.append(res_blocks)
+
+    body = _emit_packets(packets)
+
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    ssiz = (depth - 1) | (0x80 if signed else 0)
+    out += b"\xff\x51" + struct.pack(
+        ">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + bytes([ssiz, 1, 1])
+    xcb = cblk.bit_length() - 3  # log2(cblk) - 2
+    out += b"\xff\x52" + struct.pack(">HBBHB", 12, 0, 0, 1, 0) + bytes(
+        [levels, xcb, xcb, 0, 1]
+    )
+    out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), _GUARD << 5) + bytes(
+        e << 3 for e in eps
+    )
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_packets(packets) -> bytes:
+    """One packet per resolution (single layer, single component, default
+    precinct); blocks with zero passes are excluded via the inclusion tag
+    tree (leaf value 1 ≥ layer threshold)."""
+    body = bytearray()
+    for res_blocks in packets:
+        bw = _HdrWriter()
+        chunks = []
+        nonempty = any(
+            npass > 0 for _, _, _, coded in res_blocks for _, _, _, npass, _ in coded
+        )
+        bw.put(1 if nonempty else 0)
+        if nonempty:
+            for band, nx, ny, coded in res_blocks:
+                if not coded:
+                    continue
+                inc = _TagTree(nx, ny, encoder=True)
+                zb = _TagTree(nx, ny, encoder=True)
+                for bx, by, data, npass, zbp in coded:
+                    inc.set_value(bx, by, 0 if npass > 0 else 1)
+                    zb.set_value(bx, by, max(zbp, 0))
+                inc.finalize()
+                zb.finalize()
+                for bx, by, data, npass, zbp in coded:
+                    inc.encode(bw, bx, by, 1)
+                    if npass == 0:
+                        continue
+                    zb.encode(bw, bx, by, _INF)  # fully resolve the value
+                    _npasses_write(bw, npass)
+                    lblock = 3
+                    nbits = lblock + npass.bit_length() - 1
+                    while len(data) >= (1 << nbits):
+                        bw.put(1)
+                        lblock += 1
+                        nbits += 1
+                    bw.put(0)
+                    bw.put_bits(len(data), nbits)
+                    chunks.append(data)
+        body += bw.flush()
+        for c in chunks:
+            body += c
+    return bytes(body)
+
+
+def jp2_decode(buf: bytes) -> np.ndarray:
+    """Decode a reversible 5/3 single-tile grayscale codestream (raw, or
+    the jp2c box of a JP2 container) → int64 (h, w)."""
+    cs = buf
+    if buf[:4] == b"\x00\x00\x00\x0c" and buf[4:8] == b"jP  ":
+        off = 0
+        cs = None
+        while off + 8 <= len(buf):
+            ln = int.from_bytes(buf[off : off + 4], "big")
+            btype = buf[off + 4 : off + 8]
+            hdr = 8
+            if ln == 1:
+                ln = int.from_bytes(buf[off + 8 : off + 16], "big")
+                hdr = 16
+            if btype == b"jp2c":
+                cs = buf[off + hdr :]
+                break
+            if ln == 0:
+                break
+            off += max(ln, hdr)
+        if cs is None:
+            raise ValueError("no jp2c codestream box in JP2 container")
+    if cs[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG-2000 codestream (missing SOC)")
+
+    pos = 2
+    w = h = depth = levels = cblk = None
+    signed = False
+    exps: list[int] | None = None
+    guard = 0
+    body = None
+    while pos + 4 <= len(cs):
+        marker = cs[pos : pos + 2]
+        if marker == b"\xff\xd9":
+            break
+        (ln,) = struct.unpack(">H", cs[pos + 2 : pos + 4])
+        seg = cs[pos + 4 : pos + 2 + ln]
+        if marker == b"\xff\x51":  # SIZ
+            _, xs, ys, xo, yo, xt, yt, xto, yto, csiz = struct.unpack(
+                ">HIIIIIIIIH", seg[:36]
+            )
+            if csiz != 1:
+                raise NotImplementedError(
+                    f"{csiz}-component codestream (S2 band files are grayscale)"
+                )
+            if xo or yo or xto or yto:
+                raise NotImplementedError("nonzero image/tile offsets")
+            if xt < xs or yt < ys:
+                raise NotImplementedError("multi-tile codestreams")
+            w, h = xs, ys
+            ssiz = seg[36]
+            depth = (ssiz & 0x7F) + 1
+            signed = bool(ssiz & 0x80)
+        elif marker == b"\xff\x52":  # COD
+            scod = seg[0]
+            prog, layers, _mct = struct.unpack(">BHB", seg[1:5])
+            if scod != 0:
+                raise NotImplementedError("precinct/SOP/EPH COD styles")
+            if prog != 0:
+                raise NotImplementedError(
+                    f"progression order {prog} (only LRCP; CPRL needs precincts)"
+                )
+            if layers != 1:
+                raise NotImplementedError("multi-layer codestreams")
+            levels = seg[5]
+            xcb, ycb, cstyle, transform = seg[6], seg[7], seg[8], seg[9]
+            if cstyle != 0:
+                raise NotImplementedError(
+                    "code-block style flags (bypass/reset/termall/causal/...)"
+                )
+            if transform != 1:
+                raise NotImplementedError("irreversible 9/7 wavelet")
+            if xcb != ycb:
+                raise NotImplementedError("non-square code-blocks")
+            cblk = 1 << (xcb + 2)
+        elif marker == b"\xff\x5c":  # QCD
+            sqcd = seg[0]
+            guard = sqcd >> 5
+            if sqcd & 0x1F:
+                raise NotImplementedError("quantized (non-reversible) QCD style")
+            exps = [b >> 3 for b in seg[1:]]
+        elif marker == b"\xff\x90":  # SOT
+            _isot, psot, _tp, _tn = struct.unpack(">HIBB", seg[:8])
+            sod_at = pos + 2 + ln
+            if cs[sod_at : sod_at + 2] != b"\xff\x93":
+                raise ValueError("expected SOD after SOT")
+            end = pos + psot if psot else len(cs) - 2
+            body = cs[sod_at + 2 : end]
+            pos = end
+            continue
+        pos += 2 + ln
+
+    if None in (w, h, depth, levels, cblk) or exps is None or body is None:
+        raise ValueError("incomplete codestream (missing SIZ/COD/QCD/SOT)")
+
+    band_res = _subband_dims(w, h, levels)
+    subs = {}
+    p = 0
+    for r, bands in enumerate(band_res):
+        br = _HdrReader(body, p)
+        arrs = {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
+        todo = []
+        if br.get():
+            for band, bwd, bhd in bands:
+                blocks, nx, ny = _blocks_of(bwd, bhd, cblk)
+                if not blocks:
+                    continue
+                inc = _TagTree(nx, ny, encoder=False)
+                zb = _TagTree(nx, ny, encoder=False)
+                for bx, by, x0, y0, cw, ch in blocks:
+                    if not inc.decode(br, bx, by, 1):
+                        continue
+                    t = 1
+                    while not zb.decode(br, bx, by, t):
+                        t += 1
+                    zbp = zb.value(bx, by)
+                    npass = _npasses_read(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    dlen = br.get_bits(lblock + npass.bit_length() - 1)
+                    todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
+        p = br.align()
+        for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
+            mb = guard + exps[_qcd_index(band_res, r, band)] - 1
+            data = body[p : p + dlen]
+            p += dlen
+            arrs[band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
+                data, ch, cw, band, mb - zbp, npass
+            )
+        lvl = levels if r == 0 else levels - r + 1
+        for band, bwd, bhd in bands:
+            subs[(lvl, band)] = arrs[band]
+
+    dims_chain = []
+    cw, ch = w, h
+    for _ in range(levels):
+        dims_chain.append((cw, ch))
+        cw, ch = (cw + 1) // 2, (ch + 1) // 2
+    cur = subs[(levels, "LL")]
+    for lvl in range(levels, 0, -1):
+        ow, oh = dims_chain[lvl - 1]
+        cur = _inv53_2d(
+            cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")], oh, ow
+        )
+    if not signed:
+        cur = cur + (1 << (depth - 1))
+    return cur

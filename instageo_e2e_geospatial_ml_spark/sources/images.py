@@ -142,9 +142,9 @@ def parse_jp2_header(buf: bytes) -> dict:
     metadata the catalog/validation path needs from S2 JP2 assets, parsed
     directly from the SIZ marker (ISO 15444-1 A.5.1), no image library.
     Accepts both a raw codestream (SOC..SIZ) and a JP2 container (the
-    codestream lives in the 'jp2c' box). Pixel DECODE still requires a
-    real JPEG-2000 library (EBCOT/MQ arithmetic coding) and stays behind
-    decode_external.
+    codestream lives in the 'jp2c' box). Pixel DECODE for the S2-shaped
+    subset (reversible 5/3, single tile, grayscale, LRCP) is REAL —
+    jp2.jp2_decode via decode_external('jp2'); other styles raise there.
     """
     cs = buf
     if buf[:12] == _JP2_SIG:
@@ -224,6 +224,13 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
         from ..webp import webp_decode
 
         return np.moveaxis(webp_decode(payload), -1, 0)
+    if fmt in ("jp2", "j2k"):
+        # reversible 5/3 single-tile grayscale decodes for real (jp2.py,
+        # from-scratch T.800 EBCOT/MQ/DWT); other coding styles raise a
+        # descriptive NotImplementedError inside
+        from ..jp2 import jp2_decode
+
+        return jp2_decode(payload)[None, ...]
     if fmt in ("mp3", "wav", "flac"):
         raise NotImplementedError(f"audio fmt={fmt!r}: no audio library available")
     if fmt in ("mp4", "webm"):

@@ -1,0 +1,199 @@
+"""JPEG-2000 (reversible 5/3, single-tile grayscale) codec tests.
+
+No independent JPEG-2000 implementation ships in this container (unlike
+javax.imageio for JPEG/PNG/GIF or libwebp for VP8L), so validation here
+is: exhaustive bit-exact encode→decode round-trips across content /
+shape / level / code-block matrices, the MQ coder pinned against a
+hand-traced Annex C flowchart walk, the 5/3 lifting checked against an
+independently written explicit-extension implementation, tag-tree
+encode/decode duality on random grids, and codestream structure checked
+through parse_jp2_header (which predates the codec).
+"""
+
+import numpy as np
+import pytest
+
+from instageo_e2e_geospatial_ml_spark.jp2 import (
+    MQDecoder,
+    MQEncoder,
+    _fwd53_1d,
+    _HdrReader,
+    _HdrWriter,
+    _inv53_1d,
+    _TagTree,
+    jp2_decode,
+    jp2_encode,
+)
+
+
+def test_mq_hand_traced_vector():
+    """Two symbols through the C.10 flowcharts by hand:
+    sym1 = LPS(ctx15, Qe=0x5601): A=0x29FF<Qe → C+=Qe, switch, 2 renorms
+      → A=0xA7FC, C=0x15804, CT=10
+    sym2 = MPS(ctx3): A=0x51FB<Qe → exchange A=Qe, 1 renorm
+      → A=0xAC02, C=0x2B008, CT=9
+    FLUSH: C|=0xFFFF=0x2FFFF < C+A=0x35C0A; <<9=0x5FFFE00 → byte 0xBF;
+    second byte 0xFF is the discardable terminal FF."""
+    enc = MQEncoder()
+    enc.encode(1, 15)
+    assert (enc.a, enc.c, enc.ct) == (0xA7FC, 0x15804, 10)
+    enc.encode(0, 3)
+    assert (enc.a, enc.c, enc.ct) == (0xAC02, 0x2B008, 9)
+    data = enc.flush()
+    assert data == b"\xbf"
+    dec = MQDecoder(data)
+    assert (dec.decode(15), dec.decode(3)) == (1, 0)
+
+
+def test_mq_roundtrip_stress():
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        n = int(rng.integers(1, 3000))
+        p = float(rng.choice([0.5, 0.05, 0.95, 0.01]))
+        bits = (rng.random(n) < p).astype(int).tolist()
+        ctxs = rng.integers(0, 19, n).tolist()
+        enc = MQEncoder()
+        for b, c in zip(bits, ctxs):
+            enc.encode(int(b), int(c))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == bits
+
+
+def _dwt53_via_explicit_extension(x):
+    """Independent 5/3 analysis: materialize the whole-sample symmetric
+    extension and apply the T.800 F.4 lifting equations on absolute
+    indices — a different code path from the module's boundary
+    shortcuts."""
+    n = len(x)
+    if n == 1:
+        return x.astype(np.int64), x[:0].astype(np.int64)
+    ext = 4
+    idx = []
+    for i in range(-ext, n + ext):
+        period = 2 * (n - 1)
+        j = i % period
+        if j < 0:
+            j += period
+        idx.append(j if j < n else period - j)
+    xe = x.astype(np.int64)[idx]  # extended signal, offset +ext
+
+    def X(i):
+        return int(xe[i + ext])
+
+    d = {}
+    for i in range(-1, n // 2 + 1):  # odd (high-pass) samples
+        if 2 * i + 1 < -ext or 2 * i + 2 > n + ext - 1:
+            continue
+        d[i] = X(2 * i + 1) - ((X(2 * i) + X(2 * i + 2)) >> 1)
+    s = []
+    for i in range((n + 1) // 2):  # even (low-pass) samples
+        s.append(X(2 * i) + ((d[i - 1] + d.get(i, d[i - 1]) + 2) >> 2))
+    dd = [d[i] for i in range(n // 2)]
+    return np.array(s, np.int64), np.array(dd, np.int64)
+
+
+def test_dwt53_matches_independent_form_and_inverts():
+    rng = np.random.default_rng(1)
+    for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 16, 33, 100, 101]:
+        x = rng.integers(-5000, 5000, n)
+        s, d = _fwd53_1d(x)
+        s2, d2 = _dwt53_via_explicit_extension(x)
+        assert (s == s2).all() and (d == d2).all(), n
+        assert (_inv53_1d(s, d, n) == x).all(), n
+
+
+def test_tag_tree_duality():
+    rng = np.random.default_rng(2)
+    for w, h in [(1, 1), (3, 2), (4, 4), (7, 5), (16, 1)]:
+        vals = rng.integers(0, 9, (h, w))
+        enc_tree = _TagTree(w, h, encoder=True)
+        for y in range(h):
+            for x in range(w):
+                enc_tree.set_value(x, y, int(vals[y, x]))
+        enc_tree.finalize()
+        bw = _HdrWriter()
+        order = [(x, y) for y in range(h) for x in range(w)]
+        for x, y in order:
+            enc_tree.encode(bw, x, y, 1 << 20)  # fully resolve each leaf
+        data = bw.flush()
+        dec_tree = _TagTree(w, h, encoder=False)
+        br = _HdrReader(data, 0)
+        for x, y in order:
+            t = 1
+            while not dec_tree.decode(br, x, y, t):
+                t += 1
+            assert dec_tree.value(x, y) == vals[y, x], (w, h, x, y)
+
+
+def test_jp2_roundtrip_matrix():
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:64, 0:64]
+    hls = np.clip(
+        2000 + 5000 * (xx / 63) + 800 * np.sin(xx / 13.0) * np.cos(yy / 7.0)
+        + rng.normal(0, 150, (64, 64)),
+        0,
+        10000,
+    ).astype(np.uint16)
+    cases = {
+        "gradient16": ((xx * 97 + yy * 31) % 10000).astype(np.uint16),
+        "hls_like": hls,
+        "flat": np.full((32, 32), 777),
+        "zeros": np.zeros((16, 16), np.int64),
+        "odd_dims": rng.integers(0, 4096, (37, 53)),
+        "tiny": rng.integers(0, 100, (5, 3)),
+        "signed": rng.integers(-1000, 1000, (24, 40)),
+        "one_col": rng.integers(0, 1000, (17, 1)),
+    }
+    for name, img in cases.items():
+        for levels in (0, 1, 3):
+            for cblk in (16, 64):
+                buf = jp2_encode(np.asarray(img), levels=levels, cblk=cblk)
+                out = jp2_decode(buf)
+                assert out.shape == np.asarray(img).shape, (name, levels, cblk)
+                assert (out == img).all(), (name, levels, cblk)
+
+
+def test_jp2_random_stress():
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        h, w = int(rng.integers(1, 90)), int(rng.integers(1, 90))
+        levels = int(rng.integers(0, 6))
+        cblk = int(rng.choice([4, 8, 16, 32, 64]))
+        img = rng.integers(0, 2 ** int(rng.integers(1, 15)), (h, w))
+        out = jp2_decode(jp2_encode(img, levels=levels, cblk=cblk))
+        assert (out == img).all(), (h, w, levels, cblk)
+
+
+def test_jp2_structure_and_unsupported_styles():
+    from instageo_e2e_geospatial_ml_spark.sources.images import parse_jp2_header
+
+    img = (np.arange(35 * 29, dtype=np.uint16).reshape(35, 29) * 3) % 4000
+    assert int(img.max()).bit_length() == 12
+    buf = jp2_encode(img, levels=2)
+    hdr = parse_jp2_header(buf)
+    assert (hdr["w"], hdr["h"], hdr["n_components"]) == (29, 35, 1)
+    assert hdr["bit_depth"] == 12 and not hdr["signed"]
+
+    # flip the COD transform byte to 9/7 → descriptive error
+    cod_at = buf.index(b"\xff\x52")
+    b97 = bytearray(buf)
+    b97[cod_at + 13] = 0  # SPcod transform: 0 = irreversible 9/7
+    with pytest.raises(NotImplementedError, match="9/7"):
+        jp2_decode(bytes(b97))
+    # flip SIZ Csiz to 3 components → descriptive error
+    siz_at = buf.index(b"\xff\x51")
+    bmc = bytearray(buf)
+    bmc[siz_at + 39] = 3  # Csiz low byte
+    with pytest.raises(NotImplementedError, match="component"):
+        jp2_decode(bytes(bmc))
+    with pytest.raises(ValueError, match="SOC"):
+        jp2_decode(b"\x00" * 16)
+
+
+def test_decode_external_jp2_wired():
+    from instageo_e2e_geospatial_ml_spark.sources.images import decode_external
+
+    img = (np.arange(24 * 24).reshape(24, 24) * 7 % 3000).astype(np.uint16)
+    arr = decode_external("jp2", jp2_encode(img, levels=1))
+    assert arr.shape == (1, 24, 24)
+    assert (arr[0] == img).all()

@@ -59,10 +59,13 @@ def test_video_frame_sampling(spark):
 
 
 def test_external_decoders_stubbed():
-    # jpeg and tiff_lzw are REAL now; audio/video stay env-limited stubs
-    for fmt in ("webp", "mp3", "mp4"):
+    # jpeg/tiff_lzw/webp-lossless/jp2-5x3 are REAL now; mp3/mp4 stay
+    # env-limited stubs
+    for fmt in ("mp3", "mp4"):
         with pytest.raises(NotImplementedError):
             decode_external(fmt, b"")
+    with pytest.raises(ValueError):  # webp is real: bad container errors
+        decode_external("webp", b"")
 
 
 def test_embedding_neardup_exact_vs_lsh(spark):
