@@ -181,6 +181,15 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         if a.shape[0] == 3:
             return jpeg_encode(np.moveaxis(a, 0, -1))
         raise ValueError("jpeg: 1 (gray) or 3 (RGB) bands")
+    if fmt == "jp2":
+        # real lossless JPEG-2000 (jp2.py, reversible 5/3) — the S2 band
+        # shape: one grayscale codestream; (1,h,w) uint16 only
+        from .jp2 import jp2_encode
+
+        a = np.asarray(arr)
+        if a.shape[0] != 1:
+            raise ValueError("jp2: single-band (grayscale) only")
+        return jp2_encode(a[0].astype(np.int64))
     raise NotImplementedError(
         f"fmt={fmt!r}: no codec available — plug one into codecs.encode dispatch"
     )
@@ -214,11 +223,21 @@ def decode(buf: bytes, w: int, h: int, bands: int, fmt: str) -> np.ndarray:
                 f"(bands={bands}, h={h}, w={w})"
             )
         return a.astype(np.uint16)
+    if fmt == "jp2":
+        from .jp2 import jp2_decode
+
+        a = jp2_decode(buf)[None, ...]
+        if a.shape != (bands, h, w):
+            raise ValueError(
+                f"jp2 payload decodes to {a.shape}, but metadata declares "
+                f"(bands={bands}, h={h}, w={w})"
+            )
+        return a.astype(np.uint16)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt in ("raw", "raw8", "png")
+    return fmt in ("raw", "raw8", "png", "jp2")
 
 
 # --------------------------------------------------------------------------

@@ -54,9 +54,11 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     hash explode multiplies per-row work ~100×, so that one task becomes
     the whole job's critical path. No-op when the scan already has enough
     partitions — the 100 TB case, where adding a shuffle here would be
-    pure waste."""
+    pure waste. Sizing uses inputFiles() (cheap plan metadata), not
+    df.rdd.getNumPartitions(), which would force an RDD conversion of
+    the analyzed plan on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -461,3 +461,38 @@ def test_streaming_chip_ingestion_matches_batch(spark, tmp_path):
         max_files=1,
     )
     assert fingerprint(got2) == fingerprint(want)
+
+
+def test_chip_pipeline_jp2_payloads_match_raw(spark):
+    # the reference's S2 path reads JP2 band rasters; with the reversible
+    # 5/3 codec wired into codecs.decode, the chip pipeline over
+    # jp2-encoded granules must produce chips byte-identical to the same
+    # pixels carried raw (lossless codestream)
+    tiles = ["38PMB"]
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=30, every=5)
+    obs = synth.gen_observations_pdf(n_extra_per_tile=10, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"] == "38PMB"].drop(columns=["mgrs_tile_id"])
+    cfg = ChipPipelineConfig(
+        num_steps=1, temporal_tolerance=10, chip_size=32, window_size=1,
+        mask_types=("cloud",), masking_strategy="each",
+    )
+    outs = {}
+    for fmt in ("raw", "jp2"):
+        imgs = synth.gen_images_pdf(cat, w=96, h=96, fmt=fmt)
+        outs[fmt] = (
+            run_chip_pipeline(
+                spark.createDataFrame(obs),
+                spark.createDataFrame(cat),
+                spark.createDataFrame(imgs),
+                cfg,
+            )
+            .toPandas()
+            .sort_values("chip_id")
+            .reset_index(drop=True)
+        )
+    a, b = outs["raw"], outs["jp2"]
+    assert len(a) == len(b) > 0
+    assert a["chip_id"].tolist() == b["chip_id"].tolist()
+    for i in range(len(a)):
+        assert a.iloc[i]["chip"] == b.iloc[i]["chip"]
+        assert a.iloc[i]["seg"] == b.iloc[i]["seg"]
