@@ -1820,7 +1820,7 @@ def q46_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     cen = centroids_as_vectors(
-        train_centroids(e, k=_Q39_K, n_iters=_Q39_ITERS, dim=64)
+        train_centroids(e, k=_Q39_K, n_iters=_Q39_ITERS)
     )
     q = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -1927,7 +1927,7 @@ def q39_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import train_centroids
 
     cents = train_centroids(
-        _t(spark, sf_dir, "embeddings"), k=_Q39_K, n_iters=_Q39_ITERS, dim=64
+        _t(spark, sf_dir, "embeddings"), k=_Q39_K, n_iters=_Q39_ITERS
     )
     return cents.select(
         F.col("cid").cast("long").alias("cid"), F.posexplode("c").alias("i0", "ce")
