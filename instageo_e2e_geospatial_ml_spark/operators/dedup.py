@@ -603,3 +603,118 @@ def contamination_check(
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_tokens: int | None = None,
+    max_shingle_freq: int = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring spans across (and within) documents —
+    the ExactSubstr method of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022), re-expressed relationally instead
+    of via a monolithic suffix array:
+
+      1. k-token shingles with positions (one explode);
+      2. equality self-join on the shingle (the suffix-array "equal range"
+         step), doc-frequency-capped like ngram_jaccard_pairs — a
+         stop-shingle would otherwise produce a quadratic join;
+      3. diagonal run merging: matches of one duplicated substring share
+         (doc_a, doc_b, pos_a − pos_b); consecutive pos_a collapse via the
+         pos_a − row_number() island trick — one window + one aggregation.
+
+    Returns (doc_a, doc_b, a_start, b_start, n_tokens): maximal shared
+    runs of ≥ max(k, min_tokens) tokens, 1-based token positions; same-doc
+    internal repeats appear as doc_a == doc_b with a_start < b_start.
+
+    Scale: shuffles on shingle then on (doc_a, doc_b, diag) — both
+    fine-grained keys; the df cap is the only recall trade (a shingle in
+    > max_shingle_freq docs can split or hide runs, the documented guard).
+    """
+    sh = shingles_with_pos(docs.select(id_col, text_col), text_col, k).select(
+        F.col(id_col).alias("_id"), F.col("_i").alias("pos"), "shingle"
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
+    freq = sh.select("_id", "shingle").distinct().groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("_df") > max_shingle_freq)),
+        "shingle",
+        "left_anti",
+    )
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("pos").alias("pos_a"), "shingle")
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("pos").alias("pos_b"), "shingle")
+    matches = a.join(b, "shingle").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        | ((F.col("doc_a") == F.col("doc_b")) & (F.col("pos_a") < F.col("pos_b")))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("_island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("n_tokens"),
+        )
+        .withColumn("b_start", F.col("a_start") - F.col("diag"))
+        .select("doc_a", "doc_b", "a_start", "b_start", "n_tokens")
+    )
+    if min_tokens and min_tokens > k:
+        runs = runs.filter(F.col("n_tokens") >= min_tokens)
+    return runs
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip each doc's LATER-occurrence duplicated token ranges (keep the
+    first occurrence corpus-wide, the ExactSubstr removal policy): spans'
+    (doc_b, b_start, n_tokens) rows mark tokens to delete from doc_b.
+
+    Pure JVM: spans collapse to one array per doc (collect_list after an
+    aggregation — bounded by spans per doc, not corpus size), then one
+    higher-order filter drops tokens whose position falls in any span.
+    Docs without spans pass through unchanged (left join). Returns the
+    docs frame with `text` rewritten and `n_removed_tokens`."""
+    per_doc = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("n_tokens") - 1).alias("e"),
+            )
+        ).alias("_spans")
+    )
+    t = tokens(text_col)
+    keep = F.filter(
+        F.arrays_zip(
+            F.col("_toks").alias("tok"),
+            F.sequence(F.lit(1), F.size("_toks")).alias("pos"),
+        ),
+        lambda z: ~F.exists(
+            F.col("_spans"), lambda s: (s["s"] <= z["pos"]) & (z["pos"] <= s["e"])
+        ),
+    )
+    out = (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_toks", t)
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+                F.transform(keep, lambda z: z["tok"])
+            ),
+        )
+        .withColumn("n_removed_tokens", F.size("_toks") - F.size("_kept"))
+        .withColumn(text_col, F.concat_ws(" ", F.col("_kept")))
+        .drop("_toks", "_kept", "_spans")
+    )
+    return out

@@ -612,3 +612,75 @@ def test_hamming_neardup_pairs_hash_column(spark):
         for a, b in [(min(a, b), max(a, b))]
     )
     assert got == want and len(want) >= 2
+
+
+def test_substring_duplicate_spans_vs_bruteforce(spark):
+    """ExactSubstr spans vs a quadratic DP oracle: every maximal common
+    token run of >= k tokens (cross-doc and within-doc) is reported with
+    exact 1-based positions and length."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        remove_duplicate_spans,
+        substring_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog while seven wizards brew strong potions quietly"
+    docs = {
+        1: "intro words here " + shared + " closing remark",
+        2: shared + " entirely different ending material follows now",
+        3: "totally unrelated content with no overlap at all whatsoever present",
+        4: "alpha beta gamma delta epsilon zeta eta theta repeat alpha beta gamma delta epsilon zeta eta theta done",
+        5: "tiny doc",
+    }
+    k = 8
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[i] for i in docs]}
+    )
+    got = sorted(
+        map(
+            tuple,
+            substring_duplicate_spans(
+                spark.createDataFrame(pdf), k=k
+            ).collect(),
+        )
+    )
+
+    toks = {i: t.split() for i, t in docs.items()}
+    want = []
+    for a in sorted(docs):
+        for b in sorted(docs):
+            if b < a:
+                continue
+            ta, tb = toks[a], toks[b]
+            # DP: run length ending at (i, j)
+            run = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    if ta[i - 1] == tb[j - 1]:
+                        run[i][j] = run[i - 1][j - 1] + 1
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    ln = run[i][j]
+                    if ln < k:
+                        continue
+                    # maximal: not extendable to the right
+                    if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                        continue
+                    a_start, b_start = i - ln + 1, j - ln + 1
+                    if a == b and not a_start < b_start:
+                        continue
+                    want.append((a, b, a_start, b_start, ln))
+    assert got == sorted(want) and len(want) >= 2
+
+    # removal policy: doc 2's copy of the shared passage is stripped
+    spans = substring_duplicate_spans(spark.createDataFrame(pdf), k=k)
+    cleaned = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(pdf), spans.filter(F.col("doc_a") < F.col("doc_b"))
+        ).collect()
+    }
+    n_shared = len(shared.split())
+    assert cleaned[2]["n_removed_tokens"] == n_shared
+    assert cleaned[2]["text"] == "entirely different ending material follows now"
+    assert cleaned[3]["n_removed_tokens"] == 0
+    assert cleaned[3]["text"] == docs[3]
