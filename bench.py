@@ -68,6 +68,7 @@ HEADLINE = [
     "q20_chunking",
     "q30_pii_scrub",
     "q18_decontamination",
+    "q55_substring_dedup",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]
