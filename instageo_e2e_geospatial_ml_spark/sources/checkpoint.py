@@ -52,15 +52,41 @@ class CheckpointTable:
     def exists(self) -> bool:
         return len(self._log()) > 0
 
-    def read(self) -> DataFrame:
+    def read(self, as_of: str | None = None) -> DataFrame:
         """Committed rows only: a crash between the data write and the log
         write leaves a torn snapshot in data/ — rows whose _snapshot_id is
         not in the snapshot log are orphans and are filtered out (Iceberg
-        semantics: a snapshot exists only once its metadata is committed)."""
+        semantics: a snapshot exists only once its metadata is committed).
+
+        as_of: snapshot id for time travel — the table as of that commit
+        (the append-only log gives snapshots a total order, so "as of" =
+        every snapshot up to and including it)."""
         ids = self.committed_snapshot_ids()
+        if as_of is not None:
+            if as_of not in ids:
+                raise KeyError(f"unknown snapshot {as_of!r}")
+            ids = ids[: ids.index(as_of) + 1]
         return self.spark.read.parquet(self.data_path).filter(
             F.col("_snapshot_id").isin(ids)
         )
+
+    def rollback(self, snapshot_id: str) -> None:
+        """Metadata-only rollback (Iceberg semantics): truncate the
+        snapshot log after `snapshot_id`. O(1) — no data rewrite; rows of
+        discarded snapshots become orphans that read() filters out, and
+        their keys become appendable again (filter_uncommitted consults
+        the truncated log)."""
+        log = self._log()
+        ids = [r["snapshot_id"] for r in log]
+        if snapshot_id not in ids:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        log = log[: ids.index(snapshot_id) + 1]
+        tmp = self.log_path + f".rb_{snapshot_id}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self.log_path)
 
     def committed_keys(self) -> DataFrame | None:
         if not self.exists():

@@ -496,3 +496,29 @@ def test_chip_pipeline_jp2_payloads_match_raw(spark):
     for i in range(len(a)):
         assert a.iloc[i]["chip"] == b.iloc[i]["chip"]
         assert a.iloc[i]["seg"] == b.iloc[i]["seg"]
+
+
+def test_checkpoint_time_travel_and_rollback(spark, tmp_path):
+    import pandas as pd
+
+    ck = CheckpointTable(spark, str(tmp_path / "tt"), key="k")
+    s1 = ck.append(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10, 20]})))
+    s2 = ck.append(spark.createDataFrame(pd.DataFrame({"k": [3], "v": [30]})))
+    s3 = ck.append(spark.createDataFrame(pd.DataFrame({"k": [4, 5], "v": [40, 50]})))
+    assert sorted(r["k"] for r in ck.read().collect()) == [1, 2, 3, 4, 5]
+    # time travel: the table as of snapshot 2
+    assert sorted(r["k"] for r in ck.read(as_of=s2["snapshot_id"]).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in ck.read(as_of=s1["snapshot_id"]).collect()) == [1, 2]
+    # metadata-only rollback: snapshot 3's rows become invisible orphans...
+    ck.rollback(s2["snapshot_id"])
+    assert sorted(r["k"] for r in ck.read().collect()) == [1, 2, 3]
+    # ...and its keys are appendable again without duplication
+    ck.append(spark.createDataFrame(pd.DataFrame({"k": [4, 1], "v": [41, 11]})))
+    rows = {r["k"]: r["v"] for r in ck.read().collect()}
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 41}  # k=1 stays the committed copy
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        ck.read(as_of="nope")
+    with _pt.raises(KeyError):
+        ck.rollback("nope")
