@@ -952,10 +952,13 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             prog, layers, _mct = struct.unpack(">BHB", seg[1:5])
             if scod != 0:
                 raise NotImplementedError("precinct/SOP/EPH COD styles")
-            if prog != 0:
-                raise NotImplementedError(
-                    f"progression order {prog} (only LRCP; CPRL needs precincts)"
-                )
+            if prog > 4:
+                raise ValueError(f"bad progression order {prog}")
+            # with layers == 1, components == 1 and default (whole-band)
+            # precincts there is exactly ONE packet per resolution, so all
+            # five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL) degenerate
+            # to the same packet sequence — accept any of them (S2 files
+            # are CPRL; their precinct partitions are the remaining gap)
             if layers != 1:
                 raise NotImplementedError("multi-layer codestreams")
             levels = seg[5]

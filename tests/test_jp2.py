@@ -174,6 +174,14 @@ def test_jp2_structure_and_unsupported_styles():
     assert (hdr["w"], hdr["h"], hdr["n_components"]) == (29, 35, 1)
     assert hdr["bit_depth"] == 12 and not hdr["signed"]
 
+    # all five progression orders are equivalent for 1 layer / 1 component
+    # / default precincts (one packet per resolution) — CPRL must decode
+    cod_at0 = buf.index(b"\xff\x52")
+    for prog in (1, 2, 3, 4):
+        bp = bytearray(buf)
+        bp[cod_at0 + 5] = prog
+        assert (jp2_decode(bytes(bp)) == img).all(), prog
+
     # flip the COD transform byte to 9/7 → descriptive error
     cod_at = buf.index(b"\xff\x52")
     b97 = bytearray(buf)
