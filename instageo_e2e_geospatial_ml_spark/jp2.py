@@ -3,12 +3,17 @@
 Closes S5 (the reference reads Sentinel-2 band rasters as JP2 — one
 grayscale codestream per band, `s2_utils.py:360-407`): a from-scratch
 ISO/IEC 15444-1 (ITU-T T.800) implementation of the subset those files
-need structurally — SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, LRCP
-progression, one tile, one quality layer, default precincts, reversible
-5/3 wavelet, no quantization, MQ arithmetic coding without
-bypass/reset/termall. Multi-component images, other progression orders,
-precinct partitions and the irreversible 9/7 wavelet raise descriptive
-NotImplementedErrors.
+need structurally — SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, one tile,
+one quality layer, reversible 5/3 wavelet, no quantization, MQ
+arithmetic coding without bypass/reset/termall, default OR user-defined
+precinct partitions (multiple packets per resolution, per-precinct tag
+trees). All five progression orders are accepted where they are
+well-defined for this shape: without precincts they all coincide; with
+precincts the resolution-major orders (LRCP/RLCP/RPCL) coincide, and
+the position-major ones (PCRL/CPRL) raise — the one remaining
+structural gap vs real S2 codestreams, alongside multi-component
+images, the irreversible 9/7 wavelet and bypass/termall styles, which
+raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk) -> bytes   (raw codestream)
   * jp2_decode(buf) -> np.ndarray            (codestream or JP2 container)
@@ -775,15 +780,77 @@ def _qcd_index(band_res, r: int, band: str) -> int:
 _GUARD = 2
 
 
-def jp2_encode(img: np.ndarray, levels: int = 3, cblk: int = 32) -> bytes:
+def _resolution_dims(w: int, h: int, levels: int):
+    """Resolution-domain dims per r in 0..levels: ceil(size / 2^(levels-r))."""
+    out = []
+    for r in range(levels + 1):
+        s = levels - r
+        out.append(((w + (1 << s) - 1) >> s, (h + (1 << s) - 1) >> s))
+    return out
+
+
+def _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
+    """Precincts of resolution r in raster order; each precinct = per-band
+    (band, nbx, nby, blocks) where blocks are (relative bx, by, absolute
+    x0, y0, cw, ch) in band coordinates. Precincts partition the
+    RESOLUTION grid (2^ppx × 2^ppy, anchored 0); for r > 0 the band-domain
+    precinct is half that. Code blocks clamp to the precinct size, so no
+    block straddles a precinct (both are power-of-two, anchored grids)."""
+    shift = 0 if r == 0 else 1
+    bpw, bph = 1 << (ppx - shift), 1 << (ppy - shift)
+    cbw, cbh = min(cblk, bpw), min(cblk, bph)
+    npx = (rw + (1 << ppx) - 1) >> ppx
+    npy = (rh + (1 << ppy) - 1) >> ppy
+    out = []
+    for py in range(npy):
+        for px in range(npx):
+            per_band = []
+            for band, bwd, bhd in bands:
+                rx0, ry0 = px * bpw, py * bph
+                rx1, ry1 = min(rx0 + bpw, bwd), min(ry0 + bph, bhd)
+                blocks = []
+                nbx = nby = 0
+                if rx0 < rx1 and ry0 < ry1:
+                    nbx = (rx1 - rx0 + cbw - 1) // cbw  # rx0 is cbw-aligned
+                    nby = (ry1 - ry0 + cbh - 1) // cbh
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            x0, y0 = rx0 + bx * cbw, ry0 + by * cbh
+                            blocks.append(
+                                (bx, by, x0, y0, min(cbw, bwd - x0), min(cbh, bhd - y0))
+                            )
+                per_band.append((band, nbx, nby, blocks))
+            out.append(per_band)
+    return out
+
+
+def jp2_encode(
+    img: np.ndarray,
+    levels: int = 3,
+    cblk: int = 32,
+    precincts: list[tuple[int, int]] | None = None,
+) -> bytes:
     """Encode a grayscale integer image as a reversible 5/3 JPEG-2000
-    codestream (raw codestream, no JP2 boxes; lossless)."""
+    codestream (raw codestream, no JP2 boxes; lossless).
+
+    precincts: optional per-resolution (PPx, PPy) exponents (levels + 1
+    entries, r=0 first) → user-defined precinct partitions (COD Scod bit
+    0), multiple packets per resolution in raster order. None → default
+    whole-band precincts, one packet per resolution."""
     a = np.asarray(img)
     if a.ndim != 2:
         raise ValueError("jp2_encode: grayscale (h, w) input only")
     h, w = a.shape
     if cblk & (cblk - 1) or not 4 <= cblk <= 64:
         raise ValueError("cblk must be a power of two in [4, 64]")
+    if precincts is not None:
+        if len(precincts) != levels + 1:
+            raise ValueError("precincts needs levels + 1 (PPx, PPy) entries")
+        for r, (px, py) in enumerate(precincts):
+            if not (0 <= px <= 15 and 0 <= py <= 15):
+                raise ValueError("precinct exponents must be in [0, 15]")
+            if r > 0 and (px < 1 or py < 1):
+                raise ValueError("PPx/PPy must be >= 1 for r > 0")
     signed = bool(a.min() < 0)
     if signed:
         lo, hi = int(a.min()), int(a.max())
@@ -807,29 +874,35 @@ def jp2_encode(img: np.ndarray, levels: int = 3, cblk: int = 32) -> bytes:
     subs[(levels, "LL")] = cur
 
     band_res = _subband_dims(w, h, levels)
-    packets = []
+    res_dims = _resolution_dims(w, h, levels)
+    pp = precincts if precincts is not None else [(15, 15)] * (levels + 1)
+
+    body = bytearray()
     eps = []
     for r, bands in enumerate(band_res):
         lvl = levels if r == 0 else levels - r + 1
-        res_blocks = []
+        mbs = {}
         for band, bwd, bhd in bands:
             arr = subs[(lvl, band)]
             assert arr.shape == (bhd, bwd), (r, band, arr.shape, (bhd, bwd))
             mx = int(np.abs(arr).max()) if arr.size else 0
             band_eps = max(mx.bit_length(), 1)
             eps.append(band_eps)
-            mb = _GUARD + band_eps - 1
-            blocks, nx, ny = _blocks_of(bwd, bhd, cblk)
-            coded = []
-            for bx, by, x0, y0, cw, ch in blocks:
-                data, npass, nplanes = tier1_encode(
-                    arr[y0 : y0 + ch, x0 : x0 + cw], band
-                )
-                coded.append((bx, by, data, npass, mb - nplanes))
-            res_blocks.append((band, nx, ny, coded))
-        packets.append(res_blocks)
-
-    body = _emit_packets(packets)
+            mbs[band] = _GUARD + band_eps - 1
+        ppx, ppy = pp[r]
+        rw, rh = res_dims[r]
+        for precinct in _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
+            coded_bands = []
+            for band, nbx, nby, blocks in precinct:
+                arr = subs[(lvl, band)]
+                coded = []
+                for bx, by, x0, y0, cw, ch in blocks:
+                    data, npass, nplanes = tier1_encode(
+                        arr[y0 : y0 + ch, x0 : x0 + cw], band
+                    )
+                    coded.append((bx, by, data, npass, mbs[band] - nplanes))
+                coded_bands.append((band, nbx, nby, coded))
+            body += _emit_packet(coded_bands)
 
     out = bytearray()
     out += b"\xff\x4f"  # SOC
@@ -838,60 +911,58 @@ def jp2_encode(img: np.ndarray, levels: int = 3, cblk: int = 32) -> bytes:
         ">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1
     ) + bytes([ssiz, 1, 1])
     xcb = cblk.bit_length() - 3  # log2(cblk) - 2
-    out += b"\xff\x52" + struct.pack(">HBBHB", 12, 0, 0, 1, 0) + bytes(
-        [levels, xcb, xcb, 0, 1]
-    )
+    scod = 1 if precincts is not None else 0
+    spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
+    out += b"\xff\x52" + struct.pack(
+        ">HBBHB", 12 + len(spcod_pp), scod, 0, 1, 0
+    ) + bytes([levels, xcb, xcb, 0, 1]) + spcod_pp
     out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), _GUARD << 5) + bytes(
         e << 3 for e in eps
     )
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body + b"\xff\xd9"
+    out += b"\xff\x93" + bytes(body) + b"\xff\xd9"
     return bytes(out)
 
 
-def _emit_packets(packets) -> bytes:
-    """One packet per resolution (single layer, single component, default
-    precinct); blocks with zero passes are excluded via the inclusion tag
-    tree (leaf value 1 ≥ layer threshold)."""
-    body = bytearray()
-    for res_blocks in packets:
-        bw = _HdrWriter()
-        chunks = []
-        nonempty = any(
-            npass > 0 for _, _, _, coded in res_blocks for _, _, _, npass, _ in coded
-        )
-        bw.put(1 if nonempty else 0)
-        if nonempty:
-            for band, nx, ny, coded in res_blocks:
-                if not coded:
+def _emit_packet(coded_bands) -> bytes:
+    """One packet (single layer, single component, one precinct): header
+    with per-precinct inclusion/zero-bitplane tag trees, then the block
+    bodies. Blocks with zero passes are excluded via the inclusion tree
+    (leaf value 1 ≥ layer threshold)."""
+    bw = _HdrWriter()
+    chunks = []
+    nonempty = any(
+        npass > 0 for _, _, _, coded in coded_bands for _, _, _, npass, _ in coded
+    )
+    bw.put(1 if nonempty else 0)
+    if nonempty:
+        for band, nbx, nby, coded in coded_bands:
+            if not coded:
+                continue
+            inc = _TagTree(nbx, nby, encoder=True)
+            zb = _TagTree(nbx, nby, encoder=True)
+            for bx, by, data, npass, zbp in coded:
+                inc.set_value(bx, by, 0 if npass > 0 else 1)
+                zb.set_value(bx, by, max(zbp, 0))
+            inc.finalize()
+            zb.finalize()
+            for bx, by, data, npass, zbp in coded:
+                inc.encode(bw, bx, by, 1)
+                if npass == 0:
                     continue
-                inc = _TagTree(nx, ny, encoder=True)
-                zb = _TagTree(nx, ny, encoder=True)
-                for bx, by, data, npass, zbp in coded:
-                    inc.set_value(bx, by, 0 if npass > 0 else 1)
-                    zb.set_value(bx, by, max(zbp, 0))
-                inc.finalize()
-                zb.finalize()
-                for bx, by, data, npass, zbp in coded:
-                    inc.encode(bw, bx, by, 1)
-                    if npass == 0:
-                        continue
-                    zb.encode(bw, bx, by, _INF)  # fully resolve the value
-                    _npasses_write(bw, npass)
-                    lblock = 3
-                    nbits = lblock + npass.bit_length() - 1
-                    while len(data) >= (1 << nbits):
-                        bw.put(1)
-                        lblock += 1
-                        nbits += 1
-                    bw.put(0)
-                    bw.put_bits(len(data), nbits)
-                    chunks.append(data)
-        body += bw.flush()
-        for c in chunks:
-            body += c
-    return bytes(body)
+                zb.encode(bw, bx, by, _INF)  # fully resolve the value
+                _npasses_write(bw, npass)
+                lblock = 3
+                nbits = lblock + npass.bit_length() - 1
+                while len(data) >= (1 << nbits):
+                    bw.put(1)
+                    lblock += 1
+                    nbits += 1
+                bw.put(0)
+                bw.put_bits(len(data), nbits)
+                chunks.append(data)
+    return bw.flush() + b"".join(chunks)
 
 
 def jp2_decode(buf: bytes) -> np.ndarray:
@@ -950,15 +1021,15 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         elif marker == b"\xff\x52":  # COD
             scod = seg[0]
             prog, layers, _mct = struct.unpack(">BHB", seg[1:5])
-            if scod != 0:
-                raise NotImplementedError("precinct/SOP/EPH COD styles")
+            if scod & ~0x01:
+                raise NotImplementedError("SOP/EPH COD styles")
             if prog > 4:
                 raise ValueError(f"bad progression order {prog}")
-            # with layers == 1, components == 1 and default (whole-band)
-            # precincts there is exactly ONE packet per resolution, so all
-            # five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL) degenerate
-            # to the same packet sequence — accept any of them (S2 files
-            # are CPRL; their precinct partitions are the remaining gap)
+            # with layers == 1 and components == 1, LRCP/RLCP/RPCL reduce
+            # to the same packet sequence (resolution-major, precincts in
+            # raster order); without precincts ALL five orders coincide.
+            # PCRL/CPRL with precincts interleave precincts ACROSS
+            # resolutions (position-major) — not implemented.
             if layers != 1:
                 raise NotImplementedError("multi-layer codestreams")
             levels = seg[5]
@@ -972,6 +1043,16 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             if xcb != ycb:
                 raise NotImplementedError("non-square code-blocks")
             cblk = 1 << (xcb + 2)
+            if scod & 0x01:
+                if prog in (3, 4):
+                    raise NotImplementedError(
+                        "PCRL/CPRL with precinct partitions (position-major "
+                        "packet interleaving)"
+                    )
+                ppb = seg[10 : 10 + levels + 1]
+                pp = [(b & 0x0F, b >> 4) for b in ppb]
+            else:
+                pp = None
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
             guard = sqcd >> 5
@@ -993,40 +1074,44 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         raise ValueError("incomplete codestream (missing SIZ/COD/QCD/SOT)")
 
     band_res = _subband_dims(w, h, levels)
+    res_dims = _resolution_dims(w, h, levels)
+    pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
     subs = {}
     p = 0
     for r, bands in enumerate(band_res):
-        br = _HdrReader(body, p)
         arrs = {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
-        todo = []
-        if br.get():
-            for band, bwd, bhd in bands:
-                blocks, nx, ny = _blocks_of(bwd, bhd, cblk)
-                if not blocks:
-                    continue
-                inc = _TagTree(nx, ny, encoder=False)
-                zb = _TagTree(nx, ny, encoder=False)
-                for bx, by, x0, y0, cw, ch in blocks:
-                    if not inc.decode(br, bx, by, 1):
+        ppx, ppy = pp_list[r]
+        rw, rh = res_dims[r]
+        for precinct in _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
+            br = _HdrReader(body, p)
+            todo = []
+            if br.get():
+                for band, nbx, nby, blocks in precinct:
+                    if not blocks:
                         continue
-                    t = 1
-                    while not zb.decode(br, bx, by, t):
-                        t += 1
-                    zbp = zb.value(bx, by)
-                    npass = _npasses_read(br)
-                    lblock = 3
-                    while br.get():
-                        lblock += 1
-                    dlen = br.get_bits(lblock + npass.bit_length() - 1)
-                    todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
-        p = br.align()
-        for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
-            mb = guard + exps[_qcd_index(band_res, r, band)] - 1
-            data = body[p : p + dlen]
-            p += dlen
-            arrs[band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
-                data, ch, cw, band, mb - zbp, npass
-            )
+                    inc = _TagTree(nbx, nby, encoder=False)
+                    zb = _TagTree(nbx, nby, encoder=False)
+                    for bx, by, x0, y0, cw, ch in blocks:
+                        if not inc.decode(br, bx, by, 1):
+                            continue
+                        t = 1
+                        while not zb.decode(br, bx, by, t):
+                            t += 1
+                        zbp = zb.value(bx, by)
+                        npass = _npasses_read(br)
+                        lblock = 3
+                        while br.get():
+                            lblock += 1
+                        dlen = br.get_bits(lblock + npass.bit_length() - 1)
+                        todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
+            p = br.align()
+            for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
+                mb = guard + exps[_qcd_index(band_res, r, band)] - 1
+                data = body[p : p + dlen]
+                p += dlen
+                arrs[band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
+                    data, ch, cw, band, mb - zbp, npass
+                )
         lvl = levels if r == 0 else levels - r + 1
         for band, bwd, bhd in bands:
             subs[(lvl, band)] = arrs[band]

@@ -205,3 +205,68 @@ def test_decode_external_jp2_wired():
     arr = decode_external("jp2", jp2_encode(img, levels=1))
     assert arr.shape == (1, 24, 24)
     assert (arr[0] == img).all()
+
+
+def test_header_bit_io_duality_and_align():
+    """_HdrWriter/_HdrReader round-trip with FF stuffing: after align()
+    the reader must land exactly on the first body byte, including when
+    the header's final byte is 0xFF (the writer then appends a stuffing
+    0x00 that align() must consume)."""
+    rng = np.random.default_rng(5)
+    for trial in range(300):
+        n = int(rng.integers(1, 200))
+        bits = (
+            (rng.random(n) < 0.9).astype(int).tolist()
+            if trial % 2
+            else rng.integers(0, 2, n).tolist()
+        )  # heavy-1 streams produce FF bytes often
+        bw = _HdrWriter()
+        for b in bits:
+            bw.put(int(b))
+        hdr = bw.flush()
+        data = hdr + b"BODY"
+        br = _HdrReader(data, 0)
+        got = [br.get() for _ in bits]
+        assert got == bits
+        assert data[br.align() : br.align() + 4] == b"BODY", trial
+    # deterministic FF-terminal case: 16 one-bits = FF + stuffed 7F + pad
+    bw = _HdrWriter()
+    for _ in range(16):
+        bw.put(1)
+    hdr = bw.flush()
+    assert hdr[0] == 0xFF
+    br = _HdrReader(hdr + b"X", 0)
+    assert [br.get() for _ in range(16)] == [1] * 16
+    assert (hdr + b"X")[br.align()] == ord("X")
+
+
+def test_jp2_precinct_partitions_roundtrip():
+    """User-defined precincts (COD Scod bit 0): multiple packets per
+    resolution with per-precinct tag trees must round-trip bit-exactly,
+    and the resolution-major progressions stay equivalent."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, (70, 90))
+    cases = [
+        (2, 16, [(5, 5), (6, 5), (6, 6)]),
+        (3, 8, [(4, 4), (5, 5), (5, 6), (7, 7)]),
+        (1, 32, [(6, 4), (7, 5)]),
+    ]
+    for levels, cblk, pps in cases:
+        buf = jp2_encode(img, levels=levels, cblk=cblk, precincts=pps)
+        assert (jp2_decode(buf) == img).all(), (levels, cblk, pps)
+        # RLCP/RPCL == LRCP for 1 layer / 1 component
+        cod_at = buf.index(b"\xff\x52")
+        for prog in (1, 2):
+            bp = bytearray(buf)
+            bp[cod_at + 5] = prog
+            assert (jp2_decode(bytes(bp)) == img).all(), prog
+        # position-major with precincts is the documented gap
+        bp = bytearray(buf)
+        bp[cod_at + 5] = 4  # CPRL
+        with pytest.raises(NotImplementedError, match="CPRL"):
+            jp2_decode(bytes(bp))
+    # precinct validation
+    with pytest.raises(ValueError, match="levels \\+ 1"):
+        jp2_encode(img, levels=2, precincts=[(5, 5)])
+    with pytest.raises(ValueError, match=">= 1"):
+        jp2_encode(img, levels=1, precincts=[(5, 5), (0, 5)])
