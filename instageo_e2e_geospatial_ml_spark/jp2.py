@@ -7,13 +7,12 @@ need structurally — SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, one tile,
 one quality layer, reversible 5/3 wavelet, no quantization, MQ
 arithmetic coding without bypass/reset/termall, default OR user-defined
 precinct partitions (multiple packets per resolution, per-precinct tag
-trees). All five progression orders are accepted where they are
-well-defined for this shape: without precincts they all coincide; with
-precincts the resolution-major orders (LRCP/RLCP/RPCL) coincide, and
-the position-major ones (PCRL/CPRL) raise — the one remaining
-structural gap vs real S2 codestreams, alongside multi-component
-images, the irreversible 9/7 wavelet and bypass/termall styles, which
-raise descriptive NotImplementedErrors.
+trees), and ALL FIVE progression orders — the resolution-major ones
+(LRCP/RLCP/RPCL) coincide for one layer/component, and the
+position-major ones (PCRL/CPRL, what real S2 codestreams declare)
+interleave precincts across resolutions by tile position (B.12.1.4/5).
+Multi-component images, the irreversible 9/7 wavelet, multi-layer and
+bypass/termall styles raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk) -> bytes   (raw codestream)
   * jp2_decode(buf) -> np.ndarray            (codestream or JP2 container)
@@ -824,11 +823,52 @@ def _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
     return out
 
 
+def _packet_order(prog: int, levels: int, pp, res_dims, w: int, h: int):
+    """Packet sequence as (r, precinct_index) pairs for 1 layer / 1
+    component. Resolution-major orders (LRCP=0, RLCP=1, RPCL=2) coincide:
+    resolutions outer, precincts raster-inner. Position-major orders
+    (PCRL=3, CPRL=4) also coincide for one component: tile positions
+    outer (stepping by the finest precinct span), emitting the precinct
+    whose top-left tile-coordinate is the current position (T.800
+    B.12.1.4/5 with zero offsets)."""
+    n_prec = []
+    for r in range(levels + 1):
+        rw, rh = res_dims[r]
+        ppx, ppy = pp[r]
+        n_prec.append(
+            ((rw + (1 << ppx) - 1) >> ppx, (rh + (1 << ppy) - 1) >> ppy)
+        )
+    if prog <= 2:
+        return [
+            (r, k)
+            for r in range(levels + 1)
+            for k in range(n_prec[r][0] * n_prec[r][1])
+        ]
+    # position-major: precinct span in TILE coordinates at resolution r is
+    # 2^(pp + levels - r) (the resolution grid is the tile grid >> (levels-r))
+    span = [
+        (1 << (pp[r][0] + levels - r), 1 << (pp[r][1] + levels - r))
+        for r in range(levels + 1)
+    ]
+    step_x = min(s[0] for s in span)
+    step_y = min(s[1] for s in span)
+    out = []
+    for y in range(0, max(h, 1), step_y):
+        for x in range(0, max(w, 1), step_x):
+            for r in range(levels + 1):
+                sx, sy = span[r]
+                if x % sx == 0 and y % sy == 0:
+                    npx, _ = n_prec[r]
+                    out.append((r, (y // sy) * npx + (x // sx)))
+    return out
+
+
 def jp2_encode(
     img: np.ndarray,
     levels: int = 3,
     cblk: int = 32,
     precincts: list[tuple[int, int]] | None = None,
+    progression: int = 0,
 ) -> bytes:
     """Encode a grayscale integer image as a reversible 5/3 JPEG-2000
     codestream (raw codestream, no JP2 boxes; lossless).
@@ -876,9 +916,11 @@ def jp2_encode(
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
     pp = precincts if precincts is not None else [(15, 15)] * (levels + 1)
+    if not 0 <= progression <= 4:
+        raise ValueError("progression must be 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
 
-    body = bytearray()
     eps = []
+    packets = {}  # (r, precinct_index) -> coded_bands
     for r, bands in enumerate(band_res):
         lvl = levels if r == 0 else levels - r + 1
         mbs = {}
@@ -891,7 +933,9 @@ def jp2_encode(
             mbs[band] = _GUARD + band_eps - 1
         ppx, ppy = pp[r]
         rw, rh = res_dims[r]
-        for precinct in _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
+        for k, precinct in enumerate(
+            _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
+        ):
             coded_bands = []
             for band, nbx, nby, blocks in precinct:
                 arr = subs[(lvl, band)]
@@ -902,7 +946,11 @@ def jp2_encode(
                     )
                     coded.append((bx, by, data, npass, mbs[band] - nplanes))
                 coded_bands.append((band, nbx, nby, coded))
-            body += _emit_packet(coded_bands)
+            packets[(r, k)] = coded_bands
+
+    body = bytearray()
+    for r, k in _packet_order(progression, levels, pp, res_dims, w, h):
+        body += _emit_packet(packets[(r, k)])
 
     out = bytearray()
     out += b"\xff\x4f"  # SOC
@@ -914,7 +962,7 @@ def jp2_encode(
     scod = 1 if precincts is not None else 0
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
     out += b"\xff\x52" + struct.pack(
-        ">HBBHB", 12 + len(spcod_pp), scod, 0, 1, 0
+        ">HBBHB", 12 + len(spcod_pp), scod, progression, 1, 0
     ) + bytes([levels, xcb, xcb, 0, 1]) + spcod_pp
     out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), _GUARD << 5) + bytes(
         e << 3 for e in eps
@@ -992,6 +1040,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
 
     pos = 2
     w = h = depth = levels = cblk = None
+    prog_order = 0
     signed = False
     exps: list[int] | None = None
     guard = 0
@@ -1025,11 +1074,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
                 raise NotImplementedError("SOP/EPH COD styles")
             if prog > 4:
                 raise ValueError(f"bad progression order {prog}")
-            # with layers == 1 and components == 1, LRCP/RLCP/RPCL reduce
-            # to the same packet sequence (resolution-major, precincts in
-            # raster order); without precincts ALL five orders coincide.
-            # PCRL/CPRL with precincts interleave precincts ACROSS
-            # resolutions (position-major) — not implemented.
+            prog_order = prog
             if layers != 1:
                 raise NotImplementedError("multi-layer codestreams")
             levels = seg[5]
@@ -1044,11 +1089,6 @@ def jp2_decode(buf: bytes) -> np.ndarray:
                 raise NotImplementedError("non-square code-blocks")
             cblk = 1 << (xcb + 2)
             if scod & 0x01:
-                if prog in (3, 4):
-                    raise NotImplementedError(
-                        "PCRL/CPRL with precinct partitions (position-major "
-                        "packet interleaving)"
-                    )
                 ppb = seg[10 : 10 + levels + 1]
                 pp = [(b & 0x0F, b >> 4) for b in ppb]
             else:
@@ -1076,45 +1116,53 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
     pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
-    subs = {}
+    layouts = [
+        _precinct_layout(
+            r, bands, pp_list[r][0], pp_list[r][1], cblk, *res_dims[r]
+        )
+        for r, bands in enumerate(band_res)
+    ]
+    arrs_by_r = [
+        {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
+        for bands in band_res
+    ]
     p = 0
-    for r, bands in enumerate(band_res):
-        arrs = {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
-        ppx, ppy = pp_list[r]
-        rw, rh = res_dims[r]
-        for precinct in _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
-            br = _HdrReader(body, p)
-            todo = []
-            if br.get():
-                for band, nbx, nby, blocks in precinct:
-                    if not blocks:
+    for r, k in _packet_order(prog_order, levels, pp_list, res_dims, w, h):
+        precinct = layouts[r][k]
+        br = _HdrReader(body, p)
+        todo = []
+        if br.get():
+            for band, nbx, nby, blocks in precinct:
+                if not blocks:
+                    continue
+                inc = _TagTree(nbx, nby, encoder=False)
+                zb = _TagTree(nbx, nby, encoder=False)
+                for bx, by, x0, y0, cw, ch in blocks:
+                    if not inc.decode(br, bx, by, 1):
                         continue
-                    inc = _TagTree(nbx, nby, encoder=False)
-                    zb = _TagTree(nbx, nby, encoder=False)
-                    for bx, by, x0, y0, cw, ch in blocks:
-                        if not inc.decode(br, bx, by, 1):
-                            continue
-                        t = 1
-                        while not zb.decode(br, bx, by, t):
-                            t += 1
-                        zbp = zb.value(bx, by)
-                        npass = _npasses_read(br)
-                        lblock = 3
-                        while br.get():
-                            lblock += 1
-                        dlen = br.get_bits(lblock + npass.bit_length() - 1)
-                        todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
-            p = br.align()
-            for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
-                mb = guard + exps[_qcd_index(band_res, r, band)] - 1
-                data = body[p : p + dlen]
-                p += dlen
-                arrs[band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
-                    data, ch, cw, band, mb - zbp, npass
-                )
+                    t = 1
+                    while not zb.decode(br, bx, by, t):
+                        t += 1
+                    zbp = zb.value(bx, by)
+                    npass = _npasses_read(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    dlen = br.get_bits(lblock + npass.bit_length() - 1)
+                    todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
+        p = br.align()
+        for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
+            mb = guard + exps[_qcd_index(band_res, r, band)] - 1
+            data = body[p : p + dlen]
+            p += dlen
+            arrs_by_r[r][band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
+                data, ch, cw, band, mb - zbp, npass
+            )
+    subs = {}
+    for r, bands in enumerate(band_res):
         lvl = levels if r == 0 else levels - r + 1
         for band, bwd, bhd in bands:
-            subs[(lvl, band)] = arrs[band]
+            subs[(lvl, band)] = arrs_by_r[r][band]
 
     dims_chain = []
     cw, ch = w, h

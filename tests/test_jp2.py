@@ -260,11 +260,17 @@ def test_jp2_precinct_partitions_roundtrip():
             bp = bytearray(buf)
             bp[cod_at + 5] = prog
             assert (jp2_decode(bytes(bp)) == img).all(), prog
-        # position-major with precincts is the documented gap
-        bp = bytearray(buf)
-        bp[cod_at + 5] = 4  # CPRL
-        with pytest.raises(NotImplementedError, match="CPRL"):
-            jp2_decode(bytes(bp))
+        # position-major (CPRL — the real-S2 shape): a CPRL-encoded
+        # stream must round-trip, and its packet ordering genuinely
+        # differs from LRCP's (different bytes, same pixels)
+        cbuf = jp2_encode(img, levels=levels, cblk=cblk, precincts=pps,
+                          progression=4)
+        assert (jp2_decode(cbuf) == img).all(), (levels, cblk, pps)
+        assert cbuf != buf and len(cbuf) == len(buf)
+        pbuf = jp2_encode(img, levels=levels, cblk=cblk, precincts=pps,
+                          progression=3)  # PCRL == CPRL for 1 component
+        assert pbuf[: pbuf.index(b"\xff\x93")] != cbuf[: cbuf.index(b"\xff\x93")]
+        assert (jp2_decode(pbuf) == img).all()
     # precinct validation
     with pytest.raises(ValueError, match="levels \\+ 1"):
         jp2_encode(img, levels=2, precincts=[(5, 5)])
