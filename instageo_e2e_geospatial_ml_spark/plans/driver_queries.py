@@ -839,14 +839,20 @@ def q52_chip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q53_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed image synthesis + decode round-trip: per-image caption
-    equality flag, phash, and decoded-pixel checksum (mapInPandas)."""
+    equality flag, phash, and decoded-pixel checksum (mapInPandas). The
+    granules are split across PNG and JPEG-2000 payloads, so the driver's
+    rows-only digest pins BOTH real codecs (identical pixels either way —
+    both lossless)."""
     import pandas as pd
 
     from .. import codecs, synth
 
     cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
+    gids = list(cat["granule_id"])
     imgs = synth.gen_images_df(
-        spark, list(cat["granule_id"]), w=64, h=64, fmt="png", num_partitions=8
+        spark, gids[0::2], w=64, h=64, fmt="png", num_partitions=8
+    ).unionByName(
+        synth.gen_images_df(spark, gids[1::2], w=64, h=64, fmt="jp2", num_partitions=8)
     )
 
     def verify(it):
