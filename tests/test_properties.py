@@ -124,3 +124,80 @@ def test_filter_spec_garbage_never_crashes_silently(garbage):
     except (ValueError, SyntaxError):
         return
     assert isinstance(out, list)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_jp2_codec_roundtrip_property(seed):
+    """Any int image round-trips bit-exactly through the JPEG-2000 codec,
+    across random dims / levels / block sizes / precinct layouts /
+    progression orders."""
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+    levels = int(rng.integers(0, 4))
+    cblk = int(rng.choice([4, 16, 64]))
+    depth = int(rng.integers(1, 15))
+    img = rng.integers(0, 1 << depth, (h, w))
+    if rng.random() < 0.3:
+        img = img - (1 << (depth - 1))  # signed path
+    kw = {}
+    if rng.random() < 0.5:
+        kw["precincts"] = [
+            (int(rng.integers(1, 7)), int(rng.integers(1, 7)))
+            for _ in range(levels + 1)
+        ]
+        kw["progression"] = int(rng.integers(0, 5))
+    out = jp2_decode(jp2_encode(img, levels=levels, cblk=cblk, **kw))
+    assert (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_mq_coder_roundtrip_property(seed):
+    from instageo_e2e_geospatial_ml_spark.jp2 import MQDecoder, MQEncoder
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 1500))
+    p = float(rng.choice([0.5, 0.05, 0.95, 0.01, 0.99]))
+    bits = (rng.random(n) < p).astype(int).tolist()
+    ctxs = rng.integers(0, 19, n).tolist()
+    enc = MQEncoder()
+    for b, c in zip(bits, ctxs):
+        enc.encode(int(b), int(c))
+    dec = MQDecoder(enc.flush())
+    assert [dec.decode(int(c)) for c in ctxs] == bits
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_vp8l_interop_property(seed):
+    """Random small RGBA images: libwebp lossless encode → our decoder
+    must match libwebp's own decode bit-exactly (skips if libwebp absent)."""
+    import pytest as _pt
+
+    from tests.test_webp import _LIB, _encode_lossless, _libwebp_decode
+    from instageo_e2e_geospatial_ml_spark.webp import webp_decode
+
+    if _LIB is None:
+        _pt.skip("libwebp not available")
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        img[..., 3] = np.maximum(img[..., 3], 1)
+    elif kind == 1:
+        pal = rng.integers(1, 255, (int(rng.integers(2, 17)), 4), dtype=np.uint8)
+        img = pal[rng.integers(0, len(pal), (h, w))]
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 7) % 256, (yy * 11) % 256, (xx + yy) % 256, np.full_like(xx, 255)],
+            -1,
+        ).astype(np.uint8)
+    buf = _encode_lossless(img)
+    ref = _libwebp_decode(buf)
+    got = webp_decode(buf)
+    assert got.shape == ref.shape and (got == ref).all()
