@@ -269,3 +269,71 @@ def test_sessionize_stream_cross_batch_replay_parity(spark, tmp_path):
     # and the late event really merged: k's first session starts at 09:58
     assert got.iloc[0]["session_start"] == "2024-01-01T09:58:00"
     assert got.iloc[0]["n_events"] == 2
+
+
+def test_streaming_lsh_neardup_matches_batch_clusters(spark, tmp_path):
+    """Online LSH near-dup: signatures are bit-identical to the batch
+    minhash, and connected components over the streamed star edges equal
+    components over the batch within-bucket pair join — replayed across
+    many micro-batches with buckets straddling batch boundaries."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.neardup import (
+        minhash_signature_rows,
+        neardup_pairs_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # 1) per-row signatures == aggregated batch signatures, bit for bit
+    batch_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(shingles(docs, "text", 3), "doc_id").collect()
+    }
+    row_sig = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_signature_rows(docs).collect()
+    }
+    assert row_sig == batch_sig
+
+    # 2) stream in 6 deterministic micro-batches
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    now = time.time()
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n_files = 6
+    for i in range(n_files):
+        part = pdf.iloc[i::n_files]
+        tmp = tmp_path / f"_w{i}"
+        spark.createDataFrame(part).coalesce(1).write.parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dest = d / f"{i}.parquet"
+        shutil.move(src, dest)
+        os.utime(dest, (now - 100 + i, now - 100 + i))
+    schema = spark.read.parquet(str(d / "0.parquet")).schema
+    stream = read_event_stream(spark, str(d), schema, max_files=1)
+    got = run_available_now(
+        neardup_pairs_stream(stream), "neardup_s", str(tmp_path / "ck_nd")
+    ).toPandas()
+    assert len(got) > 0
+
+    want_pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(docs, "text", 3), "doc_id")
+    )
+    stream_edges = spark.createDataFrame(got[["doc_a", "doc_b"]].drop_duplicates())
+    c_batch = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(want_pairs).collect()
+    }
+    c_stream = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(stream_edges).collect()
+    }
+    assert c_stream == c_batch and len(c_batch) > 0
