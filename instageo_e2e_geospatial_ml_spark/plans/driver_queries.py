@@ -849,10 +849,12 @@ def q53_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
     gids = list(cat["granule_id"])
+    # one granule's bands as JPEG-2000 (48² keeps the pure-Python encode
+    # cheap; phash needs ≥ 32² dims), the rest PNG at 64²
     imgs = synth.gen_images_df(
-        spark, gids[0::2], w=64, h=64, fmt="png", num_partitions=8
+        spark, gids[1:], w=64, h=64, fmt="png", num_partitions=8
     ).unionByName(
-        synth.gen_images_df(spark, gids[1::2], w=64, h=64, fmt="jp2", num_partitions=8)
+        synth.gen_images_df(spark, gids[:1], w=48, h=48, fmt="jp2", num_partitions=8)
     )
 
     def verify(it):
