@@ -33,6 +33,13 @@ run-length shortcut) with context tables D.1-D.3, tag trees (B.10.2),
 packet headers (B.10), the MQ coder (Annex C — the 47-state Qe table
 shared with JBIG2), and the Annex F lifting with whole-sample symmetric
 extension.
+
+Tier-1 ships in THREE bit-exact implementations (BENCH/jp2.json):
+the readable reference above (MQEncoder/MQDecoder/_T1 — source of
+truth), a vectorized pure-Python fast path (tier1_decode_fast, ~4×),
+and an optional compiled kernel (jp2_t1.c via jp2_native, ~120×,
+lazily built with the system C compiler and silently skipped when none
+exists). jp2_encode/jp2_decode dispatch to the fastest available.
 """
 
 from __future__ import annotations
@@ -941,7 +948,7 @@ def jp2_encode(
                 arr = subs[(lvl, band)]
                 coded = []
                 for bx, by, x0, y0, cw, ch in blocks:
-                    data, npass, nplanes = tier1_encode(
+                    data, npass, nplanes = _t1_encode(
                         arr[y0 : y0 + ch, x0 : x0 + cw], band
                     )
                     coded.append((bx, by, data, npass, mbs[band] - nplanes))
@@ -1155,7 +1162,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             mb = guard + exps[_qcd_index(band_res, r, band)] - 1
             data = body[p : p + dlen]
             p += dlen
-            arrs_by_r[r][band][y0 : y0 + ch, x0 : x0 + cw] = tier1_decode(
+            arrs_by_r[r][band][y0 : y0 + ch, x0 : x0 + cw] = _t1_decode(
                 data, ch, cw, band, mb - zbp, npass
             )
     subs = {}
@@ -1178,3 +1185,519 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     if not signed:
         cur = cur + (1 << (depth - 1))
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Vectorized tier-1 (fast path). Bit-exact twin of _T1/tier1_* above (the
+# readable reference implementations, kept for parity tests — see
+# tests/test_jp2.py). Techniques:
+#   * packed MQ state: (state_index << 1) | MPS fused into ONE int per
+#     context, with precomputed packed NMPS/NLPS transition tables (the
+#     SWITCH flip is baked into _NLPS_P), so a decision is two flat list
+#     lookups instead of a nested-list read plus 4-tuple unpack;
+#   * per-sample neighborhood state in flat bytearrays maintained
+#     INCREMENTALLY on each significance event (16 byte increments per
+#     event instead of 8 numpy scalar reads per visit);
+#   * pass candidates precomputed with numpy from live frombuffer views —
+#     per stripe for SPP/CP, whole-block for MRP (whose candidate set and
+#     contexts are static within the pass, letting the MQ loop run over a
+#     precomputed context list with the state machine fully inlined and
+#     same-context runs hoisting the packed state into a local);
+#   * in-pass significance changes fall back to an event-chain scalar scan
+#     of the affected columns (a new significant sample can only change
+#     candidacy/contexts in its own and the next column of the scan).
+# ---------------------------------------------------------------------------
+
+_QEV = tuple(_QE[p >> 1][0] for p in range(94))
+_NMPS_P = tuple((_QE[p >> 1][1] << 1) | (p & 1) for p in range(94))
+_NLPS_P = tuple((_QE[p >> 1][2] << 1) | ((p & 1) ^ _QE[p >> 1][3]) for p in range(94))
+
+_ZC_TAB_CACHE: dict[str, tuple] = {}
+_SCAN_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _zc_tab(band: str) -> tuple:
+    t = _ZC_TAB_CACHE.get(band)
+    if t is None:
+        t = tuple(
+            _zc_context(hh, vv, dd, band)
+            for hh in range(3)
+            for vv in range(3)
+            for dd in range(5)
+        )
+        _ZC_TAB_CACHE[band] = t
+    return t
+
+
+def _sc_tabs() -> tuple[tuple, tuple]:
+    ctxs, xors = [], []
+    for hs in range(5):
+        for vs in range(5):
+            cc, xo = _SC_TABLE[(max(-1, min(1, hs - 2)), max(-1, min(1, vs - 2)))]
+            ctxs.append(cc)
+            xors.append(xo)
+    return tuple(ctxs), tuple(xors)
+
+
+_SCC, _SCX = _sc_tabs()
+
+
+def _init_packed() -> list[int]:
+    return [(st_i << 1) | st_m for st_i, st_m in _init_states()]
+
+
+def _scan_order(h: int, w: int) -> np.ndarray:
+    key = (h, w)
+    s = _SCAN_CACHE.get(key)
+    if s is None:
+        parts = []
+        for y0 in range(0, h, 4):
+            sh = min(4, h - y0)
+            rows = np.arange(y0, y0 + sh, dtype=np.int64)
+            cols = np.arange(w, dtype=np.int64)
+            parts.append((rows[None, :] * w + cols[:, None]).ravel())
+        s = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        _SCAN_CACHE[key] = s
+    return s
+
+
+def _seg_starts(cxarr: np.ndarray) -> list[int]:
+    """Boundaries of same-context runs: [0, ...changes..., len]."""
+    bnd = np.flatnonzero(cxarr[1:] != cxarr[:-1]) + 1
+    return [0] + bnd.tolist() + [len(cxarr)]
+
+
+def tier1_decode_fast(
+    data: bytes, h: int, w: int, band: str, nplanes: int, npasses: int
+) -> np.ndarray:
+    """Bit-exact fast twin of tier1_decode (see block comment above)."""
+    if npasses == 0 or nplanes <= 0:
+        return np.zeros((h, w), np.int64)
+    zc = _zc_tab(band)
+    SCC, SCX = _SCC, _SCX
+    QEV, NMPS, NLPS = _QEV, _NMPS_P, _NLPS_P
+    n = len(data)
+
+    # ---- MQ decoder state (Annex C), packed, plain locals ------------------
+    cst = _init_packed()
+    b0 = data[0] if n else 0xFF
+    c = b0 << 16
+    bp = 0
+    if (data[bp] if bp < n else 0xFF) == 0xFF:
+        if (data[bp + 1] if bp + 1 < n else 0xFF) > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp += 1
+            c += (data[bp] if bp < n else 0xFF) << 9
+            ct = 7
+    else:
+        bp += 1
+        c += (data[bp] if bp < n else 0xFF) << 8
+        ct = 8
+    c <<= 7
+    ct -= 7
+    a = 0x8000
+
+    def dec(cx: int) -> int:
+        nonlocal a, c, ct, bp
+        st = cst[cx]
+        qe = QEV[st]
+        a -= qe
+        if (c >> 16) < qe:
+            if a < qe:
+                d = st & 1
+                cst[cx] = NMPS[st]
+            else:
+                d = 1 ^ (st & 1)
+                cst[cx] = NLPS[st]
+            a = qe
+        else:
+            c -= qe << 16
+            if a & 0x8000:
+                return st & 1
+            if a < qe:
+                d = 1 ^ (st & 1)
+                cst[cx] = NLPS[st]
+            else:
+                d = st & 1
+                cst[cx] = NMPS[st]
+        while True:
+            if ct == 0:
+                if (data[bp] if bp < n else 0xFF) == 0xFF:
+                    if (data[bp + 1] if bp + 1 < n else 0xFF) > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += (data[bp] if bp < n else 0xFF) << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (data[bp] if bp < n else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        return d
+
+    # ---- per-sample state grids -------------------------------------------
+    W2 = w + 2
+    P = (h + 2) * W2
+    sig = bytearray(P)    # significance, padded ring
+    sgnb = bytearray(P)   # 1 = negative
+    nbt = bytearray(P)    # 8-neighbor significance count
+    hcb = bytearray(P)    # horizontal significant-neighbor count (0..2)
+    vcb = bytearray(P)    # vertical (0..2)
+    dcb = bytearray(P)    # diagonal (0..4)
+    hsb = bytearray(b"\x02" * P)  # horizontal signed sum + 2 (0..4)
+    vsb = bytearray(b"\x02" * P)
+    pi = bytearray(h * w)
+    ref = bytearray(h * w)
+    mag = np.zeros(h * w, np.int64)
+
+    SIG = np.frombuffer(sig, np.uint8).reshape(h + 2, W2)[1:-1, 1:-1]
+    NBT = np.frombuffer(nbt, np.uint8).reshape(h + 2, W2)[1:-1, 1:-1]
+    PI2 = np.frombuffer(pi, np.uint8).reshape(h, w)
+    PIF = np.frombuffer(pi, np.uint8)
+    REFF = np.frombuffer(ref, np.uint8)
+    SCAN = _scan_order(h, w)
+
+    def set_sig(i: int, neg: int) -> None:
+        sig[i] = 1
+        if neg:
+            sgnb[i] = 1
+        im = i - W2
+        ip = i + W2
+        nbt[i - 1] += 1
+        nbt[i + 1] += 1
+        nbt[im] += 1
+        nbt[ip] += 1
+        nbt[im - 1] += 1
+        nbt[im + 1] += 1
+        nbt[ip - 1] += 1
+        nbt[ip + 1] += 1
+        hcb[i - 1] += 1
+        hcb[i + 1] += 1
+        vcb[im] += 1
+        vcb[ip] += 1
+        dcb[im - 1] += 1
+        dcb[im + 1] += 1
+        dcb[ip - 1] += 1
+        dcb[ip + 1] += 1
+        if neg:
+            hsb[i - 1] -= 1
+            hsb[i + 1] -= 1
+            vsb[im] -= 1
+            vsb[ip] -= 1
+        else:
+            hsb[i - 1] += 1
+            hsb[i + 1] += 1
+            vsb[im] += 1
+            vsb[ip] += 1
+
+    def code_sig(i: int, j: int, one_p: int) -> bool:
+        if dec(zc[(hcb[i] * 3 + vcb[i]) * 5 + dcb[i]]):
+            kk = hsb[i] * 5 + vsb[i]
+            s = dec(SCC[kk]) ^ SCX[kk]
+            mag[j] = one_p
+            set_sig(i, s)
+            return True
+        return False
+
+    def spp_col_scalar(x: int, y0: int, sh: int, ystart: int, one_p: int) -> bool:
+        ev = False
+        base = (y0 + 1) * W2 + x + 1
+        jbase = y0 * w + x
+        for dy in range(ystart, sh):
+            i = base + dy * W2
+            if sig[i] or nbt[i] == 0:
+                continue
+            j = jbase + dy * w
+            if code_sig(i, j, one_p):
+                ev = True
+            pi[j] = 1
+        return ev
+
+    def spp(p: int) -> None:
+        one_p = 1 << p
+        for y0 in range(0, h, 4):
+            sh = 4 if y0 + 4 <= h else h - y0
+            if w * sh < 64:
+                for x in range(w):
+                    spp_col_scalar(x, y0, sh, 0, one_p)
+                continue
+            subS = SIG[y0 : y0 + sh]
+            subN = NBT[y0 : y0 + sh]
+            xs_a, ys_a = np.nonzero(((subS == 0) & (subN > 0)).T)
+            if xs_a.size == 0:
+                continue
+            xs = xs_a.tolist()
+            ys = ys_a.tolist()
+            K = len(xs)
+            k = 0
+            while k < K:
+                x = xs[k]
+                base = (y0 + 1) * W2 + x + 1
+                jbase = y0 * w + x
+                ev_row = -1
+                while k < K and xs[k] == x:
+                    y = ys[k]
+                    k += 1
+                    i = base + y * W2
+                    if sig[i] or nbt[i] == 0:
+                        continue
+                    j = jbase + y * w
+                    hit = code_sig(i, j, one_p)
+                    pi[j] = 1
+                    if hit:
+                        ev_row = y
+                        break
+                if ev_row < 0:
+                    continue
+                while k < K and xs[k] == x:
+                    k += 1
+                spp_col_scalar(x, y0, sh, ev_row + 1, one_p)
+                nxt = x + 1
+                pending = True
+                while pending and nxt < w:
+                    pending = spp_col_scalar(nxt, y0, sh, 0, one_p)
+                    while k < K and xs[k] <= nxt:
+                        k += 1
+                    nxt += 1
+
+    def mrp(p: int) -> None:
+        nonlocal a, c, ct, bp
+        one_p = 1 << p
+        if h * w < 256:
+            for y0 in range(0, h, 4):
+                sh = 4 if y0 + 4 <= h else h - y0
+                for x in range(w):
+                    base = (y0 + 1) * W2 + x + 1
+                    jbase = y0 * w + x
+                    for dy in range(sh):
+                        i = base + dy * W2
+                        j = jbase + dy * w
+                        if not sig[i] or pi[j]:
+                            continue
+                        if ref[j]:
+                            cx = 16
+                        elif nbt[i]:
+                            cx = 15
+                        else:
+                            cx = 14
+                        if dec(cx):
+                            mag[j] |= one_p
+                        ref[j] = 1
+                        pi[j] = 1
+            return
+        cand = (SIG != 0) & (PI2 == 0)
+        sel = cand.ravel()[SCAN]
+        take = SCAN[sel]
+        if take.size == 0:
+            return
+        nb = NBT.ravel()[take]
+        rf = REFF[take]
+        cxarr = np.where(rf != 0, 16, np.where(nb > 0, 15, 14))
+        starts = _seg_starts(cxarr)
+        bits = []
+        bapp = bits.append
+        cxl = cxarr.tolist()
+        # fully inlined MQ decode over same-context runs: THE hot loop at
+        # low bitplanes; the packed state is hoisted into a local for the
+        # duration of a run
+        for si in range(len(starts) - 1):
+            s0 = starts[si]
+            cx = cxl[s0]
+            st = cst[cx]
+            for _ in range(starts[si + 1] - s0):
+                qe = QEV[st]
+                a -= qe
+                if (c >> 16) < qe:
+                    if a < qe:
+                        d = st & 1
+                        st = NMPS[st]
+                    else:
+                        d = 1 ^ (st & 1)
+                        st = NLPS[st]
+                    a = qe
+                else:
+                    c -= qe << 16
+                    if a & 0x8000:
+                        bapp(st & 1)
+                        continue
+                    if a < qe:
+                        d = 1 ^ (st & 1)
+                        st = NLPS[st]
+                    else:
+                        d = st & 1
+                        st = NMPS[st]
+                while True:
+                    if ct == 0:
+                        if (data[bp] if bp < n else 0xFF) == 0xFF:
+                            if (data[bp + 1] if bp + 1 < n else 0xFF) > 0x8F:
+                                c += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c += (data[bp] if bp < n else 0xFF) << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c += (data[bp] if bp < n else 0xFF) << 8
+                            ct = 8
+                    a = (a << 1) & 0xFFFF
+                    c = (c << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a & 0x8000:
+                        break
+                bapp(d)
+            cst[cx] = st
+        barr = np.asarray(bits, np.int64)
+        mag[take] |= barr << p
+        REFF[take] = 1
+        PIF[take] = 1
+
+    def cp_col_scalar(x: int, y0: int, sh: int, ystart: int, one_p: int) -> bool:
+        ev = False
+        base = (y0 + 1) * W2 + x + 1
+        jbase = y0 * w + x
+        y = ystart
+        if ystart == 0 and sh == 4:
+            rl = True
+            for dy in range(4):
+                i = base + dy * W2
+                if sig[i] or nbt[i] or pi[jbase + dy * w]:
+                    rl = False
+                    break
+            if rl:
+                if dec(_CTX_RL) == 0:
+                    return False
+                r = (dec(_CTX_UNI) << 1) | dec(_CTX_UNI)
+                i = base + r * W2
+                j = jbase + r * w
+                kk = hsb[i] * 5 + vsb[i]
+                s = dec(SCC[kk]) ^ SCX[kk]
+                mag[j] = one_p
+                set_sig(i, s)
+                ev = True
+                y = r + 1
+        for dy in range(y, sh):
+            i = base + dy * W2
+            j = jbase + dy * w
+            if sig[i] or pi[j]:
+                continue
+            if code_sig(i, j, one_p):
+                ev = True
+        return ev
+
+    def cp(p: int) -> None:
+        one_p = 1 << p
+        for y0 in range(0, h, 4):
+            sh = 4 if y0 + 4 <= h else h - y0
+            if w * sh < 64:
+                for x in range(w):
+                    cp_col_scalar(x, y0, sh, 0, one_p)
+                continue
+            subS = SIG[y0 : y0 + sh]
+            subN = NBT[y0 : y0 + sh]
+            subP = PI2[y0 : y0 + sh]
+            candT = ((subS == 0) & (subP == 0)).T
+            if sh == 4:
+                rl_flags = (
+                    (~subS.any(0)) & (~(subN != 0).any(0)) & (~subP.any(0))
+                ).tolist()
+            else:
+                rl_flags = None
+            xs_a, ys_a = np.nonzero(candT)
+            if xs_a.size == 0:
+                continue
+            xs = xs_a.tolist()
+            ys = ys_a.tolist()
+            K = len(xs)
+            k = 0
+            while k < K:
+                x = xs[k]
+                ev = False
+                if rl_flags is not None and rl_flags[x]:
+                    ev = cp_col_scalar(x, y0, sh, 0, one_p)
+                    while k < K and xs[k] == x:
+                        k += 1
+                else:
+                    base = (y0 + 1) * W2 + x + 1
+                    jbase = y0 * w + x
+                    ev_row = -1
+                    while k < K and xs[k] == x:
+                        yv = ys[k]
+                        k += 1
+                        i = base + yv * W2
+                        if sig[i]:
+                            continue
+                        j = jbase + yv * w
+                        if code_sig(i, j, one_p):
+                            ev_row = yv
+                            break
+                    if ev_row >= 0:
+                        ev = True
+                        while k < K and xs[k] == x:
+                            k += 1
+                        cp_col_scalar(x, y0, sh, ev_row + 1, one_p)
+                if ev:
+                    nxt = x + 1
+                    pending = True
+                    while pending and nxt < w:
+                        pending = cp_col_scalar(nxt, y0, sh, 0, one_p)
+                        while k < K and xs[k] <= nxt:
+                            k += 1
+                        nxt += 1
+
+    left = npasses
+    p = nplanes - 1
+    first = True
+    while left > 0 and p >= 0:
+        if not first:
+            spp(p)
+            left -= 1
+            if left == 0:
+                break
+            mrp(p)
+            left -= 1
+            if left == 0:
+                break
+        cp(p)
+        left -= 1
+        PIF[:] = 0
+        p -= 1
+        first = False
+
+    negv = np.frombuffer(sgnb, np.uint8).reshape(h + 2, W2)[1:-1, 1:-1].ravel()
+    return np.where(negv != 0, -mag, mag).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# tier-1 dispatch: compiled kernel (jp2_t1.c via jp2_native, ~500× the
+# reference loop) when a C compiler is present, else the vectorized
+# pure-Python path above (~4-5×), else the readable reference. All three
+# are bit-exact twins (tests/test_jp2.py pins parity on randomized blocks,
+# truncated streams and encoder byte output included).
+# ---------------------------------------------------------------------------
+
+
+def _t1_decode(
+    data: bytes, h: int, w: int, band: str, nplanes: int, npasses: int
+) -> np.ndarray:
+    from . import jp2_native
+
+    if jp2_native.available():
+        return jp2_native.tier1_decode_c(data, h, w, band, nplanes, npasses)
+    return tier1_decode_fast(data, h, w, band, nplanes, npasses)
+
+
+def _t1_encode(coefs: np.ndarray, band: str) -> tuple[bytes, int, int]:
+    from . import jp2_native
+
+    if jp2_native.available():
+        return jp2_native.tier1_encode_c(coefs, band)
+    return tier1_encode(coefs, band)
