@@ -390,13 +390,15 @@ def main() -> None:
         eff_ceiling = (
             full32["md5_ceiling_rows_per_sec"] / full8["md5_ceiling_rows_per_sec"]
         ) / (32 / 8)
-        norm_strong = eff_strong / eff_ceiling if eff_ceiling else 0.0
-        norm_join = eff_join / eff_ceiling if eff_ceiling else 0.0
+        # clamp at 1.0: the md5 strong-scaling probe is a noise indicator,
+        # not a provable upper bound on a weak-scaling ratio
+        norm_strong = min(1.0, eff_strong / eff_ceiling) if eff_ceiling else 0.0
+        norm_join = min(1.0, eff_join / eff_ceiling) if eff_ceiling else 0.0
         # weak normalization: the weak pair's 4N side is slowed by exactly
         # the machine's own sub-ideal 8->32 delivery (the md5 probe), so
         # dividing by the per-run ceiling isolates the engine's efficiency
-        norm_weak = eff_weak / eff_ceiling if eff_ceiling else 0.0
-        norm_weak_join = eff_join_weak / eff_ceiling if eff_ceiling else 0.0
+        norm_weak = min(1.0, eff_weak / eff_ceiling) if eff_ceiling else 0.0
+        norm_weak_join = min(1.0, eff_join_weak / eff_ceiling) if eff_ceiling else 0.0
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as fh:
             fh.write(
@@ -456,13 +458,14 @@ def main() -> None:
             "weak_vs_ceiling_join": round(norm_weak_join, 3),
             "gate": {
                 "rule": "same job at N and 4N parallelism; weak form is the "
-                "gate (BASELINE.md): T_N(X) / T_4N(4X) >= 0.8. Raw AND "
-                "machine-ceiling-normalized both reported: the per-run md5 "
-                "probe (pure JVM, zero shuffle, zero Python) measures what "
-                "fraction of ideal 8->32 scaling THIS VM delivers right now; "
-                "no workload can exceed it, so weak/ceiling isolates the "
-                "engine's own efficiency from the VM's day-to-day "
-                "virtualization noise.",
+                "gate (BASELINE.md): T_N(X) / T_4N(4X) >= 0.8, judged on the "
+                "RAW ratios only. The per-run md5 probe (pure JVM, zero "
+                "shuffle, zero Python) estimates what fraction of ideal "
+                "8->32 scaling THIS VM delivers right now; the "
+                "ceiling-normalized numbers (clamped at 1.0 — a strong-"
+                "scaling probe does not upper-bound a weak-scaling ratio) "
+                "are reported as INFORMATIONAL context for virtualization "
+                "noise and never flip the gate.",
                 "weak_chipping": round(eff_weak, 3),
                 "weak_pip_join": round(eff_join_weak, 3),
                 "weak_chipping_vs_machine_ceiling": round(norm_weak, 3),
@@ -471,12 +474,9 @@ def main() -> None:
                 "strong_chipping_raw": round(eff_strong, 3),
                 "strong_chipping_vs_machine_ceiling": round(norm_strong, 3),
                 "pass_raw": bool(eff_weak >= 0.8 and eff_join_weak >= 0.8),
-                # each metric passes on raw OR ceiling-normalized; the gate
-                # needs both metrics to pass
-                "pass": bool(
-                    max(eff_weak, norm_weak) >= 0.8
-                    and max(eff_join_weak, norm_weak_join) >= 0.8
-                ),
+                # the gate IS the raw rule; ceiling-normalized values above
+                # are informational only
+                "pass": bool(eff_weak >= 0.8 and eff_join_weak >= 0.8),
             },
         }
         # machine-readable twin of BENCH/BASELINE.md so per-round gate

@@ -54,11 +54,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     hash explode multiplies per-row work ~100×, so that one task becomes
     the whole job's critical path. No-op when the scan already has enough
     partitions — the 100 TB case, where adding a shuffle here would be
-    pure waste. Sizing uses inputFiles() (cheap plan metadata), not
-    df.rdd.getNumPartitions(), which would force an RDD conversion of
-    the analyzed plan on every call."""
+    pure waste. Sizing uses inputFiles() (cheap plan metadata) for
+    file-backed frames; a non-file-backed frame (createDataFrame, a
+    post-join intermediate) has an empty inputFiles() list, so for those
+    we fall back to df.rdd.getNumPartitions() — the RDD-conversion cost
+    only hits the in-memory path, and it avoids an unconditional shuffle
+    of frames that are already well spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
+    files = df.inputFiles()
+    current = len(files) if files else df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df
 

@@ -849,12 +849,13 @@ def q53_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
     gids = list(cat["granule_id"])
-    # one granule's bands as JPEG-2000 (48² keeps the pure-Python encode
-    # cheap; phash needs ≥ 32² dims), the rest PNG at 64²
+    # realistic multi-granule JPEG-2000 share (half the catalog, the
+    # S2-band shape), the rest PNG — viable since tier-1 moved to the
+    # compiled/vectorized kernel (jp2.py fast paths, round 5)
     imgs = synth.gen_images_df(
-        spark, gids[1:], w=64, h=64, fmt="png", num_partitions=8
+        spark, gids[0::2], w=64, h=64, fmt="png", num_partitions=8
     ).unionByName(
-        synth.gen_images_df(spark, gids[:1], w=48, h=48, fmt="jp2", num_partitions=8)
+        synth.gen_images_df(spark, gids[1::2], w=64, h=64, fmt="jp2", num_partitions=8)
     )
 
     def verify(it):
@@ -1650,7 +1651,13 @@ def q19_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("x"), F.col("doc_id").cast("string")).alias("image_id"),
         h60.bitwiseXOR(flip).alias("phash"),
     )
-    pairs = hamming_neardup_pairs(base.unionByName(dup), max_hamming=4)
+    # max_bucket is effectively unbounded here: the DuckDB oracle below is
+    # an uncapped brute-force pair scan, so the Spark side must be
+    # definitionally identical at any scale (the default 10k skew guard
+    # would silently drop a populous block bucket on the Spark side only)
+    pairs = hamming_neardup_pairs(
+        base.unionByName(dup), max_hamming=4, max_bucket=2**62
+    )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -144,4 +144,11 @@ class CheckpointTable:
         return rec
 
     def manifests(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.manifest_path, "*"))
+        """Lineage rows for COMMITTED snapshots only. rollback() is
+        metadata-only (it truncates _snapshots.json, leaving discarded
+        snapshots' manifest files on disk), so this filters against the
+        snapshot log the same way read() does — manifests(), read() and
+        committed_snapshot_ids() stay mutually consistent after a
+        rollback."""
+        df = self.spark.read.parquet(os.path.join(self.manifest_path, "*"))
+        return df.filter(F.col("snapshot_id").isin(self.committed_snapshot_ids()))
