@@ -36,6 +36,7 @@ def interval_join(
     max_buckets_per_interval: int = 1000,
     broadcast_intervals: bool = False,
     oversize_intervals: str = "broadcast",
+    max_broadcast_intervals: int = 100_000,
 ) -> DataFrame:
     """events × intervals where start ≤ ts < end (half-open), exactly once
     per matching pair. Returns events' columns + intervals' columns.
@@ -45,7 +46,15 @@ def interval_join(
       * "broadcast" (default) — a broadcast theta-join branch unioned with
         the bucketed branch. Correct for any width; costs one extra
         map-side pass over events (no shuffle — the over-cap side is
-        broadcast, and an empty over-cap side produces nothing).
+        broadcast, and an empty over-cap side produces nothing). The
+        branch assumes over-cap intervals are pathological-FEW; a mis-set
+        bucket_minutes (tiny buckets vs long-lived intervals) would
+        silently route the whole interval table into the broadcast, so
+        the over-cap side is counted first (one capped count job on the
+        intervals table — the one eager step in this builder) and more
+        than max_broadcast_intervals of them raises a descriptive error
+        telling the caller to coarsen bucket_minutes / raise the cap
+        instead of OOMing the driver at collect-broadcast time.
       * "drop" — excluded from the result (the pre-round-4 behavior; an
         explicit opt-in for callers that treat over-wide intervals as
         malformed and want the single-scan plan).
@@ -78,5 +87,16 @@ def interval_join(
     if oversize_intervals == "drop":
         return out
     iv_w = iv.filter(wide).drop("_b0", "_b1")
+    n_wide = iv_w.limit(max_broadcast_intervals + 1).count()
+    if n_wide > max_broadcast_intervals:
+        raise ValueError(
+            f"more than {max_broadcast_intervals} intervals span >= "
+            f"{max_buckets_per_interval} buckets of {bucket_minutes} min — "
+            "the over-cap broadcast branch would hold (a sample of) the "
+            "whole interval table. Coarsen bucket_minutes toward the "
+            "typical interval length (or raise max_broadcast_intervals / "
+            "max_buckets_per_interval) so over-cap intervals are "
+            "pathological-few."
+        )
     theta = events.join(F.broadcast(iv_w), refine, "inner")
     return out.unionByName(theta)

@@ -684,3 +684,44 @@ def test_substring_duplicate_spans_vs_bruteforce(spark):
     assert cleaned[2]["text"] == "entirely different ending material follows now"
     assert cleaned[3]["n_removed_tokens"] == 0
     assert cleaned[3]["text"] == docs[3]
+
+
+def test_interval_join_overcap_broadcast_guard(spark):
+    """When ALL intervals are over-cap (mis-set bucket_minutes), the
+    broadcast branch refuses with a descriptive error instead of
+    broadcasting the whole interval table; coarsening bucket_minutes (the
+    error's advice) makes the same call succeed."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.ranges import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": range(20), "ts": pd.date_range("2024-03-01", periods=20, freq="h")}
+        )
+    )
+    # week-long intervals vs 1-minute buckets: every interval spans ~10k
+    # buckets, far over a 100-bucket cap
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "window_id": range(5),
+                "start": pd.date_range("2024-02-28", periods=5, freq="D"),
+            }
+        )
+    ).withColumn("end", F.col("start") + F.expr("INTERVAL 7 DAYS"))
+    with pytest.raises(ValueError, match="Coarsen bucket_minutes"):
+        interval_join(
+            ev, iv, bucket_minutes=1, max_buckets_per_interval=100,
+            max_broadcast_intervals=3,
+        )
+    # the advice works: day-scale buckets route everything bucketed
+    n = interval_join(ev, iv, bucket_minutes=24 * 60).count()
+    want = (
+        ev.crossJoin(iv)
+        .filter((F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end")))
+        .count()
+    )
+    assert n == want > 0

@@ -337,3 +337,125 @@ def test_streaming_lsh_neardup_matches_batch_clusters(spark, tmp_path):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(stream_edges).collect()
     }
     assert c_stream == c_batch and len(c_batch) > 0
+
+
+def _drain_to_parquet(spark, stream_df, out, ck):
+    """availableNow-drain into a parquet sink (memory sinks can't resume
+    from a checkpoint); returns the CUMULATIVE sink contents."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).toPandas()
+
+
+def _write_stream_file(spark, tmp_path, d, name, pdf):
+    import glob
+    import shutil as _sh
+
+    tmp = tmp_path / f"_w_{name}"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tmp))
+    src = glob.glob(str(tmp / "part-*.parquet"))[0]
+    _sh.move(src, d / f"{name}.parquet")
+
+
+def test_streaming_neardup_max_bucket_cap(spark, tmp_path):
+    """With max_bucket=N, a degenerate bucket stops emitting edges once
+    cumulative membership exceeds N — the online mirror of the batch
+    skew-cap anti-join (which the parity docstring now scopes to)."""
+    from instageo_e2e_geospatial_ml_spark.streaming.neardup import (
+        neardup_pairs_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    text = "the same boilerplate text repeated for every document here"
+    _write_stream_file(
+        spark, tmp_path, d, "0",
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": [text] * 5}),
+    )
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        return _drain_to_parquet(
+            spark,
+            neardup_pairs_stream(stream, max_bucket=3),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck1"),
+        )
+
+    got = run()
+    # per band: keeper=1, members 2 and 3 fit under the cap, 4/5 dropped
+    assert set(map(tuple, got[["doc_a", "doc_b"]].drop_duplicates().values)) == {
+        (1, 2),
+        (1, 3),
+    }
+    # a later batch in the same bucket stays capped (cumulative, in state)
+    _write_stream_file(
+        spark, tmp_path, d, "1", pd.DataFrame({"doc_id": [6], "text": [text]})
+    )
+    got2 = run()
+    assert len(got2) == len(got)  # no new edges past the cap
+
+
+def test_streaming_neardup_state_ttl_reelects_keeper(spark, tmp_path):
+    """A bucket whose last event time is older than state_ttl_minutes is
+    evicted once the watermark passes, and its next arrival re-elects a
+    keeper: post-eviction edges link to the NEW keeper, not the old one
+    (the documented recall trade-off). Event-time TTL (not processing
+    time) so the drain terminates and eviction is replay-deterministic."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.streaming.neardup import (
+        neardup_pairs_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "completely different words nothing shared with the others at all"
+    T = pd.Timestamp
+    # file order == micro-batch order (maxFilesPerTrigger=1):
+    #  b0: bucket A at 10:00 -> keeper 1, edge (1,2); timeout at 10:05
+    #  b1: other bucket at 10:30 -> watermark -> 10:29
+    #  b2: other bucket at 10:31 -> A has no data, watermark 10:29 > 10:05
+    #      -> A evicted this batch
+    #  b3: bucket A again at 11:00 -> fresh state, keeper 5, edge (5,6)
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "text": [text] * 2,
+                      "ts": [T("2024-01-01 10:00:00")] * 2}),
+        pd.DataFrame({"doc_id": [3], "text": [other],
+                      "ts": [T("2024-01-01 10:30:00")]}),
+        pd.DataFrame({"doc_id": [4], "text": ["quick brown fox jumps over lazy dog tonight"],
+                      "ts": [T("2024-01-01 10:31:00")]}),
+        pd.DataFrame({"doc_id": [5, 6], "text": [text] * 2,
+                      "ts": [T("2024-01-01 11:00:00")] * 2}),
+    ]
+    for i, b in enumerate(batches):
+        _write_stream_file(spark, tmp_path, d, str(i), b)
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = _drain_to_parquet(
+        spark,
+        neardup_pairs_stream(stream, state_ttl_minutes=5, watermark="1 minute"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].drop_duplicates().values))
+    # the re-elected keeper's edge, and crucially NO (1,5)/(1,6) edges to
+    # the evicted keeper
+    assert pairs == {(1, 2), (5, 6)}, pairs
