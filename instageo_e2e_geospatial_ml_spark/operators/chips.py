@@ -253,6 +253,7 @@ def extract_chips(
     payload_source: str = "rows",
     n_salt: int = 0,  # obsolete (kept for API compat): cell grouping bounds skew structurally
     max_wants_granules: int = 200_000,
+    decode_counter=None,
 ) -> DataFrame:
     """records(stac_items_str, granules, x, y, date, label) × images
     (input_hint schema) → chip table. See module docstring for the
@@ -358,6 +359,12 @@ def extract_chips(
         if w != w_px or h != h_px:
             return  # inconsistent raster dims — cell math undefined
         gid, _, band = image_id.partition(":")
+        if decode_counter is not None:
+            # Spark accumulator: worker-side adds merge back to the driver.
+            # Pins the transcode-once guarantee (a resumed run whose records
+            # were all anti-joined away decodes NOTHING — the wants join is
+            # inner, so zero wanted cells means zero image decodes).
+            decode_counter.add(1)
         arr = codecs.decode(buf, w, h, 1, fmt)[0]
         dt = arr.dtype.str
         for want in wants_list:

@@ -106,9 +106,14 @@ def run_chip_pipeline(
     cfg: ChipPipelineConfig,
     checkpoint: CheckpointTable | None = None,
     payload_source: str = "rows",
+    decode_counter=None,
 ) -> DataFrame:
     """Full pipeline → chip table DataFrame (appended to `checkpoint` when
-    given, with resume semantics: already-committed granule-sets skipped)."""
+    given, with resume semantics: already-committed granule-sets skipped).
+
+    decode_counter: optional Spark accumulator incremented once per image
+    decode — the transcode-once observability hook (a resumed run that
+    finds every granule-set committed must leave it at 0)."""
     records = build_records(obs, catalog, cfg).select(
         "stac_items_str", "granules", "x", "y", "date", "label"
     )
@@ -125,6 +130,7 @@ def run_chip_pipeline(
         band_order=cfg.band_order,
         payload_source=payload_source,
         n_salt=cfg.n_salt,
+        decode_counter=decode_counter,
     )
     if checkpoint is not None:
         checkpoint.append(chips, metrics_cols=["valid_px", "n_label_px"])

@@ -188,7 +188,9 @@ def test_full_pipeline_synthetic_with_resume(spark, tmp_path):
     obs = synth.gen_observations_pdf(n_extra_per_tile=15, tiles=tiles, spread=0.2)
     obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
     cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
-    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    # jp2 payloads: the resume run below pins the transcode-once guarantee
+    # on the expensive-decode format specifically
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="jp2")
     cfg = ChipPipelineConfig(
         min_count=1,
         num_steps=1,
@@ -202,29 +204,38 @@ def test_full_pipeline_synthetic_with_resume(spark, tmp_path):
     ckpt = CheckpointTable(
         spark, str(tmp_path / "chips"), key="stac_items_str", partition_by="tile_key"
     )
+    acc1 = spark.sparkContext.accumulator(0)
     out1 = run_chip_pipeline(
         spark.createDataFrame(obs),
         spark.createDataFrame(cat),
         spark.createDataFrame(imgs),
         cfg,
         checkpoint=ckpt,
+        decode_counter=acc1,
     ).toPandas()
     assert len(out1) > 0
     assert out1["chip_id"].is_unique
     assert set(out1["tile_key"].str[5:10].unique()) <= {"38PMB", "30RYS"}
+    assert acc1.value > 0  # first pass really decoded jp2 payloads
     # per-partition lineage manifest exists and sums match
     man = ckpt.manifests().toPandas()
     assert man["n_rows"].sum() == len(out1)
-    # resume: second run commits nothing new
+    # resume: second run commits nothing new AND decodes nothing — the
+    # transcode-once guarantee (decode cost is paid exactly once per
+    # committed granule-set; a resumed/incremental run pays only for new
+    # work, the structural answer to 100 TB of S2 JP2)
+    acc2 = spark.sparkContext.accumulator(0)
     out2 = run_chip_pipeline(
         spark.createDataFrame(obs),
         spark.createDataFrame(cat),
         spark.createDataFrame(imgs),
         cfg,
         checkpoint=ckpt,
+        decode_counter=acc2,
     ).toPandas()
     assert len(out2) == len(out1)
     assert sorted(out2["chip_id"]) == sorted(out1["chip_id"])
+    assert acc2.value == 0, f"resume re-decoded {acc2.value} images"
 
 
 def test_chip_pixels_match_direct_computation(spark, ref_e2e_frames):
