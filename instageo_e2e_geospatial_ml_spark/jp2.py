@@ -1,21 +1,24 @@
-"""JPEG-2000 Part-1 codec: reversible 5/3, single-tile, grayscale.
+"""JPEG-2000 Part-1 codec: single-tile, 5/3 reversible AND 9/7
+irreversible, grayscale or multi-component.
 
 Closes S5 (the reference reads Sentinel-2 band rasters as JP2 — one
-grayscale codestream per band, `s2_utils.py:360-407`): a from-scratch
-ISO/IEC 15444-1 (ITU-T T.800) implementation of the subset those files
-need structurally — SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, one tile,
-one quality layer, reversible 5/3 wavelet, no quantization, MQ
-arithmetic coding without bypass/reset/termall, default OR user-defined
-precinct partitions (multiple packets per resolution, per-precinct tag
-trees), and ALL FIVE progression orders — the resolution-major ones
-(LRCP/RLCP/RPCL) coincide for one layer/component, and the
-position-major ones (PCRL/CPRL, what real S2 codestreams declare)
-interleave precincts across resolutions by tile position (B.12.1.4/5).
-Multi-component images, the irreversible 9/7 wavelet, multi-layer and
+grayscale codestream per band, `s2_utils.py:360-407`) and the real-world
+shapes beyond it: a from-scratch ISO/IEC 15444-1 (ITU-T T.800)
+implementation of SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, one tile,
+one quality layer, reversible 5/3 (lossless) or irreversible 9/7 with
+Annex E scalar-expounded quantization (lossy; RGB thumbnails / S2
+previews), 1..255 components (shared depth, 1,1 subsampling, no MCT —
+each component codes independently), MQ arithmetic coding without
+bypass/reset/termall, default OR user-defined precinct partitions
+(multiple packets per resolution, per-precinct tag trees), and ALL FIVE
+progression orders with their component interleavings (B.12.1.2-5;
+PCRL/CPRL is what real S2 codestreams declare). Multi-layer, MCT,
+subsampled components, per-component QCC, scalar-derived QCD and
 bypass/termall styles raise descriptive NotImplementedErrors.
 
-  * jp2_encode(img, levels, cblk) -> bytes   (raw codestream)
-  * jp2_decode(buf) -> np.ndarray            (codestream or JP2 container)
+  * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
+  * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
+    JP2 container)
 
 Validation note: unlike the JPEG/PNG/GIF/WebP codecs (validated against
 javax.imageio / the system libwebp), this container ships NO independent
@@ -566,6 +569,94 @@ def _inv53_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# irreversible 9/7 DWT (T.800 Annex F, Table F.4 lifting constants) and the
+# Annex E scalar quantizer. Normalization: analysis lowpass is scaled 1/K
+# and highpass K (the cascade's unscaled lowpass DC gain IS K, so this
+# makes the LL DC gain exactly 1 per level — verified by test); synthesis
+# mirrors. Validation is self-consistency (round-trips within quantizer
+# tolerance) — the container ships no independent JP2 implementation, see
+# the module docstring's validation note.
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+_GAIN97 = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _fwd97_rows(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """9/7 analysis along axis 1 (all rows at once) -> (lo, hi) floats."""
+    h, n = a.shape
+    if n == 1:
+        return a.astype(np.float64).copy(), a[:, :0].astype(np.float64)
+    # reflect pad == whole-sample symmetric extension; pad right to keep
+    # the extended length even so the odd/even slice pairs line up
+    e = np.pad(a.astype(np.float64), ((0, 0), (4, 4 + (n & 1))), mode="reflect")
+    for coef, odd in ((_A97, True), (_B97, False), (_G97, True), (_D97, False)):
+        if odd:
+            e[:, 1:-1:2] += coef * (e[:, 0:-2:2] + e[:, 2::2])
+        else:
+            e[:, 2:-1:2] += coef * (e[:, 1:-2:2] + e[:, 3::2])
+    return e[:, 4 : 4 + n : 2] / _K97, e[:, 5 : 4 + n : 2] * _K97
+
+
+def _inv97_rows(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _fwd97_rows: subband pair -> rows of length n."""
+    h = s.shape[0]
+    if n == 1:
+        return s.astype(np.float64).copy()
+    y = np.empty((h, n), np.float64)
+    y[:, 0::2] = s * _K97
+    y[:, 1::2] = d / _K97
+    e = np.pad(y, ((0, 0), (4, 4 + (n & 1))), mode="reflect")
+    for coef, odd in ((_D97, False), (_G97, True), (_B97, False), (_A97, True)):
+        if odd:
+            e[:, 1:-1:2] -= coef * (e[:, 0:-2:2] + e[:, 2::2])
+        else:
+            e[:, 2:-1:2] -= coef * (e[:, 1:-2:2] + e[:, 3::2])
+    return e[:, 4 : 4 + n]
+
+
+def _fwd97_2d(a: np.ndarray):
+    lo, hi = _fwd97_rows(a)
+    ll, lh = (m.T for m in _fwd97_rows(lo.T))
+    hl, hh = (m.T for m in _fwd97_rows(hi.T))
+    return ll, hl, lh, hh
+
+
+def _inv97_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
+    lo = _inv97_rows(ll.T, lh.T, h).T
+    hi = _inv97_rows(hl.T, hh.T, h).T
+    return _inv97_rows(lo, hi, w)
+
+
+def _quant_params(delta_b: float, rb: int) -> tuple[int, int]:
+    """(exponent, mantissa) of the Annex E step size: delta_b =
+    2^(rb - eps) * (1 + mu / 2048)."""
+    d = delta_b / (1 << rb)
+    eps = 0
+    while d < 1.0:
+        d *= 2.0
+        eps += 1
+    while d >= 2.0:
+        d /= 2.0
+        eps -= 1
+    mu = round((d - 1.0) * 2048)
+    if mu == 2048:
+        mu = 0
+        eps -= 1
+    if not (0 <= eps <= 31):
+        raise ValueError(f"quantizer exponent {eps} out of [0, 31] — adjust quant_step")
+    return eps, mu
+
+
+def _quant_step_of(eps: int, mu: int, rb: int) -> float:
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+# ---------------------------------------------------------------------------
 # tag trees (T.800 B.10.2)
 # ---------------------------------------------------------------------------
 
@@ -830,14 +921,17 @@ def _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
     return out
 
 
-def _packet_order(prog: int, levels: int, pp, res_dims, w: int, h: int):
-    """Packet sequence as (r, precinct_index) pairs for 1 layer / 1
-    component. Resolution-major orders (LRCP=0, RLCP=1, RPCL=2) coincide:
-    resolutions outer, precincts raster-inner. Position-major orders
-    (PCRL=3, CPRL=4) also coincide for one component: tile positions
-    outer (stepping by the finest precinct span), emitting the precinct
-    whose top-left tile-coordinate is the current position (T.800
-    B.12.1.4/5 with zero offsets)."""
+def _packet_order(
+    prog: int, levels: int, pp, res_dims, w: int, h: int, ncomp: int = 1
+):
+    """Packet sequence as (r, c, precinct_index) triples for 1 layer
+    (T.800 B.12). Resolution-major: LRCP(0)/RLCP(1) are res→comp→precinct
+    for one layer; RPCL(2) is res→position(precinct)→comp. Position-major:
+    PCRL(3) is position→comp→res, CPRL(4) comp→position→res — tile
+    positions step by the finest precinct span, emitting the precinct
+    whose top-left tile-coordinate is the current position (B.12.1.3-5
+    with zero offsets; components share XRsiz=YRsiz=1 so their precinct
+    grids coincide)."""
     n_prec = []
     for r in range(levels + 1):
         rw, rh = res_dims[r]
@@ -845,11 +939,19 @@ def _packet_order(prog: int, levels: int, pp, res_dims, w: int, h: int):
         n_prec.append(
             ((rw + (1 << ppx) - 1) >> ppx, (rh + (1 << ppy) - 1) >> ppy)
         )
-    if prog <= 2:
+    if prog <= 1:  # LRCP / RLCP: comp outer of precinct
         return [
-            (r, k)
+            (r, c, k)
+            for r in range(levels + 1)
+            for c in range(ncomp)
+            for k in range(n_prec[r][0] * n_prec[r][1])
+        ]
+    if prog == 2:  # RPCL: precinct outer of comp
+        return [
+            (r, c, k)
             for r in range(levels + 1)
             for k in range(n_prec[r][0] * n_prec[r][1])
+            for c in range(ncomp)
         ]
     # position-major: precinct span in TILE coordinates at resolution r is
     # 2^(pp + levels - r) (the resolution grid is the tile grid >> (levels-r))
@@ -860,13 +962,24 @@ def _packet_order(prog: int, levels: int, pp, res_dims, w: int, h: int):
     step_x = min(s[0] for s in span)
     step_y = min(s[1] for s in span)
     out = []
-    for y in range(0, max(h, 1), step_y):
-        for x in range(0, max(w, 1), step_x):
-            for r in range(levels + 1):
-                sx, sy = span[r]
-                if x % sx == 0 and y % sy == 0:
-                    npx, _ = n_prec[r]
-                    out.append((r, (y // sy) * npx + (x // sx)))
+    if prog == 3:  # PCRL: position → comp → res
+        for y in range(0, max(h, 1), step_y):
+            for x in range(0, max(w, 1), step_x):
+                for c in range(ncomp):
+                    for r in range(levels + 1):
+                        sx, sy = span[r]
+                        if x % sx == 0 and y % sy == 0:
+                            npx, _ = n_prec[r]
+                            out.append((r, c, (y // sy) * npx + (x // sx)))
+        return out
+    for c in range(ncomp):  # CPRL: comp → position → res
+        for y in range(0, max(h, 1), step_y):
+            for x in range(0, max(w, 1), step_x):
+                for r in range(levels + 1):
+                    sx, sy = span[r]
+                    if x % sx == 0 and y % sy == 0:
+                        npx, _ = n_prec[r]
+                        out.append((r, c, (y // sy) * npx + (x // sx)))
     return out
 
 
@@ -876,18 +989,36 @@ def jp2_encode(
     cblk: int = 32,
     precincts: list[tuple[int, int]] | None = None,
     progression: int = 0,
+    irreversible: bool = False,
+    quant_step: float = 1.0,
 ) -> bytes:
-    """Encode a grayscale integer image as a reversible 5/3 JPEG-2000
-    codestream (raw codestream, no JP2 boxes; lossless).
+    """Encode an integer image as a single-tile JPEG-2000 codestream (raw
+    codestream, no JP2 boxes).
+
+    img: (h, w) grayscale or (h, w, C) multi-component (all components
+    share bit depth and subsampling 1,1; no MCT — components code
+    independently, the RGB-thumbnail / multi-band shape).
+    irreversible=False → reversible 5/3, lossless.
+    irreversible=True → 9/7 wavelet + Annex E scalar quantization with
+    absolute step `quant_step` in every band (QCD style 2, expounded);
+    reconstruction error is bounded by the step (r=0.5 midpoint
+    dequantization on decode).
 
     precincts: optional per-resolution (PPx, PPy) exponents (levels + 1
     entries, r=0 first) → user-defined precinct partitions (COD Scod bit
     0), multiple packets per resolution in raster order. None → default
     whole-band precincts, one packet per resolution."""
     a = np.asarray(img)
-    if a.ndim != 2:
-        raise ValueError("jp2_encode: grayscale (h, w) input only")
-    h, w = a.shape
+    if a.ndim == 2:
+        comps = [a]
+    elif a.ndim == 3:
+        comps = [a[:, :, c] for c in range(a.shape[2])]
+    else:
+        raise ValueError("jp2_encode: (h, w) or (h, w, C) input only")
+    ncomp = len(comps)
+    if not 1 <= ncomp <= 255:
+        raise ValueError("1..255 components")
+    h, w = comps[0].shape
     if cblk & (cblk - 1) or not 4 <= cblk <= 64:
         raise ValueError("cblk must be a power of two in [4, 64]")
     if precincts is not None:
@@ -898,27 +1029,15 @@ def jp2_encode(
                 raise ValueError("precinct exponents must be in [0, 15]")
             if r > 0 and (px < 1 or py < 1):
                 raise ValueError("PPx/PPy must be >= 1 for r > 0")
-    signed = bool(a.min() < 0)
+    amin = min(int(c.min()) for c in comps)
+    amax = max(int(c.max()) for c in comps)
+    signed = amin < 0
     if signed:
-        lo, hi = int(a.min()), int(a.max())
         depth = 2
-        while not (-(1 << (depth - 1)) <= lo and hi < (1 << (depth - 1))):
+        while not (-(1 << (depth - 1)) <= amin and amax < (1 << (depth - 1))):
             depth += 1
     else:
-        depth = max(int(a.max()).bit_length(), 1)
-    coefs = a.astype(np.int64)
-    if not signed:
-        coefs = coefs - (1 << (depth - 1))  # DC level shift
-
-    subs = {}
-    cur = coefs
-    for lvl in range(1, levels + 1):
-        ll, hl, lh, hh = _fwd53_2d(cur)
-        subs[(lvl, "HL")] = hl
-        subs[(lvl, "LH")] = lh
-        subs[(lvl, "HH")] = hh
-        cur = ll
-    subs[(levels, "LL")] = cur
+        depth = max(amax.bit_length(), 1)
 
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
@@ -926,54 +1045,116 @@ def jp2_encode(
     if not 0 <= progression <= 4:
         raise ValueError("progression must be 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
 
-    eps = []
-    packets = {}  # (r, precinct_index) -> coded_bands
+    # per-component subband decomposition
+    subs_by_c = []
+    for comp in comps:
+        coefs = comp.astype(np.float64 if irreversible else np.int64)
+        if not signed:
+            coefs = coefs - (1 << (depth - 1))  # DC level shift
+        subs = {}
+        cur = coefs
+        fwd = _fwd97_2d if irreversible else _fwd53_2d
+        for lvl in range(1, levels + 1):
+            ll, hl, lh, hh = fwd(cur)
+            subs[(lvl, "HL")] = hl
+            subs[(lvl, "LH")] = lh
+            subs[(lvl, "HH")] = hh
+            cur = ll
+        subs[(levels, "LL")] = cur
+        subs_by_c.append(subs)
+
+    # quantize (irreversible) / pass through (reversible), then shared QCD
+    # parameters across components: reversible eps is the max band
+    # magnitude bit-length over components; irreversible (eps, mu) encode
+    # the shared absolute step per band (per-block zero-bitplane counts
+    # absorb the per-block slack either way)
+    if irreversible:
+        qparams = []
+        guard_need = 1
+        for r, bands in enumerate(band_res):
+            lvl = levels if r == 0 else levels - r + 1
+            for band, bwd, bhd in bands:
+                rb = depth + _GAIN97[band]
+                eps_b, mu_b = _quant_params(quant_step, rb)
+                step = _quant_step_of(eps_b, mu_b, rb)
+                maxq = 0
+                for subs in subs_by_c:
+                    arr = subs[(lvl, band)]
+                    q = np.trunc(arr / step).astype(np.int64)
+                    subs[(lvl, band)] = q
+                    if q.size:
+                        maxq = max(maxq, int(np.abs(q).max()))
+                qparams.append((eps_b, mu_b))
+                guard_need = max(guard_need, maxq.bit_length() - eps_b + 1)
+        guard = max(_GUARD, guard_need)
+        if guard > 7:
+            raise ValueError("quant_step too small for the data's dynamic range")
+        mbs_all = [guard + e - 1 for e, _ in qparams]
+    else:
+        guard = _GUARD
+        eps = []
+        for r, bands in enumerate(band_res):
+            lvl = levels if r == 0 else levels - r + 1
+            for band, bwd, bhd in bands:
+                mx = 0
+                for subs in subs_by_c:
+                    arr = subs[(lvl, band)]
+                    if arr.size:
+                        mx = max(mx, int(np.abs(arr).max()))
+                eps.append(max(mx.bit_length(), 1))
+        mbs_all = [guard + e - 1 for e in eps]
+
+    packets = {}  # (r, c, precinct_index) -> coded_bands
     for r, bands in enumerate(band_res):
         lvl = levels if r == 0 else levels - r + 1
-        mbs = {}
-        for band, bwd, bhd in bands:
-            arr = subs[(lvl, band)]
-            assert arr.shape == (bhd, bwd), (r, band, arr.shape, (bhd, bwd))
-            mx = int(np.abs(arr).max()) if arr.size else 0
-            band_eps = max(mx.bit_length(), 1)
-            eps.append(band_eps)
-            mbs[band] = _GUARD + band_eps - 1
         ppx, ppy = pp[r]
         rw, rh = res_dims[r]
-        for k, precinct in enumerate(
-            _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
-        ):
-            coded_bands = []
-            for band, nbx, nby, blocks in precinct:
-                arr = subs[(lvl, band)]
-                coded = []
-                for bx, by, x0, y0, cw, ch in blocks:
-                    data, npass, nplanes = _t1_encode(
-                        arr[y0 : y0 + ch, x0 : x0 + cw], band
-                    )
-                    coded.append((bx, by, data, npass, mbs[band] - nplanes))
-                coded_bands.append((band, nbx, nby, coded))
-            packets[(r, k)] = coded_bands
+        mbs = {
+            band: mbs_all[_qcd_index(band_res, r, band)] for band, _, _ in bands
+        }
+        for c, subs in enumerate(subs_by_c):
+            for k, precinct in enumerate(
+                _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
+            ):
+                coded_bands = []
+                for band, nbx, nby, blocks in precinct:
+                    arr = subs[(lvl, band)]
+                    coded = []
+                    for bx, by, x0, y0, cw, ch in blocks:
+                        data, npass, nplanes = _t1_encode(
+                            arr[y0 : y0 + ch, x0 : x0 + cw], band
+                        )
+                        coded.append((bx, by, data, npass, mbs[band] - nplanes))
+                    coded_bands.append((band, nbx, nby, coded))
+                packets[(r, c, k)] = coded_bands
 
     body = bytearray()
-    for r, k in _packet_order(progression, levels, pp, res_dims, w, h):
-        body += _emit_packet(packets[(r, k)])
+    for r, c, k in _packet_order(progression, levels, pp, res_dims, w, h, ncomp):
+        body += _emit_packet(packets[(r, c, k)])
 
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     ssiz = (depth - 1) | (0x80 if signed else 0)
     out += b"\xff\x51" + struct.pack(
-        ">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1
-    ) + bytes([ssiz, 1, 1])
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + bytes([ssiz, 1, 1] * ncomp)
     xcb = cblk.bit_length() - 3  # log2(cblk) - 2
     scod = 1 if precincts is not None else 0
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
     out += b"\xff\x52" + struct.pack(
         ">HBBHB", 12 + len(spcod_pp), scod, progression, 1, 0
-    ) + bytes([levels, xcb, xcb, 0, 1]) + spcod_pp
-    out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), _GUARD << 5) + bytes(
-        e << 3 for e in eps
-    )
+    ) + bytes([levels, xcb, xcb, 0, 0 if irreversible else 1]) + spcod_pp
+    if irreversible:
+        spqcd = b"".join(
+            struct.pack(">H", (e << 11) | m) for e, m in qparams
+        )
+        out += b"\xff\x5c" + struct.pack(
+            ">HB", 3 + len(spqcd), (guard << 5) | 2
+        ) + spqcd
+    else:
+        out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), guard << 5) + bytes(
+            e << 3 for e in eps
+        )
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     out += b"\xff\x93" + bytes(body) + b"\xff\xd9"
@@ -1021,8 +1202,10 @@ def _emit_packet(coded_bands) -> bytes:
 
 
 def jp2_decode(buf: bytes) -> np.ndarray:
-    """Decode a reversible 5/3 single-tile grayscale codestream (raw, or
-    the jp2c box of a JP2 container) → int64 (h, w)."""
+    """Decode a single-tile codestream (raw, or the jp2c box of a JP2
+    container) → int64 array: (h, w) for one component, (h, w, C) for
+    multi-component. Reversible 5/3 decodes are bit-exact; irreversible
+    9/7 decodes dequantize at the midpoint (r=0.5) and round."""
     cs = buf
     if buf[:4] == b"\x00\x00\x00\x0c" and buf[4:8] == b"jP  ":
         off = 0
@@ -1047,9 +1230,12 @@ def jp2_decode(buf: bytes) -> np.ndarray:
 
     pos = 2
     w = h = depth = levels = cblk = None
+    ncomp = 1
     prog_order = 0
     signed = False
+    irreversible = False
     exps: list[int] | None = None
+    mants: list[int] | None = None
     guard = 0
     body = None
     while pos + 4 <= len(cs):
@@ -1062,21 +1248,26 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             _, xs, ys, xo, yo, xt, yt, xto, yto, csiz = struct.unpack(
                 ">HIIIIIIIIH", seg[:36]
             )
-            if csiz != 1:
-                raise NotImplementedError(
-                    f"{csiz}-component codestream (S2 band files are grayscale)"
-                )
             if xo or yo or xto or yto:
                 raise NotImplementedError("nonzero image/tile offsets")
             if xt < xs or yt < ys:
                 raise NotImplementedError("multi-tile codestreams")
             w, h = xs, ys
-            ssiz = seg[36]
+            ncomp = csiz
+            ssizs = set()
+            for c in range(csiz):
+                sz, xr, yr = seg[36 + 3 * c : 39 + 3 * c]
+                if (xr, yr) != (1, 1):
+                    raise NotImplementedError("subsampled components (XRsiz/YRsiz != 1)")
+                ssizs.add(sz)
+            if len(ssizs) != 1:
+                raise NotImplementedError("components with differing bit depths")
+            ssiz = ssizs.pop()
             depth = (ssiz & 0x7F) + 1
             signed = bool(ssiz & 0x80)
         elif marker == b"\xff\x52":  # COD
             scod = seg[0]
-            prog, layers, _mct = struct.unpack(">BHB", seg[1:5])
+            prog, layers, mct = struct.unpack(">BHB", seg[1:5])
             if scod & ~0x01:
                 raise NotImplementedError("SOP/EPH COD styles")
             if prog > 4:
@@ -1084,14 +1275,15 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             prog_order = prog
             if layers != 1:
                 raise NotImplementedError("multi-layer codestreams")
+            if mct != 0:
+                raise NotImplementedError("multiple-component transform (MCT)")
             levels = seg[5]
             xcb, ycb, cstyle, transform = seg[6], seg[7], seg[8], seg[9]
             if cstyle != 0:
                 raise NotImplementedError(
                     "code-block style flags (bypass/reset/termall/causal/...)"
                 )
-            if transform != 1:
-                raise NotImplementedError("irreversible 9/7 wavelet")
+            irreversible = transform == 0
             if xcb != ycb:
                 raise NotImplementedError("non-square code-blocks")
             cblk = 1 << (xcb + 2)
@@ -1103,9 +1295,21 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
             guard = sqcd >> 5
-            if sqcd & 0x1F:
-                raise NotImplementedError("quantized (non-reversible) QCD style")
-            exps = [b >> 3 for b in seg[1:]]
+            style = sqcd & 0x1F
+            if style == 0:
+                exps = [b >> 3 for b in seg[1:]]
+                mants = None
+            elif style == 2:  # scalar expounded
+                vals = [
+                    struct.unpack(">H", seg[1 + 2 * i : 3 + 2 * i])[0]
+                    for i in range((len(seg) - 1) // 2)
+                ]
+                exps = [v >> 11 for v in vals]
+                mants = [v & 0x7FF for v in vals]
+            else:
+                raise NotImplementedError("scalar-derived QCD style")
+        elif marker == b"\xff\x5d":  # QCC
+            raise NotImplementedError("per-component QCC overrides")
         elif marker == b"\xff\x90":  # SOT
             _isot, psot, _tp, _tn = struct.unpack(">HIBB", seg[:8])
             sod_at = pos + 2 + ln
@@ -1119,6 +1323,8 @@ def jp2_decode(buf: bytes) -> np.ndarray:
 
     if None in (w, h, depth, levels, cblk) or exps is None or body is None:
         raise ValueError("incomplete codestream (missing SIZ/COD/QCD/SOT)")
+    if irreversible and mants is None:
+        raise NotImplementedError("9/7 transform requires expounded QCD steps")
 
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
@@ -1129,12 +1335,17 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         )
         for r, bands in enumerate(band_res)
     ]
-    arrs_by_r = [
-        {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
-        for bands in band_res
+    arrs = [
+        [
+            {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
+            for bands in band_res
+        ]
+        for _ in range(ncomp)
     ]
     p = 0
-    for r, k in _packet_order(prog_order, levels, pp_list, res_dims, w, h):
+    for r, c, k in _packet_order(
+        prog_order, levels, pp_list, res_dims, w, h, ncomp
+    ):
         precinct = layouts[r][k]
         br = _HdrReader(body, p)
         todo = []
@@ -1162,29 +1373,54 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             mb = guard + exps[_qcd_index(band_res, r, band)] - 1
             data = body[p : p + dlen]
             p += dlen
-            arrs_by_r[r][band][y0 : y0 + ch, x0 : x0 + cw] = _t1_decode(
+            arrs[c][r][band][y0 : y0 + ch, x0 : x0 + cw] = _t1_decode(
                 data, ch, cw, band, mb - zbp, npass
             )
-    subs = {}
-    for r, bands in enumerate(band_res):
-        lvl = levels if r == 0 else levels - r + 1
-        for band, bwd, bhd in bands:
-            subs[(lvl, band)] = arrs_by_r[r][band]
 
     dims_chain = []
     cw, ch = w, h
     for _ in range(levels):
         dims_chain.append((cw, ch))
         cw, ch = (cw + 1) // 2, (ch + 1) // 2
-    cur = subs[(levels, "LL")]
-    for lvl in range(levels, 0, -1):
-        ow, oh = dims_chain[lvl - 1]
-        cur = _inv53_2d(
-            cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")], oh, ow
-        )
-    if not signed:
-        cur = cur + (1 << (depth - 1))
-    return cur
+
+    planes = []
+    for c in range(ncomp):
+        subs = {}
+        for r, bands in enumerate(band_res):
+            lvl = levels if r == 0 else levels - r + 1
+            for band, bwd, bhd in bands:
+                q = arrs[c][r][band]
+                if irreversible:
+                    rb = depth + _GAIN97[band]
+                    i = _qcd_index(band_res, r, band)
+                    step = _quant_step_of(exps[i], mants[i], rb)
+                    # midpoint (r=0.5) dequantization
+                    subs[(lvl, band)] = np.sign(q) * (np.abs(q) + 0.5) * step * (
+                        q != 0
+                    )
+                else:
+                    subs[(lvl, band)] = q
+        cur = subs[(levels, "LL")]
+        inv = _inv97_2d if irreversible else _inv53_2d
+        for lvl in range(levels, 0, -1):
+            ow, oh = dims_chain[lvl - 1]
+            cur = inv(
+                cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")], oh, ow
+            )
+        if not signed:
+            cur = cur + (1 << (depth - 1))
+        if irreversible:
+            cur = np.rint(cur).astype(np.int64)
+            lo, hi = (
+                (-(1 << (depth - 1)), (1 << (depth - 1)) - 1)
+                if signed
+                else (0, (1 << depth) - 1)
+            )
+            cur = np.clip(cur, lo, hi)
+        planes.append(cur)
+    if ncomp == 1:
+        return planes[0]
+    return np.stack(planes, axis=2)
 
 
 # ---------------------------------------------------------------------------

@@ -182,18 +182,26 @@ def test_jp2_structure_and_unsupported_styles():
         bp[cod_at0 + 5] = prog
         assert (jp2_decode(bytes(bp)) == img).all(), prog
 
-    # flip the COD transform byte to 9/7 → descriptive error
+    # flip the COD transform byte to 9/7 on a reversible-QCD stream →
+    # descriptive error (9/7 requires expounded quantizer steps)
     cod_at = buf.index(b"\xff\x52")
     b97 = bytearray(buf)
     b97[cod_at + 13] = 0  # SPcod transform: 0 = irreversible 9/7
     with pytest.raises(NotImplementedError, match="9/7"):
         jp2_decode(bytes(b97))
-    # flip SIZ Csiz to 3 components → descriptive error
-    siz_at = buf.index(b"\xff\x51")
-    bmc = bytearray(buf)
-    bmc[siz_at + 39] = 3  # Csiz low byte
-    with pytest.raises(NotImplementedError, match="component"):
-        jp2_decode(bytes(bmc))
+    # genuinely unsupported styles stay descriptive errors
+    bml = bytearray(buf)
+    bml[cod_at + 7] = 2  # SGcod layers low byte: 2 quality layers
+    with pytest.raises(NotImplementedError, match="layer"):
+        jp2_decode(bytes(bml))
+    bmct = bytearray(buf)
+    bmct[cod_at + 8] = 1  # SGcod MCT byte
+    with pytest.raises(NotImplementedError, match="MCT"):
+        jp2_decode(bytes(bmct))
+    bcs = bytearray(buf)
+    bcs[cod_at + 12] = 1  # SPcod code-block style: bypass
+    with pytest.raises(NotImplementedError, match="style"):
+        jp2_decode(bytes(bcs))
     with pytest.raises(ValueError, match="SOC"):
         jp2_decode(b"\x00" * 16)
 
@@ -322,3 +330,52 @@ def test_native_kernel_builds_here():
     from instageo_e2e_geospatial_ml_spark import jp2_native
 
     assert jp2_native.available()
+
+
+
+def test_jp2_multicomponent_and_97():
+    """Round 5 generality: multi-component (independent coding, no MCT)
+    and the irreversible 9/7 path (Annex F lifting + Annex E scalar
+    expounded quantization, midpoint dequantization)."""
+    rng = np.random.default_rng(11)
+    # multi-component reversible: bit-exact, shape (h, w, C)
+    rgb = rng.integers(0, 256, (40, 33, 3)).astype(np.int64)
+    for prog in range(5):
+        buf = jp2_encode(rgb, levels=2, progression=prog)
+        out = jp2_decode(buf)
+        assert out.shape == (40, 33, 3) and (out == rgb).all(), prog
+    # component count in SIZ
+    from instageo_e2e_geospatial_ml_spark.sources.images import parse_jp2_header
+
+    assert parse_jp2_header(jp2_encode(rgb, levels=2))["n_components"] == 3
+
+    # 9/7 grayscale: error bounded by the quantizer step, PSNR >= 40 dB,
+    # and genuinely smaller than lossless on smooth content
+    y, x = np.mgrid[0:64, 0:64]
+    nat = (np.sin(x / 9) * 800 + np.cos(y / 11) * 700 + 2100).astype(np.int64)
+    b97 = jp2_encode(nat, irreversible=True, quant_step=1.0)
+    o97 = jp2_decode(b97)
+    mse = float(((o97 - nat) ** 2).mean())
+    psnr = 10 * np.log10(4095**2 / max(mse, 1e-12))
+    assert psnr > 40
+    assert len(b97) < len(jp2_encode(nat))
+    # coarser step → smaller stream, still decodes in range
+    b_coarse = jp2_encode(nat, irreversible=True, quant_step=16.0)
+    assert len(b_coarse) < len(b97)
+    assert abs(int(jp2_decode(b_coarse).max()) - int(nat.max())) < 64
+
+    # 9/7 multi-component with precincts, all progressions
+    rgbn = np.stack([(nat + i * 7) % 4096 for i in range(3)], axis=2)
+    for prog in range(5):
+        b = jp2_encode(
+            rgbn, levels=2, irreversible=True, quant_step=2.0,
+            precincts=[(5, 5), (5, 5), (6, 6)], progression=prog,
+        )
+        o = jp2_decode(b)
+        m = float(((o - rgbn) ** 2).mean())
+        assert 10 * np.log10(4095**2 / max(m, 1e-12)) > 40, prog
+
+    # signed input through the 9/7 path round-trips within tolerance
+    sg = (nat - 2100).astype(np.int64)
+    os_ = jp2_decode(jp2_encode(sg, irreversible=True, quant_step=1.0))
+    assert np.abs(os_ - sg).max() <= 2
