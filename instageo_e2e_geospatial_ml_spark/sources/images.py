@@ -197,10 +197,10 @@ def parse_jp2_header(buf: bytes) -> dict:
 
 def decode_external(fmt: str, payload: bytes) -> np.ndarray:
     """Dispatch for formats beyond the core raw/png/qdct set. tiff_lzw,
-    jpeg, gif, png_any and webp (lossless VP8L) are REAL pure-Python
-    decoders validated against independent implementations (javax.imageio
-    for JPEG/PNG/GIF, the system libwebp for VP8L); mp3/mp4/lossy-VP8
-    remain documented stubs."""
+    jpeg, gif, png_any and webp (lossless VP8L AND lossy VP8) are REAL
+    pure-Python decoders validated against independent implementations
+    (javax.imageio for JPEG/PNG/GIF, the system libwebp for both WebP
+    flavors); only mp3/mp4 remain documented stubs."""
     if fmt == "tiff_lzw":
         from .tiff import read_geotiff_bytes
 
@@ -218,9 +218,9 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
         a = codecs.decode_png_any(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
     if fmt == "webp":
-        # lossless (VP8L) decodes for real — from-scratch RFC 9649 decoder
-        # validated bit-exactly against the system libwebp in tests; lossy
-        # VP8 raises NotImplementedError inside (bool-coder/DCT class)
+        # BOTH WebP flavors decode for real: lossless VP8L (RFC 9649,
+        # bit-exact vs system libwebp) and lossy VP8 key frames (RFC 6386,
+        # vp8.py — bit-exact YUV vs libwebp, non-normative RGB conversion)
         from ..webp import webp_decode
 
         return np.moveaxis(webp_decode(payload), -1, 0)

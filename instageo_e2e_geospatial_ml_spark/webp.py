@@ -20,8 +20,9 @@ prefix-code encodings (simple and code-length-coded).
 Scale role: QA/thumbnail-scale decode inside Arrow batches. The LZ77 +
 prefix-decode loop is per-symbol Python (like the PNG Paeth path) — the
 documented trade; a native decoder plugs into the same codecs dispatch.
-Lossy VP8 streams raise NotImplementedError (DCT/bool-coder class, kept a
-documented stub like mp3/mp4).
+Lossy VP8 key frames decode for real too (vp8.py, round 5 — bit-exact at
+the YUV level vs the system libwebp); webp_decode dispatches both chunk
+types.
 """
 
 from __future__ import annotations
@@ -550,8 +551,9 @@ def vp8l_decode_stream(data: bytes) -> np.ndarray:
 
 
 def webp_decode(buf: bytes) -> np.ndarray:
-    """Decode a WebP container (lossless streams only) → (h, w, 4) uint8
-    RGBA. Lossy VP8 raises NotImplementedError."""
+    """Decode a WebP container → (h, w, 4) uint8 RGBA. Lossless (VP8L)
+    decodes bit-exactly; lossy (VP8 key frame) decodes via vp8.py —
+    bit-exact YUV, with the documented non-normative RGB conversion."""
     if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF) container")
     pos = 12
@@ -562,9 +564,12 @@ def webp_decode(buf: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return vp8l_decode_stream(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 stream (bool-coder/DCT class — documented stub; "
-                "lossless VP8L decodes for real)"
-            )
+            from .vp8 import vp8_decode_rgb
+
+            rgb = vp8_decode_rgb(body)
+            out = np.empty((*rgb.shape[:2], 4), np.uint8)
+            out[..., :3] = rgb
+            out[..., 3] = 255
+            return out
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container holds no VP8L/VP8 chunk")

@@ -1,0 +1,147 @@
+"""Lossy VP8 (WebP) decoder: bit-exact YUV interop vs the system libwebp.
+
+Same validation pattern as test_webp.py (VP8L): fixtures are encoded by
+libwebp's own lossy encoder, then decoded by BOTH libwebp and vp8.py.
+The normative surface is YUV (RFC 6386 defines output there), compared
+bit-exactly — a single wrong probability table byte desynchronizes the
+arithmetic decoder, so exact parity across varied content/quality/size
+pins the whole pipeline (bool decoder, header, mode trees, token
+decoding, dequant, IDCT/WHT, intra prediction, loop filter) at once.
+RGB conversion is non-normative and checked by tolerance.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from instageo_e2e_geospatial_ml_spark.vp8 import vp8_decode_rgb, vp8_decode_yuv
+from instageo_e2e_geospatial_ml_spark.webp import webp_decode
+
+
+def _load_libwebp():
+    for name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        return lib
+    return None
+
+
+LIB = _load_libwebp()
+pytestmark = pytest.mark.skipif(LIB is None, reason="system libwebp unavailable")
+
+
+def _encode(img: np.ndarray, q: float) -> tuple[bytes, bytes]:
+    """(full container, raw VP8 chunk) from libwebp's lossy encoder."""
+    h, w, _ = img.shape
+    out = ctypes.c_void_p()
+    n = LIB.WebPEncodeRGB(img.tobytes(), w, h, w * 3, float(q), ctypes.byref(out))
+    assert n > 0
+    webp = ctypes.string_at(out.value, n)
+    off = 12
+    while off < len(webp):
+        tag = webp[off : off + 4]
+        ln = int.from_bytes(webp[off + 4 : off + 8], "little")
+        if tag == b"VP8 ":
+            return webp, webp[off + 8 : off + 8 + ln]
+        off += 8 + ln + (ln & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _ref_yuv(webp: bytes):
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = LIB.WebPDecodeYUV(
+        webp, len(webp), ctypes.byref(W), ctypes.byref(H),
+        ctypes.byref(up), ctypes.byref(vp),
+        ctypes.byref(stride), ctypes.byref(uv_stride),
+    )
+    wv, hv, st, uvst = W.value, H.value, stride.value, uv_stride.value
+    ch, cw = (hv + 1) // 2, (wv + 1) // 2
+    y = np.ctypeslib.as_array(yp, shape=(hv * st,)).reshape(hv, st)[:, :wv].copy()
+    u = np.ctypeslib.as_array(up, shape=(ch * uvst,)).reshape(ch, uvst)[:, :cw].copy()
+    v = np.ctypeslib.as_array(vp, shape=(ch * uvst,)).reshape(ch, uvst)[:, :cw].copy()
+    return y, u, v
+
+
+def _images(rng):
+    yield from _image_kinds(rng, int(rng.integers(4, 90)), int(rng.integers(4, 90)))
+
+
+def _image_kinds(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    yield rng.integers(0, 256, (h, w, 3)).astype(np.uint8)  # noise
+    yield np.stack([(xx * 3 + yy) % 256, (xx + yy * 5) % 256, (xx * 2) % 256], 2).astype(np.uint8)
+    flat = np.full((h, w, 3), 77, np.uint8)
+    flat[h // 2 :, :] = 200
+    yield flat  # skip-heavy
+    yield np.stack(
+        [np.sin(xx / 5) * 120 + 128, np.cos(yy / 7) * 120 + 128, ((xx + yy) % 13) * 19], 2
+    ).astype(np.uint8)  # smooth + texture
+
+
+def test_vp8_yuv_bit_exact_vs_libwebp():
+    rng = np.random.default_rng(3)
+    n = 0
+    for trial in range(6):
+        for img in _images(rng):
+            q = [5, 30, 60, 75, 92, 100][n % 6]
+            webp, chunk = _encode(img, q)
+            ry, ru, rv = _ref_yuv(webp)
+            my, mu, mv = vp8_decode_yuv(chunk)
+            assert np.array_equal(my, ry), (trial, q, img.shape)
+            assert np.array_equal(mu, ru), (trial, q, img.shape)
+            assert np.array_equal(mv, rv), (trial, q, img.shape)
+            n += 1
+    assert n >= 24
+
+
+def test_vp8_rgb_and_container_dispatch():
+    """webp_decode handles the lossy chunk; RGB is the documented
+    non-normative conversion — close to libwebp's, not bit-equal."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [np.sin(xx / 6) * 110 + 128, (yy * 3) % 256, (xx + yy) % 256], 2
+    ).astype(np.uint8)
+    webp, chunk = _encode(img, 80)
+    rgba = webp_decode(webp)
+    assert rgba.shape == (48, 64, 4) and (rgba[..., 3] == 255).all()
+    rgb = vp8_decode_rgb(chunk)
+    assert np.array_equal(rgba[..., :3], rgb)
+    # sanity vs source content (lossy, so tolerance): mean abs error small
+    err = np.abs(rgb.astype(int) - img.astype(int)).mean()
+    assert err < 12, err
+
+
+def test_vp8_non_keyframe_rejected():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    _, chunk = _encode(img, 75)
+    bad = bytes([chunk[0] | 1]) + chunk[1:]
+    with pytest.raises(NotImplementedError, match="interframe"):
+        vp8_decode_yuv(bad)

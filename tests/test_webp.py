@@ -259,11 +259,13 @@ def test_distance_map_conformance_probes():
             assert dists[w] == max(1, dy * w + dx), (dcode, w)
 
 
-def test_webp_container_errors_and_lossy_stub():
+def test_webp_container_errors():
     with pytest.raises(ValueError, match="RIFF"):
         webp_decode(b"NOPE" + b"\x00" * 30)
+    # a VP8 (lossy) chunk now dispatches to the real vp8.py decoder
+    # (round 5); a truncated/garbage one raises its frame validation
     lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
+    with pytest.raises(ValueError, match="truncated"):
         webp_decode(lossy)
     with pytest.raises(ValueError, match="signature"):
         vp8l_decode_stream(b"\x00\x00\x00\x00")
