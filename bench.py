@@ -290,9 +290,12 @@ def scaling_run(cpus: int, sf_dir: str, frac: int = 1) -> dict:
     images pruned at the partition level) for the weak-scaling pair.
     """
     tiles = synth.make_tiles(90)
+    # 4x cpus shuffle partitions: the 318M-row join exchange at 1x cpus
+    # partitions leaves ~10M-row straggler tasks; 4x smooths them
+    # (measured at local[32]: 40.7 s -> 34.0 s on the big PIP join)
     spark = get_spark(
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=cpus * 4,
         extra_conf={"spark.executorEnv.OMP_NUM_THREADS": "1"},
     )
     try:
