@@ -232,9 +232,17 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
 
         return jp2_decode(payload)[None, ...]
     if fmt in ("mp3", "wav", "flac"):
-        raise NotImplementedError(f"audio fmt={fmt!r}: no audio library available")
+        raise NotImplementedError(
+            f"audio fmt={fmt!r}: sample decode needs a codec library this "
+            "container lacks; container/frame METADATA extraction is real — "
+            "sources/media.parse_mp3_metadata / media_metadata()"
+        )
     if fmt in ("mp4", "webm"):
-        raise NotImplementedError(f"video fmt={fmt!r}: no video library available")
+        raise NotImplementedError(
+            f"video fmt={fmt!r}: sample decode needs a codec library this "
+            "container lacks; ISO-BMFF box METADATA extraction is real — "
+            "sources/media.parse_mp4_metadata / media_metadata()"
+        )
     raise NotImplementedError(fmt)
 
 
