@@ -11,7 +11,9 @@ its pure-Python vectorized path, which is the behavioral source of truth
 Why this exists: tier-1 is a bit-serial arithmetic coder — the one
 workload numpy cannot vectorize (every MQ decision depends on the coder
 state left by the previous one). The pure-Python rewrite buys ~4-5×;
-the compiled kernel buys ~500×, which is what makes JP2-heavy scans
+the compiled kernel buys ~120× measured end-to-end on tier-1 decode
+(BENCH/jp2.json; isolated coder microbenchmarks run higher still),
+which is what makes JP2-heavy scans
 (Sentinel-2 band rasters at 100 TB) a scan-cost problem instead of a
 cluster-sizing problem. Executor-side use is fine: the .so is compiled
 on first use per machine and cached; pandas-UDF workers share it.

@@ -144,12 +144,12 @@ typedef struct {
     uint32_t a;
     int ct;
     uint8_t *out;
-    int len, cap;
+    int len, cap, overflow;
     uint8_t ci[19], cm[19];
 } MQE;
 
 static void ebyteout(MQE *e) {
-    if (e->len >= e->cap) return; /* caller sized cap generously; guarded */
+    if (e->len >= e->cap) { e->overflow = 1; return; } /* surfaced as rc<0 */
     if (e->out[e->len - 1] == 0xFF) {
         e->out[e->len++] = (e->c >> 20) & 0xFF;
         e->c &= 0xFFFFF;
@@ -464,6 +464,7 @@ int jp2_t1_encode(const int64_t *coefs, int h, int w, int band,
         if (e.len && e.out[e.len - 1] == 0xFF) e.len--;
     }
     free(sig); free(sgn); free(pi); free(refined); free(absmag);
+    if (e.overflow) return -3; /* out_cap hit: stream would be truncated */
     if (outbuf[0] != 0) return -2; /* carry into the pre-stream dummy byte */
     /* shift off the dummy byte */
     memmove(outbuf, outbuf + 1, e.len - 1);

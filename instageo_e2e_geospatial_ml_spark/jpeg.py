@@ -5,13 +5,15 @@ real codec: multimodal pipelines can decode/encode actual JPEG payloads
 with no image library in the container.
 
 Supported subset (stated, checked, and erroring loudly outside it):
-  * decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-    sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
+  * decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+    (SOF2, spectral selection + successive approximation per T.81
+    Annex G), 8-bit, 1 or 3 components, sampling factors 1 or 2
+    (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-scan files,
     tables taken from the FILE's own DQT/DHT segments (so interop does
     not depend on the built-in tables);
   * encode: 8-bit grayscale or RGB at 4:4:4 with the spec's Annex K
     quantization (IJG quality scaling) and typical Huffman tables.
-Progressive (SOF2), arithmetic coding, 12-bit precision raise
+Arithmetic coding, lossless/hierarchical modes, 12-bit precision raise
 NotImplementedError.
 
 The DCT convention is the orthonormal 8×8 DCT-II shared with
@@ -351,9 +353,205 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
 
 
 # --- decoder -----------------------------------------------------------------
+#
+# Sequential (SOF0/SOF1) and progressive (SOF2) share one machinery: every
+# scan decodes into per-component coefficient arrays (zigzag order), and a
+# single batched dequantize + IDCT pass reconstructs at the end.  Progressive
+# scan semantics follow ITU-T T.81 Annex G (spectral selection + successive
+# approximation); the AC-refinement control flow mirrors the structure shared
+# by libjpeg / stb_image, both derived from the same public spec.
+
+
+def _scan_mcus(
+    scan: list[tuple[int, int, int]],
+    comps: list[tuple[int, int, int, int]],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> list[list[tuple[int, int, int]]]:
+    """MCU list for a scan: each entry is the (comp idx, block y, block x)
+    blocks of one restart-countable MCU.
+
+    Interleaved (Ns>1): the usual hs×vs blocks per component per MCU.
+    Non-interleaved (Ns=1): one block per MCU over the COMPONENT's own
+    block grid ceil(ceil(w·hs/hmax)/8) × ceil(ceil(h·vs/vmax)/8)
+    (T.81 A.2.2) — smaller than the MCU-padded grid for subsampled comps.
+    """
+    if len(scan) == 1:
+        idx = scan[0][0]
+        _, hs, vs, _ = comps[idx]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        return [[(idx, by, bx)] for by in range(nby) for bx in range(nbx)]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for idx, _, _ in scan:
+                _, hs, vs, _ = comps[idx]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        unit.append((idx, my * vs + byy, mx * hs + bxx))
+            mcus.append(unit)
+    return mcus
+
+
+def _decode_scan(
+    buf: bytes,
+    pos: int,
+    scan: list[tuple[int, int, int]],
+    comps: list[tuple[int, int, int, int]],
+    coef: list[np.ndarray],
+    dc_maps: dict[int, dict],
+    ac_maps: dict[int, dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    progressive: bool,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode one scan's entropy data into ``coef``; return the next byte
+    position (start of the post-scan marker search)."""
+    br = _BitReader(buf, pos)
+    pred = {idx: 0 for idx, _, _ in scan}
+    td_of = {idx: td for idx, td, _ in scan}
+    ta_of = {idx: ta for idx, _, ta in scan}
+    eobrun = 0
+    bit = 1 << al
+    mcus = _scan_mcus(scan, comps, w, h, hmax, vmax)
+    count = 0
+    for mcu in mcus:
+        if restart_interval and count and count % restart_interval == 0:
+            try:
+                br.bit()  # flush a padding bit / surface a pending marker
+            except _Restart:
+                pass
+            br.sync_restart()
+            pred = {idx: 0 for idx, _, _ in scan}
+            eobrun = 0
+        count += 1
+        for idx, by, bx in mcu:
+            blk = coef[idx][by, bx]
+            if not progressive:
+                # sequential: DC diff + full AC band with EOB/ZRL symbols
+                dcm, acm = dc_maps[td_of[idx]], ac_maps[ta_of[idx]]
+                s = br.huff(dcm)
+                pred[idx] += _extend(br.bits(s), s) if s else 0
+                blk[0] = pred[idx]
+                k = 1
+                while k < 64:
+                    rs = br.huff(acm)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0xF
+                    if k > 63:
+                        raise ValueError("AC index out of range")
+                    blk[k] = _extend(br.bits(size), size)
+                    k += 1
+            elif ss == 0:
+                if ah == 0:  # DC first scan (T.81 G.1.2.1)
+                    s = br.huff(dc_maps[td_of[idx]])
+                    pred[idx] += _extend(br.bits(s), s) if s else 0
+                    blk[0] = pred[idx] << al
+                else:  # DC successive-approximation refinement
+                    if br.bit():
+                        blk[0] |= bit
+            elif ah == 0:
+                # AC first scan (G.1.2.2): EOB runs span blocks
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac_maps[ta_of[idx]])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index out of band")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+            else:
+                # AC refinement (G.1.2.3): correction bits for known
+                # coefficients, one new ±(1<<al) per nonzero symbol
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if blk[k] != 0 and br.bit() and not (blk[k] & bit):
+                            blk[k] += bit if blk[k] > 0 else -bit
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac_maps[ta_of[idx]])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            r = 64  # no new coeff; refine rest of band
+                        newval = 0  # r == 15: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError("bad AC-refinement symbol")
+                        newval = bit if br.bit() else -bit
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and not (blk[k] & bit):
+                                blk[k] += bit if blk[k] > 0 else -bit
+                            k += 1
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                            k += 1
+    return br.pos
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """Skip entropy padding / stuffed bytes / stray RSTn to the next real
+    marker's 0xFF."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] != 0xFF:
+            pos += 1
+        elif buf[pos + 1] == 0x00:
+            pos += 2
+        elif buf[pos + 1] == 0xFF:  # fill byte
+            pos += 1
+        elif 0xD0 <= buf[pos + 1] <= 0xD7:
+            pos += 2
+        else:
+            return pos
+    raise ValueError("truncated JPEG: no terminating marker")
+
 
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) uint8 or (h, w, 3) RGB uint8."""
+    """JPEG (baseline SOF0/SOF1 or progressive SOF2) → (h, w) uint8 or
+    (h, w, 3) RGB uint8."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -361,17 +559,20 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
-    h = w = 0
+    coef: list[np.ndarray] = []  # per comp: (nby, nbx, 64) int32, zigzag order
+    h = w = hmax = vmax = 0
     restart_interval = 0
-    scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    progressive = False
+    saw_scan = False
 
-    while pos < len(buf):
-        assert buf[pos] == 0xFF, "marker expected"
+    while pos + 1 < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker in (0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
         seg = buf[pos + 2 : pos + seglen]
@@ -386,7 +587,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 qt[ZIGZAG] = z
                 qts[tq] = qt.reshape(8, 8)
                 sp += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be re-issued between scans)
             sp = 0
             while sp < len(seg):
                 tc, th = seg[sp] >> 4, seg[sp] & 0xF
@@ -395,7 +596,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 vals = list(seg[sp + 17 : sp + 17 + nv])
                 (dc_maps if tc == 0 else ac_maps)[th] = _decode_map(bits, vals)
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -405,74 +607,51 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError("sampling factors 1 or 2 only")
                 comps.append((cid, hs, vs, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/arithmetic/lossless JPEG")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _, hs, vs, _ in comps:
+                coef.append(np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("arithmetic/lossless/hierarchical JPEG")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing after it
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + si * 2 : 3 + si * 2]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cs)
                 scan.append((idx, tdta >> 4, tdta & 0xF))
-            pos += seglen
-            break
+            ss, se, a = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            if not progressive:
+                ss, se, a = 0, 63, 0
+            end = _decode_scan(
+                buf, pos + seglen, scan, comps, coef, dc_maps, ac_maps,
+                ss, se, a >> 4, a & 0xF, restart_interval, progressive,
+                w, h, hmax, vmax,
+            )
+            saw_scan = True
+            pos = _next_marker(buf, end)
+            continue
         pos += seglen
 
-    if not comps or not scan:
+    if not comps or not saw_scan:
         raise ValueError("no frame/scan found")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
+    # batched dequantize + de-zigzag + IDCT per component
     planes = []
-    for _, hs, vs, _ in comps:
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64))
-
-    br = _BitReader(buf, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # encoder emitted RSTn here: byte-align past it, reset DC
-                try:
-                    br.bit()
-                except _Restart:
-                    pass
-                br.sync_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for idx, td, ta in scan:
-                _, hs, vs, tq = comps[idx]
-                for byy in range(vs):
-                    for bxx in range(hs):
-                        q = np.zeros(64, dtype=np.int64)
-                        s = br.huff(dc_maps[td])
-                        diff = _extend(br.bits(s), s) if s else 0
-                        pred[idx] += diff
-                        q[0] = pred[idx]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(ac_maps[ta])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0xF
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            q[k] = _extend(br.bits(size), size)
-                            k += 1
-                        deq = np.zeros(64, dtype=np.float64)
-                        deq[ZIGZAG] = q * qts[tq].ravel()[ZIGZAG]
-                        blk = _DCT.T @ deq.reshape(8, 8) @ _DCT + 128.0
-                        r0 = (my * vs + byy) * 8
-                        c0 = (mx * hs + bxx) * 8
-                        planes[idx][r0 : r0 + 8, c0 : c0 + 8] = blk
+    for (cid, hs, vs, tq), cf in zip(comps, coef):
+        nby, nbx = cf.shape[:2]
+        deq = cf.astype(np.float64) * qts[tq].ravel()[ZIGZAG]
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        px = np.matmul(np.matmul(_DCT.T, blocks), _DCT) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
 
     # upsample to full resolution (pixel replication) and crop
     full = []

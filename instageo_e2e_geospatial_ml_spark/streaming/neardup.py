@@ -136,7 +136,14 @@ def neardup_pairs_stream(
     the batch drop — an online operator cannot un-emit the first
     max_bucket edges the way the offline join drops the whole bucket, so
     parity under a cap is "no NEW edges past the cap", documented here
-    rather than hidden).
+    rather than hidden). The cap counts ARRIVALS, not distinct documents:
+    state stores only (keeper, count), so a doc_id that re-arrives in a
+    later micro-batch re-emits its keeper edge and increments the count
+    again. Duplicate edges are harmless downstream (connected components
+    is idempotent over repeated edges — at-least-once semantics), but a
+    bucket whose members are re-delivered heavily reaches the cap sooner
+    than its distinct membership would; track a membership sketch in
+    state instead if distinct-doc cap semantics ever matter.
 
     state_ttl_minutes bounds state for long-running deployments: a bucket
     whose last-seen EVENT TIME is older than the TTL when the watermark

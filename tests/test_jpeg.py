@@ -436,3 +436,99 @@ def test_jpeg_truncated_entropy_and_shape_mismatch():
         codecs.decode(buf, w=99, h=24, bands=1, fmt="jpeg")
     ok = codecs.decode(buf, w=24, h=24, bands=1, fmt="jpeg")
     assert ok.shape == (1, 24, 24)
+
+
+def _java_encode_progressive(jvm, arr):
+    """Encode via javax.imageio with MODE_DEFAULT progressive scans (SOF2)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    t = (
+        jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        if gray
+        else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    bimg = jvm.java.awt.image.BufferedImage(w, h, t)
+    if gray:
+        raster = bimg.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(arr[y, x]))
+    else:
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(arr[y, x, 0]), int(arr[y, x, 1]), int(arr[y, x, 2])
+                bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_jpeg_decode_vs_javax(spark):
+    # progressive (SOF2) fixtures written by an independent encoder
+    # (javax.imageio, MODE_DEFAULT = multi-scan spectral selection +
+    # successive approximation); our decoder must agree with javax's own
+    # decode of the SAME bytes to IDCT/rounding tolerance
+    jvm = spark._jvm
+    g = _gradient(53, 67)  # non-multiple-of-8 on both axes
+
+    buf = _java_encode_progressive(jvm, g)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf, "fixture is not SOF2"
+    # progressive files carry >1 SOS scan by construction
+    assert buf.count(b"\xff\xda") > 1
+    ours = jpeg_decode(buf)
+    theirs = _java_decode(jvm, buf, gray=True)
+    assert ours.shape == (53, 67)
+    # same coefficients, independent IDCTs: near-exact agreement
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+    assert psnr(g.astype(float), ours.astype(float), peak=255.0) > 35
+
+    rgb = np.stack([g, g[::-1], np.roll(g, 9, axis=1)], axis=-1)
+    buf = _java_encode_progressive(jvm, rgb)
+    assert b"\xff\xc2" in buf
+    ours = jpeg_decode(buf)
+    theirs = _java_decode(jvm, buf, gray=False)
+    assert ours.shape == (53, 67, 3)
+    # 4:2:0 chroma: javax's upsampler interpolates, ours replicates — the
+    # shared-luma channel constrains the diff; compare loosely per-pixel
+    # and tightly on luma
+    oy = 0.299 * ours[..., 0] + 0.587 * ours[..., 1] + 0.114 * ours[..., 2]
+    ty = 0.299 * theirs[..., 0] + 0.587 * theirs[..., 1] + 0.114 * theirs[..., 2]
+    assert np.abs(oy - ty).max() <= 4
+    assert psnr(rgb.astype(float), ours.astype(float), peak=255.0) > 25
+    assert psnr(theirs.astype(float), ours.astype(float), peak=255.0) > 30
+
+
+def test_progressive_jpeg_random_luma_stress(spark):
+    # random luma maximizes AC-coefficient density → exercises EOB runs,
+    # ZRL-in-refinement, and correction-bit paths; smooth near-neutral
+    # chroma keeps the (legitimate) upsampling-filter difference tiny so
+    # the bound isolates entropy-decode correctness
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    for h, w in ((40, 56), (31, 17)):
+        y = rng.integers(60, 196, (h, w)).astype(float)
+        cb = 128 + 10 * np.sin(np.arange(w) / 9)[None, :] + 0 * y
+        cr = 128 - 8 * np.cos(np.arange(h) / 7)[:, None] + 0 * y
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+        buf = _java_encode_progressive(jvm, rgb)
+        assert b"\xff\xc2" in buf
+        ours = jpeg_decode(buf)
+        theirs = _java_decode(jvm, buf, gray=False)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 4
+
+    # random GRAY decodes near-exactly (no upsampling in play at all)
+    g8 = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    buf = _java_encode_progressive(jvm, g8)
+    ours = jpeg_decode(buf)
+    theirs = _java_decode(jvm, buf, gray=True)
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
