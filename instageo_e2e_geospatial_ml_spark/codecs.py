@@ -435,52 +435,18 @@ def packbits_decode(buf: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_png_any(buf: bytes) -> np.ndarray:
-    """General PNG decoder (real-world files, not just this module's
-    minimal writer): bit depths 8/16, color types gray / RGB / palette /
-    gray+alpha / RGBA, all five scanline filters (None/Sub/Up/Average/
-    Paeth). Non-interlaced only (Adam7 raises). Returns (h, w) for gray
-    or (h, w, channels) uint8/uint16 — lossless, so tests pin BIT-EXACT
-    equality against javax.imageio's PNG writer.
+def _png_unfilter(
+    raw: bytes, off: int, height: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo the five PNG scanline filters over ``height`` rows of ``stride``
+    bytes starting at ``raw[off]``; returns ((height, stride) uint8, new off).
 
-    Throughput: None/Up/Sub unfilter vectorized; Average/Paeth are
-    inherently left-recursive and loop per scanline byte — fine for
-    QA/thumbnail payloads; bulk ingest would plug a native decoder into
-    the same dispatch."""
-    assert buf[:8] == _PNG_SIG, "not a PNG"
-    pos = 8
-    idat = b""
-    plte = None
-    width = height = bitdepth = color = interlace = None
-    while pos < len(buf):
-        (length,) = struct.unpack(">I", buf[pos : pos + 4])
-        tag = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            width, height, bitdepth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-        elif tag == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    if bitdepth not in (8, 16):
-        raise NotImplementedError(f"bit depth {bitdepth}")
-    sample_bytes = bitdepth // 8
-    bpp = channels * sample_bytes  # filter unit
-    stride = width * bpp
-    raw = zlib.decompress(idat)
-    assert len(raw) >= height * (1 + stride), "truncated PNG data"
-
+    Shared by the sequential path (one image) and Adam7 (seven sub-images,
+    each filtered independently with its own zeroed prior row)."""
+    if len(raw) < off + height * (1 + stride):
+        raise ValueError("truncated PNG data")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    off = 0
     for y in range(height):
         ftype = raw[off]
         line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
@@ -514,6 +480,69 @@ def decode_png_any(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad filter {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out, off
+
+
+def decode_png_any(buf: bytes) -> np.ndarray:
+    """General PNG decoder (real-world files, not just this module's
+    minimal writer): bit depths 8/16, color types gray / RGB / palette /
+    gray+alpha / RGBA, all five scanline filters (None/Sub/Up/Average/
+    Paeth), sequential AND Adam7-interlaced row order. Returns (h, w)
+    for gray or (h, w, channels) uint8/uint16 — lossless, so tests pin
+    BIT-EXACT equality against javax.imageio's PNG writer.
+
+    Throughput: None/Up/Sub unfilter vectorized; Average/Paeth are
+    inherently left-recursive and loop per scanline byte — fine for
+    QA/thumbnail payloads; bulk ingest would plug a native decoder into
+    the same dispatch."""
+    assert buf[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    idat = b""
+    plte = None
+    width = height = bitdepth = color = interlace = None
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    if bitdepth not in (8, 16):
+        raise NotImplementedError(f"bit depth {bitdepth}")
+    sample_bytes = bitdepth // 8
+    bpp = channels * sample_bytes  # filter unit
+    stride = width * bpp
+    raw = zlib.decompress(idat)
+
+    if interlace:
+        # Adam7 (PNG spec 8.2): seven independently filtered sub-images,
+        # scattered onto the pixel grid by per-pass (x0, y0, dx, dy)
+        passes = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in passes:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes zero bytes
+            sub, off = _png_unfilter(raw, off, hp, wp * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        out = px.reshape(height, stride)
+    else:
+        assert len(raw) >= height * (1 + stride), "truncated PNG data"
+        out, _ = _png_unfilter(raw, 0, height, stride, bpp)
 
     if bitdepth == 16:
         img = out.reshape(height, width, channels, 2).astype(np.uint16)

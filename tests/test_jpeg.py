@@ -532,3 +532,55 @@ def test_progressive_jpeg_random_luma_stress(spark):
     ours = jpeg_decode(buf)
     theirs = _java_decode(jvm, buf, gray=True)
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_adam7_interlaced_png_bit_exact_vs_javax(spark):
+    # Adam7 fixtures from javax.imageio's PNG writer (progressive mode =
+    # interlace); lossless, so decode must be BIT-EXACT
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_png_any
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(11)
+
+    def _java_png_interlaced(arr):
+        gray = arr.ndim == 2
+        h, w = arr.shape[:2]
+        t = (
+            jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            if gray
+            else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        bimg = jvm.java.awt.image.BufferedImage(w, h, t)
+        if gray:
+            raster = bimg.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, int(arr[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = (int(v) for v in arr[y, x])
+                    bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    # odd dims exercise the empty/ragged tail passes; 1x1..9x9 corner
+    # cases hit passes that are entirely absent
+    for h, w in ((21, 37), (8, 8), (1, 1), (3, 9), (9, 3)):
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        buf = _java_png_interlaced(g)
+        assert buf[28] == 1, "fixture is not interlaced"  # IHDR interlace byte
+        np.testing.assert_array_equal(decode_png_any(buf), g)
+
+    rgb = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+    buf = _java_png_interlaced(rgb)
+    assert buf[28] == 1
+    np.testing.assert_array_equal(decode_png_any(buf), rgb)
