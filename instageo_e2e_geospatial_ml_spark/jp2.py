@@ -1,11 +1,13 @@
-"""JPEG-2000 Part-1 codec: single-tile, 5/3 reversible AND 9/7
-irreversible, grayscale or multi-component.
+"""JPEG-2000 Part-1 codec: single- or multi-tile, 5/3 reversible AND
+9/7 irreversible, grayscale or multi-component.
 
 Closes S5 (the reference reads Sentinel-2 band rasters as JP2 — one
 grayscale codestream per band, `s2_utils.py:360-407`) and the real-world
 shapes beyond it: a from-scratch ISO/IEC 15444-1 (ITU-T T.800)
-implementation of SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, one tile,
-one quality layer, reversible 5/3 (lossless) or irreversible 9/7 with
+implementation of SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, tile grids
+(ragged edge tiles; each tile DWT'd and coded independently, one
+tile-part per tile on encode, concatenated tile-parts accepted on
+decode), one quality layer, reversible 5/3 (lossless) or irreversible 9/7 with
 Annex E scalar-expounded quantization (lossy; RGB thumbnails / S2
 previews), 1..255 components (shared depth, 1,1 subsampling, no MCT —
 each component codes independently), MQ arithmetic coding without
@@ -535,37 +537,55 @@ def _inv53_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
     return x
 
 
+def _fwd53_rows(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """5/3 analysis along axis 1, all rows at once — the numpy-batched
+    twin of _fwd53_1d (which stays as the scalar parity reference the
+    tests check against an independent direct form)."""
+    h, n = a.shape
+    x = a.astype(np.int64)
+    if n == 1:
+        return x.copy(), x[:, :0]
+    ne, no = (n + 1) // 2, n // 2
+    xe, xo = x[:, 0::2], x[:, 1::2]
+    # x[2i+2] for i in [0, no): next even sample; at 2i+2 == n the
+    # whole-sample symmetric extension reflects to x[n-2] == xe[-1]
+    xen = np.concatenate([xe[:, 1:], xe[:, -1:]], axis=1) if n % 2 == 0 else xe[:, 1:]
+    d = xo - ((xe[:, :no] + xen) >> 1)
+    dl = np.concatenate([d[:, :1], d[:, : ne - 1]], axis=1)  # d[i-1], d[-1]→d[0]
+    dr = d if no == ne else np.concatenate([d, d[:, -1:]], axis=1)  # d[no]→d[no-1]
+    s = xe + ((dl + dr + 2) >> 2)
+    return s, d
+
+
+def _inv53_rows(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _fwd53_rows (axis 1, all rows at once)."""
+    h = s.shape[0]
+    if n == 1:
+        return s.astype(np.int64).copy()
+    se, de = s.astype(np.int64), d.astype(np.int64)
+    ne, no = se.shape[1], de.shape[1]
+    dl = np.concatenate([de[:, :1], de[:, : ne - 1]], axis=1)
+    dr = de if no == ne else np.concatenate([de, de[:, -1:]], axis=1)
+    xe = se - ((dl + dr + 2) >> 2)
+    xen = np.concatenate([xe[:, 1:], xe[:, -1:]], axis=1) if n % 2 == 0 else xe[:, 1:]
+    xo = de + ((xe[:, :no] + xen) >> 1)
+    x = np.empty((h, n), np.int64)
+    x[:, 0::2] = xe
+    x[:, 1::2] = xo
+    return x
+
+
 def _fwd53_2d(a: np.ndarray):
-    h, w = a.shape
-    lo = np.empty((h, (w + 1) // 2), np.int64)
-    hi = np.empty((h, w // 2), np.int64)
-    for y in range(h):
-        lo[y], hi[y] = _fwd53_1d(a[y])
-
-    def cols(m):
-        hh, ww = m.shape
-        ls = np.empty(((hh + 1) // 2, ww), np.int64)
-        hs = np.empty((hh // 2, ww), np.int64)
-        for x in range(ww):
-            ls[:, x], hs[:, x] = _fwd53_1d(m[:, x])
-        return ls, hs
-
-    ll, lh = cols(lo)
-    hl, hh = cols(hi)
+    lo, hi = _fwd53_rows(np.asarray(a))
+    ll, lh = (m.T for m in _fwd53_rows(lo.T))
+    hl, hh = (m.T for m in _fwd53_rows(hi.T))
     return ll, hl, lh, hh
 
 
 def _inv53_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
-    lo = np.empty((h, ll.shape[1]), np.int64)
-    hi = np.empty((h, hl.shape[1]), np.int64)
-    for x in range(ll.shape[1]):
-        lo[:, x] = _inv53_1d(ll[:, x], lh[:, x], h)
-    for x in range(hl.shape[1]):
-        hi[:, x] = _inv53_1d(hl[:, x], hh[:, x], h)
-    out = np.empty((h, w), np.int64)
-    for y in range(h):
-        out[y] = _inv53_1d(lo[y], hi[y], w)
-    return out
+    lo = _inv53_rows(ll.T, lh.T, h).T
+    hi = _inv53_rows(hl.T, hh.T, h).T
+    return _inv53_rows(lo, hi, w)
 
 
 # ---------------------------------------------------------------------------
@@ -991,9 +1011,10 @@ def jp2_encode(
     progression: int = 0,
     irreversible: bool = False,
     quant_step: float = 1.0,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Encode an integer image as a single-tile JPEG-2000 codestream (raw
-    codestream, no JP2 boxes).
+    """Encode an integer image as a JPEG-2000 codestream (raw codestream,
+    no JP2 boxes).
 
     img: (h, w) grayscale or (h, w, C) multi-component (all components
     share bit depth and subsampling 1,1; no MCT — components code
@@ -1007,7 +1028,14 @@ def jp2_encode(
     precincts: optional per-resolution (PPx, PPy) exponents (levels + 1
     entries, r=0 first) → user-defined precinct partitions (COD Scod bit
     0), multiple packets per resolution in raster order. None → default
-    whole-band precincts, one packet per resolution."""
+    whole-band precincts, one packet per resolution.
+
+    tile: optional (XTsiz, YTsiz) — split the image into a tile grid
+    (ragged edge tiles allowed); each tile is DWT'd and coded
+    independently and written as its own SOT/SOD tile-part in raster
+    order (the large-aerial/satellite-product shape). The quantization
+    header (QCD) is shared across tiles, per-block zero-bitplane counts
+    absorb per-tile slack. None → one tile covering the image."""
     a = np.asarray(img)
     if a.ndim == 2:
         comps = [a]
@@ -1029,6 +1057,15 @@ def jp2_encode(
                 raise ValueError("precinct exponents must be in [0, 15]")
             if r > 0 and (px < 1 or py < 1):
                 raise ValueError("PPx/PPy must be >= 1 for r > 0")
+    xt, yt = tile if tile is not None else (w, h)
+    if xt < 1 or yt < 1:
+        raise ValueError("tile dims must be >= 1")
+    ntx, nty = (w + xt - 1) // xt, (h + yt - 1) // yt
+    tiles = [
+        (tx * xt, ty * yt, min(xt, w - tx * xt), min(yt, h - ty * yt))
+        for ty in range(nty)
+        for tx in range(ntx)
+    ]
     amin = min(int(c.min()) for c in comps)
     amax = max(int(c.max()) for c in comps)
     signed = amin < 0
@@ -1039,51 +1076,59 @@ def jp2_encode(
     else:
         depth = max(amax.bit_length(), 1)
 
-    band_res = _subband_dims(w, h, levels)
-    res_dims = _resolution_dims(w, h, levels)
     pp = precincts if precincts is not None else [(15, 15)] * (levels + 1)
     if not 0 <= progression <= 4:
         raise ValueError("progression must be 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
 
-    # per-component subband decomposition
-    subs_by_c = []
-    for comp in comps:
-        coefs = comp.astype(np.float64 if irreversible else np.int64)
-        if not signed:
-            coefs = coefs - (1 << (depth - 1))  # DC level shift
-        subs = {}
-        cur = coefs
-        fwd = _fwd97_2d if irreversible else _fwd53_2d
-        for lvl in range(1, levels + 1):
-            ll, hl, lh, hh = fwd(cur)
-            subs[(lvl, "HL")] = hl
-            subs[(lvl, "LH")] = lh
-            subs[(lvl, "HH")] = hh
-            cur = ll
-        subs[(levels, "LL")] = cur
-        subs_by_c.append(subs)
+    # per-tile, per-component subband decomposition (each tile is an
+    # independent DWT over its own extent — T.800 tiles do not share
+    # extension samples)
+    subs_by_tile = []
+    for tx0, ty0, tw, th in tiles:
+        subs_by_c = []
+        for comp in comps:
+            coefs = comp[ty0 : ty0 + th, tx0 : tx0 + tw].astype(
+                np.float64 if irreversible else np.int64
+            )
+            if not signed:
+                coefs = coefs - (1 << (depth - 1))  # DC level shift
+            subs = {}
+            cur = coefs
+            fwd = _fwd97_2d if irreversible else _fwd53_2d
+            for lvl in range(1, levels + 1):
+                ll, hl, lh, hh = fwd(cur)
+                subs[(lvl, "HL")] = hl
+                subs[(lvl, "LH")] = lh
+                subs[(lvl, "HH")] = hh
+                cur = ll
+            subs[(levels, "LL")] = cur
+            subs_by_c.append(subs)
+        subs_by_tile.append(subs_by_c)
 
     # quantize (irreversible) / pass through (reversible), then shared QCD
-    # parameters across components: reversible eps is the max band
-    # magnitude bit-length over components; irreversible (eps, mu) encode
-    # the shared absolute step per band (per-block zero-bitplane counts
-    # absorb the per-block slack either way)
+    # parameters across components AND tiles: reversible eps is the max
+    # band magnitude bit-length; irreversible (eps, mu) encode the shared
+    # absolute step per band (per-block zero-bitplane counts absorb the
+    # per-block slack either way). Band STRUCTURE (count/order) is tile-
+    # independent; only dims vary, so the first tile indexes the QCD.
+    band_res0 = _subband_dims(tiles[0][2], tiles[0][3], levels)
     if irreversible:
         qparams = []
         guard_need = 1
-        for r, bands in enumerate(band_res):
+        for r, bands in enumerate(band_res0):
             lvl = levels if r == 0 else levels - r + 1
-            for band, bwd, bhd in bands:
+            for band, _, _ in bands:
                 rb = depth + _GAIN97[band]
                 eps_b, mu_b = _quant_params(quant_step, rb)
                 step = _quant_step_of(eps_b, mu_b, rb)
                 maxq = 0
-                for subs in subs_by_c:
-                    arr = subs[(lvl, band)]
-                    q = np.trunc(arr / step).astype(np.int64)
-                    subs[(lvl, band)] = q
-                    if q.size:
-                        maxq = max(maxq, int(np.abs(q).max()))
+                for subs_by_c in subs_by_tile:
+                    for subs in subs_by_c:
+                        arr = subs[(lvl, band)]
+                        q = np.trunc(arr / step).astype(np.int64)
+                        subs[(lvl, band)] = q
+                        if q.size:
+                            maxq = max(maxq, int(np.abs(q).max()))
                 qparams.append((eps_b, mu_b))
                 guard_need = max(guard_need, maxq.bit_length() - eps_b + 1)
         guard = max(_GUARD, guard_need)
@@ -1093,50 +1138,55 @@ def jp2_encode(
     else:
         guard = _GUARD
         eps = []
-        for r, bands in enumerate(band_res):
+        for r, bands in enumerate(band_res0):
             lvl = levels if r == 0 else levels - r + 1
-            for band, bwd, bhd in bands:
+            for band, _, _ in bands:
                 mx = 0
-                for subs in subs_by_c:
-                    arr = subs[(lvl, band)]
-                    if arr.size:
-                        mx = max(mx, int(np.abs(arr).max()))
+                for subs_by_c in subs_by_tile:
+                    for subs in subs_by_c:
+                        arr = subs[(lvl, band)]
+                        if arr.size:
+                            mx = max(mx, int(np.abs(arr).max()))
                 eps.append(max(mx.bit_length(), 1))
         mbs_all = [guard + e - 1 for e in eps]
 
-    packets = {}  # (r, c, precinct_index) -> coded_bands
-    for r, bands in enumerate(band_res):
-        lvl = levels if r == 0 else levels - r + 1
-        ppx, ppy = pp[r]
-        rw, rh = res_dims[r]
-        mbs = {
-            band: mbs_all[_qcd_index(band_res, r, band)] for band, _, _ in bands
-        }
-        for c, subs in enumerate(subs_by_c):
-            for k, precinct in enumerate(
-                _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
-            ):
-                coded_bands = []
-                for band, nbx, nby, blocks in precinct:
-                    arr = subs[(lvl, band)]
-                    coded = []
-                    for bx, by, x0, y0, cw, ch in blocks:
-                        data, npass, nplanes = _t1_encode(
-                            arr[y0 : y0 + ch, x0 : x0 + cw], band
-                        )
-                        coded.append((bx, by, data, npass, mbs[band] - nplanes))
-                    coded_bands.append((band, nbx, nby, coded))
-                packets[(r, c, k)] = coded_bands
-
-    body = bytearray()
-    for r, c, k in _packet_order(progression, levels, pp, res_dims, w, h, ncomp):
-        body += _emit_packet(packets[(r, c, k)])
+    bodies = []
+    for (tx0, ty0, tw, th), subs_by_c in zip(tiles, subs_by_tile):
+        band_res = _subband_dims(tw, th, levels)
+        res_dims = _resolution_dims(tw, th, levels)
+        packets = {}  # (r, c, precinct_index) -> coded_bands
+        for r, bands in enumerate(band_res):
+            lvl = levels if r == 0 else levels - r + 1
+            ppx, ppy = pp[r]
+            rw, rh = res_dims[r]
+            mbs = {
+                band: mbs_all[_qcd_index(band_res, r, band)] for band, _, _ in bands
+            }
+            for c, subs in enumerate(subs_by_c):
+                for k, precinct in enumerate(
+                    _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
+                ):
+                    coded_bands = []
+                    for band, nbx, nby, blocks in precinct:
+                        arr = subs[(lvl, band)]
+                        coded = []
+                        for bx, by, x0, y0, cw, ch in blocks:
+                            data, npass, nplanes = _t1_encode(
+                                arr[y0 : y0 + ch, x0 : x0 + cw], band
+                            )
+                            coded.append((bx, by, data, npass, mbs[band] - nplanes))
+                        coded_bands.append((band, nbx, nby, coded))
+                    packets[(r, c, k)] = coded_bands
+        body = bytearray()
+        for r, c, k in _packet_order(progression, levels, pp, res_dims, tw, th, ncomp):
+            body += _emit_packet(packets[(r, c, k)])
+        bodies.append(bytes(body))
 
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     ssiz = (depth - 1) | (0x80 if signed else 0)
     out += b"\xff\x51" + struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + bytes([ssiz, 1, 1] * ncomp)
     xcb = cblk.bit_length() - 3  # log2(cblk) - 2
     scod = 1 if precincts is not None else 0
@@ -1155,9 +1205,11 @@ def jp2_encode(
         out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), guard << 5) + bytes(
             e << 3 for e in eps
         )
-    psot = 12 + 2 + len(body)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + bytes(body) + b"\xff\xd9"
+    for t, body in enumerate(bodies):
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
+        out += b"\xff\x93" + body
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1230,6 +1282,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
 
     pos = 2
     w = h = depth = levels = cblk = None
+    xt = yt = None
     ncomp = 1
     prog_order = 0
     signed = False
@@ -1237,7 +1290,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     exps: list[int] | None = None
     mants: list[int] | None = None
     guard = 0
-    body = None
+    bodies: dict[int, bytes] = {}  # Isot -> concatenated tile-part data
     while pos + 4 <= len(cs):
         marker = cs[pos : pos + 2]
         if marker == b"\xff\xd9":
@@ -1250,8 +1303,6 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             )
             if xo or yo or xto or yto:
                 raise NotImplementedError("nonzero image/tile offsets")
-            if xt < xs or yt < ys:
-                raise NotImplementedError("multi-tile codestreams")
             w, h = xs, ys
             ncomp = csiz
             ssizs = set()
@@ -1310,25 +1361,65 @@ def jp2_decode(buf: bytes) -> np.ndarray:
                 raise NotImplementedError("scalar-derived QCD style")
         elif marker == b"\xff\x5d":  # QCC
             raise NotImplementedError("per-component QCC overrides")
-        elif marker == b"\xff\x90":  # SOT
-            _isot, psot, _tp, _tn = struct.unpack(">HIBB", seg[:8])
+        elif marker == b"\xff\x90":  # SOT (tile-parts concatenate per Isot)
+            isot, psot, _tp, _tn = struct.unpack(">HIBB", seg[:8])
             sod_at = pos + 2 + ln
             if cs[sod_at : sod_at + 2] != b"\xff\x93":
                 raise ValueError("expected SOD after SOT")
             end = pos + psot if psot else len(cs) - 2
-            body = cs[sod_at + 2 : end]
+            bodies[isot] = bodies.get(isot, b"") + cs[sod_at + 2 : end]
             pos = end
             continue
         pos += 2 + ln
 
-    if None in (w, h, depth, levels, cblk) or exps is None or body is None:
+    if None in (w, h, depth, levels, cblk) or exps is None or not bodies:
         raise ValueError("incomplete codestream (missing SIZ/COD/QCD/SOT)")
     if irreversible and mants is None:
         raise NotImplementedError("9/7 transform requires expounded QCD steps")
 
+    pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    shape = (h, w) if ncomp == 1 else (h, w, ncomp)
+    out = np.zeros(shape, np.int64 if not irreversible else np.int64)
+    for isot, body in bodies.items():
+        if not 0 <= isot < ntx * nty:
+            raise ValueError(f"tile index {isot} out of the {ntx}x{nty} grid")
+        tx0 = (isot % ntx) * xt
+        ty0 = (isot // ntx) * yt
+        tw, th = min(xt, w - tx0), min(yt, h - ty0)
+        planes = _decode_tile(
+            body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
+            exps, mants, guard, depth, signed, irreversible,
+        )
+        for c, cur in enumerate(planes):
+            if ncomp == 1:
+                out[ty0 : ty0 + th, tx0 : tx0 + tw] = cur
+            else:
+                out[ty0 : ty0 + th, tx0 : tx0 + tw, c] = cur
+    return out
+
+
+def _decode_tile(
+    body: bytes,
+    w: int,
+    h: int,
+    levels: int,
+    cblk: int,
+    pp_list: list[tuple[int, int]],
+    prog_order: int,
+    ncomp: int,
+    exps: list[int],
+    mants: list[int] | None,
+    guard: int,
+    depth: int,
+    signed: bool,
+    irreversible: bool,
+) -> list[np.ndarray]:
+    """Decode one tile's packet body (dims = the TILE extent) into
+    reconstructed int64 planes, one per component."""
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
-    pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
     layouts = [
         _precinct_layout(
             r, bands, pp_list[r][0], pp_list[r][1], cblk, *res_dims[r]
@@ -1418,9 +1509,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             )
             cur = np.clip(cur, lo, hi)
         planes.append(cur)
-    if ncomp == 1:
-        return planes[0]
-    return np.stack(planes, axis=2)
+    return planes
 
 
 # ---------------------------------------------------------------------------

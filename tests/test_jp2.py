@@ -379,3 +379,60 @@ def test_jp2_multicomponent_and_97():
     sg = (nat - 2100).astype(np.int64)
     os_ = jp2_decode(jp2_encode(sg, irreversible=True, quant_step=1.0))
     assert np.abs(os_ - sg).max() <= 2
+
+
+def test_jp2_multi_tile_roundtrips():
+    # tile grids: each tile is an independent DWT; whole-image bit-exact
+    # round-trip implies tile-boundary pixels are exact
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(5)
+
+    # ragged 2x2 grid (edge tiles 42x27 wide/tall)
+    img = rng.integers(0, 4096, (67, 90)).astype(np.int64)
+    buf = jp2_encode(img, levels=3, cblk=32, tile=(48, 40))
+    np.testing.assert_array_equal(jp2_decode(buf), img)
+
+    # multi-component 3x2 grid
+    img3 = rng.integers(0, 256, (50, 70, 3)).astype(np.int64)
+    buf3 = jp2_encode(img3, levels=2, cblk=32, tile=(32, 24))
+    np.testing.assert_array_equal(jp2_decode(buf3), img3)
+
+    # irreversible 9/7 across tiles: error bounded by the quant step
+    img4 = rng.integers(0, 1024, (60, 60)).astype(np.int64)
+    buf4 = jp2_encode(img4, levels=2, irreversible=True, quant_step=1.0, tile=(32, 32))
+    assert np.abs(jp2_decode(buf4) - img4).max() <= 4
+
+    # tiles x precincts x all five progression orders
+    img2 = rng.integers(0, 1024, (64, 64)).astype(np.int64)
+    for prog in range(5):
+        b = jp2_encode(
+            img2, levels=2, cblk=16, tile=(32, 32), progression=prog,
+            precincts=[(3, 3), (4, 4), (4, 4)],
+        )
+        np.testing.assert_array_equal(jp2_decode(b), img2)
+
+    # 1-px tail tiles (tile dim not dividing, remainder 1)
+    img5 = rng.integers(0, 512, (33, 33)).astype(np.int64)
+    b5 = jp2_encode(img5, levels=2, cblk=16, tile=(32, 32))
+    np.testing.assert_array_equal(jp2_decode(b5), img5)
+
+
+def test_jp2_53_rows_parity_with_scalar_reference():
+    # the numpy-batched 5/3 lifting must match the scalar reference
+    # (_fwd53_1d, itself pinned against an independent direct form)
+    from instageo_e2e_geospatial_ml_spark.jp2 import (
+        _fwd53_1d,
+        _fwd53_rows,
+        _inv53_rows,
+    )
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 4, 5, 7, 8, 16, 33, 100):
+        a = rng.integers(-5000, 5000, (7, n)).astype(np.int64)
+        s_v, d_v = _fwd53_rows(a)
+        for y in range(7):
+            s1, d1 = _fwd53_1d(a[y])
+            np.testing.assert_array_equal(s1, s_v[y])
+            np.testing.assert_array_equal(d1, d_v[y])
+        np.testing.assert_array_equal(_inv53_rows(s_v, d_v, n), a)
