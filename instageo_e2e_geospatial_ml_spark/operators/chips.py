@@ -275,11 +275,11 @@ def extract_chips(
     never cross the JVM↔Python socket; requires a file-backed table).
     Both produce identical output.
 
-    max_wants_granules guards the 'files' path, whose (granule → wanted
-    cells) map is collected to the driver and rebroadcast as a dict (a
-    Python task reading raw parquet cannot consume a broadcast JOIN):
-    above the cap it raises with instructions to use 'rows', whose wants
-    map is a plain broadcast join and scales to any granule count.
+    max_wants_granules is obsolete (kept for API compat): the 'files'
+    path no longer driver-collects its wants map — it materializes
+    `wants` as a granule-sorted scratch parquet and each task does a
+    pyarrow filtered read for only the granules its files contain, so
+    both paths scale to any granule count.
     """
     mask_types = list(mask_types)
     overrides = dict(transform_overrides or {})
@@ -406,24 +406,35 @@ def extract_chips(
     elif payload_source == "files":
         # vectorized-reader path: Python tasks read the parquet payloads
         # directly (pyarrow, page-cache mmap) — image bytes NEVER cross the
-        # JVM↔Python socket. The (granule → wants) map rides a broadcast.
-        # This is the pattern a DataSource-v2 vectorized reader gives on a
-        # real cluster; locally it sidesteps the IPC/syscall ceiling.
+        # JVM↔Python socket. This is the pattern a DataSource-v2 vectorized
+        # reader gives on a real cluster; locally it sidesteps the
+        # IPC/syscall ceiling.
+        #
+        # The (granule → wanted cells) map is an EXECUTOR-SIDE LOOKUP, not
+        # a driver collect: `wants` is materialized once as a granule-sorted
+        # scratch parquet, and each task does a pyarrow filtered read for
+        # only the granule ids its own files contain (row-group stats prune
+        # the rest). Per-task memory is proportional to the task's actual
+        # work, so there is no granule cap on this path. On a real cluster
+        # the scratch dir would be a shared filesystem path (HDFS/S3);
+        # locally it is a temp dir cleaned up at process exit.
+        import atexit
+        import shutil
+        import tempfile
+
         spark = images.sparkSession
         paths = [p for p in images.inputFiles()]
         if not paths:
             raise ValueError("payload_source='files' requires a file-backed images table")
-        wants_rows = wants.limit(max_wants_granules + 1).collect()
-        if len(wants_rows) > max_wants_granules:
-            raise ValueError(
-                f"payload_source='files' is capped at {max_wants_granules} "
-                "granules (the wants map is driver-collected); use "
-                "payload_source='rows', whose wants map is a broadcast join"
-            )
-        wants_map = {
-            r["granule_id"]: [w.asDict() for w in r["wants"]] for r in wants_rows
-        }
-        wants_bc = spark.sparkContext.broadcast(wants_map)
+        wants_dir = tempfile.mkdtemp(prefix="chip_wants_")
+        atexit.register(shutil.rmtree, wants_dir, ignore_errors=True)
+        n_wants_files = max(1, min(32, spark.sparkContext.defaultParallelism))
+        (
+            wants.repartitionByRange(n_wants_files, "granule_id")
+            .sortWithinPartitions("granule_id")
+            .write.mode("overwrite")
+            .parquet(wants_dir)
+        )
         bands_bc = spark.sparkContext.broadcast(set(wanted_bands))
         files_df = spark.createDataFrame(
             [(p,) for p in sorted(paths)], "path string"
@@ -432,17 +443,38 @@ def extract_chips(
         def slice_files(it):
             import pyarrow.parquet as pq
 
-            wm = wants_bc.value
             wb = bands_bc.value
             for pdf in it:
                 rows: list = []
                 for path in pdf["path"]:
                     local = path[7:] if path.startswith("file:") else path
                     pf = pq.ParquetFile(local)
+                    # pass 1: cheap id-column scan → the granules this file
+                    # actually needs wants for
+                    per_rg_ids = []
+                    needed: set = set()
                     for rg in range(pf.num_row_groups):
-                        ids = pf.read_row_group(rg, columns=["image_id"])["image_id"]
+                        ids = pf.read_row_group(rg, columns=["image_id"])[
+                            "image_id"
+                        ].to_pylist()
+                        per_rg_ids.append(ids)
+                        for iid in ids:
+                            gid, _, band = iid.partition(":")
+                            if band in wb:
+                                needed.add(gid)
+                    if not needed:
+                        continue
+                    wtbl = pq.read_table(
+                        wants_dir,
+                        columns=["granule_id", "wants"],
+                        filters=[("granule_id", "in", sorted(needed))],
+                    )
+                    wm = dict(
+                        zip(wtbl["granule_id"].to_pylist(), wtbl["wants"].to_pylist())
+                    )
+                    for rg, ids in enumerate(per_rg_ids):
                         keep = []
-                        for i, iid in enumerate(ids.to_pylist()):
+                        for i, iid in enumerate(ids):
                             gid, _, band = iid.partition(":")
                             if band in wb and gid in wm:
                                 keep.append(i)
