@@ -225,8 +225,8 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
 
         return np.moveaxis(webp_decode(payload), -1, 0)
     if fmt in ("jp2", "j2k"):
-        # reversible 5/3 single-tile grayscale decodes for real (jp2.py,
-        # from-scratch T.800 EBCOT/MQ/DWT); other coding styles raise a
+        # real from-scratch T.800 codec (jp2.py): 5/3 and 9/7, single- or
+        # multi-tile, 1..255 components; remaining coding styles raise a
         # descriptive NotImplementedError inside
         from ..jp2 import jp2_decode
 

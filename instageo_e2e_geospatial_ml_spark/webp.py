@@ -550,10 +550,25 @@ def vp8l_decode_stream(data: bytes) -> np.ndarray:
     return out
 
 
+def _decode_still_chunk(tag: bytes, body: bytes) -> np.ndarray:
+    """One VP8/VP8L image chunk → (h, w, 4) RGBA."""
+    if tag == b"VP8L":
+        return vp8l_decode_stream(body)
+    from .vp8 import vp8_decode_rgb
+
+    rgb = vp8_decode_rgb(body)
+    out = np.empty((*rgb.shape[:2], 4), np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255
+    return out
+
+
 def webp_decode(buf: bytes) -> np.ndarray:
     """Decode a WebP container → (h, w, 4) uint8 RGBA. Lossless (VP8L)
     decodes bit-exactly; lossy (VP8 key frame) decodes via vp8.py —
-    bit-exact YUV, with the documented non-normative RGB conversion."""
+    bit-exact YUV, with the documented non-normative RGB conversion.
+    Animated (VP8X/ANMF) containers return the FIRST composited frame;
+    use webp_decode_frames for the full sequence."""
     if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF) container")
     pos = 12
@@ -561,15 +576,99 @@ def webp_decode(buf: bytes) -> np.ndarray:
         tag = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L":
-            return vp8l_decode_stream(body)
-        if tag == b"VP8 ":
-            from .vp8 import vp8_decode_rgb
-
-            rgb = vp8_decode_rgb(body)
-            out = np.empty((*rgb.shape[:2], 4), np.uint8)
-            out[..., :3] = rgb
-            out[..., 3] = 255
-            return out
+        if tag in (b"VP8L", b"VP8 "):
+            return _decode_still_chunk(tag, body)
+        if tag == b"ANMF":
+            return webp_decode_frames(buf)[0]
         pos += 8 + size + (size & 1)
-    raise ValueError("WebP container holds no VP8L/VP8 chunk")
+    raise ValueError("WebP container holds no VP8L/VP8/ANMF chunk")
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def webp_decode_frames(buf: bytes) -> np.ndarray:
+    """Decode a WebP container into (n_frames, canvas_h, canvas_w, 4)
+    uint8 RGBA composited canvases.
+
+    Animated containers (VP8X animation flag + ANIM + ANMF chunks, WebP
+    container spec / RFC 9649 §2.5): every ANMF frame is an independently
+    coded key image (VP8 intra or VP8L — WebP animation has no
+    inter-frame coding, so the existing keyframe decoders cover it),
+    placed at its (2·X, 2·Y) offset and composited like the GIF path:
+    blending method 0 alpha-blends over the canvas, 1 overwrites the
+    rect; disposal 1 fills the rect with the ANIM background color after
+    the frame is emitted. ALPH chunks (separate alpha plane for lossy
+    frames) are skipped — the frame decodes opaque; lossless frames
+    carry alpha in-stream and keep it.
+
+    Still images return a single-frame stack."""
+    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF) container")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = np.zeros(4, np.uint8)
+    anmf: list[bytes] = []
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            canvas_w = _u24(body, 4) + 1
+            canvas_h = _u24(body, 7) + 1
+        elif tag == b"ANIM":
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]  # BGRA
+            bg = np.array([r_, g_, b_, a_], np.uint8)
+        elif tag == b"ANMF":
+            anmf.append(body)
+        elif tag in (b"VP8 ", b"VP8L") and not anmf:
+            return _decode_still_chunk(tag, body)[None, ...]
+        pos += 8 + size + (size & 1)
+    if not anmf:
+        raise ValueError("WebP container holds no VP8L/VP8/ANMF chunk")
+    if canvas_w is None:
+        raise ValueError("animated WebP without VP8X canvas dims")
+
+    canvas = np.tile(bg, (canvas_h, canvas_w, 1))
+    frames = []
+    for body in anmf:
+        fx, fy = 2 * _u24(body, 0), 2 * _u24(body, 3)
+        fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+        flags = body[15]
+        blend_overwrite = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        # frame payload: optional ALPH, then one VP8/VP8L chunk
+        fpos, img = 16, None
+        while fpos + 8 <= len(body):
+            ftag = body[fpos : fpos + 4]
+            (fsize,) = struct.unpack("<I", body[fpos + 4 : fpos + 8])
+            fbody = body[fpos + 8 : fpos + 8 + fsize]
+            if ftag in (b"VP8 ", b"VP8L"):
+                img = _decode_still_chunk(ftag, fbody)
+                break
+            fpos += 8 + fsize + (fsize & 1)
+        if img is None:
+            raise ValueError("ANMF frame without VP8/VP8L data")
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame dims disagree with its image data")
+        y1, x1 = min(fy + fh, canvas_h), min(fx + fw, canvas_w)
+        sub = img[: y1 - fy, : x1 - fx].astype(np.uint16)
+        tgt = canvas[fy:y1, fx:x1]
+        if blend_overwrite:
+            tgt[:] = sub.astype(np.uint8)
+        else:
+            # spec "over" compositing (container spec §Animation):
+            #   A' = sa + da·(1−sa);  rgb' = (s·sa + d·da·(1−sa)) / A'
+            sa = sub[..., 3:4].astype(np.float64) / 255.0
+            da = tgt[..., 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            num = sub[..., :3] * sa + tgt[..., :3].astype(np.float64) * da * (1.0 - sa)
+            with np.errstate(invalid="ignore"):
+                rgb = np.where(oa > 0, num / np.maximum(oa, 1e-12), 0.0)
+            tgt[..., :3] = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            tgt[..., 3] = np.clip(np.rint(oa[..., 0] * 255.0), 0, 255).astype(np.uint8)
+        frames.append(canvas.copy())
+        if dispose_bg:
+            canvas[fy:y1, fx:x1] = bg
+    return np.stack(frames)

@@ -145,3 +145,77 @@ def test_vp8_non_keyframe_rejected():
     bad = bytes([chunk[0] | 1]) + chunk[1:]
     with pytest.raises(NotImplementedError, match="interframe"):
         vp8_decode_yuv(bad)
+
+
+def _anmf(x, y, w, h, flags, payload):
+    hdr = (
+        (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        + (40).to_bytes(3, "little") + bytes([flags])
+    )
+    body = hdr + payload
+    return b"ANMF" + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _chunk(tag, body):
+    return tag + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def test_animated_lossy_webp_keyframe_sampling():
+    # no libwebpmux/demux in this container, so the ANMF fixture is built
+    # by hand per the container spec around libwebp-encoded lossy key
+    # frames; per-frame pixel parity is pinned against OUR decode of the
+    # standalone frame (itself bit-exact-YUV vs libwebp per the tests
+    # above), compositing semantics (offsets, overwrite-blend, dispose to
+    # background) against the spec by construction
+    from instageo_e2e_geospatial_ml_spark.webp import webp_decode, webp_decode_frames
+
+    rng = np.random.default_rng(9)
+    cw, chh = 48, 40
+    imgs = [
+        np.ascontiguousarray(img)
+        for img in (
+            rng.integers(0, 256, (40, 48, 3)).astype(np.uint8),  # full-canvas
+            rng.integers(0, 256, (24, 32, 3)).astype(np.uint8),  # offset sub-rect
+            rng.integers(0, 256, (16, 16, 3)).astype(np.uint8),  # disposed frame
+        )
+    ]
+    stills, chunks = zip(*(_encode(im, 90.0) for im in imgs))
+    OVERWRITE, DISPOSE_BG = 0x02, 0x01
+    vp8x = _chunk(
+        b"VP8X",
+        bytes([0x02]) + b"\x00\x00\x00"
+        + (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little"),
+    )
+    anim = _chunk(b"ANIM", bytes([255, 0, 0, 255]) + (0).to_bytes(2, "little"))  # bg blue (BGRA)
+    frames_bytes = (
+        _anmf(0, 0, 48, 40, OVERWRITE, _chunk(b"VP8 ", chunks[0]))
+        + _anmf(8, 10, 32, 24, OVERWRITE | DISPOSE_BG, _chunk(b"VP8 ", chunks[1]))
+        + _anmf(4, 2, 16, 16, OVERWRITE, _chunk(b"VP8 ", chunks[2]))
+    )
+    payload = b"WEBP" + vp8x + anim + frames_bytes
+    buf = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+    got = webp_decode_frames(buf)
+    assert got.shape == (3, chh, cw, 4)
+    ours = [webp_decode(s) for s in stills]  # standalone decodes (libwebp-validated path)
+
+    # frame 0: full-canvas overwrite
+    np.testing.assert_array_equal(got[0], ours[0])
+    # frame 1: frame 0 canvas with the sub-rect overwritten at (8, 10)
+    exp1 = ours[0].copy()
+    exp1[10:34, 8:40] = ours[1]
+    np.testing.assert_array_equal(got[1], exp1)
+    # frame 2: frame 1's rect was DISPOSED to the blue background first
+    exp2 = exp1.copy()
+    exp2[10:34, 8:40] = np.array([0, 0, 255, 255], np.uint8)  # RGBA blue
+    exp2[2:18, 4:20] = ours[2]
+    np.testing.assert_array_equal(got[2], exp2)
+
+    # webp_decode on an animated container = first composited frame
+    np.testing.assert_array_equal(webp_decode(buf), got[0])
+
+    # still containers keep working through the frames API too
+    one = webp_decode_frames(stills[0])
+    assert one.shape == (1, 40, 48, 4)
+    np.testing.assert_array_equal(one[0], ours[0])
