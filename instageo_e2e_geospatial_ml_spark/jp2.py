@@ -7,15 +7,19 @@ shapes beyond it: a from-scratch ISO/IEC 15444-1 (ITU-T T.800)
 implementation of SOC/SIZ/COD/QCD/SOT/SOD/EOC codestreams, tile grids
 (ragged edge tiles; each tile DWT'd and coded independently, one
 tile-part per tile on encode, concatenated tile-parts accepted on
-decode), one quality layer, reversible 5/3 (lossless) or irreversible 9/7 with
+decode), MULTIPLE quality layers (per-layer packets with inclusion
+tag-tree thresholds, persistent lblock, second-inclusion signaling —
+B.10.4-8; a block's chunks concatenate across layers before tier-1),
+reversible 5/3 (lossless) or irreversible 9/7 with
 Annex E scalar-expounded quantization (lossy; RGB thumbnails / S2
-previews), 1..255 components (shared depth, 1,1 subsampling, no MCT —
-each component codes independently), MQ arithmetic coding without
+previews), 1..255 components (shared depth, 1,1 subsampling), the
+Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
+MQ arithmetic coding without
 bypass/reset/termall, default OR user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
-progression orders with their component interleavings (B.12.1.2-5;
-PCRL/CPRL is what real S2 codestreams declare). Multi-layer, MCT,
-subsampled components, per-component QCC, scalar-derived QCD and
+progression orders with their component and layer interleavings
+(B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
+Subsampled components, per-component QCC, scalar-derived QCD and
 bypass/termall styles raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
@@ -677,6 +681,37 @@ def _quant_step_of(eps: int, mu: int, rb: int) -> float:
 
 
 # ---------------------------------------------------------------------------
+# multiple-component transforms (T.800 Annex G): RCT pairs with 5/3
+# (reversible ints), ICT with 9/7 (floats). Applied after DC level shift,
+# before the per-component DWT; inverted after IDWT on decode.
+# ---------------------------------------------------------------------------
+
+
+def _rct_fwd(r, g, b):
+    y = (r + 2 * g + b) >> 2  # floor for negatives too (arithmetic shift)
+    return y, b - g, r - g
+
+
+def _rct_inv(y0, y1, y2):
+    g = y0 - ((y1 + y2) >> 2)
+    return y2 + g, g, y1 + g  # (R, G, B)
+
+
+def _ict_fwd(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inv(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+# ---------------------------------------------------------------------------
 # tag trees (T.800 B.10.2)
 # ---------------------------------------------------------------------------
 
@@ -942,16 +977,18 @@ def _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
 
 
 def _packet_order(
-    prog: int, levels: int, pp, res_dims, w: int, h: int, ncomp: int = 1
+    prog: int, levels: int, pp, res_dims, w: int, h: int, ncomp: int = 1,
+    nlayers: int = 1,
 ):
-    """Packet sequence as (r, c, precinct_index) triples for 1 layer
-    (T.800 B.12). Resolution-major: LRCP(0)/RLCP(1) are res→comp→precinct
-    for one layer; RPCL(2) is res→position(precinct)→comp. Position-major:
-    PCRL(3) is position→comp→res, CPRL(4) comp→position→res — tile
-    positions step by the finest precinct span, emitting the precinct
-    whose top-left tile-coordinate is the current position (B.12.1.3-5
-    with zero offsets; components share XRsiz=YRsiz=1 so their precinct
-    grids coincide)."""
+    """Packet sequence as (layer, r, c, precinct_index) tuples (T.800
+    B.12). Layer placement per order name: LRCP(0) layer-outermost;
+    RLCP(1) res→layer→comp→precinct; RPCL(2) res→position→comp→layer;
+    PCRL(3) position→comp→res→layer; CPRL(4) comp→position→res→layer.
+    Position-major orders step tile positions by the finest precinct
+    span, emitting the precinct whose top-left tile-coordinate is the
+    current position (B.12.1.3-5 with zero offsets; components share
+    XRsiz=YRsiz=1 so their precinct grids coincide)."""
+    L = nlayers
     n_prec = []
     for r in range(levels + 1):
         rw, rh = res_dims[r]
@@ -959,19 +996,29 @@ def _packet_order(
         n_prec.append(
             ((rw + (1 << ppx) - 1) >> ppx, (rh + (1 << ppy) - 1) >> ppy)
         )
-    if prog <= 1:  # LRCP / RLCP: comp outer of precinct
+    if prog == 0:  # LRCP: layer → res → comp → precinct
         return [
-            (r, c, k)
+            (l, r, c, k)
+            for l in range(L)
             for r in range(levels + 1)
             for c in range(ncomp)
             for k in range(n_prec[r][0] * n_prec[r][1])
         ]
-    if prog == 2:  # RPCL: precinct outer of comp
+    if prog == 1:  # RLCP: res → layer → comp → precinct
         return [
-            (r, c, k)
+            (l, r, c, k)
+            for r in range(levels + 1)
+            for l in range(L)
+            for c in range(ncomp)
+            for k in range(n_prec[r][0] * n_prec[r][1])
+        ]
+    if prog == 2:  # RPCL: res → precinct → comp → layer
+        return [
+            (l, r, c, k)
             for r in range(levels + 1)
             for k in range(n_prec[r][0] * n_prec[r][1])
             for c in range(ncomp)
+            for l in range(L)
         ]
     # position-major: precinct span in TILE coordinates at resolution r is
     # 2^(pp + levels - r) (the resolution grid is the tile grid >> (levels-r))
@@ -982,7 +1029,7 @@ def _packet_order(
     step_x = min(s[0] for s in span)
     step_y = min(s[1] for s in span)
     out = []
-    if prog == 3:  # PCRL: position → comp → res
+    if prog == 3:  # PCRL: position → comp → res → layer
         for y in range(0, max(h, 1), step_y):
             for x in range(0, max(w, 1), step_x):
                 for c in range(ncomp):
@@ -990,16 +1037,18 @@ def _packet_order(
                         sx, sy = span[r]
                         if x % sx == 0 and y % sy == 0:
                             npx, _ = n_prec[r]
-                            out.append((r, c, (y // sy) * npx + (x // sx)))
+                            k = (y // sy) * npx + (x // sx)
+                            out.extend((l, r, c, k) for l in range(L))
         return out
-    for c in range(ncomp):  # CPRL: comp → position → res
+    for c in range(ncomp):  # CPRL: comp → position → res → layer
         for y in range(0, max(h, 1), step_y):
             for x in range(0, max(w, 1), step_x):
                 for r in range(levels + 1):
                     sx, sy = span[r]
                     if x % sx == 0 and y % sy == 0:
                         npx, _ = n_prec[r]
-                        out.append((r, c, (y // sy) * npx + (x // sx)))
+                        k = (y // sy) * npx + (x // sx)
+                        out.extend((l, r, c, k) for l in range(L))
     return out
 
 
@@ -1012,6 +1061,8 @@ def jp2_encode(
     irreversible: bool = False,
     quant_step: float = 1.0,
     tile: tuple[int, int] | None = None,
+    mct: bool = False,
+    layers: int = 1,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
@@ -1035,7 +1086,18 @@ def jp2_encode(
     independently and written as its own SOT/SOD tile-part in raster
     order (the large-aerial/satellite-product shape). The quantization
     header (QCD) is shared across tiles, per-block zero-bitplane counts
-    absorb per-tile slack. None → one tile covering the image."""
+    absorb per-tile slack. None → one tile covering the image.
+
+    mct: multiple-component transform on the first three components
+    (T.800 Annex G — the usual wild-RGB-JP2 shape): reversible RCT with
+    5/3 (bit-exact round-trip), irreversible ICT with 9/7. Requires at
+    least 3 components.
+
+    layers: number of quality layers (COD SGcod). Each code-block's
+    coding passes are split pro-rata across layers and delivered through
+    per-layer packets (inclusion tag-tree thresholds, persistent lblock,
+    second-inclusion 1-bit signaling — B.10.4-8); decoding all layers
+    reconstructs exactly what layers=1 does."""
     a = np.asarray(img)
     if a.ndim == 2:
         comps = [a]
@@ -1057,6 +1119,10 @@ def jp2_encode(
                 raise ValueError("precinct exponents must be in [0, 15]")
             if r > 0 and (px < 1 or py < 1):
                 raise ValueError("PPx/PPy must be >= 1 for r > 0")
+    if mct and ncomp < 3:
+        raise ValueError("mct needs at least 3 components")
+    if not 1 <= layers <= 65535:
+        raise ValueError("layers must be in [1, 65535]")
     xt, yt = tile if tile is not None else (w, h)
     if xt < 1 or yt < 1:
         raise ValueError("tile dims must be >= 1")
@@ -1085,13 +1151,19 @@ def jp2_encode(
     # extension samples)
     subs_by_tile = []
     for tx0, ty0, tw, th in tiles:
-        subs_by_c = []
+        planes = []
         for comp in comps:
             coefs = comp[ty0 : ty0 + th, tx0 : tx0 + tw].astype(
                 np.float64 if irreversible else np.int64
             )
             if not signed:
                 coefs = coefs - (1 << (depth - 1))  # DC level shift
+            planes.append(coefs)
+        if mct:
+            xf = _ict_fwd if irreversible else _rct_fwd
+            planes[0], planes[1], planes[2] = xf(planes[0], planes[1], planes[2])
+        subs_by_c = []
+        for coefs in planes:
             subs = {}
             cur = coefs
             fwd = _fwd97_2d if irreversible else _fwd53_2d
@@ -1154,7 +1226,7 @@ def jp2_encode(
     for (tx0, ty0, tw, th), subs_by_c in zip(tiles, subs_by_tile):
         band_res = _subband_dims(tw, th, levels)
         res_dims = _resolution_dims(tw, th, levels)
-        packets = {}  # (r, c, precinct_index) -> coded_bands
+        states = {}  # (r, c, precinct_index) -> _PrecinctEncState
         for r, bands in enumerate(band_res):
             lvl = levels if r == 0 else levels - r + 1
             ppx, ppy = pp[r]
@@ -1176,10 +1248,12 @@ def jp2_encode(
                             )
                             coded.append((bx, by, data, npass, mbs[band] - nplanes))
                         coded_bands.append((band, nbx, nby, coded))
-                    packets[(r, c, k)] = coded_bands
+                    states[(r, c, k)] = _PrecinctEncState(coded_bands, layers)
         body = bytearray()
-        for r, c, k in _packet_order(progression, levels, pp, res_dims, tw, th, ncomp):
-            body += _emit_packet(packets[(r, c, k)])
+        for l, r, c, k in _packet_order(
+            progression, levels, pp, res_dims, tw, th, ncomp, layers
+        ):
+            body += states[(r, c, k)].emit(l)
         bodies.append(bytes(body))
 
     out = bytearray()
@@ -1192,7 +1266,7 @@ def jp2_encode(
     scod = 1 if precincts is not None else 0
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
     out += b"\xff\x52" + struct.pack(
-        ">HBBHB", 12 + len(spcod_pp), scod, progression, 1, 0
+        ">HBBHB", 12 + len(spcod_pp), scod, progression, layers, 1 if mct else 0
     ) + bytes([levels, xcb, xcb, 0, 0 if irreversible else 1]) + spcod_pp
     if irreversible:
         spqcd = b"".join(
@@ -1213,44 +1287,88 @@ def jp2_encode(
     return bytes(out)
 
 
-def _emit_packet(coded_bands) -> bytes:
-    """One packet (single layer, single component, one precinct): header
-    with per-precinct inclusion/zero-bitplane tag trees, then the block
-    bodies. Blocks with zero passes are excluded via the inclusion tree
-    (leaf value 1 ≥ layer threshold)."""
-    bw = _HdrWriter()
-    chunks = []
-    nonempty = any(
-        npass > 0 for _, _, _, coded in coded_bands for _, _, _, npass, _ in coded
-    )
-    bw.put(1 if nonempty else 0)
-    if nonempty:
+def _layer_split(data: bytes, npass: int, nlayers: int):
+    """Partition a code-block's passes and bytes across layers: layer l
+    gets passes (P·l//L, P·(l+1)//L] and the byte range split pro-rata at
+    the same fractions. Any monotone byte partition decodes identically
+    when all layers are delivered (the decoder concatenates a block's
+    per-layer chunks before running tier-1), so pro-rata is sufficient —
+    near-optimal R-D truncation points only matter to truncating
+    transcoders, which this codec does not implement."""
+    parts = []
+    prev_p = prev_b = 0
+    for l in range(nlayers):
+        p = npass * (l + 1) // nlayers
+        b = len(data) if l == nlayers - 1 else (len(data) * p // npass if npass else 0)
+        parts.append((p - prev_p, data[prev_b:b]))
+        prev_p, prev_b = p, b
+    return parts
+
+
+class _PrecinctEncState:
+    """Per-precinct packet emitter across layers: the inclusion/zero-
+    bitplane tag trees and per-block lblock state persist from layer to
+    layer (B.10.4-8). For one layer this reproduces the round-5 single-
+    packet bytes exactly (inclusion value = first contributing layer, 0,
+    or L for never-included blocks — threshold 1 sees 0 vs 1)."""
+
+    def __init__(self, coded_bands, nlayers: int) -> None:
+        self.nlayers = nlayers
+        self.bands = []
         for band, nbx, nby, coded in coded_bands:
             if not coded:
                 continue
             inc = _TagTree(nbx, nby, encoder=True)
             zb = _TagTree(nbx, nby, encoder=True)
+            blocks = []
             for bx, by, data, npass, zbp in coded:
-                inc.set_value(bx, by, 0 if npass > 0 else 1)
+                parts = _layer_split(data, npass, nlayers)
+                first = next(
+                    (l for l, (p, _) in enumerate(parts) if p > 0), None
+                )
+                inc.set_value(bx, by, nlayers if first is None else first)
                 zb.set_value(bx, by, max(zbp, 0))
+                blocks.append(
+                    {"bx": bx, "by": by, "parts": parts, "first": first,
+                     "included": False, "lblock": 3}
+                )
             inc.finalize()
             zb.finalize()
-            for bx, by, data, npass, zbp in coded:
-                inc.encode(bw, bx, by, 1)
-                if npass == 0:
-                    continue
-                zb.encode(bw, bx, by, _INF)  # fully resolve the value
-                _npasses_write(bw, npass)
-                lblock = 3
-                nbits = lblock + npass.bit_length() - 1
-                while len(data) >= (1 << nbits):
-                    bw.put(1)
-                    lblock += 1
-                    nbits += 1
-                bw.put(0)
-                bw.put_bits(len(data), nbits)
-                chunks.append(data)
-    return bw.flush() + b"".join(chunks)
+            self.bands.append((inc, zb, blocks))
+
+    def emit(self, layer: int) -> bytes:
+        bw = _HdrWriter()
+        chunks = []
+        nonempty = any(
+            blk["parts"][layer][0] > 0
+            for _, _, blocks in self.bands
+            for blk in blocks
+        )
+        bw.put(1 if nonempty else 0)
+        if nonempty:
+            for inc, zb, blocks in self.bands:
+                for blk in blocks:
+                    npass_l, chunk = blk["parts"][layer]
+                    if not blk["included"]:
+                        inc.encode(bw, blk["bx"], blk["by"], layer + 1)
+                        if blk["first"] is None or blk["first"] > layer:
+                            continue
+                        zb.encode(bw, blk["bx"], blk["by"], _INF)
+                        blk["included"] = True
+                    else:
+                        bw.put(1 if npass_l > 0 else 0)
+                        if npass_l == 0:
+                            continue
+                    _npasses_write(bw, npass_l)
+                    nbits = blk["lblock"] + npass_l.bit_length() - 1
+                    while len(chunk) >= (1 << nbits):
+                        bw.put(1)
+                        blk["lblock"] += 1
+                        nbits += 1
+                    bw.put(0)
+                    bw.put_bits(len(chunk), nbits)
+                    chunks.append(chunk)
+        return bw.flush() + b"".join(chunks)
 
 
 def jp2_decode(buf: bytes) -> np.ndarray:
@@ -1287,6 +1405,8 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     prog_order = 0
     signed = False
     irreversible = False
+    use_mct = False
+    nlayers = 1
     exps: list[int] | None = None
     mants: list[int] | None = None
     guard = 0
@@ -1324,10 +1444,12 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             if prog > 4:
                 raise ValueError(f"bad progression order {prog}")
             prog_order = prog
-            if layers != 1:
-                raise NotImplementedError("multi-layer codestreams")
-            if mct != 0:
-                raise NotImplementedError("multiple-component transform (MCT)")
+            if layers < 1:
+                raise ValueError("COD declares zero layers")
+            nlayers = layers
+            if mct not in (0, 1):
+                raise ValueError(f"bad COD MCT flag {mct}")
+            use_mct = mct == 1
             levels = seg[5]
             xcb, ycb, cstyle, transform = seg[6], seg[7], seg[8], seg[9]
             if cstyle != 0:
@@ -1390,7 +1512,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         tw, th = min(xt, w - tx0), min(yt, h - ty0)
         planes = _decode_tile(
             body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
-            exps, mants, guard, depth, signed, irreversible,
+            exps, mants, guard, depth, signed, irreversible, use_mct, nlayers,
         )
         for c, cur in enumerate(planes):
             if ncomp == 1:
@@ -1415,9 +1537,18 @@ def _decode_tile(
     depth: int,
     signed: bool,
     irreversible: bool,
+    use_mct: bool = False,
+    nlayers: int = 1,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body (dims = the TILE extent) into
-    reconstructed int64 planes, one per component."""
+    reconstructed int64 planes, one per component.
+
+    Packets are walked in full progression order over (layer, r, c,
+    precinct); per-precinct inclusion/zero-bitplane tag trees and
+    per-block (included, lblock) state persist across layers, and a
+    block's per-layer chunks are concatenated and tier-1-decoded once
+    with its total pass count after all packets are read — so any layer
+    partition of a block's codeword segment reconstructs identically."""
     band_res = _subband_dims(w, h, levels)
     res_dims = _resolution_dims(w, h, levels)
     layouts = [
@@ -1433,40 +1564,73 @@ def _decode_tile(
         ]
         for _ in range(ncomp)
     ]
+    states: dict = {}  # (r, c, k) -> per-band [(inc, zb, {(bx,by): blkstate})]
+    blocks_seen: list = []
     p = 0
-    for r, c, k in _packet_order(
-        prog_order, levels, pp_list, res_dims, w, h, ncomp
+    for l, r, c, k in _packet_order(
+        prog_order, levels, pp_list, res_dims, w, h, ncomp, nlayers
     ):
         precinct = layouts[r][k]
+        st = states.get((r, c, k))
+        if st is None:
+            st = []
+            for band, nbx, nby, blocks in precinct:
+                if not blocks:
+                    st.append(None)
+                    continue
+                bst = {}
+                for bx, by, x0, y0, cw, ch in blocks:
+                    bst[(bx, by)] = {
+                        "included": False, "lblock": 3, "npass": 0,
+                        "chunks": [], "zbp": 0, "band": band, "r": r, "c": c,
+                        "x0": x0, "y0": y0, "cw": cw, "ch": ch,
+                    }
+                    blocks_seen.append(bst[(bx, by)])
+                st.append(
+                    (_TagTree(nbx, nby, encoder=False),
+                     _TagTree(nbx, nby, encoder=False), bst)
+                )
+            states[(r, c, k)] = st
         br = _HdrReader(body, p)
         todo = []
         if br.get():
-            for band, nbx, nby, blocks in precinct:
-                if not blocks:
+            for bandst, (band, nbx, nby, blocks) in zip(st, precinct):
+                if bandst is None:
                     continue
-                inc = _TagTree(nbx, nby, encoder=False)
-                zb = _TagTree(nbx, nby, encoder=False)
+                inc, zb, bst = bandst
                 for bx, by, x0, y0, cw, ch in blocks:
-                    if not inc.decode(br, bx, by, 1):
-                        continue
-                    t = 1
-                    while not zb.decode(br, bx, by, t):
-                        t += 1
-                    zbp = zb.value(bx, by)
-                    npass = _npasses_read(br)
-                    lblock = 3
+                    s = bst[(bx, by)]
+                    if not s["included"]:
+                        if not inc.decode(br, bx, by, l + 1):
+                            continue
+                        t = 1
+                        while not zb.decode(br, bx, by, t):
+                            t += 1
+                        s["zbp"] = zb.value(bx, by)
+                        s["included"] = True
+                    else:
+                        if not br.get():
+                            continue
+                    npass_l = _npasses_read(br)
                     while br.get():
-                        lblock += 1
-                    dlen = br.get_bits(lblock + npass.bit_length() - 1)
-                    todo.append((band, x0, y0, cw, ch, dlen, npass, zbp))
+                        s["lblock"] += 1
+                    dlen = br.get_bits(s["lblock"] + npass_l.bit_length() - 1)
+                    s["npass"] += npass_l
+                    todo.append((s, dlen))
         p = br.align()
-        for band, x0, y0, cw, ch, dlen, npass, zbp in todo:
-            mb = guard + exps[_qcd_index(band_res, r, band)] - 1
-            data = body[p : p + dlen]
+        for s, dlen in todo:
+            s["chunks"].append(body[p : p + dlen])
             p += dlen
-            arrs[c][r][band][y0 : y0 + ch, x0 : x0 + cw] = _t1_decode(
-                data, ch, cw, band, mb - zbp, npass
-            )
+    for s in blocks_seen:
+        if s["npass"] == 0:
+            continue
+        band = s["band"]
+        mb = guard + exps[_qcd_index(band_res, s["r"], band)] - 1
+        arrs[s["c"]][s["r"]][band][
+            s["y0"] : s["y0"] + s["ch"], s["x0"] : s["x0"] + s["cw"]
+        ] = _t1_decode(
+            b"".join(s["chunks"]), s["ch"], s["cw"], band, mb - s["zbp"], s["npass"]
+        )
 
     dims_chain = []
     cw, ch = w, h
@@ -1498,6 +1662,14 @@ def _decode_tile(
             cur = inv(
                 cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")], oh, ow
             )
+        planes.append(cur)
+    if use_mct:  # inverse component transform before the level un-shift
+        if ncomp < 3:
+            raise ValueError("COD declares MCT but SIZ has fewer than 3 components")
+        xf = _ict_inv if irreversible else _rct_inv
+        planes[0], planes[1], planes[2] = xf(planes[0], planes[1], planes[2])
+    out = []
+    for cur in planes:
         if not signed:
             cur = cur + (1 << (depth - 1))
         if irreversible:
@@ -1508,8 +1680,8 @@ def _decode_tile(
                 else (0, (1 << depth) - 1)
             )
             cur = np.clip(cur, lo, hi)
-        planes.append(cur)
-    return planes
+        out.append(cur)
+    return out
 
 
 # ---------------------------------------------------------------------------

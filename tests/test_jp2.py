@@ -189,15 +189,12 @@ def test_jp2_structure_and_unsupported_styles():
     b97[cod_at + 13] = 0  # SPcod transform: 0 = irreversible 9/7
     with pytest.raises(NotImplementedError, match="9/7"):
         jp2_decode(bytes(b97))
-    # genuinely unsupported styles stay descriptive errors
-    bml = bytearray(buf)
-    bml[cod_at + 7] = 2  # SGcod layers low byte: 2 quality layers
-    with pytest.raises(NotImplementedError, match="layer"):
-        jp2_decode(bytes(bml))
+    # MCT declared on a 1-component stream is inconsistent, not a decode
     bmct = bytearray(buf)
     bmct[cod_at + 8] = 1  # SGcod MCT byte
-    with pytest.raises(NotImplementedError, match="MCT"):
+    with pytest.raises(ValueError, match="MCT"):
         jp2_decode(bytes(bmct))
+    # genuinely unsupported styles stay descriptive errors
     bcs = bytearray(buf)
     bcs[cod_at + 12] = 1  # SPcod code-block style: bypass
     with pytest.raises(NotImplementedError, match="style"):
@@ -436,3 +433,47 @@ def test_jp2_53_rows_parity_with_scalar_reference():
             np.testing.assert_array_equal(s1, s_v[y])
             np.testing.assert_array_equal(d1, d_v[y])
         np.testing.assert_array_equal(_inv53_rows(s_v, d_v, n), a)
+
+
+def test_jp2_mct_and_multilayer():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 4096, (67, 90)).astype(np.int64)
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.int64)
+
+    # RCT (reversible MCT): bit-exact, incl. tiles and signed input
+    np.testing.assert_array_equal(
+        jp2_decode(jp2_encode(rgb, levels=3, cblk=32, mct=True)), rgb
+    )
+    s = rng.integers(-128, 128, (40, 40, 3)).astype(np.int64)
+    np.testing.assert_array_equal(jp2_decode(jp2_encode(s, levels=2, mct=True)), s)
+
+    # ICT (irreversible MCT): bounded error
+    b = jp2_encode(rgb, levels=2, irreversible=True, quant_step=1.0, mct=True)
+    assert np.abs(jp2_decode(b) - rgb).max() <= 8
+
+    # multi-layer: decoding all layers == single-layer reconstruction
+    for L in (2, 3, 8):
+        np.testing.assert_array_equal(
+            jp2_decode(jp2_encode(img, levels=3, cblk=32, layers=L)), img
+        )
+    # layers interleave differently under each progression order
+    for prog in range(5):
+        np.testing.assert_array_equal(
+            jp2_decode(jp2_encode(img, levels=2, cblk=16, layers=3, progression=prog)),
+            img,
+        )
+    # the full Cartesian stress: layers x precincts x tiles x MCT x RPCL
+    b = jp2_encode(
+        rgb, levels=2, cblk=16, layers=4, tile=(32, 32),
+        precincts=[(3, 3), (4, 4), (4, 4)], mct=True, progression=2,
+    )
+    np.testing.assert_array_equal(jp2_decode(b), rgb)
+    # more layers than any block has passes (some layers get 0-pass,
+    # 0-byte contributions; late first-inclusion thresholds)
+    flat = np.full((40, 40), 7, np.int64)
+    flat[20:, :] = 900
+    np.testing.assert_array_equal(
+        jp2_decode(jp2_encode(flat, levels=2, cblk=16, layers=12)), flat
+    )
