@@ -234,7 +234,9 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
     if fmt in ("mp3", "wav", "flac"):
         raise NotImplementedError(
             f"audio fmt={fmt!r}: sample decode needs a codec library this "
-            "container lacks; container/frame METADATA extraction is real — "
+            "container lacks (and ships no validator to pin a from-scratch "
+            "decoder against — see COVERAGE.md round-6 note); container/"
+            "frame METADATA extraction is real — "
             "sources/media.parse_mp3_metadata / media_metadata()"
         )
     if fmt in ("mp4", "webm"):
