@@ -11,16 +11,19 @@ decode), MULTIPLE quality layers (per-layer packets with inclusion
 tag-tree thresholds, persistent lblock, second-inclusion signaling —
 B.10.4-8; a block's chunks concatenate across layers before tier-1),
 reversible 5/3 (lossless) or irreversible 9/7 with
-Annex E scalar-expounded quantization (lossy; RGB thumbnails / S2
-previews), 1..255 components (shared depth, 1,1 subsampling), the
+Annex E scalar quantization in BOTH signalings — expounded (style 2,
+per-band steps) and derived (style 1, single step expanded by the
+E.1.1 rule) — plus per-component QCC overrides (lossy; RGB
+thumbnails / S2 previews), 1..255 components (shared depth, 1,1
+subsampling), the
 Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
 MQ arithmetic coding without
 bypass/reset/termall, default OR user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
-Subsampled components, per-component QCC, scalar-derived QCD and
-bypass/termall styles raise descriptive NotImplementedErrors.
+Subsampled components and
+bypass/termall coder styles raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
   * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
@@ -680,6 +683,35 @@ def _quant_step_of(eps: int, mu: int, rb: int) -> float:
     return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
 
 
+def _derived_exps(e0: int, nbands: int) -> list[int]:
+    """Scalar-derived exponent expansion (E.1.1 / E-5): band b (QCD
+    order: LL, then HL/LH/HH per resolution) gets eps_0 − ⌊(b−1)/3⌋,
+    clamped at 0; the mantissa is shared."""
+    return [max(e0 - (0 if b == 0 else (b - 1) // 3), 0) for b in range(nbands)]
+
+
+def _parse_quant(seg: bytes, nbands: int):
+    """Sqcd/Sqcc byte + SPqcd/SPqcc body → (guard, exps, mants).
+    Styles: 0 = no quantization (reversible, per-band exponents),
+    1 = scalar derived (single (eps, mu) expanded per _derived_exps),
+    2 = scalar expounded (per-band (eps, mu))."""
+    s = seg[0]
+    guard = s >> 5
+    style = s & 0x1F
+    if style == 0:
+        return guard, [b >> 3 for b in seg[1:]], None
+    if style == 1:
+        (v,) = struct.unpack(">H", seg[1:3])
+        return guard, _derived_exps(v >> 11, nbands), [v & 0x7FF] * nbands
+    if style == 2:
+        vals = [
+            struct.unpack(">H", seg[1 + 2 * i : 3 + 2 * i])[0]
+            for i in range((len(seg) - 1) // 2)
+        ]
+        return guard, [v >> 11 for v in vals], [v & 0x7FF for v in vals]
+    raise ValueError(f"bad quantization style {style}")
+
+
 # ---------------------------------------------------------------------------
 # multiple-component transforms (T.800 Annex G): RCT pairs with 5/3
 # (reversible ints), ICT with 9/7 (floats). Applied after DC level shift,
@@ -1063,6 +1095,7 @@ def jp2_encode(
     tile: tuple[int, int] | None = None,
     mct: bool = False,
     layers: int = 1,
+    quant_style: str = "expounded",
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
@@ -1072,9 +1105,13 @@ def jp2_encode(
     independently, the RGB-thumbnail / multi-band shape).
     irreversible=False → reversible 5/3, lossless.
     irreversible=True → 9/7 wavelet + Annex E scalar quantization with
-    absolute step `quant_step` in every band (QCD style 2, expounded);
-    reconstruction error is bounded by the step (r=0.5 midpoint
-    dequantization on decode).
+    absolute step `quant_step` in every band; reconstruction error is
+    bounded by the step (r=0.5 midpoint dequantization on decode).
+    quant_step may be a scalar (shared) or a per-component sequence —
+    differing components get QCC override markers (the MCT-chroma
+    shape). quant_style picks the QCD signaling: 'expounded' (per-band
+    (eps, mu), style 2) or 'derived' (single (eps, mu) expanded by the
+    E.1.1 rule, style 1 — what Kakadu-family encoders emit).
 
     precincts: optional per-resolution (PPx, PPy) exponents (levels + 1
     entries, r=0 first) → user-defined precinct partitions (COD Scod bit
@@ -1184,43 +1221,68 @@ def jp2_encode(
     # per-block slack either way). Band STRUCTURE (count/order) is tile-
     # independent; only dims vary, so the first tile indexes the QCD.
     band_res0 = _subband_dims(tiles[0][2], tiles[0][3], levels)
+    band_seq = []  # QCD-ordered (lvl, band) pairs
+    for r, bands in enumerate(band_res0):
+        lvl = levels if r == 0 else levels - r + 1
+        band_seq.extend((lvl, band) for band, _, _ in bands)
     if irreversible:
-        qparams = []
+        steps_by_c = (
+            list(quant_step)
+            if isinstance(quant_step, (list, tuple))
+            else [quant_step] * ncomp
+        )
+        if len(steps_by_c) != ncomp:
+            raise ValueError("quant_step sequence needs one entry per component")
+        if quant_style not in ("expounded", "derived"):
+            raise ValueError("quant_style must be 'expounded' or 'derived'")
+        qparams_by_c = []  # per comp: (exps, mants, SPqcd/SPqcc body bytes)
         guard_need = 1
-        for r, bands in enumerate(band_res0):
-            lvl = levels if r == 0 else levels - r + 1
-            for band, _, _ in bands:
+        for c in range(ncomp):
+            if quant_style == "derived":
+                e0, m0 = _quant_params(steps_by_c[c], depth)  # LL gain is 0
+                exps_c = _derived_exps(e0, len(band_seq))
+                mants_c = [m0] * len(band_seq)
+                spq = struct.pack(">H", (e0 << 11) | m0)
+            else:
+                exps_c, mants_c = [], []
+                for lvl, band in band_seq:
+                    e, m = _quant_params(steps_by_c[c], depth + _GAIN97[band])
+                    exps_c.append(e)
+                    mants_c.append(m)
+                spq = b"".join(
+                    struct.pack(">H", (e << 11) | m)
+                    for e, m in zip(exps_c, mants_c)
+                )
+            for b, (lvl, band) in enumerate(band_seq):
                 rb = depth + _GAIN97[band]
-                eps_b, mu_b = _quant_params(quant_step, rb)
-                step = _quant_step_of(eps_b, mu_b, rb)
+                step = _quant_step_of(exps_c[b], mants_c[b], rb)
                 maxq = 0
                 for subs_by_c in subs_by_tile:
-                    for subs in subs_by_c:
-                        arr = subs[(lvl, band)]
-                        q = np.trunc(arr / step).astype(np.int64)
-                        subs[(lvl, band)] = q
-                        if q.size:
-                            maxq = max(maxq, int(np.abs(q).max()))
-                qparams.append((eps_b, mu_b))
-                guard_need = max(guard_need, maxq.bit_length() - eps_b + 1)
+                    arr = subs_by_c[c][(lvl, band)]
+                    q = np.trunc(arr / step).astype(np.int64)
+                    subs_by_c[c][(lvl, band)] = q
+                    if q.size:
+                        maxq = max(maxq, int(np.abs(q).max()))
+                guard_need = max(guard_need, maxq.bit_length() - exps_c[b] + 1)
+            qparams_by_c.append((exps_c, mants_c, spq))
         guard = max(_GUARD, guard_need)
         if guard > 7:
             raise ValueError("quant_step too small for the data's dynamic range")
-        mbs_all = [guard + e - 1 for e, _ in qparams]
+        mbs_by_c = [
+            [guard + e - 1 for e in exps_c] for exps_c, _, _ in qparams_by_c
+        ]
     else:
         guard = _GUARD
         eps = []
-        for r, bands in enumerate(band_res0):
-            lvl = levels if r == 0 else levels - r + 1
-            for band, _, _ in bands:
-                mx = 0
-                for subs_by_c in subs_by_tile:
-                    for subs in subs_by_c:
-                        arr = subs[(lvl, band)]
-                        if arr.size:
-                            mx = max(mx, int(np.abs(arr).max()))
-                eps.append(max(mx.bit_length(), 1))
-        mbs_all = [guard + e - 1 for e in eps]
+        for lvl, band in band_seq:
+            mx = 0
+            for subs_by_c in subs_by_tile:
+                for subs in subs_by_c:
+                    arr = subs[(lvl, band)]
+                    if arr.size:
+                        mx = max(mx, int(np.abs(arr).max()))
+            eps.append(max(mx.bit_length(), 1))
+        mbs_by_c = [[guard + e - 1 for e in eps]] * ncomp
 
     bodies = []
     for (tx0, ty0, tw, th), subs_by_c in zip(tiles, subs_by_tile):
@@ -1231,10 +1293,11 @@ def jp2_encode(
             lvl = levels if r == 0 else levels - r + 1
             ppx, ppy = pp[r]
             rw, rh = res_dims[r]
-            mbs = {
-                band: mbs_all[_qcd_index(band_res, r, band)] for band, _, _ in bands
-            }
             for c, subs in enumerate(subs_by_c):
+                mbs = {
+                    band: mbs_by_c[c][_qcd_index(band_res, r, band)]
+                    for band, _, _ in bands
+                }
                 for k, precinct in enumerate(
                     _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
                 ):
@@ -1269,12 +1332,18 @@ def jp2_encode(
         ">HBBHB", 12 + len(spcod_pp), scod, progression, layers, 1 if mct else 0
     ) + bytes([levels, xcb, xcb, 0, 0 if irreversible else 1]) + spcod_pp
     if irreversible:
-        spqcd = b"".join(
-            struct.pack(">H", (e << 11) | m) for e, m in qparams
-        )
+        style_bits = 1 if quant_style == "derived" else 2
+        spqcd = qparams_by_c[0][2]
         out += b"\xff\x5c" + struct.pack(
-            ">HB", 3 + len(spqcd), (guard << 5) | 2
+            ">HB", 3 + len(spqcd), (guard << 5) | style_bits
         ) + spqcd
+        for c in range(1, ncomp):  # QCC only where the override differs
+            spq = qparams_by_c[c][2]
+            if spq == spqcd:
+                continue
+            out += b"\xff\x5d" + struct.pack(
+                ">HBB", 4 + len(spq), c, (guard << 5) | style_bits
+            ) + spq
     else:
         out += b"\xff\x5c" + struct.pack(">HB", 3 + len(eps), guard << 5) + bytes(
             e << 3 for e in eps
@@ -1407,9 +1476,8 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     irreversible = False
     use_mct = False
     nlayers = 1
-    exps: list[int] | None = None
-    mants: list[int] | None = None
-    guard = 0
+    qcd_seg: bytes | None = None
+    qcc_segs: dict[int, bytes] = {}
     bodies: dict[int, bytes] = {}  # Isot -> concatenated tile-part data
     while pos + 4 <= len(cs):
         marker = cs[pos : pos + 2]
@@ -1465,24 +1533,14 @@ def jp2_decode(buf: bytes) -> np.ndarray:
                 pp = [(b & 0x0F, b >> 4) for b in ppb]
             else:
                 pp = None
-        elif marker == b"\xff\x5c":  # QCD
-            sqcd = seg[0]
-            guard = sqcd >> 5
-            style = sqcd & 0x1F
-            if style == 0:
-                exps = [b >> 3 for b in seg[1:]]
-                mants = None
-            elif style == 2:  # scalar expounded
-                vals = [
-                    struct.unpack(">H", seg[1 + 2 * i : 3 + 2 * i])[0]
-                    for i in range((len(seg) - 1) // 2)
-                ]
-                exps = [v >> 11 for v in vals]
-                mants = [v & 0x7FF for v in vals]
+        elif marker == b"\xff\x5c":  # QCD (parsed after the loop: needs levels)
+            qcd_seg = seg
+        elif marker == b"\xff\x5d":  # QCC per-component override
+            if ncomp < 257:
+                qcc_segs[seg[0]] = seg[1:]
             else:
-                raise NotImplementedError("scalar-derived QCD style")
-        elif marker == b"\xff\x5d":  # QCC
-            raise NotImplementedError("per-component QCC overrides")
+                (cq,) = struct.unpack(">H", seg[:2])
+                qcc_segs[cq] = seg[2:]
         elif marker == b"\xff\x90":  # SOT (tile-parts concatenate per Isot)
             isot, psot, _tp, _tn = struct.unpack(">HIBB", seg[:8])
             sod_at = pos + 2 + ln
@@ -1494,10 +1552,14 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             continue
         pos += 2 + ln
 
-    if None in (w, h, depth, levels, cblk) or exps is None or not bodies:
+    if None in (w, h, depth, levels, cblk) or qcd_seg is None or not bodies:
         raise ValueError("incomplete codestream (missing SIZ/COD/QCD/SOT)")
-    if irreversible and mants is None:
-        raise NotImplementedError("9/7 transform requires expounded QCD steps")
+    nbands = 3 * levels + 1
+    qinfo = []  # per component: (guard, exps, mants)
+    for c in range(ncomp):
+        qinfo.append(_parse_quant(qcc_segs.get(c, qcd_seg), nbands))
+    if irreversible and any(m is None for _, _, m in qinfo):
+        raise NotImplementedError("9/7 transform requires quantized (eps, mu) steps")
 
     pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
     ntx = (w + xt - 1) // xt
@@ -1512,7 +1574,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         tw, th = min(xt, w - tx0), min(yt, h - ty0)
         planes = _decode_tile(
             body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
-            exps, mants, guard, depth, signed, irreversible, use_mct, nlayers,
+            qinfo, depth, signed, irreversible, use_mct, nlayers,
         )
         for c, cur in enumerate(planes):
             if ncomp == 1:
@@ -1531,9 +1593,7 @@ def _decode_tile(
     pp_list: list[tuple[int, int]],
     prog_order: int,
     ncomp: int,
-    exps: list[int],
-    mants: list[int] | None,
-    guard: int,
+    qinfo: list[tuple[int, list[int], list[int] | None]],
     depth: int,
     signed: bool,
     irreversible: bool,
@@ -1625,7 +1685,8 @@ def _decode_tile(
         if s["npass"] == 0:
             continue
         band = s["band"]
-        mb = guard + exps[_qcd_index(band_res, s["r"], band)] - 1
+        guard_c, exps_c, _ = qinfo[s["c"]]
+        mb = guard_c + exps_c[_qcd_index(band_res, s["r"], band)] - 1
         arrs[s["c"]][s["r"]][band][
             s["y0"] : s["y0"] + s["ch"], s["x0"] : s["x0"] + s["cw"]
         ] = _t1_decode(
@@ -1640,6 +1701,7 @@ def _decode_tile(
 
     planes = []
     for c in range(ncomp):
+        _, exps_c, mants_c = qinfo[c]
         subs = {}
         for r, bands in enumerate(band_res):
             lvl = levels if r == 0 else levels - r + 1
@@ -1648,7 +1710,7 @@ def _decode_tile(
                 if irreversible:
                     rb = depth + _GAIN97[band]
                     i = _qcd_index(band_res, r, band)
-                    step = _quant_step_of(exps[i], mants[i], rb)
+                    step = _quant_step_of(exps_c[i], mants_c[i], rb)
                     # midpoint (r=0.5) dequantization
                     subs[(lvl, band)] = np.sign(q) * (np.abs(q) + 0.5) * step * (
                         q != 0

@@ -477,3 +477,44 @@ def test_jp2_mct_and_multilayer():
     np.testing.assert_array_equal(
         jp2_decode(jp2_encode(flat, levels=2, cblk=16, layers=12)), flat
     )
+
+
+def test_jp2_derived_qcd_and_qcc_overrides():
+    import struct
+
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 1024, (60, 60)).astype(np.int64)
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.int64)
+
+    # scalar-derived QCD (style 1): single (eps, mu), bands expanded by
+    # the E.1.1 rule — error scales with the (coarser) derived fine-band
+    # steps; a derivation-rule mismatch between encoder and decoder would
+    # desynchronize mb/zbp and corrupt output by orders of magnitude
+    for qs, bound in ((1.0, 32), (0.25, 8)):
+        b = jp2_encode(
+            img, levels=3, irreversible=True, quant_step=qs, quant_style="derived"
+        )
+        assert np.abs(jp2_decode(b) - img).max() <= bound
+    qat = b.index(b"\xff\x5c")
+    ln, s = struct.unpack(">HB", b[qat + 2 : qat + 5])
+    assert (s & 0x1F) == 1 and ln == 5  # style 1, single 16-bit SPqcd
+
+    # QCC: per-component steps (coarse chroma under MCT) emit overrides
+    b = jp2_encode(
+        rgb, levels=2, irreversible=True, mct=True, quant_step=[0.5, 2.0, 2.0]
+    )
+    assert b"\xff\x5d" in b
+    assert np.abs(jp2_decode(b) - rgb).max() <= 24
+    # equal steps -> no QCC markers
+    assert b"\xff\x5d" not in jp2_encode(
+        rgb, levels=2, irreversible=True, quant_step=[1.0, 1.0, 1.0]
+    )
+    # the stack composes: derived + QCC + layers + tiles
+    b3 = jp2_encode(
+        rgb, levels=2, irreversible=True, quant_step=[0.25, 0.75, 0.75],
+        quant_style="derived", layers=3, tile=(32, 32),
+    )
+    assert b"\xff\x5d" in b3
+    assert np.abs(jp2_decode(b3) - rgb).max() <= 16
