@@ -18,7 +18,9 @@ thumbnails / S2 previews), 1..255 components (shared depth, 1,1
 subsampling), the
 Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
 MQ arithmetic coding without
-bypass/reset/termall, default OR user-defined precinct partitions
+bypass/reset/termall, rectangular code-blocks (xcb != ycb), SOP
+resync / EPH header-end markers (Scod bits 1/2), default OR
+user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
@@ -982,7 +984,8 @@ def _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh):
     block straddles a precinct (both are power-of-two, anchored grids)."""
     shift = 0 if r == 0 else 1
     bpw, bph = 1 << (ppx - shift), 1 << (ppy - shift)
-    cbw, cbh = min(cblk, bpw), min(cblk, bph)
+    cbw0, cbh0 = (cblk, cblk) if isinstance(cblk, int) else cblk
+    cbw, cbh = min(cbw0, bpw), min(cbh0, bph)
     npx = (rw + (1 << ppx) - 1) >> ppx
     npy = (rh + (1 << ppy) - 1) >> ppy
     out = []
@@ -1096,6 +1099,8 @@ def jp2_encode(
     mct: bool = False,
     layers: int = 1,
     quant_style: str = "expounded",
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
@@ -1146,8 +1151,13 @@ def jp2_encode(
     if not 1 <= ncomp <= 255:
         raise ValueError("1..255 components")
     h, w = comps[0].shape
-    if cblk & (cblk - 1) or not 4 <= cblk <= 64:
-        raise ValueError("cblk must be a power of two in [4, 64]")
+    cbw_e, cbh_e = (cblk, cblk) if isinstance(cblk, int) else cblk
+    for v in (cbw_e, cbh_e):
+        if v & (v - 1) or not 4 <= v <= 1024:
+            raise ValueError("code-block dims must be powers of two >= 4")
+    if cbw_e * cbh_e > 4096:
+        raise ValueError("code-block area may not exceed 4096 samples (T.800)")
+    cblk = (cbw_e, cbh_e)
     if precincts is not None:
         if len(precincts) != levels + 1:
             raise ValueError("precincts needs levels + 1 (PPx, PPy) entries")
@@ -1313,10 +1323,14 @@ def jp2_encode(
                         coded_bands.append((band, nbx, nby, coded))
                     states[(r, c, k)] = _PrecinctEncState(coded_bands, layers)
         body = bytearray()
+        nsop = 0
         for l, r, c, k in _packet_order(
             progression, levels, pp, res_dims, tw, th, ncomp, layers
         ):
-            body += states[(r, c, k)].emit(l)
+            if sop:  # A.8.1: 6-byte SOP with a mod-65536 packet counter
+                body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
+                nsop += 1
+            body += states[(r, c, k)].emit(l, eph)
         bodies.append(bytes(body))
 
     out = bytearray()
@@ -1325,12 +1339,13 @@ def jp2_encode(
     out += b"\xff\x51" + struct.pack(
         ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + bytes([ssiz, 1, 1] * ncomp)
-    xcb = cblk.bit_length() - 3  # log2(cblk) - 2
-    scod = 1 if precincts is not None else 0
+    xcb = cblk[0].bit_length() - 3  # log2(cbw) - 2
+    ycb = cblk[1].bit_length() - 3
+    scod = (1 if precincts is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
     out += b"\xff\x52" + struct.pack(
         ">HBBHB", 12 + len(spcod_pp), scod, progression, layers, 1 if mct else 0
-    ) + bytes([levels, xcb, xcb, 0, 0 if irreversible else 1]) + spcod_pp
+    ) + bytes([levels, xcb, ycb, 0, 0 if irreversible else 1]) + spcod_pp
     if irreversible:
         style_bits = 1 if quant_style == "derived" else 2
         spqcd = qparams_by_c[0][2]
@@ -1405,7 +1420,7 @@ class _PrecinctEncState:
             zb.finalize()
             self.bands.append((inc, zb, blocks))
 
-    def emit(self, layer: int) -> bytes:
+    def emit(self, layer: int, eph: bool = False) -> bytes:
         bw = _HdrWriter()
         chunks = []
         nonempty = any(
@@ -1437,7 +1452,8 @@ class _PrecinctEncState:
                     bw.put(0)
                     bw.put_bits(len(chunk), nbits)
                     chunks.append(chunk)
-        return bw.flush() + b"".join(chunks)
+        # EPH terminates the packet HEADER (A.8.2), before the bodies
+        return bw.flush() + (b"\xff\x92" if eph else b"") + b"".join(chunks)
 
 
 def jp2_decode(buf: bytes) -> np.ndarray:
@@ -1475,6 +1491,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     signed = False
     irreversible = False
     use_mct = False
+    use_sop = use_eph = False
     nlayers = 1
     qcd_seg: bytes | None = None
     qcc_segs: dict[int, bytes] = {}
@@ -1507,8 +1524,10 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         elif marker == b"\xff\x52":  # COD
             scod = seg[0]
             prog, layers, mct = struct.unpack(">BHB", seg[1:5])
-            if scod & ~0x01:
-                raise NotImplementedError("SOP/EPH COD styles")
+            if scod & ~0x07:
+                raise ValueError(f"bad COD Scod flags {scod:#x}")
+            use_sop = bool(scod & 0x02)
+            use_eph = bool(scod & 0x04)
             if prog > 4:
                 raise ValueError(f"bad progression order {prog}")
             prog_order = prog
@@ -1525,9 +1544,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
                     "code-block style flags (bypass/reset/termall/causal/...)"
                 )
             irreversible = transform == 0
-            if xcb != ycb:
-                raise NotImplementedError("non-square code-blocks")
-            cblk = 1 << (xcb + 2)
+            cblk = (1 << (xcb + 2), 1 << (ycb + 2))  # rectangular allowed
             if scod & 0x01:
                 ppb = seg[10 : 10 + levels + 1]
                 pp = [(b & 0x0F, b >> 4) for b in ppb]
@@ -1575,6 +1592,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         planes = _decode_tile(
             body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
             qinfo, depth, signed, irreversible, use_mct, nlayers,
+            use_sop, use_eph,
         )
         for c, cur in enumerate(planes):
             if ncomp == 1:
@@ -1599,6 +1617,8 @@ def _decode_tile(
     irreversible: bool,
     use_mct: bool = False,
     nlayers: int = 1,
+    use_sop: bool = False,
+    use_eph: bool = False,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body (dims = the TILE extent) into
     reconstructed int64 planes, one per component.
@@ -1651,6 +1671,8 @@ def _decode_tile(
                      _TagTree(nbx, nby, encoder=False), bst)
                 )
             states[(r, c, k)] = st
+        if use_sop and body[p : p + 2] == b"\xff\x91":
+            p += 6  # SOP resync marker (Lsop=4 + Nsop) before the packet
         br = _HdrReader(body, p)
         todo = []
         if br.get():
@@ -1678,6 +1700,10 @@ def _decode_tile(
                     s["npass"] += npass_l
                     todo.append((s, dlen))
         p = br.align()
+        if use_eph:
+            if body[p : p + 2] != b"\xff\x92":
+                raise ValueError("EPH declared but missing after packet header")
+            p += 2
         for s, dlen in todo:
             s["chunks"].append(body[p : p + dlen])
             p += dlen

@@ -518,3 +518,28 @@ def test_jp2_derived_qcd_and_qcc_overrides():
     )
     assert b"\xff\x5d" in b3
     assert np.abs(jp2_decode(b3) - rgb).max() <= 16
+
+
+def test_jp2_sop_eph_and_rect_codeblocks():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 4096, (67, 90)).astype(np.int64)
+
+    # SOP resync + EPH header-end markers (Scod bits 1/2 — the Kakadu/
+    # openjpeg error-resilience shape): present in the stream, decode
+    # bit-exact, and compose with layers/tiles/precincts/PCRL
+    b = jp2_encode(img, levels=3, cblk=32, sop=True, eph=True)
+    assert b"\xff\x91" in b and b"\xff\x92" in b
+    np.testing.assert_array_equal(jp2_decode(b), img)
+    b = jp2_encode(
+        img, levels=2, cblk=16, sop=True, eph=True, layers=3,
+        tile=(48, 40), precincts=[(3, 3), (4, 4), (4, 4)], progression=3,
+    )
+    np.testing.assert_array_equal(jp2_decode(b), img)
+
+    # rectangular code-blocks (xcb != ycb), incl. the extreme 1024x4
+    for cb in ((64, 16), (8, 32), (1024, 4)):
+        np.testing.assert_array_equal(jp2_decode(jp2_encode(img, levels=3, cblk=cb)), img)
+    with pytest.raises(ValueError, match="4096"):
+        jp2_encode(img, cblk=(1024, 8))
