@@ -17,15 +17,18 @@ E.1.1 rule) — plus per-component QCC overrides (lossy; RGB
 thumbnails / S2 previews), 1..255 components (shared depth, 1,1
 subsampling), the
 Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
-MQ arithmetic coding without
-bypass/reset/termall, rectangular code-blocks (xcb != ycb), SOP
+MQ arithmetic coding WITH the termall (per-pass codeword termination)
+and selective-bypass (raw SPP/MRP from the 5th bit-plane) code-block
+styles — per-segment packet lengths, context carry-over across segment
+restarts, layers snapped to segment boundaries —
+rectangular code-blocks (xcb != ycb), SOP
 resync / EPH header-end markers (Scod bits 1/2), default OR
 user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
-Subsampled components and
-bypass/termall coder styles raise descriptive NotImplementedErrors.
+Subsampled components and the reset/causal/predterm/segsym coder
+flags raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
   * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
@@ -97,10 +100,12 @@ def _init_states() -> list[list[int]]:
 
 class MQEncoder:
     """Annex C encoder (C.10 flowcharts). `out[0]` is the BPST−1 dummy
-    byte, dropped at flush."""
+    byte, dropped at flush. Pass `ctx` to continue another segment's
+    context states across a codeword-segment termination (termall/
+    bypass restart the MQ codeword but NOT the probability contexts)."""
 
-    def __init__(self) -> None:
-        self.ctx = _init_states()
+    def __init__(self, ctx: list | None = None) -> None:
+        self.ctx = _init_states() if ctx is None else ctx
         self.a = 0x8000
         self.c = 0
         self.ct = 12
@@ -181,10 +186,11 @@ class MQEncoder:
 
 class MQDecoder:
     """Annex C decoder; past end-of-data it synthesizes 0xFF bytes (the
-    spec's marker-found path), so truncated-at-flush streams decode."""
+    spec's marker-found path), so truncated-at-flush streams decode.
+    Pass `ctx` to continue context states across segment restarts."""
 
-    def __init__(self, data: bytes) -> None:
-        self.ctx = _init_states()
+    def __init__(self, data: bytes, ctx: list | None = None) -> None:
+        self.ctx = _init_states() if ctx is None else ctx
         self.data = data
         self.bp = 0
         b0 = data[0] if data else 0xFF
@@ -346,9 +352,28 @@ class _T1:
         self.coefs = coefs  # encoder: signed coefficients
         self.mag = mag      # decoder: magnitude accumulator
         self.p = 0          # decoder: current plane
+        self.is_enc = coefs is not None
+        self.raw = None     # raw (bypass) bit coder for the current pass
 
     def code_sig(self, y: int, x: int) -> None:
         blk = self.blk
+        if self.raw is not None:
+            # bypass SPP (D.6): significance and sign are raw bits, no
+            # context modeling, sign unpredicted (0 = positive)
+            if self.is_enc:
+                bit = int(self.bitp[y, x])
+                self.raw.put(bit)
+                if bit:
+                    s = 1 if self.coefs[y, x] < 0 else 0
+                    self.raw.put(s)
+                    blk.set_sig(y, x, bool(s))
+            else:
+                bit = self.raw.get()
+                if bit:
+                    s = self.raw.get()
+                    self.mag[y, x] = 1 << self.p
+                    blk.set_sig(y, x, bool(s))
+            return
         hc, vc, dc = blk.neighbors(y, x)
         cx = _zc_context(hc, vc, dc, blk.band)
         if self.enc is not None:
@@ -389,6 +414,14 @@ class _T1:
             for x in range(blk.w):
                 for y in range(y0, y0 + sh):
                     if not blk.sig[y + 1, x + 1] or blk.pi[y, x]:
+                        continue
+                    if self.raw is not None:  # bypass MRP: raw refinement bit
+                        if self.is_enc:
+                            self.raw.put(int(self.bitp[y, x]))
+                        elif self.raw.get():
+                            self.mag[y, x] |= 1 << self.p
+                        blk.refined[y, x] = 1
+                        blk.pi[y, x] = 1
                         continue
                     if blk.refined[y, x]:
                         cx = 16
@@ -490,6 +523,127 @@ def tier1_decode(
                 break
         t1.cp()
         left -= 1
+        t1.blk.pi[:] = 0
+        p -= 1
+        first = False
+    blk = t1.blk
+    sgn = blk.sgn[1 : h + 1, 1 : w + 1].astype(np.int64)
+    return mag * np.where(sgn == 0, 1, sgn)
+
+
+# ---------------------------------------------------------------------------
+# termall / bypass coder styles (COD SPcod style bits 0x04 / 0x01):
+# the codeword is split into terminated segments — every pass its own
+# segment under termall; under bypass the SPP/MRP passes from the 5th
+# bit-plane (pass index >= 10) are coded as RAW bits (same stuffing
+# discipline as packet headers, so _HdrWriter/_HdrReader ARE the raw
+# coder) with segment breaks at each MQ<->raw transition. MQ probability
+# contexts persist across segment restarts (no reset flag support).
+# ---------------------------------------------------------------------------
+
+
+def _pass_kind(idx: int) -> str:
+    return "cp" if idx == 0 else ("spp", "mrp", "cp")[(idx - 1) % 3]
+
+
+def _pass_is_raw(idx: int, bypass: bool) -> bool:
+    return bypass and idx >= 10 and _pass_kind(idx) != "cp"
+
+
+def _segment_break(idx: int, termall: bool, bypass: bool) -> bool:
+    """True iff a codeword-segment boundary follows pass `idx`."""
+    return termall or _pass_is_raw(idx, bypass) != _pass_is_raw(idx + 1, bypass)
+
+
+def _segment_pass_counts(start: int, n: int, termall: bool, bypass: bool):
+    """Segment pass-counts for passes [start, start+n) — the decoder's
+    twin of the encoder's close-segment rule, used to parse per-segment
+    lengths out of packet headers."""
+    out = []
+    cur = 0
+    for i in range(start, start + n):
+        cur += 1
+        if i == start + n - 1 or _segment_break(i, termall, bypass):
+            out.append(cur)
+            cur = 0
+    return out
+
+
+def tier1_encode_segmented(
+    coefs: np.ndarray, band: str, termall: bool, bypass: bool
+) -> tuple[list, int, int]:
+    """Encode one code-block under termall/bypass: returns
+    (segments [(bytes, npasses)], total_passes, num_bitplanes)."""
+    h, w = coefs.shape
+    mag = np.abs(coefs).astype(np.int64)
+    maxmag = int(mag.max()) if mag.size else 0
+    if maxmag == 0:
+        return [], 0, 0
+    nplanes = maxmag.bit_length()
+    ctx = _init_states()
+    t1 = _T1(h, w, band, coefs=coefs)
+    segments: list = []
+    cur = None
+    cur_raw = False
+    cur_np = 0
+    idx = 0
+    for p in range(nplanes - 1, -1, -1):
+        t1.bitp = ((mag >> p) & 1).astype(np.uint8)
+        for kind in (("cp",) if p == nplanes - 1 else ("spp", "mrp", "cp")):
+            is_raw = _pass_is_raw(idx, bypass)
+            if cur is None:
+                cur = _HdrWriter() if is_raw else MQEncoder(ctx=ctx)
+                cur_raw = is_raw
+            t1.raw = cur if is_raw else None
+            t1.enc = None if is_raw else cur
+            getattr(t1, kind)()
+            cur_np += 1
+            if _segment_break(idx, termall, bypass):
+                segments.append((cur.flush(), cur_np))
+                cur = None
+                cur_np = 0
+            idx += 1
+        t1.blk.pi[:] = 0
+    if cur is not None:
+        segments.append((cur.flush(), cur_np))
+    return segments, idx, nplanes
+
+
+def tier1_decode_segmented(
+    segs: list, h: int, w: int, band: str, nplanes: int, npasses: int,
+    termall: bool, bypass: bool,
+) -> np.ndarray:
+    """Decode a code-block delivered as terminated segments
+    [(bytes, npasses)] (must partition `npasses` at the rule's
+    boundaries — _segment_pass_counts produces exactly that)."""
+    mag = np.zeros((h, w), np.int64)
+    if npasses == 0 or nplanes <= 0:
+        return mag
+    ctx = _init_states()
+    t1 = _T1(h, w, band, mag=mag)
+    seg_i = 0
+    seg_left = 0
+    cur = None
+    idx = 0
+    left = npasses
+    p = nplanes - 1
+    first = True
+    while left > 0 and p >= 0:
+        t1.p = p
+        for kind in (("cp",) if first else ("spp", "mrp", "cp")):
+            if left == 0:
+                break
+            is_raw = _pass_is_raw(idx, bypass)
+            if seg_left == 0:
+                data, seg_left = segs[seg_i]
+                seg_i += 1
+                cur = _HdrReader(data, 0) if is_raw else MQDecoder(data, ctx=ctx)
+            t1.raw = cur if is_raw else None
+            t1.dec = None if is_raw else cur
+            getattr(t1, kind)()
+            left -= 1
+            seg_left -= 1
+            idx += 1
         t1.blk.pi[:] = 0
         p -= 1
         first = False
@@ -1101,6 +1255,8 @@ def jp2_encode(
     quant_style: str = "expounded",
     sop: bool = False,
     eph: bool = False,
+    termall: bool = False,
+    bypass: bool = False,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
@@ -1316,12 +1472,18 @@ def jp2_encode(
                         arr = subs[(lvl, band)]
                         coded = []
                         for bx, by, x0, y0, cw, ch in blocks:
-                            data, npass, nplanes = _t1_encode(
-                                arr[y0 : y0 + ch, x0 : x0 + cw], band
-                            )
+                            blkc = arr[y0 : y0 + ch, x0 : x0 + cw]
+                            if termall or bypass:
+                                data, npass, nplanes = tier1_encode_segmented(
+                                    blkc, band, termall, bypass
+                                )
+                            else:
+                                data, npass, nplanes = _t1_encode(blkc, band)
                             coded.append((bx, by, data, npass, mbs[band] - nplanes))
                         coded_bands.append((band, nbx, nby, coded))
-                    states[(r, c, k)] = _PrecinctEncState(coded_bands, layers)
+                    states[(r, c, k)] = _PrecinctEncState(
+                        coded_bands, layers, termall, bypass
+                    )
         body = bytearray()
         nsop = 0
         for l, r, c, k in _packet_order(
@@ -1343,9 +1505,10 @@ def jp2_encode(
     ycb = cblk[1].bit_length() - 3
     scod = (1 if precincts is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
+    cstyle = (1 if bypass else 0) | (4 if termall else 0)
     out += b"\xff\x52" + struct.pack(
         ">HBBHB", 12 + len(spcod_pp), scod, progression, layers, 1 if mct else 0
-    ) + bytes([levels, xcb, ycb, 0, 0 if irreversible else 1]) + spcod_pp
+    ) + bytes([levels, xcb, ycb, cstyle, 0 if irreversible else 1]) + spcod_pp
     if irreversible:
         style_bits = 1 if quant_style == "derived" else 2
         spqcd = qparams_by_c[0][2]
@@ -1389,6 +1552,23 @@ def _layer_split(data: bytes, npass: int, nlayers: int):
     return parts
 
 
+def _layer_split_segments(segments, nlayers: int):
+    """Assign whole terminated segments [(bytes, npasses)] to layers,
+    pass counts as even as possible (termall/bypass layer boundaries must
+    land on segment boundaries — a codeword segment cannot span layers)."""
+    total = sum(n for _, n in segments)
+    parts: list = [[] for _ in range(nlayers)]
+    si = 0
+    acc = 0
+    for l in range(nlayers):
+        target = total if l == nlayers - 1 else total * (l + 1) // nlayers
+        while si < len(segments) and acc < target:
+            parts[l].append(segments[si])
+            acc += segments[si][1]
+            si += 1
+    return parts
+
+
 class _PrecinctEncState:
     """Per-precinct packet emitter across layers: the inclusion/zero-
     bitplane tag trees and per-block lblock state persist from layer to
@@ -1396,8 +1576,11 @@ class _PrecinctEncState:
     packet bytes exactly (inclusion value = first contributing layer, 0,
     or L for never-included blocks — threshold 1 sees 0 vs 1)."""
 
-    def __init__(self, coded_bands, nlayers: int) -> None:
+    def __init__(
+        self, coded_bands, nlayers: int, termall: bool = False, bypass: bool = False
+    ) -> None:
         self.nlayers = nlayers
+        self.modes = termall or bypass
         self.bands = []
         for band, nbx, nby, coded in coded_bands:
             if not coded:
@@ -1406,9 +1589,16 @@ class _PrecinctEncState:
             zb = _TagTree(nbx, nby, encoder=True)
             blocks = []
             for bx, by, data, npass, zbp in coded:
-                parts = _layer_split(data, npass, nlayers)
+                if self.modes:
+                    # data is [(segment bytes, seg passes)]: layers snap
+                    # to whole segments, pass counts as even as possible
+                    parts = _layer_split_segments(data, nlayers)
+                else:
+                    parts = _layer_split(data, npass, nlayers)
                 first = next(
-                    (l for l, (p, _) in enumerate(parts) if p > 0), None
+                    (l for l, part in enumerate(parts) if part[0] > 0), None
+                ) if not self.modes else next(
+                    (l for l, segs in enumerate(parts) if segs), None
                 )
                 inc.set_value(bx, by, nlayers if first is None else first)
                 zb.set_value(bx, by, max(zbp, 0))
@@ -1423,16 +1613,26 @@ class _PrecinctEncState:
     def emit(self, layer: int, eph: bool = False) -> bytes:
         bw = _HdrWriter()
         chunks = []
-        nonempty = any(
-            blk["parts"][layer][0] > 0
-            for _, _, blocks in self.bands
-            for blk in blocks
-        )
+        if self.modes:
+            nonempty = any(
+                blk["parts"][layer] for _, _, blocks in self.bands for blk in blocks
+            )
+        else:
+            nonempty = any(
+                blk["parts"][layer][0] > 0
+                for _, _, blocks in self.bands
+                for blk in blocks
+            )
         bw.put(1 if nonempty else 0)
         if nonempty:
             for inc, zb, blocks in self.bands:
                 for blk in blocks:
-                    npass_l, chunk = blk["parts"][layer]
+                    if self.modes:
+                        segs = blk["parts"][layer]
+                        npass_l = sum(n for _, n in segs)
+                    else:
+                        npass_l, chunk = blk["parts"][layer]
+                        segs = [(chunk, npass_l)]
                     if not blk["included"]:
                         inc.encode(bw, blk["bx"], blk["by"], layer + 1)
                         if blk["first"] is None or blk["first"] > layer:
@@ -1444,14 +1644,21 @@ class _PrecinctEncState:
                         if npass_l == 0:
                             continue
                     _npasses_write(bw, npass_l)
-                    nbits = blk["lblock"] + npass_l.bit_length() - 1
-                    while len(chunk) >= (1 << nbits):
+                    # one lblock comma code, then one length per segment
+                    # using lblock + floor(log2(segment passes)) bits each
+                    # (B.10.7.1); the plain case is the 1-segment instance
+                    def _fits(lb):
+                        return all(
+                            len(d) < (1 << (lb + n.bit_length() - 1))
+                            for d, n in segs
+                        )
+                    while not _fits(blk["lblock"]):
                         bw.put(1)
                         blk["lblock"] += 1
-                        nbits += 1
                     bw.put(0)
-                    bw.put_bits(len(chunk), nbits)
-                    chunks.append(chunk)
+                    for d, n in segs:
+                        bw.put_bits(len(d), blk["lblock"] + n.bit_length() - 1)
+                        chunks.append(d)
         # EPH terminates the packet HEADER (A.8.2), before the bodies
         return bw.flush() + (b"\xff\x92" if eph else b"") + b"".join(chunks)
 
@@ -1492,6 +1699,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     irreversible = False
     use_mct = False
     use_sop = use_eph = False
+    use_termall = use_bypass = False
     nlayers = 1
     qcd_seg: bytes | None = None
     qcc_segs: dict[int, bytes] = {}
@@ -1539,10 +1747,12 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             use_mct = mct == 1
             levels = seg[5]
             xcb, ycb, cstyle, transform = seg[6], seg[7], seg[8], seg[9]
-            if cstyle != 0:
+            if cstyle & ~0x05:
                 raise NotImplementedError(
-                    "code-block style flags (bypass/reset/termall/causal/...)"
+                    "code-block style flags (reset/causal/predterm/segsym)"
                 )
+            use_bypass = bool(cstyle & 0x01)
+            use_termall = bool(cstyle & 0x04)
             irreversible = transform == 0
             cblk = (1 << (xcb + 2), 1 << (ycb + 2))  # rectangular allowed
             if scod & 0x01:
@@ -1592,7 +1802,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         planes = _decode_tile(
             body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
             qinfo, depth, signed, irreversible, use_mct, nlayers,
-            use_sop, use_eph,
+            use_sop, use_eph, use_termall, use_bypass,
         )
         for c, cur in enumerate(planes):
             if ncomp == 1:
@@ -1619,6 +1829,8 @@ def _decode_tile(
     nlayers: int = 1,
     use_sop: bool = False,
     use_eph: bool = False,
+    use_termall: bool = False,
+    use_bypass: bool = False,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body (dims = the TILE extent) into
     reconstructed int64 planes, one per component.
@@ -1696,28 +1908,49 @@ def _decode_tile(
                     npass_l = _npasses_read(br)
                     while br.get():
                         s["lblock"] += 1
-                    dlen = br.get_bits(s["lblock"] + npass_l.bit_length() - 1)
-                    s["npass"] += npass_l
-                    todo.append((s, dlen))
+                    if use_termall or use_bypass:
+                        # one length per terminated segment (B.10.7.1-2)
+                        counts = _segment_pass_counts(
+                            s["npass"], npass_l, use_termall, use_bypass
+                        )
+                        lens = [
+                            br.get_bits(s["lblock"] + n.bit_length() - 1)
+                            for n in counts
+                        ]
+                        s["npass"] += npass_l
+                        todo.append((s, lens, counts))
+                    else:
+                        dlen = br.get_bits(s["lblock"] + npass_l.bit_length() - 1)
+                        s["npass"] += npass_l
+                        todo.append((s, [dlen], [npass_l]))
         p = br.align()
         if use_eph:
             if body[p : p + 2] != b"\xff\x92":
                 raise ValueError("EPH declared but missing after packet header")
             p += 2
-        for s, dlen in todo:
-            s["chunks"].append(body[p : p + dlen])
-            p += dlen
+        for s, lens, counts in todo:
+            for dlen, n in zip(lens, counts):
+                s["chunks"].append((body[p : p + dlen], n))
+                p += dlen
     for s in blocks_seen:
         if s["npass"] == 0:
             continue
         band = s["band"]
         guard_c, exps_c, _ = qinfo[s["c"]]
         mb = guard_c + exps_c[_qcd_index(band_res, s["r"], band)] - 1
+        if use_termall or use_bypass:
+            dec = tier1_decode_segmented(
+                s["chunks"], s["ch"], s["cw"], band, mb - s["zbp"], s["npass"],
+                use_termall, use_bypass,
+            )
+        else:
+            dec = _t1_decode(
+                b"".join(d for d, _ in s["chunks"]),
+                s["ch"], s["cw"], band, mb - s["zbp"], s["npass"],
+            )
         arrs[s["c"]][s["r"]][band][
             s["y0"] : s["y0"] + s["ch"], s["x0"] : s["x0"] + s["cw"]
-        ] = _t1_decode(
-            b"".join(s["chunks"]), s["ch"], s["cw"], band, mb - s["zbp"], s["npass"]
-        )
+        ] = dec
 
     dims_chain = []
     cw, ch = w, h

@@ -194,9 +194,10 @@ def test_jp2_structure_and_unsupported_styles():
     bmct[cod_at + 8] = 1  # SGcod MCT byte
     with pytest.raises(ValueError, match="MCT"):
         jp2_decode(bytes(bmct))
-    # genuinely unsupported styles stay descriptive errors
+    # genuinely unsupported styles stay descriptive errors (bypass 0x01
+    # and termall 0x04 are implemented now; reset-context 0x02 is not)
     bcs = bytearray(buf)
-    bcs[cod_at + 12] = 1  # SPcod code-block style: bypass
+    bcs[cod_at + 12] = 2  # SPcod code-block style: reset context states
     with pytest.raises(NotImplementedError, match="style"):
         jp2_decode(bytes(bcs))
     with pytest.raises(ValueError, match="SOC"):
@@ -543,3 +544,53 @@ def test_jp2_sop_eph_and_rect_codeblocks():
         np.testing.assert_array_equal(jp2_decode(jp2_encode(img, levels=3, cblk=cb)), img)
     with pytest.raises(ValueError, match="4096"):
         jp2_encode(img, cblk=(1024, 8))
+
+
+def test_jp2_termall_and_bypass_coder_styles():
+    from instageo_e2e_geospatial_ml_spark.jp2 import (
+        jp2_decode,
+        jp2_encode,
+        tier1_decode_segmented,
+        tier1_encode_segmented,
+    )
+
+    rng = np.random.default_rng(7)
+
+    # tier-1 layer: segmented round-trips across block shapes and depths
+    for trial in range(20):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        depth = int(rng.integers(1, 14))
+        coefs = rng.integers(-(1 << depth), 1 << depth, (h, w))
+        band = str(rng.choice(["LL", "HL", "LH", "HH"]))
+        for termall, bypass in ((True, False), (False, True), (True, True)):
+            segs, npass, npl = tier1_encode_segmented(coefs, band, termall, bypass)
+            out = tier1_decode_segmented(segs, h, w, band, npl, npass, termall, bypass)
+            np.testing.assert_array_equal(out, coefs)
+
+    # full codestreams: every style bit combination decodes bit-exact
+    img = rng.integers(0, 4096, (67, 90)).astype(np.int64)
+    for termall, bypass in ((True, False), (False, True), (True, True)):
+        b = jp2_encode(img, levels=3, cblk=32, termall=termall, bypass=bypass)
+        np.testing.assert_array_equal(jp2_decode(b), img)
+
+    # deep bitplanes actually exercise raw (bypass) passes (idx >= 10)
+    deep = rng.integers(-(1 << 13), 1 << 13, (64, 64)).astype(np.int64)
+    np.testing.assert_array_equal(
+        jp2_decode(jp2_encode(deep, levels=2, cblk=64, bypass=True)), deep
+    )
+
+    # the whole stack composes: modes x layers (segment-snapped) x tiles
+    # x precincts x SOP/EPH x MCT x CPRL
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.int64)
+    b = jp2_encode(
+        rgb, levels=2, cblk=16, termall=True, bypass=True, layers=4,
+        tile=(32, 32), precincts=[(3, 3), (4, 4), (4, 4)], mct=True,
+        sop=True, eph=True, progression=4,
+    )
+    np.testing.assert_array_equal(jp2_decode(b), rgb)
+
+    # irreversible + modes: bounded error
+    b = jp2_encode(
+        img, levels=2, irreversible=True, quant_step=0.5, termall=True, bypass=True
+    )
+    assert np.abs(jp2_decode(b) - img).max() <= 4
