@@ -10,6 +10,8 @@ encode/decode duality on random grids, and codestream structure checked
 through parse_jp2_header (which predates the codec).
 """
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -594,3 +596,33 @@ def test_jp2_termall_and_bypass_coder_styles():
         img, levels=2, irreversible=True, quant_step=0.5, termall=True, bypass=True
     )
     assert np.abs(jp2_decode(b) - img).max() <= 4
+
+
+def test_jp2_decoder_robust_to_corruption():
+    # a 100 TB crawl WILL contain truncated/corrupted payloads: the
+    # decoder must fail fast (clean exception) or return an array —
+    # never hang. Deterministic corruption sweep over a real stream.
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4096, (40, 40)).astype(np.int64)
+    buf = bytearray(jp2_encode(img, levels=2, cblk=16, layers=2))
+    outcomes = {"ok": 0, "err": 0}
+    for trial in range(40):
+        b = bytearray(buf)
+        kind = trial % 3
+        if kind == 0:  # truncate
+            b = b[: int(rng.integers(4, len(b)))]
+        elif kind == 1:  # flip a byte
+            i = int(rng.integers(2, len(b) - 2))
+            b[i] ^= int(rng.integers(1, 256))
+        else:  # splice garbage
+            i = int(rng.integers(2, len(b) - 8))
+            b[i : i + 4] = rng.integers(0, 256, 4, dtype=np.uint8).tobytes()
+        try:
+            out = jp2_decode(bytes(b))
+            assert isinstance(out, np.ndarray)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError, struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 40
