@@ -104,3 +104,58 @@ def test_observations_have_golden_mgrs():
     obs = synth.gen_observations_pdf(n_extra_per_tile=5)
     got = obs.head(10)["mgrs_tile_id"].tolist()
     assert got == [g[3] for g in synth.GOLDEN_POINTS]
+
+
+def test_decoders_robust_to_corruption():
+    # crawl-scale ingest sees truncated/flipped payloads in every format:
+    # each decoder must raise cleanly or return data — never hang.
+    # (JP2 has its own sweep in test_jp2.py.)
+    import struct as _struct
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark import codecs
+    from instageo_e2e_geospatial_ml_spark.jpeg import jpeg_decode, jpeg_encode
+    from instageo_e2e_geospatial_ml_spark.webp import webp_decode
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    fixtures = [
+        (jpeg_decode, jpeg_encode(g, quality=85)),
+        (codecs.decode_png_any, codecs.encode_png(g.astype(np.uint16)[None])),
+        (codecs.decode_gif, None),  # gif fixture below if encoder exists
+    ]
+    fixtures = [(d, b) for d, b in fixtures if b is not None]
+    allowed = (
+        ValueError, NotImplementedError, IndexError, KeyError,
+        EOFError, AssertionError, _struct.error, Exception,
+    )
+    # Exception is deliberately broad: ANY clean raise is acceptable —
+    # the assertion this test makes is termination, not error taxonomy
+    for dec, buf in fixtures:
+        for trial in range(25):
+            b = bytearray(buf)
+            kind = trial % 3
+            if kind == 0:
+                b = b[: int(rng.integers(2, len(b)))]
+            elif kind == 1:
+                i = int(rng.integers(0, len(b)))
+                b[i] ^= int(rng.integers(1, 256))
+            else:
+                i = int(rng.integers(0, max(1, len(b) - 6)))
+                b[i : i + 4] = rng.integers(0, 256, 4, dtype=np.uint8).tobytes()
+            try:
+                dec(bytes(b))
+            except allowed:
+                pass
+
+    # webp: flip bytes inside a hand-rolled minimal container too
+    hdr = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8L" + (4).to_bytes(4, "little") + b"\x2f\x00\x00\x00"
+    for trial in range(10):
+        b = bytearray(hdr)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            webp_decode(bytes(b))
+        except allowed:
+            pass
