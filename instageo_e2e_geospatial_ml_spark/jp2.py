@@ -14,8 +14,10 @@ reversible 5/3 (lossless) or irreversible 9/7 with
 Annex E scalar quantization in BOTH signalings — expounded (style 2,
 per-band steps) and derived (style 1, single step expanded by the
 E.1.1 rule) — plus per-component QCC overrides (lossy; RGB
-thumbnails / S2 previews), 1..255 components (shared depth, 1,1
-subsampling), the
+thumbnails / S2 previews), 1..255 components (shared depth) WITH
+XRsiz/YRsiz subsampling (per-component band/precinct grids, ceil-div
+tile boxes, replicate-upsampled output; position-major progressions
+with mixed grids raise — use LRCP/RLCP), the
 Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
 MQ arithmetic coding WITH the termall (per-pass codeword termination)
 and selective-bypass (raw SPP/MRP from the 5th bit-plane) code-block
@@ -27,8 +29,9 @@ user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
-Subsampled components and the reset/causal/predterm/segsym coder
-flags raise descriptive NotImplementedErrors.
+The reset/causal/predterm/segsym coder flags, nonzero image/tile
+offsets, and position-major progressions over mixed subsampling grids
+raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
   * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
@@ -1178,20 +1181,25 @@ def _packet_order(
     current position (B.12.1.3-5 with zero offsets; components share
     XRsiz=YRsiz=1 so their precinct grids coincide)."""
     L = nlayers
-    n_prec = []
-    for r in range(levels + 1):
-        rw, rh = res_dims[r]
-        ppx, ppy = pp[r]
-        n_prec.append(
-            ((rw + (1 << ppx) - 1) >> ppx, (rh + (1 << ppy) - 1) >> ppy)
-        )
+    # res_dims: one shared [(rw, rh)] list, or per-component list-of-lists
+    # (subsampled components have their own precinct grids)
+    by_c = isinstance(res_dims[0], list)
+    rd_c = res_dims if by_c else [res_dims] * ncomp
+    n_prec = []  # [c][r] -> (npx, npy)
+    for c in range(ncomp):
+        row = []
+        for r in range(levels + 1):
+            rw, rh = rd_c[c][r]
+            ppx, ppy = pp[r]
+            row.append(((rw + (1 << ppx) - 1) >> ppx, (rh + (1 << ppy) - 1) >> ppy))
+        n_prec.append(row)
     if prog == 0:  # LRCP: layer → res → comp → precinct
         return [
             (l, r, c, k)
             for l in range(L)
             for r in range(levels + 1)
             for c in range(ncomp)
-            for k in range(n_prec[r][0] * n_prec[r][1])
+            for k in range(n_prec[c][r][0] * n_prec[c][r][1])
         ]
     if prog == 1:  # RLCP: res → layer → comp → precinct
         return [
@@ -1199,8 +1207,14 @@ def _packet_order(
             for r in range(levels + 1)
             for l in range(L)
             for c in range(ncomp)
-            for k in range(n_prec[r][0] * n_prec[r][1])
+            for k in range(n_prec[c][r][0] * n_prec[c][r][1])
         ]
+    if any(n_prec[c] != n_prec[0] for c in range(ncomp)):
+        raise NotImplementedError(
+            "position-major progression (RPCL/PCRL/CPRL) with subsampled "
+            "components — use LRCP/RLCP"
+        )
+    n_prec = n_prec[0]
     if prog == 2:  # RPCL: res → precinct → comp → layer
         return [
             (l, r, c, k)
@@ -1257,6 +1271,7 @@ def jp2_encode(
     eph: bool = False,
     termall: bool = False,
     bypass: bool = False,
+    subsampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
@@ -1296,17 +1311,47 @@ def jp2_encode(
     per-layer packets (inclusion tag-tree thresholds, persistent lblock,
     second-inclusion 1-bit signaling — B.10.4-8); decoding all layers
     reconstructs exactly what layers=1 does."""
-    a = np.asarray(img)
-    if a.ndim == 2:
-        comps = [a]
-    elif a.ndim == 3:
-        comps = [a[:, :, c] for c in range(a.shape[2])]
+    if subsampling is not None:
+        if not isinstance(img, (list, tuple)):
+            raise ValueError(
+                "subsampling takes a LIST of 2-D planes (one per component, "
+                "each at its own resolution)"
+            )
+        comps = [np.asarray(p) for p in img]
+        rs = [tuple(map(int, v)) for v in subsampling]
+        if len(rs) != len(comps):
+            raise ValueError("subsampling needs one (XRsiz, YRsiz) per component")
+        if rs[0] != (1, 1):
+            raise ValueError("component 0 must be full resolution (XRsiz=YRsiz=1)")
+        if mct and any(v != (1, 1) for v in rs):
+            raise ValueError("mct requires same-resolution components")
+        if progression > 1 and any(v != (1, 1) for v in rs):
+            raise NotImplementedError(
+                "position-major progression with subsampled components — "
+                "use LRCP/RLCP"
+            )
+        h, w = comps[0].shape
+        for c, ((xr, yr), p) in enumerate(zip(rs, comps)):
+            if not (1 <= xr <= 255 and 1 <= yr <= 255):
+                raise ValueError("XRsiz/YRsiz must be in [1, 255]")
+            want = ((h + yr - 1) // yr, (w + xr - 1) // xr)
+            if p.shape != want:
+                raise ValueError(
+                    f"component {c} shape {p.shape} != ceil-divided {want}"
+                )
     else:
-        raise ValueError("jp2_encode: (h, w) or (h, w, C) input only")
+        a = np.asarray(img)
+        if a.ndim == 2:
+            comps = [a]
+        elif a.ndim == 3:
+            comps = [a[:, :, c] for c in range(a.shape[2])]
+        else:
+            raise ValueError("jp2_encode: (h, w) or (h, w, C) input only")
+        h, w = comps[0].shape
+        rs = [(1, 1)] * len(comps)
     ncomp = len(comps)
     if not 1 <= ncomp <= 255:
         raise ValueError("1..255 components")
-    h, w = comps[0].shape
     cbw_e, cbh_e = (cblk, cblk) if isinstance(cblk, int) else cblk
     for v in (cbw_e, cbh_e):
         if v & (v - 1) or not 4 <= v <= 1024:
@@ -1352,16 +1397,28 @@ def jp2_encode(
     # per-tile, per-component subband decomposition (each tile is an
     # independent DWT over its own extent — T.800 tiles do not share
     # extension samples)
+    def _comp_tile_box(tx0, ty0, tw, th, xr, yr):
+        """Tile rectangle mapped to a subsampled component's grid
+        (ceil-div of both edges — B.3 with zero offsets)."""
+        cx0, cy0 = -(-tx0 // xr), -(-ty0 // yr)
+        cx1, cy1 = -(-(tx0 + tw) // xr), -(-(ty0 + th) // yr)
+        return cx0, cy0, cx1 - cx0, cy1 - cy0
+
     subs_by_tile = []
+    tile_comp_dims = []  # per tile: [(ctw, cth)] per component
     for tx0, ty0, tw, th in tiles:
         planes = []
-        for comp in comps:
-            coefs = comp[ty0 : ty0 + th, tx0 : tx0 + tw].astype(
+        dims_c = []
+        for comp, (xr, yr) in zip(comps, rs):
+            cx0, cy0, ctw, cth = _comp_tile_box(tx0, ty0, tw, th, xr, yr)
+            dims_c.append((ctw, cth))
+            coefs = comp[cy0 : cy0 + cth, cx0 : cx0 + ctw].astype(
                 np.float64 if irreversible else np.int64
             )
             if not signed:
                 coefs = coefs - (1 << (depth - 1))  # DC level shift
             planes.append(coefs)
+        tile_comp_dims.append(dims_c)
         if mct:
             xf = _ict_fwd if irreversible else _rct_fwd
             planes[0], planes[1], planes[2] = xf(planes[0], planes[1], planes[2])
@@ -1451,17 +1508,19 @@ def jp2_encode(
         mbs_by_c = [[guard + e - 1 for e in eps]] * ncomp
 
     bodies = []
-    for (tx0, ty0, tw, th), subs_by_c in zip(tiles, subs_by_tile):
-        band_res = _subband_dims(tw, th, levels)
-        res_dims = _resolution_dims(tw, th, levels)
+    for (tx0, ty0, tw, th), subs_by_c, dims_c in zip(
+        tiles, subs_by_tile, tile_comp_dims
+    ):
+        band_res_c = [_subband_dims(cw_, ch_, levels) for cw_, ch_ in dims_c]
+        res_dims_c = [_resolution_dims(cw_, ch_, levels) for cw_, ch_ in dims_c]
         states = {}  # (r, c, precinct_index) -> _PrecinctEncState
-        for r, bands in enumerate(band_res):
-            lvl = levels if r == 0 else levels - r + 1
-            ppx, ppy = pp[r]
-            rw, rh = res_dims[r]
-            for c, subs in enumerate(subs_by_c):
+        for c, subs in enumerate(subs_by_c):
+            for r, bands in enumerate(band_res_c[c]):
+                lvl = levels if r == 0 else levels - r + 1
+                ppx, ppy = pp[r]
+                rw, rh = res_dims_c[c][r]
                 mbs = {
-                    band: mbs_by_c[c][_qcd_index(band_res, r, band)]
+                    band: mbs_by_c[c][_qcd_index(band_res_c[c], r, band)]
                     for band, _, _ in bands
                 }
                 for k, precinct in enumerate(
@@ -1487,7 +1546,7 @@ def jp2_encode(
         body = bytearray()
         nsop = 0
         for l, r, c, k in _packet_order(
-            progression, levels, pp, res_dims, tw, th, ncomp, layers
+            progression, levels, pp, res_dims_c, tw, th, ncomp, layers
         ):
             if sop:  # A.8.1: 6-byte SOP with a mod-65536 packet counter
                 body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
@@ -1500,7 +1559,7 @@ def jp2_encode(
     ssiz = (depth - 1) | (0x80 if signed else 0)
     out += b"\xff\x51" + struct.pack(
         ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
-    ) + bytes([ssiz, 1, 1] * ncomp)
+    ) + b"".join(bytes([ssiz, xr, yr]) for xr, yr in rs)
     xcb = cblk[0].bit_length() - 3  # log2(cbw) - 2
     ycb = cblk[1].bit_length() - 3
     scod = (1 if precincts is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -1701,6 +1760,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     use_sop = use_eph = False
     use_termall = use_bypass = False
     nlayers = 1
+    rs: list = []
     qcd_seg: bytes | None = None
     qcc_segs: dict[int, bytes] = {}
     bodies: dict[int, bytes] = {}  # Isot -> concatenated tile-part data
@@ -1719,10 +1779,12 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             w, h = xs, ys
             ncomp = csiz
             ssizs = set()
+            rs = []
             for c in range(csiz):
                 sz, xr, yr = seg[36 + 3 * c : 39 + 3 * c]
-                if (xr, yr) != (1, 1):
-                    raise NotImplementedError("subsampled components (XRsiz/YRsiz != 1)")
+                if xr < 1 or yr < 1:
+                    raise ValueError("XRsiz/YRsiz must be >= 1")
+                rs.append((xr, yr))
                 ssizs.add(sz)
             if len(ssizs) != 1:
                 raise NotImplementedError("components with differing bit depths")
@@ -1789,27 +1851,44 @@ def jp2_decode(buf: bytes) -> np.ndarray:
         raise NotImplementedError("9/7 transform requires quantized (eps, mu) steps")
 
     pp_list = pp if pp is not None else [(15, 15)] * (levels + 1)
+    subsampled = any(v != (1, 1) for v in rs)
+    if subsampled and use_mct:
+        raise NotImplementedError("MCT with subsampled components")
     ntx = (w + xt - 1) // xt
     nty = (h + yt - 1) // yt
-    shape = (h, w) if ncomp == 1 else (h, w, ncomp)
-    out = np.zeros(shape, np.int64 if not irreversible else np.int64)
+    # per-component canvases at the component's own resolution; replicated
+    # to the reference grid at the end (identity when XRsiz=YRsiz=1)
+    canvases = [
+        np.zeros(((h + yr - 1) // yr, (w + xr - 1) // xr), np.int64)
+        for xr, yr in rs
+    ]
     for isot, body in bodies.items():
         if not 0 <= isot < ntx * nty:
             raise ValueError(f"tile index {isot} out of the {ntx}x{nty} grid")
         tx0 = (isot % ntx) * xt
         ty0 = (isot // ntx) * yt
         tw, th = min(xt, w - tx0), min(yt, h - ty0)
+        boxes = []
+        for xr, yr in rs:
+            cx0, cy0 = -(-tx0 // xr), -(-ty0 // yr)
+            cx1, cy1 = -(-(tx0 + tw) // xr), -(-(ty0 + th) // yr)
+            boxes.append((cx0, cy0, cx1 - cx0, cy1 - cy0))
         planes = _decode_tile(
             body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
             qinfo, depth, signed, irreversible, use_mct, nlayers,
             use_sop, use_eph, use_termall, use_bypass,
+            [(cw_, ch_) for _, _, cw_, ch_ in boxes],
         )
-        for c, cur in enumerate(planes):
-            if ncomp == 1:
-                out[ty0 : ty0 + th, tx0 : tx0 + tw] = cur
-            else:
-                out[ty0 : ty0 + th, tx0 : tx0 + tw, c] = cur
-    return out
+        for cv, (cx0, cy0, cw_, ch_), cur in zip(canvases, boxes, planes):
+            cv[cy0 : cy0 + ch_, cx0 : cx0 + cw_] = cur
+    full = []
+    for cv, (xr, yr) in zip(canvases, rs):
+        if (xr, yr) != (1, 1):
+            cv = np.repeat(np.repeat(cv, yr, axis=0), xr, axis=1)[:h, :w]
+        full.append(cv)
+    if ncomp == 1:
+        return full[0]
+    return np.stack(full, axis=2)
 
 
 def _decode_tile(
@@ -1831,6 +1910,7 @@ def _decode_tile(
     use_eph: bool = False,
     use_termall: bool = False,
     use_bypass: bool = False,
+    comp_dims: list | None = None,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body (dims = the TILE extent) into
     reconstructed int64 planes, one per component.
@@ -1841,28 +1921,33 @@ def _decode_tile(
     block's per-layer chunks are concatenated and tier-1-decoded once
     with its total pass count after all packets are read — so any layer
     partition of a block's codeword segment reconstructs identically."""
-    band_res = _subband_dims(w, h, levels)
-    res_dims = _resolution_dims(w, h, levels)
-    layouts = [
-        _precinct_layout(
-            r, bands, pp_list[r][0], pp_list[r][1], cblk, *res_dims[r]
-        )
-        for r, bands in enumerate(band_res)
+    if comp_dims is None:
+        comp_dims = [(w, h)] * ncomp
+    band_res_c = [_subband_dims(cw_, ch_, levels) for cw_, ch_ in comp_dims]
+    res_dims_c = [_resolution_dims(cw_, ch_, levels) for cw_, ch_ in comp_dims]
+    layouts_c = [
+        [
+            _precinct_layout(
+                r, bands, pp_list[r][0], pp_list[r][1], cblk, *res_dims_c[c][r]
+            )
+            for r, bands in enumerate(band_res_c[c])
+        ]
+        for c in range(ncomp)
     ]
     arrs = [
         [
             {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
-            for bands in band_res
+            for bands in band_res_c[c]
         ]
-        for _ in range(ncomp)
+        for c in range(ncomp)
     ]
     states: dict = {}  # (r, c, k) -> per-band [(inc, zb, {(bx,by): blkstate})]
     blocks_seen: list = []
     p = 0
     for l, r, c, k in _packet_order(
-        prog_order, levels, pp_list, res_dims, w, h, ncomp, nlayers
+        prog_order, levels, pp_list, res_dims_c, w, h, ncomp, nlayers
     ):
-        precinct = layouts[r][k]
+        precinct = layouts_c[c][r][k]
         st = states.get((r, c, k))
         if st is None:
             st = []
@@ -1937,7 +2022,7 @@ def _decode_tile(
             continue
         band = s["band"]
         guard_c, exps_c, _ = qinfo[s["c"]]
-        mb = guard_c + exps_c[_qcd_index(band_res, s["r"], band)] - 1
+        mb = guard_c + exps_c[_qcd_index(band_res_c[s["c"]], s["r"], band)] - 1
         if use_termall or use_bypass:
             dec = tier1_decode_segmented(
                 s["chunks"], s["ch"], s["cw"], band, mb - s["zbp"], s["npass"],
@@ -1952,23 +2037,22 @@ def _decode_tile(
             s["y0"] : s["y0"] + s["ch"], s["x0"] : s["x0"] + s["cw"]
         ] = dec
 
-    dims_chain = []
-    cw, ch = w, h
-    for _ in range(levels):
-        dims_chain.append((cw, ch))
-        cw, ch = (cw + 1) // 2, (ch + 1) // 2
-
     planes = []
     for c in range(ncomp):
+        dims_chain = []
+        cw, ch = comp_dims[c]
+        for _ in range(levels):
+            dims_chain.append((cw, ch))
+            cw, ch = (cw + 1) // 2, (ch + 1) // 2
         _, exps_c, mants_c = qinfo[c]
         subs = {}
-        for r, bands in enumerate(band_res):
+        for r, bands in enumerate(band_res_c[c]):
             lvl = levels if r == 0 else levels - r + 1
             for band, bwd, bhd in bands:
                 q = arrs[c][r][band]
                 if irreversible:
                     rb = depth + _GAIN97[band]
-                    i = _qcd_index(band_res, r, band)
+                    i = _qcd_index(band_res_c[c], r, band)
                     step = _quant_step_of(exps_c[i], mants_c[i], rb)
                     # midpoint (r=0.5) dequantization
                     subs[(lvl, band)] = np.sign(q) * (np.abs(q) + 0.5) * step * (

@@ -626,3 +626,59 @@ def test_jp2_decoder_robust_to_corruption():
         except (ValueError, NotImplementedError, IndexError, KeyError, struct.error):
             outcomes["err"] += 1
     assert outcomes["ok"] + outcomes["err"] == 40
+
+
+def test_jp2_subsampled_components():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(3)
+    h, w = 51, 67
+    y = rng.integers(0, 256, (h, w)).astype(np.int64)
+    cb = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.int64)
+    cr = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.int64)
+    up = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w]
+
+    # 4:2:0, odd dims: luma bit-exact, chroma bit-exact at its own
+    # resolution (output replicates to the reference grid)
+    buf = jp2_encode([y, cb, cr], levels=3, cblk=32, subsampling=[(1, 1), (2, 2), (2, 2)])
+    out = jp2_decode(buf)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out[..., 0], y)
+    np.testing.assert_array_equal(out[..., 1], up)
+
+    # 4:2:2 + layers + RLCP (the allowed progressions for mixed grids)
+    cb2 = rng.integers(0, 256, (h, (w + 1) // 2)).astype(np.int64)
+    cr2 = rng.integers(0, 256, (h, (w + 1) // 2)).astype(np.int64)
+    out = jp2_decode(
+        jp2_encode(
+            [y, cb2, cr2], levels=2, cblk=16,
+            subsampling=[(1, 1), (2, 1), (2, 1)], layers=3, progression=1,
+        )
+    )
+    np.testing.assert_array_equal(out[..., 0], y)
+    np.testing.assert_array_equal(out[..., 1], np.repeat(cb2, 2, 1)[:, :w])
+
+    # subsampled x multi-tile (ceil-div tile boxes per component grid)
+    out = jp2_decode(
+        jp2_encode(
+            [y, cb, cr], levels=2, cblk=16,
+            subsampling=[(1, 1), (2, 2), (2, 2)], tile=(32, 32),
+        )
+    )
+    np.testing.assert_array_equal(out[..., 0], y)
+    np.testing.assert_array_equal(out[..., 1], up)
+
+    # irreversible subsampled: bounded error on the full-res component
+    out = jp2_decode(
+        jp2_encode(
+            [y, cb, cr], levels=2, irreversible=True, quant_step=0.5,
+            subsampling=[(1, 1), (2, 2), (2, 2)],
+        )
+    )
+    assert np.abs(out[..., 0] - y).max() <= 4
+
+    # position-major progressions with mixed grids raise descriptively
+    with pytest.raises(NotImplementedError, match="position-major"):
+        jp2_encode(
+            [y, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)], progression=3
+        )
