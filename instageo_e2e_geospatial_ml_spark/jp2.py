@@ -19,19 +19,22 @@ XRsiz/YRsiz subsampling (per-component band/precinct grids, ceil-div
 tile boxes, replicate-upsampled output; position-major progressions
 with mixed grids raise — use LRCP/RLCP), the
 Annex G multiple-component transforms (RCT with 5/3, ICT with 9/7),
-MQ arithmetic coding WITH the termall (per-pass codeword termination)
-and selective-bypass (raw SPP/MRP from the 5th bit-plane) code-block
-styles — per-segment packet lengths, context carry-over across segment
-restarts, layers snapped to segment boundaries —
+MQ arithmetic coding with the ENTIRE defined code-block style byte —
+termall (per-pass codeword termination), selective bypass (raw SPP/MRP
+from the 5th bit-plane), context reset, vertically-causal context
+formation, segmentation symbols (decode-validated 1010 per cleanup
+pass), and the predictable-termination flag (accepted: termination
+style does not affect decoding) — per-segment packet lengths, context
+carry-over across segment restarts, layers snapped to segment
+boundaries —
 rectangular code-blocks (xcb != ycb), SOP
 resync / EPH header-end markers (Scod bits 1/2), default OR
 user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
-The reset/causal/predterm/segsym coder flags, nonzero image/tile
-offsets, and position-major progressions over mixed subsampling grids
-raise descriptive NotImplementedErrors.
+Nonzero image/tile offsets and position-major progressions over mixed
+subsampling grids raise descriptive NotImplementedErrors.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
   * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
@@ -303,10 +306,11 @@ _SC_TABLE = {
 
 
 class _Block:
-    def __init__(self, h: int, w: int, band: str) -> None:
+    def __init__(self, h: int, w: int, band: str, causal: bool = False) -> None:
         self.h = h
         self.w = w
         self.band = band
+        self.causal = causal  # vertically stripe-causal context formation
         self.sig = np.zeros((h + 2, w + 2), np.uint8)  # padded significance
         self.sgn = np.zeros((h + 2, w + 2), np.int8)   # padded signs (±1)
         self.pi = np.zeros((h, w), np.uint8)           # coded-this-plane
@@ -315,23 +319,24 @@ class _Block:
     def neighbors(self, y: int, x: int):
         s = self.sig
         yy, xx = y + 1, x + 1
+        below = not (self.causal and y % 4 == 3)  # next stripe masked out
         hc = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        vc = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
-        dc = (
-            int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-            + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1])
-        )
+        vc = int(s[yy - 1, xx]) + (int(s[yy + 1, xx]) if below else 0)
+        dc = int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
+        if below:
+            dc += int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1])
         return hc, vc, dc
 
     def sign_ctx(self, y: int, x: int):
         s, g = self.sig, self.sgn
         yy, xx = y + 1, x + 1
+        below = not (self.causal and y % 4 == 3)
         hc = int(s[yy, xx - 1]) * int(g[yy, xx - 1]) + int(s[yy, xx + 1]) * int(
             g[yy, xx + 1]
         )
-        vc = int(s[yy - 1, xx]) * int(g[yy - 1, xx]) + int(s[yy + 1, xx]) * int(
-            g[yy + 1, xx]
-        )
+        vc = int(s[yy - 1, xx]) * int(g[yy - 1, xx])
+        if below:
+            vc += int(s[yy + 1, xx]) * int(g[yy + 1, xx])
         return _SC_TABLE[(max(-1, min(1, hc)), max(-1, min(1, vc)))]
 
     def set_sig(self, y: int, x: int, negative: bool) -> None:
@@ -347,8 +352,11 @@ def _stripes(h: int):
 class _T1:
     """One code-block coding session (enc XOR dec is set)."""
 
-    def __init__(self, h, w, band, enc=None, dec=None, bitp=None, coefs=None, mag=None):
-        self.blk = _Block(h, w, band)
+    def __init__(
+        self, h, w, band, enc=None, dec=None, bitp=None, coefs=None, mag=None,
+        causal=False,
+    ):
+        self.blk = _Block(h, w, band, causal)
         self.enc = enc
         self.dec = dec
         self.bitp = bitp    # encoder: current plane's bits
@@ -573,10 +581,14 @@ def _segment_pass_counts(start: int, n: int, termall: bool, bypass: bool):
 
 
 def tier1_encode_segmented(
-    coefs: np.ndarray, band: str, termall: bool, bypass: bool
+    coefs: np.ndarray, band: str, termall: bool, bypass: bool,
+    reset: bool = False, causal: bool = False, segsym: bool = False,
 ) -> tuple[list, int, int]:
-    """Encode one code-block under termall/bypass: returns
-    (segments [(bytes, npasses)], total_passes, num_bitplanes)."""
+    """Encode one code-block under the cstyle flags: returns
+    (segments [(bytes, npasses)], total_passes, num_bitplanes).
+    reset re-initializes MQ contexts after every pass; causal masks the
+    next stripe out of context formation; segsym appends the 1010
+    segmentation marker (UNI context) to every cleanup pass."""
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
     maxmag = int(mag.max()) if mag.size else 0
@@ -584,10 +596,9 @@ def tier1_encode_segmented(
         return [], 0, 0
     nplanes = maxmag.bit_length()
     ctx = _init_states()
-    t1 = _T1(h, w, band, coefs=coefs)
+    t1 = _T1(h, w, band, coefs=coefs, causal=causal)
     segments: list = []
     cur = None
-    cur_raw = False
     cur_np = 0
     idx = 0
     for p in range(nplanes - 1, -1, -1):
@@ -596,10 +607,14 @@ def tier1_encode_segmented(
             is_raw = _pass_is_raw(idx, bypass)
             if cur is None:
                 cur = _HdrWriter() if is_raw else MQEncoder(ctx=ctx)
-                cur_raw = is_raw
             t1.raw = cur if is_raw else None
             t1.enc = None if is_raw else cur
             getattr(t1, kind)()
+            if kind == "cp" and segsym:
+                for b in (1, 0, 1, 0):
+                    cur.encode(b, _CTX_UNI)
+            if reset:
+                ctx[:] = _init_states()
             cur_np += 1
             if _segment_break(idx, termall, bypass):
                 segments.append((cur.flush(), cur_np))
@@ -615,6 +630,7 @@ def tier1_encode_segmented(
 def tier1_decode_segmented(
     segs: list, h: int, w: int, band: str, nplanes: int, npasses: int,
     termall: bool, bypass: bool,
+    reset: bool = False, causal: bool = False, segsym: bool = False,
 ) -> np.ndarray:
     """Decode a code-block delivered as terminated segments
     [(bytes, npasses)] (must partition `npasses` at the rule's
@@ -623,7 +639,7 @@ def tier1_decode_segmented(
     if npasses == 0 or nplanes <= 0:
         return mag
     ctx = _init_states()
-    t1 = _T1(h, w, band, mag=mag)
+    t1 = _T1(h, w, band, mag=mag, causal=causal)
     seg_i = 0
     seg_left = 0
     cur = None
@@ -644,6 +660,12 @@ def tier1_decode_segmented(
             t1.raw = cur if is_raw else None
             t1.dec = None if is_raw else cur
             getattr(t1, kind)()
+            if kind == "cp" and segsym:
+                got = [cur.decode(_CTX_UNI) for _ in range(4)]
+                if got != [1, 0, 1, 0]:
+                    raise ValueError("segmentation symbol mismatch (corrupt pass)")
+            if reset:
+                ctx[:] = _init_states()
             left -= 1
             seg_left -= 1
             idx += 1
@@ -1271,6 +1293,9 @@ def jp2_encode(
     eph: bool = False,
     termall: bool = False,
     bypass: bool = False,
+    reset: bool = False,
+    causal: bool = False,
+    segsym: bool = False,
     subsampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
@@ -1532,16 +1557,18 @@ def jp2_encode(
                         coded = []
                         for bx, by, x0, y0, cw, ch in blocks:
                             blkc = arr[y0 : y0 + ch, x0 : x0 + cw]
-                            if termall or bypass:
+                            if termall or bypass or reset or causal or segsym:
                                 data, npass, nplanes = tier1_encode_segmented(
-                                    blkc, band, termall, bypass
+                                    blkc, band, termall, bypass,
+                                    reset, causal, segsym,
                                 )
                             else:
                                 data, npass, nplanes = _t1_encode(blkc, band)
                             coded.append((bx, by, data, npass, mbs[band] - nplanes))
                         coded_bands.append((band, nbx, nby, coded))
                     states[(r, c, k)] = _PrecinctEncState(
-                        coded_bands, layers, termall, bypass
+                        coded_bands, layers,
+                        termall or reset or causal or segsym, bypass,
                     )
         body = bytearray()
         nsop = 0
@@ -1564,7 +1591,10 @@ def jp2_encode(
     ycb = cblk[1].bit_length() - 3
     scod = (1 if precincts is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
     spcod_pp = bytes((px | (py << 4)) for px, py in pp) if precincts is not None else b""
-    cstyle = (1 if bypass else 0) | (4 if termall else 0)
+    cstyle = (
+        (1 if bypass else 0) | (2 if reset else 0) | (4 if termall else 0)
+        | (8 if causal else 0) | (32 if segsym else 0)
+    )
     out += b"\xff\x52" + struct.pack(
         ">HBBHB", 12 + len(spcod_pp), scod, progression, layers, 1 if mct else 0
     ) + bytes([levels, xcb, ycb, cstyle, 0 if irreversible else 1]) + spcod_pp
@@ -1759,6 +1789,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     use_mct = False
     use_sop = use_eph = False
     use_termall = use_bypass = False
+    use_reset = use_causal = use_segsym = False
     nlayers = 1
     rs: list = []
     qcd_seg: bytes | None = None
@@ -1809,12 +1840,15 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             use_mct = mct == 1
             levels = seg[5]
             xcb, ycb, cstyle, transform = seg[6], seg[7], seg[8], seg[9]
-            if cstyle & ~0x05:
-                raise NotImplementedError(
-                    "code-block style flags (reset/causal/predterm/segsym)"
-                )
+            if cstyle & ~0x3F:
+                raise ValueError(f"bad code-block style byte {cstyle:#x}")
             use_bypass = bool(cstyle & 0x01)
+            use_reset = bool(cstyle & 0x02)
             use_termall = bool(cstyle & 0x04)
+            use_causal = bool(cstyle & 0x08)
+            # 0x10 predictable termination: termination style is an
+            # encoder property — any terminated segment decodes the same
+            use_segsym = bool(cstyle & 0x20)
             irreversible = transform == 0
             cblk = (1 << (xcb + 2), 1 << (ycb + 2))  # rectangular allowed
             if scod & 0x01:
@@ -1878,6 +1912,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             qinfo, depth, signed, irreversible, use_mct, nlayers,
             use_sop, use_eph, use_termall, use_bypass,
             [(cw_, ch_) for _, _, cw_, ch_ in boxes],
+            use_reset, use_causal, use_segsym,
         )
         for cv, (cx0, cy0, cw_, ch_), cur in zip(canvases, boxes, planes):
             cv[cy0 : cy0 + ch_, cx0 : cx0 + cw_] = cur
@@ -1911,6 +1946,9 @@ def _decode_tile(
     use_termall: bool = False,
     use_bypass: bool = False,
     comp_dims: list | None = None,
+    use_reset: bool = False,
+    use_causal: bool = False,
+    use_segsym: bool = False,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body (dims = the TILE extent) into
     reconstructed int64 planes, one per component.
@@ -1993,8 +2031,11 @@ def _decode_tile(
                     npass_l = _npasses_read(br)
                     while br.get():
                         s["lblock"] += 1
-                    if use_termall or use_bypass:
-                        # one length per terminated segment (B.10.7.1-2)
+                    if use_termall or use_bypass or use_reset or use_causal or use_segsym:
+                        # one length per terminated segment (B.10.7.1-2);
+                        # reset/causal/segsym alone leave one segment per
+                        # layer but still route through the segment list
+                        # (their tier-1 decode needs the flags)
                         counts = _segment_pass_counts(
                             s["npass"], npass_l, use_termall, use_bypass
                         )
@@ -2023,10 +2064,10 @@ def _decode_tile(
         band = s["band"]
         guard_c, exps_c, _ = qinfo[s["c"]]
         mb = guard_c + exps_c[_qcd_index(band_res_c[s["c"]], s["r"], band)] - 1
-        if use_termall or use_bypass:
+        if use_termall or use_bypass or use_reset or use_causal or use_segsym:
             dec = tier1_decode_segmented(
                 s["chunks"], s["ch"], s["cw"], band, mb - s["zbp"], s["npass"],
-                use_termall, use_bypass,
+                use_termall, use_bypass, use_reset, use_causal, use_segsym,
             )
         else:
             dec = _t1_decode(

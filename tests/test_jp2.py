@@ -196,11 +196,11 @@ def test_jp2_structure_and_unsupported_styles():
     bmct[cod_at + 8] = 1  # SGcod MCT byte
     with pytest.raises(ValueError, match="MCT"):
         jp2_decode(bytes(bmct))
-    # genuinely unsupported styles stay descriptive errors (bypass 0x01
-    # and termall 0x04 are implemented now; reset-context 0x02 is not)
+    # the whole defined cstyle byte (0x3F) is implemented now; a byte
+    # with reserved bits set is rejected descriptively
     bcs = bytearray(buf)
-    bcs[cod_at + 12] = 2  # SPcod code-block style: reset context states
-    with pytest.raises(NotImplementedError, match="style"):
+    bcs[cod_at + 12] = 0x40  # reserved bit
+    with pytest.raises(ValueError, match="style"):
         jp2_decode(bytes(bcs))
     with pytest.raises(ValueError, match="SOC"):
         jp2_decode(b"\x00" * 16)
@@ -682,3 +682,42 @@ def test_jp2_subsampled_components():
         jp2_encode(
             [y, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)], progression=3
         )
+
+
+def test_jp2_remaining_cstyle_flags():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 4096, (67, 90)).astype(np.int64)
+
+    # reset (per-pass context re-init), vertically-causal context
+    # formation, and segmentation symbols — each alone and all together
+    for kw in ({"reset": True}, {"causal": True}, {"segsym": True}):
+        np.testing.assert_array_equal(
+            jp2_decode(jp2_encode(img, levels=3, cblk=32, **kw)), img
+        )
+    b = jp2_encode(
+        img, levels=2, cblk=16, termall=True, bypass=True, reset=True,
+        causal=True, segsym=True, layers=3, tile=(48, 40), sop=True, eph=True,
+    )
+    np.testing.assert_array_equal(jp2_decode(b), img)
+
+    # predictable-termination flag (0x10) is an encoder property; the
+    # decoder accepts it (any terminated segment decodes identically)
+    b = jp2_encode(img, levels=2, cblk=16, termall=True)
+    bb = bytearray(b)
+    bb[b.index(b"\xff\x52") + 12] |= 0x10
+    np.testing.assert_array_equal(jp2_decode(bytes(bb)), img)
+
+    # segsym is an error-detection feature: body corruption must raise
+    # for (nearly) every flipped byte instead of decoding silently wrong
+    b = jp2_encode(img, levels=2, cblk=64, segsym=True)
+    hits = 0
+    for i in range(len(b) // 2, len(b) // 2 + 30):
+        bb = bytearray(b)
+        bb[i] ^= 0x55
+        try:
+            jp2_decode(bytes(bb))
+        except Exception:
+            hits += 1
+    assert hits >= 25
