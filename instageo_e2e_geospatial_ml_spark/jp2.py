@@ -1752,6 +1752,36 @@ class _PrecinctEncState:
         return bw.flush() + (b"\xff\x92" if eph else b"") + b"".join(chunks)
 
 
+def jp2_wrap(codestream: bytes) -> bytes:
+    """Wrap a raw codestream in the standard JP2 file container
+    (ISO 15444-1 Annex I): signature box, ftyp, jp2h (ihdr + colr),
+    jp2c. Dims/depth/components are read from the codestream's SIZ so
+    the header boxes always agree with the payload. jp2_decode accepts
+    both forms; wild tooling expects the container for `.jp2` files."""
+    if codestream[:2] != b"\xff\x4f":
+        raise ValueError("jp2_wrap takes a raw codestream (SOC first)")
+    at = codestream.index(b"\xff\x51")
+    _, xs, ys, _, _, _, _, _, _, csiz = struct.unpack(
+        ">HIIIIIIIIH", codestream[at + 4 : at + 40]
+    )
+    ssiz = codestream[at + 40]
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(
+        b"ihdr", struct.pack(">IIHBBBB", ys, xs, csiz, ssiz, 7, 0, 0)
+    )
+    # colr: enumerated colourspace — 17 greyscale, 16 sRGB (3+ comps)
+    colr = box(
+        b"colr", bytes([1, 0, 0]) + struct.pack(">I", 16 if csiz >= 3 else 17)
+    )
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", codestream)
+
+
 def jp2_decode(buf: bytes) -> np.ndarray:
     """Decode a single-tile codestream (raw, or the jp2c box of a JP2
     container) → int64 array: (h, w) for one component, (h, w, C) for

@@ -721,3 +721,23 @@ def test_jp2_remaining_cstyle_flags():
         except Exception:
             hits += 1
     assert hits >= 25
+
+
+def test_jp2_container_wrap():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_wrap
+    from instageo_e2e_geospatial_ml_spark.sources.images import parse_jp2_header
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 4096, (35, 29)).astype(np.int64)
+    wrapped = jp2_wrap(jp2_encode(img, levels=2))
+    # standard signature box, header boxes agree with SIZ, round-trips
+    assert wrapped[:12] == b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"
+    hdr = parse_jp2_header(wrapped)
+    assert (hdr["w"], hdr["h"], hdr["n_components"], hdr["bit_depth"]) == (29, 35, 1, 12)
+    np.testing.assert_array_equal(jp2_decode(wrapped), img)
+    rgb = rng.integers(0, 256, (20, 22, 3)).astype(np.int64)
+    np.testing.assert_array_equal(
+        jp2_decode(jp2_wrap(jp2_encode(rgb, levels=1, mct=True))), rgb
+    )
+    with pytest.raises(ValueError, match="raw codestream"):
+        jp2_wrap(wrapped)
