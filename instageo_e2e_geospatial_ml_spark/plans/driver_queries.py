@@ -2064,6 +2064,92 @@ FROM isl GROUP BY doc_a, doc_b, diag, island
 """
 
 
+def q56_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL curation columns (functions/web.py): deterministic
+    URL synthesis from (doc_id, source, lang) — the q19 derived-column
+    pattern — then JVM regexp components and the registrable-domain
+    (eTLD+1) heuristic. Overflow registry slot (q51+), fully
+    oracle-backed."""
+    from ..functions.web import registrable_domain, synth_urls, url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    out = registrable_domain(url_components(synth_urls(docs)))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url", "scheme", "host", "domain", "path", "query",
+    )
+
+
+Q56_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) || '.example' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.' ||
+         (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io' ELSE 'com.au' END) ||
+         '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) || '.html' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, scheme, host,
+       CASE
+         WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+         WHEN host LIKE '%.com.au' THEN regexp_extract(host, '([^.]+\\.com\\.au)$', 1)
+         WHEN host LIKE '%.co.jp' THEN regexp_extract(host, '([^.]+\\.co\\.jp)$', 1)
+         WHEN host LIKE '%.com.br' THEN regexp_extract(host, '([^.]+\\.com\\.br)$', 1)
+         WHEN host LIKE '%.ac.uk' THEN regexp_extract(host, '([^.]+\\.ac\\.uk)$', 1)
+         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+       END AS domain,
+       path, query
+FROM c
+"""
+
+
+def q57_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4-style anti-dominance
+    guard): at most 3 docs per registrable domain, deterministic by
+    doc_id. Overflow registry slot, oracle-backed."""
+    from ..functions.web import (
+        cap_per_domain,
+        registrable_domain,
+        synth_urls,
+        url_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    parsed = registrable_domain(url_components(synth_urls(docs)))
+    out = cap_per_domain(parsed, max_per_domain=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "domain",
+        F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+    )
+
+
+Q57_SQL = (
+    "WITH parsed AS (" + Q56_SQL + "),\n"
+    """r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+           AS rank_in_domain
+  FROM parsed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, domain,
+       CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+FROM r WHERE rank_in_domain <= 3
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2131,6 +2217,8 @@ QUERIES = {
     "q53_image_metadata": q53_image_metadata,
     "q54_chip_cleaning": q54_chip_cleaning,
     "q55_substring_dedup": q55_substring_dedup,
+    "q56_url_parse": q56_url_parse,
+    "q57_domain_cap": q57_domain_cap,
 }
 
 ORACLES = {
@@ -2188,4 +2276,6 @@ ORACLES = {
     # q52_chip_extract / q53_image_metadata / q54_chip_cleaning:
     # rows-only (pixel kernels; row hashes carry md5 payload digests)
     "q55_substring_dedup": Q55_SQL,
+    "q56_url_parse": Q56_SQL,
+    "q57_domain_cap": Q57_SQL,
 }

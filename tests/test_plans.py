@@ -262,3 +262,47 @@ def test_q19_image_neardup_plan_jvm_equi_join(spark):
     plan = _plan(dq.QUERIES["q19_image_neardup"](spark, SF))
     assert "EvalPython" not in plan and "NestedLoop" not in plan
     assert "bit_count" in plan
+
+
+def test_web_curation_operators_jvm_only(spark):
+    # URL parse + registrable domain + per-domain cap: all JVM
+    # expressions (no Python UDF in the plan), correct on known hosts
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.functions.web import (
+        cap_per_domain,
+        registrable_domain,
+        synth_urls,
+        url_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i%3}", "en") for i in range(40)], "doc_id long, source string, lang string"
+    )
+    parsed = registrable_domain(url_components(synth_urls(docs)))
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    rows = {r["doc_id"]: r for r in parsed.collect()}
+    for i, r in rows.items():
+        assert r["url"].startswith(("http://", "https://"))
+        assert r["scheme"] == ("https" if i % 3 == 0 else "http")
+        host = r["host"]
+        labels = host.split(".")
+        if host.endswith((".co.uk", ".com.au")):
+            assert r["domain"] == ".".join(labels[-3:])
+        else:
+            assert r["domain"] == ".".join(labels[-2:])
+        assert r["path"].endswith(".html") and "?" not in r["path"]
+        assert (r["query"] != "") == (i % 4 == 0)
+
+    capped = cap_per_domain(parsed, max_per_domain=2)
+    pdf = capped.toPandas()
+    assert (pdf.groupby("domain").size() <= 2).all()
+    assert (pdf["rank_in_domain"] <= 2).all()
+    # deterministic: the kept docs are the lowest doc_ids per domain
+    all_pdf = parsed.toPandas()
+    for dom, grp in all_pdf.groupby("domain"):
+        want = sorted(grp["doc_id"])[:2]
+        got = sorted(pdf[pdf["domain"] == dom]["doc_id"])
+        assert got == want, dom
