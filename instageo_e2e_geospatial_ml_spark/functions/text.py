@@ -301,3 +301,42 @@ def scrub_pii(text: "Column | str") -> "Column":
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher quality rules (Rae et al. 2021, Table A1 — the named
+    web-corpus document filter) as ALL-INTEGER columns so the DuckDB
+    oracle twin hashes exactly: ratio thresholds are expressed as
+    cross-multiplied integer comparisons (3 <= mean word length <= 10
+    becomes 3*wc <= chars <= 10*wc).
+
+    Emitted per document: word count, summed word length, words
+    containing an alphabetic character, stop-word hits (>= 2 of the
+    paper's 8), each rule's boolean, and the final keep flag. Pure JVM
+    column ops (split / size / filter / aggregate) — scales as a scan."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    wc = F.size(words)
+    chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(F.expr(f"filter(split(trim({text_col}), '\\\\s+'), w -> w rlike '[a-zA-Z]')"))
+    stops = F.array(*[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(words, s)))
+    r_wc = (wc >= 50) & (wc <= 100000)
+    r_wlen = (F.lit(3) * wc <= chars) & (chars <= F.lit(10) * wc)
+    r_alpha = F.lit(5) * alpha >= F.lit(4) * wc
+    r_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        wc.cast("long").alias("word_count"),
+        chars.cast("long").alias("word_chars"),
+        alpha.cast("long").alias("alpha_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_wc.alias("rule_word_count"),
+        r_wlen.alias("rule_word_length"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_wlen & r_alpha & r_stop).alias("keep"),
+    )

@@ -2279,3 +2279,49 @@ ORACLES = {
     "q56_url_parse": Q56_SQL,
     "q57_domain_cap": Q57_SQL,
 }
+
+
+def q58_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (functions/text.gopher_gates): the named
+    web-corpus document filter as integer-exact per-rule flags.
+    Overflow registry slot, oracle-backed."""
+    from ..functions.text import gopher_gates
+
+    return gopher_gates(_t(spark, sf_dir, "documents"))
+
+
+Q58_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS word_count,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+           AS word_chars,
+         len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(words, s))) AS stop_hits
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(word_count AS BIGINT) AS word_count,
+       word_chars,
+       CAST(alpha_words AS BIGINT) AS alpha_words,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (word_count >= 50 AND word_count <= 100000) AS rule_word_count,
+       (3 * word_count <= word_chars AND word_chars <= 10 * word_count)
+         AS rule_word_length,
+       (5 * alpha_words >= 4 * word_count) AS rule_alpha,
+       (stop_hits >= 2) AS rule_stopwords,
+       ((word_count >= 50 AND word_count <= 100000)
+        AND (3 * word_count <= word_chars AND word_chars <= 10 * word_count)
+        AND (5 * alpha_words >= 4 * word_count)
+        AND (stop_hits >= 2)) AS keep
+FROM m
+"""
+
+QUERIES["q58_gopher_gates"] = q58_gopher_gates
+ORACLES["q58_gopher_gates"] = Q58_SQL
