@@ -459,3 +459,55 @@ def test_streaming_neardup_state_ttl_reelects_keeper(spark, tmp_path):
     # the re-elected keeper's edge, and crucially NO (1,5)/(1,6) edges to
     # the evicted keeper
     assert pairs == {(1, 2), (5, 6)}, pairs
+
+
+def test_cap_per_key_stream_matches_batch(spark, tmp_path):
+    # the streaming per-key admission cap admits exactly the batch
+    # window's picks when per-key arrival order matches the batch sort
+    # order (docs arrive in doc_id order across batch files)
+    from instageo_e2e_geospatial_ml_spark.functions.web import (
+        cap_per_domain,
+        registrable_domain,
+        synth_urls,
+        url_components,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.caps import cap_per_key_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    parsed = registrable_domain(url_components(synth_urls(docs))).select(
+        "doc_id", "domain"
+    )
+    src = str(tmp_path / "in")
+    # several files, split by doc_id range so arrival order == sort order
+    parsed.withColumn("b", (F.col("doc_id") / 40).cast("int")).repartitionByRange(
+        4, "b"
+    ).sortWithinPartitions("doc_id").drop("b").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, domain string").parquet(src)
+
+    capped = cap_per_key_stream(stream, max_per_key=3, key_col="domain")
+    q = (
+        capped.writeStream.format("memory")
+        .queryName("dom_caps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("dom_caps")
+        .toPandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    want = (
+        cap_per_domain(parsed, max_per_domain=3)
+        .select("domain", "doc_id", F.col("rank_in_domain").cast("long").alias("rank_in_key"))
+        .toPandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["domain", "doc_id", "rank_in_key"]], want)
+    # cap respected and state is one counter per key
+    assert (got.groupby("domain").size() <= 3).all()
