@@ -2,7 +2,8 @@
 
 Reads strip-based AND tiled (COG-layout) GeoTIFFs — uncompressed,
 deflate, or LZW (TIFF 6.0 early-change, codecs.lzw_decode), with the
-horizontal-differencing predictor (tag 317 == 2) — single-sample
+horizontal-differencing predictor (tag 317 == 2) and the TechNote-3
+floating-point predictor (tag 317 == 3, the GDAL float-DEM shape) — single-sample
 uint8/uint16/int16/float32/float64, plus the geotransform from
 ModelPixelScaleTag/ModelTiepointTag — enough to ingest HLS-style tiles
 into the images table without rasterio (absent from this container).
@@ -100,16 +101,39 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
             raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
         return block
 
+    def _unpredict3(chunk: bytes, nrows: int, ncols: int) -> "np.ndarray":
+        """TIFF TechNote 3 floating-point predictor (GDAL PREDICTOR=3,
+        the float-DEM GeoTIFF shape): per row, byte-wise horizontal
+        differencing over the row's byte stream, bytes stored as
+        most-significant-first PLANES; accumulate then reassemble."""
+        if sample_format != 3:
+            raise NotImplementedError("predictor 3 on non-float samples")
+        bps = dtype.itemsize
+        b = np.frombuffer(chunk, dtype=np.uint8, count=nrows * ncols * bps)
+        acc = (
+            np.cumsum(b.reshape(nrows, ncols * bps).astype(np.int64), axis=1)
+            & 0xFF
+        ).astype(np.uint8)
+        planes = acc.reshape(nrows, bps, ncols)  # plane 0 = MSB
+        le = np.ascontiguousarray(planes[:, ::-1, :].transpose(0, 2, 1))
+        return (
+            le.reshape(nrows, ncols * bps)
+            .view(np.dtype("<" + _DTYPES[(bits, sample_format)]))
+            .reshape(nrows, ncols)
+        )
+
     out = np.empty((h, w), dtype=dtype)
     if 322 in tags:  # tiled layout (cloud-optimized GeoTIFF)
         tw, th = tags[322][0], tags[323][0]
         tiles_across = (w + tw - 1) // tw
         for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
-            tile = _unpredict(
-                np.frombuffer(
-                    _inflate(data[o : o + c]), dtype=dtype, count=tw * th
-                ).reshape(th, tw)
-            )
+            chunk = _inflate(data[o : o + c])
+            if predictor == 3:
+                tile = _unpredict3(chunk, th, tw)
+            else:
+                tile = _unpredict(
+                    np.frombuffer(chunk, dtype=dtype, count=tw * th).reshape(th, tw)
+                )
             ty, tx = divmod(idx, tiles_across)
             r0, c0 = ty * th, tx * tw
             nr, nc = min(th, h - r0), min(tw, w - c0)
@@ -120,9 +144,12 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
         for o, c in zip(tags[273], tags[279]):
             chunk = _inflate(data[o : o + c])
             nrows = min(rows_per_strip, h - row)
-            out[row : row + nrows] = _unpredict(
-                np.frombuffer(chunk, dtype=dtype, count=nrows * w).reshape(nrows, w)
-            )
+            if predictor == 3:
+                out[row : row + nrows] = _unpredict3(chunk, nrows, w)
+            else:
+                out[row : row + nrows] = _unpredict(
+                    np.frombuffer(chunk, dtype=dtype, count=nrows * w).reshape(nrows, w)
+                )
             row += nrows
     # geotransform
     sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])

@@ -241,9 +241,11 @@ def test_read_geotiff_tiled_cog_layout(tmp_path):
     assert (a, c, e, f) == (30.0, 500000.0, -30.0, 8000000.0)
 
 
-def _make_strip_tiff(img, compressor, compression_tag, predictor=1):
+def _make_strip_tiff(img, compressor, compression_tag, predictor=1, sample_format=1):
     # minimal little-endian single-strip TIFF builder
     import struct
+
+    import numpy as np
 
     h, w = img.shape
     payload = img
@@ -251,6 +253,15 @@ def _make_strip_tiff(img, compressor, compression_tag, predictor=1):
         deltas = img.copy()
         deltas[:, 1:] = img[:, 1:] - img[:, :-1]  # dtype wraparound ok
         payload = deltas
+    elif predictor == 3:
+        # TechNote-3 float predictor (libtiff fpDiff twin): big-endian
+        # byte PLANES per row (MSBs first), then byte-wise differencing
+        bps = img.dtype.itemsize
+        be = img.astype(">f4" if bps == 4 else ">f8").view(np.uint8).reshape(h, w, bps)
+        planes = be.transpose(0, 2, 1).reshape(h, w * bps)
+        deltas = planes.astype(np.int64)
+        deltas[:, 1:] = deltas[:, 1:] - deltas[:, :-1]
+        payload = (deltas & 0xFF).astype(np.uint8)
     strip = compressor(payload.tobytes())
 
     def entry(tag, typ, cnt, val_bytes):
@@ -273,7 +284,7 @@ def _make_strip_tiff(img, compressor, compression_tag, predictor=1):
         entry(273, 4, 1, struct.pack("<I", strip_off)),
         entry(279, 4, 1, struct.pack("<I", len(strip))),
         entry(317, 3, 1, struct.pack("<H", predictor)),
-        entry(339, 3, 1, struct.pack("<H", 1)),
+        entry(339, 3, 1, struct.pack("<H", sample_format)),
         entry(33550, 12, 3, struct.pack("<I", off_scale)),
         entry(33922, 12, 6, struct.pack("<I", off_tie)),
     ])
@@ -342,3 +353,37 @@ def test_read_geotiff_packbits(tmp_path):
     p.write_bytes(buf)
     arr, _ = read_geotiff(str(p))
     assert (arr == img).all()
+
+
+def test_read_geotiff_float_predictor3(tmp_path):
+    # GDAL PREDICTOR=3 float GeoTIFFs (DEM rasters): TechNote-3 byte-plane
+    # horizontal differencing; lossless, so decode must be BIT-EXACT
+    import zlib
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:37, 0:53]
+    dem = (
+        120.0 + 0.8 * xx + 0.3 * yy + np.sin(xx / 7.0) * 4.0
+        + rng.normal(0, 0.5, (37, 53))
+    ).astype(np.float32)
+
+    for arr in (dem, dem.astype(np.float64)):
+        buf = _make_strip_tiff(
+            arr, zlib.compress, 8, predictor=3, sample_format=3
+        )
+        p = tmp_path / f"dem_{arr.dtype}.tif"
+        p.write_bytes(buf)
+        out, gt = read_geotiff(str(p))
+        assert out.dtype.kind == "f" and out.shape == arr.shape
+        np.testing.assert_array_equal(out.astype(arr.dtype), arr)
+        assert gt[0] == 30.0
+
+    # predictor 3 actually helps: smooth float data compresses smaller
+    # than raw-deflate (the reason GDAL writes it)
+    raw = len(zlib.compress(dem.tobytes()))
+    p3 = len(_make_strip_tiff(dem, zlib.compress, 8, predictor=3, sample_format=3))
+    assert p3 < raw + 400  # container overhead bounded; payload smaller
