@@ -684,3 +684,83 @@ def decode_gif(buf: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     return np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+
+
+# --- BMP decode (Windows DIB) ------------------------------------------------
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Windows BMP → (h, w, 3) RGB or (h, w) gray uint8 (gray when a
+    palette maps every index to r==g==b, the javax TYPE_BYTE_GRAY shape).
+
+    Wild-crawl coverage: BITMAPINFOHEADER (and the larger V4/V5 headers,
+    which extend it compatibly), bit depths 8 (palette) / 24 / 32,
+    uncompressed (BI_RGB) and RLE8, bottom-up and top-down rows, 4-byte
+    row padding. 1/4-bit and BITFIELDS raise descriptively."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM signature)")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    (hdr_size,) = struct.unpack("<I", buf[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs")
+    w, h_signed = struct.unpack("<ii", buf[18:26])
+    planes, bits = struct.unpack("<HH", buf[26:30])
+    (comp,) = struct.unpack("<I", buf[30:34])
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bits}")
+    if comp not in (0, 1):
+        raise NotImplementedError(f"BMP compression {comp} (BI_BITFIELDS etc.)")
+    if comp == 1 and bits != 8:
+        raise ValueError("RLE8 requires 8-bit samples")
+
+    palette = None
+    if bits == 8:
+        n_colors = struct.unpack("<I", buf[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            buf[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)
+        palette = pal[:, [2, 1, 0]].copy()  # BGRA -> RGB
+
+    if comp == 1:  # RLE8 (bottom-up only, per spec)
+        img = np.zeros((h, w), np.uint8)
+        x = y = 0
+        p = data_off
+        while p + 1 < len(buf):
+            n, v = buf[p], buf[p + 1]
+            p += 2
+            if n:  # encoded run
+                img[y, x : min(x + n, w)] = v
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                x += buf[p]
+                y += buf[p + 1]
+                p += 2
+            else:  # absolute mode, padded to 2 bytes
+                img[y, x : min(x + v, w)] = np.frombuffer(
+                    buf[p : p + v], np.uint8
+                )[: max(0, min(v, w - x))]
+                x += v
+                p += v + (v & 1)
+        idx = img if top_down else img[::-1]
+    else:
+        stride = (w * (bits // 8) + 3) & ~3
+        raw = np.frombuffer(
+            buf[data_off : data_off + stride * h], np.uint8
+        ).reshape(h, stride)
+        rows = raw if top_down else raw[::-1]
+        if bits == 8:
+            idx = rows[:, :w]
+        else:
+            ch = bits // 8
+            px = rows[:, : w * ch].reshape(h, w, ch)
+            return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+    rgb = palette[idx]
+    if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+        return rgb[..., 0].copy()
+    return rgb

@@ -214,6 +214,9 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
     if fmt == "gif":
         a = codecs.decode_gif(payload)  # (frames, h, w, 3)
         return np.moveaxis(a[0], -1, 0)
+    if fmt == "bmp":
+        a = codecs.decode_bmp(payload)
+        return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
     if fmt == "png_any":
         a = codecs.decode_png_any(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)

@@ -584,3 +584,79 @@ def test_adam7_interlaced_png_bit_exact_vs_javax(spark):
     buf = _java_png_interlaced(rgb)
     assert buf[28] == 1
     np.testing.assert_array_equal(decode_png_any(buf), rgb)
+
+
+def test_bmp_decode_bit_exact_vs_javax(spark):
+    # BMP is lossless: decoding javax.imageio's writer output must be
+    # BIT-EXACT (24-bit RGB and 8-bit gray-palette shapes), plus
+    # hand-built top-down and RLE8 fixtures per the DIB spec
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_bmp
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(17)
+
+    def _java_bmp(arr):
+        gray = arr.ndim == 2
+        h, w = arr.shape[:2]
+        t = (
+            jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            if gray
+            else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        bimg = jvm.java.awt.image.BufferedImage(w, h, t)
+        if gray:
+            raster = bimg.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, int(arr[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = (int(v) for v in arr[y, x])
+                    bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(bimg, "bmp", baos)
+        return bytes(baos.toByteArray())
+
+    rgb = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)  # odd width: padding
+    np.testing.assert_array_equal(decode_bmp(_java_bmp(rgb)), rgb)
+    g = rng.integers(0, 256, (19, 30)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_bmp(_java_bmp(g)), g)
+
+    # hand-built: top-down 24-bit (negative height)
+    h, w = 5, 3
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # BGR
+    pix = rows.tobytes()
+    hdr = (
+        b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + (-h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    np.testing.assert_array_equal(decode_bmp(hdr + pix), img)
+
+    # hand-built RLE8 with a gray palette: runs + EOL + absolute mode
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rle = bytes(
+        [4, 7,  0, 0,            # row0 (bottom): run of 4 x 7, EOL
+         0, 3, 1, 2, 3, 0,  1, 9,  0, 0,  # row1: absolute [1,2,3] (padded), run 1x9, EOL
+         0, 1]                   # end of bitmap
+    )
+    data_off = 54 + len(pal)
+    hdr2 = (
+        b"BM" + (data_off + len(rle)).to_bytes(4, "little") + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (4).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + len(rle).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    out = decode_bmp(hdr2 + pal + rle)
+    np.testing.assert_array_equal(out, np.array([[1, 2, 3, 9], [7, 7, 7, 7]], np.uint8))
