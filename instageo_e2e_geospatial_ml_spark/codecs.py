@@ -764,3 +764,53 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
         return rgb[..., 0].copy()
     return rgb
+
+
+def decode_ico(buf: bytes) -> np.ndarray:
+    """ICO (favicon) container → the LARGEST icon's pixels, (h, w, 3/4)
+    or (h, w) uint8. Each directory entry is either a full PNG (modern
+    favicons) or a headerless DIB whose header height is DOUBLED (the
+    AND transparency mask follows the color data; applied as alpha for
+    32-bit entries, ignored for lower depths). The payload decoders are
+    the independently validated decode_png_any / decode_bmp machinery."""
+    if len(buf) < 6 or buf[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO (bad ICONDIR)")
+    (n,) = struct.unpack("<H", buf[4:6])
+    if n == 0:
+        raise ValueError("empty ICO")
+    best = None
+    for i in range(n):
+        e = buf[6 + 16 * i : 22 + 16 * i]
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, off, size)
+    _, w, h, off, size = best
+    body = buf[off : off + size]
+    if body[:8] == _PNG_SIG:
+        return decode_png_any(body)
+    # headerless DIB: synthesize the BMP file header, halve the height
+    (hdr_size,) = struct.unpack("<I", body[0:4])
+    dib = bytearray(body)
+    (h2,) = struct.unpack("<i", body[8:12])
+    dib[8:12] = struct.pack("<i", h2 // 2)
+    bits = struct.unpack("<H", body[14:16])[0]
+    fh = b"BM" + (14 + len(dib)).to_bytes(4, "little") + b"\x00" * 4 + (
+        14 + hdr_size + (4 * 256 if bits == 8 else 0)
+    ).to_bytes(4, "little")
+    rgb = decode_bmp(bytes(fh) + bytes(dib))
+    if bits == 32:
+        # AND mask after the color rows: 1 bit/px, 4-byte-aligned rows,
+        # bottom-up; set bit = transparent
+        stride_px = w * 4
+        mrow = ((w + 31) // 32) * 4
+        mask = np.frombuffer(
+            bytes(dib[hdr_size + (h2 // 2) * stride_px :][: mrow * (h2 // 2)]),
+            np.uint8,
+        )
+        if mask.size == mrow * (h2 // 2):
+            bitsarr = np.unpackbits(mask.reshape(h2 // 2, mrow), axis=1)[:, :w]
+            alpha = np.where(bitsarr[::-1] == 1, 0, 255).astype(np.uint8)
+            out = np.dstack([rgb[..., :3], alpha])
+            return out
+    return rgb

@@ -217,6 +217,9 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
     if fmt == "bmp":
         a = codecs.decode_bmp(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
+    if fmt == "ico":
+        a = codecs.decode_ico(payload)
+        return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)
     if fmt == "png_any":
         a = codecs.decode_png_any(payload)
         return a[None, ...] if a.ndim == 2 else np.moveaxis(a, -1, 0)

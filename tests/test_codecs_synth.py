@@ -159,3 +159,57 @@ def test_decoders_robust_to_corruption():
             webp_decode(bytes(b))
         except allowed:
             pass
+
+
+def test_ico_favicon_decode():
+    # ICO container walk: PNG entries (modern favicons) and headerless
+    # doubled-height DIB entries, largest-icon selection; payloads ride
+    # the independently validated PNG/BMP decoders
+    import struct
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import (
+        decode_ico,
+        decode_png_any,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(19)
+
+    def _entry(w, h, bpp, size, off):
+        return (
+            bytes([w % 256, h % 256, 0, 0])
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+            + size.to_bytes(4, "little") + off.to_bytes(4, "little")
+        )
+
+    # PNG entry
+    g = rng.integers(0, 65536, (1, 16, 16)).astype(np.uint16)
+    png = encode_png(g)
+    ico = b"\x00\x00\x01\x00" + (1).to_bytes(2, "little") + _entry(16, 16, 32, len(png), 22) + png
+    np.testing.assert_array_equal(decode_ico(ico), decode_png_any(png))
+
+    # DIB entry: 24-bit, doubled header height, AND mask trailing
+    h, w = 8, 8
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    rows = np.zeros((h, (w * 3 + 3) & ~3), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    mask = b"\x00" * (((w + 31) // 32) * 4 * h)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, 0, 0, 0, 0, 0) + rows.tobytes() + mask
+    ico2 = b"\x00\x00\x01\x00" + (1).to_bytes(2, "little") + _entry(w, h, 24, len(dib), 22) + dib
+    np.testing.assert_array_equal(decode_ico(ico2), img)
+
+    # largest-entry selection: tiny DIB + big PNG → PNG wins
+    ico3 = (
+        b"\x00\x00\x01\x00" + (2).to_bytes(2, "little")
+        + _entry(w, h, 24, len(dib), 38)
+        + _entry(16, 16, 32, len(png), 38 + len(dib))
+        + dib + png
+    )
+    np.testing.assert_array_equal(decode_ico(ico3), decode_png_any(png))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ICO"):
+        decode_ico(b"\x00\x00\x02\x00junk")
