@@ -329,8 +329,12 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # early change: bump BEFORE next_code's value would need width+1
-        if next_code == (1 << width) - 1 and width < 12:
+        # width bump timing: matched BIDIRECTIONALLY against the JDK TIFF
+        # plugin (javax decodes our streams, we decode javax's — the
+        # round-6 interop test crosses the 9->10 and 10->11 boundaries).
+        # The pre-round-6 pairing bumped one code earlier on both sides:
+        # self-consistent, but real-world decoders desync at entry 511.
+        if next_code == (1 << width) and width < 12:
             width += 1
         if next_code == 4094:  # table (nearly) full → reset
             emit(_LZW_CLEAR, width)
@@ -376,10 +380,11 @@ def lzw_decode(buf: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            # mirror the encoder's early change — one entry EARLIER again,
-            # because the decoder creates entry e_{i-1} only while reading
-            # code C_i (its table lags the encoder's by one)
-            if len(table) == (1 << width) - 2 and width < 12:
+            # mirror the encoder's bump: the decoder creates entry e_{i-1}
+            # only while reading code C_i (its table lags the encoder's by
+            # one), so it bumps at table length (1<<width)-1 — the timing
+            # the javax/libtiff family uses (interop-tested both ways)
+            if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
     return bytes(out)
 

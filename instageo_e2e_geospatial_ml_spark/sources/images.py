@@ -205,7 +205,7 @@ def decode_external(fmt: str, payload: bytes) -> np.ndarray:
         from .tiff import read_geotiff_bytes
 
         arr, _ = read_geotiff_bytes(payload)
-        return arr[None, ...]
+        return arr[None, ...] if arr.ndim == 2 else np.moveaxis(arr, -1, 0)
     if fmt in ("jpeg", "jpg"):
         from ..jpeg import jpeg_decode
 

@@ -72,7 +72,12 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
     bits = tags[258][0]
     compression = tags.get(259, [1])[0]
     sample_format = tags.get(339, [1])[0]
+    if isinstance(bits, bytes):  # BitsPerSample stored per sample
+        bits = bits[0]
     dtype = np.dtype(bo + _DTYPES[(bits, sample_format)])
+    spp = tags.get(277, [1])[0]
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar-configuration TIFF (tag 284 == 2)")
 
     predictor = tags.get(317, [1])[0]
 
@@ -92,7 +97,7 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
         return chunk
 
     def _unpredict(block: "np.ndarray") -> "np.ndarray":
-        if predictor == 2:  # horizontal differencing, per row
+        if predictor == 2:  # horizontal differencing per row, per sample
             if not np.issubdtype(block.dtype, np.integer):
                 raise NotImplementedError("predictor 2 on non-integer samples")
             block = block.copy()
@@ -122,18 +127,31 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
             .reshape(nrows, ncols)
         )
 
-    out = np.empty((h, w), dtype=dtype)
+    # chunky multi-sample rows decode as (rows, w*spp); predictor 2's
+    # per-sample differencing works on that layout with a reshape
+    shape = (h, w) if spp == 1 else (h, w, spp)
+    out = np.empty(shape, dtype=dtype)
+
+    def _rows(chunk: bytes, nrows: int, ncols: int) -> "np.ndarray":
+        if predictor == 3:
+            if spp != 1:
+                raise NotImplementedError("predictor 3 with multiple samples")
+            return _unpredict3(chunk, nrows, ncols)
+        a = np.frombuffer(chunk, dtype=dtype, count=nrows * ncols * spp)
+        if spp == 1:
+            return _unpredict(a.reshape(nrows, ncols))
+        a = a.reshape(nrows, ncols, spp)
+        if predictor == 2:
+            a = a.copy()
+            np.add.accumulate(a, axis=1, dtype=a.dtype, out=a)
+            return a
+        return _unpredict(a.reshape(nrows, ncols * spp)).reshape(nrows, ncols, spp)
+
     if 322 in tags:  # tiled layout (cloud-optimized GeoTIFF)
         tw, th = tags[322][0], tags[323][0]
         tiles_across = (w + tw - 1) // tw
         for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
-            chunk = _inflate(data[o : o + c])
-            if predictor == 3:
-                tile = _unpredict3(chunk, th, tw)
-            else:
-                tile = _unpredict(
-                    np.frombuffer(chunk, dtype=dtype, count=tw * th).reshape(th, tw)
-                )
+            tile = _rows(_inflate(data[o : o + c]), th, tw)
             ty, tx = divmod(idx, tiles_across)
             r0, c0 = ty * th, tx * tw
             nr, nc = min(th, h - r0), min(tw, w - c0)
@@ -142,14 +160,8 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
         rows_per_strip = tags.get(278, [h])[0]
         row = 0
         for o, c in zip(tags[273], tags[279]):
-            chunk = _inflate(data[o : o + c])
             nrows = min(rows_per_strip, h - row)
-            if predictor == 3:
-                out[row : row + nrows] = _unpredict3(chunk, nrows, w)
-            else:
-                out[row : row + nrows] = _unpredict(
-                    np.frombuffer(chunk, dtype=dtype, count=nrows * w).reshape(nrows, w)
-                )
+            out[row : row + nrows] = _rows(_inflate(data[o : o + c]), nrows, w)
             row += nrows
     # geotransform
     sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])

@@ -387,3 +387,39 @@ def test_read_geotiff_float_predictor3(tmp_path):
     raw = len(zlib.compress(dem.tobytes()))
     p3 = len(_make_strip_tiff(dem, zlib.compress, 8, predictor=3, sample_format=3))
     assert p3 < raw + 400  # container overhead bounded; payload smaller
+
+
+def test_read_tiff_rgb_chunky_vs_javax(spark):
+    # multi-sample (RGB, chunky) TIFFs validated against the JDK's own
+    # TIFF plugin: LZW and Deflate writer output must decode BIT-EXACT
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff_bytes
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+    h, w = rgb.shape[:2]
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    for ctype in ("LZW", "Deflate", None):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        param = writer.getDefaultWriteParam()
+        if ctype is not None:
+            param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionType(ctype)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+        ios.flush()
+        writer.dispose()
+        buf = bytes(baos.toByteArray())
+        arr, _ = read_geotiff_bytes(buf)
+        assert arr.shape == (h, w, 3), (ctype, arr.shape)
+        np.testing.assert_array_equal(arr, rgb), ctype
