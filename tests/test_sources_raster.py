@@ -423,3 +423,50 @@ def test_read_tiff_rgb_chunky_vs_javax(spark):
         arr, _ = read_geotiff_bytes(buf)
         assert arr.shape == (h, w, 3), (ctype, arr.shape)
         np.testing.assert_array_equal(arr, rgb), ctype
+
+
+def test_lzw_interop_across_width_and_reset_boundaries(spark):
+    # the round-6 LZW bug class: paired off-by-ones survive self
+    # round-trips forever — only cross-implementation streams that CROSS
+    # the table-size boundaries catch them. 14400 random bytes walk the
+    # width 9->10->11->12 bumps and the 4094-entry CLEAR reset; pinned
+    # BOTH directions against the JDK TIFF plugin
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import lzw_encode
+    from instageo_e2e_geospatial_ml_spark.sources.tiff import read_geotiff_bytes
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (120, 120)).astype(np.uint8)
+    buf = _make_strip_tiff(img, lzw_encode, 5)
+    jimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    out = np.zeros((120, 120), np.uint8)
+    raster = jimg.getRaster()
+    for y in range(120):
+        for x in range(120):
+            out[y, x] = raster.getSample(x, y, 0)
+    np.testing.assert_array_equal(out, img)
+
+    rgb = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(
+        64, 64, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(64):
+        for x in range(64):
+            r, g, b = (int(v) for v in rgb[y, x])
+            bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    ios.flush()
+    writer.dispose()
+    arr, _ = read_geotiff_bytes(bytes(baos.toByteArray()))
+    np.testing.assert_array_equal(arr, rgb)
