@@ -693,9 +693,11 @@ def decode_gif(buf: bytes) -> np.ndarray:
 
 # --- BMP decode (Windows DIB) ------------------------------------------------
 
-def decode_bmp(buf: bytes) -> np.ndarray:
+def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
     """Windows BMP → (h, w, 3) RGB or (h, w) gray uint8 (gray when a
     palette maps every index to r==g==b, the javax TYPE_BYTE_GRAY shape).
+    `keep_alpha=True` returns (h, w, 4) RGBA for 32-bit DIBs (the 4th
+    channel verbatim) — ICO entries carry real per-pixel alpha there.
 
     Wild-crawl coverage: BITMAPINFOHEADER (and the larger V4/V5 headers,
     which extend it compatibly), bit depths 8 (palette) / 24 / 32,
@@ -764,6 +766,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         else:
             ch = bits // 8
             px = rows[:, : w * ch].reshape(h, w, ch)
+            if keep_alpha and ch == 4:
+                return px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
             return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
     rgb = palette[idx]
     if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
@@ -800,11 +804,23 @@ def decode_ico(buf: bytes) -> np.ndarray:
     (h2,) = struct.unpack("<i", body[8:12])
     dib[8:12] = struct.pack("<i", h2 // 2)
     bits = struct.unpack("<H", body[14:16])[0]
+    # biClrUsed (DIB offset 32): an 8-bit entry may store FEWER than 256
+    # palette entries, and pixel data starts right after the short
+    # palette — assuming 256 would point the data offset past it.
+    clr_used = struct.unpack("<I", body[32:36])[0] if hdr_size >= 36 else 0
+    pal_bytes = 4 * (clr_used or 256) if bits == 8 else 0
     fh = b"BM" + (14 + len(dib)).to_bytes(4, "little") + b"\x00" * 4 + (
-        14 + hdr_size + (4 * 256 if bits == 8 else 0)
+        14 + hdr_size + pal_bytes
     ).to_bytes(4, "little")
-    rgb = decode_bmp(bytes(fh) + bytes(dib))
+    rgb = decode_bmp(bytes(fh) + bytes(dib), keep_alpha=(bits == 32))
     if bits == 32:
+        # modern favicons carry real 8-bit alpha in the 4th DIB channel
+        # (often with a zeroed AND mask); an all-zero alpha plane means
+        # the channel is unused (legacy XRGB) -> fall back to AND mask
+        px_alpha = rgb[..., 3]
+        if px_alpha.any():
+            return rgb
+        rgb = rgb[..., :3]
         # AND mask after the color rows: 1 bit/px, 4-byte-aligned rows,
         # bottom-up; set bit = transparent
         stride_px = w * 4
@@ -816,6 +832,6 @@ def decode_ico(buf: bytes) -> np.ndarray:
         if mask.size == mrow * (h2 // 2):
             bitsarr = np.unpackbits(mask.reshape(h2 // 2, mrow), axis=1)[:, :w]
             alpha = np.where(bitsarr[::-1] == 1, 0, 255).astype(np.uint8)
-            out = np.dstack([rgb[..., :3], alpha])
+            out = np.dstack([rgb, alpha])
             return out
     return rgb

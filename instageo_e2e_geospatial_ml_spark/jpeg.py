@@ -569,10 +569,16 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = buf[pos + 1]
+        if marker == 0xFF:
+            # fill byte before the real marker (T.81 B.1.1.2 allows any
+            # number of 0xFF pad bytes); advance ONE so an odd-length
+            # run still lands on an 0xFF-prefixed marker
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
         seg = buf[pos + 2 : pos + seglen]

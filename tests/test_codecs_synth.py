@@ -213,3 +213,79 @@ def test_ico_favicon_decode():
 
     with pytest.raises(ValueError, match="ICO"):
         decode_ico(b"\x00\x00\x02\x00junk")
+
+
+def test_ico_clr_used_and_32bit_alpha():
+    """ADVICE r6 fixes: (a) 8-bit ICO DIB with biClrUsed < 256 stores
+    pixels right after the short palette — the synthesized data offset
+    must honour it; (b) 32-bit entries with real per-pixel alpha (and a
+    zeroed AND mask) keep that alpha; (c) an all-zero alpha plane means
+    legacy XRGB → AND-mask fallback."""
+    import struct
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_ico
+
+    rng = np.random.default_rng(23)
+
+    def _entry(w, h, bpp, size, off):
+        return (
+            bytes([w % 256, h % 256, 0, 0])
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+            + size.to_bytes(4, "little") + off.to_bytes(4, "little")
+        )
+
+    def _ico(dib, w, h, bpp):
+        return (
+            b"\x00\x00\x01\x00" + (1).to_bytes(2, "little")
+            + _entry(w, h, bpp, len(dib), 22) + dib
+        )
+
+    h = w = 8
+    mrow = ((w + 31) // 32) * 4
+
+    # (a) 8-bit, 16-entry palette (biClrUsed=16)
+    n_colors = 16
+    pal = rng.integers(0, 256, (n_colors, 4)).astype(np.uint8)
+    pal[:, 3] = 0
+    idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+    rows = np.zeros((h, (w + 3) & ~3), np.uint8)
+    rows[:, :w] = idx[::-1]
+    dib8 = (
+        struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0, 0, 0, 0, n_colors, 0)
+        + pal.tobytes() + rows.tobytes() + b"\x00" * (mrow * h)
+    )
+    got = decode_ico(_ico(dib8, w, h, 8))
+    want = pal[idx][:, :, [2, 1, 0]]  # BGRX palette -> RGB
+    if want.ndim == 3 and (want[..., 0] == want[..., 1]).all() and (
+        want[..., 1] == want[..., 2]
+    ).all():
+        want = want[..., 0]
+    np.testing.assert_array_equal(got, want)
+
+    # (b) 32-bit with real alpha, zeroed AND mask
+    img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    img[..., 3] = rng.integers(1, 256, (h, w))  # non-trivial alpha
+    rows32 = img[::-1][:, :, [2, 1, 0, 3]].reshape(h, w * 4)  # RGBA->BGRA
+    dib32 = (
+        struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+        + rows32.tobytes() + b"\x00" * (mrow * h)
+    )
+    np.testing.assert_array_equal(decode_ico(_ico(dib32, w, h, 32)), img)
+
+    # (c) zero alpha channel -> AND mask supplies transparency
+    img0 = img.copy()
+    img0[..., 3] = 0
+    rows0 = img0[::-1][:, :, [2, 1, 0, 3]].reshape(h, w * 4)
+    # mask: top-left pixel transparent (bit set), bottom-up rows
+    mask = np.zeros((h, mrow), np.uint8)
+    mask[h - 1, 0] = 0x80
+    dib0 = (
+        struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+        + rows0.tobytes() + mask.tobytes()
+    )
+    got0 = decode_ico(_ico(dib0, w, h, 32))
+    assert got0.shape == (h, w, 4)
+    np.testing.assert_array_equal(got0[..., :3], img0[..., :3])
+    assert got0[0, 0, 3] == 0 and got0[0, 1, 3] == 255

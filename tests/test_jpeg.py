@@ -660,3 +660,16 @@ def test_bmp_decode_bit_exact_vs_javax(spark):
     )
     out = decode_bmp(hdr2 + pal + rle)
     np.testing.assert_array_equal(out, np.array([[1, 2, 3, 9], [7, 7, 7, 7]], np.uint8))
+
+
+def test_jpeg_odd_fill_byte_run_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    An ODD run used to land the scanner mid-marker (ADVICE r6). Inject
+    1- and 3-byte fill runs before the DQT marker and require identical
+    decode to the unpadded stream."""
+    g = _gradient(24, 16)
+    buf = jpeg_encode(g, quality=90)
+    dqt = buf.index(b"\xff\xdb")
+    for pad in (b"\xff", b"\xff\xff\xff"):
+        padded = buf[:dqt] + pad + buf[dqt:]
+        assert np.array_equal(jpeg_decode(padded), jpeg_decode(buf))

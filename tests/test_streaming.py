@@ -511,3 +511,71 @@ def test_cap_per_key_stream_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got[["domain", "doc_id", "rank_in_key"]], want)
     # cap respected and state is one counter per key
     assert (got.groupby("domain").size() <= 3).all()
+
+
+def test_cap_per_key_stream_distinct_replay(spark, tmp_path):
+    """distinct=True: a re-arriving doc_id (at-least-once redelivery) is
+    neither double-counted against the budget nor re-emitted, and a
+    later NEW id still gets the freed slot. In arrival-count mode the
+    same input would re-admit the duplicate and exhaust the cap."""
+    from instageo_e2e_geospatial_ml_spark.streaming.caps import cap_per_key_stream
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # batch0: a gets docs 1,2 ; batch1 redelivers 2 then offers 3,4
+    _write_stream_file(
+        spark, tmp_path, d, "0",
+        pd.DataFrame({"domain": ["a", "a"], "doc_id": [1, 2]}),
+    )
+    _write_stream_file(
+        spark, tmp_path, d, "1",
+        pd.DataFrame({"domain": ["a", "a", "a"], "doc_id": [2, 3, 4]}),
+    )
+    stream = (
+        spark.readStream.schema("domain string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = _drain_to_parquet(
+        spark,
+        cap_per_key_stream(stream, max_per_key=3, key_col="domain", distinct=True),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    ).sort_values("rank_in_key").reset_index(drop=True)
+    assert list(got["doc_id"]) == ["1", "2", "3"]
+    assert list(got["rank_in_key"]) == [1, 2, 3]
+    # no duplicate emission of doc 2, and 4 was rejected (cap reached by
+    # genuinely distinct docs, not by the redelivery)
+    assert got["doc_id"].is_unique
+
+
+def test_cap_per_key_stream_chunk_spanning_key(spark, tmp_path):
+    """A key whose rows span multiple Arrow chunks in one micro-batch
+    must admit the globally-lowest order values, not per-chunk winners
+    (ADVICE r6): force tiny Arrow batches so one key arrives as many
+    chunks, with the smallest doc_ids written LAST in the file."""
+    from instageo_e2e_geospatial_ml_spark.streaming.caps import cap_per_key_stream
+
+    d = tmp_path / "in"
+    d.mkdir()
+    n = 500
+    # descending doc_ids: per-chunk sorting would admit high ids first
+    _write_stream_file(
+        spark, tmp_path, d, "0",
+        pd.DataFrame({"domain": ["a"] * n, "doc_id": list(range(n, 0, -1))}),
+    )
+    stream = spark.readStream.schema("domain string, doc_id long").parquet(str(d))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        got = _drain_to_parquet(
+            spark,
+            cap_per_key_stream(stream, max_per_key=3, key_col="domain"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        ).sort_values("rank_in_key").reset_index(drop=True)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert list(got["rank_in_key"]) == [1, 2, 3]
