@@ -209,6 +209,7 @@ def pack_token_shards(
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ):
     """Assign documents to training shards of ≈ budget_tokens each:
     order by id (deterministic), running token total, shard_id =
@@ -216,22 +217,47 @@ def pack_token_shards(
     shard holds ≥ budget tokens except the last (greedy packing, the A8
     pattern applied to token budgets).
 
-    One global-ordering window. At petabyte scale you'd partition the
-    window by a coarse key (date/source) and pack within partitions;
-    global order is what the reference's splitter does driver-side."""
+    Hierarchical (two-phase) prefix sum — NO global single-partition
+    window: (1) range-repartition by id into `n_buckets` contiguous
+    ranges and take ONE tiny per-bucket token-sum job (≤ n_buckets rows
+    to the driver); (2) broadcast the cumulative bucket offsets back and
+    run the running sum as a window PARTITIONED by bucket, so every task
+    sorts ≤ N/n_buckets rows. Exactly the same global semantics as the
+    textbook `sum() over (order by id)` (the q48 oracle pins the hash);
+    the compact (id, n_tokens, bucket) projection is persisted so both
+    phases see one consistent bucket assignment."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+    sess = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = docs.select(id_col, token_count(text_col).alias("n_tokens"))
+    ranged = (
+        out.repartitionByRange(n_buckets, F.col(id_col).asc())
+        .withColumn("_b", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["_t"]
+    off_df = sess.createDataFrame(offsets or [(0, 0)], "_b int, _off long")
+    w = Window.partitionBy("_b").orderBy(F.col(id_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = docs.select(id_col, token_count(text_col).alias("n_tokens"))
-    return out.withColumn(
-        "shard_id",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / F.lit(float(budget_tokens))
-        ).cast("long"),
+    return (
+        ranged.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(float(budget_tokens))
+            ).cast("long"),
+        )
+        .drop("_b", "_off")
     )
 
 

@@ -84,8 +84,123 @@ def registrable_domain_col(host: Column) -> Column:
     return expr.otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
-def registrable_domain(df: DataFrame, host_col: str = "host") -> DataFrame:
-    return df.withColumn("domain", registrable_domain_col(F.col(host_col)))
+# Representative frozen subset of the (public-content) Mozilla Public
+# Suffix List — one-, two- and three-part suffixes. A production deploy
+# loads the full list the same way; the plan shape (three broadcast
+# left joins, longest match wins) is identical at any list size.
+PUBLIC_SUFFIX_SUBSET = (
+    # generic / country single-part
+    "com net org io ai app dev info biz xyz gov edu mil int "
+    "uk de jp fr au br cn in ru nl it es se no fi pl ch at be dk cz us nz za kr "
+    # .uk family
+    "co.uk org.uk gov.uk ac.uk me.uk ltd.uk plc.uk net.uk sch.uk nhs.uk "
+    # .au
+    "com.au net.au org.au edu.au gov.au asn.au id.au "
+    # .jp
+    "co.jp or.jp ne.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp "
+    # .cn
+    "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
+    # .br
+    "com.br net.br org.br gov.br edu.br "
+    # .in / .nz / .za / .kr
+    "co.in net.in org.in gov.in ac.in res.in "
+    "co.nz net.nz org.nz govt.nz ac.nz "
+    "co.za net.za org.za gov.za ac.za web.za "
+    "co.kr or.kr ne.kr go.kr ac.kr re.kr pe.kr "
+    # .mx / .ar / .tr / .sg / .hk / .tw / .id / .my / .th
+    "com.mx org.mx gob.mx edu.mx net.mx "
+    "com.ar net.ar org.ar gob.ar edu.ar "
+    "com.tr net.tr org.tr gov.tr edu.tr "
+    "com.sg net.sg org.sg gov.sg edu.sg "
+    "com.hk net.hk org.hk gov.hk edu.hk "
+    "com.tw net.tw org.tw gov.tw edu.tw "
+    "co.id or.id go.id ac.id web.id "
+    "com.my net.my org.my gov.my edu.my "
+    "co.th or.th go.th ac.th in.th "
+    # three-part examples (US school districts, AU state education)
+    "k12.ak.us k12.ca.us cc.ca.us act.edu.au nsw.edu.au"
+).split()
+
+
+def public_suffix_table(spark) -> DataFrame:
+    """The suffix dimension table (suffix string, n_labels int) —
+    broadcast side of the longest-match join."""
+    rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIX_SUBSET]
+    return spark.createDataFrame(rows, "suffix string, n_labels int")
+
+
+def registrable_domain(
+    df: DataFrame, host_col: str = "host", use_psl_table: bool = False
+) -> DataFrame:
+    """eTLD+1 column. Default: the pure-column heuristic (exact DuckDB
+    twin). `use_psl_table=True`: longest-match against the broadcast
+    public-suffix dimension table — three broadcast LEFT joins on the
+    host's last 1/2/3 labels (no shuffle of the fact side; the dim is
+    tiny even for the full PSL), registrable = suffix + one label,
+    falling back to the heuristic for hosts matching no listed suffix.
+    Where both paths know the suffix they agree; where they disagree
+    (e.g. gov.uk, k12.ak.us) the table wins."""
+    if not use_psl_table:
+        return df.withColumn("domain", registrable_domain_col(F.col(host_col)))
+
+    spark = df.sparkSession
+    psl = public_suffix_table(spark)
+    host = F.col(host_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    out = df.withColumn("_hp", parts)
+    for k in (1, 2, 3):
+        cand = F.when(
+            n >= k + 1,  # need one label left over for the "+1"
+            F.array_join(F.slice(F.col("_hp"), n - k + 1, k), "."),
+        )
+        dim = psl.filter(F.col("n_labels") == k).select(
+            F.col("suffix").alias(f"_s{k}")
+        )
+        out = out.join(
+            F.broadcast(dim), cand == F.col(f"_s{k}"), "left"
+        )
+    reg = (
+        F.when(
+            F.col("_s3").isNotNull(),
+            F.array_join(F.slice(F.col("_hp"), n - 3, 4), "."),
+        )
+        .when(
+            F.col("_s2").isNotNull(),
+            F.array_join(F.slice(F.col("_hp"), n - 2, 3), "."),
+        )
+        .when(
+            F.col("_s1").isNotNull(),
+            F.array_join(F.slice(F.col("_hp"), n - 1, 2), "."),
+        )
+        .otherwise(registrable_domain_col(host))
+    )
+    return out.withColumn("domain", reg).drop("_hp", "_s1", "_s2", "_s3")
+
+
+def _pre_cap_salted(
+    df: DataFrame,
+    max_per_domain: int,
+    domain_col: str,
+    order_col: str,
+    n_salt: int,
+) -> DataFrame:
+    """Phase 1 of the salted cap: keep each (domain, salt)'s lowest
+    `max_per_domain` order values. Any row in a domain's GLOBAL top-cap
+    is also in its salt bucket's top-cap (ordering restricted to a
+    subset), so phase 1 never drops a final keeper — it only bounds the
+    phase-2 input at ≤ n_salt·cap rows per domain."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(F.col(order_col))
+    return (
+        df.withColumn(
+            "_salt", F.pmod(F.hash(F.col(order_col).cast("string")), F.lit(n_salt))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_per_domain)
+        .drop("_salt", "_r1")
+    )
 
 
 def cap_per_domain(
@@ -93,14 +208,24 @@ def cap_per_domain(
     max_per_domain: int,
     domain_col: str = "domain",
     order_col: str = "doc_id",
+    n_salt: int = 16,
 ) -> DataFrame:
     """Keep at most `max_per_domain` documents per registrable domain,
-    deterministically (ordered by `order_col`). One window shuffle keyed
-    on the domain — at 100 TB the domain key is zipfian, but the cap
-    itself bounds the retained skew and row_number is a streaming window
-    (no buffering beyond the frame row)."""
+    deterministically (ordered by `order_col`).
+
+    Salted two-phase plan (VERDICT r6 #2): at 100 TB the domain key is
+    zipfian — one window partitioned by domain alone lands the hottest
+    domain's entire row set in a single task. Phase 1 pre-caps per
+    (domain, salt=hash(order) mod n_salt), so every phase-1 task sees a
+    1/n_salt slice of even the hottest domain; phase 2 re-ranks only the
+    ≤ n_salt·cap survivors per domain — its per-task input is bounded by
+    a constant regardless of corpus size. Result identical to the
+    single-window form (the q57 oracle pins the hash). `n_salt=1`
+    degenerates to the plain single-window plan."""
     from pyspark.sql import Window
 
+    if n_salt > 1:
+        df = _pre_cap_salted(df, max_per_domain, domain_col, order_col, n_salt)
     w = Window.partitionBy(domain_col).orderBy(F.col(order_col))
     return (
         df.withColumn("rank_in_domain", F.row_number().over(w))

@@ -2073,7 +2073,7 @@ def q56_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.web import registrable_domain, synth_urls, url_components
 
     docs = _t(spark, sf_dir, "documents")
-    out = registrable_domain(url_components(synth_urls(docs)))
+    out = registrable_domain(url_components(synth_urls(docs)), use_psl_table=True)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "url", "scheme", "host", "domain", "path", "query",
@@ -2126,7 +2126,7 @@ def q57_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    parsed = registrable_domain(url_components(synth_urls(docs)))
+    parsed = registrable_domain(url_components(synth_urls(docs)), use_psl_table=True)
     out = cap_per_domain(parsed, max_per_domain=3)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -306,3 +306,97 @@ def test_web_curation_operators_jvm_only(spark):
         want = sorted(grp["doc_id"])[:2]
         got = sorted(pdf[pdf["domain"] == dom]["doc_id"])
         assert got == want, dom
+
+
+def test_q48_no_partitionless_window(spark):
+    """pack_token_shards must not plan a global single-partition window
+    (VERDICT r6 #1): every Window node in the q48 physical plan needs a
+    partition spec. A partition-less WindowExec prints its frame with the
+    order spec as the FIRST bracket group after the functions — detect it
+    by requiring 'windowspecdefinition(' to always carry a partition
+    expression before the sort spec."""
+    df = dq.QUERIES["q48_token_shards"](spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan  # the per-bucket running sum is still a window
+    for line in plan.splitlines():
+        s = line.strip()
+        if "windowspecdefinition(" not in s:
+            continue
+        inner = s.split("windowspecdefinition(", 1)[1]
+        # partitioned spec: windowspecdefinition(_b#…, doc_id#… ASC …)
+        # partition-less:   windowspecdefinition(doc_id#… ASC …)
+        first_arg = inner.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "partition-less window in q48 plan: " + s
+        )
+    # and the result still matches the old global-window semantics
+    import pandas as pd
+
+    got = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    run = got["n_tokens"].cumsum()
+    want = ((run - got["n_tokens"]) / 5000.0).apply(int)
+    assert (got["shard_id"] == want).all()
+
+
+def test_registrable_domain_psl_table_wins(spark):
+    """PSL-table mode (VERDICT r6 #4): broadcast longest-match beats the
+    heuristic where they disagree (gov.uk, three-part k12.ak.us), agrees
+    where both know the suffix, and falls back to the heuristic for
+    unlisted TLDs. Fact side must not shuffle (broadcast joins only)."""
+    from instageo_e2e_geospatial_ml_spark.functions.web import registrable_domain
+
+    hosts = [
+        ("www.dvla.gov.uk", "dvla.gov.uk", "gov.uk"),       # 2-part: table wins
+        ("schools.k12.ak.us", "schools.k12.ak.us", "ak.us"),  # 3-part
+        ("a.b.example.co.uk", "example.co.uk", "example.co.uk"),  # agree
+        ("news.example.com", "example.com", "example.com"),       # agree
+        ("x.example.zz", "example.zz", "example.zz"),             # fallback
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in hosts], "host string")
+    got = {r["host"]: r["domain"] for r in registrable_domain(df, use_psl_table=True).collect()}
+    heur = {r["host"]: r["domain"] for r in registrable_domain(df).collect()}
+    for h, want_psl, want_heur in hosts:
+        assert got[h] == want_psl, (h, got[h])
+        assert heur[h] == want_heur, (h, heur[h])
+    # gov.uk: the disagreement the table must win
+    assert heur["www.dvla.gov.uk"] == "gov.uk" and got["www.dvla.gov.uk"] == "dvla.gov.uk"
+    plan = registrable_domain(df, use_psl_table=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_cap_per_domain_salted_skew(spark):
+    """Salted two-phase cap (VERDICT r6 #2): with one domain holding
+    ~50% of rows, phase 1 bounds the global-window input to
+    ≤ n_salt·cap rows per domain, and the final result is identical to
+    the unsalted single-window plan."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.functions.web import (
+        _pre_cap_salted,
+        cap_per_domain,
+    )
+
+    n = 4000
+    rows = [(i, "hot.example.com" if i % 2 == 0 else f"d{i % 37}.example.org")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    cap, n_salt = 5, 8
+
+    pre = _pre_cap_salted(df, cap, "domain", "doc_id", n_salt)
+    per_dom = pre.groupBy("domain").count().collect()
+    assert all(r["count"] <= n_salt * cap for r in per_dom)
+    # the hot domain really was pre-capped (2000 rows -> <= 40)
+    hot = [r for r in per_dom if r["domain"] == "hot.example.com"][0]
+    assert hot["count"] <= n_salt * cap
+
+    salted = (
+        cap_per_domain(df, cap, n_salt=n_salt)
+        .toPandas().sort_values(["domain", "doc_id"]).reset_index(drop=True)
+    )
+    plain = (
+        cap_per_domain(df, cap, n_salt=1)
+        .toPandas().sort_values(["domain", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted, plain)
+    assert (salted.groupby("domain").size() <= cap).all()
