@@ -7,6 +7,12 @@ floating-point predictor (tag 317 == 3, the GDAL float-DEM shape) — single-sam
 uint8/uint16/int16/float32/float64, plus the geotransform from
 ModelPixelScaleTag/ModelTiepointTag — enough to ingest HLS-style tiles
 into the images table without rasterio (absent from this container).
+Both classic (magic 42) and BigTIFF (magic 43: 8-byte offsets/counts,
+20-byte IFD entries, LONG8/SLONG8 types) headers are parsed; non-TIFF
+magic raises. BigTIFF is validated by a classic-vs-big cross-check —
+the same pixels written both ways must decode bit-identically — plus a
+hand-built byte-level header golden (javax.imageio cannot read BigTIFF,
+so no external validator exists in this container).
 Real HLS/S2 COGs are internally tiled (512×512 deflate), the tiled
 branch here; LZW+predictor is the other combination public mirrors ship.
 Replaces the reference's xr.open_mfdataset scan (hls_utils.py:89-122).
@@ -27,7 +33,7 @@ _DTYPES = {
     (32, 3): "f4",
     (64, 3): "f8",
 }
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 
 def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, float]]:
@@ -40,24 +46,51 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float, floa
 def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, float, float]]:
     """read_geotiff over an in-memory payload (the images-table bytes
     column path — no filesystem round-trip)."""
-    bo = "<" if data[:2] == b"II" else ">"
-    off = struct.unpack(bo + "I", data[4:8])[0]
-    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (missing II/MM byte order)")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic == 42:  # classic TIFF
+        off = struct.unpack(bo + "I", data[4:8])[0]
+        n = struct.unpack(bo + "H", data[off : off + 2])[0]
+        entry0, esize = off + 2, 12
+    elif magic == 43:  # BigTIFF: 8-byte offsets/counts, 20-byte entries
+        osz, zero = struct.unpack(bo + "HH", data[4:8])
+        if osz != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header (offset size != 8)")
+        off = struct.unpack(bo + "Q", data[8:16])[0]
+        n = struct.unpack(bo + "Q", data[off : off + 8])[0]
+        entry0, esize = off + 8, 20
+    else:
+        raise ValueError(f"not a TIFF (magic {magic}, want 42/43)")
 
     tags: dict[int, list] = {}
     for i in range(n):
-        e = data[off + 2 + i * 12 : off + 14 + i * 12]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
-        size = _TYPE_SIZES.get(typ, 1) * cnt
-        if size <= 4:
-            raw = e[8 : 8 + size]
+        e = data[entry0 + i * esize : entry0 + (i + 1) * esize]
+        if magic == 42:
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            val, inline = e[8:12], 4
         else:
-            p = struct.unpack(bo + "I", e[8:12])[0]
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            (cnt,) = struct.unpack(bo + "Q", e[4:12])
+            val, inline = e[12:20], 8
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= inline:
+            raw = val[:size]
+        else:
+            p = struct.unpack(bo + ("I" if magic == 42 else "Q"), val)[0]
             raw = data[p : p + size]
         if typ == 3:
             vals = list(struct.unpack(bo + f"{cnt}H", raw))
         elif typ == 4:
             vals = list(struct.unpack(bo + f"{cnt}I", raw))
+        elif typ == 16:  # LONG8 (BigTIFF offsets/counts)
+            vals = list(struct.unpack(bo + f"{cnt}Q", raw))
+        elif typ == 17:  # SLONG8
+            vals = list(struct.unpack(bo + f"{cnt}q", raw))
         elif typ == 12:
             vals = list(struct.unpack(bo + f"{cnt}d", raw))
         elif typ == 11:
