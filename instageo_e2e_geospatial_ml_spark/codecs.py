@@ -699,36 +699,68 @@ def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
     `keep_alpha=True` returns (h, w, 4) RGBA for 32-bit DIBs (the 4th
     channel verbatim) — ICO entries carry real per-pixel alpha there.
 
-    Wild-crawl coverage: BITMAPINFOHEADER (and the larger V4/V5 headers,
-    which extend it compatibly), bit depths 8 (palette) / 24 / 32,
-    uncompressed (BI_RGB) and RLE8, bottom-up and top-down rows, 4-byte
-    row padding. 1/4-bit and BITFIELDS raise descriptively."""
+    Wild-crawl coverage: BITMAPCOREHEADER (12-byte OS/2 v1, 3-byte
+    palette entries), BITMAPINFOHEADER (and the larger V4/V5 headers,
+    which extend it compatibly), bit depths 8 (palette) / 16 / 24 / 32,
+    uncompressed (BI_RGB, incl. 16-bit 555), BI_BITFIELDS (16/32-bit,
+    e.g. 565 — channels scaled to 8 bits with the DirectColorModel
+    round-half-up javax uses), RLE8, bottom-up and top-down rows, 4-byte
+    row padding. 1/4-bit still raises descriptively."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP (missing BM signature)")
     (data_off,) = struct.unpack("<I", buf[10:14])
     (hdr_size,) = struct.unpack("<I", buf[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs")
-    w, h_signed = struct.unpack("<ii", buf[18:26])
-    planes, bits = struct.unpack("<HH", buf[26:30])
-    (comp,) = struct.unpack("<I", buf[30:34])
-    top_down = h_signed < 0
-    h = -h_signed if top_down else h_signed
-    if bits not in (8, 24, 32):
+    if hdr_size == 12:  # BITMAPCOREHEADER: u16 dims, bottom-up, BI_RGB
+        w, h = struct.unpack("<HH", buf[18:22])
+        planes, bits = struct.unpack("<HH", buf[22:26])
+        comp, top_down, core = 0, False, True
+    elif hdr_size >= 40:
+        w, h_signed = struct.unpack("<ii", buf[18:26])
+        planes, bits = struct.unpack("<HH", buf[26:30])
+        (comp,) = struct.unpack("<I", buf[30:34])
+        top_down = h_signed < 0
+        h = -h_signed if top_down else h_signed
+        core = False
+    else:
+        raise NotImplementedError(f"BMP header size {hdr_size}")
+    if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bits}")
-    if comp not in (0, 1):
-        raise NotImplementedError(f"BMP compression {comp} (BI_BITFIELDS etc.)")
+    if comp not in (0, 1, 3):
+        raise NotImplementedError(f"BMP compression {comp} (RLE4/PNG/JPEG)")
     if comp == 1 and bits != 8:
         raise ValueError("RLE8 requires 8-bit samples")
+    if comp == 3 and bits not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16- or 32-bit samples")
+
+    masks = None
+    if bits in (16, 32):
+        if comp == 3:
+            # BITMAPINFOHEADER: three DWORD masks follow the header;
+            # V4/V5 keep them at the same file offset inside the header
+            rmask, gmask, bmask = struct.unpack("<III", buf[54:66])
+            amask = (
+                struct.unpack("<I", buf[66:70])[0] if hdr_size >= 108 else 0
+            )
+        elif bits == 16:
+            rmask, gmask, bmask, amask = 0x7C00, 0x03E0, 0x001F, 0  # 555
+        else:
+            rmask, gmask, bmask, amask = 0xFF0000, 0xFF00, 0xFF, 0xFF000000
+        masks = (rmask, gmask, bmask, amask)
 
     palette = None
     if bits == 8:
-        n_colors = struct.unpack("<I", buf[46:50])[0] or 256
-        pal_off = 14 + hdr_size
+        if core:
+            entry_sz, pal_off = 3, 14 + 12
+            n_colors = (
+                min(256, (data_off - pal_off) // 3) if data_off > pal_off else 256
+            )
+        else:
+            n_colors = struct.unpack("<I", buf[46:50])[0] or 256
+            entry_sz, pal_off = 4, 14 + hdr_size
         pal = np.frombuffer(
-            buf[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
-        ).reshape(-1, 4)
-        palette = pal[:, [2, 1, 0]].copy()  # BGRA -> RGB
+            buf[pal_off : pal_off + entry_sz * n_colors], dtype=np.uint8
+        ).reshape(-1, entry_sz)
+        palette = pal[:, [2, 1, 0]].copy()  # BGR(A) -> RGB
 
     if comp == 1:  # RLE8 (bottom-up only, per spec)
         img = np.zeros((h, w), np.uint8)
@@ -763,6 +795,30 @@ def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
         rows = raw if top_down else raw[::-1]
         if bits == 8:
             idx = rows[:, :w]
+        elif bits == 16 or (bits == 32 and comp == 3):
+            word = "<u2" if bits == 16 else "<u4"
+            vals = (
+                np.ascontiguousarray(rows[:, : w * bits // 8])
+                .view(word)
+                .reshape(h, w)
+                .astype(np.uint32)
+            )
+
+            def _chan(mask):
+                shift = (mask & -mask).bit_length() - 1
+                m = mask >> shift
+                c = (vals >> shift) & m
+                if m == 0xFF:
+                    return c.astype(np.uint8)
+                # DirectColorModel scaling: round(c/max*255), half up —
+                # bit-exact with javax's getRGB on the same file
+                return ((c * 510 + m) // (2 * m)).astype(np.uint8)
+
+            rmask, gmask, bmask, amask = masks
+            chans = [_chan(rmask), _chan(gmask), _chan(bmask)]
+            if keep_alpha and amask:
+                chans.append(_chan(amask))
+            return np.dstack(chans)
         else:
             ch = bits // 8
             px = rows[:, : w * ch].reshape(h, w, ch)

@@ -673,3 +673,73 @@ def test_jpeg_odd_fill_byte_run_before_marker():
     for pad in (b"\xff", b"\xff\xff\xff"):
         padded = buf[:dqt] + pad + buf[dqt:]
         assert np.array_equal(jpeg_decode(padded), jpeg_decode(buf))
+
+
+def test_bmp_bitfields_and_coreheader_vs_javax(spark):
+    """VERDICT r6 #7: 16-bit BI_BITFIELDS (565), 16-bit BI_RGB (555
+    default masks) and 12-byte BITMAPCOREHEADER BMPs — hand-built per
+    the DIB spec, then OUR decode vs javax.imageio reading the SAME
+    bytes must be bit-exact (javax's BMPImageReader handles all
+    three)."""
+    import struct
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_bmp
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(41)
+    h, w = 11, 13  # odd width exercises row padding
+
+    def _file(hdr, body):
+        return (
+            b"BM" + (14 + len(hdr) + len(body)).to_bytes(4, "little")
+            + b"\x00" * 4 + (14 + len(hdr)).to_bytes(4, "little") + hdr + body
+        )
+
+    def _assert_match(buf, has_gray_possible=False):
+        ours = decode_bmp(buf)
+        jv = _java_decode(jvm, buf, gray=False)
+        if ours.ndim == 2:  # gray-collapsed palette
+            ours = np.stack([ours] * 3, axis=-1)
+        np.testing.assert_array_equal(ours, jv)
+
+    # --- 16-bit BI_BITFIELDS 565 ---
+    vals = rng.integers(0, 1 << 16, (h, w)).astype("<u2")
+    stride = (w * 2 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 2] = vals[::-1].view(np.uint8).reshape(h, w * 2)
+    hdr565 = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 3, len(rows.tobytes()), 0, 0, 0, 0
+    ) + struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    _assert_match(_file(hdr565, rows.tobytes()))
+
+    # --- 16-bit BI_RGB (implicit 555) ---
+    hdr555 = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(rows.tobytes()), 0, 0, 0, 0
+    )
+    _assert_match(_file(hdr555, rows.tobytes()))
+
+    # --- BITMAPCOREHEADER: 24-bit ---
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    stride24 = (w * 3 + 3) & ~3
+    rows24 = np.zeros((h, stride24), np.uint8)
+    rows24[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    hdr_core = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    buf = _file(hdr_core, rows24.tobytes())
+    np.testing.assert_array_equal(decode_bmp(buf), img)
+    _assert_match(buf)
+
+    # --- BITMAPCOREHEADER: 8-bit with 3-byte palette entries ---
+    n_colors = 64
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)  # BGR
+    idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+    stride8 = (w + 3) & ~3
+    rows8 = np.zeros((h, stride8), np.uint8)
+    rows8[:, :w] = idx[::-1]
+    hdr8 = struct.pack("<IHHHH", 12, w, h, 1, 8)
+    buf8 = _file(hdr8 + pal.tobytes(), rows8.tobytes())
+    ours8 = decode_bmp(buf8)
+    want8 = pal[idx][:, :, ::-1]  # BGR -> RGB
+    if ours8.ndim == 2:
+        want8 = want8[..., 0]
+    np.testing.assert_array_equal(ours8, want8)
+    _assert_match(buf8)
