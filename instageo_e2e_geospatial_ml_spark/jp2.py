@@ -33,8 +33,14 @@ user-defined precinct partitions
 (multiple packets per resolution, per-precinct tag trees), and ALL FIVE
 progression orders with their component and layer interleavings
 (B.12.1.2-5; PCRL/CPRL is what real S2 codestreams declare).
-Nonzero image/tile offsets and position-major progressions over mixed
-subsampling grids raise descriptive NotImplementedErrors.
+Nonzero image/tile offsets (XOsiz/YOsiz/XTOsiz/YTOsiz) are fully
+supported: every partition (sub-bands, precincts, code-blocks, tiles)
+anchors on absolute reference-grid coordinates and the DWT lifting is
+origin-parity-aware (odd origins start on a high-pass position, T.800
+B.5/F; validated against an independent scalar implementation of the
+absolute-index lifting formulas). The single remaining raise is
+position-major progressions (RPCL/PCRL/CPRL) over MIXED subsampling
+grids, where per-component precinct grids do not coincide.
 
   * jp2_encode(img, levels, cblk, irreversible, quant_step) -> bytes
   * jp2_decode(buf) -> np.ndarray   ((h, w) or (h, w, C); codestream or
@@ -776,6 +782,73 @@ def _inv53_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
     return _inv53_rows(lo, hi, w)
 
 
+# --- origin-parity variants (nonzero XOsiz/XTOsiz: T.800 B.5/F) -------------
+# A signal occupying absolute coordinates [u0, u1) splits with LOW-pass
+# coefficients at EVEN absolute positions; when u0 is odd the first local
+# sample is a high-pass position. The p=1 forms below run the same lifting
+# on a symmetric-extension pad chosen so padded parity == absolute parity
+# (padded-even <=> abs-even), which lets the p=0 slice formulas apply
+# unchanged; p=0 delegates to the validated zero-origin implementations.
+# Single odd-positioned samples code as Y = 2X (decode X = Y >> 1 / Y/2).
+
+
+def _ext_refl(x: np.ndarray, left: int, right: int) -> np.ndarray:
+    """Whole-sample symmetric extension by explicit _refl indexing —
+    unlike np.pad(mode='reflect') it is valid for pads wider than the
+    signal (1- and 2-sample bands at deep levels)."""
+    n = x.shape[1]
+    idx = np.fromiter((_refl(i, n) for i in range(-left, n + right)), dtype=np.int64)
+    return x[:, idx].copy()
+
+
+def _fwd53_rows_p(a: np.ndarray, p: int):
+    x = np.asarray(a).astype(np.int64)
+    h, n = x.shape
+    if n == 0:  # zero-width signal (empty band sliver at an odd origin)
+        return x[:, :0].copy(), x[:, :0].copy()
+    if p == 0:
+        return _fwd53_rows(x)
+    if n == 1:
+        return x[:, :0].copy(), 2 * x
+    e = _ext_refl(x, 3, 2 + ((n + 1) & 1))
+    e[:, 1:-1:2] -= (e[:, 0:-2:2] + e[:, 2::2]) >> 1
+    e[:, 2:-1:2] += (e[:, 1:-2:2] + e[:, 3::2] + 2) >> 2
+    return e[:, 4 : 3 + n : 2], e[:, 3 : 3 + n : 2]
+
+
+def _inv53_rows_p(s: np.ndarray, d: np.ndarray, n: int, p: int) -> np.ndarray:
+    h = s.shape[0]
+    if n == 0:
+        return np.empty((h, 0), np.int64)
+    if p == 0:
+        return _inv53_rows(s, d, n)
+    if n == 1:
+        return d.astype(np.int64) >> 1
+    y = np.empty((h, n), np.int64)
+    y[:, 1::2] = s  # abs-even (low) sit at local ODD positions
+    y[:, 0::2] = d
+    e = _ext_refl(y, 3, 2 + ((n + 1) & 1))
+    e[:, 2:-1:2] -= (e[:, 1:-2:2] + e[:, 3::2] + 2) >> 2
+    e[:, 1:-1:2] += (e[:, 0:-2:2] + e[:, 2::2]) >> 1
+    return e[:, 3 : 3 + n]
+
+
+def _fwd53_2d_box(a, box):
+    x0, y0, _, _ = box
+    lo, hi = _fwd53_rows_p(np.asarray(a), x0 & 1)
+    ll, lh = (m.T for m in _fwd53_rows_p(lo.T, y0 & 1))
+    hl, hh = (m.T for m in _fwd53_rows_p(hi.T, y0 & 1))
+    return ll, hl, lh, hh
+
+
+def _inv53_2d_box(ll, hl, lh, hh, box) -> np.ndarray:
+    x0, y0, x1, y1 = box
+    h, w = y1 - y0, x1 - x0
+    lo = _inv53_rows_p(ll.T, lh.T, h, y0 & 1).T
+    hi = _inv53_rows_p(hl.T, hh.T, h, y0 & 1).T
+    return _inv53_rows_p(lo, hi, w, x0 & 1)
+
+
 # ---------------------------------------------------------------------------
 # irreversible 9/7 DWT (T.800 Annex F, Table F.4 lifting constants) and the
 # Annex E scalar quantizer. Normalization: analysis lowpass is scaled 1/K
@@ -838,6 +911,62 @@ def _inv97_2d(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
     lo = _inv97_rows(ll.T, lh.T, h).T
     hi = _inv97_rows(hl.T, hh.T, h).T
     return _inv97_rows(lo, hi, w)
+
+
+def _fwd97_rows_p(a: np.ndarray, p: int):
+    """9/7 analysis with origin parity (see the 5/3 _p note): p=1 pads
+    left by 5 so padded parity == absolute parity."""
+    h, n = a.shape
+    if n == 0:
+        z = a[:, :0].astype(np.float64)
+        return z.copy(), z.copy()
+    if p == 0:
+        return _fwd97_rows(a)
+    if n == 1:
+        return a[:, :0].astype(np.float64), 2.0 * a.astype(np.float64)
+    e = _ext_refl(a.astype(np.float64), 5, 4 + ((n + 1) & 1))
+    for coef, odd in ((_A97, True), (_B97, False), (_G97, True), (_D97, False)):
+        if odd:
+            e[:, 1:-1:2] += coef * (e[:, 0:-2:2] + e[:, 2::2])
+        else:
+            e[:, 2:-1:2] += coef * (e[:, 1:-2:2] + e[:, 3::2])
+    return e[:, 6 : 5 + n : 2] / _K97, e[:, 5 : 5 + n : 2] * _K97
+
+
+def _inv97_rows_p(s: np.ndarray, d: np.ndarray, n: int, p: int) -> np.ndarray:
+    h = s.shape[0]
+    if n == 0:
+        return np.empty((h, 0), np.float64)
+    if p == 0:
+        return _inv97_rows(s, d, n)
+    if n == 1:
+        return d.astype(np.float64) / 2.0
+    y = np.empty((h, n), np.float64)
+    y[:, 1::2] = s * _K97
+    y[:, 0::2] = d / _K97
+    e = _ext_refl(y, 5, 4 + ((n + 1) & 1))
+    for coef, odd in ((_D97, False), (_G97, True), (_B97, False), (_A97, True)):
+        if odd:
+            e[:, 1:-1:2] -= coef * (e[:, 0:-2:2] + e[:, 2::2])
+        else:
+            e[:, 2:-1:2] -= coef * (e[:, 1:-2:2] + e[:, 3::2])
+    return e[:, 5 : 5 + n]
+
+
+def _fwd97_2d_box(a, box):
+    x0, y0, _, _ = box
+    lo, hi = _fwd97_rows_p(np.asarray(a), x0 & 1)
+    ll, lh = (m.T for m in _fwd97_rows_p(lo.T, y0 & 1))
+    hl, hh = (m.T for m in _fwd97_rows_p(hi.T, y0 & 1))
+    return ll, hl, lh, hh
+
+
+def _inv97_2d_box(ll, hl, lh, hh, box) -> np.ndarray:
+    x0, y0, x1, y1 = box
+    h, w = y1 - y0, x1 - x0
+    lo = _inv97_rows_p(ll.T, lh.T, h, y0 & 1).T
+    hi = _inv97_rows_p(hl.T, hh.T, h, y0 & 1).T
+    return _inv97_rows_p(lo, hi, w, x0 & 1)
 
 
 def _quant_params(delta_b: float, rb: int) -> tuple[int, int]:
@@ -1133,10 +1262,12 @@ def _blocks_of(bw: int, bh: int, cb: int):
 
 
 def _qcd_index(band_res, r: int, band: str) -> int:
+    """Band order index into QCD/QCC (works over both the dims 3-tuples
+    and the absolute-box 5-tuples — only the band name is read)."""
     i = 0
     for rr, bands in enumerate(band_res):
-        for b, _, _ in bands:
-            if rr == r and b == band:
+        for entry in bands:
+            if rr == r and entry[0] == band:
                 return i
             i += 1
     raise KeyError((r, band))
@@ -1151,6 +1282,207 @@ def _resolution_dims(w: int, h: int, levels: int):
     for r in range(levels + 1):
         s = levels - r
         out.append(((w + (1 << s) - 1) >> s, (h + (1 << s) - 1) >> s))
+    return out
+
+
+# --- absolute-box geometry (nonzero XOsiz/YOsiz/XTOsiz/YTOsiz) --------------
+# All partitions in T.800 anchor at the reference-grid origin, so with
+# offsets the tile-component box [tcx0, tcx1) x [tcy0, tcy1) no longer
+# starts at 0 and every dimension formula becomes a box formula. The
+# *_dims forms above are the zero-origin specializations (kept: they
+# also index the tile-independent QCD band order).
+
+
+def _ceildiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _subband_boxes(box, levels: int):
+    """Per resolution r in 0..levels: [(band, bx0, by0, bx1, by1)] via
+    T.800 eq. B-15: tb = ceil((tc - 2^(lev-1)*o) / 2^lev) with o the
+    band's orientation offset (HL: xo=1; LH: yo=1; HH: both)."""
+    x0, y0, x1, y1 = box
+
+    def bb(lev, xob, yob):
+        s, ho = 1 << lev, (1 << lev) >> 1  # levels=0: LL is the box itself
+        return (
+            _ceildiv(x0 - ho * xob, s), _ceildiv(y0 - ho * yob, s),
+            _ceildiv(x1 - ho * xob, s), _ceildiv(y1 - ho * yob, s),
+        )
+
+    out = [[("LL",) + bb(levels, 0, 0)]]
+    for r in range(1, levels + 1):
+        lev = levels - r + 1
+        out.append(
+            [("HL",) + bb(lev, 1, 0), ("LH",) + bb(lev, 0, 1), ("HH",) + bb(lev, 1, 1)]
+        )
+    return out
+
+
+def _resolution_boxes(box, levels: int):
+    """Per r: the tile-component box ceil-divided by 2^(levels-r) (the
+    LL chain box — eq. B-14)."""
+    x0, y0, x1, y1 = box
+    out = []
+    for r in range(levels + 1):
+        s = 1 << (levels - r)
+        out.append(
+            (_ceildiv(x0, s), _ceildiv(y0, s), _ceildiv(x1, s), _ceildiv(y1, s))
+        )
+    return out
+
+
+def _precinct_layout_box(r, band_boxes, ppx, ppy, cblk, res_box):
+    """_precinct_layout over absolute boxes: precincts partition the
+    resolution grid anchored at 0 (2^ppx x 2^ppy); only those meeting
+    the resolution box exist (B-16: count = ceil(tr1/2^pp) -
+    floor(tr0/2^pp)). For r > 0 the band grid is the resolution grid
+    halved and precinct boundaries map exactly (powers of two). Code
+    blocks anchor at absolute multiples of the effective block size on
+    the BAND grid and clip to precinct-intersect-band; returned block
+    coords are LOCAL to the band box (array indexing), while (bx, by)
+    index blocks within the precinct (tag trees)."""
+    shift = 0 if r == 0 else 1
+    bpw, bph = 1 << (ppx - shift), 1 << (ppy - shift)
+    cbw0, cbh0 = (cblk, cblk) if isinstance(cblk, int) else cblk
+    cbw, cbh = min(cbw0, bpw), min(cbh0, bph)
+    rx0, ry0, rx1, ry1 = res_box
+    if rx0 >= rx1 or ry0 >= ry1:
+        return []
+    out = []
+    for py in range(ry0 >> ppy, _ceildiv(ry1, 1 << ppy)):
+        for px in range(rx0 >> ppx, _ceildiv(rx1, 1 << ppx)):
+            per_band = []
+            for band, bx0, by0, bx1, by1 in band_boxes:
+                pbx0, pby0 = px * bpw, py * bph
+                ix0, iy0 = max(pbx0, bx0), max(pby0, by0)
+                ix1, iy1 = min(pbx0 + bpw, bx1), min(pby0 + bph, by1)
+                blocks = []
+                nbx = nby = 0
+                if ix0 < ix1 and iy0 < iy1:
+                    gx0, gx1 = ix0 // cbw, _ceildiv(ix1, cbw)
+                    gy0, gy1 = iy0 // cbh, _ceildiv(iy1, cbh)
+                    nbx, nby = gx1 - gx0, gy1 - gy0
+                    for byi in range(nby):
+                        for bxi in range(nbx):
+                            ax0 = max((gx0 + bxi) * cbw, ix0)
+                            ay0 = max((gy0 + byi) * cbh, iy0)
+                            ax1 = min((gx0 + bxi + 1) * cbw, ix1)
+                            ay1 = min((gy0 + byi + 1) * cbh, iy1)
+                            blocks.append(
+                                (bxi, byi, ax0 - bx0, ay0 - by0,
+                                 ax1 - ax0, ay1 - ay0)
+                            )
+                per_band.append((band, nbx, nby, blocks))
+            out.append(per_band)
+    return out
+
+
+def _packet_order_box(
+    prog: int, levels: int, pp, res_boxes_c, tile_box, ncomp: int = 1,
+    nlayers: int = 1,
+):
+    """_packet_order over absolute boxes (T.800 B.12 with offsets).
+    Position-major orders emit a precinct either at span-aligned
+    reference positions or at the tile edge when the first precinct is
+    unaligned (the `y == ty0 && try0 % 2^PPy != 0` clause of
+    B.12.1.3-5)."""
+    L = nlayers
+    rb_c = res_boxes_c if isinstance(res_boxes_c[0], list) else [res_boxes_c] * ncomp
+    n_prec = []  # [c][r] -> (npx, npy)
+    for c in range(ncomp):
+        row = []
+        for r in range(levels + 1):
+            rx0, ry0, rx1, ry1 = rb_c[c][r]
+            ppx, ppy = pp[r]
+            if rx0 >= rx1 or ry0 >= ry1:
+                row.append((0, 0))
+            else:
+                row.append(
+                    (_ceildiv(rx1, 1 << ppx) - (rx0 >> ppx),
+                     _ceildiv(ry1, 1 << ppy) - (ry0 >> ppy))
+                )
+        n_prec.append(row)
+    if prog == 0:  # LRCP
+        return [
+            (l, r, c, k)
+            for l in range(L)
+            for r in range(levels + 1)
+            for c in range(ncomp)
+            for k in range(n_prec[c][r][0] * n_prec[c][r][1])
+        ]
+    if prog == 1:  # RLCP
+        return [
+            (l, r, c, k)
+            for r in range(levels + 1)
+            for l in range(L)
+            for c in range(ncomp)
+            for k in range(n_prec[c][r][0] * n_prec[c][r][1])
+        ]
+    if any(n_prec[c] != n_prec[0] or rb_c[c] != rb_c[0] for c in range(ncomp)):
+        raise NotImplementedError(
+            "position-major progression (RPCL/PCRL/CPRL) with subsampled "
+            "components — use LRCP/RLCP"
+        )
+    n_prec = n_prec[0]
+    rb = rb_c[0]
+    if prog == 2:  # RPCL
+        return [
+            (l, r, c, k)
+            for r in range(levels + 1)
+            for k in range(n_prec[r][0] * n_prec[r][1])
+            for c in range(ncomp)
+            for l in range(L)
+        ]
+    tx0, ty0, tx1, ty1 = tile_box
+    span = [
+        (1 << (pp[r][0] + levels - r), 1 << (pp[r][1] + levels - r))
+        for r in range(levels + 1)
+    ]
+    step_x = min(s[0] for s in span)
+    step_y = min(s[1] for s in span)
+
+    def _positions(t0, t1, step):
+        pos = [t0]
+        nxt = t0 + step - (t0 % step) if t0 % step else t0 + step
+        pos.extend(range(nxt, max(t1, t0 + 1), step))
+        return pos
+
+    def _emit(x, y, r):
+        sx_, sy_ = span[r]
+        ppx_, ppy_ = pp[r]
+        rx0, ry0, _, _ = rb[r]
+        npx_, npy_ = n_prec[r]
+        if npx_ == 0 or npy_ == 0:
+            return None
+        ok_x = (x % sx_ == 0) or (x == tx0 and rx0 % (1 << ppx_) != 0)
+        ok_y = (y % sy_ == 0) or (y == ty0 and ry0 % (1 << ppy_) != 0)
+        if not (ok_x and ok_y):
+            return None
+        s = 1 << (levels - r)
+        pcol = (_ceildiv(x, s) >> ppx_) - (rx0 >> ppx_)
+        prow = (_ceildiv(y, s) >> ppy_) - (ry0 >> ppy_)
+        if not (0 <= pcol < npx_ and 0 <= prow < npy_):
+            return None
+        return prow * npx_ + pcol
+
+    out = []
+    if prog == 3:  # PCRL
+        for y in _positions(ty0, ty1, step_y):
+            for x in _positions(tx0, tx1, step_x):
+                for c in range(ncomp):
+                    for r in range(levels + 1):
+                        k = _emit(x, y, r)
+                        if k is not None:
+                            out.extend((l, r, c, k) for l in range(L))
+        return out
+    for c in range(ncomp):  # CPRL
+        for y in _positions(ty0, ty1, step_y):
+            for x in _positions(tx0, tx1, step_x):
+                for r in range(levels + 1):
+                    k = _emit(x, y, r)
+                    if k is not None:
+                        out.extend((l, r, c, k) for l in range(L))
     return out
 
 
@@ -1297,9 +1629,20 @@ def jp2_encode(
     causal: bool = False,
     segsym: bool = False,
     subsampling: list[tuple[int, int]] | None = None,
+    image_offset: tuple[int, int] = (0, 0),
+    tile_offset: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode an integer image as a JPEG-2000 codestream (raw codestream,
     no JP2 boxes).
+
+    image_offset / tile_offset: (XOsiz, YOsiz) / (XTOsiz, YTOsiz) — the
+    image area occupies reference-grid [XOsiz, XOsiz + w), the tile grid
+    anchors at the tile offset (T.800 B.3/B.5 require
+    XTOsiz <= XOsiz < XTOsiz + XTsiz). `img` still holds exactly the
+    image-area samples; all sub-band/precinct/code-block geometry and
+    the DWT run on absolute coordinates, so a nonzero offset changes
+    band sizes, block anchoring, and lifting parity exactly as a
+    conformant decoder expects.
 
     img: (h, w) grayscale or (h, w, C) multi-component (all components
     share bit depth and subsampling 1,1; no MCT — components code
@@ -1356,10 +1699,14 @@ def jp2_encode(
                 "use LRCP/RLCP"
             )
         h, w = comps[0].shape
+        _xo0, _yo0 = image_offset
         for c, ((xr, yr), p) in enumerate(zip(rs, comps)):
             if not (1 <= xr <= 255 and 1 <= yr <= 255):
                 raise ValueError("XRsiz/YRsiz must be in [1, 255]")
-            want = ((h + yr - 1) // yr, (w + xr - 1) // xr)
+            want = (
+                -(-(_yo0 + h) // yr) - (-(-_yo0 // yr)),
+                -(-(_xo0 + w) // xr) - (-(-_xo0 // xr)),
+            )
             if p.shape != want:
                 raise ValueError(
                     f"component {c} shape {p.shape} != ceil-divided {want}"
@@ -1396,12 +1743,22 @@ def jp2_encode(
         raise ValueError("mct needs at least 3 components")
     if not 1 <= layers <= 65535:
         raise ValueError("layers must be in [1, 65535]")
-    xt, yt = tile if tile is not None else (w, h)
+    xo, yo = image_offset
+    xto, yto = tile_offset if tile_offset is not None else (0, 0)
+    xs, ys = xo + w, yo + h  # Xsiz/Ysiz: reference-grid extents
+    xt, yt = tile if tile is not None else (xs - xto, ys - yto)
     if xt < 1 or yt < 1:
         raise ValueError("tile dims must be >= 1")
-    ntx, nty = (w + xt - 1) // xt, (h + yt - 1) // yt
-    tiles = [
-        (tx * xt, ty * yt, min(xt, w - tx * xt), min(yt, h - ty * yt))
+    if not (0 <= xto <= xo < xto + xt and 0 <= yto <= yo < yto + yt):
+        raise ValueError(
+            "offsets must satisfy 0 <= XTOsiz <= XOsiz < XTOsiz + XTsiz"
+        )
+    ntx, nty = _ceildiv(xs - xto, xt), _ceildiv(ys - yto, yt)
+    tiles = [  # absolute tile boxes clipped to the image area
+        (
+            max(xto + tx * xt, xo), max(yto + ty * yt, yo),
+            min(xto + (tx + 1) * xt, xs), min(yto + (ty + 1) * yt, ys),
+        )
         for ty in range(nty)
         for tx in range(ntx)
     ]
@@ -1421,43 +1778,46 @@ def jp2_encode(
 
     # per-tile, per-component subband decomposition (each tile is an
     # independent DWT over its own extent — T.800 tiles do not share
-    # extension samples)
-    def _comp_tile_box(tx0, ty0, tw, th, xr, yr):
-        """Tile rectangle mapped to a subsampled component's grid
-        (ceil-div of both edges — B.3 with zero offsets)."""
-        cx0, cy0 = -(-tx0 // xr), -(-ty0 // yr)
-        cx1, cy1 = -(-(tx0 + tw) // xr), -(-(ty0 + th) // yr)
-        return cx0, cy0, cx1 - cx0, cy1 - cy0
+    # extension samples). All boxes ABSOLUTE; component input arrays are
+    # indexed relative to the component image box origin.
+    comp_img = [
+        (_ceildiv(xo, xr), _ceildiv(yo, yr), _ceildiv(xs, xr), _ceildiv(ys, yr))
+        for xr, yr in rs
+    ]
 
     subs_by_tile = []
-    tile_comp_dims = []  # per tile: [(ctw, cth)] per component
-    for tx0, ty0, tw, th in tiles:
+    tile_comp_boxes = []  # per tile: [(cx0, cy0, cx1, cy1)] per component
+    for tx0, ty0, tx1, ty1 in tiles:
         planes = []
-        dims_c = []
-        for comp, (xr, yr) in zip(comps, rs):
-            cx0, cy0, ctw, cth = _comp_tile_box(tx0, ty0, tw, th, xr, yr)
-            dims_c.append((ctw, cth))
-            coefs = comp[cy0 : cy0 + cth, cx0 : cx0 + ctw].astype(
+        boxes_c = []
+        for comp, (xr, yr), (ix0, iy0, _, _) in zip(comps, rs, comp_img):
+            cx0, cy0 = _ceildiv(tx0, xr), _ceildiv(ty0, yr)
+            cx1, cy1 = _ceildiv(tx1, xr), _ceildiv(ty1, yr)
+            boxes_c.append((cx0, cy0, cx1, cy1))
+            coefs = comp[cy0 - iy0 : cy1 - iy0, cx0 - ix0 : cx1 - ix0].astype(
                 np.float64 if irreversible else np.int64
             )
             if not signed:
                 coefs = coefs - (1 << (depth - 1))  # DC level shift
             planes.append(coefs)
-        tile_comp_dims.append(dims_c)
+        tile_comp_boxes.append(boxes_c)
         if mct:
             xf = _ict_fwd if irreversible else _rct_fwd
             planes[0], planes[1], planes[2] = xf(planes[0], planes[1], planes[2])
         subs_by_c = []
-        for coefs in planes:
+        for coefs, cbox in zip(planes, boxes_c):
             subs = {}
             cur = coefs
-            fwd = _fwd97_2d if irreversible else _fwd53_2d
+            bx0, by0, bx1, by1 = cbox
+            fwd = _fwd97_2d_box if irreversible else _fwd53_2d_box
             for lvl in range(1, levels + 1):
-                ll, hl, lh, hh = fwd(cur)
+                ll, hl, lh, hh = fwd(cur, (bx0, by0, bx1, by1))
                 subs[(lvl, "HL")] = hl
                 subs[(lvl, "LH")] = lh
                 subs[(lvl, "HH")] = hh
                 cur = ll
+                bx0, by0 = (bx0 + 1) // 2, (by0 + 1) // 2
+                bx1, by1 = (bx1 + 1) // 2, (by1 + 1) // 2
             subs[(levels, "LL")] = cur
             subs_by_c.append(subs)
         subs_by_tile.append(subs_by_c)
@@ -1468,11 +1828,11 @@ def jp2_encode(
     # absolute step per band (per-block zero-bitplane counts absorb the
     # per-block slack either way). Band STRUCTURE (count/order) is tile-
     # independent; only dims vary, so the first tile indexes the QCD.
-    band_res0 = _subband_dims(tiles[0][2], tiles[0][3], levels)
+    band_res0 = _subband_boxes(tiles[0], levels)
     band_seq = []  # QCD-ordered (lvl, band) pairs
     for r, bands in enumerate(band_res0):
         lvl = levels if r == 0 else levels - r + 1
-        band_seq.extend((lvl, band) for band, _, _ in bands)
+        band_seq.extend((lvl, band) for band, *_ in bands)
     if irreversible:
         steps_by_c = (
             list(quant_step)
@@ -1533,23 +1893,20 @@ def jp2_encode(
         mbs_by_c = [[guard + e - 1 for e in eps]] * ncomp
 
     bodies = []
-    for (tx0, ty0, tw, th), subs_by_c, dims_c in zip(
-        tiles, subs_by_tile, tile_comp_dims
-    ):
-        band_res_c = [_subband_dims(cw_, ch_, levels) for cw_, ch_ in dims_c]
-        res_dims_c = [_resolution_dims(cw_, ch_, levels) for cw_, ch_ in dims_c]
+    for tbox, subs_by_c, boxes_c in zip(tiles, subs_by_tile, tile_comp_boxes):
+        band_res_c = [_subband_boxes(bx, levels) for bx in boxes_c]
+        res_boxes_c = [_resolution_boxes(bx, levels) for bx in boxes_c]
         states = {}  # (r, c, precinct_index) -> _PrecinctEncState
         for c, subs in enumerate(subs_by_c):
             for r, bands in enumerate(band_res_c[c]):
                 lvl = levels if r == 0 else levels - r + 1
                 ppx, ppy = pp[r]
-                rw, rh = res_dims_c[c][r]
                 mbs = {
                     band: mbs_by_c[c][_qcd_index(band_res_c[c], r, band)]
-                    for band, _, _ in bands
+                    for band, *_ in bands
                 }
                 for k, precinct in enumerate(
-                    _precinct_layout(r, bands, ppx, ppy, cblk, rw, rh)
+                    _precinct_layout_box(r, bands, ppx, ppy, cblk, res_boxes_c[c][r])
                 ):
                     coded_bands = []
                     for band, nbx, nby, blocks in precinct:
@@ -1572,8 +1929,8 @@ def jp2_encode(
                     )
         body = bytearray()
         nsop = 0
-        for l, r, c, k in _packet_order(
-            progression, levels, pp, res_dims_c, tw, th, ncomp, layers
+        for l, r, c, k in _packet_order_box(
+            progression, levels, pp, res_boxes_c, tbox, ncomp, layers
         ):
             if sop:  # A.8.1: 6-byte SOP with a mod-65536 packet counter
                 body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
@@ -1585,7 +1942,7 @@ def jp2_encode(
     out += b"\xff\x4f"  # SOC
     ssiz = (depth - 1) | (0x80 if signed else 0)
     out += b"\xff\x51" + struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, xs, ys, xo, yo, xt, yt, xto, yto, ncomp
     ) + b"".join(bytes([ssiz, xr, yr]) for xr, yr in rs)
     xcb = cblk[0].bit_length() - 3  # log2(cbw) - 2
     ycb = cblk[1].bit_length() - 3
@@ -1761,9 +2118,10 @@ def jp2_wrap(codestream: bytes) -> bytes:
     if codestream[:2] != b"\xff\x4f":
         raise ValueError("jp2_wrap takes a raw codestream (SOC first)")
     at = codestream.index(b"\xff\x51")
-    _, xs, ys, _, _, _, _, _, _, csiz = struct.unpack(
+    _, xs, ys, xo_, yo_, _, _, _, _, csiz = struct.unpack(
         ">HIIIIIIIIH", codestream[at + 4 : at + 40]
     )
+    xs, ys = xs - xo_, ys - yo_  # ihdr carries the image-AREA dims
     ssiz = codestream[at + 40]
 
     def box(btype: bytes, body: bytes) -> bytes:
@@ -1835,9 +2193,11 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             _, xs, ys, xo, yo, xt, yt, xto, yto, csiz = struct.unpack(
                 ">HIIIIIIIIH", seg[:36]
             )
-            if xo or yo or xto or yto:
-                raise NotImplementedError("nonzero image/tile offsets")
-            w, h = xs, ys
+            if not (xto <= xo < xto + xt and yto <= yo < yto + yt):
+                raise ValueError(
+                    "SIZ offsets violate XTOsiz <= XOsiz < XTOsiz + XTsiz"
+                )
+            w, h = xs, ys  # reference-grid EXTENT (image area starts at xo,yo)
             ncomp = csiz
             ssizs = set()
             rs = []
@@ -1918,38 +2278,51 @@ def jp2_decode(buf: bytes) -> np.ndarray:
     subsampled = any(v != (1, 1) for v in rs)
     if subsampled and use_mct:
         raise NotImplementedError("MCT with subsampled components")
-    ntx = (w + xt - 1) // xt
-    nty = (h + yt - 1) // yt
-    # per-component canvases at the component's own resolution; replicated
-    # to the reference grid at the end (identity when XRsiz=YRsiz=1)
-    canvases = [
-        np.zeros(((h + yr - 1) // yr, (w + xr - 1) // xr), np.int64)
+    # tile grid anchors at (XTOsiz, YTOsiz); image area is [xo, w) x [yo, h)
+    ntx = _ceildiv(w - xto, xt)
+    nty = _ceildiv(h - yto, yt)
+    # per-component canvases over the component's own image box
+    # [ceil(xo/xr), ceil(Xsiz/xr)); replicated to the reference grid at
+    # the end (identity when XRsiz=YRsiz=1 and offsets are 0)
+    comp_img = [
+        (_ceildiv(xo, xr), _ceildiv(yo, yr), _ceildiv(w, xr), _ceildiv(h, yr))
         for xr, yr in rs
+    ]
+    canvases = [
+        np.zeros((cy1 - cy0, cx1 - cx0), np.int64)
+        for cx0, cy0, cx1, cy1 in comp_img
     ]
     for isot, body in bodies.items():
         if not 0 <= isot < ntx * nty:
             raise ValueError(f"tile index {isot} out of the {ntx}x{nty} grid")
-        tx0 = (isot % ntx) * xt
-        ty0 = (isot // ntx) * yt
-        tw, th = min(xt, w - tx0), min(yt, h - ty0)
-        boxes = []
-        for xr, yr in rs:
-            cx0, cy0 = -(-tx0 // xr), -(-ty0 // yr)
-            cx1, cy1 = -(-(tx0 + tw) // xr), -(-(ty0 + th) // yr)
-            boxes.append((cx0, cy0, cx1 - cx0, cy1 - cy0))
+        tx0 = max(xto + (isot % ntx) * xt, xo)
+        ty0 = max(yto + (isot // ntx) * yt, yo)
+        tx1 = min(xto + ((isot % ntx) + 1) * xt, w)
+        ty1 = min(yto + ((isot // ntx) + 1) * yt, h)
+        boxes = [
+            (_ceildiv(tx0, xr), _ceildiv(ty0, yr),
+             _ceildiv(tx1, xr), _ceildiv(ty1, yr))
+            for xr, yr in rs
+        ]
         planes = _decode_tile(
-            body, tw, th, levels, cblk, pp_list, prog_order, ncomp,
-            qinfo, depth, signed, irreversible, use_mct, nlayers,
+            body, (tx0, ty0, tx1, ty1), levels, cblk, pp_list, prog_order,
+            ncomp, qinfo, depth, signed, irreversible, use_mct, nlayers,
             use_sop, use_eph, use_termall, use_bypass,
-            [(cw_, ch_) for _, _, cw_, ch_ in boxes],
+            boxes,
             use_reset, use_causal, use_segsym,
         )
-        for cv, (cx0, cy0, cw_, ch_), cur in zip(canvases, boxes, planes):
-            cv[cy0 : cy0 + ch_, cx0 : cx0 + cw_] = cur
+        for cv, (cx0, cy0, cx1, cy1), (ix0, iy0, _, _), cur in zip(
+            canvases, boxes, comp_img, planes
+        ):
+            cv[cy0 - iy0 : cy1 - iy0, cx0 - ix0 : cx1 - ix0] = cur
     full = []
-    for cv, (xr, yr) in zip(canvases, rs):
-        if (xr, yr) != (1, 1):
-            cv = np.repeat(np.repeat(cv, yr, axis=0), xr, axis=1)[:h, :w]
+    for cv, (xr, yr), (ix0, iy0, _, _) in zip(canvases, rs, comp_img):
+        if (xr, yr) != (1, 1) or (xo, yo) != (0, 0):
+            # map every image-area reference sample to its component
+            # sample (clamped replication at a ragged offset edge)
+            iy = np.clip(np.arange(yo, h) // yr - iy0, 0, cv.shape[0] - 1)
+            ix = np.clip(np.arange(xo, w) // xr - ix0, 0, cv.shape[1] - 1)
+            cv = cv[np.ix_(iy, ix)]
         full.append(cv)
     if ncomp == 1:
         return full[0]
@@ -1958,8 +2331,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
 
 def _decode_tile(
     body: bytes,
-    w: int,
-    h: int,
+    tile_box: tuple,
     levels: int,
     cblk: int,
     pp_list: list[tuple[int, int]],
@@ -1975,13 +2347,19 @@ def _decode_tile(
     use_eph: bool = False,
     use_termall: bool = False,
     use_bypass: bool = False,
-    comp_dims: list | None = None,
+    comp_boxes: list | None = None,
     use_reset: bool = False,
     use_causal: bool = False,
     use_segsym: bool = False,
 ) -> list[np.ndarray]:
-    """Decode one tile's packet body (dims = the TILE extent) into
-    reconstructed int64 planes, one per component.
+    """Decode one tile's packet body into reconstructed int64 planes,
+    one per component. `tile_box` is the tile's ABSOLUTE reference-grid
+    box (tx0, ty0, tx1, ty1); `comp_boxes` the per-component absolute
+    tile-component boxes (ceil-divided by the subsampling) — all
+    geometry (sub-band boxes, precinct anchoring, code-block anchoring,
+    DWT parity) runs on absolute coordinates, so nonzero
+    XOsiz/YOsiz/XTOsiz/YTOsiz decode with the same code path as the
+    zero-offset case.
 
     Packets are walked in full progression order over (layer, r, c,
     precinct); per-precinct inclusion/zero-bitplane tag trees and
@@ -1989,14 +2367,14 @@ def _decode_tile(
     block's per-layer chunks are concatenated and tier-1-decoded once
     with its total pass count after all packets are read — so any layer
     partition of a block's codeword segment reconstructs identically."""
-    if comp_dims is None:
-        comp_dims = [(w, h)] * ncomp
-    band_res_c = [_subband_dims(cw_, ch_, levels) for cw_, ch_ in comp_dims]
-    res_dims_c = [_resolution_dims(cw_, ch_, levels) for cw_, ch_ in comp_dims]
+    if comp_boxes is None:
+        comp_boxes = [tile_box] * ncomp
+    band_res_c = [_subband_boxes(bx, levels) for bx in comp_boxes]
+    res_boxes_c = [_resolution_boxes(bx, levels) for bx in comp_boxes]
     layouts_c = [
         [
-            _precinct_layout(
-                r, bands, pp_list[r][0], pp_list[r][1], cblk, *res_dims_c[c][r]
+            _precinct_layout_box(
+                r, bands, pp_list[r][0], pp_list[r][1], cblk, res_boxes_c[c][r]
             )
             for r, bands in enumerate(band_res_c[c])
         ]
@@ -2004,7 +2382,10 @@ def _decode_tile(
     ]
     arrs = [
         [
-            {band: np.zeros((bhd, bwd), np.int64) for band, bwd, bhd in bands}
+            {
+                band: np.zeros((by1 - by0, bx1 - bx0), np.int64)
+                for band, bx0, by0, bx1, by1 in bands
+            }
             for bands in band_res_c[c]
         ]
         for c in range(ncomp)
@@ -2012,8 +2393,8 @@ def _decode_tile(
     states: dict = {}  # (r, c, k) -> per-band [(inc, zb, {(bx,by): blkstate})]
     blocks_seen: list = []
     p = 0
-    for l, r, c, k in _packet_order(
-        prog_order, levels, pp_list, res_dims_c, w, h, ncomp, nlayers
+    for l, r, c, k in _packet_order_box(
+        prog_order, levels, pp_list, res_boxes_c, tile_box, ncomp, nlayers
     ):
         precinct = layouts_c[c][r][k]
         st = states.get((r, c, k))
@@ -2110,16 +2491,17 @@ def _decode_tile(
 
     planes = []
     for c in range(ncomp):
-        dims_chain = []
-        cw, ch = comp_dims[c]
+        box_chain = []
+        bx0, by0, bx1, by1 = comp_boxes[c]
         for _ in range(levels):
-            dims_chain.append((cw, ch))
-            cw, ch = (cw + 1) // 2, (ch + 1) // 2
+            box_chain.append((bx0, by0, bx1, by1))
+            bx0, by0 = (bx0 + 1) // 2, (by0 + 1) // 2
+            bx1, by1 = (bx1 + 1) // 2, (by1 + 1) // 2
         _, exps_c, mants_c = qinfo[c]
         subs = {}
         for r, bands in enumerate(band_res_c[c]):
             lvl = levels if r == 0 else levels - r + 1
-            for band, bwd, bhd in bands:
+            for band, *_ in bands:
                 q = arrs[c][r][band]
                 if irreversible:
                     rb = depth + _GAIN97[band]
@@ -2132,11 +2514,11 @@ def _decode_tile(
                 else:
                     subs[(lvl, band)] = q
         cur = subs[(levels, "LL")]
-        inv = _inv97_2d if irreversible else _inv53_2d
+        inv = _inv97_2d_box if irreversible else _inv53_2d_box
         for lvl in range(levels, 0, -1):
-            ow, oh = dims_chain[lvl - 1]
             cur = inv(
-                cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")], oh, ow
+                cur, subs[(lvl, "HL")], subs[(lvl, "LH")], subs[(lvl, "HH")],
+                box_chain[lvl - 1],
             )
         planes.append(cur)
     if use_mct:  # inverse component transform before the level un-shift

