@@ -723,3 +723,49 @@ def remove_duplicate_spans(
         .drop("_toks", "_kept", "_spans")
     )
     return out
+
+
+def dedup_lines(
+    docs: DataFrame,
+    line_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level corpus deduplication (Raffel et al. 2020 §2.2
+    deduplicate three-sentence spans; RefinedWeb line dedup): chunk each
+    document into fixed `line_words`-word lines, keep the FIRST corpus
+    occurrence of every distinct line (order: doc_id, then position) and
+    flag the rest → (doc_id, line_idx, line, keep).
+
+    Plan: one JVM split/slice/posexplode (no Python), then one
+    row_number window keyed on the line text — the same single-shuffle
+    shape as exact dedup. A pathologically hot line (billions of
+    identical boilerplate copies at 100 TB) lands in one task; the
+    cap_per_domain salted pre-cap pattern applies verbatim if that
+    arises (keep-first = cap 1, so pre-capping per (line, salt) at 1
+    bounds the task). Exact DuckDB twin: q59."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(
+        F.col(id_col).cast("long").alias(id_col), words.alias("_w")
+    ).withColumn(
+        "_idx",
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size("_w") / F.lit(float(line_words))).cast("long") - 1,
+        ),
+    )
+    lines = d.select(
+        id_col,
+        F.posexplode("_idx").alias("line_idx", "_i"),
+        "_w",
+    ).select(
+        id_col,
+        F.col("line_idx").cast("long").alias("line_idx"),
+        F.array_join(
+            F.slice("_w", F.col("_i") * line_words + 1, line_words), " "
+        ).alias("line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_idx"))
+    return lines.withColumn("keep", F.row_number().over(w) == 1)

@@ -2325,3 +2325,39 @@ FROM m
 
 QUERIES["q58_gopher_gates"] = q58_gopher_gates
 ORACLES["q58_gopher_gates"] = Q58_SQL
+
+
+def q59_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (operators/dedup.dedup_lines):
+    10-word lines, first corpus occurrence kept, rest flagged. Overflow
+    registry slot, oracle-backed."""
+    from ..operators.dedup import dedup_lines
+
+    return dedup_lines(_t(spark, sf_dir, "documents"), line_words=10)
+
+
+Q59_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, words,
+         unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+  FROM w
+),
+l AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS line_idx,
+         array_to_string(words[(i * 10 + 1):(i * 10 + 10)], ' ') AS line
+  FROM ix
+)
+SELECT doc_id, line_idx, line,
+       (row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1)
+         AS keep
+FROM l
+"""
+
+QUERIES["q59_line_dedup"] = q59_line_dedup
+ORACLES["q59_line_dedup"] = Q59_SQL

@@ -725,3 +725,33 @@ def test_interval_join_overcap_broadcast_guard(spark):
         .count()
     )
     assert n == want > 0
+
+
+def test_dedup_lines_c4_first_occurrence(spark):
+    """C4 line-level corpus dedup: a line shared across documents keeps
+    only its first (doc_id, line_idx) occurrence; within-doc repeats are
+    flagged too; short tails form their own (ragged) lines."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import dedup_lines
+
+    w10 = " ".join(f"w{i}" for i in range(10))        # one full line
+    boiler = " ".join(f"b{i}" for i in range(10))     # the shared line
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {w10}"),                   # boiler first here
+            (2, f"{w10} {boiler}"),                   # both lines dups
+            (3, f"{boiler} {boiler} tail words"),     # in-doc repeat + tail
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(docs, line_words=10).collect()
+    by = {(r["doc_id"], r["line_idx"]): r for r in out}
+    assert len(out) == 2 + 2 + 3
+    assert by[(1, 0)]["keep"] and by[(1, 0)]["line"] == boiler
+    assert by[(1, 1)]["keep"] and by[(1, 1)]["line"] == w10
+    assert not by[(2, 0)]["keep"]   # w10 already seen at (1, 1)
+    assert not by[(2, 1)]["keep"]   # boiler already seen at (1, 0)
+    assert not by[(3, 0)]["keep"] and not by[(3, 1)]["keep"]
+    assert by[(3, 2)]["keep"] and by[(3, 2)]["line"] == "tail words"
+    # plan: JVM-only up to the window (no Python eval in the plan)
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
