@@ -569,6 +569,15 @@ def main() -> None:
                     "sf": sf,
                     **chip,
                     **sj,
+                    # same-run machine calibration (pure-JVM md5 kernel, no
+                    # shuffle/Python): cross-ROUND wall-time comparisons on
+                    # this shared VM are only meaningful after normalizing
+                    # by this number — round-to-round host noise of 15-50%
+                    # has been observed on identical code (BENCH/scaling.json
+                    # machine_ceiling_efficiency 0.814-0.951 across rounds)
+                    "md5_ceiling_rows_per_sec": machine_ceiling_probe(
+                        spark, cpus
+                    ),
                 }
             )
         )
