@@ -1380,7 +1380,7 @@ def _precinct_layout_box(r, band_boxes, ppx, ppy, cblk, res_box):
 
 def _packet_order_box(
     prog: int, levels: int, pp, res_boxes_c, tile_box, ncomp: int = 1,
-    nlayers: int = 1,
+    nlayers: int = 1, rs: list | None = None,
 ):
     """_packet_order over absolute boxes (T.800 B.12 with offsets).
     Position-major orders emit a precinct either at span-aligned
@@ -1419,68 +1419,78 @@ def _packet_order_box(
             for c in range(ncomp)
             for k in range(n_prec[c][r][0] * n_prec[c][r][1])
         ]
-    if any(n_prec[c] != n_prec[0] or rb_c[c] != rb_c[0] for c in range(ncomp)):
-        raise NotImplementedError(
-            "position-major progression (RPCL/PCRL/CPRL) with subsampled "
-            "components — use LRCP/RLCP"
-        )
-    n_prec = n_prec[0]
-    rb = rb_c[0]
-    if prog == 2:  # RPCL
-        return [
-            (l, r, c, k)
-            for r in range(levels + 1)
-            for k in range(n_prec[r][0] * n_prec[r][1])
-            for c in range(ncomp)
-            for l in range(L)
-        ]
+    # position-major orders (B.12.1.3-5), fully general: per-component
+    # subsampling scales each component's precinct span on the reference
+    # grid (span = Rsiz_c * 2^(PP + NL - r)), so candidate positions are
+    # the UNION of every (c, r) span lattice (mixed spans are not
+    # mutually nested when Rsiz is not a power of two) plus the tile
+    # edge, and each component tests alignment against its OWN grid.
+    if rs is None:
+        rs = [(1, 1)] * ncomp
     tx0, ty0, tx1, ty1 = tile_box
     span = [
-        (1 << (pp[r][0] + levels - r), 1 << (pp[r][1] + levels - r))
-        for r in range(levels + 1)
+        [
+            (rs[c][0] << (pp[r][0] + levels - r),
+             rs[c][1] << (pp[r][1] + levels - r))
+            for r in range(levels + 1)
+        ]
+        for c in range(ncomp)
     ]
-    step_x = min(s[0] for s in span)
-    step_y = min(s[1] for s in span)
 
-    def _positions(t0, t1, step):
-        pos = [t0]
-        nxt = t0 + step - (t0 % step) if t0 % step else t0 + step
-        pos.extend(range(nxt, max(t1, t0 + 1), step))
-        return pos
+    def _positions(t0, t1, crs, axis):
+        vals = {t0}
+        for c, r in crs:
+            s = span[c][r][axis]
+            first = t0 + ((-t0) % s)
+            vals.update(range(first, max(t1, t0 + 1), s))
+        return sorted(vals)
 
-    def _emit(x, y, r):
-        sx_, sy_ = span[r]
+    def _emit(c, r, x, y):
+        sx_, sy_ = span[c][r]
         ppx_, ppy_ = pp[r]
-        rx0, ry0, _, _ = rb[r]
-        npx_, npy_ = n_prec[r]
+        rx0, ry0, _, _ = rb_c[c][r]
+        npx_, npy_ = n_prec[c][r]
         if npx_ == 0 or npy_ == 0:
             return None
         ok_x = (x % sx_ == 0) or (x == tx0 and rx0 % (1 << ppx_) != 0)
         ok_y = (y % sy_ == 0) or (y == ty0 and ry0 % (1 << ppy_) != 0)
         if not (ok_x and ok_y):
             return None
-        s = 1 << (levels - r)
-        pcol = (_ceildiv(x, s) >> ppx_) - (rx0 >> ppx_)
-        prow = (_ceildiv(y, s) >> ppy_) - (ry0 >> ppy_)
+        sdx = rs[c][0] << (levels - r)
+        sdy = rs[c][1] << (levels - r)
+        pcol = (_ceildiv(x, sdx) >> ppx_) - (rx0 >> ppx_)
+        prow = (_ceildiv(y, sdy) >> ppy_) - (ry0 >> ppy_)
         if not (0 <= pcol < npx_ and 0 <= prow < npy_):
             return None
         return prow * npx_ + pcol
 
     out = []
-    if prog == 3:  # PCRL
-        for y in _positions(ty0, ty1, step_y):
-            for x in _positions(tx0, tx1, step_x):
-                for c in range(ncomp):
-                    for r in range(levels + 1):
-                        k = _emit(x, y, r)
+    if prog == 2:  # RPCL: res → position → comp → layer
+        for r in range(levels + 1):
+            crs = [(c, r) for c in range(ncomp)]
+            for y in _positions(ty0, ty1, crs, 1):
+                for x in _positions(tx0, tx1, crs, 0):
+                    for c in range(ncomp):
+                        k = _emit(c, r, x, y)
                         if k is not None:
                             out.extend((l, r, c, k) for l in range(L))
         return out
-    for c in range(ncomp):  # CPRL
-        for y in _positions(ty0, ty1, step_y):
-            for x in _positions(tx0, tx1, step_x):
+    crs_all = [(c, r) for c in range(ncomp) for r in range(levels + 1)]
+    if prog == 3:  # PCRL: position → comp → res → layer
+        for y in _positions(ty0, ty1, crs_all, 1):
+            for x in _positions(tx0, tx1, crs_all, 0):
+                for c in range(ncomp):
+                    for r in range(levels + 1):
+                        k = _emit(c, r, x, y)
+                        if k is not None:
+                            out.extend((l, r, c, k) for l in range(L))
+        return out
+    for c in range(ncomp):  # CPRL: comp → position → res → layer
+        crs = [(c, r) for r in range(levels + 1)]
+        for y in _positions(ty0, ty1, crs, 1):
+            for x in _positions(tx0, tx1, crs, 0):
                 for r in range(levels + 1):
-                    k = _emit(x, y, r)
+                    k = _emit(c, r, x, y)
                     if k is not None:
                         out.extend((l, r, c, k) for l in range(L))
     return out
@@ -1693,11 +1703,6 @@ def jp2_encode(
             raise ValueError("component 0 must be full resolution (XRsiz=YRsiz=1)")
         if mct and any(v != (1, 1) for v in rs):
             raise ValueError("mct requires same-resolution components")
-        if progression > 1 and any(v != (1, 1) for v in rs):
-            raise NotImplementedError(
-                "position-major progression with subsampled components — "
-                "use LRCP/RLCP"
-            )
         h, w = comps[0].shape
         _xo0, _yo0 = image_offset
         for c, ((xr, yr), p) in enumerate(zip(rs, comps)):
@@ -1930,7 +1935,7 @@ def jp2_encode(
         body = bytearray()
         nsop = 0
         for l, r, c, k in _packet_order_box(
-            progression, levels, pp, res_boxes_c, tbox, ncomp, layers
+            progression, levels, pp, res_boxes_c, tbox, ncomp, layers, rs
         ):
             if sop:  # A.8.1: 6-byte SOP with a mod-65536 packet counter
                 body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
@@ -2309,7 +2314,7 @@ def jp2_decode(buf: bytes) -> np.ndarray:
             ncomp, qinfo, depth, signed, irreversible, use_mct, nlayers,
             use_sop, use_eph, use_termall, use_bypass,
             boxes,
-            use_reset, use_causal, use_segsym,
+            use_reset, use_causal, use_segsym, rs,
         )
         for cv, (cx0, cy0, cx1, cy1), (ix0, iy0, _, _), cur in zip(
             canvases, boxes, comp_img, planes
@@ -2351,6 +2356,7 @@ def _decode_tile(
     use_reset: bool = False,
     use_causal: bool = False,
     use_segsym: bool = False,
+    rs: list | None = None,
 ) -> list[np.ndarray]:
     """Decode one tile's packet body into reconstructed int64 planes,
     one per component. `tile_box` is the tile's ABSOLUTE reference-grid
@@ -2394,7 +2400,7 @@ def _decode_tile(
     blocks_seen: list = []
     p = 0
     for l, r, c, k in _packet_order_box(
-        prog_order, levels, pp_list, res_boxes_c, tile_box, ncomp, nlayers
+        prog_order, levels, pp_list, res_boxes_c, tile_box, ncomp, nlayers, rs
     ):
         precinct = layouts_c[c][r][k]
         st = states.get((r, c, k))

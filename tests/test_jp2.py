@@ -677,11 +677,24 @@ def test_jp2_subsampled_components():
     )
     assert np.abs(out[..., 0] - y).max() <= 4
 
-    # position-major progressions with mixed grids raise descriptively
-    with pytest.raises(NotImplementedError, match="position-major"):
-        jp2_encode(
-            [y, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)], progression=3
+    # position-major progressions over MIXED grids (round 7): each
+    # component tests span alignment against its own subsampled precinct
+    # lattice; candidate positions are the union of the lattices — incl.
+    # a non-power-of-two Rsiz where spans are not mutually nested
+    for prog in (2, 3, 4):
+        got = jp2_decode(
+            jp2_encode(
+                [y, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+                progression=prog, precincts=[(4, 4), (4, 4), (5, 5)], cblk=16,
+            )
         )
+        np.testing.assert_array_equal(got[:, :, 0], y, err_msg=f"prog={prog}")
+    y3 = (y[:24, :27] if y.shape >= (24, 27) else y).astype(np.int64)
+    c3 = rng.integers(0, 255, (-(-y3.shape[0] // 3), -(-y3.shape[1] // 3)))
+    got = jp2_decode(
+        jp2_encode([y3, c3], levels=1, subsampling=[(1, 1), (3, 3)], progression=3)
+    )
+    np.testing.assert_array_equal(got[:, :, 0], y3)
 
 
 def test_jp2_remaining_cstyle_flags():
@@ -964,3 +977,27 @@ def test_jp2_openjpeg_interop_if_available(tmp_path):
             assert np.abs(px.astype(int) - img).max() <= 12, name
         else:
             np.testing.assert_array_equal(px, img, err_msg=name)
+
+
+def test_jp2_offsets_mixed_grids_position_major_composition():
+    """The full composition: nonzero image offset + subsampled
+    components + position-major progressions — every geometry feature
+    at once, bit-exact on the full-resolution plane."""
+    from instageo_e2e_geospatial_ml_spark.jp2 import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(89)
+    xo, yo = 5, 3
+    h, w = 30, 26
+    xs, ys = xo + w, yo + h
+    y = rng.integers(0, 1024, (h, w)).astype(np.int64)
+    shp2 = (-(-ys // 2) - (-(-yo // 2)), -(-xs // 2) - (-(-xo // 2)))
+    cb = rng.integers(0, 1024, shp2).astype(np.int64)
+    cr = rng.integers(0, 1024, shp2).astype(np.int64)
+    for prog in (2, 3, 4):
+        out = jp2_decode(
+            jp2_encode(
+                [y, cb, cr], levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+                progression=prog, image_offset=(xo, yo), cblk=16,
+            )
+        )
+        np.testing.assert_array_equal(out[:, :, 0], y, err_msg=f"prog={prog}")
