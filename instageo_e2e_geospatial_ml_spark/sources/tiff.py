@@ -109,8 +109,11 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
         bits = bits[0]
     dtype = np.dtype(bo + _DTYPES[(bits, sample_format)])
     spp = tags.get(277, [1])[0]
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar-configuration TIFF (tag 284 == 2)")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
+    if planar == 2 and spp == 1:
+        planar = 1  # degenerate: one plane == chunky
 
     predictor = tags.get(317, [1])[0]
 
@@ -165,37 +168,62 @@ def read_geotiff_bytes(data: bytes) -> tuple[np.ndarray, tuple[float, float, flo
     shape = (h, w) if spp == 1 else (h, w, spp)
     out = np.empty(shape, dtype=dtype)
 
-    def _rows(chunk: bytes, nrows: int, ncols: int) -> "np.ndarray":
+    def _rows(chunk: bytes, nrows: int, ncols: int, spp_eff: int | None = None) -> "np.ndarray":
+        sp = spp if spp_eff is None else spp_eff  # planar planes decode as 1-sample
         if predictor == 3:
-            if spp != 1:
+            if sp != 1:
                 raise NotImplementedError("predictor 3 with multiple samples")
             return _unpredict3(chunk, nrows, ncols)
-        a = np.frombuffer(chunk, dtype=dtype, count=nrows * ncols * spp)
-        if spp == 1:
+        a = np.frombuffer(chunk, dtype=dtype, count=nrows * ncols * sp)
+        if sp == 1:
             return _unpredict(a.reshape(nrows, ncols))
-        a = a.reshape(nrows, ncols, spp)
+        a = a.reshape(nrows, ncols, sp)
         if predictor == 2:
             a = a.copy()
             np.add.accumulate(a, axis=1, dtype=a.dtype, out=a)
             return a
-        return _unpredict(a.reshape(nrows, ncols * spp)).reshape(nrows, ncols, spp)
+        return _unpredict(a.reshape(nrows, ncols * sp)).reshape(nrows, ncols, sp)
 
     if 322 in tags:  # tiled layout (cloud-optimized GeoTIFF)
         tw, th = tags[322][0], tags[323][0]
         tiles_across = (w + tw - 1) // tw
-        for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
-            tile = _rows(_inflate(data[o : o + c]), th, tw)
-            ty, tx = divmod(idx, tiles_across)
-            r0, c0 = ty * th, tx * tw
-            nr, nc = min(th, h - r0), min(tw, w - c0)
-            out[r0 : r0 + nr, c0 : c0 + nc] = tile[:nr, :nc]  # edge tiles padded
+        if planar == 2:
+            # PlanarConfiguration=2 (GDAL INTERLEAVE=BAND): the tile list
+            # holds all of plane 0's tiles, then plane 1's, ... — each
+            # plane decodes exactly like a single-sample image
+            tiles_down = (h + th - 1) // th
+            per_plane = tiles_across * tiles_down
+            for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
+                plane, pidx = divmod(idx, per_plane)
+                tile = _rows(_inflate(data[o : o + c]), th, tw, 1)
+                ty, tx = divmod(pidx, tiles_across)
+                r0, c0 = ty * th, tx * tw
+                nr, nc = min(th, h - r0), min(tw, w - c0)
+                out[r0 : r0 + nr, c0 : c0 + nc, plane] = tile[:nr, :nc]
+        else:
+            for idx, (o, c) in enumerate(zip(tags[324], tags[325])):
+                tile = _rows(_inflate(data[o : o + c]), th, tw)
+                ty, tx = divmod(idx, tiles_across)
+                r0, c0 = ty * th, tx * tw
+                nr, nc = min(th, h - r0), min(tw, w - c0)
+                out[r0 : r0 + nr, c0 : c0 + nc] = tile[:nr, :nc]  # edge tiles padded
     else:  # strip layout
         rows_per_strip = tags.get(278, [h])[0]
-        row = 0
-        for o, c in zip(tags[273], tags[279]):
-            nrows = min(rows_per_strip, h - row)
-            out[row : row + nrows] = _rows(_inflate(data[o : o + c]), nrows, w)
-            row += nrows
+        if planar == 2:
+            strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
+            for idx, (o, c) in enumerate(zip(tags[273], tags[279])):
+                plane, sidx = divmod(idx, strips_per_plane)
+                row = sidx * rows_per_strip
+                nrows = min(rows_per_strip, h - row)
+                out[row : row + nrows, :, plane] = _rows(
+                    _inflate(data[o : o + c]), nrows, w, 1
+                )
+        else:
+            row = 0
+            for o, c in zip(tags[273], tags[279]):
+                nrows = min(rows_per_strip, h - row)
+                out[row : row + nrows] = _rows(_inflate(data[o : o + c]), nrows, w)
+                row += nrows
     # geotransform
     sx, sy, _ = tags.get(33550, [1.0, 1.0, 0.0])
     tie = tags.get(33922, [0.0] * 6)
