@@ -723,12 +723,14 @@ def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
         core = False
     else:
         raise NotImplementedError(f"BMP header size {hdr_size}")
-    if bits not in (8, 16, 24, 32):
+    if bits not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bits}")
-    if comp not in (0, 1, 3):
-        raise NotImplementedError(f"BMP compression {comp} (RLE4/PNG/JPEG)")
+    if comp not in (0, 1, 2, 3):
+        raise NotImplementedError(f"BMP compression {comp} (PNG/JPEG)")
     if comp == 1 and bits != 8:
         raise ValueError("RLE8 requires 8-bit samples")
+    if comp == 2 and bits != 4:
+        raise ValueError("RLE4 requires 4-bit samples")
     if comp == 3 and bits not in (16, 32):
         raise ValueError("BI_BITFIELDS requires 16- or 32-bit samples")
 
@@ -748,14 +750,15 @@ def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
         masks = (rmask, gmask, bmask, amask)
 
     palette = None
-    if bits == 8:
+    if bits <= 8:
+        full = 1 << bits
         if core:
             entry_sz, pal_off = 3, 14 + 12
             n_colors = (
-                min(256, (data_off - pal_off) // 3) if data_off > pal_off else 256
+                min(full, (data_off - pal_off) // 3) if data_off > pal_off else full
             )
         else:
-            n_colors = struct.unpack("<I", buf[46:50])[0] or 256
+            n_colors = struct.unpack("<I", buf[46:50])[0] or full
             entry_sz, pal_off = 4, 14 + hdr_size
         pal = np.frombuffer(
             buf[pal_off : pal_off + entry_sz * n_colors], dtype=np.uint8
@@ -787,14 +790,54 @@ def decode_bmp(buf: bytes, keep_alpha: bool = False) -> np.ndarray:
                 x += v
                 p += v + (v & 1)
         idx = img if top_down else img[::-1]
+    elif comp == 2:  # RLE4 (bottom-up; runs alternate the byte's nibbles)
+        img = np.zeros((h, w), np.uint8)
+        x = y = 0
+        p = data_off
+        while p + 1 < len(buf):
+            n, v = buf[p], buf[p + 1]
+            p += 2
+            if n:  # encoded run: hi, lo, hi, lo, ...
+                run = np.empty(n, np.uint8)
+                run[0::2] = v >> 4
+                run[1::2] = v & 0xF
+                m = min(n, w - x)
+                img[y, x : x + m] = run[:m]
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                x += buf[p]
+                y += buf[p + 1]
+                p += 2
+            else:  # absolute: v nibbles packed, padded to a 2-byte boundary
+                nb = (v + 1) // 2
+                packed = np.frombuffer(buf[p : p + nb], np.uint8)
+                nibs = np.empty(2 * nb, np.uint8)
+                nibs[0::2] = packed >> 4
+                nibs[1::2] = packed & 0xF
+                m = max(0, min(v, w - x))
+                img[y, x : x + m] = nibs[:m]
+                x += v
+                p += nb + (nb & 1)
+        idx = img if top_down else img[::-1]
     else:
-        stride = (w * (bits // 8) + 3) & ~3
+        stride = (w * max(bits, 8) // 8 + 3) & ~3 if bits >= 8 else ((w * bits + 31) // 32) * 4
         raw = np.frombuffer(
             buf[data_off : data_off + stride * h], np.uint8
         ).reshape(h, stride)
         rows = raw if top_down else raw[::-1]
         if bits == 8:
             idx = rows[:, :w]
+        elif bits == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        elif bits == 4:
+            nibs = np.empty((h, rows.shape[1] * 2), np.uint8)
+            nibs[:, 0::2] = rows >> 4
+            nibs[:, 1::2] = rows & 0xF
+            idx = nibs[:, :w]
         elif bits == 16 or (bits == 32 and comp == 3):
             word = "<u2" if bits == 16 else "<u4"
             vals = (

@@ -743,3 +743,75 @@ def test_bmp_bitfields_and_coreheader_vs_javax(spark):
         want8 = want8[..., 0]
     np.testing.assert_array_equal(ours8, want8)
     _assert_match(buf8)
+
+
+def test_bmp_1bit_4bit_rle4_vs_javax(spark):
+    """The low-bit-depth BMP family (legacy web/favicon coverage):
+    1-bit and 4-bit palette files and RLE4 compression, hand-built per
+    the DIB spec, our decode vs javax.imageio on the same bytes."""
+    import struct
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_bmp
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(43)
+    h, w = 9, 13
+
+    def _file(bits, comp, pal_colors, pix):
+        pal = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in pal_colors)
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(pix), 0, 0,
+            len(pal_colors), 0,
+        )
+        off = 14 + 40 + len(pal)
+        return (
+            b"BM" + (off + len(pix)).to_bytes(4, "little") + b"\x00" * 4
+            + off.to_bytes(4, "little") + hdr + pal + pix
+        )
+
+    def _javax_rgb(buf):
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(buf))
+        )
+        assert bi is not None
+        out = np.zeros((bi.getHeight(), bi.getWidth(), 3), np.uint8)
+        for y in range(bi.getHeight()):
+            for x in range(bi.getWidth()):
+                p = bi.getRGB(x, y)
+                out[y, x] = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+        return out
+
+    def _norm(ours):
+        return np.stack([ours] * 3, axis=-1) if ours.ndim == 2 else ours
+
+    # 1-bit: two-color palette, padded 4-byte rows
+    colors1 = [(250, 10, 30), (20, 200, 90)]
+    bits1 = rng.integers(0, 2, (h, w)).astype(np.uint8)
+    rows = np.zeros((h, ((w + 31) // 32) * 4 * 8), np.uint8)
+    rows[:, :w] = bits1[::-1]
+    pix1 = np.packbits(rows, axis=1).tobytes()
+    f1 = _file(1, 0, colors1, pix1)
+    np.testing.assert_array_equal(_norm(decode_bmp(f1)), _javax_rgb(f1))
+
+    # 4-bit: 16-color palette
+    colors4 = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    idx4 = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    stride_nib = ((w * 4 + 31) // 32) * 8
+    nibs = np.zeros((h, stride_nib), np.uint8)
+    nibs[:, :w] = idx4[::-1]
+    packed = (nibs[:, 0::2] << 4) | nibs[:, 1::2]
+    f4 = _file(4, 0, colors4, packed.tobytes())
+    np.testing.assert_array_equal(_norm(decode_bmp(f4)), _javax_rgb(f4))
+
+    # RLE4: runs (alternating nibbles), absolute mode, EOL, delta, EOB
+    rle = bytes(
+        [5, 0x12,            # row0: 1,2,1,2,1
+         0, 4, 0x34, 0x50, 0, 0,  # absolute 3,4,5,0 (pad to even)
+         0, 0,               # EOL
+         8, 0x77,            # row1: eight 7s
+         0, 2, 3, 1,         # delta: x+=3, y+=1 -> row2
+         4, 0xA0,            # A,0,A,0
+         0, 1]               # end of bitmap
+    )
+    frle = _file(4, 2, colors4, rle)
+    np.testing.assert_array_equal(_norm(decode_bmp(frle)), _javax_rgb(frle))
