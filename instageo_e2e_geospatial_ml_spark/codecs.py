@@ -490,7 +490,8 @@ def _png_unfilter(
 
 def decode_png_any(buf: bytes) -> np.ndarray:
     """General PNG decoder (real-world files, not just this module's
-    minimal writer): bit depths 8/16, color types gray / RGB / palette /
+    minimal writer): bit depths 1/2/4/8/16 (sub-byte for gray/palette,
+    values returned as stored), color types gray / RGB / palette /
     gray+alpha / RGBA, all five scanline filters (None/Sub/Up/Average/
     Paeth), sequential AND Adam7-interlaced row order. Returns (h, w)
     for gray or (h, w, channels) uint8/uint16 — lossless, so tests pin
@@ -521,12 +522,55 @@ def decode_png_any(buf: bytes) -> np.ndarray:
             break
         pos += 12 + length
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    if bitdepth not in (8, 16):
+    if bitdepth not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"bit depth {bitdepth}")
+    if bitdepth < 8 and color not in (0, 3):
+        raise ValueError("sub-byte depth is only legal for gray/palette PNG")
+    raw = zlib.decompress(idat)
+
+    if bitdepth < 8:
+        # 1/2/4-bit gray or palette: the filter unit is ONE byte and
+        # scanlines pack ceil(w*d/8) bytes; unpack after unfiltering.
+        # Sample values are returned as stored (0..2^d-1 gray levels or
+        # palette indices), matching javax's raster samples.
+        def _unpack(rows2d, wpx):
+            b = np.unpackbits(rows2d, axis=1)
+            if bitdepth == 1:
+                return b[:, :wpx]
+            g = b[:, : (b.shape[1] // bitdepth) * bitdepth].reshape(
+                rows2d.shape[0], -1, bitdepth
+            )
+            vals = np.zeros(g.shape[:2], np.uint8)
+            for i in range(bitdepth):
+                vals = (vals << 1) | g[:, :, i]
+            return vals[:, :wpx]
+
+        if interlace:
+            passes = (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+            vals = np.zeros((height, width), np.uint8)
+            off = 0
+            for x0, y0, dx, dy in passes:
+                wp = (width - x0 + dx - 1) // dx
+                hp = (height - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sub, off = _png_unfilter(raw, off, hp, (wp * bitdepth + 7) // 8, 1)
+                vals[y0::dy, x0::dx] = _unpack(sub, wp)
+        else:
+            sbytes = (width * bitdepth + 7) // 8
+            rows2d, _ = _png_unfilter(raw, 0, height, sbytes, 1)
+            vals = _unpack(rows2d, width)
+        if color == 3:
+            assert plte is not None, "palette PNG without PLTE"
+            return plte[vals]
+        return vals
+
     sample_bytes = bitdepth // 8
     bpp = channels * sample_bytes  # filter unit
     stride = width * bpp
-    raw = zlib.decompress(idat)
 
     if interlace:
         # Adam7 (PNG spec 8.2): seven independently filtered sub-images,

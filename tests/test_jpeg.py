@@ -815,3 +815,85 @@ def test_bmp_1bit_4bit_rle4_vs_javax(spark):
     )
     frle = _file(4, 2, colors4, rle)
     np.testing.assert_array_equal(_norm(decode_bmp(frle)), _javax_rgb(frle))
+
+
+def test_png_sub_byte_depths_vs_javax(spark):
+    """1/2/4-bit PNGs (legacy web graphics): gray and palette, sequential
+    and Adam7-interlaced, hand-built per the PNG spec; our decode vs
+    javax.imageio reading the same bytes (raster samples for gray,
+    palette-resolved RGB for color type 3)."""
+    import struct
+    import zlib
+
+    from instageo_e2e_geospatial_ml_spark.codecs import _PNG_SIG, _chunk, decode_png_any
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(47)
+    h, w = 11, 21  # widths not byte-aligned at any sub-byte depth
+
+    def _pack_row(vals, depth):
+        bits = np.zeros((len(vals), depth), np.uint8)
+        for i in range(depth):
+            bits[:, i] = (vals >> (depth - 1 - i)) & 1
+        return np.packbits(bits.reshape(-1)).tobytes()
+
+    def _png(vals, depth, color, plte=None, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", vals.shape[1], vals.shape[0], depth,
+                           color, 0, 0, interlace)
+        body = b""
+        if interlace:
+            passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+            for x0, y0, dx, dy in passes:
+                sub = vals[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                for r in sub:
+                    body += b"\x00" + _pack_row(r, depth)
+        else:
+            for r in vals:
+                body += b"\x00" + _pack_row(r, depth)
+        chunks = _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        chunks += _chunk(b"IDAT", zlib.compress(body)) + _chunk(b"IEND", b"")
+        return _PNG_SIG + chunks
+
+    def _javax_gray(buf):
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(buf)))
+        assert bi is not None
+        raster = bi.getRaster()
+        return np.array(
+            [[raster.getSample(x, y, 0) for x in range(bi.getWidth())]
+             for y in range(bi.getHeight())], np.uint8)
+
+    def _javax_rgb(buf):
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(buf)))
+        assert bi is not None
+        out = np.zeros((bi.getHeight(), bi.getWidth(), 3), np.uint8)
+        for y in range(bi.getHeight()):
+            for x in range(bi.getWidth()):
+                p = bi.getRGB(x, y)
+                out[y, x] = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+        return out
+
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+        buf = _png(vals, depth, 0)
+        np.testing.assert_array_equal(decode_png_any(buf), vals, err_msg=f"d={depth}")
+        np.testing.assert_array_equal(decode_png_any(buf), _javax_gray(buf))
+        # Adam7
+        bufi = _png(vals, depth, 0, interlace=1)
+        np.testing.assert_array_equal(decode_png_any(bufi), vals, err_msg=f"i d={depth}")
+        np.testing.assert_array_equal(decode_png_any(bufi), _javax_gray(bufi))
+
+    # 4-bit palette (sequential + interlaced)
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    for inter in (0, 1):
+        buf = _png(idx, 4, 3, plte=plte, interlace=inter)
+        ours = decode_png_any(buf)
+        np.testing.assert_array_equal(ours, plte[idx], err_msg=f"pal i={inter}")
+        np.testing.assert_array_equal(ours, _javax_rgb(buf))
