@@ -586,13 +586,18 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             sp = 0
             while sp < len(seg):
                 pq, tq = seg[sp] >> 4, seg[sp] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                z = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                if pq:  # 16-bit table entries (T.81 B.2.4.1, Pq=1)
+                    z = np.frombuffer(
+                        seg[sp + 1 : sp + 129], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    z = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
                 qt = np.zeros(64, dtype=np.int32)
                 qt[ZIGZAG] = z
                 qts[tq] = qt.reshape(8, 8)
-                sp += 65
+                sp += 129 if pq else 65
         elif marker == 0xC4:  # DHT (may be re-issued between scans)
             sp = 0
             while sp < len(seg):

@@ -897,3 +897,40 @@ def test_png_sub_byte_depths_vs_javax(spark):
         ours = decode_png_any(buf)
         np.testing.assert_array_equal(ours, plte[idx], err_msg=f"pal i={inter}")
         np.testing.assert_array_equal(ours, _javax_rgb(buf))
+
+
+def test_jpeg_16bit_quant_tables(spark):
+    """DQT Pq=1 (16-bit quantizer entries, T.81 B.2.4.1): rewrite a
+    stream's 8-bit tables as 16-bit with identical values — decode must
+    be identical, and javax.imageio must agree on the rewritten bytes."""
+    import struct
+
+    g = _gradient(24, 32)
+    buf = jpeg_encode(g, quality=85)
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if buf[pos : pos + 2] == b"\xff\xdb":
+            (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            seg = buf[pos + 4 : pos + 2 + ln]
+            new = b""
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                assert pq == 0
+                vals = seg[sp + 1 : sp + 65]
+                new += bytes([(1 << 4) | tq]) + b"".join(
+                    struct.pack(">H", v) for v in vals
+                )
+                sp += 65
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new)) + new
+            pos += 2 + ln
+        else:
+            out.append(buf[pos])
+            pos += 1
+    wide = bytes(out)
+    np.testing.assert_array_equal(jpeg_decode(wide), jpeg_decode(buf))
+    # javax accepts the Pq=1 stream; its IDCT rounds within +-1 of ours
+    # (the same tolerance the baseline/progressive interop tests use)
+    jv = _java_decode(spark._jvm, wide, gray=True)
+    assert np.abs(jpeg_decode(wide).astype(int) - jv.astype(int)).max() <= 1
