@@ -374,6 +374,8 @@ def train_centroids(
         .limit(k)
     )
     cents = seeds.withColumn(
+        # partition-less window over the limit(k) seed rows only (k
+        # centroids, never the corpus) — bounded at any input size
         "cid", F.row_number().over(Window.orderBy("_h", F.col(id_col)))
     ).select("cid", F.col("v").alias("c"))
 

@@ -372,6 +372,9 @@ def q10_greedy_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         F.round(F.avg("value"), 6).alias("avg_v"),
     )
+    # partition-less window over the POST-AGG group table (<= 100 rows
+    # by construction: group_id = user_id % 100) — bounded at any event
+    # volume, the operators/split.py small-input argument
     w = Window.orderBy(F.col("avg_v").desc(), F.col("group_id").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
