@@ -421,3 +421,112 @@ def centroids_as_vectors(cents: DataFrame) -> DataFrame:
         "cid",
         F.transform("c", lambda x: x / F.lit(1000.0)).cast("array<float>").alias("cvec"),
     )
+
+
+def pq_adc_topk(
+    vecs: DataFrame,
+    query_id: int = 0,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization with asymmetric-distance (ADC) search — the
+    FAISS IVF-PQ memory layout that makes billion-vector ANN fit RAM:
+    split each vector into `m` subvectors, train an independent `k`-entry
+    codebook per subspace (the SAME exact-integer Lloyd as
+    train_centroids, applied to slices — DuckDB-twin exact), encode
+    every vector as m small codes, and score a query by summing per-
+    subspace lookup scores 2·q_m·c − |c|² over the codes (monotone in
+    ||q − v̂||² against the reconstruction v̂).
+
+    100 TB shape: codebooks are m×k rows (broadcast); encoding is a
+    subspace explode (×m) into a broadcast join + map-side argmax —
+    one shuffle of N×m → N rows; the ADC table is m×k values computed
+    once and broadcast; the scan is a broadcast hash join + partial
+    top-k (TakeOrdered), never a global sort. The stored index is
+    m·log2(k) bits per vector instead of dim·32.
+
+    Returns the top-`topk` (pid, adc_score, rank) for `query_id`,
+    deterministic (score desc, id asc). Exact DuckDB twin: q60."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+    zero = F.lit(0).cast("long")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    def _norm(a):
+        return F.aggregate(a, zero, lambda acc, x: acc + x * x)
+
+    qv = vecs.select(
+        id_col, F.transform(F.col(vec_col), lambda e: _quant(e)).alias("v")
+    ).localCheckpoint(eager=False)
+
+    books = None
+    for mi in range(m):
+        sl = vecs.select(
+            id_col, F.slice(F.col(vec_col), mi * sub + 1, sub).alias(vec_col)
+        )
+        cb = train_centroids(
+            sl, k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col
+        ).withColumn("m", F.lit(mi))
+        books = cb if books is None else books.unionByName(cb)
+    books = books.localCheckpoint(eager=False)  # m*k tiny rows
+
+    # encode: subspace explode -> broadcast codebook join -> argmax
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.slice("v", mi * sub + 1, sub).alias("sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    ex = qv.select(id_col, F.explode(parts).alias("p")).select(
+        id_col, F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+    scored = ex.join(F.broadcast(books), "m").withColumn(
+        "score", F.lit(2) * _dot("sv", "c") - _norm("c")
+    )
+    codes = (
+        scored.groupBy(id_col, "m")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("cid")).alias("_nc"))).alias("_x"))
+        .select(id_col, "m", (-F.col("_x._nc")).alias("code"))
+    )
+
+    # ADC lookup table for the query: m*k scores, broadcast
+    qrow = qv.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    adc = (
+        books.crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "qs",
+            F.lit(2) * _dot(F.slice("qv", F.col("m") * sub + 1, sub), "c")
+            - _norm("c"),
+        )
+        .select("m", "cid", "qs")
+    )
+    total = (
+        codes.join(
+            F.broadcast(adc),
+            (codes["m"] == adc["m"]) & (codes["code"] == adc["cid"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("qs").cast("long").alias("adc_score"))
+        .filter(F.col(id_col) != query_id)
+    )
+    top = total.orderBy(F.col("adc_score").desc(), F.col(id_col)).limit(topk)
+    # rank over the <= topk surviving rows only (bounded window)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("adc_score").desc(), F.col(id_col))
+        ).cast("long"),
+    ).select(F.col(id_col).alias("pid"), "adc_score", "rank")

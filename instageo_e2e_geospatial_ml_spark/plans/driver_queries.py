@@ -2364,3 +2364,111 @@ FROM l
 
 QUERIES["q59_line_dedup"] = q59_line_dedup
 ORACLES["q59_line_dedup"] = Q59_SQL
+
+
+def q60_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/similarity.pq_adc_topk):
+    4 subspaces x 8-entry exact-integer codebooks (2 Lloyd rounds each),
+    top-10 for the vec_id=0 query by summed per-subspace lookup scores.
+    Overflow registry slot, oracle-backed (unrolled-CTE twin like
+    q39/q46)."""
+    from ..operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, m=4, k=8, n_iters=2,
+        dim=64, topk=10,
+    )
+
+
+def _pq_sql(m: int, k: int, n_iters: int, dim: int = 64, topk: int = 10,
+            qid: int = 0) -> str:
+    """Unrolled DuckDB twin of pq_adc_topk: per subspace, the _kmeans_sql
+    Lloyd rounds on the sliced vectors, a final code assignment, the
+    query's ADC table, then the summed-score top-k."""
+    sub = dim // m
+    parts = ["""WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+)"""]
+    for mi in range(m):
+        lo, hi = mi * sub + 1, mi * sub + sub
+        p = f"m{mi}"
+        parts.append(f""",
+{p}_v AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v),
+{p}_c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         v AS c
+  FROM (SELECT * FROM {p}_v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+)""")
+        for t in range(1, n_iters + 1):
+            prev = f"{p}_c{t - 1}"
+            parts.append(f""",
+{p}_s{t} AS (
+  SELECT pv.vec_id, c.cid,
+         CAST(2 * sum(pv.v[i.i] * c.c[i.i]) - sum(c.c[i.i] * c.c[i.i]) AS BIGINT)
+           AS score
+  FROM {p}_v pv, {prev} c, (SELECT unnest(generate_series(1, {sub})) AS i) i
+  GROUP BY 1, 2
+),
+{p}_a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM {p}_s{t}
+  ) WHERE rn = 1
+),
+{p}_u{t} AS (
+  SELECT a.cid, i.i AS i,
+         CAST(round(CAST(sum(pv.v[i.i]) AS BIGINT) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS ce
+  FROM {p}_a{t} a JOIN {p}_v pv ON pv.vec_id = a.vec_id,
+       (SELECT unnest(generate_series(1, {sub})) AS i) i
+  GROUP BY 1, 2
+),
+{p}_c{t} AS (SELECT cid, list(ce ORDER BY i) AS c FROM {p}_u{t} GROUP BY cid)""")
+        parts.append(f""",
+{p}_sf AS (
+  SELECT pv.vec_id, c.cid,
+         CAST(2 * sum(pv.v[i.i] * c.c[i.i]) - sum(c.c[i.i] * c.c[i.i]) AS BIGINT)
+           AS score
+  FROM {p}_v pv, {p}_c{n_iters} c, (SELECT unnest(generate_series(1, {sub})) AS i) i
+  GROUP BY 1, 2
+),
+{p}_code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM {p}_sf
+  ) WHERE rn = 1
+),
+{p}_adc AS (
+  SELECT c.cid,
+         CAST(2 * sum(q.v[i.i] * c.c[i.i]) - sum(c.c[i.i] * c.c[i.i]) AS BIGINT)
+           AS qs
+  FROM (SELECT v FROM {p}_v WHERE vec_id = {qid}) q, {p}_c{n_iters} c,
+       (SELECT unnest(generate_series(1, {sub})) AS i) i
+  GROUP BY 1
+),
+{p}_ps AS (SELECT co.vec_id, a.qs FROM {p}_code co JOIN {p}_adc a ON a.cid = co.code)""")
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, qs FROM m{mi}_ps" for mi in range(m)
+    )
+    parts.append(f""",
+tot AS (
+  SELECT vec_id, CAST(sum(qs) AS BIGINT) AS adc_score
+  FROM ({union}) GROUP BY vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS pid, adc_score,
+       CAST(row_number() OVER (ORDER BY adc_score DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM tot WHERE vec_id != {qid}
+ORDER BY adc_score DESC, vec_id ASC LIMIT {topk}""")
+    return "".join(parts)
+
+
+Q60_SQL = _pq_sql(4, 8, 2, 64, 10, 0)
+
+QUERIES["q60_pq_adc_topk"] = q60_pq_adc_topk
+ORACLES["q60_pq_adc_topk"] = Q60_SQL
