@@ -769,3 +769,44 @@ def dedup_lines(
     )
     w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_idx"))
     return lines.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def apply_line_dedup(
+    docs: DataFrame,
+    line_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 cleaner's OUTPUT side: reconstruct each document from its
+    kept lines (dedup_lines keep flags), preserving line order →
+    (doc_id, clean_text, n_lines_kept, n_lines_dropped). Documents whose
+    every line was seen earlier come back empty (C4 then drops them with
+    a length gate). One extra groupBy(doc) over dedup_lines' output —
+    the reassembly shuffle is keyed on the doc id, no skew beyond
+    document size. Exact DuckDB twin: q61."""
+    lines = dedup_lines(docs, line_words, text_col, id_col)
+    return (
+        lines.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("line_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

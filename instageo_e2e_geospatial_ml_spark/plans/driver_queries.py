@@ -2472,3 +2472,58 @@ Q60_SQL = _pq_sql(4, 8, 2, 64, 10, 0)
 
 QUERIES["q60_pq_adc_topk"] = q60_pq_adc_topk
 ORACLES["q60_pq_adc_topk"] = Q60_SQL
+
+
+def q61_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-dedup applied: documents reconstructed from kept lines
+    (operators/dedup.apply_line_dedup) with md5 of the cleaned text for
+    hashable parity. Overflow registry slot, oracle-backed."""
+    from ..operators.dedup import apply_line_dedup
+
+    out = apply_line_dedup(_t(spark, sf_dir, "documents"), line_words=10)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+Q61_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, words,
+         unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i
+  FROM w
+),
+l AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS line_idx,
+         array_to_string(words[(i * 10 + 1):(i * 10 + 10)], ' ') AS line
+  FROM ix
+),
+k AS (
+  SELECT doc_id, line_idx, line,
+         (row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1)
+           AS keep
+  FROM l
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                            ORDER BY line_idx) FILTER (keep), '')) AS clean_md5,
+       CAST(coalesce(length(string_agg(CASE WHEN keep THEN line END, ' '
+                                       ORDER BY line_idx) FILTER (keep)), 0)
+            AS BIGINT) AS clean_len,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_lines_dropped
+FROM k
+GROUP BY doc_id
+"""
+
+QUERIES["q61_line_dedup_apply"] = q61_line_dedup_apply
+ORACLES["q61_line_dedup_apply"] = Q61_SQL

@@ -755,3 +755,27 @@ def test_dedup_lines_c4_first_occurrence(spark):
     # plan: JVM-only up to the window (no Python eval in the plan)
     plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_apply_line_dedup_reconstruction(spark):
+    """C4 cleaner output: docs rebuilt from kept lines in order; a doc
+    made entirely of seen lines comes back empty with full drop count."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import apply_line_dedup
+
+    w10 = " ".join(f"w{i}" for i in range(10))
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {w10} unique tail"),
+            (2, f"{w10} {boiler}"),                # both lines already seen
+            (3, f"{boiler} fresh line here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_line_dedup(docs, line_words=10).collect()}
+    assert out[1]["clean_text"] == f"{boiler} {w10} unique tail"
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_dropped"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[2]["n_lines_dropped"] == 2
+    assert out[3]["clean_text"] == "fresh line here"
+    assert out[3]["n_lines_kept"] == 1 and out[3]["n_lines_dropped"] == 1
