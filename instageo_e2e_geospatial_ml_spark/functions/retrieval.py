@@ -173,3 +173,105 @@ def top_terms(
         .filter(F.col("rank") <= n)
         .select(group_col, "tok", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def inverted_index(
+    docs,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build the retrieval inverted index: per term, document frequency,
+    total term frequency, and an order-canonical digest of the posting
+    list ("doc:tf" pairs sorted by doc id) → (term, df, total_tf,
+    postings_md5). The digest stands in for the physical posting array
+    so the result hashes identically across engines regardless of array
+    encoding.
+
+    Plan: one explode + two hash aggregations keyed on the term — the
+    exact-dedup shuffle shape; df filtering prunes the hapax tail
+    (min_df) BEFORE the posting-list concat so the giant singleton
+    vocabulary never reaches the string build. Head terms (stopword-like
+    df ~ corpus size) concentrate one group per term — at 100 TB the
+    posting digest for those would switch to a chunked tree-merge;
+    documented, not needed at bench scale. Exact DuckDB twin: q62."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(id_col, "tf"))
+                        ),
+                        lambda s: F.concat_ws(":", s[id_col], s["tf"]),
+                    ),
+                    " ",
+                )
+            ).alias("postings_md5"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            "postings_md5",
+        )
+    )
+
+
+def skipgram_counts(
+    docs,
+    window: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Skip-gram (center, context) co-occurrence counts within ±window
+    positions — the word2vec / embedding-training corpus statistic.
+
+    Plan: positions explode once, then the context pairing is an
+    EQUI-join on (doc, pos + k) for k in ±window \\ {0} (offsets
+    exploded first), never a per-document cross join — row volume is
+    exactly tokens × 2·window before the count aggregation, and the
+    join keys carry the doc id so co-location is a hash shuffle.
+    Exact DuckDB twin: q63."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    offsets = F.array(
+        *[F.lit(k) for k in range(-window, window + 1) if k != 0]
+    )
+    left = toks.select(
+        id_col,
+        F.col("tok").alias("center"),
+        "pos",
+        F.explode(offsets).alias("off"),
+    ).select(
+        id_col,
+        "center",
+        (F.col("pos") + F.col("off")).alias("pos2"),
+    )
+    pairs = left.join(
+        toks.select(id_col, F.col("pos").alias("pos2"), F.col("tok").alias("context")),
+        [id_col, "pos2"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -2527,3 +2527,65 @@ GROUP BY doc_id
 
 QUERIES["q61_line_dedup_apply"] = q61_line_dedup_apply
 ORACLES["q61_line_dedup_apply"] = Q61_SQL
+
+
+def q62_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval inverted index (functions/retrieval.inverted_index):
+    per-term df / total tf / canonical posting-list digest. Overflow
+    registry slot, oracle-backed."""
+    from ..functions.retrieval import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+Q62_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ' ' ORDER BY doc_id)) AS postings_md5
+FROM tf
+GROUP BY term
+HAVING count(*) >= 2
+"""
+
+QUERIES["q62_inverted_index"] = q62_inverted_index
+ORACLES["q62_inverted_index"] = Q62_SQL
+
+
+def q63_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts, window ±2 (functions/retrieval.
+    skipgram_counts) — the word2vec training-pair statistic. Overflow
+    registry slot, oracle-backed."""
+    from ..functions.retrieval import skipgram_counts
+
+    return skipgram_counts(_t(spark, sf_dir, "documents"), window=2, min_count=2)
+
+
+Q63_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+pairs AS (
+  SELECT a.tok AS center, b.tok AS context
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos - a.pos IN (-2, -1, 1, 2)
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+QUERIES["q63_skipgram_counts"] = q63_skipgram_counts
+ORACLES["q63_skipgram_counts"] = Q63_SQL
