@@ -779,3 +779,59 @@ def test_apply_line_dedup_reconstruction(spark):
     assert out[2]["n_lines_dropped"] == 2
     assert out[3]["clean_text"] == "fresh line here"
     assert out[3]["n_lines_kept"] == 1 and out[3]["n_lines_dropped"] == 1
+
+
+def test_inverted_index_postings(spark):
+    """Inverted index: df/total_tf per term, posting digest equals the
+    md5 of 'doc:tf' pairs sorted by doc id; hapax (df < min_df) pruned."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple  cherry cherry"),  # double space: split on \s+
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs, min_df=2).collect()}
+    assert set(out) == {"apple", "banana", "cherry"}  # no hapax here
+    a = out["apple"]
+    assert a["df"] == 2 and a["total_tf"] == 3
+    assert a["postings_md5"] == hashlib.md5(b"1:2 3:1").hexdigest()
+    c = out["cherry"]
+    assert c["df"] == 2 and c["total_tf"] == 3
+    assert c["postings_md5"] == hashlib.md5(b"2:1 3:2").hexdigest()
+    # min_df prunes: a term in one doc only
+    docs2 = spark.createDataFrame(
+        [(1, "solo apple"), (2, "apple")], "doc_id long, text string"
+    )
+    out2 = {r["term"] for r in inverted_index(docs2, min_df=2).collect()}
+    assert out2 == {"apple"}
+
+
+def test_skipgram_counts_window(spark):
+    """Skip-grams: (center, context) pairs within ±window positions,
+    counted across docs, min_count pruned; pairs never cross documents."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import skipgram_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_counts(docs, window=1, min_count=2).collect()}
+    # (a,b) and (b,a) occur in docs 1 and 2 → n=2; everything else is 1
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
+    # window=2 brings (a,c)/(c,a) etc., still min_count=1 to see them
+    out2 = {(r["center"], r["context"]): r["n"]
+            for r in skipgram_counts(docs, window=2, min_count=1).collect()}
+    assert out2[("a", "c")] == 1 and out2[("c", "a")] == 1
+    assert ("x", "a") not in out2 and ("y", "c") not in out2  # no cross-doc
+    assert out2[("x", "y")] == 1
