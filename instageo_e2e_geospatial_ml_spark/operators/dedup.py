@@ -810,3 +810,104 @@ def apply_line_dedup(
             .alias("n_lines_dropped"),
         )
     )
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = 6,
+    n_iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with distributed k-means, then inside each cluster
+    drop every vector whose cosine similarity with a LOWER-id cluster
+    member reaches the threshold — semantic near-duplicate pruning
+    without an all-pairs join. Returns (vec_id, cid, keep).
+
+    Determinism/exactness: clustering is train_centroids' integer-exact
+    Lloyd; the cosine test is embedding_neardup_pairs' cross-multiplied
+    integer form (×100 quantization, t = p/1000) — the whole operator is
+    bit-reproducible in any engine (DuckDB twin: q64). The keep rule
+    ("a lower-id in-cluster neighbor ≥ t ⇒ drop") is the deterministic
+    stand-in for the paper's keep-one-per-group choice.
+
+    Scale: the only quadratic stage is the within-cluster self-join,
+    shuffled on cid; cluster count k bounds the per-cluster pair count
+    (the paper runs 11k clusters for LAION) — raise k with corpus size so
+    n_c stays fixed and total cost stays linear. Assignment broadcasts k
+    centroids; nothing global, nothing driver-side.
+    """
+    from .similarity import train_centroids
+
+    zero = F.lit(0).cast("long")
+    p = int(round(threshold * 1000))
+    p2, q2 = p * p, 1000 * 1000
+
+    cents = train_centroids(vecs, k=k, n_iters=n_iters)  # (cid, ×1000 ints)
+    v = vecs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            vec_col, lambda e: F.round(e.cast("double") * 1000).cast("long")
+        ).alias("_v"),
+        F.transform(
+            vec_col, lambda e: F.round(e.cast("double") * 100).cast("long")
+        ).alias("_u"),
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "score",
+        F.lit(2)
+        * F.aggregate(
+            F.zip_with("_v", "c", lambda x, y: x * y), zero, lambda a, x: a + x
+        )
+        - F.aggregate("c", zero, lambda a, x: a + x * x),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cid")).alias("_nc"))
+            ).alias("_m"),
+            F.first("_u").alias("_u"),
+        )
+        .select(id_col, (-F.col("_m._nc")).cast("long").alias("cid"), "_u")
+        .withColumn("_n", F.aggregate("_u", zero, lambda a, x: a + x * x))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), "cid",
+        F.col("_u").alias("_ua"), F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), "cid",
+        F.col("_u").alias("_ub"), F.col("_n").alias("_nb"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_dot",
+            F.aggregate(
+                F.zip_with("_ua", "_ub", lambda x, y: x * y),
+                zero,
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(q2) * F.col("_dot") * F.col("_dot")
+                >= F.lit(p2) * F.col("_na") * F.col("_nb")
+            )
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            id_col, "cid",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -2589,3 +2589,73 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 
 QUERIES["q63_skipgram_counts"] = q63_skipgram_counts
 ORACLES["q63_skipgram_counts"] = Q63_SQL
+
+
+def q64_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (operators/dedup.semdedup):
+    trained k-means clusters + within-cluster integer-exact cosine gate.
+    Overflow registry slot, oracle-backed (q39 centroid CTE chain + a
+    final assignment + in-cluster pair scan)."""
+    from ..operators.dedup import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        k=_Q39_K, n_iters=_Q39_ITERS, threshold=0.35,
+    )
+
+
+def _semdedup_sql(k: int, n_iters: int, p2: int, dim: int = 64) -> str:
+    """Q39's unrolled k-means CTEs + final integer-centroid assignment +
+    the within-cluster quantized cosine dedup tail."""
+    kmeans = _kmeans_sql(k, n_iters, dim)
+    head, _, _ = kmeans.rpartition("SELECT cid, i, ce")
+    return (
+        head.rstrip()
+        + f""",
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY CAST(2 * sum(v.v[i.i] * c.c[i.i])
+                                            - sum(c.c[i.i] * c.c[i.i]) AS BIGINT)
+                                         DESC, c.cid ASC) AS rn
+    FROM v, c{n_iters} c, (SELECT unnest(generate_series(1, {dim})) AS i) i
+    GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+u AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(round(CAST(e AS DOUBLE) * 100) AS BIGINT)) AS u
+  FROM embeddings
+),
+nrm AS (
+  SELECT u.vec_id, CAST(sum(u.u[i.i] * u.u[i.i]) AS BIGINT) AS n
+  FROM u, (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY 1
+),
+pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(sum(ua.u[i.i] * ub.u[i.i]) AS BIGINT) AS dot
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN u ua ON ua.vec_id = a.vec_id
+  JOIN u ub ON ub.vec_id = b.vec_id,
+       (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT pd.vb AS vec_id
+  FROM pd
+  JOIN nrm na ON na.vec_id = pd.va
+  JOIN nrm nb ON nb.vec_id = pd.vb
+  WHERE pd.dot > 0 AND 1000000 * pd.dot * pd.dot >= {p2} * na.n * nb.n
+)
+SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cid, d.vec_id IS NULL AS keep
+FROM af LEFT JOIN dups d ON d.vec_id = af.vec_id"""
+    )
+
+
+Q64_SQL = _semdedup_sql(_Q39_K, _Q39_ITERS, 350 * 350)
+
+QUERIES["q64_semdedup"] = q64_semdedup
+ORACLES["q64_semdedup"] = Q64_SQL

@@ -835,3 +835,34 @@ def test_skipgram_counts_window(spark):
     assert out2[("a", "c")] == 1 and out2[("c", "a")] == 1
     assert ("x", "a") not in out2 and ("y", "c") not in out2  # no cross-doc
     assert out2[("x", "y")] == 1
+
+
+def test_semdedup_clusters_and_drops(spark):
+    """SemDeDup on two designed clusters: md5-order seeding picks ids 4
+    and 1 (one per group), Lloyd separates the groups, and within each
+    cluster the higher-id near-duplicate (cos >= t) is dropped while the
+    dissimilar member survives."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import semdedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.02]),   # ~cos 0.9996 with v1 -> dropped
+            (3, [0.6, -0.8]),     # cos 0.6 with v1 -> kept
+            (4, [0.0, 1.0]),
+            (5, [0.02, 0.999]),   # ~cos 0.999 with v4 -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(vecs, k=2, n_iters=2, threshold=0.95).collect()}
+    assert len(out) == 5
+    assert {out[i]["cid"] for i in (1, 2, 3)} != {out[4]["cid"]}
+    assert out[1]["cid"] == out[2]["cid"] == out[3]["cid"]
+    assert out[4]["cid"] == out[5]["cid"]
+    assert [out[i]["keep"] for i in (1, 2, 3, 4, 5)] == [
+        True, False, True, True, False
+    ]
+    # plan: no Python eval anywhere (pure built-in column ops)
+    plan = semdedup(vecs, k=2, n_iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
