@@ -366,3 +366,103 @@ def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id"):
         r_stop.alias("rule_stopwords"),
         (r_wc & r_wlen & r_alpha & r_stop).alias("keep"),
     )
+
+
+def hashed_quality_score(
+    docs,
+    n_buckets: int = 1024,
+    bias: int = 0,
+    seed: str = "qlr",
+    weights=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Model-based quality filter: a hashed linear text classifier
+    (fastText / logistic-regression style — the GPT-3/CCNet curation
+    stage that scores documents against a trained reference model).
+    Each lowercased whitespace token hashes into one of n_buckets
+    features; the document score is the exact integer sum of per-feature
+    weights, and `keep` is score + bias >= 0.
+
+    Weights default to a deterministic md5-derived table in
+    [-1000, 1000] (the lsh _proj_weight idiom) so the operator is
+    self-contained and bit-identical in any engine (DuckDB twin: q65).
+    Pass `weights` — a (bucket long, w long) DataFrame from real
+    training — and it broadcast-joins by bucket instead (missing
+    buckets weigh 0); the plan shape is one explode + one k-row
+    broadcast join + one doc-keyed sum either way, so the 100 TB
+    profile is a single hash shuffle on doc_id.
+    """
+    b = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("tok"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            % n_buckets,
+        )
+    )
+    if weights is not None:
+        b = b.join(F.broadcast(weights), "bucket", "left").withColumn(
+            "w", F.coalesce(F.col("w"), F.lit(0)).cast("long")
+        )
+    else:
+        b = b.withColumn(
+            "w",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("w"), F.lit(seed), F.col("bucket").cast("string")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2001
+            - 1000,
+        )
+    return (
+        b.groupBy(id_col)
+        .agg(F.sum("w").cast("long").alias("score"))
+        .select(
+            id_col,
+            "score",
+            ((F.col("score") + F.lit(bias)) >= 0).alias("keep"),
+        )
+    )
+
+
+def heavy_hitter_tokens(
+    docs,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact heavy hitters over the token stream: tokens whose total
+    occurrence count is at least a 1/k share of ALL token occurrences
+    (count · k >= total, integer cross-multiplied — no float share).
+    The batch ground truth for the streaming Misra-Gries summary
+    (streaming/heavy.py); one token-keyed count shuffle plus a scalar
+    total broadcast-joined as a literal-free cross join of one row.
+    Exact DuckDB twin: q66."""
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) >= F.col("_total"))
+        .select("tok", F.col("cnt").cast("long").alias("cnt"))
+    )

@@ -2659,3 +2659,63 @@ Q64_SQL = _semdedup_sql(_Q39_K, _Q39_ITERS, 350 * 350)
 
 QUERIES["q64_semdedup"] = q64_semdedup
 ORACLES["q64_semdedup"] = Q64_SQL
+
+
+def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (functions/text.
+    hashed_quality_score): md5-derived feature weights, integer-exact
+    score + keep flag per document. Overflow registry slot,
+    oracle-backed."""
+    from ..functions.text import hashed_quality_score
+
+    return hashed_quality_score(_t(spark, sf_dir, "documents"), n_buckets=1024)
+
+
+Q65_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('qlr:' || tok), 1, 8)) AS BIGINT) % 1024
+           AS bucket
+  FROM toks
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum((CAST(('0x' || substring(md5('w:qlr:' || CAST(bucket AS VARCHAR)),
+                                           1, 8)) AS BIGINT) % 2001) - 1000)
+              AS BIGINT) AS score
+  FROM b GROUP BY 1
+)
+SELECT doc_id, score, score >= 0 AS keep FROM s
+"""
+
+QUERIES["q65_quality_classifier"] = q65_quality_classifier
+ORACLES["q65_quality_classifier"] = Q65_SQL
+
+
+def q66_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token heavy hitters at share 1/k (functions/text.
+    heavy_hitter_tokens) — the batch ground truth for the streaming
+    Misra-Gries summary. Overflow registry slot, oracle-backed."""
+    from ..functions.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_t(spark, sf_dir, "documents"), k=100)
+
+
+Q66_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+t AS (SELECT count(*) AS total FROM toks)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM c, t WHERE cnt * 100 >= total
+"""
+
+QUERIES["q66_heavy_hitters"] = q66_heavy_hitters
+ORACLES["q66_heavy_hitters"] = Q66_SQL

@@ -866,3 +866,51 @@ def test_semdedup_clusters_and_drops(spark):
     # plan: no Python eval anywhere (pure built-in column ops)
     plan = semdedup(vecs, k=2, n_iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_quality_score_trained_weights(spark):
+    """Quality classifier: default md5 weights are deterministic; a
+    supplied trained weight table overrides them (broadcast dim join)
+    and missing buckets weigh zero."""
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.functions.text import hashed_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good prose"), (2, "spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r for r in hashed_quality_score(docs).collect()}
+    again = {r["doc_id"]: r for r in hashed_quality_score(docs).collect()}
+    assert {d: r["score"] for d, r in base.items()} == {
+        d: r["score"] for d, r in again.items()
+    }
+    # trained table: weight every bucket of "spam"'s hash negative, rest absent
+    bucket = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") == "spam")
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("qlr"), "tok")), 1, 8), 16, 10)
+            .cast("long") % 1024,
+        )
+        .select("bucket").distinct()
+        .withColumn("w", F.lit(-5))
+    )
+    out = {r["doc_id"]: r for r in
+           hashed_quality_score(docs, weights=bucket).collect()}
+    assert out[2]["score"] == -20 and not out[2]["keep"]
+    assert out[1]["score"] == 0 and out[1]["keep"]   # buckets absent -> 0
+
+
+def test_heavy_hitter_tokens_share_gate(spark):
+    """Heavy hitters: integer cross-multiplied share gate (cnt*k >= total),
+    exact counts."""
+    from instageo_e2e_geospatial_ml_spark.functions.text import heavy_hitter_tokens
+
+    # 10 tokens total: "a" x5, "b" x3, c/d 1 each. k=4 -> need cnt*4 >= 10
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c d")], "doc_id long, text string"
+    )
+    out = {r["tok"]: r["cnt"] for r in heavy_hitter_tokens(docs, k=4).collect()}
+    assert out == {"a": 5, "b": 3}
