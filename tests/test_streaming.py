@@ -579,3 +579,54 @@ def test_cap_per_key_stream_chunk_spanning_key(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert list(got["doc_id"]) == [1, 2, 3]
     assert list(got["rank_in_key"]) == [1, 2, 3]
+
+
+def test_heavy_hitters_stream_mg_bound(spark, tmp_path):
+    """Sharded Misra-Gries vs the exact batch heavy hitters: every token
+    above the per-shard 1/(capacity+1) share bound is present in the
+    final snapshot, estimates never overcount, and the undercount stays
+    within n_shard/(capacity+1)."""
+    from instageo_e2e_geospatial_ml_spark.streaming.heavy import heavy_hitters_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    src = str(tmp_path / "in")
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+
+    capacity, n_shards = 8, 4
+    stream = spark.readStream.schema("tok string").parquet(src)
+    q = (
+        heavy_hitters_stream(stream, capacity=capacity, tok_col="tok", n_shards=n_shards)
+        .writeStream.format("memory")
+        .queryName("mg_hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.table("mg_hh").toPandas()
+    # final snapshot per shard = rows at that shard's max n_seen
+    final = snap[snap.groupby("shard")["n_seen"].transform("max") == snap["n_seen"]]
+    assert (final.groupby("shard").size() <= capacity).all()
+
+    truth = (
+        toks.withColumn("shard", F.pmod(F.hash("tok"), F.lit(n_shards)))
+        .groupBy("shard", "tok").count().toPandas()
+    )
+    shard_n = truth.groupby("shard")["count"].sum()
+    est = {(r.shard, r.tok): r.est for r in final.itertuples()}
+    for r in truth.itertuples():
+        bound = shard_n[r.shard] / (capacity + 1)
+        if r.count > bound:
+            assert (r.shard, r.tok) in est, f"missing heavy hitter {r.tok}"
+        if (r.shard, r.tok) in est:
+            e = est[(r.shard, r.tok)]
+            assert e <= r.count <= e + bound
+    # snapshot n_seen equals the true shard volume (nothing lost)
+    got_n = final.groupby("shard")["n_seen"].max()
+    for s, n in shard_n.items():
+        assert got_n.get(s, 0) == n
