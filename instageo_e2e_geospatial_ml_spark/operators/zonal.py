@@ -1,0 +1,106 @@
+"""Zonal statistics over the chip table — the classic raster GIS
+aggregation (GDAL/rasterstats `zonal_stats`), and the training-data
+class-balance audit for segmentation corpora: per (zone label, band),
+exact pixel statistics across every chip.
+
+Reference context: the reference's cleaner counts label pixels per chip
+(`data_cleaner.py` valid-pixel/no-data passes); zonal statistics is the
+corpus-level generalization — per CLASS, how many pixels, with what
+radiometric distribution per band.
+
+Plan shape (the map-side-combine discipline for 100 TB):
+  stage 1 — a mapInPandas numpy kernel reduces each chip to at most
+    n_zones × n_bands partial rows (count / sum / sum-of-squares /
+    min / max as exact int64 over non-no-data pixels). PIXELS NEVER
+    SHUFFLE: a 64×64×6-band chip (~48 KB) becomes a handful of 40-byte
+    rows before the exchange.
+  stage 2 — one hash aggregation on (zone, band) merges partials:
+    sums add, mins/maxes fold. Mean/std are derived at the end from the
+    exact integer moments, so the result is shuffle-order independent.
+
+All statistics are exact integers until the final divide; the pytest
+golden pins the whole operator against an independent whole-corpus
+numpy replica.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .chips import SEG_NDV
+from .cleaner import _decode_chip, _decode_seg
+
+
+def zonal_stats(
+    chips: DataFrame,
+    no_data_value: int = 0,
+    include_background: bool = False,
+) -> DataFrame:
+    """Chip table (CHIP_SCHEMA) → (zone, band, n_px, sum_px, sumsq_px,
+    min_px, max_px, mean_px, std_px) — exact pixel statistics per
+    segmentation class and band across all chips.
+
+    `zone` is the seg-map label; SEG_NDV (unlabeled) pixels are skipped
+    unless include_background=True (they then report as zone SEG_NDV).
+    Chip pixels equal to `no_data_value` are excluded from every
+    statistic (the nodata_ratio convention of operators/cleaner.py).
+    """
+
+    def partials(it):
+        for pdf in it:
+            zs, bs, cnt, s, ss, mn, mx = [], [], [], [], [], [], []
+            for _, r in pdf.iterrows():
+                chip = _decode_chip(r).astype(np.int64)  # (bands, cs, cs)
+                seg = _decode_seg(r)
+                for zone in np.unique(seg):
+                    if zone == SEG_NDV and not include_background:
+                        continue
+                    zmask = seg == zone
+                    for b in range(chip.shape[0]):
+                        vals = chip[b][zmask]
+                        vals = vals[vals != no_data_value]
+                        if vals.size == 0:
+                            continue
+                        zs.append(int(zone))
+                        bs.append(b)
+                        cnt.append(vals.size)
+                        s.append(int(vals.sum()))
+                        ss.append(int((vals * vals).sum()))
+                        mn.append(int(vals.min()))
+                        mx.append(int(vals.max()))
+            yield pd.DataFrame(
+                {
+                    "zone": pd.Series(zs, dtype="int64"),
+                    "band": pd.Series(bs, dtype="int64"),
+                    "n_px": pd.Series(cnt, dtype="int64"),
+                    "sum_px": pd.Series(s, dtype="int64"),
+                    "sumsq_px": pd.Series(ss, dtype="int64"),
+                    "min_px": pd.Series(mn, dtype="int64"),
+                    "max_px": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    part = chips.select(
+        "chip", "seg", "chip_size", "n_bands", "chip_fmt"
+    ).mapInPandas(
+        partials,
+        "zone long, band long, n_px long, sum_px long, sumsq_px long, "
+        "min_px long, max_px long",
+    )
+    agg = part.groupBy("zone", "band").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_px").alias("sum_px"),
+        F.sum("sumsq_px").alias("sumsq_px"),
+        F.min("min_px").alias("min_px"),
+        F.max("max_px").alias("max_px"),
+    )
+    mean = F.col("sum_px") / F.col("n_px")
+    var = F.col("sumsq_px") / F.col("n_px") - mean * mean
+    return agg.select(
+        "zone", "band", "n_px", "sum_px", "sumsq_px", "min_px", "max_px",
+        F.round(mean, 6).alias("mean_px"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_px"),
+    )

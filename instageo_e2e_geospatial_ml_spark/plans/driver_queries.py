@@ -2719,3 +2719,33 @@ FROM c, t WHERE cnt * 100 >= total
 
 QUERIES["q66_heavy_hitters"] = q66_heavy_hitters
 ORACLES["q66_heavy_hitters"] = Q66_SQL
+
+
+def q67_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the q52 synthetic chip table (rows-only like
+    q52-q54 — pixel kernels aren't ANSI-SQL-expressible; the pytest
+    golden pins the operator against an independent numpy replica):
+    per (seg-map class, band) exact pixel moments. The integer moment
+    columns ride the driver's rows-only hash, so any pixel regression
+    flips the recorded hash."""
+    from .. import synth
+    from ..operators.zonal import zonal_stats
+    from .pipeline import ChipPipelineConfig, run_chip_pipeline
+
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=1, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=("cloud", "water"), masking_strategy="each",
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat),
+        spark.createDataFrame(imgs), cfg,
+    )
+    return zonal_stats(chips, no_data_value=0)
+
+
+QUERIES["q67_zonal_stats"] = q67_zonal_stats

@@ -533,3 +533,73 @@ def test_checkpoint_time_travel_and_rollback(spark, tmp_path):
         ck.read(as_of="nope")
     with _pt.raises(KeyError):
         ck.rollback("nope")
+
+
+def test_zonal_stats_vs_numpy_replica(spark):
+    """Zonal statistics: the distributed two-stage (per-chip partials →
+    merge) result equals an independent whole-corpus numpy accumulation
+    over the same decoded payloads — exact for the integer moments,
+    1e-9 for the derived mean/std."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark import synth
+    from instageo_e2e_geospatial_ml_spark.operators.cleaner import (
+        _decode_chip,
+        _decode_seg,
+    )
+    from instageo_e2e_geospatial_ml_spark.operators.chips import SEG_NDV
+    from instageo_e2e_geospatial_ml_spark.operators.zonal import zonal_stats
+    from instageo_e2e_geospatial_ml_spark.plans.pipeline import (
+        ChipPipelineConfig,
+        run_chip_pipeline,
+    )
+
+    tiles = ["38PMB"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=30, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=1, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=(), masking_strategy="each",
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat),
+        spark.createDataFrame(imgs), cfg,
+    ).cache()
+
+    got = zonal_stats(chips, no_data_value=0).toPandas()
+    assert len(got) > 0
+
+    # independent replica: single numpy accumulation over every chip
+    acc = {}
+    for r in chips.select("chip", "seg", "chip_size", "n_bands", "chip_fmt").collect():
+        chip = _decode_chip(r).astype(np.int64)
+        seg = _decode_seg(r)
+        for zone in np.unique(seg):
+            if zone == SEG_NDV:
+                continue
+            for b in range(chip.shape[0]):
+                vals = chip[b][seg == zone]
+                vals = vals[vals != 0]
+                if vals.size == 0:
+                    continue
+                k = (int(zone), b)
+                c, s, ss, mn, mx = acc.get(k, (0, 0, 0, None, None))
+                acc[k] = (
+                    c + vals.size, s + int(vals.sum()),
+                    ss + int((vals * vals).sum()),
+                    int(vals.min()) if mn is None else min(mn, int(vals.min())),
+                    int(vals.max()) if mx is None else max(mx, int(vals.max())),
+                )
+    assert len(got) == len(acc)
+    for row in got.itertuples():
+        c, s, ss, mn, mx = acc[(row.zone, row.band)]
+        assert (row.n_px, row.sum_px, row.sumsq_px, row.min_px, row.max_px) == (
+            c, s, ss, mn, mx
+        )
+        mean = s / c
+        var = max(ss / c - mean * mean, 0.0)
+        assert abs(row.mean_px - round(mean, 6)) < 1e-9
+        assert abs(row.std_px - round(var ** 0.5, 6)) < 1e-9
+    chips.unpersist()
