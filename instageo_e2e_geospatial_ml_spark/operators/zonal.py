@@ -104,3 +104,86 @@ def zonal_stats(
         F.round(mean, 6).alias("mean_px"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_px"),
     )
+
+
+def spectral_index_timeseries(
+    chips: DataFrame,
+    band_a: str = "B8A",
+    band_b: str = "B04",
+    band_order: tuple = ("B02", "B03", "B04", "B8A", "B11", "B12"),
+    no_data_value: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Normalized-difference index time series over the chip table — the
+    raster analytics primitive (NDVI with the defaults: a=NIR B8A,
+    b=Red B04): per (tile, date, temporal step), the corpus-wide mean /
+    min / max of (a-b)/(a+b) over valid pixels.
+
+    Exactness discipline: the per-pixel index is quantized to
+    round(scale·(a-b)/(a+b)) int64 IN THE KERNEL, so partial sums are
+    exact integers and the merged result is independent of partition
+    count and agg merge order (float accumulation would drift in the
+    last bits and destabilize the driver's rows-only hash). The divide
+    happens once, at the end, on exact moments.
+
+    Chips stack num_steps × band_order along the band axis
+    (operators/chips.py assemble step), so step t's band i sits at
+    t·len(band_order)+i. Same map-side-combine shape as zonal_stats:
+    pixels reduce to one partial row per (chip, step) before the
+    shuffle.
+    """
+    ia, ib = band_order.index(band_a), band_order.index(band_b)
+    nb = len(band_order)
+
+    def partials(it):
+        for pdf in it:
+            tk, di, st, cnt, s, mn, mx = [], [], [], [], [], [], []
+            for _, r in pdf.iterrows():
+                chip = _decode_chip(r).astype(np.int64)
+                n_steps = chip.shape[0] // nb
+                for t in range(n_steps):
+                    a = chip[t * nb + ia]
+                    b = chip[t * nb + ib]
+                    valid = (a != no_data_value) & (b != no_data_value) & (a + b != 0)
+                    if not valid.any():
+                        continue
+                    av, bv = a[valid].astype(np.float64), b[valid].astype(np.float64)
+                    q = np.round(scale * (av - bv) / (av + bv)).astype(np.int64)
+                    tk.append(r["tile_key"])
+                    di.append(r["date_id"])
+                    st.append(t)
+                    cnt.append(int(q.size))
+                    s.append(int(q.sum()))
+                    mn.append(int(q.min()))
+                    mx.append(int(q.max()))
+            yield pd.DataFrame(
+                {
+                    "tile_key": pd.Series(tk, dtype="object"),
+                    "date_id": pd.Series(di, dtype="object"),
+                    "step": pd.Series(st, dtype="int64"),
+                    "n_px": pd.Series(cnt, dtype="int64"),
+                    "sum_q": pd.Series(s, dtype="int64"),
+                    "min_q": pd.Series(mn, dtype="int64"),
+                    "max_q": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    part = chips.select(
+        "tile_key", "date_id", "chip", "chip_size", "n_bands", "chip_fmt"
+    ).mapInPandas(
+        partials,
+        "tile_key string, date_id string, step long, n_px long, sum_q long, "
+        "min_q long, max_q long",
+    )
+    agg = part.groupBy("tile_key", "date_id", "step").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_q").alias("sum_q"),
+        F.min("min_q").alias("min_q"),
+        F.max("max_q").alias("max_q"),
+    )
+    return agg.select(
+        "tile_key", "date_id", "step", "n_px",
+        F.round(F.col("sum_q") / F.col("n_px") / F.lit(scale), 6).alias("mean_index"),
+        F.round(F.col("min_q") / F.lit(scale), 6).alias("min_index"),
+        F.round(F.col("max_q") / F.lit(scale), 6).alias("max_index"),
+    )

@@ -2749,3 +2749,31 @@ def q67_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q67_zonal_stats"] = q67_zonal_stats
+
+
+def q68_ndvi_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI time series over a two-step synthetic chip table (rows-only
+    like q52-q54 — pixel kernels; pytest golden pins the numpy replica):
+    per (tile, date, temporal step) normalized-difference moments from
+    scaled-integer accumulation."""
+    from .. import synth
+    from ..operators.zonal import spectral_index_timeseries
+    from .pipeline import ChipPipelineConfig, run_chip_pipeline
+
+    tiles = ["38PMB", "30RYS"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=2, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=(), masking_strategy="each",
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat),
+        spark.createDataFrame(imgs), cfg,
+    )
+    return spectral_index_timeseries(chips)
+
+
+QUERIES["q68_ndvi_timeseries"] = q68_ndvi_timeseries

@@ -603,3 +603,69 @@ def test_zonal_stats_vs_numpy_replica(spark):
         assert abs(row.mean_px - round(mean, 6)) < 1e-9
         assert abs(row.std_px - round(var ** 0.5, 6)) < 1e-9
     chips.unpersist()
+
+
+def test_spectral_index_timeseries_vs_numpy(spark):
+    """NDVI time series: distributed scaled-integer accumulation equals
+    an independent numpy replica; quantization keeps the merged result
+    exact regardless of partitioning."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark import synth
+    from instageo_e2e_geospatial_ml_spark.operators.cleaner import _decode_chip
+    from instageo_e2e_geospatial_ml_spark.operators.zonal import (
+        spectral_index_timeseries,
+    )
+    from instageo_e2e_geospatial_ml_spark.plans.pipeline import (
+        ChipPipelineConfig,
+        run_chip_pipeline,
+    )
+
+    tiles = ["38PMB"]
+    obs = synth.gen_observations_pdf(n_extra_per_tile=12, tiles=tiles, spread=0.2)
+    obs = obs[obs["mgrs_tile_id"].isin(tiles)].drop(columns=["mgrs_tile_id"])
+    cat = synth.gen_granule_catalog_pdf(tiles=tiles, days=60, every=5)
+    imgs = synth.gen_images_pdf(cat, w=128, h=128, fmt="raw")
+    cfg = ChipPipelineConfig(
+        min_count=1, num_steps=2, temporal_tolerance=10, chip_size=32,
+        window_size=1, mask_types=(), masking_strategy="each",
+    )
+    chips = run_chip_pipeline(
+        spark.createDataFrame(obs), spark.createDataFrame(cat),
+        spark.createDataFrame(imgs), cfg,
+    ).cache()
+
+    got = spectral_index_timeseries(chips).toPandas()
+    assert len(got) > 0
+    assert set(got["step"]) <= {0, 1}   # num_steps=2
+
+    band_order = ("B02", "B03", "B04", "B8A", "B11", "B12")
+    ia, ib, nb = band_order.index("B8A"), band_order.index("B04"), len(band_order)
+    acc = {}
+    for r in chips.select(
+        "tile_key", "date_id", "chip", "chip_size", "n_bands", "chip_fmt"
+    ).collect():
+        chip = _decode_chip(r).astype(np.int64)
+        for t in range(chip.shape[0] // nb):
+            a, b = chip[t * nb + ia], chip[t * nb + ib]
+            valid = (a != 0) & (b != 0) & (a + b != 0)
+            if not valid.any():
+                continue
+            av, bv = a[valid].astype(float), b[valid].astype(float)
+            q = np.round(1e6 * (av - bv) / (av + bv)).astype(np.int64)
+            k = (r["tile_key"], r["date_id"], t)
+            c, s, mn, mx = acc.get(k, (0, 0, None, None))
+            acc[k] = (
+                c + q.size, s + int(q.sum()),
+                int(q.min()) if mn is None else min(mn, int(q.min())),
+                int(q.max()) if mx is None else max(mx, int(q.max())),
+            )
+    assert len(got) == len(acc)
+    for row in got.itertuples():
+        c, s, mn, mx = acc[(row.tile_key, row.date_id, row.step)]
+        assert row.n_px == c
+        assert abs(row.mean_index - round(s / c / 1e6, 6)) < 1e-9
+        assert abs(row.min_index - round(mn / 1e6, 6)) < 1e-9
+        assert abs(row.max_index - round(mx / 1e6, 6)) < 1e-9
+        assert -1.0 <= row.min_index <= row.mean_index <= row.max_index <= 1.0
+    chips.unpersist()
