@@ -2777,3 +2777,78 @@ def q68_ndvi_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q68_ndvi_timeseries"] = q68_ndvi_timeseries
+
+
+def q69_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution grid rollup — the map-tile drill-down cube: point
+    counts at three nested cell resolutions (res 2 ⊃ 4 ⊃ 6) in ONE pass
+    via ROLLUP (Catalyst Expand + a single partial-aggregated count
+    shuffle; no per-level rescans — the 100 TB shape for pyramid
+    serving). NULL level columns mark the coarser subtotal rows, exactly
+    as in the ANSI oracle. Overflow registry slot, oracle-backed."""
+    pts = (
+        _points(spark, sf_dir)
+        .withColumn("c2", cell_of("lon", "lat", 2))
+        .withColumn("c4", cell_of("lon", "lat", 4))
+        .withColumn("c6", cell_of("lon", "lat", 6))
+    )
+    return pts.rollup("c2", "c4", "c6").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+Q69_SQL = f"""
+SELECT c2, c4, c6, count(*) AS n_points
+FROM (SELECT {sql_cell_expr("lon", "lat", 2)} AS c2,
+             {sql_cell_expr("lon", "lat", 4)} AS c4,
+             {sql_cell_expr("lon", "lat", 6)} AS c6
+      FROM ({PTS_SQL}))
+GROUP BY ROLLUP (c2, c4, c6)
+"""
+
+QUERIES["q69_grid_rollup"] = q69_grid_rollup
+ORACLES["q69_grid_rollup"] = Q69_SQL
+
+
+def q70_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal coverage/gap audit — the time-series completeness check a
+    granule catalog or event stream needs before training windows are
+    cut: per key, event count, span endpoints, the largest gap between
+    consecutive timestamps, and how many gaps exceed one hour. One
+    window over the (key-partitioned, ts-sorted) stream + one aggregate;
+    ties contribute zero-length gaps so the result is independent of
+    tie order. Overflow registry slot, oracle-backed."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy(us.asc())
+    gaps = ev.withColumn("_us", us).withColumn(
+        "_gap", F.col("_us") - F.lag("_us").over(w)
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("_us").alias("first_us"),
+        F.max("_us").alias("last_us"),
+        F.max("_gap").alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("_gap") > F.lit(3_600_000_000), 1).otherwise(0)
+        ).cast("long").alias("n_gaps_over_1h"),
+    )
+
+
+Q70_SQL = """
+WITH g AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY epoch_us(ts) ASC) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS first_us,
+       max(us) AS last_us,
+       max(gap) AS max_gap_us,
+       CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps_over_1h
+FROM g GROUP BY 1
+"""
+
+QUERIES["q70_temporal_coverage"] = q70_temporal_coverage
+ORACLES["q70_temporal_coverage"] = Q70_SQL
