@@ -911,3 +911,75 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def bloom_decontaminate(
+    probe: DataFrame,
+    build: DataFrame,
+    m: int = 65536,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter decontamination: flag probe documents whose text
+    fingerprint MAY be in the build (benchmark) set, using an m-bit /
+    k-hash Bloom filter — the O(m)-byte broadcast alternative to a
+    benchmark join when the benchmark set is large but the filter
+    budget is fixed (one-sided error: false positives only, standard
+    for contamination screens where flagged docs get a second exact
+    pass).
+
+    Scale shape: the filter is BUILT distributed (position explode →
+    64-bit-word bit_or aggregation → at most m/64 rows), then collected
+    — bounded by the parameter m (8 KB words for the default 2^16
+    bits), NOT by build-set size — and broadcast into a JVM-side
+    array-literal bit test on the probe scan: no join, no shuffle on
+    the probe side at all. Positions are md5-derived (the _proj_weight
+    idiom) so the whole operator, false positives included, is
+    bit-reproducible in any engine — the DuckDB twin (q71) replicates
+    position membership exactly.
+    """
+    from functools import reduce as _reduce
+
+    fp = F.md5(F.col(text_col))
+
+    def pos(i: int, fpcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(i)), fpcol)), 1, 12
+                ),
+                16, 10,
+            ).cast("long")
+            % m
+        )
+
+    build_pos = build.select(
+        F.explode(F.array(*[pos(i, fp) for i in range(k)])).alias("p")
+    )
+    words = (
+        build_pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()  # bounded by m/64 rows (the filter itself), never by data
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[int(r["w"])] = int(r["bits"])
+
+    out = probe.select(F.col(id_col).cast("long").alias(id_col), fp.alias("_fp"))
+    conds = []
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", pos(i, F.col("_fp"))).withColumn(
+            f"_w{i}", F.element_at(F.lit(arr), (F.col(f"_p{i}") / 64).cast("int") + 1)
+        )
+        conds.append(
+            F.expr(f"((_w{i} >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
+        )
+    return out.select(
+        id_col, _reduce(lambda a, b: a & b, conds).alias("maybe_in_benchmark")
+    )

@@ -2852,3 +2852,45 @@ FROM g GROUP BY 1
 
 QUERIES["q70_temporal_coverage"] = q70_temporal_coverage
 ORACLES["q70_temporal_coverage"] = Q70_SQL
+
+
+def q71_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen (operators/dedup.
+    bloom_decontaminate): every-10th document is the benchmark build
+    set; all documents probe the broadcast 2^16-bit filter. Overflow
+    registry slot, oracle-backed (the oracle replicates md5 position
+    membership, so false positives match bit-for-bit)."""
+    from ..operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs, docs.filter(F.col("doc_id") % 10 == 0), m=65536, k=3
+    )
+
+
+Q71_SQL = """
+WITH fp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp FROM documents
+),
+bpos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('bloom:' || CAST(i.i AS VARCHAR) || ':' || fp),
+                                 1, 12)) AS BIGINT) % 65536 AS p
+  FROM fp, (SELECT unnest(generate_series(0, 2)) AS i) i
+  WHERE doc_id % 10 = 0
+),
+ppos AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('bloom:' || CAST(i.i AS VARCHAR) || ':' || fp),
+                                 1, 12)) AS BIGINT) % 65536 AS p
+  FROM fp, (SELECT unnest(generate_series(0, 2)) AS i) i
+),
+hits AS (
+  SELECT doc_id, count(*) AS nhit FROM ppos JOIN bpos USING (p) GROUP BY 1
+)
+SELECT f.doc_id, coalesce(h.nhit, 0) = 3 AS maybe_in_benchmark
+FROM fp f LEFT JOIN hits h ON h.doc_id = f.doc_id
+"""
+
+QUERIES["q71_bloom_decontaminate"] = q71_bloom_decontaminate
+ORACLES["q71_bloom_decontaminate"] = Q71_SQL

@@ -914,3 +914,30 @@ def test_heavy_hitter_tokens_share_gate(spark):
     )
     out = {r["tok"]: r["cnt"] for r in heavy_hitter_tokens(docs, k=4).collect()}
     assert out == {"a": 5, "b": 3}
+
+
+def test_bloom_decontaminate_membership(spark):
+    """Bloom screen: build-set members always flagged (no false
+    negatives), unique probes pass clean at the default filter size,
+    and the probe plan is JVM-only (broadcast bit test, no join)."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import bloom_decontaminate
+
+    build = spark.createDataFrame(
+        [(i, f"benchmark document {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, f"benchmark document {i}") for i in range(5)]   # contaminated
+        + [(200 + i, f"fresh unique text {i}") for i in range(5)],  # clean
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["maybe_in_benchmark"]
+           for r in bloom_decontaminate(probe, build).collect()}
+    assert all(out[100 + i] for i in range(5))          # no false negatives
+    assert not any(out[200 + i] for i in range(5))      # 2^16 bits, 60 set: FP ~1e-9
+    plan = (
+        bloom_decontaminate(probe, build)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan   # probe side joins nothing — pure scan + literal
