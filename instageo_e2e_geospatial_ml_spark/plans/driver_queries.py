@@ -2894,3 +2894,50 @@ FROM fp f LEFT JOIN hits h ON h.doc_id = f.doc_id
 
 QUERIES["q71_bloom_decontaminate"] = q71_bloom_decontaminate
 ORACLES["q71_bloom_decontaminate"] = Q71_SQL
+
+
+def q72_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard set-similarity self-join
+    (operators/dedup.setsim_join, AllPairs/PPJoin) at t = 4/5 over
+    document token sets. Overflow registry slot, oracle-backed."""
+    from ..operators.dedup import setsim_join
+
+    return setsim_join(
+        _t(spark, sf_dir, "documents"), threshold_num=4, threshold_den=5
+    )
+
+
+Q72_SQL = """
+WITH toks AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+pref AS (
+  SELECT doc, tok, n FROM (
+    SELECT t.doc, t.tok,
+           row_number() OVER (PARTITION BY t.doc ORDER BY d.df ASC, t.tok ASC) AS r,
+           count(*) OVER (PARTITION BY t.doc) AS n
+    FROM toks t JOIN dfc d ON d.tok = t.tok
+  ) WHERE r <= n - ((4 * n + 5 - 1) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc AS da, b.doc AS db, a.n AS na, b.n AS nb
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc < b.doc
+),
+i AS (
+  SELECT c.da, c.db, c.na, c.nb, count(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.doc = c.da
+  JOIN toks tb ON tb.doc = c.db AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(na + nb - inter AS BIGINT) AS union_
+FROM i WHERE inter * 5 >= 4 * (na + nb - inter)
+"""
+
+QUERIES["q72_setsim_join"] = q72_setsim_join
+ORACLES["q72_setsim_join"] = Q72_SQL

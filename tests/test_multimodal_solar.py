@@ -787,3 +787,50 @@ def test_pq_adc_recall_and_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_setsim_join_brute_force_parity(spark):
+    """setsim_join (prefix-filtered AllPairs) must find EXACTLY the pairs a
+    brute-force all-pairs Jaccard scan finds — no recall loss, unlike LSH."""
+    import itertools
+
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import setsim_join
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        n = int(rng.integers(4, 12))
+        toks = list(rng.choice(vocab, size=n, replace=False))
+        rows.append((d, " ".join(toks)))
+    # plant exact and near duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " w39"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for p, q in [(1, 2), (4, 5)]:
+        got = {
+            (r.doc_a, r.doc_b, r.inter, r.union_)
+            for r in setsim_join(docs, threshold_num=p, threshold_den=q).collect()
+        }
+        sets = {d: set(t.split()) for d, t in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * q >= p * uni:
+                want.add((a, b, inter, uni))
+        assert got == want, f"t={p}/{q}: {got ^ want}"
+
+
+def test_setsim_join_integer_ceil_boundary(spark):
+    """ceil(p/q * n) in float would misround for t=0.6, n=5 (0.6*5=3.0000...4
+    → ceil 4): pairs at exactly-threshold Jaccard must survive."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import setsim_join
+
+    # |A|=|B|=4, inter=3, union=5 → J = 3/5 = exactly 0.6
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    out = setsim_join(docs, threshold_num=3, threshold_den=5).collect()
+    assert len(out) == 1 and out[0].inter == 3 and out[0].union_ == 5
