@@ -302,3 +302,97 @@ def candidate_lists(matches: DataFrame, obs: DataFrame, obs_id: str = "obs_id") 
             F.coalesce(F.col("candidate_items"), F.array().cast("array<string>")),
         )
     )
+
+
+def bbox_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell_size: float,
+    max_cells_per_rect: int = 4096,
+    max_broadcast_rects: int = 100_000,
+) -> DataFrame:
+    """Rectangle-intersection (bbox overlap) join — the polygon⋈polygon
+    counterpart of pip_join's point⋈polygon, and the 2-D analog of
+    ranges.interval_join. Contract: `a` carries (a_minx, a_miny, a_maxx,
+    a_maxy), `b` carries (b_minx, ...); any other columns pass through.
+    A pair matches when the CLOSED boxes overlap (touching edges count):
+    a_minx <= b_maxx AND b_minx <= a_maxx, same for y.
+
+    Plan: grid-bucket both sides — each rect explodes to every
+    (cell_size × cell_size) grid cell its bbox touches (two nested
+    `sequence` explodes) — equi-join on (cx, cy), refine with the exact
+    predicate. Dedup is structural, not a `distinct`: a pair is emitted
+    only from its RESPONSIBILITY CELL, the cell containing the
+    intersection's lower-left corner (floor(max(minx_a, minx_b)/cell),
+    floor(max(miny_a, miny_b)/cell)) — a corner both rects cover, so
+    exactly one joined cell passes the rx/ry equality (the reference-point
+    technique from the SpatialHadoop / partitioned-spatial-join
+    literature). No shuffle-dedup stage, no over-count.
+
+    Oversize routing (same discipline as interval_join): a rect touching
+    >= max_cells_per_rect cells skips the explode and joins through a
+    broadcast theta branch instead — branch (a_over × b_all) plus branch
+    (a_small × b_over), so every pair still arrives exactly once. Over-cap
+    sides are counted first and > max_broadcast_rects raises (mis-sized
+    cell_size must fail loudly, not OOM the driver at broadcast time).
+
+    Scale: explode volume is Σ cells-touched ≈ area/cell² per rect — pick
+    cell_size near the typical rect edge so rects touch O(1..4) cells; the
+    equi-join shuffles on cell id, so spatially skewed data lands hot
+    cells on single tasks (salt via skew.py or shrink cell_size if one
+    cell dominates).
+    """
+    overlap = (
+        (F.col("a_minx") <= F.col("b_maxx"))
+        & (F.col("b_minx") <= F.col("a_maxx"))
+        & (F.col("a_miny") <= F.col("b_maxy"))
+        & (F.col("b_miny") <= F.col("a_maxy"))
+    )
+
+    def cells(df: DataFrame, p: str) -> tuple[DataFrame, DataFrame]:
+        c0x = F.floor(F.col(f"{p}_minx") / F.lit(cell_size))
+        c1x = F.floor(F.col(f"{p}_maxx") / F.lit(cell_size))
+        c0y = F.floor(F.col(f"{p}_miny") / F.lit(cell_size))
+        c1y = F.floor(F.col(f"{p}_maxy") / F.lit(cell_size))
+        df = df.withColumn("_nc", (c1x - c0x + 1) * (c1y - c0y + 1))
+        small, over = df.filter(
+            F.col("_nc") < max_cells_per_rect
+        ).drop("_nc"), df.filter(F.col("_nc") >= max_cells_per_rect).drop("_nc")
+        bucketed = small.withColumn(
+            "_cx", F.explode(F.sequence(c0x, c1x))
+        ).withColumn("_cy", F.explode(F.sequence(c0y, c1y)))
+        return bucketed, over
+
+    a_cells, a_over = cells(a, "a")
+    b_cells, b_over = cells(b, "b")
+
+    rx = F.floor(F.greatest("a_minx", "b_minx") / F.lit(cell_size))
+    ry = F.floor(F.greatest("a_miny", "b_miny") / F.lit(cell_size))
+    out = (
+        a_cells.join(b_cells, ["_cx", "_cy"])
+        .filter(overlap & (F.col("_cx") == rx) & (F.col("_cy") == ry))
+        .drop("_cx", "_cy")
+    )
+
+    a_nc = (
+        F.floor(F.col("a_maxx") / F.lit(cell_size))
+        - F.floor(F.col("a_minx") / F.lit(cell_size))
+        + 1
+    ) * (
+        F.floor(F.col("a_maxy") / F.lit(cell_size))
+        - F.floor(F.col("a_miny") / F.lit(cell_size))
+        + 1
+    )
+    a_small = a.filter(a_nc < max_cells_per_rect)
+    for side, name in ((a_over, "a"), (b_over, "b")):
+        n = side.limit(max_broadcast_rects + 1).count()
+        if n > max_broadcast_rects:
+            raise ValueError(
+                f"more than {max_broadcast_rects} '{name}' rects touch >= "
+                f"{max_cells_per_rect} cells of size {cell_size} — coarsen "
+                "cell_size toward the typical rect edge (or raise the caps) "
+                "so over-cap rects are pathological-few."
+            )
+    theta_a = F.broadcast(a_over).join(b, overlap, "inner")
+    theta_b = a_small.join(F.broadcast(b_over), overlap, "inner")
+    return out.unionByName(theta_a).unionByName(theta_b)

@@ -2941,3 +2941,68 @@ FROM i WHERE inter * 5 >= 4 * (na + nb - inter)
 
 QUERIES["q72_setsim_join"] = q72_setsim_join
 ORACLES["q72_setsim_join"] = Q72_SQL
+
+
+def q73_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed rectangle-intersection join
+    (operators/spatial_join.bbox_join): customer-derived boxes x
+    part-derived boxes on a 5000x5000 integer grid, closed-overlap
+    semantics, responsibility-cell dedup (no distinct). The oracle is the
+    brute-force theta join — recall parity of the bucketed plan is the
+    point of the check."""
+    from ..operators.spatial_join import bbox_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") * 7919 % 5000).alias("a_minx"),
+        (F.col("c_custkey") * 104729 % 5000).alias("a_miny"),
+        (F.col("c_custkey") * 7919 % 5000 + 1 + F.col("c_custkey") * 31 % 60).alias("a_maxx"),
+        (F.col("c_custkey") * 104729 % 5000 + 1 + F.col("c_custkey") * 17 % 60).alias("a_maxy"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_id"),
+        (F.col("p_partkey") * 6101 % 5000).alias("b_minx"),
+        (F.col("p_partkey") * 9973 % 5000).alias("b_miny"),
+        (F.col("p_partkey") * 6101 % 5000 + 1 + F.col("p_partkey") * 23 % 90).alias("b_maxx"),
+        (F.col("p_partkey") * 9973 % 5000 + 1 + F.col("p_partkey") * 41 % 90).alias("b_maxy"),
+    )
+    j = bbox_join(cust, part, cell_size=64)
+    return j.select(
+        "a_id",
+        "b_id",
+        (
+            F.least("a_maxx", "b_maxx") - F.greatest("a_minx", "b_minx")
+        ).cast("long").alias("inter_w"),
+        (
+            F.least("a_maxy", "b_maxy") - F.greatest("a_miny", "b_miny")
+        ).cast("long").alias("inter_h"),
+    )
+
+
+Q73_SQL = """
+WITH a AS (
+  SELECT c_custkey AS a_id,
+         c_custkey * 7919 % 5000 AS a_minx,
+         c_custkey * 104729 % 5000 AS a_miny,
+         c_custkey * 7919 % 5000 + 1 + c_custkey * 31 % 60 AS a_maxx,
+         c_custkey * 104729 % 5000 + 1 + c_custkey * 17 % 60 AS a_maxy
+  FROM customer
+),
+b AS (
+  SELECT p_partkey AS b_id,
+         p_partkey * 6101 % 5000 AS b_minx,
+         p_partkey * 9973 % 5000 AS b_miny,
+         p_partkey * 6101 % 5000 + 1 + p_partkey * 23 % 90 AS b_maxx,
+         p_partkey * 9973 % 5000 + 1 + p_partkey * 41 % 90 AS b_maxy
+  FROM b_src
+)
+SELECT a_id, b_id,
+       CAST(least(a_maxx, b_maxx) - greatest(a_minx, b_minx) AS BIGINT) AS inter_w,
+       CAST(least(a_maxy, b_maxy) - greatest(a_miny, b_miny) AS BIGINT) AS inter_h
+FROM a JOIN b
+  ON a_minx <= b_maxx AND b_minx <= a_maxx
+ AND a_miny <= b_maxy AND b_miny <= a_maxy
+"""
+
+QUERIES["q73_bbox_join"] = q73_bbox_join
+ORACLES["q73_bbox_join"] = Q73_SQL.replace("b_src", "part")

@@ -834,3 +834,53 @@ def test_setsim_join_integer_ceil_boundary(spark):
     )
     out = setsim_join(docs, threshold_num=3, threshold_den=5).collect()
     assert len(out) == 1 and out[0].inter == 3 and out[0].union_ == 5
+
+
+def test_bbox_join_brute_force_parity(spark):
+    """Grid-bucketed bbox_join must equal the brute-force theta join —
+    including rects spanning many cells, touching edges (closed overlap),
+    and the oversize broadcast branch."""
+    from instageo_e2e_geospatial_ml_spark.operators.spatial_join import bbox_join
+
+    rng = np.random.default_rng(11)
+    def mk(n, seed_off, span):
+        out = []
+        for i in range(n):
+            x0 = int(rng.integers(0, 500)); y0 = int(rng.integers(0, 500))
+            w = int(rng.integers(0, span)); h = int(rng.integers(0, span))
+            out.append((i + seed_off, x0, y0, x0 + w, y0 + h))
+        return out
+
+    ra = mk(60, 0, 80)
+    rb = mk(60, 1000, 80)
+    # an oversize rect covering most of the space (routes via theta branch)
+    ra.append((999, 0, 0, 4000, 4000))
+    rb.append((1999, 10, 10, 3900, 3900))
+    # touching edges: a.maxx == b.minx must match (closed semantics)
+    ra.append((998, 100, 100, 110, 110))
+    rb.append((1998, 110, 100, 120, 110))
+
+    a = spark.createDataFrame(ra, "a_id long, a_minx long, a_miny long, a_maxx long, a_maxy long")
+    b = spark.createDataFrame(rb, "b_id long, b_minx long, b_miny long, b_maxx long, b_maxy long")
+    got = {
+        (r.a_id, r.b_id)
+        for r in bbox_join(a, b, cell_size=25, max_cells_per_rect=64).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, ax0, ay0, ax1, ay1 in ra
+        for ib, bx0, by0, bx1, by1 in rb
+        if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+    }
+    assert got == want
+    assert (998, 1998) in got  # touching edge kept
+
+
+def test_bbox_join_oversize_guard_raises(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.spatial_join import bbox_join
+
+    rows = [(i, 0, 0, 10000, 10000) for i in range(5)]
+    a = spark.createDataFrame(rows, "a_id long, a_minx long, a_miny long, a_maxx long, a_maxy long")
+    b = spark.createDataFrame(rows, "b_id long, b_minx long, b_miny long, b_maxx long, b_maxy long")
+    with pytest.raises(ValueError, match="coarsen"):
+        bbox_join(a, b, cell_size=10, max_cells_per_rect=4, max_broadcast_rects=2).collect()
