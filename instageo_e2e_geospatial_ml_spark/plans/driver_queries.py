@@ -3006,3 +3006,50 @@ FROM a JOIN b
 
 QUERIES["q73_bbox_join"] = q73_bbox_join
 ORACLES["q73_bbox_join"] = Q73_SQL.replace("b_src", "part")
+
+
+def q74_zorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order spatial clustering key (functions/zorder.morton_key — the
+    Delta/Iceberg Z-ORDER layout key as a pure JVM bit-interleave) +
+    per-prefix rollup: bucket = morton >> 20 (the file-span granularity
+    write_clustered ranges on), with per-bucket extents. The DuckDB twin
+    runs morton_sql's textually identical spread, pinning every one of
+    the 2^32 key values that appear."""
+    from ..functions.zorder import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    enc = li.select(
+        (F.col("l_partkey") % 3600 * 18).alias("ix"),
+        (F.col("l_suppkey") % 1600 * 40).alias("iy"),
+    ).withColumn("morton", morton_key("ix", "iy"))
+    return (
+        enc.groupBy(F.shiftright("morton", 20).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("morton").alias("min_key"),
+            F.max("morton").alias("max_key"),
+            F.min("ix").alias("min_x"),
+            F.max("iy").alias("max_y"),
+        )
+    )
+
+
+def _q74_sql() -> str:
+    from ..functions.zorder import morton_sql
+
+    m = morton_sql("l_partkey % 3600 * 18", "l_suppkey % 1600 * 40")
+    return f"""
+WITH enc AS (
+  SELECT l_partkey % 3600 * 18 AS ix, l_suppkey % 1600 * 40 AS iy,
+         {m} AS morton
+  FROM lineitem
+)
+SELECT morton >> 20 AS bucket, count(*) AS n_points,
+       min(morton) AS min_key, max(morton) AS max_key,
+       min(ix) AS min_x, max(iy) AS max_y
+FROM enc GROUP BY 1
+"""
+
+
+QUERIES["q74_zorder_rollup"] = q74_zorder_rollup
+ORACLES["q74_zorder_rollup"] = _q74_sql()

@@ -941,3 +941,65 @@ def test_bloom_decontaminate_membership(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan   # probe side joins nothing — pure scan + literal
+
+
+def test_morton_key_numpy_parity(spark):
+    """morton_key (JVM bit ops) vs an independent numpy bit-interleave."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import morton_key
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 65536, 200)
+    ys = rng.integers(0, 65536, 200)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    got = [r.morton for r in df.select(morton_key("x", "y")).collect()]
+
+    def interleave(v):
+        return sum(((int(v) >> i) & 1) << (2 * i) for i in range(16))
+
+    want = [interleave(a) | (interleave(b) << 1) for a, b in zip(xs, ys)]
+    assert got == want
+
+
+def test_zorder_layout_prunes_square_boxes(spark, tmp_path):
+    """Morton-clustered files beat x-sorted files on square bbox probes:
+    summed files-touched over scattered square boxes must be lower (the
+    2-D locality Z-ORDER buys; an x-range sliver would tie)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import morton_key
+    from instageo_e2e_geospatial_ml_spark.operators.skew import write_clustered
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    pdf = [(int(x), int(y)) for x, y in rng.integers(0, 65536, (n, 2))]
+    df = spark.createDataFrame(pdf, "x long, y long").withColumn(
+        "morton", morton_key("x", "y")
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    write_clustered(df, zpath, "morton", num_files=64)
+    write_clustered(df, xpath, "x", num_files=64)
+
+    def files_touched(path, x0, y0, side=2048):
+        return (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("x") >= x0) & (F.col("x") < x0 + side)
+                & (F.col("y") >= y0) & (F.col("y") < y0 + side)
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    boxes = [(int(x), int(y)) for x, y in rng.integers(0, 63488, (12, 2))]
+    z_total = sum(files_touched(zpath, x0, y0) for x0, y0 in boxes)
+    x_total = sum(files_touched(xpath, x0, y0) for x0, y0 in boxes)
+    assert z_total < x_total, (z_total, x_total)
+    # and each square probe stays a small fraction of the 64 files
+    assert z_total / len(boxes) <= 8
