@@ -3053,3 +3053,37 @@ FROM enc GROUP BY 1
 
 QUERIES["q74_zorder_rollup"] = q74_zorder_rollup
 ORACLES["q74_zorder_rollup"] = _q74_sql()
+
+
+def q75_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_disc per (lang, source) over document length
+    (operators/stats.group_percentiles): rank-arithmetic percentiles —
+    integer ceil, tie-order-independent — at p25/p50/p75/p95/p99."""
+    from ..operators.stats import group_percentiles
+
+    return group_percentiles(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        value_col="n_chars",
+    )
+
+
+Q75_SQL = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang, source ORDER BY n_chars ASC) AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+),
+fr AS (
+  SELECT * FROM (VALUES (25, 100), (50, 100), (75, 100), (95, 100), (99, 100))
+       AS t(pct_num, pct_den)
+)
+SELECT lang, source, CAST(pct_num AS BIGINT) AS pct_num,
+       CAST(pct_den AS BIGINT) AS pct_den, n_chars AS value
+FROM ranked CROSS JOIN fr
+WHERE rn = greatest(1, (pct_num * n + pct_den - 1) // pct_den)
+"""
+
+QUERIES["q75_group_percentiles"] = q75_group_percentiles
+ORACLES["q75_group_percentiles"] = Q75_SQL

@@ -1003,3 +1003,28 @@ def test_zorder_layout_prunes_square_boxes(spark, tmp_path):
     assert z_total < x_total, (z_total, x_total)
     # and each square probe stays a small fraction of the 64 files
     assert z_total / len(boxes) <= 8
+
+
+def test_group_percentiles_exact_vs_numpy(spark):
+    """group_percentiles == sorted[ceil(p*n)-1] per group, incl. tie-heavy
+    and size-1 groups."""
+    import math
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import group_percentiles
+
+    data = {
+        "a": [5, 1, 3, 3, 3, 9, 7, 3],     # tie-heavy
+        "b": [10],                          # single element
+        "c": list(range(100, 0, -1)),       # descending insert order
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, n_chars long")
+    fracs = [(1, 100), (25, 100), (50, 100), (75, 100), (99, 100), (100, 100)]
+    out = group_percentiles(df, ["grp"], "n_chars", fractions=fracs).collect()
+    got = {(r.grp, r.pct_num): r.value for r in out}
+    for g, vs in data.items():
+        s = sorted(vs)
+        for num, den in fracs:
+            want = s[max(1, math.ceil(num * len(s) / den)) - 1]
+            assert got[(g, num)] == want, (g, num)
+    assert len(out) == len(fracs) * len(data)
