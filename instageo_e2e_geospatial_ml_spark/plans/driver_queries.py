@@ -3087,3 +3087,72 @@ WHERE rn = greatest(1, (pct_num * n + pct_den - 1) // pct_den)
 
 QUERIES["q75_group_percentiles"] = q75_group_percentiles
 ORACLES["q75_group_percentiles"] = Q75_SQL
+
+
+def q76_trip_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segmentation (operators/trajectory.segment_trips): derive
+    integer planar pings from events, split each user's stream at speed
+    (100 units/s, squared-integer gate) and dead-gap (1 day) breaks, then
+    per-trip rollup. All-integer kinematics — the oracle pins every trip
+    boundary."""
+    from ..operators.trajectory import segment_trips
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") * 48271 % 100000).alias("px"),
+        (F.col("event_id") * 69621 % 100000).alias("py"),
+    )
+    seg = segment_trips(
+        ev, order_tiebreak="event_id", vmax=100, max_gap_s=86400
+    )
+    return seg.groupBy("user_id", "trip_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.sum(F.when(~F.col("is_break"), F.col("hop_d2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sum_d2"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+    )
+
+
+Q76_SQL = """
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         event_id * 48271 % 100000 AS px,
+         event_id * 69621 % 100000 AS py
+  FROM events
+),
+hops AS (
+  SELECT *,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS hop_dt_s,
+         (px - lag(px) OVER w) * (px - lag(px) OVER w)
+         + (py - lag(py) OVER w) * (py - lag(py) OVER w) AS hop_d2
+  FROM pings
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN hop_dt_s IS NULL THEN TRUE
+              WHEN hop_dt_s > 86400 THEN TRUE
+              WHEN hop_d2 > 10000 * hop_dt_s * hop_dt_s THEN TRUE
+              ELSE FALSE END AS is_break
+  FROM hops
+),
+trips AS (
+  SELECT *,
+         sum(CASE WHEN is_break THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id
+  FROM flagged
+)
+SELECT user_id, trip_id, count(*) AS n_pings,
+       CAST(sum(CASE WHEN NOT is_break THEN hop_d2 ELSE 0 END) AS BIGINT) AS sum_d2,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) AS end_us
+FROM trips GROUP BY 1, 2
+"""
+
+QUERIES["q76_trip_segmentation"] = q76_trip_segmentation
+ORACLES["q76_trip_segmentation"] = Q76_SQL

@@ -1028,3 +1028,40 @@ def test_group_percentiles_exact_vs_numpy(spark):
             want = s[max(1, math.ceil(num * len(s) / den)) - 1]
             assert got[(g, num)] == want, (g, num)
     assert len(out) == len(fracs) * len(data)
+
+
+def test_segment_trips_break_semantics(spark):
+    """Hand-built track: exact-speed hop continues (gate is strict >),
+    teleport breaks, dt=0 teleport breaks, long gap breaks."""
+    from datetime import datetime, timedelta
+
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import segment_trips
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # (user, ts_offset_s, px, py, note)
+        (1, 0, 0, 0),          # first ping -> trip 1
+        (1, 10, 300, 0),       # 300 u in 10 s = exactly vmax=30 -> continue
+        (1, 20, 300, 301),     # 301 u in 10 s > 30 u/s -> break, trip 2
+        (1, 20 + 1, 300, 301), # 0 dist, 1 s -> continue
+        (1, 21, 999, 999),     # same-second teleport would need a tiebreak:
+        # use a later ts to stay deterministic
+    ]
+    rows = rows[:4] + [(1, 22, 9999, 9999)]   # dt=1, huge hop -> break, trip 3
+    rows.append((1, 22 + 4000, 9999, 9999))   # 4000 s > 3600 gap -> trip 4
+    rows.append((2, 0, 5, 5))                 # second user independent
+    data = [
+        (u, t0 + timedelta(seconds=s), i, x, y)
+        for i, (u, s, x, y) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, px long, py long"
+    )
+    seg = segment_trips(
+        df, order_tiebreak="event_id", vmax=30, max_gap_s=3600
+    ).orderBy("user_id", "ts").collect()
+    trips = [(r.user_id, r.trip_id, r.is_break) for r in seg]
+    assert trips == [
+        (1, 1, True), (1, 1, False), (1, 2, True), (1, 2, False),
+        (1, 3, True), (1, 4, True), (2, 1, True),
+    ]
