@@ -3156,3 +3156,23 @@ FROM trips GROUP BY 1, 2
 
 QUERIES["q76_trip_segmentation"] = q76_trip_segmentation
 ORACLES["q76_trip_segmentation"] = Q76_SQL
+
+
+def q77_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG overview pyramid (sources/images.build_overviews): synth PNG
+    granule images -> integer box-filter levels 1..3, per-level pixel sum
+    + payload md5. Rows-only slot (pixel kernel, like q52-q54): the
+    digests pin the exact reduced rasters; the numpy-replica pytest
+    golden pins the kernel."""
+    from .. import synth
+    from ..sources.images import build_overviews
+
+    cat = synth.gen_granule_catalog_pdf(tiles=["38PMB"], days=20, every=5)
+    imgs = synth.gen_images_df(
+        spark, list(cat["granule_id"])[:24], w=64, h=64, fmt="png",
+        num_partitions=8,
+    )
+    return build_overviews(imgs, max_level=3).orderBy("image_id", "level")
+
+
+QUERIES["q77_overview_pyramid"] = q77_overview_pyramid

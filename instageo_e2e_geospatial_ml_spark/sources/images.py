@@ -627,3 +627,63 @@ def alaw_decode(buf: bytes) -> np.ndarray:
     t = np.where(seg >= 1, t + 0x100, t)
     t = np.where(seg > 1, t << np.maximum(seg - 1, 0), t)
     return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def build_overviews(
+    images: DataFrame, max_level: int = 3
+) -> DataFrame:
+    """COG-style overview pyramid: for each image, emit reduced-resolution
+    levels 1..max_level, level L being a 2^L x 2^L integer box filter of
+    the BASE image (dimensions floor-cropped to a multiple of the factor
+    first, GDAL's `gdaladdo -r average` shape). The average rounds
+    half-up in integer arithmetic ((block_sum + f²/2) // f²) — bit-exact
+    regardless of partitioning or build order, unlike a cascade of
+    float means whose rounding would depend on the level chain.
+
+    Pixels stay inside the Arrow batch (mapInPandas, numpy reshape-sum
+    kernel); one input row fans out to max_level small rows, so the
+    operator is embarrassingly parallel and shuffle-free. At 100 TB the
+    natural composition is build_overviews -> skew.write_clustered
+    keyed by (tile, level): overview scans then prune to one file span
+    per zoom, the map-pyramid serving layout.
+    """
+    import hashlib
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+                bands, h, w = arr.shape
+                base = arr.astype(np.uint32)
+                for lvl in range(1, max_level + 1):
+                    f = 1 << lvl
+                    oh, ow = h // f, w // f
+                    if oh == 0 or ow == 0:
+                        break
+                    s = (
+                        base[:, : oh * f, : ow * f]
+                        .reshape(bands, oh, f, ow, f)
+                        .sum(axis=(2, 4), dtype=np.uint64)
+                    )
+                    red = ((s + f * f // 2) // (f * f)).astype(arr.dtype)
+                    payload = codecs.encode_raw(red)
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "level": lvl,
+                            "w": ow,
+                            "h": oh,
+                            "px_sum": int(red.sum(dtype=np.uint64)),
+                            "digest": hashlib.md5(payload).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "level", "w", "h", "px_sum", "digest"],
+            )
+
+    return images.mapInPandas(
+        build,
+        "image_id string, level int, w int, h int, px_sum long, digest string",
+    )

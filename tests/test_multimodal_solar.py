@@ -884,3 +884,45 @@ def test_bbox_join_oversize_guard_raises(spark):
     b = spark.createDataFrame(rows, "b_id long, b_minx long, b_miny long, b_maxx long, b_maxy long")
     with pytest.raises(ValueError, match="coarsen"):
         bbox_join(a, b, cell_size=10, max_cells_per_rect=4, max_broadcast_rects=2).collect()
+
+
+def test_build_overviews_numpy_replica(spark, images_df):
+    """build_overviews == an independent numpy box-filter replica, and
+    round-half-up is exact (hand case)."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.sources.images import build_overviews
+
+    out = {
+        (r.image_id, r.level): (r.w, r.h, r.px_sum, r.digest)
+        for r in build_overviews(images_df, max_level=2).collect()
+    }
+    src = images_df.collect()
+    assert len(out) == 2 * len(src)
+    for r in src:
+        arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), 1, r.fmt)
+        bands, h, w = arr.shape
+        for lvl in (1, 2):
+            f = 1 << lvl
+            oh, ow = h // f, w // f
+            s = (
+                arr.astype(np.uint64)[:, : oh * f, : ow * f]
+                .reshape(bands, oh, f, ow, f)
+                .sum(axis=(2, 4))
+            )
+            red = ((s + f * f // 2) // (f * f)).astype(arr.dtype)
+            want = (
+                ow, oh, int(red.sum()),
+                hashlib.md5(codecs.encode_raw(red)).hexdigest(),
+            )
+            assert out[(r.image_id, lvl)] == want
+
+
+def test_build_overviews_round_half_up():
+    import numpy as np
+
+    # 2x2 block [1,2,2,2] -> sum 7, (7+2)//4 = 2 (round half up of 1.75)
+    arr = np.array([[[1, 2], [2, 2]]], dtype=np.uint16)
+    f = 2
+    s = arr.astype(np.uint64).reshape(1, 1, f, 1, f).sum(axis=(2, 4))
+    assert int((s + 2) // 4) == 2
