@@ -396,3 +396,83 @@ def bbox_join(
     theta_a = F.broadcast(a_over).join(b, overlap, "inner")
     theta_b = a_small.join(F.broadcast(b_over), overlap, "inner")
     return out.unionByName(theta_a).unionByName(theta_b)
+
+
+def _orient(px, py, qx, qy, rx, ry) -> Column:
+    """sign of the cross product (q-p) x (r-p): +1 left turn, -1 right
+    turn, 0 collinear — exact in bigint (coords up to ~2^30 are safe)."""
+    return F.signum(
+        (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    ).cast("int")
+
+
+def _on_segment(px, py, qx, qy, rx, ry) -> Column:
+    """Given r collinear with segment pq: is r within pq's bbox?"""
+    return (
+        (F.least(px, qx) <= rx)
+        & (rx <= F.greatest(px, qx))
+        & (F.least(py, qy) <= ry)
+        & (ry <= F.greatest(py, qy))
+    )
+
+
+def segment_intersect_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell_size: float,
+    max_cells_per_rect: int = 4096,
+    max_broadcast_rects: int = 100_000,
+) -> DataFrame:
+    """Line-segment intersection join: pairs (a, b) whose CLOSED segments
+    share at least one point — proper crossings, endpoint touches, and
+    collinear overlaps alike (CLRS 33.1's direction/on-segment test, all
+    integer cross products, zero float).
+
+    Contract: `a` carries (a_x1, a_y1, a_x2, a_y2), `b` carries (b_x1,
+    ...); other columns pass through. Plan: segment bboxes feed
+    bbox_join (grid bucketing + responsibility-cell dedup + oversize
+    broadcast routing — bbox overlap is necessary for intersection, so
+    no pair is lost), then the exact orientation predicate refines.
+    Refinement happens where the candidate was emitted — exactly once
+    per pair — so the output needs no dedup either.
+    """
+    aa = a.withColumns(
+        {
+            "a_minx": F.least("a_x1", "a_x2"),
+            "a_maxx": F.greatest("a_x1", "a_x2"),
+            "a_miny": F.least("a_y1", "a_y2"),
+            "a_maxy": F.greatest("a_y1", "a_y2"),
+        }
+    )
+    bb = b.withColumns(
+        {
+            "b_minx": F.least("b_x1", "b_x2"),
+            "b_maxx": F.greatest("b_x1", "b_x2"),
+            "b_miny": F.least("b_y1", "b_y2"),
+            "b_maxy": F.greatest("b_y1", "b_y2"),
+        }
+    )
+    cand = bbox_join(
+        aa, bb, cell_size,
+        max_cells_per_rect=max_cells_per_rect,
+        max_broadcast_rects=max_broadcast_rects,
+    )
+    ax1, ay1 = F.col("a_x1"), F.col("a_y1")
+    ax2, ay2 = F.col("a_x2"), F.col("a_y2")
+    bx1, by1 = F.col("b_x1"), F.col("b_y1")
+    bx2, by2 = F.col("b_x2"), F.col("b_y2")
+    d1 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    touch = (
+        ((d1 == 0) & _on_segment(bx1, by1, bx2, by2, ax1, ay1))
+        | ((d2 == 0) & _on_segment(bx1, by1, bx2, by2, ax2, ay2))
+        | ((d3 == 0) & _on_segment(ax1, ay1, ax2, ay2, bx1, by1))
+        | ((d4 == 0) & _on_segment(ax1, ay1, ax2, ay2, bx2, by2))
+    )
+    return cand.filter(proper | touch).drop(
+        "a_minx", "a_miny", "a_maxx", "a_maxy",
+        "b_minx", "b_miny", "b_maxx", "b_maxy",
+    )

@@ -3176,3 +3176,70 @@ def q77_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q77_overview_pyramid"] = q77_overview_pyramid
+
+
+def q78_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection join (operators/spatial_join.
+    segment_intersect_join): customer-derived segments x part-derived
+    segments, exact integer orientation predicate (CLRS 33.1) over
+    bbox_join candidates. Oracle = brute-force theta join with the
+    textually identical predicate."""
+    from ..operators.spatial_join import segment_intersect_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") * 7919 % 5000).alias("a_x1"),
+        (F.col("c_custkey") * 104729 % 5000).alias("a_y1"),
+        (F.col("c_custkey") * 7919 % 5000 + F.col("c_custkey") * 31 % 200 - 100).alias("a_x2"),
+        (F.col("c_custkey") * 104729 % 5000 + F.col("c_custkey") * 17 % 200 - 100).alias("a_y2"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_id"),
+        (F.col("p_partkey") * 6101 % 5000).alias("b_x1"),
+        (F.col("p_partkey") * 9973 % 5000).alias("b_y1"),
+        (F.col("p_partkey") * 6101 % 5000 + F.col("p_partkey") * 23 % 320 - 160).alias("b_x2"),
+        (F.col("p_partkey") * 9973 % 5000 + F.col("p_partkey") * 41 % 320 - 160).alias("b_y2"),
+    )
+    return segment_intersect_join(cust, part, cell_size=64).select("a_id", "b_id")
+
+
+Q78_SQL = """
+WITH a AS (
+  SELECT c_custkey AS a_id,
+         c_custkey * 7919 % 5000 AS a_x1,
+         c_custkey * 104729 % 5000 AS a_y1,
+         c_custkey * 7919 % 5000 + c_custkey * 31 % 200 - 100 AS a_x2,
+         c_custkey * 104729 % 5000 + c_custkey * 17 % 200 - 100 AS a_y2
+  FROM customer
+),
+b AS (
+  SELECT p_partkey AS b_id,
+         p_partkey * 6101 % 5000 AS b_x1,
+         p_partkey * 9973 % 5000 AS b_y1,
+         p_partkey * 6101 % 5000 + p_partkey * 23 % 320 - 160 AS b_x2,
+         p_partkey * 9973 % 5000 + p_partkey * 41 % 320 - 160 AS b_y2
+  FROM part
+),
+d AS (
+  SELECT a_id, b_id,
+         sign((b_x2 - b_x1) * (a_y1 - b_y1) - (b_y2 - b_y1) * (a_x1 - b_x1)) AS d1,
+         sign((b_x2 - b_x1) * (a_y2 - b_y1) - (b_y2 - b_y1) * (a_x2 - b_x1)) AS d2,
+         sign((a_x2 - a_x1) * (b_y1 - a_y1) - (a_y2 - a_y1) * (b_x1 - a_x1)) AS d3,
+         sign((a_x2 - a_x1) * (b_y2 - a_y1) - (a_y2 - a_y1) * (b_x2 - a_x1)) AS d4,
+         a_x1, a_y1, a_x2, a_y2, b_x1, b_y1, b_x2, b_y2
+  FROM a CROSS JOIN b
+)
+SELECT a_id, b_id FROM d
+WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
+   OR (d1 = 0 AND a_x1 BETWEEN least(b_x1, b_x2) AND greatest(b_x1, b_x2)
+              AND a_y1 BETWEEN least(b_y1, b_y2) AND greatest(b_y1, b_y2))
+   OR (d2 = 0 AND a_x2 BETWEEN least(b_x1, b_x2) AND greatest(b_x1, b_x2)
+              AND a_y2 BETWEEN least(b_y1, b_y2) AND greatest(b_y1, b_y2))
+   OR (d3 = 0 AND b_x1 BETWEEN least(a_x1, a_x2) AND greatest(a_x1, a_x2)
+              AND b_y1 BETWEEN least(a_y1, a_y2) AND greatest(a_y1, a_y2))
+   OR (d4 = 0 AND b_x2 BETWEEN least(a_x1, a_x2) AND greatest(a_x1, a_x2)
+              AND b_y2 BETWEEN least(a_y1, a_y2) AND greatest(a_y1, a_y2))
+"""
+
+QUERIES["q78_segment_intersections"] = q78_segment_intersections
+ORACLES["q78_segment_intersections"] = Q78_SQL

@@ -926,3 +926,78 @@ def test_build_overviews_round_half_up():
     f = 2
     s = arr.astype(np.uint64).reshape(1, 1, f, 1, f).sum(axis=(2, 4))
     assert int((s + 2) // 4) == 2
+
+
+def test_segment_intersect_join_cases_and_parity(spark):
+    """Hand cases (proper X, T-touch, collinear overlap, collinear
+    disjoint, parallel) + brute-force parity on random segments."""
+    import itertools
+
+    from instageo_e2e_geospatial_ml_spark.operators.spatial_join import (
+        segment_intersect_join,
+    )
+
+    def seg_intersect(s1, s2):
+        (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = s1, s2
+        def orient(px, py, qx, qy, rx, ry):
+            v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+            return (v > 0) - (v < 0)
+        def on(px, py, qx, qy, rx, ry):
+            return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+        d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+        d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+        d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+        d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+        if d1 * d2 < 0 and d3 * d4 < 0:
+            return True
+        return (
+            (d1 == 0 and on(bx1, by1, bx2, by2, ax1, ay1))
+            or (d2 == 0 and on(bx1, by1, bx2, by2, ax2, ay2))
+            or (d3 == 0 and on(ax1, ay1, ax2, ay2, bx1, by1))
+            or (d4 == 0 and on(ax1, ay1, ax2, ay2, bx2, by2))
+        )
+
+    # hand cases: (a_seg, b_seg, expect)
+    cases = [
+        ((0, 0, 10, 10), (0, 10, 10, 0), True),    # proper X crossing
+        ((0, 0, 10, 0), (5, 0, 5, 8), True),       # T-touch on interior
+        ((0, 0, 10, 0), (10, 0, 20, 5), True),     # endpoint-endpoint touch
+        ((0, 0, 10, 0), (4, 0, 14, 0), True),      # collinear overlap
+        ((0, 0, 10, 0), (11, 0, 20, 0), False),    # collinear disjoint
+        ((0, 0, 10, 0), (0, 1, 10, 1), False),     # parallel
+        ((0, 0, 10, 10), (6, 5, 20, 5), False),    # bboxes overlap, no hit
+    ]
+    for (sa, sb, want) in cases:
+        assert seg_intersect(sa, sb) is want, (sa, sb)
+
+    rng = np.random.default_rng(17)
+    segs_a = [
+        (i, int(x), int(y), int(x + dx - 30), int(y + dy - 30))
+        for i, (x, y, dx, dy) in enumerate(rng.integers(0, 60, (50, 4)) * [8, 8, 1, 1])
+    ]
+    segs_b = [
+        (1000 + i, int(x), int(y), int(x + dx - 30), int(y + dy - 30))
+        for i, (x, y, dx, dy) in enumerate(rng.integers(0, 60, (50, 4)) * [8, 8, 1, 1])
+    ]
+    segs_a += [(90, *sa) for sa, _, _ in cases[:1]]
+    a = spark.createDataFrame(
+        segs_a + [(91, 0, 0, 10, 0)],
+        "a_id long, a_x1 long, a_y1 long, a_x2 long, a_y2 long",
+    )
+    b = spark.createDataFrame(
+        segs_b + [(1091, 4, 0, 14, 0)],
+        "b_id long, b_x1 long, b_y1 long, b_x2 long, b_y2 long",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in segment_intersect_join(a, b, cell_size=40).select("a_id", "b_id").collect()
+    }
+    want = {
+        (ra[0], rb[0])
+        for ra, rb in itertools.product(
+            segs_a + [(91, 0, 0, 10, 0)], segs_b + [(1091, 4, 0, 14, 0)]
+        )
+        if seg_intersect(ra[1:], rb[1:])
+    }
+    assert got == want
+    assert (91, 1091) in got  # the planted collinear overlap survives
