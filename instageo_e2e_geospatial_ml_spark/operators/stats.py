@@ -55,3 +55,58 @@ def group_percentiles(
         .filter(F.col("_rn") == target)
         .select(*gb, "pct_num", "pct_den", F.col(value_col).alias("value"))
     )
+
+
+_KMV_SPACE = 1 << 40  # 10-hex-char (40-bit) hash space
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 16,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et al.
+    2002): keep the k smallest 40-bit md5 hashes of the group's DISTINCT
+    values; the k-th minimum estimates distinct cardinality as
+    (k-1) * SPACE / kth_min. Unlike HLL (whose register layout is
+    engine-private), the KMV sketch CONTENT is a pure function of the
+    data — md5 is the same everywhere — so sketch, threshold, and the
+    integer-division estimate are all exactly reproducible in any ANSI
+    engine (q79's DuckDB twin pins them).
+
+    40-bit hashes keep (k-1) * SPACE inside bigint for any sane k; the
+    estimate is exact n_seen while the group is under k distinct values.
+    Plan: distinct (group, value) → one per-group window over hash order
+    → head-k aggregate. The sketches themselves are mergeable (union the
+    hash sets, re-take the k smallest) — the shuffle carries ≤ k rows
+    per group either way.
+    """
+    gb = [F.col(c) for c in group_cols]
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":" + salt))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*gb).orderBy(F.col("_h").asc())
+    sk = (
+        df.select(*gb, F.col(value_col))
+        .distinct()
+        .withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*gb)
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max("_h").alias("kth_hash"),
+        )
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen")).otherwise(
+        F.expr(f"(n_seen - 1) * {_KMV_SPACE} div kth_hash")
+    )
+    return sk.withColumn("est_distinct", est.cast("long"))

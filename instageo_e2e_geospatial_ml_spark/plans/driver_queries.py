@@ -3243,3 +3243,50 @@ WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
 
 QUERIES["q78_segment_intersections"] = q78_segment_intersections
 ORACLES["q78_segment_intersections"] = Q78_SQL
+
+
+def q79_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/stats.kmv_distinct_sketch):
+    distinct users per (event_type, day), k=16 — sketch threshold and
+    integer estimate are engine-exact (md5 hashes), unlike HLL."""
+    from ..operators.stats import kmv_distinct_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias("day_us"),
+        "user_id",
+    )
+    return kmv_distinct_sketch(
+        ev, group_cols=["event_type", "day_us"], value_col="user_id", k=16
+    )
+
+
+Q79_SQL = """
+WITH dv AS (
+  SELECT DISTINCT event_type, epoch_us(date_trunc('day', ts)) AS day_us, user_id
+  FROM events
+),
+h AS (
+  SELECT event_type, day_us,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 10))
+              AS BIGINT) AS _h
+  FROM dv
+),
+r AS (
+  SELECT event_type, day_us, _h,
+         row_number() OVER (PARTITION BY event_type, day_us ORDER BY _h ASC) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, day_us, count(*) AS n_seen, max(_h) AS kth_hash
+  FROM r WHERE rn <= 16 GROUP BY 1, 2
+)
+SELECT event_type, day_us, n_seen, kth_hash,
+       CAST(CASE WHEN n_seen < 16 THEN n_seen
+                 ELSE (n_seen - 1) * 1099511627776 // kth_hash END AS BIGINT)
+         AS est_distinct
+FROM sk
+"""
+
+QUERIES["q79_kmv_sketch"] = q79_kmv_sketch
+ORACLES["q79_kmv_sketch"] = Q79_SQL

@@ -1065,3 +1065,21 @@ def test_segment_trips_break_semantics(spark):
         (1, 1, True), (1, 1, False), (1, 2, True), (1, 2, False),
         (1, 3, True), (1, 4, True), (2, 1, True),
     ]
+
+
+def test_kmv_sketch_exact_under_k_and_estimate_bounds(spark):
+    """Groups under k distinct values report exactly; over-k estimates
+    land within the KMV relative-error envelope (~1/sqrt(k-2), generous
+    3x margin), and duplicates never inflate the sketch."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import kmv_distinct_sketch
+
+    rows = (
+        [("small", v) for v in range(7) for _ in range(3)]     # 7 distinct, dup x3
+        + [("big", v) for v in range(5000)]                    # 5000 distinct
+    )
+    df = spark.createDataFrame(rows, "grp string, val long")
+    out = {r.grp: r for r in kmv_distinct_sketch(df, ["grp"], "val", k=64).collect()}
+    assert out["small"].n_seen == 7 and out["small"].est_distinct == 7
+    big = out["big"]
+    assert big.n_seen == 64
+    assert abs(big.est_distinct - 5000) / 5000 < 3 / (64 - 2) ** 0.5, big.est_distinct
