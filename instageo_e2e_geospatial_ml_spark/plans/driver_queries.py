@@ -3290,3 +3290,46 @@ FROM sk
 
 QUERIES["q79_kmv_sketch"] = q79_kmv_sketch
 ORACLES["q79_kmv_sketch"] = Q79_SQL
+
+
+def q80_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (operators/density.grid_dbscan): dense 64x64 cells over
+    the lineitem-derived integer point grid, 8-connected components via
+    pointer jumping. Oracle: recursive-CTE reachability twin (the q32
+    pattern) over the same dense-cell adjacency."""
+    from ..operators.density import grid_dbscan
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 3600).alias("px"),
+        (F.col("l_suppkey") % 1600).alias("py"),
+    )
+    return grid_dbscan(pts, cell_size=64, min_pts=50)
+
+
+Q80_SQL = """
+WITH RECURSIVE cells AS (
+  SELECT (l_partkey % 3600) // 64 AS cx, (l_suppkey % 1600) // 64 AS cy,
+         count(*) AS n_points
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 50
+),
+keyed AS (
+  SELECT cx, cy, n_points, (cx + 1048576) * 2097152 + cy + 1048576 AS key
+  FROM cells
+),
+e AS (
+  SELECT a.key AS u, b.key AS v
+  FROM keyed a JOIN keyed b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+walk(u, lbl) AS (
+  SELECT DISTINCT u, u AS lbl FROM e
+  UNION
+  SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+),
+comp AS (SELECT u AS key, min(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT k.cx, k.cy, k.n_points, c.cluster_id
+FROM keyed k JOIN comp c ON c.key = k.key
+"""
+
+QUERIES["q80_grid_dbscan"] = q80_grid_dbscan
+ORACLES["q80_grid_dbscan"] = Q80_SQL

@@ -1083,3 +1083,29 @@ def test_kmv_sketch_exact_under_k_and_estimate_bounds(spark):
     big = out["big"]
     assert big.n_seen == 64
     assert abs(big.est_distinct - 5000) / 5000 < 3 / (64 - 2) ** 0.5, big.est_distinct
+
+
+def test_grid_dbscan_designed_blobs(spark):
+    """Two 8-connected dense blobs (one diagonal-touch), one isolated
+    dense cell, and sub-threshold noise: exact cluster membership."""
+    from instageo_e2e_geospatial_ml_spark.operators.density import grid_dbscan
+
+    def fill(cx, cy, n):
+        # n points inside cell (cx, cy) at cell_size=10
+        return [(cx * 10 + i % 10, cy * 10 + (i // 10) % 10) for i in range(n)]
+
+    pts = (
+        fill(0, 0, 5) + fill(1, 1, 5)        # blob A: diagonal neighbors
+        + fill(5, 5, 5) + fill(5, 6, 5)      # blob B: edge neighbors
+        + fill(9, 9, 5)                      # isolated dense cell
+        + fill(3, 3, 4)                      # noise: below min_pts
+    )
+    df = spark.createDataFrame(pts, "px long, py long")
+    out = grid_dbscan(df, cell_size=10, min_pts=5).collect()
+    lbl = {(r.cx, r.cy): r.cluster_id for r in out}
+    assert set(lbl) == {(0, 0), (1, 1), (5, 5), (5, 6), (9, 9)}  # noise absent
+    assert lbl[(0, 0)] == lbl[(1, 1)]            # diagonal connectivity
+    assert lbl[(5, 5)] == lbl[(5, 6)]
+    assert len({lbl[(0, 0)], lbl[(5, 5)], lbl[(9, 9)]}) == 3  # three clusters
+    n_pts = {(r.cx, r.cy): r.n_points for r in out}
+    assert n_pts[(0, 0)] == 5 and n_pts[(9, 9)] == 5
