@@ -3333,3 +3333,45 @@ FROM keyed k JOIN comp c ON c.key = k.key
 
 QUERIES["q80_grid_dbscan"] = q80_grid_dbscan
 ORACLES["q80_grid_dbscan"] = Q80_SQL
+
+
+def q81_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC -> SCD2 compaction (operators/cdc.scd2_history): events as an
+    upsert/delete change log per user ('error' = delete), validity
+    intervals from one lead() window. Exact lead-window oracle."""
+    from ..operators.cdc import scd2_history
+
+    ch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = scd2_history(ch, tiebreak_col="event_id")
+    return out.select(
+        "key", "event_id", "valid_from_us", "valid_to_us", "is_current"
+    )
+
+
+Q81_SQL = """
+WITH ch AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+),
+led AS (
+  SELECT key, ts, event_id, op,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER
+           (PARTITION BY key ORDER BY ts ASC, event_id ASC) AS valid_to_us
+  FROM ch
+)
+SELECT key, event_id, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM led WHERE op <> 'delete'
+"""
+
+QUERIES["q81_scd2_history"] = q81_scd2_history
+ORACLES["q81_scd2_history"] = Q81_SQL

@@ -1109,3 +1109,43 @@ def test_grid_dbscan_designed_blobs(spark):
     assert len({lbl[(0, 0)], lbl[(5, 5)], lbl[(9, 9)]}) == 3  # three clusters
     n_pts = {(r.cx, r.cy): r.n_points for r in out}
     assert n_pts[(0, 0)] == 5 and n_pts[(9, 9)] == 5
+
+
+def test_scd2_history_and_latest_state(spark):
+    """Designed change log: upsert→upsert→delete→upsert chains, re-delete,
+    delete-only key. Interval chaining + current flags + compaction."""
+    from datetime import datetime, timedelta
+
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import (
+        latest_state,
+        scd2_history,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    log = [
+        # key, +s, id, op
+        (1, 0, 10, "upsert"),
+        (1, 10, 11, "upsert"),   # closes 10
+        (1, 20, 12, "delete"),   # closes 11, emits nothing
+        (1, 30, 13, "upsert"),   # re-created, current
+        (2, 0, 20, "upsert"),
+        (2, 5, 21, "delete"),    # key 2 ends deleted
+        (2, 6, 22, "delete"),    # re-delete is a no-op row
+        (3, 0, 30, "delete"),    # delete-only key: nothing emitted
+    ]
+    df = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), i, op) for k, s, i, op in log],
+        "key long, ts timestamp, event_id long, op string",
+    )
+    hist = {
+        r.event_id: (r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in scd2_history(df, tiebreak_col="event_id").collect()
+    }
+    us = lambda s: int((t0 + timedelta(seconds=s)).timestamp() * 1_000_000)
+    assert set(hist) == {10, 11, 13, 20}
+    assert hist[10] == (us(0), us(10), False)
+    assert hist[11] == (us(10), us(20), False)   # closed by the delete
+    assert hist[13] == (us(30), None, True)
+    assert hist[20] == (us(0), us(5), False)
+    cur = {r.key: r.event_id for r in latest_state(df, tiebreak_col="event_id").collect()}
+    assert cur == {1: 13}  # key 2 deleted, key 3 never existed
