@@ -110,3 +110,89 @@ def kmv_distinct_sketch(
         F.expr(f"(n_seen - 1) * {_KMV_SPACE} div kth_hash")
     )
     return sk.withColumn("est_distinct", est.cast("long"))
+
+
+def kmv_set_relations(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Sketch ALGEBRA over per-group KMV sketches (theta-sketch style,
+    Beyer et al. SIGMOD'07): for every unordered group pair (g1 < g2),
+    estimate |A ∪ B| and |A ∩ B| from the two k-minimum-value sketches
+    alone — the point of mergeable sketches: the pairwise stage never
+    touches the raw data, only ≤ k hashes per group.
+
+      union sketch  = k smallest of (sketch₁ ∪ sketch₂), θ = its max
+      est_union     = (n_union - 1) * SPACE div θ   (n_union = k normally)
+      est_inter     = n_common * est_union div n_union,
+                      n_common = |sketch₁ ∩ sketch₂ ∩ {h ≤ θ}|
+
+    Everything is md5-derived integers — engine-exact (q82's twin), no
+    HLL-style private register layout. Group count G yields G(G-1)/2
+    pairs of ≤ 2k-row unions: the pairwise stage is O(G²k) on sketches,
+    independent of data volume.
+    """
+    gb = F.col(group_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":" + salt))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wg = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    sk = (
+        df.select(gb.alias(group_col), F.col(value_col))
+        .distinct()
+        .withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "_h")
+    )
+    a = sk.select(F.col(group_col).alias("g1"), "_h")
+    b = sk.select(F.col(group_col).alias("g2"), "_h")
+    pairs = (
+        a.select("g1").distinct()
+        .join(b.select("g2").distinct())
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    # union sketch per pair: distinct hashes from either side, k smallest
+    wu = Window.partitionBy("g1", "g2").orderBy(F.col("_h").asc())
+    un = (
+        pairs.join(a, "g1")
+        .unionByName(pairs.join(b, "g2").select("g1", "g2", "_h"))
+        .select("g1", "g2", "_h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(wu))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_union"), F.max("_h").alias("theta"))
+    )
+    common = (
+        a.join(b, "_h")
+        .join(un, ["g1", "g2"])
+        .filter(F.col("_h") <= F.col("theta"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        un.join(common, ["g1", "g2"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .withColumn(
+            "est_union",
+            F.when(F.col("n_union") < k, F.col("n_union")).otherwise(
+                F.expr(f"(n_union - 1) * {_KMV_SPACE} div theta")
+            ),
+        )
+        .withColumn(
+            "est_inter", F.expr("n_common * est_union div n_union")
+        )
+    )
+    return out.select(
+        "g1", "g2", "n_union", "theta", "n_common", "est_union", "est_inter"
+    )

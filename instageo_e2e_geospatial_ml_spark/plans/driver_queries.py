@@ -3375,3 +3375,71 @@ FROM led WHERE op <> 'delete'
 
 QUERIES["q81_scd2_history"] = q81_scd2_history
 ORACLES["q81_scd2_history"] = Q81_SQL
+
+
+def q82_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (operators/stats.kmv_set_relations):
+    per-event-type k=32 user sketches -> pairwise union/intersection
+    estimates computed from the sketches alone (Beyer et al. SIGMOD'07
+    theta-sketch style). Engine-exact: md5-derived 40-bit hashes and
+    integer division make the estimates deterministic."""
+    from ..operators.stats import kmv_set_relations
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_set_relations(
+        ev, group_col="event_type", value_col="user_id", k=32
+    )
+
+
+Q82_SQL = """
+WITH dv AS (SELECT DISTINCT event_type AS g, user_id AS v FROM events),
+h AS (
+  SELECT g,
+         CAST(('0x' || substring(md5(CAST(v AS VARCHAR) || ':kmv'), 1, 10))
+              AS BIGINT) AS _h
+  FROM dv
+),
+r AS (
+  SELECT g, _h,
+         row_number() OVER (PARTITION BY g ORDER BY _h ASC) AS rn
+  FROM h
+),
+sk AS (SELECT g, _h FROM r WHERE rn <= 32),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+uall AS (
+  SELECT p.g1, p.g2, s._h FROM pairs p JOIN sk s ON s.g = p.g1
+  UNION
+  SELECT p.g1, p.g2, s._h FROM pairs p JOIN sk s ON s.g = p.g2
+),
+ur AS (
+  SELECT g1, g2, _h,
+         row_number() OVER (PARTITION BY g1, g2 ORDER BY _h ASC) AS rn
+  FROM uall
+),
+un AS (
+  SELECT g1, g2, count(*) AS n_union, max(_h) AS theta
+  FROM ur WHERE rn <= 32 GROUP BY 1, 2
+),
+com AS (
+  SELECT u.g1, u.g2, count(*) AS n_common
+  FROM un u
+  JOIN sk a ON a.g = u.g1 AND a._h <= u.theta
+  JOIN sk b ON b.g = u.g2 AND b._h = a._h
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT u.g1, u.g2, u.n_union, u.theta,
+         COALESCE(c.n_common, 0) AS n_common,
+         CAST(CASE WHEN u.n_union < 32 THEN u.n_union
+                   ELSE (u.n_union - 1) * 1099511627776 // u.theta
+              END AS BIGINT) AS est_union
+  FROM un u LEFT JOIN com c ON c.g1 = u.g1 AND c.g2 = u.g2
+)
+SELECT g1, g2, n_union, theta, n_common, est_union,
+       CAST(n_common * est_union // n_union AS BIGINT) AS est_inter
+FROM est
+"""
+
+QUERIES["q82_kmv_set_algebra"] = q82_kmv_set_algebra
+ORACLES["q82_kmv_set_algebra"] = Q82_SQL

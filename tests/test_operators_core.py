@@ -1149,3 +1149,41 @@ def test_scd2_history_and_latest_state(spark):
     assert hist[20] == (us(0), us(5), False)
     cur = {r.key: r.event_id for r in latest_state(df, tiebreak_col="event_id").collect()}
     assert cur == {1: 13}  # key 2 deleted, key 3 never existed
+
+
+def test_kmv_set_relations_exact_and_estimated(spark):
+    """Pairwise sketch algebra: complete sketches (both groups under k)
+    give EXACT union/intersection; over-k pairs estimate within the KMV
+    envelope. Designed overlap: A=0..99, B=50..149 (|u|=150, |i|=50),
+    C=0..9 disjoint from B above 9."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import kmv_set_relations
+
+    rows = (
+        [("A", v) for v in range(100)]
+        + [("B", v) for v in range(50, 150)]
+        + [("C", v) for v in range(10)]
+    )
+    df = spark.createDataFrame(rows, "grp string, val long")
+
+    # k large enough that every sketch is complete -> exact set algebra
+    exact = {
+        (r.g1, r.g2): r
+        for r in kmv_set_relations(df, "grp", "val", k=256).collect()
+    }
+    ab = exact[("A", "B")]
+    assert (ab.est_union, ab.est_inter) == (150, 50)
+    ac = exact[("A", "C")]
+    assert (ac.est_union, ac.est_inter) == (100, 10)
+    bc = exact[("B", "C")]
+    assert (bc.est_union, bc.est_inter) == (110, 0)
+
+    # k=32: estimation path; generous 3/sqrt(k-2) relative envelope
+    est = {
+        (r.g1, r.g2): r
+        for r in kmv_set_relations(df, "grp", "val", k=32).collect()
+    }
+    ab = est[("A", "B")]
+    assert ab.n_union == 32
+    assert abs(ab.est_union - 150) / 150 < 3 / (32 - 2) ** 0.5
+    # intersection inherits union's error plus ratio noise; loose sanity
+    assert 20 <= ab.est_inter <= 100
