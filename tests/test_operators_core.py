@@ -1187,3 +1187,49 @@ def test_kmv_set_relations_exact_and_estimated(spark):
     assert abs(ab.est_union - 150) / 150 < 3 / (32 - 2) ** 0.5
     # intersection inherits union's error plus ratio noise; loose sanity
     assert 20 <= ab.est_inter <= 100
+
+
+def test_fuzzy_self_join_bruteforce_parity(spark):
+    """Count-filter q-gram blocking loses nothing: exact parity with a
+    local brute-force levenshtein over random short strings (stresses
+    the length-band short path AND the gram path), plus boundary pairs
+    at exactly t and t+1."""
+    import itertools as it
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.linkage import fuzzy_self_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    random.seed(11)
+    strs = {"", "a", "abc"}  # empty + tiny: short-path corners
+    while len(strs) < 80:
+        strs.add(
+            "".join(random.choice("abcd") for _ in range(random.randint(1, 11)))
+        )
+    # boundary: dist exactly 3 (in) and 4 (out) from a 12-char base
+    strs |= {"abcabcabcabc", "abcabcabcxyz", "abcabcabwxyz"}
+    strs = sorted(strs)
+    df = spark.createDataFrame([(s, s) for s in strs], "k string, s string")
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(df, "k", "s", max_dist=3).collect()
+    }
+    want = {
+        (a, b, lev(a, b))
+        for a, b in it.combinations(strs, 2)
+        if lev(a, b) <= 3
+    }
+    assert got == want
+    assert ("abcabcabcabc", "abcabcabcxyz", 3) in got
+    assert not any(
+        a == "abcabcabcabc" and b == "abcabcabwxyz" for a, b, _ in got
+    )
