@@ -3478,3 +3478,36 @@ WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
 
 QUERIES["q83_fuzzy_linkage"] = q83_fuzzy_linkage
 ORACLES["q83_fuzzy_linkage"] = Q83_SQL
+
+
+def q84_terrain_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Horn slope/aspect/hillshade with halo exchange
+    (operators/terrain.terrain_derivatives) over a deterministic
+    synthetic DEM mosaic, 5x4 tiles of 64x64 int32. Rows-only like the
+    other pixel queries (3x3 stencils aren't ANSI-SQL); the integer
+    moment columns and per-tile shade md5 digests ride the driver's
+    rows hash, and the pytest proves tile borders match a whole-mosaic
+    replica pixel for pixel."""
+    import numpy as np
+
+    from ..operators.terrain import TILE_SCHEMA, terrain_derivatives
+
+    th = tw = 64
+    nx, ny = 5, 4
+    gy, gx = np.mgrid[0:ny * th, 0:nx * tw].astype(np.float64)
+    mosaic = np.round(
+        1200.0 * np.sin(gx / 19.0) * np.cos(gy / 13.0)
+        + 2.5 * gx - 1.5 * gy
+        + 300.0 * np.sin((gx + gy) / 41.0)
+    ).astype(np.int32)
+    rows = [
+        (tx, ty, th, tw,
+         bytearray(mosaic[ty * th:(ty + 1) * th,
+                          tx * tw:(tx + 1) * tw].tobytes()))
+        for ty in range(ny) for tx in range(nx)
+    ]
+    tiles = spark.createDataFrame(rows, TILE_SCHEMA).repartition(16)
+    return terrain_derivatives(tiles, xres=30.0, yres=30.0, z_factor=1.0)
+
+
+QUERIES["q84_terrain_hillshade"] = q84_terrain_hillshade

@@ -1233,3 +1233,80 @@ def test_fuzzy_self_join_bruteforce_parity(spark):
     assert not any(
         a == "abcabcabcabc" and b == "abcabcabwxyz" for a, b, _ in got
     )
+
+
+def test_terrain_halo_exchange_mosaic_exact(spark):
+    """Distributed Horn hillshade == whole-mosaic computation, pixel for
+    pixel: tile the mosaic 4x3, run the halo-exchange operator, and
+    compare every tile's shade digest against the same kernel run once
+    over the undivided edge-padded mosaic. Any halo/corner mistake at
+    any of the 17 interior tile borders flips a digest."""
+    import hashlib
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.terrain import (
+        TILE_SCHEMA, horn_kernel, terrain_derivatives,
+    )
+
+    th, tw, nx, ny = 32, 48, 4, 3
+    H, W = ny * th, nx * tw
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    mosaic = np.round(
+        900.0 * np.sin(gx / 11.0) * np.cos(gy / 7.0) + 3.0 * gx - 2.0 * gy
+    ).astype(np.int32)
+
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            blk = mosaic[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            rows.append((tx, ty, th, tw, bytearray(blk.tobytes())))
+    tiles = spark.createDataFrame(rows, TILE_SCHEMA).repartition(8)
+    got = {
+        (r.tx, r.ty): r
+        for r in terrain_derivatives(tiles, xres=2.0, yres=2.0).collect()
+    }
+    assert len(got) == nx * ny
+
+    pad = np.pad(mosaic.astype(np.float64), 1, mode="edge")
+    slope_deg, compass, shade = horn_kernel(pad, xres=2.0, yres=2.0)
+    slope_q4 = np.round(slope_deg * 1e4).astype(np.int64)
+    for (tx, ty), r in got.items():
+        sl = np.s_[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        assert r.shade_digest == hashlib.md5(shade[sl].tobytes()).hexdigest(), (tx, ty)
+        assert r.sum_slope_q4 == int(slope_q4[sl].sum())
+        assert r.sum_shade == int(shade[sl].astype(np.int64).sum())
+        assert r.n_px == th * tw
+
+
+def test_terrain_flat_and_known_slope(spark):
+    """Analytic anchors: a constant DEM is slope 0 / aspect flat /
+    shade == round(255*cos(45deg)); a uniform 1:1 east-facing ramp has
+    slope atan(1) == 45deg everywhere."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.terrain import (
+        TILE_SCHEMA, terrain_derivatives,
+    )
+
+    flat = np.full((16, 16), 500, dtype=np.int32)
+    ramp = (np.arange(16)[None, :] * np.ones((16, 1))).astype(np.int32)
+    tiles = spark.createDataFrame(
+        [(0, 0, 16, 16, bytearray(flat.tobytes())),
+         (10, 10, 16, 16, bytearray(ramp.tobytes()))],
+        TILE_SCHEMA,
+    )
+    out = {(r.tx, r.ty): r for r in terrain_derivatives(tiles).collect()}
+    f = out[(0, 0)]
+    assert f.sum_slope_q4 == 0 and f.max_slope_q4 == 0
+    assert f.aspect_octants == "0,0,0,0,0,0,0,0"  # all flat (-1 bucket)
+    assert f.sum_shade == 16 * 16 * round(255 * np.cos(np.deg2rad(45)))
+    r = out[(10, 10)]
+    # 1:1 eastward-ascending ramp: interior columns slope atan(1)=45deg;
+    # the two mosaic-border columns see a replicated neighbor (z(-1) ==
+    # z(0)), so their Horn gradient is 4/8 -> slope atan(0.5). The
+    # surface FACES west (downhill direction) -> all pixels octant 6.
+    edge_q4 = int(np.round(np.rad2deg(np.arctan(0.5)) * 1e4))
+    assert r.max_slope_q4 == 450000
+    assert r.sum_slope_q4 == 16 * (14 * 450000 + 2 * edge_q4)
+    assert r.aspect_octants == "0,0,0,0,0,0,256,0"
