@@ -196,3 +196,91 @@ def kmv_set_relations(
     return out.select(
         "g1", "g2", "n_union", "theta", "n_common", "est_union", "est_inter"
     )
+
+
+def local_morans_i(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    val_col: str,
+    queen: bool = True,
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 "LISA") over an integer-valued
+    cell grid — the standard spatial-autocorrelation hotspot statistic
+    (hot spot = high value ringed by high neighbors -> large positive
+    I_i; spatial outlier -> negative).
+
+        I_i = (z_i / m2) * sum_{j in nbr(i)} z_j,   z = x - mean,
+        m2  = sum z^2 / N
+
+    Exactness: deviations are rational (mean = S/N), so everything is
+    computed on N-SCALED integers d_i = N*x_i - S:
+
+        lisa_num = N * d_i * sum_nbr d_j     (== N^3 * z_i * sum z_j)
+        den      = sum d_k^2                 (== N^2 * m2 * N)
+
+    and I_i = lisa_num / den exactly; the emitted `lisa_q6` rounds the
+    double quotient to 6 places with the same expression shape the SQL
+    twin uses. Neighborhood is queen (8-adjacent) or rook (4) contiguity
+    via an 8/4-offset explode + EQUI-join on the shifted key — never an
+    inequality join, so the plan is a hash join that scales to any grid.
+    The two global scalars (N, S) come from a 1-row aggregate cross
+    join, kept broadcast-side by AQE — no driver collect.
+    """
+    cells = df.select(
+        F.col(x_col).alias("cx").cast("long"),
+        F.col(y_col).alias("cy").cast("long"),
+        F.col(val_col).alias("val").cast("long"),
+    )
+    g = cells.crossJoin(
+        F.broadcast(
+            cells.agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum("val").alias("s_val"),
+            )
+        )
+    ).withColumn("d", F.col("n_cells") * F.col("val") - F.col("s_val"))
+
+    offs = [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0) and (queen or dx * dy == 0)
+    ]
+    off_df = F.broadcast(
+        g.sparkSession.createDataFrame(offs, "dx int, dy int")
+    )
+    nbr = (
+        g.select("cx", "cy", F.col("d").alias("d_j"))
+        .crossJoin(off_df)
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "d_j",
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("d_j").alias("nbr_sum_d"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+        )
+    )
+    den = F.broadcast(
+        g.select((F.col("d") * F.col("d")).alias("d2")).agg(
+            F.sum("d2").alias("den")
+        )
+    )
+    out = (
+        g.join(nbr, ["cx", "cy"], "inner")  # isolated cells have no I_i
+        .crossJoin(den)
+        .withColumn(
+            "lisa_num", F.col("n_cells") * F.col("d") * F.col("nbr_sum_d")
+        )
+        .withColumn(
+            "lisa_q6",
+            F.round(F.col("lisa_num").cast("double") / F.col("den"), 6),
+        )
+    )
+    return out.select(
+        "cx", "cy", "val", F.col("d").alias("d_i"), "n_nbrs",
+        "nbr_sum_d", "lisa_num", "den", "lisa_q6",
+    )

@@ -3511,3 +3511,59 @@ def q84_terrain_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q84_terrain_hillshade"] = q84_terrain_hillshade
+
+
+def q85_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA hotspots (operators/stats.local_morans_i)
+    over the lineitem-derived cell grid (the q80 lattice, all cells):
+    N-scaled integer deviations make z_i * sum(z_nbr) exact bigints;
+    the only float is the final 6-place-rounded quotient, same shape
+    both engines."""
+    from ..operators.stats import local_morans_i
+
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            ((F.col("l_partkey") % 3600) / F.lit(64)).cast("long").alias("cx"),
+            ((F.col("l_suppkey") % 1600) / F.lit(64)).cast("long").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+    return local_morans_i(cells, "cx", "cy", "val", queen=True)
+
+
+Q85_SQL = """
+WITH cells AS (
+  SELECT (l_partkey % 3600) // 64 AS cx, (l_suppkey % 1600) // 64 AS cy,
+         count(*) AS val
+  FROM lineitem GROUP BY 1, 2
+),
+st AS (
+  SELECT count(*) AS n_cells, CAST(sum(val) AS BIGINT) AS s_val FROM cells
+),
+g AS (
+  SELECT c.cx, c.cy, c.val, st.n_cells,
+         st.n_cells * c.val - st.s_val AS d
+  FROM cells c CROSS JOIN st
+),
+offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+),
+nbr AS (
+  SELECT g.cx + o.dx AS cx, g.cy + o.dy AS cy,
+         CAST(sum(g.d) AS BIGINT) AS nbr_sum_d,
+         count(*) AS n_nbrs
+  FROM g CROSS JOIN offs o
+  GROUP BY 1, 2
+),
+den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM g)
+SELECT g.cx, g.cy, g.val, g.d AS d_i, n.n_nbrs, n.nbr_sum_d,
+       g.n_cells * g.d * n.nbr_sum_d AS lisa_num, den.den,
+       round(CAST(g.n_cells * g.d * n.nbr_sum_d AS DOUBLE) / den.den, 6)
+         AS lisa_q6
+FROM g JOIN nbr n ON n.cx = g.cx AND n.cy = g.cy
+CROSS JOIN den
+"""
+
+QUERIES["q85_local_morans_i"] = q85_local_morans_i
+ORACLES["q85_local_morans_i"] = Q85_SQL

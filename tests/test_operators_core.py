@@ -1310,3 +1310,42 @@ def test_terrain_flat_and_known_slope(spark):
     assert r.max_slope_q4 == 450000
     assert r.sum_slope_q4 == 16 * (14 * 450000 + 2 * edge_q4)
     assert r.aspect_octants == "0,0,0,0,0,0,256,0"
+
+
+def test_local_morans_i_designed_hotspot(spark):
+    """LISA on a designed 5x5 grid: a high-value 2x2 block in a flat
+    field -> block cells get positive I_i (high surrounded by high);
+    validated exactly against an independent numpy replica, plus the
+    rook/queen neighborhood distinction."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import local_morans_i
+
+    vals = np.ones((5, 5), dtype=np.int64)
+    vals[1:3, 1:3] = 10  # hotspot block
+    rows = [(x, y, int(vals[y, x])) for y in range(5) for x in range(5)]
+    df = spark.createDataFrame(rows, "cx long, cy long, val long")
+    got = {(r.cx, r.cy): r for r in local_morans_i(df, "cx", "cy", "val").collect()}
+    assert len(got) == 25
+
+    n, s = 25, int(vals.sum())
+    d = n * vals - s
+    den = int((d.astype(object) ** 2).sum())
+    for (x, y), r in got.items():
+        nbrs = [
+            d[y + dy, x + dx]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+            and 0 <= x + dx < 5 and 0 <= y + dy < 5
+        ]
+        assert r.nbr_sum_d == sum(int(v) for v in nbrs), (x, y)
+        assert r.lisa_num == n * int(d[y, x]) * sum(int(v) for v in nbrs)
+        assert r.den == den
+    # hotspot interior: high cell with all-high queen neighbors -> I > 0
+    assert got[(1, 1)].lisa_q6 > 0
+    # far corner: low cell among low -> positive (low-low cluster), small
+    assert got[(4, 4)].lisa_q6 > 0
+    # rook drops the 4 diagonal neighbors
+    rook = {(r.cx, r.cy): r for r in
+            local_morans_i(df, "cx", "cy", "val", queen=False).collect()}
+    assert rook[(2, 2)].n_nbrs == 4 and got[(2, 2)].n_nbrs == 8
