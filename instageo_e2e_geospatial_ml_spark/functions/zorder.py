@@ -61,3 +61,57 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
     xs = spread(f"(({x_expr}) & 65535)")
     ys = spread(f"(({y_expr}) & 65535)")
     return f"({xs} | ({ys} << 1))"
+
+
+# ---------------------------------------------------------------------------
+# Geohash — the human-readable Z-order key (Niemeyer 2008, public domain
+# algorithm): 15 bisection rounds per axis == floor-quantization to 15
+# bits, interleaved lon-first from the MSB, base32-grouped 5 bits/char.
+# Precision 6 (30 bits, ~1.2 km x 0.6 km cells) is exactly the 16-bit
+# Morton spread above; the same magic-number rounds serve both keys.
+# ---------------------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash6(lon: Column | str, lat: Column | str) -> Column:
+    """Precision-6 geohash string of (lon, lat) degrees, pure JVM column
+    ops (quantize -> Morton interleave -> 6 base32 chars). Bisection
+    identity: 15 rounds of halving [-90, 90] produce the same bits as
+    floor((lat + 90) * 2^15 / 180), so the closed form is exact."""
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    lon_q = F.least(
+        F.floor((lonc + F.lit(180.0)) * F.lit(32768.0) / F.lit(360.0)),
+        F.lit(32767),
+    )
+    lat_q = F.least(
+        F.floor((latc + F.lit(90.0)) * F.lit(32768.0) / F.lit(180.0)),
+        F.lit(32767),
+    )
+    # lon occupies the MSB-side (odd-from-LSB) lanes: lon-first interleave
+    gh = _spread16(lat_q).bitwiseOR(F.shiftleft(_spread16(lon_q), 1))
+    alphabet = F.array(*[F.lit(c) for c in _GH32])
+    parts = []
+    for k in range(6):
+        idx = F.shiftrightunsigned(gh, 30 - 5 * (k + 1)).bitwiseAND(F.lit(31))
+        parts.append(F.element_at(alphabet, idx.cast("int") + 1))
+    return F.concat(*parts)
+
+
+def geohash6_sql(lon_expr: str, lat_expr: str) -> str:
+    """The identical geohash-6 computation as DuckDB SQL (oracle twin)."""
+    lon_q = f"least(CAST(floor((({lon_expr}) + 180.0) * 32768.0 / 360.0) AS BIGINT), 32767)"
+    lat_q = f"least(CAST(floor((({lat_expr}) + 90.0) * 32768.0 / 180.0) AS BIGINT), 32767)"
+
+    def spread(e: str) -> str:
+        for shift, mask in _SPREAD:
+            e = f"((({e}) | (({e}) << {shift})) & {mask})"
+        return e
+
+    gh = f"({spread(lat_q)} | ({spread(lon_q)} << 1))"
+    chars = ", ".join(
+        f"substring('{_GH32}', CAST((({gh}) >> {30 - 5 * (k + 1)}) & 31 AS INTEGER) + 1, 1)"
+        for k in range(6)
+    )
+    return f"concat({chars})"

@@ -103,7 +103,7 @@ def q01_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q01_SQL = f"""
 SELECT cell_id, count(*) AS n_points
 FROM (SELECT {CELL_SQL} AS cell_id FROM ({PTS_SQL}))
-GROUP BY cell_id HAVING count(*) >= 50
+GROUP BY cell_id HAVING count(*) >= 20
 """
 
 
@@ -3310,7 +3310,7 @@ Q80_SQL = """
 WITH RECURSIVE cells AS (
   SELECT (l_partkey % 3600) // 64 AS cx, (l_suppkey % 1600) // 64 AS cy,
          count(*) AS n_points
-  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 50
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 20
 ),
 keyed AS (
   SELECT cx, cy, n_points, (cx + 1048576) * 2097152 + cy + 1048576 AS key
@@ -3567,3 +3567,49 @@ CROSS JOIN den
 
 QUERIES["q85_local_morans_i"] = q85_local_morans_i
 ORACLES["q85_local_morans_i"] = Q85_SQL
+
+
+def q86_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode + hierarchical prefix rollup (functions/zorder.
+    geohash6): per-geohash6 point counts plus ship-date span, grouped
+    under their geohash-4 parent — the standard web-map aggregation
+    key. Prefix truncation IS the hierarchy (base32 inherits the
+    Z-curve's containment), so the rollup is a substring, not a rejoin.
+    Oracle: textually identical bit-twiddling SQL (geohash6_sql)."""
+    from ..functions.zorder import geohash6
+
+    pts = _points(spark, sf_dir).withColumn("gh6", geohash6("lon", "lat"))
+    return (
+        pts.groupBy("gh6")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        )
+        .filter(F.col("n_points") >= 2)
+        .withColumn("gh4", F.substring("gh6", 1, 4))
+        .select("gh4", "gh6", "n_points", "first_ship", "last_ship")
+    )
+
+
+def _q86_sql() -> str:
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import geohash6_sql
+
+    gh = geohash6_sql(LON_SQL, LAT_SQL)
+    return f"""
+WITH pts AS (
+  SELECT {gh} AS gh6, l_shipdate FROM lineitem
+),
+agg AS (
+  SELECT gh6, count(*) AS n_points,
+         strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+         strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+  FROM pts GROUP BY gh6 HAVING count(*) >= 2
+)
+SELECT substring(gh6, 1, 4) AS gh4, gh6, n_points, first_ship, last_ship
+FROM agg
+"""
+
+
+QUERIES["q86_geohash_rollup"] = q86_geohash_rollup
+ORACLES["q86_geohash_rollup"] = _q86_sql()

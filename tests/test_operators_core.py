@@ -1349,3 +1349,25 @@ def test_local_morans_i_designed_hotspot(spark):
     rook = {(r.cx, r.cy): r for r in
             local_morans_i(df, "cx", "cy", "val", queen=False).collect()}
     assert rook[(2, 2)].n_nbrs == 4 and got[(2, 2)].n_nbrs == 8
+
+
+def test_geohash6_known_vectors(spark):
+    """Geohash encode against independently published vectors
+    (geohash.org / Niemeyer's reference examples, truncated to
+    precision 6), plus the four extreme corners and the equator
+    origin."""
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import geohash6
+
+    cases = [
+        (10.40744, 57.64911, "u4pruy"),   # Jutland, the canonical example
+        (-5.6, 42.6, "ezs42e"),           # prefix ezs42 = classic vector
+        (0.0, 0.0, "s00000"),
+        (-179.9999, -89.9999, "000000"),
+        (179.9999, 89.9999, "zzzzzz"),
+        (-77.009003, 38.889865, "dqcjpx"),  # DC (geohash.org)
+    ]
+    df = spark.createDataFrame(
+        [(lo, la) for lo, la, _ in cases], "lon double, lat double"
+    )
+    got = [r.gh for r in df.select(geohash6("lon", "lat").alias("gh")).collect()]
+    assert got == [w for _, _, w in cases]
