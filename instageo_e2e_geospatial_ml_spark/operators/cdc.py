@@ -71,3 +71,51 @@ def latest_state(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE INTO apply — one change batch folded into a target table
+    (Delta/Iceberg MERGE semantics with whole-row upserts):
+
+      WHEN MATCHED AND op = delete  THEN DELETE
+      WHEN MATCHED (upsert)         THEN UPDATE (replace the row)
+      WHEN NOT MATCHED (upsert)     THEN INSERT
+
+    The batch is first deduplicated per key — LAST writer by (ts,
+    tiebreak) wins, the Debezium/Delta-CDF convention for multi-change
+    batches. `changes` must carry every target column (whole-row
+    upserts) plus ts/op; the result has exactly the target's schema.
+
+    Plan shape, chosen for the 100 TB target / small-batch asymmetry:
+    NOT a full-outer join (which Spark cannot broadcast on either
+    side). Instead
+
+        merged = target LEFT ANTI JOIN touched_keys   (broadcastable)
+                 UNION ALL surviving upserts
+
+    so the big side is one broadcast-hash anti join probed in place —
+    zero shuffle of the target — and only the deduped batch moves.
+    """
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(key_col)
+    untouched = target.join(F.broadcast(touched), key_col, "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).select(
+        *target.columns
+    )
+    return untouched.unionByName(upserts)

@@ -3613,3 +3613,64 @@ FROM agg
 
 QUERIES["q86_geohash_rollup"] = q86_geohash_rollup
 ORACLES["q86_geohash_rollup"] = _q86_sql()
+
+
+def q87_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO batch apply (operators/cdc.merge_upsert): the customer
+    table as target (balance in exact cents, segment), an order-derived
+    change batch (final-status orders delete the customer row, open
+    orders upsert price/priority), last-writer-wins per key by
+    (o_orderdate, o_orderkey). Exact anti-join + union oracle."""
+    from ..operators.cdc import merge_upsert
+
+    target = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("val_cents"),
+        F.col("c_mktsegment").alias("tag"),
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_cents"),
+        F.col("o_orderpriority").alias("tag"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return merge_upsert(
+        target, changes, key_col="key", ts_col="ts", op_col="op",
+        tiebreak_col="tb",
+    )
+
+
+Q87_SQL = """
+WITH target AS (
+  SELECT c_custkey AS key,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents,
+         c_mktsegment AS tag
+  FROM customer
+),
+ch AS (
+  SELECT o_custkey AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS val_cents,
+         o_orderpriority AS tag, o_orderdate AS ts, o_orderkey AS tb,
+         CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER
+      (PARTITION BY key ORDER BY ts DESC, tb DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT t.key, t.val_cents, t.tag
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.key = t.key)
+UNION ALL
+SELECT key, val_cents, tag FROM latest WHERE op <> 'delete'
+"""
+
+QUERIES["q87_merge_upsert"] = q87_merge_upsert
+ORACLES["q87_merge_upsert"] = Q87_SQL

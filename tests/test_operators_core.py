@@ -1371,3 +1371,38 @@ def test_geohash6_known_vectors(spark):
     )
     got = [r.gh for r in df.select(geohash6("lon", "lat").alias("gh")).collect()]
     assert got == [w for _, _, w in cases]
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    """MERGE apply: matched-update replaces, matched-delete drops,
+    unmatched-insert appends, unmatched-delete is a no-op, and the
+    in-batch last writer by (ts, tiebreak) wins. Re-applying the same
+    batch is a fixpoint (idempotent maintenance run)."""
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "key long, v long, tag string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 21, "b1", 100, 1, "upsert"),   # matched update (overridden below)
+            (2, 22, "b2", 100, 2, "upsert"),   # same ts, higher tiebreak -> wins
+            (3, 0, "", 100, 1, "delete"),      # matched delete
+            (4, 40, "d", 100, 1, "upsert"),    # unmatched insert
+            (5, 0, "", 100, 1, "delete"),      # unmatched delete: no-op
+            (4, 41, "d2", 99, 9, "upsert"),    # older ts loses to nothing? no:
+        ],                                      # key 4 latest is ts=100 row
+        "key long, v long, tag string, ts long, tb long, op string",
+    )
+    out = merge_upsert(
+        target, changes, key_col="key", ts_col="ts", op_col="op",
+        tiebreak_col="tb",
+    )
+    got = sorted((r.key, r.v, r.tag) for r in out.collect())
+    assert got == [(1, 10, "a"), (2, 22, "b2"), (4, 40, "d")]
+
+    again = merge_upsert(
+        out, changes, key_col="key", ts_col="ts", op_col="op",
+        tiebreak_col="tb",
+    )
+    assert sorted((r.key, r.v, r.tag) for r in again.collect()) == got
