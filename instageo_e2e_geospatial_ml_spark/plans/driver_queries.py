@@ -3674,3 +3674,38 @@ SELECT key, val_cents, tag FROM latest WHERE op <> 'delete'
 
 QUERIES["q87_merge_upsert"] = q87_merge_upsert
 ORACLES["q87_merge_upsert"] = Q87_SQL
+
+
+def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.pagerank_int), 3 rounds,
+    over a part-supplier link graph (both directions, deduped). Every
+    arithmetic step is floor division, so the unrolled DuckDB CTE
+    chain (graph.pagerank_sql) matches the Spark scores bit for bit."""
+    from ..operators.graph import pagerank_int
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") % 120).alias("src"),
+        (F.col("l_suppkey") % 80 + 1000).alias("dst"),
+    )
+    back = li.filter(F.col("l_linenumber") % 2 == 0).select(
+        (F.col("l_suppkey") % 80 + 1000).alias("src"),
+        (F.col("l_orderkey") % 120).alias("dst"),
+    )
+    return pagerank_int(fwd.unionByName(back), iters=3)
+
+
+def _q88_sql() -> str:
+    from instageo_e2e_geospatial_ml_spark.operators.graph import pagerank_sql
+
+    edges = (
+        "SELECT l_partkey % 120 AS src, l_suppkey % 80 + 1000 AS dst FROM lineitem "
+        "UNION ALL "
+        "SELECT l_suppkey % 80 + 1000 AS src, l_orderkey % 120 AS dst "
+        "FROM lineitem WHERE l_linenumber % 2 = 0"
+    )
+    return pagerank_sql(edges, iters=3)
+
+
+QUERIES["q88_pagerank"] = q88_pagerank
+ORACLES["q88_pagerank"] = _q88_sql()

@@ -1406,3 +1406,34 @@ def test_merge_upsert_semantics_and_idempotence(spark):
         tiebreak_col="tb",
     )
     assert sorted((r.key, r.v, r.tag) for r in again.collect()) == got
+
+
+def test_pagerank_int_replica_and_sink_behavior(spark):
+    """3-round integer PageRank vs an independent pure-Python replica on
+    a designed graph (hub, sink, cycle); the hub-pointed node outranks
+    peers, and scores are bit-exact integers."""
+    from instageo_e2e_geospatial_ml_spark.operators.graph import (
+        PR_SCALE, pagerank_int,
+    )
+
+    # 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1, 4 -> 3 (and 4 is a source; no sink
+    # since 3 closes the cycle). Duplicate edge 1->2 collapses.
+    edges = [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in pagerank_int(df, iters=3).collect()}
+
+    ded = sorted(set(edges))
+    nodes = sorted({u for e in ded for u in e})
+    out = {u: sum(1 for s, _ in ded if s == u) for u in nodes}
+    n = len(nodes)
+    score = {u: PR_SCALE // n for u in nodes}
+    tele = PR_SCALE * 15 // 100 // n
+    for _ in range(3):
+        recv = {u: 0 for u in nodes}
+        for s, d in ded:
+            recv[d] += score[s] * 85 // 100 // out[s]
+        score = {u: tele + recv[u] for u in nodes}
+    for u in nodes:
+        assert got[u].score == score[u], (u, got[u].score, score[u])
+    assert got[3].score == max(score.values())  # most-linked node wins
+    assert got[4].in_deg == 0 and got[4].score == tele  # pure source
