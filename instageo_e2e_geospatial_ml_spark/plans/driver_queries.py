@@ -3709,3 +3709,56 @@ def _q88_sql() -> str:
 
 QUERIES["q88_pagerank"] = q88_pagerank
 ORACLES["q88_pagerank"] = _q88_sql()
+
+
+def q89_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gridding (operators/interp.idw_interpolate): lineitem points
+    (integer quantity values) interpolated onto a 100-unit lattice,
+    radius 75, integer SCALE-div weights. The DuckDB oracle is the
+    brute-force disc join — hash equality proves the 3x3 cell-ring
+    blocking is lossless."""
+    from ..operators.interp import idw_interpolate
+
+    s = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 3600).alias("px"),
+        (F.col("l_suppkey") % 1600).alias("py"),
+        F.col("l_quantity").cast("long").alias("val"),
+    )
+    grid = (
+        spark.range(36).select((F.col("id") * 100 + 50).alias("gx"))
+        .crossJoin(
+            spark.range(16).select((F.col("id") * 100 + 50).alias("gy"))
+        )
+    )
+    return idw_interpolate(s, grid, radius=75)
+
+
+Q89_SQL = """
+WITH s AS (
+  SELECT l_partkey % 3600 AS px, l_suppkey % 1600 AS py,
+         CAST(l_quantity AS BIGINT) AS val
+  FROM lineitem
+),
+grid AS (
+  SELECT gx, gy
+  FROM (SELECT unnest(generate_series(50, 3550, 100)) AS gx),
+       (SELECT unnest(generate_series(50, 1550, 100)) AS gy)
+),
+hits AS (
+  SELECT g.gx, g.gy, s.val,
+         (s.px - g.gx) * (s.px - g.gx) + (s.py - g.gy) * (s.py - g.gy) AS d2
+  FROM grid g JOIN s
+    ON (s.px - g.gx) * (s.px - g.gx) + (s.py - g.gy) * (s.py - g.gy)
+       <= 75 * 75
+),
+wtd AS (
+  SELECT gx, gy, val, 1000000000 // greatest(d2, 1) AS w FROM hits
+)
+SELECT gx, gy, count(*) AS n_samples,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(w * val) AS BIGINT) // CAST(sum(w) AS BIGINT) AS est
+FROM wtd GROUP BY gx, gy
+"""
+
+QUERIES["q89_idw_interpolation"] = q89_idw_interpolation
+ORACLES["q89_idw_interpolation"] = Q89_SQL

@@ -1437,3 +1437,41 @@ def test_pagerank_int_replica_and_sink_behavior(spark):
         assert got[u].score == score[u], (u, got[u].score, score[u])
     assert got[3].score == max(score.values())  # most-linked node wins
     assert got[4].in_deg == 0 and got[4].score == tele  # pure source
+
+
+def test_idw_boundary_exact_hit_and_weights(spark):
+    """IDW corners: a sample at exactly radius distance is IN, at
+    radius+1 OUT; an exact-hit sample (d2=0) takes the clamped max
+    weight and dominates; the estimate is the exact integer floor
+    quotient."""
+    from instageo_e2e_geospatial_ml_spark.operators.interp import (
+        IDW_SCALE, idw_interpolate,
+    )
+
+    samples = spark.createDataFrame(
+        [
+            (100, 100, 80),    # exact hit on node (100,100)
+            (110, 100, 20),    # d2=100
+            (100, 150, 40),    # d2=2500 == R^2 (R=50): inside
+            (100, 151, 999),   # d2=2601: outside
+            (400, 400, 7),     # only sample near node (420, 400): d2=400
+        ],
+        "px long, py long, val long",
+    )
+    grid = spark.createDataFrame(
+        [(100, 100), (420, 400), (3000, 3000)], "gx long, gy long"
+    )
+    got = {(r.gx, r.gy): r for r in
+           idw_interpolate(samples, grid, radius=50).collect()}
+    assert set(got) == {(100, 100), (420, 400)}  # empty node omitted
+
+    r = got[(100, 100)]
+    assert r.n_samples == 3  # boundary sample included, 999 excluded
+    w = [IDW_SCALE // 1, IDW_SCALE // 100, IDW_SCALE // 2500]
+    v = [80, 20, 40]
+    assert r.sum_w == sum(w)
+    assert r.est == sum(a * b for a, b in zip(w, v)) // sum(w)
+    assert abs(r.est - 80) <= 1  # exact hit dominates
+
+    lone = got[(420, 400)]
+    assert lone.n_samples == 1 and lone.est == 7  # single sample: exact
