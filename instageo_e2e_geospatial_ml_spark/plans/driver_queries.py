@@ -3762,3 +3762,19 @@ FROM wtd GROUP BY gx, gy
 
 QUERIES["q89_idw_interpolation"] = q89_idw_interpolation
 ORACLES["q89_idw_interpolation"] = Q89_SQL
+
+
+def q90_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/bpe.train_bpe): 12 merges
+    learned from the documents corpus dictionary. Rows-only (iterative
+    argmax is not ANSI-SQL — the accepted class); the ranked merge
+    table with exact pair counts rides the driver's rows hash, and the
+    pytest pins the Sennrich paper example against a pure-Python
+    replica."""
+    from ..functions.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return train_bpe(docs, n_merges=12)
+
+
+QUERIES["q90_bpe_training"] = q90_bpe_training

@@ -1475,3 +1475,80 @@ def test_idw_boundary_exact_hit_and_weights(spark):
 
     lone = got[(420, 400)]
     assert lone.n_samples == 1 and lone.est == 7  # single sample: exact
+
+
+def test_bpe_training_paper_example_and_replica(spark):
+    """BPE merges on the Sennrich ACL'16 example corpus (low x5,
+    lower x2, newest x6, widest x3): first merges must be (e,s) 9,
+    (es,t) 9, (est,</w>) 9 — then the full 8-merge sequence matches an
+    independent pure-Python replica, and apply_bpe re-tokenizes with
+    the learned table."""
+    import collections
+
+    from instageo_e2e_geospatial_ml_spark.functions.bpe import (
+        END, apply_bpe, train_bpe,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in train_bpe(docs, 8).orderBy("rank").collect()
+    ]
+    assert got[0] == (1, "e", "s", 9)
+    assert got[1] == (2, "es", "t", 9)
+    assert got[2] == (3, "est", END, 9)
+
+    # independent replica (dict-of-tuples, same greedy + tiebreak)
+    vocab = {
+        ("l", "o", "w", END): 5,
+        ("l", "o", "w", "e", "r", END): 2,
+        ("n", "e", "w", "e", "s", "t", END): 6,
+        ("w", "i", "d", "e", "s", "t", END): 3,
+    }
+    want = []
+    for rank in range(1, 9):
+        cnt = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += n
+        if not cnt:
+            break
+        (bl, br), bc = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, bl, br, bc))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    assert got == want
+
+    toks = {
+        r.doc_id: r.tokens
+        for r in apply_bpe(
+            spark.createDataFrame([(9, "lowest low")], "doc_id long, text string"),
+            [(l, r) for _, l, r, _ in got],
+        ).collect()
+    }
+    # 'low' fully merges via learned (lo,w</w>)-family merges; replica:
+    seq = []
+    for w in ["lowest", "low"]:
+        seq.extend(list(w) + [END])
+    for _, bl, br, _ in got:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == bl and seq[i + 1] == br:
+                out.append(bl + br)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    assert toks[9] == seq
