@@ -630,3 +630,68 @@ def test_heavy_hitters_stream_mg_bound(spark, tmp_path):
     got_n = final.groupby("shard")["n_seen"].max()
     for s, n in shard_n.items():
         assert got_n.get(s, 0) == n
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same logical join
+    on static frames, for in-watermark data: conversions inside the
+    horizon attribute to every qualifying impression, outside-horizon
+    and wrong-user conversions don't."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.streaming.attribution import (
+        attribute_batch, attribute_stream,
+    )
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    imp_rows = [
+        (1, "i1", t0),
+        (1, "i2", t0 + pd.Timedelta(minutes=30)),
+        (2, "i3", t0),
+        (3, "i4", t0),  # user with no conversion
+    ]
+    conv_rows = [
+        (1, "c1", t0 + pd.Timedelta(minutes=45)),   # hits i1 and i2
+        (1, "c2", t0 + pd.Timedelta(minutes=85)),   # hits i2 only (i1 beyond 1h)
+        (2, "c3", t0 + pd.Timedelta(minutes=59)),   # hits i3 (inside)
+        (2, "c4", t0 - pd.Timedelta(minutes=1)),    # before any impression
+        (9, "c5", t0 + pd.Timedelta(minutes=5)),    # unknown user
+    ]
+    imp_pdf = pd.DataFrame(imp_rows, columns=["user_id", "imp_id", "imp_ts"])
+    conv_pdf = pd.DataFrame(conv_rows, columns=["user_id", "conv_id", "conv_ts"])
+
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    imp_b = spark.createDataFrame(imp_pdf)
+    conv_b = spark.createDataFrame(conv_pdf)
+    imp_b.repartition(2).write.parquet(imp_dir)
+    conv_b.repartition(2).write.parquet(conv_dir)
+
+    imp_s = (
+        spark.readStream.schema(imp_b.schema)
+        .option("maxFilesPerTrigger", 1).parquet(imp_dir)
+    )
+    conv_s = (
+        spark.readStream.schema(conv_b.schema)
+        .option("maxFilesPerTrigger", 1).parquet(conv_dir)
+    )
+    out = attribute_stream(imp_s, conv_s, horizon="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.imp_id, r.conv_id, r.lag_us)
+        for r in spark.sql("select * from attr_out").collect()
+    }
+    want = {
+        (r.user_id, r.imp_id, r.conv_id, r.lag_us)
+        for r in attribute_batch(imp_b, conv_b, horizon="1 hour").collect()
+    }
+    assert got == want
+    assert ("1", "i1", "c1", 45 * 60 * 1000000) in {
+        (str(u), i, c, l) for u, i, c, l in got
+    } or (1, "i1", "c1", 45 * 60 * 1000000) in got
+    assert all(c != "c4" and c != "c5" for _, _, c, _ in got)
+    assert len(got) == 4  # (i1,c1) (i2,c1) (i2,c2) (i3,c3)
