@@ -3778,3 +3778,71 @@ def q90_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q90_bpe_training"] = q90_bpe_training
+
+
+def q91_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase (operators/funnel.
+    funnel_stages + funnel_summary): first-touch stage timestamps via
+    chained filtered min-aggregates, exact epoch-microsecond output."""
+    from ..operators.funnel import funnel_stages, funnel_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_summary(
+        funnel_stages(ev, ["view", "click", "purchase"])
+    )
+
+
+Q91_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tus FROM events
+),
+s1 AS (
+  SELECT u, min(tus) AS t FROM ev WHERE et = 'view' GROUP BY u
+),
+s2 AS (
+  SELECT ev.u, min(ev.tus) AS t
+  FROM ev JOIN s1 ON s1.u = ev.u
+  WHERE ev.et = 'click' AND ev.tus > s1.t GROUP BY ev.u
+),
+s3 AS (
+  SELECT ev.u, min(ev.tus) AS t
+  FROM ev JOIN s2 ON s2.u = ev.u
+  WHERE ev.et = 'purchase' AND ev.tus > s2.t GROUP BY ev.u
+),
+stages AS (
+  SELECT 1 AS stage, 'view' AS step_name, t FROM s1
+  UNION ALL SELECT 2, 'click', t FROM s2
+  UNION ALL SELECT 3, 'purchase', t FROM s3
+)
+SELECT stage, step_name, count(*) AS n_users,
+       min(t) AS first_reach_us, max(t) AS last_reach_us
+FROM stages GROUP BY stage, step_name
+"""
+
+QUERIES["q91_funnel"] = q91_funnel
+ORACLES["q91_funnel"] = Q91_SQL
+
+
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/funnel.
+    cohort_retention): first-event epoch-week cohorts x active-week
+    offsets, distinct-user counts — all integer keys."""
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+Q92_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS week FROM events
+),
+first AS (SELECT u, min(week) AS cohort_week FROM ev GROUP BY u),
+active AS (SELECT DISTINCT u, week FROM ev)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first f ON f.u = a.u
+GROUP BY 1, 2
+"""
+
+QUERIES["q92_cohort_retention"] = q92_cohort_retention
+ORACLES["q92_cohort_retention"] = Q92_SQL

@@ -1552,3 +1552,46 @@ def test_bpe_training_paper_example_and_replica(spark):
                 i += 1
         seq = out
     assert toks[9] == seq
+
+
+def test_funnel_strict_order_and_cohorts(spark):
+    """Funnel corners: a click BEFORE the first view doesn't advance the
+    funnel (strict order), same-timestamp events don't chain (strictly
+    later required), users appear once per reached stage. Cohort
+    retention: week 0 row counts every cohort member, later offsets
+    count distinct active users only."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        cohort_retention, funnel_stages, funnel_summary,
+    )
+
+    t = lambda m: (pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [
+        # u1: full funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2: click precedes view -> stuck at stage 1
+        (2, t(0), "click"), (2, t(5), "view"),
+        # u3: view+click same ts -> click not strictly later, stage 1 only
+        (3, t(0), "view"), (3, t(0), "click"),
+        # u4: view then purchase without click -> stage 1 only
+        (4, t(0), "view"), (4, t(3), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    st = funnel_stages(ev, ["view", "click", "purchase"])
+    per_user = {(r.user, r.stage) for r in st.collect()}
+    assert per_user == {(1, 1), (1, 2), (1, 3), (2, 1), (3, 1), (4, 1)}
+    summ = {r.stage: r.n_users for r in funnel_summary(st).collect()}
+    assert summ == {1: 4, 2: 1, 3: 1}
+
+    # cohorts: u1 first week 0, active weeks 0 and 2; u2 first week 1
+    wk = lambda w, m=0: (pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=w, minutes=m)).to_pydatetime()
+    ev2 = spark.createDataFrame(
+        [(1, wk(0), "view"), (1, wk(0, 5), "view"), (1, wk(2), "view"),
+         (2, wk(1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(ev2).collect()}
+    base = pd.Timestamp("2024-01-01").value // 1000 // (7 * 86400 * 10**6)
+    assert got == {(base, 0): 1, (base, 2): 1, (base + 1, 0): 1}
