@@ -137,3 +137,215 @@ def pagerank_sql(
         f"LEFT JOIN indeg i ON i.node = p.node "
         f"LEFT JOIN outdeg o ON o.node = p.node"
     )
+
+
+def sssp_int(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Bellman-Ford single-source (multi-source) shortest paths, integer
+    weights, FIXED `rounds` relaxations (paths up to `rounds` hops):
+
+        d_{k+1}(v) = least(d_k(v), min over edges (u,v): d_k(u) + w)
+
+    NULL distance = not yet reached; both Spark `least` and SQL LEAST
+    skip NULLs, so the sentinel-free form is engine-exact. The fixed
+    round count makes the oracle an unrolled CTE chain (sssp_sql) —
+    same bit-exactness contract as pagerank_int. Per round: one join on
+    src + one groupBy dst + one left join — all equi-keyed. Negative
+    weights are accepted (Bellman-Ford), cycles only matter past the
+    round horizon.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(sources.select(F.col(sources.columns[0]).cast("long").alias("node")))
+        .distinct()
+    )
+    src_set = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("node")
+    ).distinct()
+    d = nodes.join(
+        src_set.withColumn("dist", F.lit(0).cast("long")), "node", "left"
+    ).select("node", "dist")
+    for _ in range(rounds):
+        relax = (
+            e.join(
+                d.filter(F.col("dist").isNotNull())
+                .withColumnRenamed("node", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("relaxed"))
+        )
+        d = d.join(relax, "node", "left").select(
+            "node", F.least("dist", "relaxed").alias("dist")
+        )
+    return d
+
+
+def sssp_sql(edges_sql: str, sources_sql: str, rounds: int) -> str:
+    """Unrolled Bellman-Ford as DuckDB SQL (oracle twin). `edges_sql`
+    selects (src, dst, w); `sources_sql` selects one column `node`."""
+    parts = [
+        f"WITH e AS (SELECT src, dst, w FROM ({edges_sql}))",
+        f"srcs AS (SELECT DISTINCT node FROM ({sources_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e "
+        "UNION SELECT node FROM srcs)",
+        "d0 AS (SELECT n.node, CASE WHEN s.node IS NULL THEN NULL "
+        "ELSE CAST(0 AS BIGINT) END AS dist "
+        "FROM nodes n LEFT JOIN srcs s ON s.node = n.node)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"CAST(min(d.dist + e.w) AS BIGINT) AS relaxed "
+            f"FROM e JOIN d{i} d ON d.node = e.src AND d.dist IS NOT NULL "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"d{i + 1} AS (SELECT d.node, LEAST(d.dist, r.relaxed) AS dist "
+            f"FROM d{i} d LEFT JOIN r{i + 1} r ON r.node = d.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts on the undirected simple graph
+    (direction and duplicates collapse; self-loops drop). The classic
+    oriented enumeration: canonicalize every edge to (lo < hi), list
+    each triangle once as a < b < c via wedge join + closing-edge join,
+    then credit all three corners. Orientation bounds the wedge join by
+    SMALLER-endpoint degree — the standard mitigation that keeps a
+    power-law hub from exploding the intermediate (its wedges spread
+    over the lower-id endpoints).
+    """
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        und.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+TRIANGLE_SQL_TEMPLATE = """
+WITH raw AS (SELECT src AS u, dst AS v FROM ({edges_sql}) WHERE src <> dst),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+"""
+
+_LPA_MOD = 1 << 21  # labels must stay below this for the ordered-min fold
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) community
+    detection, deterministic variant: every node starts as its own
+    label; each round it adopts the most frequent neighbor label,
+    ties broken by SMALLEST label. The argmax-with-min-tiebreak is the
+    struct-less ordered fold (the q34 trick): score = cnt * 2^21 +
+    (2^21 - 1 - label), max(score) decodes to (max cnt, min label) —
+    portable integer ordering, no struct comparison semantics needed.
+    Fixed `rounds` keeps the oracle an unrolled CTE (lpa_sql). Node ids
+    must be < 2^21 (raise otherwise happens naturally via decode
+    mismatch — callers hash-compact ids first at scale).
+    """
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = (
+        raw.select("u", "v")
+        .unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    lab = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        counts = (
+            und.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counts.groupBy("node").agg(
+            F.max(
+                F.col("cnt") * _LPA_MOD + (_LPA_MOD - 1 - F.col("label"))
+            ).alias("score")
+        )
+        lab = best.select(
+            "node",
+            (_LPA_MOD - 1 - F.col("score") % _LPA_MOD).alias("label"),
+        )
+    return lab
+
+
+def lpa_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled label propagation as DuckDB SQL (oracle twin)."""
+    m = _LPA_MOD
+    parts = [
+        f"WITH raw AS (SELECT src AS u, dst AS v FROM ({edges_sql}) WHERE src <> dst)",
+        "und AS (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw))",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i + 1} AS (SELECT und.u AS node, l.label, count(*) AS cnt "
+            f"FROM und JOIN l{i} l ON l.node = und.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT node, "
+            f"{m - 1} - (CAST(max(cnt * {m} + ({m - 1} - label)) AS BIGINT) % {m}) AS label "
+            f"FROM c{i + 1} GROUP BY node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, label FROM l{rounds}"

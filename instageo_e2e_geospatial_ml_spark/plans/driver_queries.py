@@ -3846,3 +3846,103 @@ GROUP BY 1, 2
 
 QUERIES["q92_cohort_retention"] = q92_cohort_retention
 ORACLES["q92_cohort_retention"] = Q92_SQL
+
+
+_G93_EDGES_SPARK = None  # (built inline below)
+
+
+def q93_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source Bellman-Ford shortest paths (operators/graph.
+    sssp_int), 4 relaxation rounds, integer weights = min line quantity
+    per deduped edge. NULL-skipping least() is identical in Spark and
+    DuckDB, so distances match bit for bit (unrolled CTE oracle)."""
+    from ..operators.graph import sssp_int
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_partkey") % 120).alias("src"),
+            (F.col("l_suppkey") % 80 + 1000).alias("dst"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .unionByName(
+            li.filter(F.col("l_linenumber") % 2 == 0).select(
+                (F.col("l_suppkey") % 80 + 1000).alias("src"),
+                (F.col("l_orderkey") % 120).alias("dst"),
+                F.col("l_quantity").cast("long").alias("q"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("q").alias("w"))
+    )
+    sources = spark.range(5).select(F.col("id").alias("node"))
+    return sssp_int(e, sources, rounds=4)
+
+
+def _q93_sql() -> str:
+    from instageo_e2e_geospatial_ml_spark.operators.graph import sssp_sql
+
+    edges = (
+        "SELECT src, dst, CAST(min(q) AS BIGINT) AS w FROM ("
+        "SELECT l_partkey % 120 AS src, l_suppkey % 80 + 1000 AS dst, "
+        "CAST(l_quantity AS BIGINT) AS q FROM lineitem "
+        "UNION ALL "
+        "SELECT l_suppkey % 80 + 1000, l_orderkey % 120, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_linenumber % 2 = 0"
+        ") GROUP BY src, dst"
+    )
+    srcs = "SELECT unnest(generate_series(0, 4)) AS node"
+    return sssp_sql(edges, srcs, rounds=4)
+
+
+QUERIES["q93_sssp"] = q93_sssp
+ORACLES["q93_sssp"] = _q93_sql()
+
+
+def q94_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) on a
+    unipartite lineitem-derived graph: oriented wedge join + closing
+    edge, each triangle listed once as a < b < c. Identical-join
+    oracle."""
+    from ..operators.graph import TRIANGLE_SQL_TEMPLATE, triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 150).alias("src"),
+        (F.col("l_suppkey") * 7 % 150).alias("dst"),
+    )
+    return triangle_counts(e)
+
+
+Q94_SQL = None  # set below
+
+
+def q95_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.
+    label_propagation), 3 rounds, deterministic min-label tiebreak via
+    the portable integer ordered fold. Unrolled CTE oracle."""
+    from ..operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 150).alias("src"),
+        (F.col("l_suppkey") * 7 % 150).alias("dst"),
+    )
+    return label_propagation(e, rounds=3)
+
+
+def _q94_q95_sql() -> tuple:
+    from instageo_e2e_geospatial_ml_spark.operators.graph import (
+        TRIANGLE_SQL_TEMPLATE, lpa_sql,
+    )
+
+    edges = (
+        "SELECT l_partkey % 150 AS src, (l_suppkey * 7) % 150 AS dst "
+        "FROM lineitem"
+    )
+    return TRIANGLE_SQL_TEMPLATE.format(edges_sql=edges), lpa_sql(edges, rounds=3)
+
+
+QUERIES["q94_triangle_counts"] = q94_triangle_counts
+QUERIES["q95_label_propagation"] = q95_label_propagation
+ORACLES["q94_triangle_counts"], ORACLES["q95_label_propagation"] = _q94_q95_sql()

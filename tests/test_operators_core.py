@@ -1595,3 +1595,69 @@ def test_funnel_strict_order_and_cohorts(spark):
            for r in cohort_retention(ev2).collect()}
     base = pd.Timestamp("2024-01-01").value // 1000 // (7 * 86400 * 10**6)
     assert got == {(base, 0): 1, (base, 2): 1, (base + 1, 0): 1}
+
+
+def test_sssp_bellman_ford_vs_dijkstra(spark):
+    """4-round Bellman-Ford vs a pure-Python Dijkstra on a weighted
+    digraph whose shortest paths are all <= 4 hops; the longer-hop
+    cheaper path must win over the 1-hop expensive edge, and
+    unreachable nodes stay NULL."""
+    import heapq
+
+    from instageo_e2e_geospatial_ml_spark.operators.graph import sssp_int
+
+    edges = [
+        (0, 1, 10), (0, 2, 1), (2, 1, 1),          # 0->1 best = 2 via 2
+        (1, 3, 1), (3, 4, 1), (0, 4, 100),          # 0->4 best = 4 hops, 4
+        (5, 6, 1),                                   # disconnected from 0
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in sssp_int(e, srcs, rounds=4).collect()}
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if du + w < dist.get(v, float("inf")):
+                dist[v] = du + w
+                heapq.heappush(pq, (dist[v], v))
+    for node, d in got.items():
+        assert d == dist.get(node), (node, d, dist.get(node))
+    assert got[1] == 2 and got[4] == 4 and got[5] is None and got[6] is None
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in 3 triangles), a disjoint edge (0 triangles,
+    node absent), duplicate/reversed edges and self-loops collapse."""
+    import itertools as it
+
+    from instageo_e2e_geospatial_ml_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a, b in it.combinations(range(4), 2)]
+    noise = [(1, 0), (2, 2), (10, 11), (0, 1)]  # reversed dup, loop, stray
+    e = spark.createDataFrame(k4 + noise, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: 3 LPA rounds label each
+    clique with its minimum node id; the bridge does not merge them."""
+    import itertools as it
+
+    from instageo_e2e_geospatial_ml_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a, b in it.combinations([0, 1, 2, 3], 2)]
+    c2 = [(a, b) for a, b in it.combinations([10, 11, 12, 13], 2)]
+    e = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(e, rounds=3).collect()}
+    assert all(got[n] == 0 for n in (0, 1, 2, 3))
+    assert all(got[n] == 10 for n in (11, 12, 13))
+    assert got[10] in (0, 10)  # bridge node may adopt either side
