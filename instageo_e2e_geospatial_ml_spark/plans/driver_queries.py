@@ -3946,3 +3946,39 @@ def _q94_q95_sql() -> tuple:
 QUERIES["q94_triangle_counts"] = q94_triangle_counts
 QUERIES["q95_label_propagation"] = q95_label_propagation
 ORACLES["q94_triangle_counts"], ORACLES["q95_label_propagation"] = _q94_q95_sql()
+
+
+def q96_median_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-free temporal median composite (operators/composite.
+    median_composite) over a deterministic synthetic 6-date stack of
+    12 tiles (48x48 int16, sinusoid + per-date offset, pseudo-random
+    validity masks). Rows-only like the other pixel kernels; digests
+    pin every pixel, pytest pins the scalar replica."""
+    import numpy as np
+
+    from ..operators.composite import STACK_SCHEMA, median_composite
+
+    T, H, W = 6, 48, 48
+    rows = []
+    for tile in range(12):
+        gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+        for t in range(T):
+            px = np.round(
+                3000.0 * np.sin((gx + 7.0 * tile) / 9.0)
+                * np.cos((gy + 3.0 * t) / 5.0)
+                + 100.0 * t
+            ).astype(np.int16)
+            # deterministic "cloud" mask: integer lattice stripes
+            valid = (
+                ((gx.astype(np.int64) * 31 + gy.astype(np.int64) * 17
+                  + t * 13 + tile * 7) % 10) < 7
+            ).astype(np.uint8)
+            rows.append(
+                (tile, t, H, W,
+                 bytearray(px.tobytes()), bytearray(valid.tobytes()))
+            )
+    stack = spark.createDataFrame(rows, STACK_SCHEMA).repartition(12)
+    return median_composite(stack)
+
+
+QUERIES["q96_median_composite"] = q96_median_composite

@@ -1661,3 +1661,49 @@ def test_label_propagation_two_communities(spark):
     assert all(got[n] == 0 for n in (0, 1, 2, 3))
     assert all(got[n] == 10 for n in (11, 12, 13))
     assert got[10] in (0, 10)  # bridge node may adopt either side
+
+
+def test_median_composite_scalar_replica(spark):
+    """Vectorized per-pixel median vs a scalar per-pixel replica on a
+    random masked stack, plus designed corners: all-masked pixel ->
+    NODATA, single-valid pixel -> that value, even count -> lower
+    median, negative int16 values survive."""
+    import hashlib
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.composite import (
+        COMPOSITE_NODATA, STACK_SCHEMA, median_composite,
+    )
+
+    rng = np.random.default_rng(5)
+    T, H, W = 5, 8, 9
+    px = rng.integers(-2000, 12000, size=(T, H, W)).astype(np.int16)
+    valid = (rng.random((T, H, W)) < 0.7).astype(np.uint8)
+    valid[:, 0, 0] = 0                      # all masked
+    valid[:, 0, 1] = [1, 0, 0, 0, 0]        # single valid
+    valid[:, 0, 2] = [1, 1, 1, 1, 0]        # even count (4) -> lower median
+
+    rows = [
+        (7, t, H, W, bytearray(px[t].tobytes()), bytearray(valid[t].tobytes()))
+        for t in range(T)
+    ]
+    out = median_composite(
+        spark.createDataFrame(rows, STACK_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    med = np.empty((H, W), dtype=np.int16)
+    for i in range(H):
+        for j in range(W):
+            vs = sorted(int(px[t, i, j]) for t in range(T) if valid[t, i, j])
+            med[i, j] = vs[(len(vs) - 1) // 2] if vs else COMPOSITE_NODATA
+    k = valid.astype(bool).sum(axis=0)
+    assert r.n_dates == T and r.n_px == H * W
+    assert r.n_composited == int((k > 0).sum())
+    assert r.sum_median == int(med[k > 0].astype(np.int64).sum())
+    assert r.composite_digest == hashlib.md5(med.tobytes()).hexdigest()
+    assert med[0, 0] == COMPOSITE_NODATA
+    assert med[0, 1] == px[0, 0, 1]
+    assert med[0, 2] == sorted(px[:4, 0, 2].tolist())[1]  # lower of 4
