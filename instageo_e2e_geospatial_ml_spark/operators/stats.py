@@ -284,3 +284,124 @@ def local_morans_i(
         "cx", "cy", "val", F.col("d").alias("d_i"), "n_nbrs",
         "nbr_sum_d", "lisa_num", "den", "lisa_q6",
     )
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_cols: list,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — the time-series
+    trend analytic (NDVI greening/browning per cell, per-tile
+    degradation rates) in exact integer moments:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    Numerator and denominator are plain bigint sums (one partial-agg
+    shuffle on the group key, map-side combinable, shuffle-order
+    independent); the only float is the final 6-place-rounded quotient,
+    emitted with the same expression shape the SQL twin uses, plus the
+    intercept in the same num/den style. Degenerate groups (all x
+    equal: den = 0) report NULL slope rather than dividing."""
+    gx = F.col(x_col).cast("long")
+    gy = F.col(y_col).cast("long")
+    agg = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(gx).alias("sx"),
+            F.sum(gy).alias("sy"),
+            F.sum(gx * gx).alias("sxx"),
+            F.sum(gx * gy).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.withColumn("slope_num", num)
+        .withColumn("slope_den", den)
+        .withColumn(
+            "slope_q6",
+            F.when(
+                F.col("slope_den") != 0,
+                F.round(
+                    F.col("slope_num").cast("double") / F.col("slope_den"), 6
+                ),
+            ),
+        )
+        .withColumn(
+            # intercept = (Sy - slope*Sx)/n = (Sy*den - num*Sx)/(n*den)
+            "intercept_q6",
+            F.when(
+                F.col("slope_den") != 0,
+                F.round(
+                    (
+                        F.col("sy") * F.col("slope_den")
+                        - F.col("slope_num") * F.col("sx")
+                    ).cast("double")
+                    / (F.col("n") * F.col("slope_den")),
+                    6,
+                ),
+            ),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation
+    (the MAD rule, Hampel 1974): flag y when
+
+        |y - median(y)| * k_den > k_num * MAD,
+        MAD = median(|y - median(y)|)
+
+    Both medians are the exact LOWER median (rank (n+1) div 2 — the
+    same integer-rank discipline as group_percentiles), deviations are
+    exact integers, and the flag is a cross-multiplied integer
+    comparison — no float anywhere, so the oracle matches bit for bit.
+    A zero MAD (over half the group identical) flags every deviating
+    row, the standard degenerate-MAD convention.
+
+    Returns per-group summary: (group..., n, med, mad, n_outliers,
+    max_adev). Two window passes on the group key (value order, then
+    deviation order) + one aggregate — three shuffles total, each
+    partial-combining where possible."""
+    gb = [F.col(c) for c in group_cols]
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*gb).orderBy(F.col(col).asc())
+        wn = Window.partitionBy(*gb)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select(*gb, F.col(col).alias(out))
+        )
+
+    base = df.select(*gb, F.col(value_col).cast("long").alias("y"))
+    med = lower_median(base, "y", "med")
+    dev = base.join(med, [c for c in group_cols]).withColumn(
+        "adev", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = lower_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, [c for c in group_cols])
+        .groupBy(*gb)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (
+                    F.col("adev") * k_den > k_num * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.max("adev").alias("max_adev"),
+        )
+    )

@@ -3982,3 +3982,106 @@ def q96_median_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q96_median_composite"] = q96_median_composite
+
+
+def q97_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell OLS trend of shipped quantity over time (operators/
+    stats.group_ols_trend): exact integer moments, slope/intercept as
+    num/den bigints + 6-place quotients. x = epoch week - 1100 keeps
+    n*Sxx well inside int64."""
+    from ..operators.stats import group_ols_trend
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") % 3600) / F.lit(120)).cast("long").alias("cx"),
+        (
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 604800000000"
+            )
+            - 1100
+        ).alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    return group_ols_trend(li, ["cx"], "x", "y")
+
+
+Q97_SQL = """
+WITH pts AS (
+  SELECT (l_partkey % 3600) // 120 AS cx,
+         epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 604800000000 - 1100 AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT cx, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY cx
+),
+d AS (
+  SELECT cx, n, sx, sy, sxx, sxy,
+         n * sxy - sx * sy AS slope_num,
+         n * sxx - sx * sx AS slope_den
+  FROM m
+)
+SELECT cx, n, sx, sy, sxx, sxy, slope_num, slope_den,
+       CASE WHEN slope_den <> 0
+            THEN round(CAST(slope_num AS DOUBLE) / slope_den, 6) END
+         AS slope_q6,
+       CASE WHEN slope_den <> 0
+            THEN round(CAST(sy * slope_den - slope_num * sx AS DOUBLE)
+                       / (n * slope_den), 6) END
+         AS intercept_q6
+FROM d
+"""
+
+QUERIES["q97_ols_trend"] = q97_ols_trend
+ORACLES["q97_ols_trend"] = Q97_SQL
+
+
+def q98_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier audit (operators/stats.mad_outliers): per
+    order-priority group, extended-price cents flagged at 3x MAD —
+    exact lower medians, integer cross-multiplied rule."""
+    from ..operators.stats import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(li, ["grp"], "cents", k_num=3, k_den=1)
+
+
+Q98_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+r1 AS (
+  SELECT grp, y,
+         row_number() OVER (PARTITION BY grp ORDER BY y ASC) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+med AS (SELECT grp, y AS med FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT b.grp, b.y, m.med, abs(b.y - m.med) AS adev
+  FROM base b JOIN med m ON m.grp = b.grp
+),
+r2 AS (
+  SELECT grp, adev,
+         row_number() OVER (PARTITION BY grp ORDER BY adev ASC) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM dev
+),
+mad AS (SELECT grp, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.grp, count(*) AS n, max(d.med) AS med, max(ma.mad) AS mad,
+       CAST(sum(CASE WHEN d.adev * 1 > 3 * ma.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       max(d.adev) AS max_adev
+FROM dev d JOIN mad ma ON ma.grp = d.grp
+GROUP BY d.grp
+"""
+
+QUERIES["q98_mad_outliers"] = q98_mad_outliers
+ORACLES["q98_mad_outliers"] = Q98_SQL

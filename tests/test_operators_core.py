@@ -1707,3 +1707,32 @@ def test_median_composite_scalar_replica(spark):
     assert med[0, 0] == COMPOSITE_NODATA
     assert med[0, 1] == px[0, 0, 1]
     assert med[0, 2] == sorted(px[:4, 0, 2].tolist())[1]  # lower of 4
+
+
+def test_ols_trend_and_mad_outliers_designed(spark):
+    """OLS: exact fit on a designed line y=3x+7 (slope_q6 == 3.0,
+    intercept 7.0, residual-free), degenerate single-x group -> NULL
+    slope. MAD: a group with one wild value flags exactly that value;
+    zero-MAD group flags every deviating row."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        group_ols_trend, mad_outliers,
+    )
+
+    line = [("a", x, 3 * x + 7) for x in range(10)] + [("b", 5, 1), ("b", 5, 9)]
+    df = spark.createDataFrame(line, "g string, x long, y long")
+    got = {r.g: r for r in group_ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["a"].slope_q6 == 3.0 and got["a"].intercept_q6 == 7.0
+    assert got["b"].slope_den == 0 and got["b"].slope_q6 is None
+
+    vals = [("g1", v) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("g2", v) for v in [5, 5, 5, 5, 8]
+    ]
+    df2 = spark.createDataFrame(vals, "g string, y long")
+    out = {r.g: r for r in mad_outliers(df2, ["g"], "y").collect()}
+    g1 = out["g1"]
+    # median of 10..14,1000 (lower, n=6 -> rank 3) = 12; adevs 2,1,0,1,2,988
+    # MAD (rank 3 of 0,1,1,2,2,988) = 1 -> only 988 > 3
+    assert (g1.med, g1.mad, g1.n_outliers, g1.max_adev) == (12, 1, 1, 988)
+    g2 = out["g2"]
+    # median 5, adevs 0,0,0,0,3 -> MAD 0: the single deviating row flags
+    assert (g2.med, g2.mad, g2.n_outliers) == (5, 0, 1)
