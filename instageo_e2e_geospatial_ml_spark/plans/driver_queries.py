@@ -4085,3 +4085,128 @@ GROUP BY d.grp
 
 QUERIES["q98_mad_outliers"] = q98_mad_outliers
 ORACLES["q98_mad_outliers"] = Q98_SQL
+
+
+def q99_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item association (the classic co-occurrence /
+    lift analytic, Agrawal SIGMOD'93 support-confidence framing):
+    part-group pairs co-ordered in the same order, pair support from a
+    within-order self-join on the DEDUPED (order, item) set, lift as
+    an exact rational n_orders*pair/(a*b) -> num/den bigints + rounded
+    quotient. The self-join is keyed on o_orderkey (bounded basket
+    size), never a global cross join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("oid"),
+        (F.col("l_partkey") % 40).alias("item"),
+    ).distinct()
+    n_orders = li.select("oid").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item_n = li.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select("oid", F.col("item").alias("i"))
+    b = li.select("oid", F.col("item").alias("j"))
+    pairs = (
+        a.join(b, "oid")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("item").alias("i"),
+                                      F.col("n_item").alias("n_i"))), "i"
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("j"),
+                                      F.col("n_item").alias("n_j"))), "j"
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "i", "j", "n_pair", "n_i", "n_j", "n_orders",
+            (F.col("n_pair") * F.col("n_orders")).alias("lift_num"),
+            (F.col("n_i") * F.col("n_j")).alias("lift_den"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_i") * F.col("n_j")),
+                6,
+            ).alias("lift_q6"),
+        )
+    )
+
+
+Q99_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey % 40 AS item FROM lineitem
+),
+no AS (SELECT count(DISTINCT oid) AS n_orders FROM li),
+itn AS (SELECT item, count(*) AS n_item FROM li GROUP BY item),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, count(*) AS n_pair
+  FROM li a JOIN li b ON a.oid = b.oid AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT p.i, p.j, p.n_pair, ia.n_item AS n_i, ib.n_item AS n_j, no.n_orders,
+       p.n_pair * no.n_orders AS lift_num,
+       ia.n_item * ib.n_item AS lift_den,
+       round(CAST(p.n_pair * no.n_orders AS DOUBLE)
+             / (ia.n_item * ib.n_item), 6) AS lift_q6
+FROM pairs p
+JOIN itn ia ON ia.item = p.i
+JOIN itn ib ON ib.item = p.j
+CROSS JOIN no
+"""
+
+QUERIES["q99_item_cooccurrence"] = q99_item_cooccurrence
+ORACLES["q99_item_cooccurrence"] = Q99_SQL
+
+
+def q100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov path analytic
+    behind "user journey" dashboards): consecutive event pairs by
+    (ts, event_id) order per user via one lead() window, counts +
+    integer-exact per-source transition share num/den + rounded
+    probability."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "n_from", F.sum("n").over(wsrc)
+    ).withColumn(
+        "p_q6", F.round(F.col("n").cast("double") / F.col("n_from"), 6)
+    )
+
+
+Q100_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p_q6
+FROM pairs
+"""
+
+QUERIES["q100_event_transitions"] = q100_event_transitions
+ORACLES["q100_event_transitions"] = Q100_SQL
