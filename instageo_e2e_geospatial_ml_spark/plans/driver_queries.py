@@ -103,7 +103,7 @@ def q01_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q01_SQL = f"""
 SELECT cell_id, count(*) AS n_points
 FROM (SELECT {CELL_SQL} AS cell_id FROM ({PTS_SQL}))
-GROUP BY cell_id HAVING count(*) >= 20
+GROUP BY cell_id HAVING count(*) >= 50
 """
 
 
@@ -3310,7 +3310,7 @@ Q80_SQL = """
 WITH RECURSIVE cells AS (
   SELECT (l_partkey % 3600) // 64 AS cx, (l_suppkey % 1600) // 64 AS cy,
          count(*) AS n_points
-  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 20
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 50
 ),
 keyed AS (
   SELECT cx, cy, n_points, (cx + 1048576) * 2097152 + cy + 1048576 AS key
