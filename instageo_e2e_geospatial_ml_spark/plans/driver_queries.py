@@ -4210,3 +4210,44 @@ FROM pairs
 
 QUERIES["q100_event_transitions"] = q100_event_transitions
 ORACLES["q100_event_transitions"] = Q100_SQL
+
+
+def q101_adaptive_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaves (operators/quadtree.adaptive_quadtree)
+    over a skew-gradient integer point cloud: px uniform, py = x*x >> 12
+    (quadratic density ramp toward 0), so leaf depth varies 5..7 and the
+    depth-limit overflow rule fires. Oracle: the identical pyramid as a
+    DuckDB CTE chain (adaptive_quadtree_sql)."""
+    from ..operators.quadtree import adaptive_quadtree
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_partkey") * 29 + F.col("l_linenumber")) % 4096)
+        .cast("long")
+        .alias("px"),
+        F.shiftrightunsigned(
+            ((F.col("l_orderkey") % 4096) * (F.col("l_orderkey") % 4096))
+            .cast("long"),
+            12,
+        ).alias("py"),
+    )
+    return adaptive_quadtree(
+        pts, extent_bits=12, max_depth=7, cap=60, x_col="px", y_col="py"
+    )
+
+
+def _q101_sql() -> str:
+    from ..operators.quadtree import adaptive_quadtree_sql
+
+    pts = (
+        "SELECT CAST((l_partkey * 29 + l_linenumber) % 4096 AS BIGINT) AS px, "
+        "CAST(((l_orderkey % 4096) * (l_orderkey % 4096)) >> 12 AS BIGINT) "
+        "AS py FROM lineitem"
+    )
+    return adaptive_quadtree_sql(pts, extent_bits=12, max_depth=7, cap=60)
+
+
+Q101_SQL = _q101_sql()
+
+QUERIES["q101_adaptive_quadtree"] = q101_adaptive_quadtree
+ORACLES["q101_adaptive_quadtree"] = Q101_SQL

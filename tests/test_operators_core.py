@@ -1736,3 +1736,78 @@ def test_ols_trend_and_mad_outliers_designed(spark):
     g2 = out["g2"]
     # median 5, adevs 0,0,0,0,3 -> MAD 0: the single deviating row flags
     assert (g2.med, g2.mad, g2.n_outliers) == (5, 0, 1)
+
+
+def test_adaptive_quadtree_invariants(spark):
+    """Leaves partition the point set: every point covered exactly once;
+    each non-root leaf's parent exceeds cap; non-overflow leaves are
+    within cap; overflow only at max depth. Brute-force replica check."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.quadtree import (
+        adaptive_quadtree,
+    )
+
+    rng = random.Random(42)
+    bits, md, cap = 6, 3, 12
+    pts = [
+        (rng.randrange(64) >> (1 if i % 3 else 0), rng.randrange(64))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(pts, "px long, py long")
+    leaves = adaptive_quadtree(
+        df, extent_bits=bits, max_depth=md, cap=cap
+    ).collect()
+
+    # exact counts per cell at every depth
+    from collections import Counter
+
+    by_depth = [
+        Counter((px >> (bits - d), py >> (bits - d)) for px, py in pts)
+        for d in range(md + 1)
+    ]
+    total = 0
+    seen = set()
+    for r in leaves:
+        key = (r.depth, r.cx, r.cy)
+        assert key not in seen
+        seen.add(key)
+        assert by_depth[r.depth][(r.cx, r.cy)] == r.n_points
+        total += r.n_points
+        if r.depth > 0:
+            assert by_depth[r.depth - 1][(r.cx >> 1, r.cy >> 1)] > cap
+        assert r.overflow == (r.n_points > cap)
+        if r.n_points > cap:
+            assert r.depth == md
+    assert total == len(pts)
+
+    # point-level partition: every point lands in exactly one leaf
+    leaf_keys = {(r.depth, r.cx, r.cy) for r in leaves}
+    for px, py in pts:
+        hits = [
+            d
+            for d in range(md + 1)
+            if (d, px >> (bits - d), py >> (bits - d)) in leaf_keys
+        ]
+        assert len(hits) == 1
+
+
+def test_adaptive_quadtree_root_and_max_depth_edges(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.quadtree import (
+        adaptive_quadtree,
+    )
+
+    # all points in one corner, under cap -> single depth-0 leaf
+    df = spark.createDataFrame([(0, 0)] * 5, "px long, py long")
+    out = adaptive_quadtree(df, extent_bits=4, max_depth=3, cap=10).collect()
+    assert len(out) == 1 and out[0].depth == 0 and out[0].n_points == 5
+
+    # one hot point repeated beyond cap -> drills to max depth, overflow
+    df2 = spark.createDataFrame([(3, 3)] * 50, "px long, py long")
+    out2 = adaptive_quadtree(df2, extent_bits=4, max_depth=2, cap=10).collect()
+    assert len(out2) == 1
+    assert out2[0].depth == 2 and out2[0].overflow and out2[0].n_points == 50
+
+    # max_depth=0 degenerates to a plain grid count with overflow flags
+    out3 = adaptive_quadtree(df2, extent_bits=4, max_depth=0, cap=10).collect()
+    assert len(out3) == 1 and out3[0].depth == 0 and out3[0].overflow

@@ -244,14 +244,15 @@ def test_ann_broadcast_queries_opt_out(spark):
 
 def test_registry_gate_invariants():
     """The driver's correctness file records at most 50 entries under an
-    unknown truncation order — so q01-q50 must ALL be oracle-backed and
-    the registry must enumerate in sorted(=numeric) order, with only the
-    overflow block (q51+) allowed to lack oracles."""
+    unknown truncation order — so the first 50 must ALL be oracle-backed
+    whether the driver truncates in registry (insertion) order or in
+    lexicographic order (q100+ sorts before q10_, so the two differ),
+    with only the overflow tail allowed to lack oracles."""
     names = list(dq.QUERIES)
-    assert names == sorted(names)
     assert len(names) >= 50
-    missing = [n for n in names[:50] if n not in dq.ORACLES]
-    assert missing == []
+    for order in (names, sorted(names)):
+        missing = [n for n in order[:50] if n not in dq.ORACLES]
+        assert missing == []
     # every oracle key maps to a registered query
     assert set(dq.ORACLES) <= set(dq.QUERIES)
 
