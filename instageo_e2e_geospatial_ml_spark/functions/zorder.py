@@ -115,3 +115,87 @@ def geohash6_sql(lon_expr: str, lat_expr: str) -> str:
         for k in range(6)
     )
     return f"concat({chars})"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality-optimal space-filling key (Hilbert 1891;
+# xy2d recurrence per Wikipedia's public-domain C). Unlike the Z curve,
+# every pair of consecutive keys is a grid NEIGHBOR (no Z-shaped jumps),
+# so query boxes decompose into fewer, longer contiguous key ranges —
+# the reason Iceberg/Delta offer Hilbert alongside Z-ORDER for layout.
+#
+# The recurrence is a fixed `bits`-level fold over quadrant digits with
+# a reflect+swap rotation of the remaining coordinates. Each level is
+# pure integer CASE/shift/add — bit-identical in Spark and DuckDB — and
+# the chain is emitted as per-level projections (Spark) / CTEs (SQL),
+# NOT one nested expression, so the tree stays linear in `bits`.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_key(
+    df,
+    bits: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    out: str = "hilbert",
+):
+    """Append the order-`bits` Hilbert key of integer coords in
+    [0, 2^bits) as column `out` (bigint). One projection per level; the
+    working coords live in temp columns dropped at the end."""
+    n = 1 << bits
+    df = df.withColumn("__hx", F.col(x_col).cast("long")).withColumn(
+        "__hy", F.col(y_col).cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for k in range(bits - 1, -1, -1):
+        s2 = 1 << (2 * k)  # s*s
+        rx = F.shiftrightunsigned(F.col("__hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned(F.col("__hy"), k).bitwiseAND(F.lit(1))
+        quad = (rx * 3).bitwiseXOR(ry)  # 00->0 01->1 11->2 10->3
+        nx = (
+            F.when(ry == 1, F.col("__hx"))
+            .when(rx == 1, F.lit(n - 1) - F.col("__hy"))
+            .otherwise(F.col("__hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("__hy"))
+            .when(rx == 1, F.lit(n - 1) - F.col("__hx"))
+            .otherwise(F.col("__hx"))
+        )
+        df = df.select(
+            *[c for c in df.columns if c not in ("__hx", "__hy", "__hd")],
+            nx.alias("__hx"),
+            ny.alias("__hy"),
+            (F.col("__hd") + quad * F.lit(s2)).alias("__hd"),
+        )
+    keep = [c for c in df.columns if c not in ("__hx", "__hy", "__hd")]
+    return df.select(*keep, F.col("__hd").alias(out))
+
+
+def hilbert_sql_cte(pts_sql: str, bits: int, cols: str = "") -> str:
+    """The identical per-level fold as a DuckDB CTE chain. `pts_sql`
+    must select integer columns hx, hy (plus any passthrough columns
+    named in `cols`, comma-prefixed e.g. ", doc_id"). Returns a WITH
+    body whose final SELECT yields (hilbert BIGINT{cols})."""
+    n = 1 << bits
+    parts = [
+        f"h{bits} AS (SELECT CAST(hx AS BIGINT) AS hx, "
+        f"CAST(hy AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd{cols} "
+        f"FROM ({pts_sql}))"
+    ]
+    for k in range(bits - 1, -1, -1):
+        s2 = 1 << (2 * k)
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        quad = f"xor({rx} * 3, {ry})"
+        parts.append(
+            f"h{k} AS (SELECT "
+            f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {n - 1} - hy "
+            f"ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {n - 1} - hx "
+            f"ELSE hx END AS hy, "
+            f"hd + {quad} * CAST({s2} AS BIGINT) AS hd{cols} "
+            f"FROM h{k + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT hd AS hilbert{cols} FROM h0"
+    )

@@ -4251,3 +4251,57 @@ Q101_SQL = _q101_sql()
 
 QUERIES["q101_adaptive_quadtree"] = q101_adaptive_quadtree
 ORACLES["q101_adaptive_quadtree"] = Q101_SQL
+
+
+def q102_hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-8 Hilbert keys (functions/zorder.hilbert_key) of quantized
+    lineitem points, rolled up per 64-cell key range: the layout audit a
+    Hilbert-clustered table maintenance job runs (how many points/cells
+    land in each contiguous curve range). min/max/sum pin every key
+    value exactly. Oracle: the identical per-level fold as a DuckDB CTE
+    chain (hilbert_sql_cte)."""
+    from ..functions.zorder import hilbert_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey")) % 256).alias("hx"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 256).alias("hy"),
+    )
+    keyed = hilbert_key(pts, bits=8, x_col="hx", y_col="hy")
+    return (
+        keyed.groupBy(
+            F.shiftrightunsigned(F.col("hilbert"), 6).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("hilbert").alias("n_cells"),
+            F.min("hilbert").alias("min_h"),
+            F.max("hilbert").alias("max_h"),
+            F.sum("hilbert").alias("sum_h"),
+        )
+    )
+
+
+def _q102_sql() -> str:
+    from ..functions.zorder import hilbert_sql_cte
+
+    pts = (
+        "SELECT CAST((l_partkey * 13 + l_suppkey) % 256 AS BIGINT) AS hx, "
+        "CAST((l_orderkey * 7 + l_linenumber) % 256 AS BIGINT) AS hy "
+        "FROM lineitem"
+    )
+    inner = hilbert_sql_cte(pts, bits=8)
+    return (
+        f"SELECT hilbert >> 6 AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS n_points, "
+        f"CAST(count(DISTINCT hilbert) AS BIGINT) AS n_cells, "
+        f"min(hilbert) AS min_h, max(hilbert) AS max_h, "
+        f"CAST(sum(hilbert) AS BIGINT) AS sum_h "
+        f"FROM ({inner}) GROUP BY 1"
+    )
+
+
+Q102_SQL = _q102_sql()
+
+QUERIES["q102_hilbert_rollup"] = q102_hilbert_rollup
+ORACLES["q102_hilbert_rollup"] = Q102_SQL

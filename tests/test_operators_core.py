@@ -1811,3 +1811,62 @@ def test_adaptive_quadtree_root_and_max_depth_edges(spark):
     # max_depth=0 degenerates to a plain grid count with overflow flags
     out3 = adaptive_quadtree(df2, extent_bits=4, max_depth=0, cap=10).collect()
     assert len(out3) == 1 and out3[0].depth == 0 and out3[0].overflow
+
+
+def _hilbert_ref(bits, x, y):
+    """Pure-Python xy2d (Wikipedia public-domain recurrence)."""
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_bijection_adjacency_and_parity(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import (
+        hilbert_key,
+    )
+
+    # exhaustive at order 4: bijective onto [0, 256) and every pair of
+    # consecutive keys is a grid NEIGHBOR — the defining Hilbert
+    # property (Z-order violates it at every 4-cell boundary)
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = hilbert_key(df, bits=4).collect()
+    pos = {r.hilbert: (r.x, r.y) for r in rows}
+    assert sorted(pos) == list(range(256))
+    for d in range(255):
+        (x0, y0), (x1, y1) = pos[d], pos[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+    # parity vs the reference recurrence at order 8
+    import random
+
+    rng = random.Random(7)
+    sample = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    df8 = spark.createDataFrame(sample, "x long, y long")
+    got = {(r.x, r.y): r.hilbert for r in hilbert_key(df8, bits=8).collect()}
+    for x, y in sample:
+        assert got[(x, y)] == _hilbert_ref(8, x, y)
+
+
+def test_hilbert_key_plan_stays_jvm(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import (
+        hilbert_key,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id % 256 as x", "(id * 7) % 256 as y"
+    )
+    out = hilbert_key(df, bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the per-level fold must stay inside whole-stage codegen (the
+    # "*(n)" stage prefix in the simple plan format)
+    assert plan.lstrip().startswith("*(")
