@@ -405,3 +405,111 @@ def mad_outliers(
             F.max("adev").alias("max_adev"),
         )
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): md5-derived
+    60-bit hash, low p bits pick the register, rho = leading-zero count
+    of the remaining w = 60 - p bits + 1, one max per register. The
+    sketch CONTENT is engine-exact (unlike the float estimate), so an
+    oracle can pin every register; estimate_from_registers derives the
+    cardinality with integer-only aggregation (sum of 2^(R - rho) under
+    the global max R) so the only float op is one final division.
+
+    Plan: hash + register/rho are pure JVM column ops; one groupBy
+    (register[, groups]) max — a single shuffle on a uniformly-hashed
+    key, the textbook distributed-sketch shape (merge = elementwise max,
+    so partial aggregation does the heavy lifting map-side)."""
+    w = 60 - p
+    gcols = list(group_cols or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    idx = h.bitwiseAND(F.lit((1 << p) - 1))
+    rem = F.shiftrightunsigned(h, p)
+    # bitlen(rem) = length(bin(rem)) for rem > 0; rho = w - bitlen + 1
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(*gcols, idx.alias("reg"), rho.alias("rho"))
+        .groupBy(*gcols, "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_sql(
+    table_sql: str, key_expr: str, p: int = 9, group_exprs: str = ""
+) -> str:
+    """The identical register computation as DuckDB SQL (oracle twin).
+    `group_exprs` is a comma-prefixed passthrough list (e.g. ", grp")."""
+    w = 60 - p
+    h = f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+    return (
+        f"SELECT{group_exprs[1:] + ',' if group_exprs else ''} "
+        f"({h}) & {(1 << p) - 1} AS reg, "
+        f"CAST(max(CASE WHEN ({h}) >> {p} = 0 THEN {w + 1} "
+        f"ELSE {w + 1} - length(bin(({h}) >> {p})) END) AS BIGINT) AS rho_max "
+        f"FROM ({table_sql}) "
+        f"GROUP BY {'ALL' if group_exprs else 'reg'}"
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table (single row). Integer
+    mass sum: S = sum over ALL m = 2^p registers of 2^(R - rho), where R
+    is the observed max (missing registers carry rho = 0 -> 2^R each);
+    estimate = alpha_m * m^2 * 2^R / S with the Flajolet small-range
+    linear-counting correction. R <= 52 and m <= 2^14 keep S < 2^63."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard alpha_m for m >= 128
+    # two-pass: R first (tiny), then the exact integer mass under R
+    r_big = registers.agg(
+        F.max("rho_max").alias("r_big"),
+        F.count(F.lit(1)).alias("m_hit"),
+    )
+    reg2 = registers.crossJoin(F.broadcast(r_big))
+    mass = reg2.groupBy("r_big", "m_hit").agg(
+        F.sum(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(r_big - rho_max AS INT))"
+            )
+        ).alias("s_hit")
+    )
+    out = mass.select(
+        "r_big",
+        "m_hit",
+        (
+            F.col("s_hit")
+            + (F.lit(m) - F.col("m_hit"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r_big AS INT))")
+        ).alias("s_total"),
+    )
+    est = out.select(
+        "r_big",
+        "m_hit",
+        "s_total",
+        (
+            F.lit(alpha * float(m) * float(m))
+            * F.pow(F.lit(2.0), F.col("r_big").cast("double"))
+            / F.col("s_total").cast("double")
+        ).alias("est_raw"),
+    )
+    # linear counting when est_raw <= 2.5 m and empty registers exist
+    return est.select(
+        "r_big",
+        "m_hit",
+        "s_total",
+        F.when(
+            (F.col("est_raw") <= F.lit(2.5 * m)) & (F.col("m_hit") < m),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / (F.lit(m) - F.col("m_hit")).cast("double")),
+        )
+        .otherwise(F.col("est_raw"))
+        .alias("estimate"),
+    )

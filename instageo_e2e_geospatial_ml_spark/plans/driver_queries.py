@@ -4305,3 +4305,34 @@ Q102_SQL = _q102_sql()
 
 QUERIES["q102_hilbert_rollup"] = q102_hilbert_rollup
 ORACLES["q102_hilbert_rollup"] = Q102_SQL
+
+
+def q103_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog sketch (operators/stats.hll_registers): the
+    distinct-customer register table per order priority, p=9 (512
+    registers). Sketch content is engine-exact so the oracle pins every
+    (group, register, rho_max) — the stronger check HLL floats can't
+    give; the float estimate is covered by an error-envelope pytest."""
+    from ..operators.stats import hll_registers
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return hll_registers(
+        o, key_col="o_custkey", p=9, group_cols=["o_orderpriority"]
+    )
+
+
+def _q103_sql() -> str:
+    from ..operators.stats import hll_sql
+
+    return hll_sql(
+        "SELECT o_orderpriority, o_custkey FROM orders",
+        "o_custkey",
+        p=9,
+        group_exprs=", o_orderpriority",
+    )
+
+
+Q103_SQL = _q103_sql()
+
+QUERIES["q103_hll_registers"] = q103_hll_registers
+ORACLES["q103_hll_registers"] = Q103_SQL

@@ -1870,3 +1870,44 @@ def test_hilbert_key_plan_stays_jvm(spark):
     # the per-level fold must stay inside whole-stage codegen (the
     # "*(n)" stage prefix in the simple plan format)
     assert plan.lstrip().startswith("*(")
+
+
+def test_hll_estimate_error_envelope_and_merge(spark):
+    """Estimate within the 3-sigma HLL envelope (sigma ~ 1.04/sqrt(m));
+    register merge (elementwise max) equals the sketch of the union —
+    the distributed-merge property the groupBy relies on."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    p, m = 9, 512
+    n_true = 20000
+    df = spark.range(n_true).selectExpr("CAST(id AS STRING) AS k")
+    regs = hll_registers(df, key_col="k", p=p)
+    est = hll_estimate(regs, p=p).collect()[0]
+    sigma = 1.04 / (m**0.5) * n_true
+    assert abs(est.estimate - n_true) < 3 * sigma
+
+    # merge property: max-merge of two half sketches == union sketch
+    a = spark.range(0, 12000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(8000, 20000).selectExpr("CAST(id AS STRING) AS k")
+    ra = hll_registers(a, key_col="k", p=p)
+    rb = hll_registers(b, key_col="k", p=p)
+    from pyspark.sql import functions as F2
+
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("reg")
+        .agg(F2.max("rho_max").alias("rho_max"))
+    )
+    union_sketch = {
+        (r.reg, r.rho_max) for r in regs.collect()
+    }
+    assert {(r.reg, r.rho_max) for r in merged.collect()} == union_sketch
+
+    # small-range linear counting: exact-ish for tiny cardinalities
+    tiny = spark.range(30).selectExpr("CAST(id AS STRING) AS k")
+    est_tiny = hll_estimate(hll_registers(tiny, key_col="k", p=p), p=p)
+    v = est_tiny.collect()[0].estimate
+    assert abs(v - 30) < 5
