@@ -4336,3 +4336,53 @@ Q103_SQL = _q103_sql()
 
 QUERIES["q103_hll_registers"] = q103_hll_registers
 ORACLES["q103_hll_registers"] = Q103_SQL
+
+
+def q104_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact union area of axis-aligned rectangles per group
+    (operators/geometry.rect_union_area): the Bentley sweep as
+    coordinate-compression slabs + bucketed point-in-interval join +
+    gaps-and-islands y-merge, all exact bigint. Rect set is a sampled
+    lineitem slice so the slab×rect pair volume stays test-sized; the
+    oracle runs the identical sweep in DuckDB."""
+    from ..operators.geometry import rect_union_area
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 16 == 0)
+    )
+    rects = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_partkey") % 512).alias("x1"),
+        (F.col("l_suppkey") % 512).alias("y1"),
+        (
+            F.col("l_partkey") % 512
+            + 1
+            + F.col("l_quantity").cast("long")
+        ).alias("x2"),
+        (
+            F.col("l_suppkey") % 512
+            + 1
+            + (F.col("l_orderkey") % 40)
+        ).alias("y2"),
+    )
+    return rect_union_area(rects, group_col="grp", bucket_width=64)
+
+
+def _q104_sql() -> str:
+    from ..operators.geometry import rect_union_area_sql
+
+    rects = (
+        "SELECT l_returnflag AS grp, "
+        "CAST(l_partkey % 512 AS BIGINT) AS x1, "
+        "CAST(l_suppkey % 512 AS BIGINT) AS y1, "
+        "CAST(l_partkey % 512 + 1 + CAST(l_quantity AS BIGINT) AS BIGINT) AS x2, "
+        "CAST(l_suppkey % 512 + 1 + (l_orderkey % 40) AS BIGINT) AS y2 "
+        "FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 16 = 0"
+    )
+    return rect_union_area_sql(rects, group_col="grp")
+
+
+Q104_SQL = _q104_sql()
+
+QUERIES["q104_rect_union_area"] = q104_rect_union_area
+ORACLES["q104_rect_union_area"] = Q104_SQL

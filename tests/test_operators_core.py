@@ -1911,3 +1911,70 @@ def test_hll_estimate_error_envelope_and_merge(spark):
     est_tiny = hll_estimate(hll_registers(tiny, key_col="k", p=p), p=p)
     v = est_tiny.collect()[0].estimate
     assert abs(v - 30) < 5
+
+
+def test_rect_union_area_brute_force_parity(spark):
+    """Sweep result equals painting a bitmap, over random overlapping,
+    nested, duplicated, and degenerate rectangles in several groups."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import (
+        rect_union_area,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for grp in ("a", "b", "c"):
+        for _ in range(40):
+            x1 = rng.randrange(100)
+            y1 = rng.randrange(100)
+            rows.append(
+                (grp, x1, y1, x1 + rng.randrange(0, 30), y1 + rng.randrange(0, 30))
+            )
+        rows.append((grp, 5, 5, 5, 40))  # degenerate (zero width)
+        rows.append((grp, 0, 0, 130, 130))  # near-cover, nests many
+        rows.append((grp, 0, 0, 130, 130))  # exact duplicate
+    df = spark.createDataFrame(
+        rows, "grp string, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {
+        r.grp: (r.n_rects, r.area)
+        for r in rect_union_area(df, bucket_width=16).collect()
+    }
+    import numpy as np
+
+    for grp in ("a", "b", "c"):
+        paint = np.zeros((200, 200), dtype=bool)
+        n_valid = 0
+        for g, x1, y1, x2, y2 in rows:
+            if g == grp and x1 < x2 and y1 < y2:
+                paint[x1:x2, y1:y2] = True
+                n_valid += 1
+        assert got[grp] == (n_valid, int(paint.sum()))
+
+
+def test_rect_union_area_edge_cases(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import (
+        rect_union_area,
+    )
+
+    # disjoint pair + touching pair (half-open: touching edges don't
+    # double-count, and there is no gap slab between [0,2) and [2,4))
+    df = spark.createDataFrame(
+        [
+            ("d", 0, 0, 2, 2),
+            ("d", 10, 10, 12, 12),
+            ("t", 0, 0, 2, 2),
+            ("t", 2, 0, 4, 2),
+        ],
+        "grp string, x1 long, y1 long, x2 long, y2 long",
+    )
+    got = {r.grp: (r.area, r.n_slabs) for r in rect_union_area(df).collect()}
+    assert got["d"] == (8, 2)
+    assert got["t"] == (8, 2)
+
+    # all-degenerate group: zero area, zero slabs, zero valid rects
+    dg = spark.createDataFrame(
+        [("z", 1, 1, 1, 5)], "grp string, x1 long, y1 long, x2 long, y2 long"
+    )
+    assert rect_union_area(dg).collect() == []
