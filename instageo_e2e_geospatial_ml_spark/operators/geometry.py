@@ -173,3 +173,127 @@ SELECT nr.{gc}, nr.n_rects,
        CAST(coalesce(ar.area, 0) AS BIGINT) AS area
 FROM nr LEFT JOIN ar ON nr.{gc} = ar.{gc}
 """
+
+
+def convex_hull(
+    points: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull of integer points: Andrew's monotone chain
+    (1979), COLLINEAR BOUNDARY POINTS KEPT (pop only on strict clockwise
+    turns), one applyInPandas per group — hulls are per-entity
+    (trajectory, cluster, footprint), so the group is the natural work
+    unit and the chain is O(n log n) in the group's size, numpy-sorted.
+
+    Returns one row per hull vertex: (group, vx, vy, n_hull, area2)
+    where area2 = 2x the hull area via the shoelace sum over the cyclic
+    chain (exact bigint; 0 for degenerate collinear groups).
+
+    The oracle twin (convex_hull_sql) uses a DIFFERENT algorithm — the
+    O(n^3) extreme-edge characterization over integer orientation
+    predicates — so agreement is a genuine cross-check, not a shared
+    implementation. Groups need >= 3 distinct points for the twin
+    (a 1/2-point group has no directed hull edges)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, vx long, vy long, n_hull long, area2 long"
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        grp = pdf[group_col].iloc[0]
+        pts = np.unique(
+            pdf[[x_col, y_col]].to_numpy(dtype=np.int64), axis=0
+        )  # lexicographic sort + dedup
+        n = len(pts)
+        if n == 0:
+            return pd.DataFrame(
+                columns=[group_col, "vx", "vy", "n_hull", "area2"]
+            )
+
+        def cross(o, a, b):
+            return int(
+                (a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0])
+            )
+
+        def half(seq):
+            h = []
+            for p in seq:
+                while len(h) >= 2 and cross(h[-2], h[-1], p) < 0:
+                    h.pop()
+                h.append(tuple(p))
+            return h
+
+        if n == 1:
+            verts, area2 = [tuple(pts[0])], 0
+        else:
+            lower = half(pts)
+            upper = half(pts[::-1])
+            ring = lower[:-1] + upper[:-1]
+            area2 = sum(
+                ring[i][0] * ring[(i + 1) % len(ring)][1]
+                - ring[(i + 1) % len(ring)][0] * ring[i][1]
+                for i in range(len(ring))
+            )
+            seen, verts = set(), []
+            for v in ring:
+                if v not in seen:
+                    seen.add(v)
+                    verts.append(v)
+        return pd.DataFrame(
+            {
+                group_col: [grp] * len(verts),
+                "vx": [v[0] for v in verts],
+                "vy": [v[1] for v in verts],
+                "n_hull": [len(verts)] * len(verts),
+                "area2": [area2] * len(verts),
+            }
+        )
+
+    return points.groupBy(group_col).applyInPandas(chain, out_schema)
+
+
+def convex_hull_sql(pts_sql: str, group_col: str = "grp") -> str:
+    """Extreme-edge oracle: directed pair (a, b) is a CCW hull edge iff
+    every other point c is strictly left (cross > 0) or collinear but
+    NOT strictly inside segment [a, b] (dot(c-a, c-b) >= 0). Hull
+    vertices = distinct edge sources; 2*area = sum of ax*by - bx*ay
+    over the directed edges (shoelace needs only the cyclic edge SET,
+    never the order). Degenerate all-collinear groups emit both
+    directions of each adjacent pair, whose shoelace terms cancel to
+    the same area2 = 0 the chain reports."""
+    gc = group_col
+    return f"""
+WITH p AS (SELECT DISTINCT {gc}, x, y FROM ({pts_sql})),
+e AS (
+  SELECT a.{gc}, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM p a JOIN p b
+    ON a.{gc} = b.{gc} AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p c
+    WHERE c.{gc} = a.{gc}
+      AND (c.x <> a.x OR c.y <> a.y)
+      AND (c.x <> b.x OR c.y <> b.y)
+      AND (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0
+        OR (
+          (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+          AND (c.x - a.x) * (c.x - b.x) + (c.y - a.y) * (c.y - b.y) < 0
+        )
+      )
+  )
+),
+ar AS (
+  SELECT {gc}, CAST(sum(ax * by2 - bx * ay) AS BIGINT) AS area2
+  FROM e GROUP BY 1
+),
+v AS (SELECT DISTINCT {gc}, ax AS vx, ay AS vy FROM e),
+nv AS (SELECT {gc}, CAST(count(*) AS BIGINT) AS n_hull FROM v GROUP BY 1)
+SELECT v.{gc}, v.vx, v.vy, nv.n_hull, ar.area2
+FROM v JOIN nv ON v.{gc} = nv.{gc} JOIN ar ON v.{gc} = ar.{gc}
+"""

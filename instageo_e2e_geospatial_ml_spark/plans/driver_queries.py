@@ -4386,3 +4386,38 @@ Q104_SQL = _q104_sql()
 
 QUERIES["q104_rect_union_area"] = q104_rect_union_area
 ORACLES["q104_rect_union_area"] = Q104_SQL
+
+
+def q105_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand convex hull (operators/geometry.convex_hull) of hashed
+    part points: Spark runs Andrew's monotone chain per group
+    (applyInPandas), the oracle runs the O(n^3) extreme-edge
+    characterization — two independent algorithms agreeing on vertex
+    set, hull size, and exact 2x-area."""
+    from ..operators.geometry import convex_hull
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    pts = p.select(
+        F.col("p_brand").alias("grp"),
+        ((F.col("p_partkey") * 13) % 128).alias("x"),
+        ((F.col("p_partkey") * 41) % 128).alias("y"),
+    )
+    return convex_hull(pts, group_col="grp")
+
+
+def _q105_sql() -> str:
+    from ..operators.geometry import convex_hull_sql
+
+    pts = (
+        "SELECT p_brand AS grp, "
+        "CAST((p_partkey * 13) % 128 AS BIGINT) AS x, "
+        "CAST((p_partkey * 41) % 128 AS BIGINT) AS y "
+        "FROM part WHERE p_partkey % 4 = 0"
+    )
+    return convex_hull_sql(pts, group_col="grp")
+
+
+Q105_SQL = _q105_sql()
+
+QUERIES["q105_convex_hull"] = q105_convex_hull
+ORACLES["q105_convex_hull"] = Q105_SQL
