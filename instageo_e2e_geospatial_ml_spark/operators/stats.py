@@ -513,3 +513,94 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
         .otherwise(F.col("est_raw"))
         .alias("estimate"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): depth
+    independent md5-salted hash rows x width counters, each counter the
+    exact sum of arrivals hashing to it. Sketch CONTENT is
+    deterministic integers — an oracle can pin every (row, bucket,
+    count) cell, and the point estimate (min over rows, always >= the
+    true count) is integer-exact too.
+
+    Plan: explode each key to its `depth` (row, bucket) cells JVM-side
+    (posexplode over an md5-per-salt array — no Python), one groupBy.
+    Merge of two sketches = cellwise sum, so partial aggregation
+    happens map-side; at 100 TB the shuffle carries at most
+    depth*width*partitions pre-merged cells, not data rows."""
+    h = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{d}:"), F.col(key_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(F.lit(width - 1))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(h).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_sql(table_sql: str, key_expr: str, depth: int = 4, width: int = 256) -> str:
+    """The identical sketch build as DuckDB SQL (oracle twin)."""
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS row, "
+        f"CAST('0x' || substring(md5('cms{d}:' || CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT) "
+        f"& {width - 1} AS bucket FROM ({table_sql})"
+        for d in range(depth)
+    )
+    return (
+        f"SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM ({rows}) GROUP BY row, bucket"
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for `probes[key_col]` against a built
+    sketch: min over the key's depth cells (missing cell -> 0). The
+    sketch is depth*width rows — broadcast to the probe side, so the
+    probe scan never shuffles."""
+    h = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{d}:"), F.col(key_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(F.lit(width - 1))
+            for d in range(depth)
+        ]
+    )
+    cells = probes.select(
+        F.col(key_col), F.posexplode(h).alias("row", "bucket")
+    )
+    joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -4421,3 +4421,29 @@ Q105_SQL = _q105_sql()
 
 QUERIES["q105_convex_hull"] = q105_convex_hull
 ORACLES["q105_convex_hull"] = Q105_SQL
+
+
+def q106_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of lineitem part keys (operators/stats.cms_build,
+    depth 4 x width 256): every counter cell pinned by the oracle —
+    sketch content is deterministic integers, unlike float-summary
+    sketches. The min-over-rows point estimate and its overcount bound
+    are covered by pytest."""
+    from ..operators.stats import cms_build
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return cms_build(li, key_col="l_partkey", depth=4, width=256)
+
+
+def _q106_sql() -> str:
+    from ..operators.stats import cms_sql
+
+    return cms_sql(
+        "SELECT l_partkey FROM lineitem", "l_partkey", depth=4, width=256
+    )
+
+
+Q106_SQL = _q106_sql()
+
+QUERIES["q106_count_min_sketch"] = q106_count_min_sketch
+ORACLES["q106_count_min_sketch"] = Q106_SQL

@@ -2033,3 +2033,47 @@ def test_convex_hull_designed_and_random(spark):
                 p[0] - a[0]
             )
             assert cr >= 0, (a, b, p)
+
+
+def test_cms_estimate_bounds_and_merge(spark):
+    """CMS point estimates never undercount, respect the eps*N
+    overcount bound with high probability, and cellwise-sum merge of
+    two half sketches equals the full-build sketch."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F2
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # zipf-ish frequencies: key i appears 1000//(i+1) times
+    rows = [(f"k{i}",) for i in range(80) for _ in range(1000 // (i + 1))]
+    truth = Counter(k for (k,) in rows)
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_build(df, key_col="k", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [(k,) for k in list(truth) + ["absent1", "absent2"]], "k string"
+    )
+    est = {r.k: r.est for r in cms_estimate(sk, probes, key_col="k").collect()}
+    n_total = len(rows)
+    for k, true_n in truth.items():
+        assert est[k] >= true_n  # never undercounts
+        # e/width * N bound (per-row expectation; min over 4 rows makes
+        # exceeding it across ALL rows astronomically unlikely)
+        assert est[k] - true_n <= (2.718 / 256) * n_total + 1
+    assert est["absent1"] >= 0 and est["absent2"] <= (2.718 / 256) * n_total
+
+    # merge = cellwise sum
+    half1 = spark.createDataFrame(rows[: len(rows) // 2], "k string")
+    half2 = spark.createDataFrame(rows[len(rows) // 2 :], "k string")
+    s1 = cms_build(half1, key_col="k")
+    s2 = cms_build(half2, key_col="k")
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "bucket")
+        .agg(F2.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    assert {(r.row, r.bucket): r.cnt for r in merged.collect()} == full
