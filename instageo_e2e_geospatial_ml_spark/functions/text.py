@@ -466,3 +466,70 @@ def heavy_hitter_tokens(
         .filter(F.col("cnt") * F.lit(k) >= F.col("_total"))
         .select("tok", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    n_bits: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009 / Vowpal Wabbit):
+    token -> bucket md5(token) & (2^n_bits - 1), signed by one extra
+    hash bit so collisions cancel in expectation; the document vector
+    is the per-(doc, bucket) signed count. Output is the sparse COO
+    form (id, idx, val) — the natural distributed representation (a
+    dense 2^n_bits array per doc would be mostly zeros and would make
+    every downstream shuffle carry the zeros too).
+
+    Pure JVM: split + explode + md5 + one groupBy; integer-exact in any
+    engine. Dimensionality is fixed at plan time, vocabulary-free —
+    the property that makes it THE featurizer for streaming/100 TB
+    corpora (no vocabulary broadcast, no OOV)."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sign = F.when(
+        h.bitwiseAND(F.lit(1 << n_bits)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(
+            F.col(id_col),
+            h.bitwiseAND(F.lit((1 << n_bits) - 1)).alias("idx"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def feature_hash_sql(
+    table_sql: str,
+    n_bits: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The identical hashing-trick featurization as DuckDB SQL."""
+    mask = (1 << n_bits) - 1
+    sbit = 1 << n_bits
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok
+  FROM ({table_sql})
+),
+h AS (
+  SELECT {id_col},
+         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+  FROM tok WHERE tok <> ''
+)
+SELECT {id_col}, hv & {mask} AS idx,
+       CAST(sum(CASE WHEN (hv & {sbit}) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+HAVING sum(CASE WHEN (hv & {sbit}) = 0 THEN 1 ELSE -1 END) <> 0
+"""

@@ -71,3 +71,104 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def range_split_points(
+    df: DataFrame,
+    value_col: str,
+    n_parts: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT range-partitioner boundaries: split i (1..n_parts-1) is the
+    smallest value whose cumulative row count reaches ceil(i*N/n_parts)
+    — what Spark's RangePartitioner approximates by reservoir sampling,
+    computed exactly (the sampled version mis-sizes partitions on
+    heavy-tailed keys; an exact plan costs one extra pass and is what a
+    table-maintenance job wants for write_clustered file boundaries).
+
+    No global-order window: (1) compress to (value, cnt); (2)
+    range-repartition the compressed values, ONE tiny per-partition
+    total job to the driver (hierarchical prefix sum — the
+    pack_token_shards pattern, ≤ n_buckets rows collected); (3)
+    per-partition cumulative window + broadcast offsets give every
+    value its exact global cumulative count; (4) broadcast the
+    n_parts-1 target ranks, keep each target's smallest qualifying
+    value. Ties and duplicate-heavy columns are handled by the
+    compression — ranks are of the sorted multiset, deterministic.
+
+    Returns (split_idx, target_rank, split_value, cum_at_split):
+    cum_at_split is the cumulative count through the boundary value
+    (== target_rank only when the boundary value is not repeated past
+    the target)."""
+    sess = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    from pyspark.sql import Window
+
+    vals = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranged = (
+        vals.repartitionByRange(n_buckets, F.col("v").asc())
+        .withColumn("_b", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("_b").agg(F.sum("cnt").alias("_t")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["_t"]
+    n_total = acc
+    off_df = sess.createDataFrame(offsets or [(0, 0)], "_b int, _off long")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranged.join(F.broadcast(off_df), "_b").withColumn(
+        "cum", F.col("_off") + F.sum("cnt").over(w)
+    )
+    targets = sess.createDataFrame(
+        [
+            (i, (i * n_total + n_parts - 1) // n_parts)
+            for i in range(1, n_parts)
+        ],
+        "split_idx long, target_rank long",
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target_rank"))
+        .groupBy("split_idx", "target_rank")
+        .agg(
+            F.min("v").alias("split_value"),
+            F.min("cum").alias("cum_at_split"),
+        )
+    )
+
+
+def range_split_points_sql(
+    table_sql: str, value_expr: str, n_parts: int
+) -> str:
+    """The identical exact boundaries as DuckDB SQL (global cumulative
+    window is fine at oracle scale)."""
+    return f"""
+WITH vals AS (
+  SELECT {value_expr} AS v, count(*) AS cnt
+  FROM ({table_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v ASC) AS BIGINT) AS cum
+  FROM vals
+),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vals),
+targets AS (
+  SELECT CAST(i AS BIGINT) AS split_idx,
+         (i * n_total + {n_parts} - 1) // {n_parts} AS target_rank
+  FROM n, (SELECT unnest(generate_series(1, {n_parts - 1})) AS i) s
+)
+SELECT t.split_idx, t.target_rank,
+       min(c.v) AS split_value,
+       CAST(min(c.cum) AS BIGINT) AS cum_at_split
+FROM cum c JOIN targets t ON c.cum >= t.target_rank
+GROUP BY 1, 2
+"""

@@ -1,0 +1,97 @@
+"""Regular-grid time-series repair: gap filling with last-observation-
+carried-forward (LOCF) — the resample().ffill() of pandas, expressed as
+engine-portable relational ops.
+
+Three stages, all distributing on the series key:
+
+1. **Slot aggregation**: collapse raw events to one row per (key, slot)
+   (slot = integer epoch bucket). Any deterministic slot aggregate
+   works; max keeps everything integer-exact.
+2. **Grid densification**: explode sequence(min_slot, max_slot) per key
+   — the missing slots appear as NULL-valued rows after a left join.
+   The grid join is an equi-join on (key, slot); the explode volume is
+   the series' span, the thing a caller already bounds by choosing the
+   slot width.
+3. **Forward fill**: the portable grouped-fill trick — a running
+   count of non-NULL observations assigns every row the id of the most
+   recent observation (count(val) OVER ... ROWS UNBOUNDED PRECEDING),
+   then one max per (key, fill-group) broadcasts that observation's
+   value over its gap run. Two window passes over the SAME
+   (key x slot-order) sort — Spark executes them in one exchange+sort —
+   and no IGNORE NULLS dependence (DuckDB and Spark both support it,
+   but the count-trick is exact ANSI and keeps the oracle twin
+   verbatim).
+
+Leading gaps (before a key's first observation) stay NULL — LOCF has
+nothing to carry — and are flagged, as is every filled row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(
+    obs: DataFrame,
+    key_col: str = "key",
+    slot_col: str = "slot",
+    val_col: str = "val",
+) -> DataFrame:
+    """obs: at most one row per (key, slot), integer slots. Returns the
+    dense grid (key, slot, val, filled, is_gap): one row for EVERY slot
+    in [min_slot, max_slot] per key, `filled` = LOCF value (NULL only
+    on leading gaps), `is_gap` = the row was absent from obs."""
+    spans = obs.groupBy(key_col).agg(
+        F.min(slot_col).alias("_lo"), F.max(slot_col).alias("_hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(slot_col),
+    )
+    dense = grid.join(obs, [key_col, slot_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = dense.withColumn("_fg", F.count(val_col).over(w))
+    wg = Window.partitionBy(key_col, "_fg")
+    return dense.select(
+        key_col,
+        slot_col,
+        val_col,
+        F.max(val_col).over(wg).alias("filled"),
+        F.col(val_col).isNull().alias("is_gap"),
+    )
+
+
+def gap_fill_locf_sql(
+    obs_sql: str,
+    key_col: str = "key",
+    slot_col: str = "slot",
+    val_col: str = "val",
+) -> str:
+    """The identical densify + grouped-fill as DuckDB SQL."""
+    k, s, v = key_col, slot_col, val_col
+    return f"""
+WITH o AS ({obs_sql}),
+spans AS (SELECT {k}, min({s}) AS lo, max({s}) AS hi FROM o GROUP BY 1),
+grid AS (
+  SELECT {k}, unnest(generate_series(lo, hi)) AS {s} FROM spans
+),
+dense AS (
+  SELECT g.{k}, g.{s}, o.{v}
+  FROM grid g LEFT JOIN o ON o.{k} = g.{k} AND o.{s} = g.{s}
+),
+fg AS (
+  SELECT *, count({v}) OVER
+    (PARTITION BY {k} ORDER BY {s}
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _fg
+  FROM dense
+)
+SELECT {k}, {s}, {v},
+       max({v}) OVER (PARTITION BY {k}, _fg) AS filled,
+       {v} IS NULL AS is_gap
+FROM fg
+"""

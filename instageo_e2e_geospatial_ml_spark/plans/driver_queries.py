@@ -4447,3 +4447,106 @@ Q106_SQL = _q106_sql()
 
 QUERIES["q106_count_min_sketch"] = q106_count_min_sketch
 ORACLES["q106_count_min_sketch"] = Q106_SQL
+
+
+def q107_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurization (functions/text.feature_hash):
+    1024-dim signed sparse vectors in COO form, vocabulary-free. Oracle
+    pins every (doc, idx, val) cell."""
+    from ..functions.text import feature_hash
+
+    return feature_hash(
+        _t(spark, sf_dir, "documents"), n_bits=10
+    )
+
+
+def _q107_sql() -> str:
+    from ..functions.text import feature_hash_sql
+
+    return feature_hash_sql("SELECT doc_id, text FROM documents", n_bits=10)
+
+
+Q107_SQL = _q107_sql()
+
+QUERIES["q107_feature_hash"] = q107_feature_hash
+ORACLES["q107_feature_hash"] = Q107_SQL
+
+
+def q108_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-user series with LOCF gap fill
+    (operators/timeseries.gap_fill_locf): events collapse to one
+    cent-quantized max per (user, hour), the grid densifies each user's
+    span, missing hours forward-fill by the grouped-fill window trick.
+    Sampled users keep the grid test-sized; oracle runs the identical
+    densify + fill."""
+    from ..operators.timeseries import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    obs = (
+        ev.select(
+            F.col("user_id"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("slot"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vq"),
+        )
+        .groupBy("user_id", "slot")
+        .agg(F.max("vq").alias("vq"))
+    )
+    return gap_fill_locf(
+        obs, key_col="user_id", slot_col="slot", val_col="vq"
+    )
+
+
+def _q108_sql() -> str:
+    from ..operators.timeseries import gap_fill_locf_sql
+
+    obs = (
+        "SELECT user_id, "
+        "epoch_us(ts) // 3600000000 AS slot, "
+        "CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vq "
+        "FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2"
+    )
+    return gap_fill_locf_sql(
+        obs, key_col="user_id", slot_col="slot", val_col="vq"
+    )
+
+
+Q108_SQL = _q108_sql()
+
+QUERIES["q108_gap_fill_locf"] = q108_gap_fill_locf
+ORACLES["q108_gap_fill_locf"] = Q108_SQL
+
+
+def q109_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-partitioner boundaries over lineitem price cents
+    (operators/skew.range_split_points, 16 parts): what RangePartitioner
+    approximates by sampling, computed exactly via value compression +
+    the hierarchical two-phase prefix sum — no global-order window.
+    Oracle computes the same boundaries with a plain cumulative window."""
+    from ..operators.skew import range_split_points
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return range_split_points(li, value_col="cents", n_parts=16)
+
+
+def _q109_sql() -> str:
+    from ..operators.skew import range_split_points_sql
+
+    return range_split_points_sql(
+        "SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem",
+        "cents",
+        n_parts=16,
+    )
+
+
+Q109_SQL = _q109_sql()
+
+QUERIES["q109_range_split_points"] = q109_range_split_points
+ORACLES["q109_range_split_points"] = Q109_SQL

@@ -2077,3 +2077,85 @@ def test_cms_estimate_bounds_and_merge(spark):
     )
     full = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     assert {(r.row, r.bucket): r.cnt for r in merged.collect()} == full
+
+
+def test_feature_hash_replica_and_cancellation(spark):
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.functions.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "  beta   gamma "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.idx): r.val
+        for r in feature_hash(docs, n_bits=6).collect()
+    }
+
+    def cell(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return h & 63, 1 if (h & 64) == 0 else -1
+
+    from collections import defaultdict
+
+    ref = defaultdict(int)
+    for did, text in [(1, "alpha beta alpha"), (2, "beta gamma")]:
+        for tok in text.split():
+            idx, s = cell(tok)
+            ref[(did, idx)] += s
+    ref = {k: v for k, v in ref.items() if v != 0}
+    assert got == ref  # exact replica, empty doc contributes nothing
+
+
+def test_gap_fill_locf_designed(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    obs = spark.createDataFrame(
+        [("a", 10, 5), ("a", 13, 7), ("a", 14, 2), ("b", 100, 9)],
+        "key string, slot long, val long",
+    )
+    rows = {
+        (r.key, r.slot): (r.val, r.filled, r.is_gap)
+        for r in gap_fill_locf(obs).collect()
+    }
+    assert rows[("a", 10)] == (5, 5, False)
+    assert rows[("a", 11)] == (None, 5, True)  # filled forward
+    assert rows[("a", 12)] == (None, 5, True)
+    assert rows[("a", 13)] == (7, 7, False)
+    assert rows[("a", 14)] == (2, 2, False)
+    assert rows[("b", 100)] == (9, 9, False)
+    assert len(rows) == 6  # dense grid exactly spans each key
+
+
+def test_range_split_points_exact_and_balanced(spark):
+    """Boundaries equal brute-force sorted ranks, and bucketing rows by
+    the boundaries yields partitions within one boundary-value run of
+    the ideal size — on a heavy-tailed (zipf-ish) distribution where
+    sampling-based partitioners mis-size."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.skew import (
+        range_split_points,
+    )
+
+    rng = random.Random(5)
+    # heavy tail: many duplicates of small values
+    vals = [rng.randrange(1 + rng.randrange(1, 1000)) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    n_parts = 8
+    got = sorted(
+        (r.split_idx, r.target_rank, r.split_value, r.cum_at_split)
+        for r in range_split_points(df, "x", n_parts).collect()
+    )
+    s = sorted(vals)
+    n = len(s)
+    for i, (si, tr, sv, cum) in enumerate(got, start=1):
+        assert si == i
+        t = (i * n + n_parts - 1) // n_parts
+        assert tr == t
+        assert sv == s[t - 1]  # value at the target rank (1-indexed)
+        # cum_at_split = count of elements <= split_value
+        assert cum == sum(1 for v in vals if v <= sv)
