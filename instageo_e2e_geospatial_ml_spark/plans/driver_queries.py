@@ -4550,3 +4550,29 @@ Q109_SQL = _q109_sql()
 
 QUERIES["q109_range_split_points"] = q109_range_split_points
 ORACLES["q109_range_split_points"] = Q109_SQL
+
+
+def q110_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix of the quantized embedding table
+    (operators/linalg.gram_matrix): per-partition numpy partial matmuls,
+    one (i,j)-keyed cell sum — the distributed sufficient statistic
+    behind PCA/whitening. Oracle pins all 2080 upper-triangle cells."""
+    from ..operators.linalg import gram_matrix
+
+    return gram_matrix(
+        _t(spark, sf_dir, "embeddings"), vec_col="embedding", scale=100
+    )
+
+
+def _q110_sql() -> str:
+    from ..operators.linalg import gram_matrix_sql
+
+    return gram_matrix_sql(
+        "SELECT embedding FROM embeddings", dim=64, scale=100
+    )
+
+
+Q110_SQL = _q110_sql()
+
+QUERIES["q110_gram_matrix"] = q110_gram_matrix
+ORACLES["q110_gram_matrix"] = Q110_SQL

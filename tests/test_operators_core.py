@@ -2159,3 +2159,42 @@ def test_range_split_points_exact_and_balanced(spark):
         assert sv == s[t - 1]  # value at the target rank (1-indexed)
         # cum_at_split = count of elements <= split_value
         assert cum == sum(1 for v in vals if v <= sv)
+
+
+def test_gram_matrix_numpy_parity_and_pca(spark):
+    """Distributed partial-matmul Gram equals one whole-matrix numpy
+    matmul, and the PCA use-case works: the top eigenvector of the
+    Gram of a designed anisotropic cloud recovers the stretch axis."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.linalg import gram_matrix
+
+    rng = np.random.RandomState(9)
+    d, n = 16, 400
+    # stretch 10x along axis 0 rotated into (1,1)/sqrt(2) of dims 0,1
+    base = rng.randn(n, d) * 0.05
+    t = rng.randn(n) * 0.5
+    base[:, 0] += t / np.sqrt(2)
+    base[:, 1] += t / np.sqrt(2)
+    df = spark.createDataFrame(
+        [(row.astype(float).tolist(),) for row in base],
+        "embedding array<float>",
+    ).repartition(8)
+    cells = gram_matrix(df, scale=100).collect()
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in cells:
+        g[r.i - 1, r.j - 1] = r.g
+        g[r.j - 1, r.i - 1] = r.g
+
+    x32 = base.astype(np.float32)  # spark stores float32; match it
+    q = (
+        np.sign(x32.astype(np.float64))
+        * np.floor(np.abs(x32.astype(np.float64)) * 100 + 0.5)
+    ).astype(np.int64)
+    assert np.array_equal(g, q.T @ q)
+
+    evals, evecs = np.linalg.eigh(g.astype(np.float64))
+    top = evecs[:, -1]
+    want = np.zeros(d)
+    want[0] = want[1] = 1 / np.sqrt(2)
+    assert abs(abs(top @ want) - 1.0) < 0.05
