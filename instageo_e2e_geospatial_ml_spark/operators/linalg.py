@@ -85,3 +85,98 @@ SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
 FROM q, pos p
 GROUP BY 1, 2
 """
+
+
+def jl_project(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_out: int = 16,
+    scale: int = 100,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas 2003): y = q R
+    with R[i,k] = ±1 derived from md5(salt:i:k) — a projection matrix
+    that is a pure FUNCTION, never materialized or broadcast, identical
+    on every engine and every rerun (the reproducibility property a
+    training pipeline needs: re-projecting a shard months later yields
+    bit-identical features). Input vectors quantize to integers first
+    (the gram_matrix convention), so outputs are exact bigints.
+
+    Plan: one mapInPandas; each task builds the d_in×d_out sign matrix
+    locally from md5 (tiny, deterministic) and runs one numpy matmul
+    per Arrow batch. Output is (id, k, y) long-form — k is 1-indexed."""
+    import pandas as pd
+
+    def project(batches):
+        import hashlib
+
+        import numpy as np
+
+        r = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            if r is None:
+                d_in = x.shape[1]
+                r = np.empty((d_in, d_out), dtype=np.int64)
+                for i in range(d_in):
+                    for k in range(d_out):
+                        h = hashlib.md5(
+                            f"{salt}:{i + 1}:{k + 1}".encode()
+                        ).hexdigest()
+                        r[i, k] = 1 if int(h[0], 16) < 8 else -1
+            q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
+                np.int64
+            )
+            y = q @ r
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), d_out),
+                    "k": np.tile(np.arange(1, d_out + 1), n).astype("int32"),
+                    "y": y.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, k int, y long"
+    )
+
+
+def jl_project_sql(
+    table_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+    scale: int = 100,
+    salt: str = "jl",
+) -> str:
+    """The identical deterministic sign projection as DuckDB SQL: the
+    sign matrix regenerates from md5 the same way (first hex nibble
+    < 8 -> +1), positions pair via generate_series."""
+    return f"""
+WITH r AS (
+  SELECT i.i, k.k,
+         CASE WHEN CAST('0x' || substring(
+                md5('{salt}:' || CAST(i.i AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)),
+                1, 1) AS BIGINT) < 8
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(1, {d_in})) AS i) i,
+       (SELECT unnest(generate_series(1, {d_out})) AS k) k
+),
+q AS (
+  SELECT {id_col}, list_transform(
+           {vec_col},
+           x -> CAST(sign(x) * floor(abs(CAST(x AS DOUBLE)) * {scale} + 0.5)
+                     AS BIGINT)
+         ) AS qv
+  FROM ({table_sql})
+)
+SELECT q.{id_col}, CAST(r.k AS INTEGER) AS k,
+       CAST(sum(qv[r.i] * r.s) AS BIGINT) AS y
+FROM q, r
+GROUP BY 1, 2
+"""

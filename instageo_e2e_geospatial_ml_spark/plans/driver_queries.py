@@ -4576,3 +4576,79 @@ Q110_SQL = _q110_sql()
 
 QUERIES["q110_gram_matrix"] = q110_gram_matrix
 ORACLES["q110_gram_matrix"] = Q110_SQL
+
+
+def q111_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL sign projection 64 -> 16 of the embedding table
+    (operators/linalg.jl_project): the projection matrix is a pure md5
+    function — never materialized, engine-identical — so the projected
+    features are exact bigints the oracle pins row by row."""
+    from ..operators.linalg import jl_project
+
+    return jl_project(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", d_out=16
+    )
+
+
+def _q111_sql() -> str:
+    from ..operators.linalg import jl_project_sql
+
+    return jl_project_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        id_col="vec_id",
+        d_in=64,
+        d_out=16,
+    )
+
+
+Q111_SQL = _q111_sql()
+
+QUERIES["q111_jl_projection"] = q111_jl_projection
+ORACLES["q111_jl_projection"] = Q111_SQL
+
+
+def q112_dp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Douglas-Peucker (operators/simplify.dp_simplify)
+    over per-user event paths: x = sequence index, y = a smooth
+    deterministic ramp with mod-wrap jumps, tol 10 px, 8 rounds (= the
+    classic recursion to depth 8; pytest proves 8 is a fixed point on
+    designed data). Oracle runs the identical unrolled rounds."""
+    from ..operators.simplify import dp_simplify
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pts = (
+        ev.withColumn("i", F.row_number().over(w) - 1)
+        .filter(F.col("i") < 512)
+        .select(
+            F.col("user_id").alias("g"),
+            F.col("i").cast("long").alias("i"),
+            F.col("i").cast("long").alias("x"),
+            F.expr("((i * i) div 8 + event_id % 7) % 1024").alias("y"),
+        )
+    )
+    return dp_simplify(pts, tol2=100, rounds=8, group_col="g")
+
+
+def _q112_sql() -> str:
+    from ..operators.simplify import dp_simplify_sql
+
+    pts = """
+SELECT user_id AS g, i, i AS x,
+       ((i * i) // 8 + event_id % 7) % 1024 AS y
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) - 1 AS i
+  FROM events WHERE user_id % 11 = 0
+) WHERE i < 512
+"""
+    return dp_simplify_sql(pts, tol2=100, rounds=8, group_col="g")
+
+
+Q112_SQL = _q112_sql()
+
+QUERIES["q112_dp_simplify"] = q112_dp_simplify
+ORACLES["q112_dp_simplify"] = Q112_SQL

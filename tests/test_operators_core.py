@@ -2198,3 +2198,110 @@ def test_gram_matrix_numpy_parity_and_pca(spark):
     want = np.zeros(d)
     want[0] = want[1] = 1 / np.sqrt(2)
     assert abs(abs(top @ want) - 1.0) < 0.05
+
+
+def test_jl_projection_determinism_and_distance_preservation(spark):
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.linalg import jl_project
+
+    rng = np.random.RandomState(21)
+    x = rng.randn(60, 64) * 0.2
+    df = spark.createDataFrame(
+        [(i, row.astype(float).tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out1 = {
+        (r.vec_id, r.k): r.y for r in jl_project(df, d_out=24).collect()
+    }
+    out2 = {
+        (r.vec_id, r.k): r.y
+        for r in jl_project(df.repartition(13), d_out=24).collect()
+    }
+    assert out1 == out2  # partitioning-independent (pure-function matrix)
+
+    y = np.zeros((60, 24))
+    for (i, k), v in out1.items():
+        y[i, k - 1] = v
+    # JL property: squared distances scale by ~d_out (sign matrix,
+    # E[|Ru|^2] = d_out |u|^2); check the median distortion is tight
+    q = (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype(np.int64)
+    d_in2, d_out2 = [], []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 7):
+            d_in2.append(((q[a] - q[b]) ** 2).sum())
+            d_out2.append(((y[a] - y[b]) ** 2).sum())
+    ratios = np.array(d_out2) / (24 * np.array(d_in2))
+    assert 0.7 < np.median(ratios) < 1.3
+
+
+def _classic_dp(pts, tol2):
+    """Textbook recursive Douglas-Peucker (line-distance variant),
+    farthest point split, ties to lowest index."""
+    keep = {0, len(pts) - 1}
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        ax, ay = pts[lo]
+        bx, by = pts[hi]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        best, bi = -1, None
+        for idx in range(lo + 1, hi):
+            px, py = pts[idx]
+            if len2 == 0:
+                m2 = (px - ax) ** 2 + (py - ay) ** 2
+                over = m2 > tol2
+            else:
+                cr = dx * (py - ay) - dy * (px - ax)
+                m2 = cr * cr
+                over = m2 > tol2 * len2
+            if over and m2 > best:
+                best, bi = m2, idx
+        if bi is not None:
+            keep.add(bi)
+            rec(lo, bi)
+            rec(bi, hi)
+
+    rec(0, len(pts) - 1)
+    return sorted(keep)
+
+
+def test_dp_simplify_matches_classic_recursion(spark):
+    """Bounded-round insertion == classic recursive DP once converged,
+    including degenerate closed loops (identical endpoints) and
+    straight runs; one extra round is a fixed point."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.simplify import (
+        dp_simplify,
+    )
+
+    rng = random.Random(4)
+    groups = {}
+    for gname in ("w1", "w2", "w3"):
+        n = rng.randrange(30, 70)
+        yv, pts = rng.randrange(300), []
+        for idx in range(n):
+            yv = (yv + rng.randrange(-6, 7)) % 1024
+            if rng.random() < 0.08:
+                yv = (yv + 250) % 1024
+            pts.append((idx * 5, yv))
+        groups[gname] = pts
+    groups["loop"] = [(0, 0), (50, 5), (100, 200), (50, 400), (0, 0)]
+    groups["straight"] = [(i * 7, i * 3) for i in range(20)]
+    rows = [
+        (g, idx, px, py)
+        for g, pts in groups.items()
+        for idx, (px, py) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, x long, y long")
+    for rounds in (8, 9):
+        got = {}
+        for r in dp_simplify(df, tol2=64, rounds=rounds).collect():
+            got.setdefault(r.g, []).append(r.i)
+        for g, pts in groups.items():
+            assert sorted(got[g]) == _classic_dp(pts, 64), (g, rounds)
+    # straight line collapses to its endpoints
+    assert sorted(got["straight"]) == [0, 19]
