@@ -604,3 +604,166 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both axes; Börzsönyi et
+    al. ICDE'01): a point survives iff no other point is <= on both
+    axes and < on at least one. In 2-D the frontier falls out of ONE
+    sorted window pass — order by (x asc, y asc); a point is dominated
+    iff the running min of y over the strict-x-prefix is <= its y, or
+    an earlier point in its own x-tie shares... no: within equal x,
+    (x, y_smaller) dominates (x, y_larger), so only the min-y point of
+    each x survives the tie, and it survives overall iff every
+    strictly-smaller x has min-y > y. Dedup exact duplicates first
+    (identical points do not dominate each other — both stay).
+
+    Scale: the window partitions by group; the global-frontier case
+    (no group) wants a coarse-bucket two-phase refinement, but the
+    dominance test is associative (frontier of frontiers = frontier),
+    so: per-partition local frontier FIRST (mapInPandas-free — just
+    the same window inside each partition id), then the tiny union
+    re-runs the window. Here groups bound partitions, so the plain
+    grouped window is the honest plan."""
+    gcols = list(group_cols or [])
+    from pyspark.sql import Window
+
+    pts = df.select(*gcols, x_col, y_col).distinct()
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(x_col).asc(), F.col(y_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # running min of y over ALL preceding rows in (x asc, y asc) order:
+    # a preceding row has smaller x, or equal x with smaller y — either
+    # way, prev_min_y <= y means dominated (equal x + smaller y
+    # dominates; smaller x + y' <= y dominates).
+    out = pts.withColumn("_pm", F.min(F.col(y_col)).over(w))
+    return out.filter(
+        F.col("_pm").isNull() | (F.col("_pm") > F.col(y_col))
+    ).drop("_pm")
+
+
+def skyline2d_sql(
+    table_sql: str,
+    x_expr: str = "x",
+    y_expr: str = "y",
+    group_exprs: str = "",
+) -> str:
+    """The identical one-pass 2-D skyline as DuckDB SQL."""
+    part = f"PARTITION BY {group_exprs[1:]}" if group_exprs else ""
+    return f"""
+WITH p AS (
+  SELECT DISTINCT{group_exprs[1:] + ',' if group_exprs else ''}
+         {x_expr}, {y_expr}
+  FROM ({table_sql})
+),
+m AS (
+  SELECT *, min({y_expr}) OVER ({part} ORDER BY {x_expr} ASC, {y_expr} ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM p
+)
+SELECT {group_exprs[1:] + ',' if group_exprs else ''} {x_expr}, {y_expr}
+FROM m WHERE pm IS NULL OR pm > {y_expr}
+"""
+
+
+def largest_remainder(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Largest-remainder apportionment (Hamilton's method): split each
+    group's integer `total` across its members proportionally to
+    integer weights, so that shares are integers and SUM EXACTLY to the
+    total — the invariant naive rounding breaks (allocating ad spend,
+    distributing an order's discount over lines, seat apportionment).
+
+      floor share   s_i = total * w_i div W
+      remainder     r_i = total * w_i mod W  (the fractional part x W)
+      leftover      L = total - sum(s_i)  (< group size)
+      final         s_i + 1 for the L members with the largest r_i
+                    (ties: smallest id — deterministic)
+
+    One group window (rank by (r desc, id asc)) + one group sum: two
+    shuffles on the group key, all integer. Zero-weight groups (W = 0)
+    get NULL shares rather than a division crash."""
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy(group_col)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.col("_rem").desc(), F.col(id_col).asc()
+    )
+    base = (
+        df.withColumn("_w", F.sum(weight_col).over(wn))
+        .withColumn(
+            "_s",
+            F.when(
+                F.col("_w") > 0,
+                F.expr(f"{total_col} * {weight_col} div _w"),
+            ),
+        )
+        .withColumn(
+            "_rem",
+            F.when(
+                F.col("_w") > 0,
+                F.expr(f"({total_col} * {weight_col}) % _w"),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+    out = (
+        base.withColumn("_fsum", F.sum("_s").over(wn))
+        .withColumn("_rk", F.row_number().over(wr))
+        .withColumn(
+            "share",
+            F.when(
+                F.col("_w") > 0,
+                F.col("_s")
+                + F.when(
+                    F.col("_rk") <= F.col(total_col) - F.col("_fsum"),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+    )
+    return out.select(group_col, id_col, weight_col, "share")
+
+
+def largest_remainder_sql(
+    table_sql: str,
+    group_col: str,
+    weight_col: str,
+    total_col: str,
+    id_col: str,
+) -> str:
+    """The identical apportionment as DuckDB SQL."""
+    g, w, t, i = group_col, weight_col, total_col, id_col
+    return f"""
+WITH base AS (
+  SELECT *, sum({w}) OVER (PARTITION BY {g}) AS _w FROM ({table_sql})
+),
+s AS (
+  SELECT *,
+    CASE WHEN _w > 0 THEN ({t} * {w}) // _w END AS _s,
+    CASE WHEN _w > 0 THEN ({t} * {w}) % _w ELSE -1 END AS _rem
+  FROM base
+),
+r AS (
+  SELECT *,
+    sum(_s) OVER (PARTITION BY {g}) AS _fsum,
+    row_number() OVER (PARTITION BY {g} ORDER BY _rem DESC, {i} ASC) AS _rk
+  FROM s
+)
+SELECT {g}, {i}, {w},
+  CASE WHEN _w > 0 THEN
+    _s + CASE WHEN _rk <= {t} - _fsum THEN 1 ELSE 0 END
+  END AS share
+FROM r
+"""

@@ -4652,3 +4652,81 @@ Q112_SQL = _q112_sql()
 
 QUERIES["q112_dp_simplify"] = q112_dp_simplify
 ORACLES["q112_dp_simplify"] = Q112_SQL
+
+
+def q113_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (operators/stats.skyline2d): minimize
+    (price-proxy, delay-proxy) over part points — the classic skyline
+    operator as one grouped window pass. Oracle runs the identical
+    pass; a brute-force dominance pytest proves the window rewrite."""
+    from ..operators.stats import skyline2d
+
+    p = _t(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_brand"),
+        ((F.col("p_partkey") * 31) % 1000).alias("cost"),
+        ((F.col("p_partkey") * 67 + F.col("p_size")) % 1000).alias("delay"),
+    )
+    return skyline2d(pts, "cost", "delay", group_cols=["p_brand"])
+
+
+def _q113_sql() -> str:
+    from ..operators.stats import skyline2d_sql
+
+    return skyline2d_sql(
+        "SELECT p_brand, CAST((p_partkey * 31) % 1000 AS BIGINT) AS cost, "
+        "CAST((p_partkey * 67 + p_size) % 1000 AS BIGINT) AS delay FROM part",
+        x_expr="cost",
+        y_expr="delay",
+        group_exprs=", p_brand",
+    )
+
+
+Q113_SQL = _q113_sql()
+
+QUERIES["q113_skyline"] = q113_skyline
+ORACLES["q113_skyline"] = Q113_SQL
+
+
+def q114_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment (operators/stats.largest_remainder):
+    distribute each order's integer cent total across its lineitems
+    proportionally to quantity, shares summing EXACTLY to the total —
+    the sum-preserving split naive rounding breaks. Oracle runs the
+    identical window arithmetic; pytest pins the invariants."""
+    from ..operators.stats import largest_remainder
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    rows = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        ((F.col("l_orderkey") % 977) * 100 + 37).alias("total_cents"),
+    )
+    return largest_remainder(
+        rows,
+        group_col="l_orderkey",
+        weight_col="qty",
+        total_col="total_cents",
+        id_col="l_linenumber",
+    )
+
+
+def _q114_sql() -> str:
+    from ..operators.stats import largest_remainder_sql
+
+    return largest_remainder_sql(
+        "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty, "
+        "(l_orderkey % 977) * 100 + 37 AS total_cents "
+        "FROM lineitem WHERE l_orderkey % 10 = 0",
+        group_col="l_orderkey",
+        weight_col="qty",
+        total_col="total_cents",
+        id_col="l_linenumber",
+    )
+
+
+Q114_SQL = _q114_sql()
+
+QUERIES["q114_apportionment"] = q114_apportionment
+ORACLES["q114_apportionment"] = Q114_SQL

@@ -2305,3 +2305,77 @@ def test_dp_simplify_matches_classic_recursion(spark):
             assert sorted(got[g]) == _classic_dp(pts, 64), (g, rounds)
     # straight line collapses to its endpoints
     assert sorted(got["straight"]) == [0, 19]
+
+
+def test_skyline2d_brute_force_parity(spark):
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import skyline2d
+
+    rng = random.Random(17)
+    rows = [
+        (g, rng.randrange(60), rng.randrange(60))
+        for g in ("a", "b")
+        for _ in range(300)
+    ]
+    rows += [("edge", 5, 5), ("edge", 5, 5), ("edge", 5, 9), ("edge", 9, 5)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {}
+    for r in skyline2d(df, "x", "y", group_cols=["grp"]).collect():
+        got.setdefault(r.grp, set()).add((r.x, r.y))
+
+    def dominated(p, pts):
+        return any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in pts
+        )
+
+    for g in ("a", "b", "edge"):
+        pts = {(x, y) for gg, x, y in rows if gg == g}
+        want = {p for p in pts if not dominated(p, pts)}
+        assert got[g] == want
+    assert got["edge"] == {(5, 5)}  # duplicates don't dominate each other
+
+
+def test_largest_remainder_invariants(spark):
+    """Shares are integers summing exactly to the total; each share is
+    within 1 of the exact proportional value (the Hamilton quota rule);
+    zero-weight groups yield NULLs."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        largest_remainder,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for g in range(20):
+        n = rng.randrange(1, 8)
+        total = rng.randrange(0, 1000)
+        for i in range(n):
+            rows.append((g, i, rng.randrange(0, 50), total))
+    rows.append((99, 0, 0, 100))  # zero-weight group
+    rows.append((99, 1, 0, 100))
+    df = spark.createDataFrame(
+        rows, "grp long, id long, w long, total long"
+    )
+    out = largest_remainder(
+        df, group_col="grp", weight_col="w", total_col="total", id_col="id"
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append(r)
+    totals = {g: t for g, _, _, t in rows}
+    weights = {}
+    for g, i, w, _ in rows:
+        weights.setdefault(g, {})[i] = w
+    for g, members in by_g.items():
+        wsum = sum(weights[g].values())
+        if wsum == 0:
+            assert all(m.share is None for m in members)
+            continue
+        assert sum(m.share for m in members) == totals[g]
+        for m in members:
+            exact = totals[g] * weights[g][m.id] / wsum
+            assert exact - 1 < m.share < exact + 1
