@@ -767,3 +767,380 @@ SELECT {g}, {i}, {w},
   END AS share
 FROM r
 """
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    fractions: list[tuple[int, int]] = ((25, 100), (50, 100), (75, 100)),
+) -> DataFrame:
+    """Exact weighted percentile_disc per group: the smallest value
+    whose cumulative weight reaches ceil(p * W) — group_percentiles
+    with ranks replaced by running weight sums (revenue-weighted
+    median, token-weighted quantile cut-offs). All comparisons are
+    integer cross-multiplications; rows with non-positive weight are
+    dropped (they carry no mass and would make cumsum non-monotone).
+
+    Plan: one per-group sorted window for the running weight + one
+    broadcast join against the fraction table; ties on value merge
+    their mass before the comparison (pre-aggregate by value) so the
+    result is tie-order independent."""
+    from pyspark.sql import Window
+
+    gb = [F.col(c) for c in group_cols]
+    agg = (
+        df.filter(F.col(weight_col) > 0)
+        .groupBy(*gb, F.col(value_col).alias("_v"))
+        .agg(F.sum(weight_col).alias("_wv"))
+    )
+    w = Window.partitionBy(*gb).orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*gb)
+    cum = agg.withColumn("_cw", F.sum("_wv").over(w)).withColumn(
+        "_tw", F.sum("_wv").over(wn)
+    )
+    fr = df.sparkSession.createDataFrame(
+        [(int(a), int(b)) for a, b in fractions],
+        "pct_num long, pct_den long",
+    )
+    # smallest value with cw*den >= num*W  <=>  first row where the
+    # previous cumulative (cw - wv) hasn't reached the target yet
+    hit = (
+        cum.join(F.broadcast(fr))
+        .filter(
+            (F.col("_cw") * F.col("pct_den") >= F.col("pct_num") * F.col("_tw"))
+            & (
+                (F.col("_cw") - F.col("_wv")) * F.col("pct_den")
+                < F.col("pct_num") * F.col("_tw")
+            )
+        )
+    )
+    return hit.select(
+        *gb, "pct_num", "pct_den", F.col("_v").alias("value")
+    )
+
+
+def weighted_percentiles_sql(
+    table_sql: str,
+    group_exprs: str,
+    value_expr: str,
+    weight_expr: str,
+    fractions: list[tuple[int, int]] = ((25, 100), (50, 100), (75, 100)),
+) -> str:
+    """The identical weighted percentile_disc as DuckDB SQL.
+    `group_exprs` is a comma-separated list (no leading comma)."""
+    g = group_exprs
+    fr = " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS pct_num, CAST({b} AS BIGINT) AS pct_den"
+        for a, b in fractions
+    )
+    return f"""
+WITH agg AS (
+  SELECT {g}, {value_expr} AS v, CAST(sum({weight_expr}) AS BIGINT) AS wv
+  FROM ({table_sql}) WHERE {weight_expr} > 0 GROUP BY ALL
+),
+cum AS (
+  SELECT *,
+    CAST(sum(wv) OVER (PARTITION BY {g} ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+    CAST(sum(wv) OVER (PARTITION BY {g}) AS BIGINT) AS tw
+  FROM agg
+),
+fr AS ({fr})
+SELECT {g}, pct_num, pct_den, v AS value
+FROM cum, fr
+WHERE cw * pct_den >= pct_num * tw
+  AND (cw - wv) * pct_den < pct_num * tw
+"""
+
+
+def categorical_association(
+    df: DataFrame,
+    group_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Per-group 2x2 contingency statistics with EXACT rational
+    arithmetic: chi-square as numerator/denominator bigints
+    (chi2 = N*(ad-bc)^2 / (r1*r2*c1*c2)) plus the Gini impurity of the
+    outcome as (N^2 - sum ni^2) over N^2 — the A/B-test significance
+    scan and split-quality scoring done with zero float drift; the only
+    float is one final rounded division. Cells come from one boolean
+    aggregation pass (no pivot)."""
+    a = F.sum(
+        F.when((F.col(treat_col) == 1) & (F.col(outcome_col) == 1), 1).otherwise(0)
+    )
+    b = F.sum(
+        F.when((F.col(treat_col) == 1) & (F.col(outcome_col) == 0), 1).otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col(treat_col) == 0) & (F.col(outcome_col) == 1), 1).otherwise(0)
+    )
+    d = F.sum(
+        F.when((F.col(treat_col) == 0) & (F.col(outcome_col) == 0), 1).otherwise(0)
+    )
+    out = df.groupBy(group_col).agg(
+        a.alias("a"), b.alias("b"), c.alias("c"), d.alias("d")
+    )
+    out = (
+        out.withColumn("n", F.expr("a + b + c + d"))
+        .withColumn("chi2_num", F.expr("n * (a*d - b*c) * (a*d - b*c)"))
+        .withColumn("chi2_den", F.expr("(a+b) * (c+d) * (a+c) * (b+d)"))
+        .withColumn(
+            "chi2_q6",
+            F.when(
+                F.col("chi2_den") > 0,
+                F.round(
+                    F.col("chi2_num").cast("double") / F.col("chi2_den"), 6
+                ),
+            ),
+        )
+        .withColumn("gini_num", F.expr("n*n - (a+c)*(a+c) - (b+d)*(b+d)"))
+        .withColumn(
+            "gini_q6",
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.col("gini_num").cast("double") / (F.col("n") * F.col("n")),
+                    6,
+                ),
+            ),
+        )
+    )
+    return out
+
+
+def categorical_association_sql(
+    table_sql: str, group_col: str, treat_expr: str, outcome_expr: str
+) -> str:
+    """The identical exact-rational contingency stats as DuckDB SQL."""
+    g = group_col
+    return f"""
+WITH cells AS (
+  SELECT {g},
+    CAST(sum(CASE WHEN ({treat_expr}) = 1 AND ({outcome_expr}) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN ({treat_expr}) = 1 AND ({outcome_expr}) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN ({treat_expr}) = 0 AND ({outcome_expr}) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN ({treat_expr}) = 0 AND ({outcome_expr}) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM ({table_sql}) GROUP BY 1
+)
+SELECT {g}, a, b, c, d,
+  a + b + c + d AS n,
+  (a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS chi2_num,
+  (a+b) * (c+d) * (a+c) * (b+d) AS chi2_den,
+  CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0 THEN
+    round(CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+          / ((a+b) * (c+d) * (a+c) * (b+d)), 6) END AS chi2_q6,
+  (a+b+c+d)*(a+b+c+d) - (a+c)*(a+c) - (b+d)*(b+d) AS gini_num,
+  CASE WHEN a + b + c + d > 0 THEN
+    round(CAST((a+b+c+d)*(a+b+c+d) - (a+c)*(a+c) - (b+d)*(b+d) AS DOUBLE)
+          / ((a+b+c+d)*(a+b+c+d)), 6) END AS gini_q6
+FROM cells
+"""
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per group with EXACT integer
+    arithmetic: doubled midranks keep ties rational-free (midrank of a
+    tie run [lo..hi] is (lo+hi)/2, so 2*midrank = lo+hi is an integer),
+    and U is derived from the doubled rank sum:
+
+      2*R1  = sum over treatment rows of (lo_i + hi_i)
+      2*U1  = 2*R1 - n1*(n1+1)
+
+    The z-statistic needs the tie-corrected variance — also exact as a
+    rational: var_num/var_den with
+      var = n1*n2/12 * ((N+1) - sum(t^3-t)/(N*(N-1)))
+    folded to a single fraction; one rounded division at the end.
+
+    Plan: per (group, value) tie-run aggregation (compresses duplicate
+    mass), one sorted window for run boundaries, then one group
+    aggregate — the same compress-then-window shape as
+    weighted_percentiles."""
+    from pyspark.sql import Window
+
+    g = group_col
+    runs = df.groupBy(g, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col(treat_col) == 1, 1).otherwise(0)).alias("_t1"),
+    )
+    w = (
+        Window.partitionBy(g)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = runs.withColumn("_hi", F.sum("_t").over(w)).withColumn(
+        "_lo", F.col("_hi") - F.col("_t") + 1
+    )
+    out = runs.groupBy(g).agg(
+        F.sum("_t1").alias("n1"),
+        F.sum(F.expr("_t - _t1")).alias("n2"),
+        F.sum(F.expr("_t1 * (_lo + _hi)")).alias("r1x2"),
+        F.sum(F.expr("_t * _t * _t - _t")).alias("tie3"),
+    )
+    return (
+        out.withColumn("u1x2", F.expr("r1x2 - n1 * (n1 + 1)"))
+        .withColumn(
+            "z_q6",
+            F.when(
+                (F.col("n1") > 0)
+                & (F.col("n2") > 0)
+                & (
+                    F.expr(
+                        "n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie3)"
+                    )
+                    > 0
+                ),
+                F.round(
+                    F.expr(
+                        "(u1x2 - n1 * n2) / "
+                        "(2 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12 "
+                        " * ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE) "
+                        "    / ((n1 + n2) * (n1 + n2 - 1)))))"
+                    ),
+                    6,
+                ),
+            ),
+        )
+    )
+
+
+def mann_whitney_u_sql(
+    table_sql: str, group_col: str, treat_expr: str, value_expr: str
+) -> str:
+    """The identical exact rank-sum computation as DuckDB SQL (same
+    float expression shape for the final z)."""
+    g = group_col
+    return f"""
+WITH runs AS (
+  SELECT {g}, {value_expr} AS v, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN ({treat_expr}) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+  FROM ({table_sql}) GROUP BY 1, 2
+),
+b AS (
+  SELECT *,
+    CAST(sum(t) OVER (PARTITION BY {g} ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+  FROM runs
+),
+agg AS (
+  SELECT {g},
+    CAST(sum(t1) AS BIGINT) AS n1,
+    CAST(sum(t - t1) AS BIGINT) AS n2,
+    CAST(sum(t1 * ((hi - t + 1) + hi)) AS BIGINT) AS r1x2,
+    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM b GROUP BY 1
+)
+SELECT {g}, n1, n2, r1x2, tie3,
+  r1x2 - n1 * (n1 + 1) AS u1x2,
+  CASE WHEN n1 > 0 AND n2 > 0
+        AND n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie3) > 0
+  THEN round(
+    ((r1x2 - n1 * (n1 + 1)) - n1 * n2)
+    / (2 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+        * ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE)
+           / ((n1 + n2) * (n1 + n2 - 1))))), 6) END AS z_q6
+FROM agg
+"""
+
+
+def corr_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations per group from EXACT integer
+    moments (the q97 OLS convention): for each metric pair,
+      num  = n*Sxy - Sx*Sy          (exact bigint)
+      den1 = n*Sxx - Sx*Sx, den2 = n*Syy - Sy*Sy
+      corr = num / sqrt(den1*den2)  (the only float, rounded to 6)
+    One aggregation pass computes every sum and cross-product; the
+    pair table then unpivots via a stack expression — no self-join, no
+    second scan. Inputs must be pre-quantized integers scaled so
+    n*Sxx stays under 2^63 (caller's contract, as in group_ols_trend).
+    Zero-variance metrics yield NULL corr."""
+    cols = list(value_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"p_{x}_{y}"))
+    base = df.groupBy(group_col).agg(*aggs)
+    stack_items = ", ".join(
+        f"'{x}', '{y}', "
+        f"n * p_{x}_{y} - s_{x} * s_{y}, "
+        f"n * ss_{x} - s_{x} * s_{x}, "
+        f"n * ss_{y} - s_{y} * s_{y}"
+        for x, y in pairs
+    )
+    out = base.select(
+        group_col,
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_items}) AS (m1, m2, num, den1, den2)"
+        ),
+    )
+    return out.withColumn(
+        "corr_q6",
+        F.when(
+            (F.col("den1") > 0) & (F.col("den2") > 0),
+            F.round(
+                F.col("num")
+                / F.sqrt(F.col("den1").cast("double") * F.col("den2")),
+                6,
+            ),
+        ),
+    )
+
+
+def corr_matrix_sql(
+    table_sql: str, group_col: str, value_cols: list[str]
+) -> str:
+    """The identical exact-moment correlation matrix as DuckDB SQL."""
+    g = group_col
+    cols = list(value_cols)
+    sums = ", ".join(
+        f"CAST(sum({c}) AS BIGINT) AS s_{c}, "
+        f"CAST(sum({c} * {c}) AS BIGINT) AS ss_{c}"
+        for c in cols
+    )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    prods = ", ".join(
+        f"CAST(sum({x} * {y}) AS BIGINT) AS p_{x}_{y}" for x, y in pairs
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {g}, n, '{x}' AS m1, '{y}' AS m2, "
+        f"n * p_{x}_{y} - s_{x} * s_{y} AS num, "
+        f"n * ss_{x} - s_{x} * s_{x} AS den1, "
+        f"n * ss_{y} - s_{y} * s_{y} AS den2 FROM base"
+        for x, y in pairs
+    )
+    return f"""
+WITH base AS (
+  SELECT {g}, CAST(count(*) AS BIGINT) AS n, {sums}, {prods}
+  FROM ({table_sql}) GROUP BY 1
+),
+u AS ({unions})
+SELECT {g}, n, m1, m2, num, den1, den2,
+  CASE WHEN den1 > 0 AND den2 > 0 THEN
+    round(num / sqrt(CAST(den1 AS DOUBLE) * den2), 6) END AS corr_q6
+FROM u
+"""

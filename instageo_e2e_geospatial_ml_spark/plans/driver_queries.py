@@ -4730,3 +4730,158 @@ Q114_SQL = _q114_sql()
 
 QUERIES["q114_apportionment"] = q114_apportionment
 ORACLES["q114_apportionment"] = Q114_SQL
+
+
+def q115_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per return flag
+    (operators/stats.weighted_percentiles): exact weighted
+    percentile_disc by integer cross-multiplied cumulative-weight
+    ranks — the revenue-weighted median family."""
+    from ..operators.stats import weighted_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_percentiles(
+        li,
+        group_cols=["l_returnflag"],
+        value_col="cents",
+        weight_col="qty",
+    )
+
+
+def _q115_sql() -> str:
+    from ..operators.stats import weighted_percentiles_sql
+
+    return weighted_percentiles_sql(
+        "SELECT l_returnflag, "
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem",
+        group_exprs="l_returnflag",
+        value_expr="cents",
+        weight_expr="qty",
+    )
+
+
+Q115_SQL = _q115_sql()
+
+QUERIES["q115_weighted_percentiles"] = q115_weighted_percentiles
+ORACLES["q115_weighted_percentiles"] = Q115_SQL
+
+
+def q116_chi2_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 2x2 contingency scan (operators/stats.
+    categorical_association): treatment = even customer key, outcome =
+    order above its priority's fixed cent threshold — chi-square and
+    Gini as exact bigint rationals, one rounded division at the end."""
+    from ..operators.stats import categorical_association
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2 == 0).cast("int").alias("treat"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("outcome"),
+    )
+    return categorical_association(
+        o, group_col="o_orderpriority", treat_col="treat", outcome_col="outcome"
+    )
+
+
+def _q116_sql() -> str:
+    from ..operators.stats import categorical_association_sql
+
+    return categorical_association_sql(
+        "SELECT o_orderpriority, "
+        "CAST(o_custkey % 2 = 0 AS INTEGER) AS treat, "
+        "CAST(o_totalprice > 150000 AS INTEGER) AS outcome FROM orders",
+        group_col="o_orderpriority",
+        treat_expr="treat",
+        outcome_expr="outcome",
+    )
+
+
+Q116_SQL = _q116_sql()
+
+QUERIES["q116_chi2_gini"] = q116_chi2_gini
+ORACLES["q116_chi2_gini"] = Q116_SQL
+
+
+def q117_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Mann-Whitney rank-sum test (operators/stats.
+    mann_whitney_u): doubled midranks keep tie handling exact-integer;
+    the tie-corrected z is the only float, identically shaped in both
+    engines."""
+    from ..operators.stats import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2 == 0).cast("int").alias("treat"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return mann_whitney_u(
+        o, group_col="o_orderpriority", treat_col="treat", value_col="cents"
+    )
+
+
+def _q117_sql() -> str:
+    from ..operators.stats import mann_whitney_u_sql
+
+    return mann_whitney_u_sql(
+        "SELECT o_orderpriority, CAST(o_custkey % 2 = 0 AS INTEGER) AS treat, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders",
+        group_col="o_orderpriority",
+        treat_expr="treat",
+        value_expr="cents",
+    )
+
+
+Q117_SQL = _q117_sql()
+
+QUERIES["q117_mann_whitney"] = q117_mann_whitney
+ORACLES["q117_mann_whitney"] = Q117_SQL
+
+
+def q118_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation matrix over four quantized
+    lineitem measures (operators/stats.corr_matrix): exact integer
+    moments in ONE aggregation pass, stack-unpivoted pairs, one rounded
+    float division. Measures scaled (hectodollars, permille discounts)
+    so n*Sxx stays far under 2^63 even at sf100."""
+    from ..operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("hdol"),
+        F.floor(F.col("l_discount") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("dsc"),
+        F.floor(F.col("l_tax") * 1000 + F.lit(0.5)).cast("long").alias("tax"),
+    )
+    return corr_matrix(
+        li, group_col="l_returnflag", value_cols=["qty", "hdol", "dsc", "tax"]
+    )
+
+
+def _q118_sql() -> str:
+    from ..operators.stats import corr_matrix_sql
+
+    return corr_matrix_sql(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(floor(l_extendedprice / 100) AS BIGINT) AS hdol, "
+        "CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS dsc, "
+        "CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS tax FROM lineitem",
+        group_col="l_returnflag",
+        value_cols=["qty", "hdol", "dsc", "tax"],
+    )
+
+
+Q118_SQL = _q118_sql()
+
+QUERIES["q118_corr_matrix"] = q118_corr_matrix
+ORACLES["q118_corr_matrix"] = Q118_SQL

@@ -2379,3 +2379,127 @@ def test_largest_remainder_invariants(spark):
         for m in members:
             exact = totals[g] * weights[g][m.id] / wsum
             assert exact - 1 < m.share < exact + 1
+
+
+def test_weighted_percentiles_brute_force(spark):
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        weighted_percentiles,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        ("g1", rng.randrange(100), rng.randrange(0, 10))
+        for _ in range(500)
+    ] + [("g2", 5, 3), ("g2", 7, 1), ("g2", 9, 0)]  # zero weight dropped
+    df = spark.createDataFrame(rows, "grp string, v long, w long")
+    fracs = [(25, 100), (50, 100), (75, 100), (90, 100)]
+    got = {
+        (r.grp, r.pct_num): r.value
+        for r in weighted_percentiles(
+            df, ["grp"], "v", "w", fractions=fracs
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        data = [(v, w) for gg, v, w in rows if gg == g and w > 0]
+        tw = sum(w for _, w in data)
+        for num, den in fracs:
+            cum = 0
+            want = None
+            for v, w in sorted(data):
+                cum += w
+                if cum * den >= num * tw:
+                    want = v
+                    break
+            assert got[(g, num)] == want, (g, num)
+    # g2: weights 3 on 5, 1 on 7 -> median (50%) is 5, 90% is 7
+    assert got[("g2", 50)] == 5 and got[("g2", 90)] == 7
+
+
+def test_categorical_association_known_values(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        categorical_association,
+    )
+
+    # classic textbook 2x2: a=10 b=20 c=30 d=40
+    rows = (
+        [("s", 1, 1)] * 10
+        + [("s", 1, 0)] * 20
+        + [("s", 0, 1)] * 30
+        + [("s", 0, 0)] * 40
+        + [("empty_den", 1, 1)] * 5  # one empty margin -> NULL chi2
+    )
+    df = spark.createDataFrame(rows, "grp string, treat int, outcome int")
+    out = {r.grp: r for r in categorical_association(df, "grp", "treat", "outcome").collect()}
+    s = out["s"]
+    assert (s.a, s.b, s.c, s.d, s.n) == (10, 20, 30, 40, 100)
+    # chi2 = 100*(400-600)^2 / (30*70*40*60) = 100*40000/5040000
+    assert s.chi2_num == 100 * (10 * 40 - 20 * 30) ** 2
+    assert s.chi2_den == 30 * 70 * 40 * 60
+    assert abs(s.chi2_q6 - round(4000000 / 5040000, 6)) < 1e-12
+    # gini of outcome margin (40 vs 60): 1 - 0.4^2 - 0.6^2 = 0.48
+    assert abs(s.gini_q6 - 0.48) < 1e-12
+    e = out["empty_den"]
+    assert e.chi2_q6 is None and e.gini_q6 == 0.0
+
+
+def test_mann_whitney_u_vs_reference(spark):
+    """U and z match a direct pairwise-comparison computation (U = #
+    (treat > control) + half ties) on designed data with heavy ties."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    rng = random.Random(13)
+    rows = [("g", 1, rng.randrange(10)) for _ in range(80)] + [
+        ("g", 0, rng.randrange(12)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "grp string, treat int, v long")
+    r = mann_whitney_u(df, "grp", "treat", "v").collect()[0]
+    t = sorted(v for _, tr, v in rows if tr == 1)
+    c = sorted(v for _, tr, v in rows if tr == 0)
+    u2 = 0  # doubled U: 2 per win, 1 per tie
+    for tv in t:
+        for cv in c:
+            u2 += 2 if tv > cv else (1 if tv == cv else 0)
+    assert (r.n1, r.n2) == (80, 60)
+    assert r.u1x2 == u2
+    # z sanity: tie-corrected normal approximation
+    import math
+
+    n1, n2, n = 80, 60, 140
+    from collections import Counter
+
+    ties = Counter(v for _, _, v in rows)
+    tie3 = sum(x**3 - x for x in ties.values())
+    var = n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u2 - n1 * n2) / (2 * math.sqrt(var))
+    assert abs(r.z_q6 - round(z, 6)) < 1e-9
+
+
+def test_corr_matrix_vs_numpy(spark):
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import corr_matrix
+
+    rng = np.random.RandomState(41)
+    a = rng.randint(0, 50, 300)
+    b = 2 * a + rng.randint(0, 10, 300)  # strongly correlated
+    c = rng.randint(0, 50, 300)  # independent
+    d = np.full(300, 7)  # zero variance -> NULL corr
+    rows = [
+        ("g", int(a[i]), int(b[i]), int(c[i]), int(d[i]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, a long, b long, c long, d long")
+    out = {
+        (r.m1, r.m2): r.corr_q6
+        for r in corr_matrix(df, "grp", ["a", "b", "c", "d"]).collect()
+    }
+    assert abs(out[("a", "b")] - round(float(np.corrcoef(a, b)[0, 1]), 6)) < 2e-6
+    assert abs(out[("a", "c")] - round(float(np.corrcoef(a, c)[0, 1]), 6)) < 2e-6
+    assert out[("a", "d")] is None and out[("c", "d")] is None
+    assert out[("a", "b")] > 0.99

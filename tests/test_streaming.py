@@ -695,3 +695,59 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     } or (1, "i1", "c1", 45 * 60 * 1000000) in got
     assert all(c != "c4" and c != "c5" for _, _, c, _ in got)
     assert len(got) == 4  # (i1,c1) (i2,c1) (i2,c2) (i3,c3)
+
+
+def test_hll_distinct_stream_register_exact_batch_parity(spark, tmp_path):
+    """Streaming HLL summary equals the batch hll_registers sketch on
+    the union of all micro-batches — register-exact (max-merge is
+    order-free), across an arbitrary file/batch split."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        hll_registers,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.distinct import (
+        hll_distinct_stream,
+    )
+
+    rows = [
+        ("a", i % 700) for i in range(3000)
+    ] + [("b", i % 37) for i in range(800)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    src = str(tmp_path / "in")
+    df.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("grp string, k long").parquet(src)
+    q = (
+        hll_distinct_stream(stream, key_col="k", group_col="grp", p=9)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "2")  # force several micro-batches
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = spark.table("hll_stream").toPandas()
+    final = snap[
+        snap.groupby("grp")["n_rows"].transform("max") == snap["n_rows"]
+    ].set_index("grp")
+
+    regs = hll_registers(df, key_col="k", p=9, group_cols=["grp"]).collect()
+    import collections
+
+    by = collections.defaultdict(dict)
+    for r in regs:
+        by[r.grp][r.reg] = r.rho_max
+    m = 512
+    for g, want_n in (("a", 3000), ("b", 800)):
+        vec = [by[g].get(i, 0) for i in range(m)]
+        r_big = max(vec)
+        s_total = sum(1 << (r_big - v) for v in vec)
+        m_hit = sum(1 for v in vec if v > 0)
+        row = final.loc[g]
+        assert int(row.n_rows) == want_n
+        assert (int(row.r_big), int(row.s_total), int(row.m_hit)) == (
+            r_big,
+            s_total,
+            m_hit,
+        )
