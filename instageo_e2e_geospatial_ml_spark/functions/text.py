@@ -533,3 +533,77 @@ SELECT {id_col}, hv & {mask} AS idx,
 FROM h GROUP BY 1, 2
 HAVING sum(CASE WHEN (hv & {sbit}) = 0 THEN 1 ELSE -1 END) <> 0
 """
+
+
+def build_vocab_encode(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Word-level vocabulary build + corpus encode — the classic
+    pre-BPE tokenization step: rank tokens by (count desc, token asc)
+    into dense ids (1-based; 0 = OOV for tokens under min_count),
+    then re-encode every document as (doc, pos, tok_id).
+
+    Returns (vocab_df, encoded_df): vocab (tok, cnt, tok_id), encoded
+    (id, pos, tok_id) with pos the 1-based token position.
+
+    Plan: token count (one shuffle), the id ranking is a window over
+    the VOCABULARY (count-filtered — vocabulary-sized, not
+    corpus-sized; a web-scale vocab would use the q109 two-phase rank,
+    noted here, but after min_count filtering vocabularies are ~10^5-6
+    rows and one task sorting them is the honest plan), then a
+    token-keyed join back to the exploded corpus (AQE broadcasts the
+    vocab side when it fits)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = counts.filter(F.col("cnt") >= min_count)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = kept.withColumn("tok_id", F.row_number().over(w).cast("long"))
+    encoded = (
+        toks.join(vocab.select("tok", "tok_id"), "tok", "left")
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.coalesce(F.col("tok_id"), F.lit(0)).alias("tok_id"),
+        )
+    )
+    return vocab, encoded
+
+
+def vocab_encode_sql(
+    table_sql: str,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The identical vocabulary encode as DuckDB SQL (encoded form)."""
+    return f"""
+WITH sp AS (
+  SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS t
+  FROM ({table_sql})
+),
+px AS (
+  SELECT {id_col}, t, unnest(generate_series(1, len(t))) AS pos FROM sp
+),
+tok AS (
+  SELECT {id_col}, pos, t[pos] AS tok FROM px WHERE t[pos] <> ''
+),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT tok, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS tok_id
+  FROM counts WHERE cnt >= {min_count}
+)
+SELECT t.{id_col}, CAST(t.pos AS BIGINT) AS pos,
+       coalesce(v.tok_id, 0) AS tok_id
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+"""

@@ -95,3 +95,68 @@ SELECT {k}, {s}, {v},
        {v} IS NULL AS is_gap
 FROM fg
 """
+
+
+def time_weighted_avg(
+    obs: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    val_col: str = "val",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP/telemetry duty-cycle): each
+    observation's value holds until the next one, so the mean weights
+    each value by its dwell time — sum(v*dt) / sum(dt) with dt from one
+    lead() window, both sums exact bigints (num/den emitted alongside
+    the one rounded float division). The final observation has no dwell
+    interval and contributes nothing (standard last-interval-open
+    convention); single-observation keys return NULL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    d = obs.withColumn("_nxt", F.lead(ts_col).over(w)).filter(
+        F.col("_nxt").isNotNull()
+    )
+    out = d.groupBy(key_col).agg(
+        F.sum(F.expr(f"{val_col} * (_nxt - {ts_col})")).alias("twap_num"),
+        F.sum(F.expr(f"_nxt - {ts_col}")).alias("twap_den"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return out.withColumn(
+        "twap_q6",
+        F.when(
+            F.col("twap_den") > 0,
+            F.round(
+                F.col("twap_num").cast("double") / F.col("twap_den"), 6
+            ),
+        ),
+    )
+
+
+def time_weighted_avg_sql(
+    obs_sql: str,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    val_col: str = "val",
+    tiebreak_col: str | None = None,
+) -> str:
+    """The identical dwell-time weighting as DuckDB SQL."""
+    k, t, v = key_col, ts_col, val_col
+    tb = f", {tiebreak_col} ASC" if tiebreak_col else ""
+    return f"""
+WITH d AS (
+  SELECT *, lead({t}) OVER (PARTITION BY {k} ORDER BY {t} ASC{tb}) AS nxt
+  FROM ({obs_sql})
+),
+agg AS (
+  SELECT {k},
+    CAST(sum({v} * (nxt - {t})) AS BIGINT) AS twap_num,
+    CAST(sum(nxt - {t}) AS BIGINT) AS twap_den,
+    CAST(count(*) AS BIGINT) AS n_intervals
+  FROM d WHERE nxt IS NOT NULL GROUP BY 1
+)
+SELECT {k}, twap_num, twap_den, n_intervals,
+  CASE WHEN twap_den > 0 THEN
+    round(CAST(twap_num AS DOUBLE) / twap_den, 6) END AS twap_q6
+FROM agg
+"""

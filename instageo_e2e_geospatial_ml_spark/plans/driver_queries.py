@@ -4885,3 +4885,70 @@ Q118_SQL = _q118_sql()
 
 QUERIES["q118_corr_matrix"] = q118_corr_matrix
 ORACLES["q118_corr_matrix"] = Q118_SQL
+
+
+def q119_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-vocabulary build + corpus encode (functions/text.
+    build_vocab_encode): dense frequency-ranked token ids, OOV -> 0
+    under min_count — the pre-BPE tokenization step; oracle pins every
+    (doc, pos, tok_id)."""
+    from ..functions.text import build_vocab_encode
+
+    _, encoded = build_vocab_encode(
+        _t(spark, sf_dir, "documents"), min_count=50
+    )
+    return encoded
+
+
+def _q119_sql() -> str:
+    from ..functions.text import vocab_encode_sql
+
+    return vocab_encode_sql(
+        "SELECT doc_id, text FROM documents", min_count=50
+    )
+
+
+Q119_SQL = _q119_sql()
+
+QUERIES["q119_vocab_encode"] = q119_vocab_encode
+ORACLES["q119_vocab_encode"] = Q119_SQL
+
+
+def q120_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of cent-quantized event values over microsecond
+    dwell intervals (operators/timeseries.time_weighted_avg): exact
+    bigint num/den, one rounded division."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    return time_weighted_avg(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        val_col="vq",
+        tiebreak_col="event_id",
+    )
+
+
+def _q120_sql() -> str:
+    from ..operators.timeseries import time_weighted_avg_sql
+
+    return time_weighted_avg_sql(
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq FROM events",
+        key_col="user_id",
+        ts_col="ts_us",
+        val_col="vq",
+        tiebreak_col="event_id",
+    )
+
+
+Q120_SQL = _q120_sql()
+
+QUERIES["q120_time_weighted_avg"] = q120_time_weighted_avg
+ORACLES["q120_time_weighted_avg"] = Q120_SQL

@@ -2503,3 +2503,59 @@ def test_corr_matrix_vs_numpy(spark):
     assert abs(out[("a", "c")] - round(float(np.corrcoef(a, c)[0, 1]), 6)) < 2e-6
     assert out[("a", "d")] is None and out[("c", "d")] is None
     assert out[("a", "b")] > 0.99
+
+
+def test_vocab_encode_designed(spark):
+    from instageo_e2e_geospatial_ml_spark.functions.text import (
+        build_vocab_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat bird"),
+            (2, "dog cat dog"),
+            (3, "  emu  "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab, enc = build_vocab_encode(docs, min_count=2)
+    v = {r.tok: (r.cnt, r.tok_id) for r in vocab.collect()}
+    # counts: cat 3, dog 3, bird 1, emu 1 -> vocab = cat/dog (tie ->
+    # lexicographic: cat=1, dog=2); bird/emu OOV
+    assert v == {"cat": (3, 1), "dog": (3, 2)}
+    e = {(r.doc_id, r.pos): r.tok_id for r in enc.collect()}
+    assert e[(1, 1)] == 1 and e[(1, 2)] == 2 and e[(1, 3)] == 1
+    assert e[(1, 4)] == 0  # bird OOV
+    assert e[(2, 1)] == 2 and e[(3, 1)] == 0  # emu OOV at pos 1
+    assert (4, 1) not in e  # empty doc emits nothing
+
+
+def test_time_weighted_avg_designed(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # key a: value 10 for 3 units, 20 for 1 unit -> twap 12.5
+        ("a", 0, 0, 10),
+        ("a", 3, 1, 20),
+        ("a", 4, 2, 99),  # open last interval: no contribution
+        # key b: single obs -> no intervals, absent from output
+        ("b", 5, 3, 7),
+        # key c: duplicate timestamps (tie-broken by id; zero dwell)
+        ("c", 0, 4, 1),
+        ("c", 0, 5, 2),
+        ("c", 10, 6, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, v long")
+    out = {
+        r.k: (r.twap_num, r.twap_den, r.twap_q6)
+        for r in time_weighted_avg(
+            df, key_col="k", ts_col="t", val_col="v", tiebreak_col="eid"
+        ).collect()
+    }
+    assert out["a"] == (10 * 3 + 20 * 1, 4, 12.5)
+    assert "b" not in out
+    # c: (0-dwell tie) then value 2 holds for 10 units -> twap 2
+    assert out["c"] == (20, 10, 2.0)
