@@ -4952,3 +4952,32 @@ Q120_SQL = _q120_sql()
 
 QUERIES["q120_time_weighted_avg"] = q120_time_weighted_avg
 ORACLES["q120_time_weighted_avg"] = Q120_SQL
+
+
+def q121_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection of 8 exemplar documents by word-
+    BIGRAM coverage (operators/coverage.greedy_coverage): the
+    submodular facility-location selection behind diversity-driven
+    training-data curation — k driver-loop rounds of anti-join argmax.
+    Oracle unrolls the identical rounds (MATERIALIZED CTEs: the naive
+    inlined chain re-evaluates exponentially)."""
+    from ..operators.coverage import greedy_coverage
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return greedy_coverage(docs, k=8, shingle=2)
+
+
+def _q121_sql() -> str:
+    from ..operators.coverage import greedy_coverage_sql
+
+    return greedy_coverage_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+        k=8,
+        shingle=2,
+    )
+
+
+Q121_SQL = _q121_sql()
+
+QUERIES["q121_greedy_coverage"] = q121_greedy_coverage
+ORACLES["q121_greedy_coverage"] = Q121_SQL

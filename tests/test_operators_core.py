@@ -2559,3 +2559,53 @@ def test_time_weighted_avg_designed(spark):
     assert "b" not in out
     # c: (0-dwell tie) then value 2 holds for 10 units -> twap 2
     assert out["c"] == (20, 10, 2.0)
+
+
+def test_greedy_coverage_brute_force_and_submodularity(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.coverage import (
+        greedy_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c"),
+            (3, "f g"),
+            (4, "d e f g h"),
+            (5, "h"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = greedy_coverage(docs, k=6, shingle=1).collect()
+    # brute-force replica of the greedy chain
+    sets = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c"},
+        3: {"f", "g"},
+        4: {"d", "e", "f", "g", "h"},
+        5: {"h"},
+        6: set(),
+    }
+    covered = set()
+    want = []
+    while True:
+        gains = {
+            d: len(s - covered) for d, s in sets.items() if len(s - covered)
+        }
+        if not gains:
+            break
+        best = min(
+            gains, key=lambda d: (-gains[d], d)
+        )  # max gain, lowest id
+        want.append((len(want) + 1, best, gains[best]))
+        covered |= sets[best]
+    got = [(r.round, r.doc_id, r.gain) for r in out]
+    assert got == want
+    # submodularity: gains non-increasing; early stop before k
+    gains_seq = [r.gain for r in out]
+    assert gains_seq == sorted(gains_seq, reverse=True)
+    assert len(out) < 6
+    assert out[-1].covered_after == len(
+        sets[1] | sets[3] | sets[4] | sets[5]
+    ) == 8
