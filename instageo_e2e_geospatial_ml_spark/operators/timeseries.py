@@ -160,3 +160,78 @@ SELECT {k}, twap_num, twap_den, n_intervals,
     round(CAST(twap_num AS DOUBLE) / twap_den, 6) END AS twap_q6
 FROM agg
 """
+
+
+def decayed_counts(
+    obs: DataFrame,
+    key_col: str = "key",
+    slot_col: str = "slot",
+    val_col: str = "val",
+    half_life_slots: int = 1,
+    max_age_halflives: int = 62,
+) -> DataFrame:
+    """Exponentially-decayed counters with EXACT integer arithmetic —
+    the trending/ranking primitive (decay-weighted activity scores)
+    done without a single float: with half-life h slots, an event of
+    weight v observed `age` slots before the key's latest slot
+    contributes v >> (age div h) (power-of-2 decay), so the decayed
+    total is a plain conditional sum. Events older than
+    max_age_halflives half-lives contribute exactly 0 (the shift would
+    underflow anyway) — which also documents the pruning rule a
+    100 TB incremental job uses: state never needs events older than
+    ~62 half-lives.
+
+    Decayed-to-when? The per-key MAX slot (each key's own "now"), so
+    the result is a pure function of the data — reproducible, oracle-
+    pinnable — rather than of wall clock; shift the reference slot
+    downstream by halving per elapsed half-life if a global "now" is
+    needed.
+
+    One window pass for the per-key max slot, one conditional
+    aggregate. Output: (key, last_slot, n_events, decayed)."""
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy(key_col)
+    h = int(half_life_slots)
+    d = obs.withColumn("_last", F.max(slot_col).over(wn)).withColumn(
+        "_age_h", F.expr(f"(_last - {slot_col}) div {h}")
+    )
+    return (
+        d.groupBy(key_col)
+        .agg(
+            F.max("_last").alias("last_slot"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("_age_h") <= max_age_halflives,
+                    F.expr(
+                        f"shiftright({val_col}, CAST(_age_h AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("decayed"),
+        )
+    )
+
+
+def decayed_counts_sql(
+    obs_sql: str,
+    key_col: str = "key",
+    slot_col: str = "slot",
+    val_col: str = "val",
+    half_life_slots: int = 1,
+    max_age_halflives: int = 62,
+) -> str:
+    """The identical integer-shift decay as DuckDB SQL."""
+    k, s, v, h = key_col, slot_col, val_col, int(half_life_slots)
+    return f"""
+WITH d AS (
+  SELECT *, max({s}) OVER (PARTITION BY {k}) AS last_slot,
+         (max({s}) OVER (PARTITION BY {k}) - {s}) // {h} AS age_h
+  FROM ({obs_sql})
+)
+SELECT {k}, CAST(max(last_slot) AS BIGINT) AS last_slot,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN age_h <= {max_age_halflives}
+                     THEN {v} >> age_h ELSE 0 END) AS BIGINT) AS decayed
+FROM d GROUP BY 1
+"""

@@ -4981,3 +4981,42 @@ Q121_SQL = _q121_sql()
 
 QUERIES["q121_greedy_coverage"] = q121_greedy_coverage
 ORACLES["q121_greedy_coverage"] = Q121_SQL
+
+
+def q122_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity score
+    (operators/timeseries.decayed_counts): cent values decayed by
+    power-of-2 shifts per 6-hour half-life relative to each user's own
+    latest event — trending scores with zero floats."""
+    from ..operators.timeseries import decayed_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 21600000000"
+        ).alias("slot"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    return decayed_counts(
+        ev, key_col="user_id", slot_col="slot", val_col="vq",
+        half_life_slots=1,
+    )
+
+
+def _q122_sql() -> str:
+    from ..operators.timeseries import decayed_counts_sql
+
+    return decayed_counts_sql(
+        "SELECT user_id, epoch_us(ts) // 21600000000 AS slot, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq FROM events",
+        key_col="user_id",
+        slot_col="slot",
+        val_col="vq",
+        half_life_slots=1,
+    )
+
+
+Q122_SQL = _q122_sql()
+
+QUERIES["q122_decayed_counts"] = q122_decayed_counts
+ORACLES["q122_decayed_counts"] = Q122_SQL

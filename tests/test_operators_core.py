@@ -2609,3 +2609,39 @@ def test_greedy_coverage_brute_force_and_submodularity(spark):
     assert out[-1].covered_after == len(
         sets[1] | sets[3] | sets[4] | sets[5]
     ) == 8
+
+
+def test_decayed_counts_designed(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        decayed_counts,
+    )
+
+    rows = [
+        # key a, latest slot 10: v=8 at age 0, 1, 3 -> 8 + 4 + 1 = 13
+        ("a", 10, 8),
+        ("a", 9, 8),
+        ("a", 7, 8),
+        # ancient event decays to exactly 0 via the age cap
+        ("a", 10 - 100, 1 << 62),
+        # key b: single event, no decay
+        ("b", 5, 42),
+    ]
+    df = spark.createDataFrame(rows, "k string, slot long, v long")
+    out = {
+        r.k: (r.last_slot, r.n_events, r.decayed)
+        for r in decayed_counts(
+            df, key_col="k", slot_col="slot", val_col="v"
+        ).collect()
+    }
+    assert out["a"] == (10, 4, 13)
+    assert out["b"] == (5, 1, 42)
+
+    # half_life_slots=2: ages 0,1 undecayed; ages 2,3 halved
+    df2 = spark.createDataFrame(
+        [("c", 4, 8), ("c", 3, 8), ("c", 2, 8), ("c", 1, 8)],
+        "k string, slot long, v long",
+    )
+    out2 = decayed_counts(
+        df2, key_col="k", slot_col="slot", val_col="v", half_life_slots=2
+    ).collect()[0]
+    assert out2.decayed == 8 + 8 + 4 + 4

@@ -401,3 +401,47 @@ def test_cap_per_domain_salted_skew(spark):
     )
     pd.testing.assert_frame_equal(salted, plain)
     assert (salted.groupby("domain").size() <= cap).all()
+
+
+def test_round7_operator_family_plans_stay_jvm(spark):
+    """The new relational operators (q113-q118, q120, q101/q102/q104,
+    q108/q109, q114) must compile to pure-JVM plans: no EvalPython
+    (only mapInPandas/applyInPandas operators are allowed Python), and
+    no partition-less WindowExec outside the documented
+    vocabulary-sized q119 ranking."""
+    jvm_queries = [
+        "q101_adaptive_quadtree",
+        "q102_hilbert_rollup",
+        "q103_hll_registers",
+        "q104_rect_union_area",
+        "q106_count_min_sketch",
+        "q107_feature_hash",
+        "q108_gap_fill_locf",
+        "q113_skyline",
+        "q114_apportionment",
+        "q115_weighted_percentiles",
+        "q116_chi2_gini",
+        "q117_mann_whitney",
+        "q118_corr_matrix",
+        "q120_time_weighted_avg",
+    ]
+    for name in jvm_queries:
+        plan = _plan(dq.QUERIES[name](spark, SF))
+        assert "EvalPython" not in plan, name
+        # every WindowExec must be partitioned (no global single-task
+        # window). windowspecdefinition(args...) lists partition
+        # columns first (bare refs), then sort columns (with ASC/DESC
+        # markers), then the frame — so a spec whose FIRST argument
+        # already carries a sort direction (or is the frame itself)
+        # has an empty partition list (verified against a deliberate
+        # Window.orderBy-only plan and q108's orderless partition).
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+            first = m.group(1).strip()
+            partition_less = (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            )
+            assert not partition_less, (name, first)
