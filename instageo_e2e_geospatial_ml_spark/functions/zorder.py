@@ -199,3 +199,76 @@ def hilbert_sql_cte(pts_sql: str, bits: int, cols: str = "") -> str:
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT hd AS hilbert{cols} FROM h0"
     )
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Pure-Python scalar xy2d (the same recurrence hilbert_key
+    evaluates columnar) — used by the range planner and tests."""
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_ranges(
+    bits: int,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Minimal sorted disjoint Hilbert-key ranges covering the box
+    [x0, x1] × [y0, y1] (inclusive, cell coords) — the read-side
+    planner for Hilbert-clustered layouts: the returned [lo, hi]
+    ranges become BETWEEN predicates that parquet min/max stats prune
+    on. Driver-side pure Python (range lists are tiny, the O3-BFS
+    precedent): quadrant descent using the fact that every aligned
+    quadrant at depth L is CONTIGUOUS on the curve — exactly the block
+    [d0, d0 + 4^(bits-L)) where d0 is any member key rounded down to
+    the block size. Fully-contained quadrants emit whole blocks;
+    straddling ones recurse; the final list coalesces adjacent ranges
+    and, if still over max_ranges, merges the smallest gaps (which
+    only ADDS keys — pruning stays correct, just looser)."""
+    out: list[tuple[int, int]] = []
+
+    def descend(level: int, qx: int, qy: int) -> None:
+        size = 1 << (bits - level)  # cells per side of this quadrant
+        cx0, cy0 = qx * size, qy * size
+        cx1, cy1 = cx0 + size - 1, cy0 + size - 1
+        if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+            return
+        block = size * size
+        if x0 <= cx0 and cx1 <= x1 and y0 <= cy0 and cy1 <= y1:
+            d0 = hilbert_xy2d(bits, cx0, cy0) // block * block
+            out.append((d0, d0 + block - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                descend(level + 1, qx * 2 + dx, qy * 2 + dy)
+
+    descend(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # merge the pair with the smallest inter-range gap
+        gi = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[gi][1] = merged[gi + 1][1]
+        del merged[gi + 1]
+    return [(lo, hi) for lo, hi in merged]

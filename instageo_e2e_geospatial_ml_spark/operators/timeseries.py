@@ -174,8 +174,12 @@ def decayed_counts(
     the trending/ranking primitive (decay-weighted activity scores)
     done without a single float: with half-life h slots, an event of
     weight v observed `age` slots before the key's latest slot
-    contributes v >> (age div h) (power-of-2 decay), so the decayed
-    total is a plain conditional sum. Events older than
+    contributes to its SLOT's sum, and each slot's total decays as
+    slot_sum >> (age div h) (power-of-2 decay) — slot-aggregated decay,
+    the semantics an incremental job can maintain EXACTLY with bounded
+    per-slot state (per-event shifts would not survive aggregation:
+    (a+b) >> k != (a >> k) + (b >> k), so the event-level variant is
+    not mergeable). Events older than
     max_age_halflives half-lives contribute exactly 0 (the shift would
     underflow anyway) — which also documents the pruning rule a
     100 TB incremental job uses: state never needs events older than
@@ -187,26 +191,28 @@ def decayed_counts(
     downstream by halving per elapsed half-life if a global "now" is
     needed.
 
-    One window pass for the per-key max slot, one conditional
-    aggregate. Output: (key, last_slot, n_events, decayed)."""
+    One (key, slot) pre-aggregation, one window pass for the per-key
+    max slot, one final aggregate. Output:
+    (key, last_slot, n_events, decayed)."""
     from pyspark.sql import Window
 
     wn = Window.partitionBy(key_col)
     h = int(half_life_slots)
-    d = obs.withColumn("_last", F.max(slot_col).over(wn)).withColumn(
+    slots = obs.groupBy(key_col, slot_col).agg(
+        F.sum(val_col).alias("_sv"), F.count(F.lit(1)).alias("_ne")
+    )
+    d = slots.withColumn("_last", F.max(slot_col).over(wn)).withColumn(
         "_age_h", F.expr(f"(_last - {slot_col}) div {h}")
     )
     return (
         d.groupBy(key_col)
         .agg(
             F.max("_last").alias("last_slot"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_ne").alias("n_events"),
             F.sum(
                 F.when(
                     F.col("_age_h") <= max_age_halflives,
-                    F.expr(
-                        f"shiftright({val_col}, CAST(_age_h AS INT))"
-                    ),
+                    F.expr("shiftright(_sv, CAST(_age_h AS INT))"),
                 ).otherwise(F.lit(0))
             ).alias("decayed"),
         )
@@ -221,17 +227,22 @@ def decayed_counts_sql(
     half_life_slots: int = 1,
     max_age_halflives: int = 62,
 ) -> str:
-    """The identical integer-shift decay as DuckDB SQL."""
+    """The identical slot-aggregated integer-shift decay as DuckDB SQL."""
     k, s, v, h = key_col, slot_col, val_col, int(half_life_slots)
     return f"""
-WITH d AS (
+WITH sl AS (
+  SELECT {k}, {s}, CAST(sum({v}) AS BIGINT) AS sv,
+         CAST(count(*) AS BIGINT) AS ne
+  FROM ({obs_sql}) GROUP BY 1, 2
+),
+d AS (
   SELECT *, max({s}) OVER (PARTITION BY {k}) AS last_slot,
          (max({s}) OVER (PARTITION BY {k}) - {s}) // {h} AS age_h
-  FROM ({obs_sql})
+  FROM sl
 )
 SELECT {k}, CAST(max(last_slot) AS BIGINT) AS last_slot,
-       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(ne) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN age_h <= {max_age_halflives}
-                     THEN {v} >> age_h ELSE 0 END) AS BIGINT) AS decayed
+                     THEN sv >> age_h ELSE 0 END) AS BIGINT) AS decayed
 FROM d GROUP BY 1
 """

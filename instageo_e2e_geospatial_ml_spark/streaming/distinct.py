@@ -87,3 +87,79 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decayed_counts_stream(
+    df: DataFrame,
+    key_col: str = "key",
+    slot_col: str = "slot",
+    val_col: str = "val",
+    half_life_slots: int = 1,
+    max_age_halflives: int = 62,
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.decayed_counts with
+    EXACT batch parity. The naive incremental form — decay the single
+    running total, then add new events — is NOT the batch value:
+    (Σ v_i) >> b differs from Σ (v_i >> b) (floor before vs after the
+    sum). Parity needs per-slot granularity, and the decay horizon
+    bounds it: events older than max_age_halflives half-lives
+    contribute exactly 0, so the state is a RING of at most
+    (max_age_halflives + 1) * half_life_slots per-slot sums per key —
+    fixed-size state, and the emitted value recomputes
+    Σ slot_sum >> age from the ring — exactly the batch operator's
+    slot-aggregated definition (per-slot sums first, then the shift;
+    event-level shifting would not be mergeable at all).
+
+    Late arrivals merge into their slot's sum (order-free); slots that
+    fall off the horizon are dropped from state. Emits one snapshot
+    per key per batch: (key, last_slot, n_events, decayed)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    h = int(half_life_slots)
+    horizon = (max_age_halflives + 1) * h
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n_events, slots, sums = state.get
+            ring = dict(zip(slots, sums))
+        else:
+            n_events, ring = 0, {}
+        for pdf in pdfs:
+            for s, v in zip(pdf[slot_col], pdf[val_col]):
+                s, v = int(s), int(v)
+                ring[s] = ring.get(s, 0) + v
+                n_events += 1
+        if ring:
+            last = max(ring)
+            ring = {
+                s: v for s, v in ring.items() if last - s < horizon
+            }
+            decayed = sum(
+                v >> ((last - s) // h) for s, v in ring.items()
+            )
+        else:
+            last, decayed = 0, 0
+        state.update(
+            (n_events, list(ring.keys()), [ring[s] for s in ring])
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "last_slot": [last],
+                "n_events": [n_events],
+                "decayed": [decayed],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, last_slot long, n_events long, decayed long"
+        ),
+        stateStructType=(
+            "n_events long, slots array<long>, sums array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2645,3 +2645,97 @@ def test_decayed_counts_designed(spark):
         df2, key_col="k", slot_col="slot", val_col="v", half_life_slots=2
     ).collect()[0]
     assert out2.decayed == 8 + 8 + 4 + 4
+
+
+def test_hilbert_ranges_exact_coverage_and_pruning(spark, tmp_path):
+    """The range planner covers a query box exactly (random trials +
+    aligned quadrant = 1 range), and its BETWEEN predicates prune a
+    Hilbert-clustered layout to a small file subset while returning
+    exactly the box's rows."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import (
+        hilbert_key,
+        hilbert_ranges,
+        hilbert_xy2d,
+    )
+    from instageo_e2e_geospatial_ml_spark.operators.skew import (
+        write_clustered,
+    )
+
+    rng = random.Random(6)
+    for _ in range(40):
+        bits = rng.randrange(2, 6)
+        n = 1 << bits
+        x0, x1 = sorted(rng.randrange(n) for _ in range(2))
+        y0, y1 = sorted(rng.randrange(n) for _ in range(2))
+        ranges = hilbert_ranges(bits, x0, y0, x1, y1, max_ranges=10**9)
+        want = {
+            hilbert_xy2d(bits, x, y)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+        got = set()
+        for lo, hi in ranges:
+            got |= set(range(lo, hi + 1))
+        assert got == want
+        for i in range(len(ranges) - 1):
+            assert ranges[i][1] + 1 < ranges[i + 1][0]
+    # aligned quadrant -> exactly one contiguous range
+    assert len(hilbert_ranges(6, 16, 32, 31, 47, max_ranges=10**9)) == 1
+    # max_ranges cap only ADDS keys (pruning stays correct)
+    capped = hilbert_ranges(5, 3, 3, 20, 9, max_ranges=3)
+    exact = hilbert_ranges(5, 3, 3, 20, 9, max_ranges=10**9)
+    assert len(capped) <= 3
+    exact_keys = set()
+    for lo, hi in exact:
+        exact_keys |= set(range(lo, hi + 1))
+    for k in exact_keys:
+        assert any(lo <= k <= hi for lo, hi in capped)
+
+    # end-to-end pruning on a clustered layout
+    bits = 6
+    pts = spark.range(1 << (2 * bits)).select(
+        (F2.col("id") % (1 << bits)).alias("x"),
+        (F2.col("id") / (1 << bits)).cast("long").alias("y"),
+    )
+    keyed = hilbert_key(pts, bits=bits)
+    out = str(tmp_path / "hclustered")
+    write_clustered(keyed, out, "hilbert", num_files=16)
+    box = (8, 8, 15, 23)  # 8x16 box
+    ranges = hilbert_ranges(bits, *box, max_ranges=8)
+    pred = None
+    for lo, hi in ranges:
+        c = (F2.col("hilbert") >= lo) & (F2.col("hilbert") <= hi)
+        pred = c if pred is None else (pred | c)
+    scan = spark.read.parquet(out).filter(pred)
+    rows = scan.collect()
+    in_box = [
+        r
+        for r in rows
+        if box[0] <= r.x <= box[2] and box[1] <= r.y <= box[3]
+    ]
+    # every box cell present exactly once after the exact refine
+    assert len(in_box) == 8 * 16
+    files = scan.select(F2.input_file_name().alias("f")).distinct().count()
+    assert files <= 8  # the 16-file layout prunes to at most half
+
+
+def test_decayed_counts_slot_aggregated_semantics(spark):
+    """Same-slot events sum BEFORE the shift (the mergeable
+    definition): two v=3 events one half-life old contribute
+    (3+3)>>1 = 3, not (3>>1)+(3>>1) = 2."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        decayed_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 3), ("k", 1, 3), ("k", 2, 0)],
+        "k string, slot long, v long",
+    )
+    out = decayed_counts(
+        df, key_col="k", slot_col="slot", val_col="v"
+    ).collect()[0]
+    assert out.decayed == 3 and out.n_events == 3

@@ -751,3 +751,62 @@ def test_hll_distinct_stream_register_exact_batch_parity(spark, tmp_path):
             s_total,
             m_hit,
         )
+
+
+def test_decayed_counts_stream_exact_batch_parity(spark, tmp_path):
+    """Ring-of-slot-sums streaming state reproduces the batch
+    per-event-shift decay EXACTLY across multi-batch ingestion — the
+    naive decay-the-total form would floor differently."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        decayed_counts,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.distinct import (
+        decayed_counts_stream,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (k, rng.randrange(0, 40), rng.randrange(1, 100))
+        for k in range(6)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, slot long, v long")
+    src = str(tmp_path / "in")
+    df.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("k long, slot long, v long").parquet(src)
+    q = (
+        decayed_counts_stream(
+            stream, key_col="k", slot_col="slot", val_col="v",
+            half_life_slots=3,
+        )
+        .writeStream.format("memory")
+        .queryName("decay_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = spark.table("decay_stream").toPandas()
+    final = snap[
+        snap.groupby("k")["n_events"].transform("max") == snap["n_events"]
+    ].set_index("k")
+
+    batch = {
+        r.k: (r.last_slot, r.n_events, r.decayed)
+        for r in decayed_counts(
+            df, key_col="k", slot_col="slot", val_col="v",
+            half_life_slots=3,
+        ).collect()
+    }
+    for k in range(6):
+        row = final.loc[k]
+        assert (
+            int(row.last_slot),
+            int(row.n_events),
+            int(row.decayed),
+        ) == batch[k], k
