@@ -201,3 +201,91 @@ def test_vp8l_interop_property(seed):
     ref = _libwebp_decode(buf)
     got = webp_decode(buf)
     assert got.shape == ref.shape and (got == ref).all()
+
+
+# --- round-7 pure-python kernels ------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=(1 << 7) - 1),
+    st.integers(min_value=0, max_value=(1 << 7) - 1),
+)
+def test_hilbert_xy2d_bijective_prefix_property(bits, x, y):
+    """xy2d is injective, in range, and truncating coordinates to the
+    top L bits lands the key in the corresponding depth-L block —
+    the contiguous-quadrant property hilbert_ranges relies on."""
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import (
+        hilbert_xy2d,
+    )
+
+    n = 1 << bits
+    x, y = x % n, y % n
+    d = hilbert_xy2d(bits, x, y)
+    assert 0 <= d < n * n
+    for level in range(bits + 1):
+        size = 1 << (bits - level)
+        block = size * size
+        d0 = (
+            hilbert_xy2d(bits, (x // size) * size, (y // size) * size)
+            // block
+            * block
+        )
+        assert d0 <= d < d0 + block
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=63),
+            st.integers(min_value=0, max_value=63),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+def test_hilbert_ranges_property(pts, pad):
+    """For ANY box, the planner's ranges contain exactly the box's
+    keys (checked via the member points hypothesis generates)."""
+    from instageo_e2e_geospatial_ml_spark.functions.zorder import (
+        hilbert_ranges,
+        hilbert_xy2d,
+    )
+
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x0, x1 = min(xs), min(max(xs) + pad % 5, 63)
+    y0, y1 = min(ys), min(max(ys) + pad // 5, 63)
+    ranges = hilbert_ranges(6, x0, y0, x1, y1, max_ranges=10**9)
+    inside = lambda x, y: x0 <= x <= x1 and y0 <= y <= y1  # noqa: E731
+    for x, y in pts:
+        d = hilbert_xy2d(6, x, y)
+        covered = any(lo <= d <= hi for lo, hi in ranges)
+        assert covered == inside(x, y)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=9),
+    st.integers(min_value=0, max_value=500),
+)
+def test_largest_remainder_pure_property(weights, total):
+    """Driver-side replica of the apportionment invariants for any
+    weights/total: integer shares, exact sum, within-1-of-quota."""
+    w_sum = sum(weights)
+    if w_sum == 0:
+        return
+    floors = [total * w // w_sum for w in weights]
+    rems = [total * w % w_sum for w in weights]
+    left = total - sum(floors)
+    order = sorted(range(len(weights)), key=lambda i: (-rems[i], i))
+    shares = list(floors)
+    for i in order[:left]:
+        shares[i] += 1
+    assert sum(shares) == total
+    for i, w in enumerate(weights):
+        exact = total * w / w_sum
+        assert exact - 1 < shares[i] < exact + 1
