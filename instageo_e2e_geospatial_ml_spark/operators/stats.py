@@ -1144,3 +1144,97 @@ SELECT {g}, n, m1, m2, num, den1, den2,
     round(num / sqrt(CAST(den1 AS DOUBLE) * den2), 6) END AS corr_q6
 FROM u
 """
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust slope per group: the median of all pairwise
+    slopes (yj-yi)/(xj-xi) — the 29%-breakdown-point regression the
+    OLS trend (q97) is fragile without. Exactness note: with integer
+    coords bounded by B, two distinct pairwise slopes differ by at
+    least 1/B^2, while double resolution at slope magnitudes <= B is
+    ~B*2^-52 — so ORDERING slopes as doubles is exact for B <= ~10^6
+    and the lower-median pick (deterministic ties by (dy, dx)) is
+    engine-portable; the emitted median is the chosen element's exact
+    (dy, dx) pair plus one rounded division.
+
+    Plan: within-group pair self-join on (i < j) — O(n^2) pairs per
+    group, the exact form (estimator definition); callers bound group
+    size or pre-sample, the standard Theil-Sen scaling route. Pairs
+    with equal x are skipped (vertical)."""
+    from pyspark.sql import Window
+
+    g = group_col
+    a = df.select(
+        F.col(g),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    b = df.select(
+        F.col(g),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    pairs = (
+        a.join(b, g)
+        .filter(
+            (F.col("_xa") < F.col("_xb"))
+            | ((F.col("_xa") == F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
+        )
+        .filter(F.col("_xa") != F.col("_xb"))
+        .select(
+            g,
+            (F.col("_yb") - F.col("_ya")).alias("dy"),
+            (F.col("_xb") - F.col("_xa")).alias("dx"),
+        )
+        .withColumn("slope", F.col("dy").cast("double") / F.col("dx"))
+    )
+    w = Window.partitionBy(g).orderBy(
+        F.col("slope").asc(), F.col("dy").asc(), F.col("dx").asc()
+    )
+    wn = Window.partitionBy(g)
+    ranked = pairs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_np", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(_np + 1) div 2")
+    )
+    return med.select(
+        g,
+        F.col("_np").alias("n_pairs"),
+        F.col("dy").alias("med_dy"),
+        F.col("dx").alias("med_dx"),
+        F.round(F.col("slope"), 6).alias("slope_q6"),
+    )
+
+
+def theil_sen_slope_sql(
+    table_sql: str, group_col: str, x_expr: str, y_expr: str
+) -> str:
+    """The identical pairwise-median slope as DuckDB SQL."""
+    g = group_col
+    return f"""
+WITH p AS (SELECT {g}, {x_expr} AS x, {y_expr} AS y FROM ({table_sql})),
+pairs AS (
+  SELECT a.{g}, b.y - a.y AS dy, b.x - a.x AS dx,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM p a JOIN p b
+    ON a.{g} = b.{g}
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  WHERE a.x <> b.x
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY {g}
+      ORDER BY slope ASC, dy ASC, dx ASC) AS rn,
+    CAST(count(*) OVER (PARTITION BY {g}) AS BIGINT) AS np
+  FROM pairs
+)
+SELECT {g}, np AS n_pairs, dy AS med_dy, dx AS med_dx,
+       round(slope, 6) AS slope_q6
+FROM r WHERE rn = (np + 1) // 2
+"""

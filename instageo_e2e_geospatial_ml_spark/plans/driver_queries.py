@@ -5020,3 +5020,41 @@ Q122_SQL = _q122_sql()
 
 QUERIES["q122_decayed_counts"] = q122_decayed_counts
 ORACLES["q122_decayed_counts"] = Q122_SQL
+
+
+def q123_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil-Sen robust slope (operators/stats.
+    theil_sen_slope) of cent totals over day offsets on a bounded
+    sample — pairwise-median regression with double-ordering exactness
+    guaranteed by the bounded integer domain (docstring argument)."""
+    from ..operators.stats import theil_sen_slope
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("hdol"),
+    )
+    return theil_sen_slope(
+        pts, group_col="o_orderpriority", x_col="day", y_col="hdol"
+    )
+
+
+def _q123_sql() -> str:
+    from ..operators.stats import theil_sen_slope_sql
+
+    return theil_sen_slope_sql(
+        "SELECT o_orderpriority, "
+        "datediff('day', DATE '1992-01-01', o_orderdate) AS day, "
+        "CAST(floor(o_totalprice / 100) AS BIGINT) AS hdol "
+        "FROM orders WHERE o_orderkey % 37 = 0",
+        group_col="o_orderpriority",
+        x_expr="day",
+        y_expr="hdol",
+    )
+
+
+Q123_SQL = _q123_sql()
+
+QUERIES["q123_theil_sen"] = q123_theil_sen
+ORACLES["q123_theil_sen"] = Q123_SQL

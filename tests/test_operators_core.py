@@ -2739,3 +2739,43 @@ def test_decayed_counts_slot_aggregated_semantics(spark):
         df, key_col="k", slot_col="slot", val_col="v"
     ).collect()[0]
     assert out.decayed == 3 and out.n_events == 3
+
+
+def test_theil_sen_robustness_and_reference(spark):
+    """Median pairwise slope matches a brute-force reference and
+    shrugs off outliers that wreck the OLS slope."""
+    import random
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    rng = random.Random(19)
+    # y = 3x + noise, with 20% wild outliers
+    rows = []
+    for i in range(40):
+        x = i
+        y = 3 * x + rng.randrange(-2, 3)
+        if i % 5 == 0:
+            y += 500  # outlier
+        rows.append(("g", x, y))
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = theil_sen_slope(df, "grp", "x", "y").collect()[0]
+
+    slopes = []
+    pts = [(x, y) for _, x, y in rows]
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            a, b = pts[i], pts[j]
+            if a[0] < b[0] or (a[0] == b[0] and a[1] < b[1]):
+                if a[0] != b[0]:
+                    slopes.append(
+                        (Fraction(b[1] - a[1], b[0] - a[0]), b[1] - a[1], b[0] - a[0])
+                    )
+    slopes.sort()
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert r.n_pairs == len(slopes)
+    assert Fraction(r.med_dy, r.med_dx) == med[0]
+    # robust: slope stays near 3 despite the +500 outliers
+    assert 2.8 < r.slope_q6 < 3.3
