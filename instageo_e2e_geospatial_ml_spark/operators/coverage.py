@@ -43,11 +43,15 @@ def greedy_coverage(
     if shingle == 1:
         units = t
     elif shingle == 2:
+        # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+        # guard docs with < 2 tokens to an empty array explicitly
         units = F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}), "
-            f"'\\\\s+')) - 1, 0)), "
+            f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= 2 THEN "
+            f"transform(sequence(1, size(split(trim({text_col}), "
+            f"'\\\\s+')) - 1), "
             f"j -> concat(element_at(split(trim({text_col}), '\\\\s+'), j), "
-            f"' ', element_at(split(trim({text_col}), '\\\\s+'), j + 1)))"
+            f"' ', element_at(split(trim({text_col}), '\\\\s+'), j + 1))) "
+            f"ELSE array() END"
         )
     else:
         raise ValueError("shingle must be 1 or 2")

@@ -194,8 +194,11 @@ def convex_hull(
     The oracle twin (convex_hull_sql) uses a DIFFERENT algorithm — the
     O(n^3) extreme-edge characterization over integer orientation
     predicates — so agreement is a genuine cross-check, not a shared
-    implementation. Groups need >= 3 distinct points for the twin
-    (a 1/2-point group has no directed hull edges)."""
+    implementation. A 2-distinct-point group yields both directed
+    edges in the twin (the NOT EXISTS is vacuous) and agrees with the
+    chain; a 1-distinct-point group has no edges, so the twin emits it
+    through an explicit singleton branch to match the chain's
+    (point, n_hull=1, area2=0) row."""
     import pandas as pd
 
     out_schema = (
@@ -293,7 +296,14 @@ ar AS (
   FROM e GROUP BY 1
 ),
 v AS (SELECT DISTINCT {gc}, ax AS vx, ay AS vy FROM e),
-nv AS (SELECT {gc}, CAST(count(*) AS BIGINT) AS n_hull FROM v GROUP BY 1)
+nv AS (SELECT {gc}, CAST(count(*) AS BIGINT) AS n_hull FROM v GROUP BY 1),
+singletons AS (
+  SELECT {gc}, min(x) AS vx, min(y) AS vy,
+         CAST(1 AS BIGINT) AS n_hull, CAST(0 AS BIGINT) AS area2
+  FROM p GROUP BY {gc} HAVING count(*) = 1
+)
 SELECT v.{gc}, v.vx, v.vy, nv.n_hull, ar.area2
 FROM v JOIN nv ON v.{gc} = nv.{gc} JOIN ar ON v.{gc} = ar.{gc}
+UNION ALL
+SELECT {gc}, vx, vy, n_hull, area2 FROM singletons
 """

@@ -39,7 +39,10 @@ def gram_matrix(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy())
+            # float64 BEFORE quantizing (the similarity.py convention):
+            # Arrow array<float> is float32, and abs(x)*scale+0.5 in
+            # f32 rounds differently than the oracle's CAST AS DOUBLE
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
                 np.int64
             )
@@ -117,7 +120,7 @@ def jl_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy())
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if r is None:
                 d_in = x.shape[1]
                 r = np.empty((d_in, d_out), dtype=np.int64)

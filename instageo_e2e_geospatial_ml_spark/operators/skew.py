@@ -99,7 +99,9 @@ def range_split_points(
     Returns (split_idx, target_rank, split_value, cum_at_split):
     cum_at_split is the cumulative count through the boundary value
     (== target_rank only when the boundary value is not repeated past
-    the target)."""
+    the target). The result is materialized eagerly (n_parts-1 rows —
+    it exists to be collected into a partitioner/DDL anyway), which
+    also lets the intermediate cache be released before returning."""
     sess = df.sparkSession
     if n_buckets is None:
         n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -136,13 +138,20 @@ def range_split_points(
         ],
         "split_idx long, target_rank long",
     )
-    return (
+    out = (
         cum.join(F.broadcast(targets), F.col("cum") >= F.col("target_rank"))
         .groupBy("split_idx", "target_rank")
         .agg(
             F.min("v").alias("split_value"),
             F.min("cum").alias("cum_at_split"),
         )
+    )
+    rows = out.collect()
+    ranged.unpersist()
+    return sess.createDataFrame(
+        rows or [],
+        "split_idx long, target_rank long, split_value long, "
+        "cum_at_split long",
     )
 
 

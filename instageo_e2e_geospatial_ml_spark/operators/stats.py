@@ -655,7 +655,10 @@ def skyline2d_sql(
     y_expr: str = "y",
     group_exprs: str = "",
 ) -> str:
-    """The identical one-pass 2-D skyline as DuckDB SQL."""
+    """The identical one-pass 2-D skyline as DuckDB SQL. NOTE:
+    `group_exprs` is COMMA-PREFIXED (e.g. ", p_brand"), matching
+    hll_sql's convention — unlike weighted_percentiles_sql, which
+    takes a bare list; empty string means no grouping."""
     part = f"PARTITION BY {group_exprs[1:]}" if group_exprs else ""
     return f"""
 WITH p AS (
@@ -1181,11 +1184,9 @@ def theil_sen_slope(
     )
     pairs = (
         a.join(b, g)
-        .filter(
-            (F.col("_xa") < F.col("_xb"))
-            | ((F.col("_xa") == F.col("_xb")) & (F.col("_ya") < F.col("_yb")))
-        )
-        .filter(F.col("_xa") != F.col("_xb"))
+        # strictly-increasing x both orders each unordered pair once
+        # AND excludes vertical (equal-x) pairs in one condition
+        .filter(F.col("_xa") < F.col("_xb"))
         .select(
             g,
             (F.col("_yb") - F.col("_ya")).alias("dy"),
@@ -1223,9 +1224,7 @@ pairs AS (
   SELECT a.{g}, b.y - a.y AS dy, b.x - a.x AS dx,
          CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
   FROM p a JOIN p b
-    ON a.{g} = b.{g}
-   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
-  WHERE a.x <> b.x
+    ON a.{g} = b.{g} AND a.x < b.x
 ),
 r AS (
   SELECT *,

@@ -110,10 +110,17 @@ def time_weighted_avg(
     lead() window, both sums exact bigints (num/den emitted alongside
     the one rounded float division). The final observation has no dwell
     interval and contributes nothing (standard last-interval-open
-    convention); single-observation keys return NULL."""
+    convention); single-observation keys return NULL. Pass
+    tiebreak_col when timestamps can repeat within a key: tied rows
+    have zero dwell so they contribute nothing themselves, but WHICH
+    tied row pairs with the following interval must not depend on
+    shuffle order."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
     d = obs.withColumn("_nxt", F.lead(ts_col).over(w)).filter(
         F.col("_nxt").isNotNull()
     )

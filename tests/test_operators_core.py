@@ -2779,3 +2779,69 @@ def test_theil_sen_robustness_and_reference(spark):
     assert Fraction(r.med_dy, r.med_dx) == med[0]
     # robust: slope stays near 3 despite the +500 outliers
     assert 2.8 < r.slope_q6 < 3.3
+
+
+def test_greedy_coverage_short_docs_and_bigram_guard(spark):
+    """Docs with one token or empty text must not crash the bigram
+    shingle path (Spark's sequence(1, 0) is [1, 0], not empty) and
+    contribute no bigrams — matching the DuckDB twin."""
+    from instageo_e2e_geospatial_ml_spark.operators.coverage import (
+        greedy_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, "  x  ")],
+        "doc_id long, text string",
+    )
+    out = greedy_coverage(docs, k=3, shingle=2).collect()
+    # only doc 1 has bigrams: "a b", "b c"
+    assert [(r.round, r.doc_id, r.gain) for r in out] == [(1, 1, 2)]
+
+
+def test_time_weighted_avg_tie_deterministic_across_partitioning(spark):
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [("k", 0, 1, 10), ("k", 0, 2, 20), ("k", 5, 3, 0)]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, v long")
+    vals = set()
+    for parts in (1, 7):
+        r = time_weighted_avg(
+            df.repartition(parts),
+            key_col="k",
+            ts_col="t",
+            val_col="v",
+            tiebreak_col="eid",
+        ).collect()[0]
+        vals.add((r.twap_num, r.twap_den))
+    # eid=2 (value 20) always owns the 5-unit interval
+    assert vals == {(100, 5)}
+
+
+def test_convex_hull_singleton_group_matches_sql_twin(spark):
+    """A 1-distinct-point group emits (point, n_hull=1, area2=0) from
+    BOTH the chain and the extreme-edge twin's singleton branch."""
+    import duckdb
+
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import (
+        convex_hull,
+        convex_hull_sql,
+    )
+
+    rows = [("one", 7, 9), ("one", 7, 9), ("tri", 0, 0), ("tri", 4, 0), ("tri", 0, 4)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = sorted(
+        (r.grp, r.vx, r.vy, r.n_hull, r.area2)
+        for r in convex_hull(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(grp VARCHAR, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?,?,?)", rows)
+    want = sorted(
+        map(tuple, con.execute(
+            convex_hull_sql("SELECT grp, x, y FROM pts")
+        ).fetchall())
+    )
+    assert got == want
+    assert ("one", 7, 9, 1, 0) in got
