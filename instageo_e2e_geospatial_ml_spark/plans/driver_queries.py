@@ -5058,3 +5058,33 @@ Q123_SQL = _q123_sql()
 
 QUERIES["q123_theil_sen"] = q123_theil_sen
 ORACLES["q123_theil_sen"] = Q123_SQL
+
+
+def q124_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Kaplan-Meier survival curve (operators/survival.
+    kaplan_meier): right-censored synthetic durations; the survival
+    recurrence runs in 10^6 fixed point so every step is exact integers
+    — the oracle replays the identical fold as a recursive CTE."""
+    from ..operators.survival import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        ((F.col("o_orderkey") * 7) % 200).alias("duration"),
+        (F.col("o_custkey") % 4 != 0).cast("int").alias("event"),
+    )
+    return kaplan_meier(o)
+
+
+def _q124_sql() -> str:
+    from ..operators.survival import kaplan_meier_sql
+
+    return kaplan_meier_sql(
+        "SELECT o_orderpriority AS grp, (o_orderkey * 7) % 200 AS duration, "
+        "CAST(o_custkey % 4 <> 0 AS INTEGER) AS event FROM orders",
+    )
+
+
+Q124_SQL = _q124_sql()
+
+QUERIES["q124_kaplan_meier"] = q124_kaplan_meier
+ORACLES["q124_kaplan_meier"] = Q124_SQL

@@ -2845,3 +2845,43 @@ def test_convex_hull_singleton_group_matches_sql_twin(spark):
     )
     assert got == want
     assert ("one", 7, 9, 1, 0) in got
+
+
+def test_kaplan_meier_textbook_and_lifelines_free_reference(spark):
+    """Classic KM worked example: known risk sets, censoring between
+    event times, and the fixed-point survival within 1e-6 of the exact
+    real-valued product at every step."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    # durations/events: events at 2 (x1), 5 (x2), censored at 3 and 6,
+    # event at 8, censored at 8
+    rows = [
+        ("g", 2, 1),
+        ("g", 3, 0),
+        ("g", 5, 1),
+        ("g", 5, 1),
+        ("g", 6, 0),
+        ("g", 8, 1),
+        ("g", 8, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration long, event long")
+    out = {r.t: r for r in kaplan_meier(df).collect()}
+    assert set(out) == {2, 5, 8}
+    assert (out[2].n_at_risk, out[2].n_events) == (7, 1)
+    assert (out[5].n_at_risk, out[5].n_events) == (5, 2)
+    # censored-at-8 subject still at risk at 8 (standard convention)
+    assert (out[8].n_at_risk, out[8].n_events, out[8].n_censored) == (2, 1, 1)
+
+    exact = Fraction(1)
+    fp = 1_000_000
+    for t, n, d in [(2, 7, 1), (5, 5, 2), (8, 2, 1)]:
+        exact *= Fraction(n - d, n)
+        fp = fp * (n - d) // n
+        assert out[t].surv_fp == fp
+        assert abs(out[t].surv_fp - float(exact) * 1_000_000) <= len(out)
+    # survival after the last event: 6/7 * 3/5 * 1/2 = 9/35
+    assert abs(out[8].surv_fp / 1e6 - 9 / 35) < 5e-6
