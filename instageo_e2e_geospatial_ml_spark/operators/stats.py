@@ -661,7 +661,7 @@ def skyline2d_sql(
     takes a bare list; empty string means no grouping."""
     part = f"PARTITION BY {group_exprs[1:]}" if group_exprs else ""
     return f"""
-WITH p AS (
+WITH ipts AS (
   SELECT DISTINCT{group_exprs[1:] + ',' if group_exprs else ''}
          {x_expr}, {y_expr}
   FROM ({table_sql})
@@ -1219,11 +1219,11 @@ def theil_sen_slope_sql(
     """The identical pairwise-median slope as DuckDB SQL."""
     g = group_col
     return f"""
-WITH p AS (SELECT {g}, {x_expr} AS x, {y_expr} AS y FROM ({table_sql})),
+WITH ipts AS (SELECT {g}, {x_expr} AS x, {y_expr} AS y FROM ({table_sql})),
 pairs AS (
   SELECT a.{g}, b.y - a.y AS dy, b.x - a.x AS dx,
          CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
-  FROM p a JOIN p b
+  FROM ipts a JOIN ipts b
     ON a.{g} = b.{g} AND a.x < b.x
 ),
 r AS (
@@ -1236,4 +1236,100 @@ r AS (
 SELECT {g}, np AS n_pairs, dy AS med_dy, dx AS med_dx,
        round(slope, 6) AS slope_q6
 FROM r WHERE rn = (np + 1) // 2
+"""
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group isotonic (monotone nondecreasing) least-squares fit —
+    the calibration-curve primitive (Platt/isotonic probability
+    calibration, monotone dose-response): PAVA (pool adjacent
+    violators) over x-sorted integer observations, block averages kept
+    as exact Fractions until one final rounded division. x must be
+    unique per group (pre-aggregate duplicates to their mean or sum —
+    the caller decides the tie semantics).
+
+    The oracle twin computes the SAME fit by a different theorem: the
+    minimax formula fit_k = max_{i<=k} min_{j>=k} avg(y_i..y_j) over
+    prefix sums (O(n^3) in SQL — oracle-scale only). Comparing
+    averages as doubles is exact on the bounded integer domain
+    (distinct rationals differ by >= 1/n^2, far above double
+    resolution for n <= 10^3, |y| <= 10^6 — the Theil-Sen argument).
+    Agreement of two different characterizations pins the operator.
+
+    Plan: applyInPandas per group — a calibration curve is one
+    model/segment's data, the natural work unit."""
+    import pandas as pd
+
+    g = group_col
+    out_schema = f"{g} string, x long, y long, fit_q6 double"
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        pdf = pdf.sort_values(x_col)
+        ys = [int(v) for v in pdf[y_col]]
+        # blocks of (sum, count); merge while the last violates order
+        blocks: list[list[int]] = []
+        for v in ys:
+            blocks.append([v, 1])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                s, c = blocks.pop()
+                blocks[-1][0] += s
+                blocks[-1][1] += c
+        fits = []
+        for s, c in blocks:
+            f = Fraction(s, c)
+            fits.extend([f] * c)
+        return pd.DataFrame(
+            {
+                g: pdf[g].to_numpy(),
+                "x": pdf[x_col].to_numpy(),
+                "y": ys,
+                "fit_q6": [round(float(f), 6) for f in fits],
+            }
+        )
+
+    return df.select(g, x_col, y_col).groupBy(g).applyInPandas(
+        pava, out_schema
+    )
+
+
+def isotonic_fit_sql(
+    table_sql: str, group_col: str, x_expr: str, y_expr: str
+) -> str:
+    """The minimax-formula oracle (different algorithm than PAVA):
+    fit_k = max over i<=k of (min over j>=k of avg(i..j))."""
+    g = group_col
+    return f"""
+WITH ipts AS (
+  SELECT {g}, {x_expr} AS x, {y_expr} AS y,
+         row_number() OVER (PARTITION BY {g} ORDER BY {x_expr} ASC) AS k,
+         CAST(sum({y_expr}) OVER (PARTITION BY {g} ORDER BY {x_expr} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+  FROM ({table_sql})
+),
+seg AS (
+  SELECT a.{g}, a.k AS i, b.k AS j,
+         CAST(b.s - a.s + a.y AS DOUBLE) / (b.k - a.k + 1) AS avg_ij
+  FROM ipts a JOIN ipts b ON a.{g} = b.{g} AND a.k <= b.k
+),
+inner_min AS (
+  SELECT s.{g}, s.i, k.k,
+         min(s.avg_ij) AS min_avg
+  FROM seg s JOIN ipts k ON s.{g} = k.{g} AND s.i <= k.k AND k.k <= s.j
+  GROUP BY 1, 2, 3
+)
+SELECT p.{g}, p.x, p.y,
+       round(max(im.min_avg), 6) AS fit_q6
+FROM ipts p JOIN inner_min im ON p.{g} = im.{g} AND p.k = im.k AND im.i <= p.k
+GROUP BY 1, 2, 3
 """

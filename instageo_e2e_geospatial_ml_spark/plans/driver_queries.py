@@ -5088,3 +5088,48 @@ Q124_SQL = _q124_sql()
 
 QUERIES["q124_kaplan_meier"] = q124_kaplan_meier
 ORACLES["q124_kaplan_meier"] = Q124_SQL
+
+
+def q125_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority isotonic calibration fit (operators/stats.
+    isotonic_fit): PAVA in Spark, the minimax-formula characterization
+    in the oracle — two theorems agreeing on every fitted value.
+    Orders sampled so the O(n^3) oracle stays oracle-sized; x (day
+    offset) made unique per group by a pre-aggregation."""
+    from ..operators.stats import isotonic_fit
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    pts = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+                "day"
+            ),
+            F.floor(F.col("o_totalprice") / 100).cast("long").alias("hdol"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.max("hdol").alias("y"))
+    )
+    return isotonic_fit(pts, group_col="grp", x_col="day", y_col="y")
+
+
+def _q125_sql() -> str:
+    from ..operators.stats import isotonic_fit_sql
+
+    return isotonic_fit_sql(
+        "SELECT grp, day, CAST(max(hdol) AS BIGINT) AS y FROM ("
+        "  SELECT o_orderpriority AS grp, "
+        "  datediff('day', DATE '1992-01-01', o_orderdate) AS day, "
+        "  CAST(floor(o_totalprice / 100) AS BIGINT) AS hdol "
+        "  FROM orders WHERE o_orderkey % 101 = 0"
+        ") GROUP BY 1, 2",
+        group_col="grp",
+        x_expr="day",
+        y_expr="y",
+    )
+
+
+Q125_SQL = _q125_sql()
+
+QUERIES["q125_isotonic_fit"] = q125_isotonic_fit
+ORACLES["q125_isotonic_fit"] = Q125_SQL

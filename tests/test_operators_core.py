@@ -2885,3 +2885,34 @@ def test_kaplan_meier_textbook_and_lifelines_free_reference(spark):
         assert abs(out[t].surv_fp - float(exact) * 1_000_000) <= len(out)
     # survival after the last event: 6/7 * 3/5 * 1/2 = 9/35
     assert abs(out[8].surv_fp / 1e6 - 9 / 35) < 5e-6
+
+
+def test_isotonic_fit_properties(spark):
+    """PAVA output is monotone, preserves the group mean (L2 projection
+    property), equals y when y is already monotone, and pools a known
+    violator block to its exact average."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        isotonic_fit,
+    )
+
+    rows = (
+        [("mono", i, 2 * i) for i in range(8)]
+        + [("pool", 0, 1), ("pool", 1, 5), ("pool", 2, 3), ("pool", 3, 9)]
+        + [("rev", i, 10 - i) for i in range(5)]  # fully decreasing
+    )
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    by = {}
+    for r in isotonic_fit(df, "grp", "x", "y").collect():
+        by.setdefault(r.grp, {})[r.x] = r.fit_q6
+    # already monotone -> identity
+    assert by["mono"] == {i: float(2 * i) for i in range(8)}
+    # violator (5, 3) pools to 4; rest untouched
+    assert by["pool"] == {0: 1.0, 1: 4.0, 2: 4.0, 3: 9.0}
+    # fully decreasing -> constant at the mean (10+9+8+7+6)/5 = 8
+    assert by["rev"] == {i: 8.0 for i in range(5)}
+    # monotone + mean-preserving for every group
+    for g, fits in by.items():
+        seq = [fits[x] for x in sorted(fits)]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+        ys = [y for gg, x, y in rows if gg == g]
+        assert abs(sum(seq) - sum(ys)) < 1e-6
