@@ -59,3 +59,90 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * _DENOM))
         ).otherwise(thr)
     return df.filter(_hash_point(F.col(key_col), salt) < thr)
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+    salt: str = "xsplit",
+) -> DataFrame:
+    """Select EXACTLY `total` rows, allocated across strata
+    proportionally by the largest-remainder rule (operators/stats.
+    largest_remainder semantics inlined over stratum counts), picking
+    each stratum's quota deterministically by md5 rank — the
+    exact-size train/eval split hash_sample cannot give (per-row
+    Bernoulli only hits the target size in expectation; an eval set
+    that must be exactly 10k docs, stratified, needs allocation).
+
+    All integers and md5: rerun-stable, engine-exact. One count
+    aggregation (tiny: one row per stratum — window over strata is
+    vocabulary-sized), one broadcast join, one per-stratum rank
+    window. Returns the selected (stratum, id, rk) rows."""
+    from pyspark.sql import Window
+
+    st, i = stratum_col, id_col
+    counts = df.groupBy(st).agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    wr = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col(st).asc()
+    )
+    alloc = (
+        counts.withColumn("_tot", F.sum("_n").over(wall))
+        .withColumn("_s", F.expr(f"{total} * _n div _tot"))
+        .withColumn("_rem", F.expr(f"({total} * _n) % _tot"))
+        .withColumn("_fsum", F.sum("_s").over(wall))
+        .withColumn("_rk", F.row_number().over(wr))
+        .withColumn(
+            "quota",
+            F.col("_s")
+            + F.when(
+                F.col("_rk") <= F.lit(total) - F.col("_fsum"), 1
+            ).otherwise(0),
+        )
+        .select(st, "quota")
+    )
+    h = F.md5(F.concat(F.col(i).cast("string"), F.lit(":" + salt)))
+    wh = Window.partitionBy(st).orderBy(h.asc(), F.col(i).asc())
+    ranked = df.select(st, i).withColumn("rk", F.row_number().over(wh))
+    return (
+        ranked.join(F.broadcast(alloc), st)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(st, i, "rk")
+    )
+
+
+def exact_stratified_split_sql(
+    table_sql: str, stratum_col: str, id_col: str, total: int,
+    salt: str = "xsplit",
+) -> str:
+    """The identical allocation + hash-rank selection as DuckDB SQL."""
+    st, i = stratum_col, id_col
+    return f"""
+WITH rows_in AS (SELECT {st}, {i} FROM ({table_sql})),
+counts AS (SELECT {st}, CAST(count(*) AS BIGINT) AS n FROM rows_in GROUP BY 1),
+base AS (
+  SELECT {st}, n,
+         ({total} * n) // CAST(sum(n) OVER () AS BIGINT) AS s,
+         ({total} * n) % CAST(sum(n) OVER () AS BIGINT) AS rem
+  FROM counts
+),
+alloc AS (
+  SELECT {st},
+    s + CASE WHEN row_number() OVER (ORDER BY rem DESC, {st} ASC)
+             <= {total} - CAST(sum(s) OVER () AS BIGINT)
+        THEN 1 ELSE 0 END AS quota
+  FROM base
+),
+ranked AS (
+  SELECT {st}, {i},
+    CAST(row_number() OVER (PARTITION BY {st}
+      ORDER BY md5(CAST({i} AS VARCHAR) || ':{salt}') ASC, {i} ASC)
+      AS BIGINT) AS rk
+  FROM rows_in
+)
+SELECT r.{st}, r.{i}, r.rk
+FROM ranked r JOIN alloc a ON r.{st} = a.{st}
+WHERE r.rk <= a.quota
+"""

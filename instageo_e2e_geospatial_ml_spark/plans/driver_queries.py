@@ -5133,3 +5133,35 @@ Q125_SQL = _q125_sql()
 
 QUERIES["q125_isotonic_fit"] = q125_isotonic_fit
 ORACLES["q125_isotonic_fit"] = Q125_SQL
+
+
+def q126_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-300-document stratified eval split over sources
+    (operators/sampling.exact_stratified_split): largest-remainder
+    quota per stratum + deterministic md5-rank selection — the
+    exact-size split Bernoulli hash sampling cannot give."""
+    from ..operators.sampling import exact_stratified_split
+
+    return exact_stratified_split(
+        _t(spark, sf_dir, "documents"),
+        stratum_col="source",
+        id_col="doc_id",
+        total=300,
+    )
+
+
+def _q126_sql() -> str:
+    from ..operators.sampling import exact_stratified_split_sql
+
+    return exact_stratified_split_sql(
+        "SELECT source, doc_id FROM documents",
+        stratum_col="source",
+        id_col="doc_id",
+        total=300,
+    )
+
+
+Q126_SQL = _q126_sql()
+
+QUERIES["q126_exact_stratified_split"] = q126_exact_stratified_split
+ORACLES["q126_exact_stratified_split"] = Q126_SQL

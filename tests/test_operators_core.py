@@ -2916,3 +2916,43 @@ def test_isotonic_fit_properties(spark):
         assert all(a <= b for a, b in zip(seq, seq[1:]))
         ys = [y for gg, x, y in rows if gg == g]
         assert abs(sum(seq) - sum(ys)) < 1e-6
+
+
+def test_exact_stratified_split_invariants(spark):
+    """Selected set is exactly `total` rows, per-stratum quotas within
+    1 of proportionality, selection deterministic across partitioning,
+    and tiny strata are never over-drawn."""
+    import random
+
+    from instageo_e2e_geospatial_ml_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    did = 0
+    for s_name, n in (("a", 500), ("b", 300), ("c", 150), ("tiny", 3)):
+        for _ in range(n):
+            rows.append((s_name, did))
+            did += 1
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    total = 100
+    sel = exact_stratified_split(
+        df, stratum_col="source", id_col="doc_id", total=total
+    ).collect()
+    assert len(sel) == total
+    from collections import Counter
+
+    by = Counter(r.source for r in sel)
+    n_all = len(rows)
+    for s_name, n in (("a", 500), ("b", 300), ("c", 150), ("tiny", 3)):
+        exact = total * n / n_all
+        assert exact - 1 < by[s_name] < exact + 1
+        assert by[s_name] <= n
+    # deterministic across physical layout
+    sel2 = exact_stratified_split(
+        df.repartition(11), stratum_col="source", id_col="doc_id", total=total
+    ).collect()
+    assert {(r.source, r.doc_id) for r in sel} == {
+        (r.source, r.doc_id) for r in sel2
+    }
