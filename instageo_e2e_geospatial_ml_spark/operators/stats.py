@@ -669,7 +669,7 @@ WITH ipts AS (
 m AS (
   SELECT *, min({y_expr}) OVER ({part} ORDER BY {x_expr} ASC, {y_expr} ASC
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-  FROM p
+  FROM ipts
 )
 SELECT {group_exprs[1:] + ',' if group_exprs else ''} {x_expr}, {y_expr}
 FROM m WHERE pm IS NULL OR pm > {y_expr}
