@@ -231,3 +231,92 @@ def cap_per_domain(
         df.withColumn("rank_in_domain", F.row_number().over(w))
         .filter(F.col("rank_in_domain") <= max_per_domain)
     )
+
+
+# canonical synthetic crawl-policy rule set used by q128 and its oracle
+# (prefix, allow). Includes a longest-match cascade under /src1 and an
+# exact-length allow/deny tie under /src6 (tie resolves to allow).
+ROBOTS_RULES = (
+    ("/", 1),
+    ("/src1", 0),
+    ("/src1/p1", 1),
+    ("/src1/p12", 0),
+    ("/src2/p", 0),
+    ("/src3", 0),
+    ("/src4/p4.html", 0),
+    ("/src6", 0),
+    ("/src6", 1),
+    ("/src7/p", 1),
+    ("/src7", 0),
+)
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """Crawl-policy admission by robots.txt longest-match semantics
+    (RFC 9309 / Google spec, prefix rules only — `*`/`$` wildcards are
+    out of scope and documented so): for each row, among the rules
+    whose `prefix` is a string prefix of the path, the LONGEST wins;
+    equal-length winners resolve to allow; no match means allow.
+
+    `rules` is a (prefix STRING, allow INT) dimension table — robots
+    policies are tiny next to a 100 TB crawl, so it broadcasts and the
+    match is a broadcast theta-join on startswith, then one map-side
+    integer fold per row: score = 2*len(prefix) + allow, max(score)
+    decodes to (longest prefix, allow-on-tie) with no struct ordering —
+    the q95 portable-fold trick. Adds `allowed` (0/1) and
+    `matched_len` (0 when no rule matched).
+    """
+    p = F.col(path_col)
+    matched = (
+        df.join(
+            F.broadcast(rules),
+            p.startswith(F.col("prefix")),
+            "left",
+        )
+        .groupBy(*df.columns)
+        .agg(
+            F.max(
+                F.length(F.col("prefix")) * 2 + F.col("allow")
+            ).alias("score")
+        )
+    )
+    score = F.coalesce(F.col("score"), F.lit(1))
+    return matched.select(
+        *df.columns,
+        (score % 2).cast("int").alias("allowed"),
+        F.expr("coalesce(score, 1) div 2").cast("long").alias("matched_len"),
+    )
+
+
+def robots_rules_values_sql(rules=ROBOTS_RULES) -> str:
+    """The rule table as a SQL VALUES list (oracle twin input)."""
+    rows = ", ".join(f"('{p}', {a})" for p, a in rules)
+    return f"SELECT * FROM (VALUES {rows}) AS r(prefix, allow)"
+
+
+def robots_filter_sql(
+    docs_sql: str,
+    key_cols: str,
+    path_expr: str = "path",
+    rules=ROBOTS_RULES,
+) -> str:
+    """DuckDB twin of robots_filter: same broadcast-shape join on
+    starts_with, same 2*len+allow ordered fold. `key_cols` is the
+    comma-separated passthrough column list of `docs_sql`."""
+    return f"""
+WITH d AS ({docs_sql}),
+r AS ({robots_rules_values_sql(rules)}),
+m AS (
+  SELECT {key_cols}, max(2 * length(r.prefix) + r.allow) AS score
+  FROM d LEFT JOIN r ON starts_with(d.{path_expr}, r.prefix)
+  GROUP BY {key_cols}
+)
+SELECT {key_cols},
+       CAST(COALESCE(score, 1) % 2 AS INTEGER) AS allowed,
+       CAST(COALESCE(score, 1) // 2 AS BIGINT) AS matched_len
+FROM m
+"""

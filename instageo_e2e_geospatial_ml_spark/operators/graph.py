@@ -349,3 +349,76 @@ def lpa_sql(edges_sql: str, rounds: int) -> str:
             f"FROM c{i + 1} GROUP BY node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, label FROM l{rounds}"
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core extraction (Seidman 1983) by synchronous peeling: each
+    round deletes every node whose count of still-alive neighbors is
+    below k, on the undirected simple graph (direction, duplicates,
+    self-loops collapse). Returns the alive set after exactly `rounds`
+    peels as (node, core_deg) where core_deg is the node's alive-
+    neighbor count measured in the final round — at convergence this
+    is its true degree within the k-core.
+
+    Engine-exactness: peeling is pure set arithmetic (joins + integer
+    counts), so a FIXED round count makes the oracle an unrolled CTE
+    chain (kcore_sql) that matches bit for bit; rounds is part of the
+    operator contract, the q93/q95 pattern. Convergence needs at most
+    as many rounds as the longest peel cascade — callers size it, and
+    an unconverged prefix is still a well-defined superset of the core.
+
+    Scale: each round is one groupBy(node) count over the edge list
+    semi-joined against the alive set — the alive set only shrinks, so
+    per-round cost is monotone non-increasing; the shuffle keys on
+    node, partial-aggregated map-side. No per-node state beyond the
+    alive flag; hot hubs cost one combine, not a skewed sort.
+    """
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = (
+        raw.select("u", "v")
+        .unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    alive = und.select(F.col("u").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            und.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+        )
+        alive = deg.select("node")
+    return deg.select("node", "core_deg")
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peeling as DuckDB SQL (oracle twin).
+    Alive sets are MATERIALIZED — each is referenced twice per round
+    and DuckDB re-evaluates plain CTEs per reference (exponential
+    blowup on chains, the q121 lesson)."""
+    parts = [
+        f"WITH raw AS (SELECT src AS u, dst AS v FROM ({edges_sql}) WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw))",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT und.u AS node, "
+            f"count(*) AS core_deg FROM und "
+            f"JOIN a{i} x ON x.node = und.u JOIN a{i} y ON y.node = und.v "
+            f"GROUP BY 1 HAVING count(*) >= {k})"
+        )
+        parts.append(f"a{i + 1} AS MATERIALIZED (SELECT node FROM d{i + 1})")
+    return ",\n".join(parts) + f"\nSELECT node, core_deg FROM d{rounds}"

@@ -5165,3 +5165,69 @@ Q126_SQL = _q126_sql()
 
 QUERIES["q126_exact_stratified_split"] = q126_exact_stratified_split
 ORACLES["q126_exact_stratified_split"] = Q126_SQL
+
+
+def q127_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core extraction (operators/graph.kcore) on the q94 lineitem
+    link graph: 6 synchronous peel rounds, each deleting nodes with
+    fewer than 4 still-alive neighbors. Unrolled materialized-CTE
+    oracle; output = (node, core_deg) for survivors."""
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 150).alias("src"),
+        (F.col("l_suppkey") * 7 % 150).alias("dst"),
+    )
+    return kcore(e, k=4, rounds=6)
+
+
+def _q127_sql() -> str:
+    from ..operators.graph import kcore_sql
+
+    return kcore_sql(
+        "SELECT l_partkey % 150 AS src, (l_suppkey * 7) % 150 AS dst "
+        "FROM lineitem",
+        k=4,
+        rounds=6,
+    )
+
+
+Q127_SQL = _q127_sql()
+
+QUERIES["q127_kcore"] = q127_kcore
+ORACLES["q127_kcore"] = Q127_SQL
+
+
+def q128_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy admission (functions/web.robots_filter): RFC-9309
+    longest-prefix-match rules over the synthetic URL paths, tie →
+    allow, no match → allow. Broadcast theta-join + one integer fold;
+    identical-shape DuckDB oracle."""
+    from ..functions.web import ROBOTS_RULES, robots_filter, synth_urls, url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    d = url_components(synth_urls(docs)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "path"
+    )
+    rules = docs.sparkSession.createDataFrame(
+        list(ROBOTS_RULES), "prefix string, allow int"
+    )
+    return robots_filter(d, rules)
+
+
+def _q128_sql() -> str:
+    from ..functions.web import robots_filter_sql
+
+    return robots_filter_sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) || '.html' AS path "
+        "FROM documents",
+        key_cols="doc_id, path",
+    )
+
+
+Q128_SQL = _q128_sql()
+
+QUERIES["q128_robots_filter"] = q128_robots_filter
+ORACLES["q128_robots_filter"] = Q128_SQL

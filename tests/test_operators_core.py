@@ -1663,6 +1663,22 @@ def test_label_propagation_two_communities(spark):
     assert got[10] in (0, 10)  # bridge node may adopt either side
 
 
+def test_kcore_peel_cascade(spark):
+    """Triangle + pendant path 2-3-4, k=2: round 1 peels the leaf (4),
+    round 2 peels the now-degree-1 node (3) — a 2-round cascade — and
+    the triangle survives with core_deg 2. An unconverged prefix
+    (rounds=1) is a superset still containing node 3. Reversed
+    duplicates and self-loops collapse."""
+    from instageo_e2e_geospatial_ml_spark.operators.graph import kcore
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (1, 0), (3, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.core_deg for r in kcore(e, k=2, rounds=3).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    mid = {r.node for r in kcore(e, k=2, rounds=1).collect()}
+    assert mid == {0, 1, 2, 3}  # node 3 survives round 1, dies round 2
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->

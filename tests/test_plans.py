@@ -366,6 +366,37 @@ def test_registrable_domain_psl_table_wins(spark):
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
 
 
+def test_robots_filter_longest_match(spark):
+    """RFC-9309 longest-prefix-match admission: the /src1 cascade
+    (allow-inside-deny-inside-allow), the equal-length /src6 tie
+    resolving to allow, /src7 where the longer allow beats the shorter
+    deny, and a path no rule prefixes (→ allow, matched_len 0). The
+    rules side must broadcast — no shuffle of the fact side."""
+    from instageo_e2e_geospatial_ml_spark.functions.web import (
+        ROBOTS_RULES, robots_filter,
+    )
+
+    cases = [
+        ("/src1/p1.html", 1, 8),    # /src1/p1 allow beats /src1 deny
+        ("/src1/p12.html", 0, 9),   # /src1/p12 deny beats /src1/p1 allow
+        ("/src1/q.html", 0, 5),     # only /src1 deny applies
+        ("/src6/x", 1, 5),          # equal-length deny+allow tie -> allow
+        ("/src7/page", 1, 7),       # longer /src7/p allow beats /src7 deny
+        ("/src7x", 0, 5),           # /src7 deny (prefix of /src7x)
+        ("/other", 1, 1),           # only "/" allow
+        ("relative", 1, 0),         # nothing matches -> allow, len 0
+    ]
+    df = spark.createDataFrame([(p,) for p, _, _ in cases], "path string")
+    rules = spark.createDataFrame(list(ROBOTS_RULES), "prefix string, allow int")
+    out = robots_filter(df, rules)
+    got = {r["path"]: (r["allowed"], r["matched_len"]) for r in out.collect()}
+    for p, allow, mlen in cases:
+        assert got[p] == (allow, mlen), (p, got[p], (allow, mlen))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cap_per_domain_salted_skew(spark):
     """Salted two-phase cap (VERDICT r6 #2): with one domain holding
     ~50% of rows, phase 1 bounds the global-window input to
