@@ -320,3 +320,131 @@ SELECT {key_cols},
        CAST(COALESCE(score, 1) // 2 AS BIGINT) AS matched_len
 FROM m
 """
+
+
+# query keys stripped by canonicalize_url (the C4/CCNet-style tracking
+# set; `utm_*` is matched as a prefix, the rest exactly)
+TRACKING_PARAM_KEYS = (
+    "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid", "ref", "_ga",
+)
+
+
+def synth_raw_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MESSY URL column for the canonicalization surface
+    (q129): mixed-case schemes/hosts, default and non-default ports,
+    empty paths, tracking + real query params in shuffled order, and
+    fragments — every branch the canonicalizer must normalize. Kept
+    separate from synth_urls so the q56/q57/q128 oracles stay frozen."""
+    did = F.col(id_col)
+    scheme = F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = F.concat(
+        F.when(did % 2 == 0, F.lit("WWW.Example")).otherwise(F.lit("example")),
+        (did % 7).cast("string"),
+        F.lit(".com"),
+    )
+    port = (
+        F.when(did % 6 == 0, F.lit(":443"))       # default for the https rows
+        .when(did % 5 == 0, F.lit(":8080"))       # non-default: kept
+        .when((did % 15) == 1, F.lit(":80"))      # default for http: stripped
+        .otherwise(F.lit(""))
+    )
+    path = F.when(did % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/a/p"), (did % 50).cast("string"))
+    )
+    qs = (
+        F.when(did % 4 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(did % 4 == 1, F.lit("?a=1&gclid=xyz&b=2"))
+        .when(did % 4 == 2, F.lit("?utm_medium=cpc&ref=tw"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 9 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "raw_url", F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+    )
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "raw_url") -> DataFrame:
+    """URL canonicalization for crawl dedup (the C4/CCNet/RefinedWeb
+    pre-dedup step): lowercase scheme and host, strip the default port
+    (http:80 / https:443) but keep others, drop the fragment, drop
+    tracking query params (utm_* prefix + TRACKING_PARAM_KEYS), sort
+    the surviving params byte-lexicographically, and normalize an empty
+    path to "/". Path case and duplicate params are preserved (both are
+    semantically significant); dot-segment resolution (/./, /../) is
+    documented out of scope. Adds `url_canon`.
+
+    All JVM expressions — regexp splits, a higher-order filter over the
+    param array, array_sort, array_join — so the whole column stays in
+    whole-stage codegen and the DuckDB twin (canonicalize_url_sql) is
+    the identical expression shape on list_filter/list_sort.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.when(
+        query == "", F.expr("cast(array() as array<string>)")
+    ).otherwise(F.split(query, "&"))
+
+    def _kept(p):
+        k = F.regexp_extract(p, "^([^=]*)", 1)
+        drop = k.startswith("utm_")
+        for t in TRACKING_PARAM_KEYS:
+            drop = drop | (k == t)
+        return ~drop
+
+    q_canon = F.array_join(F.array_sort(F.filter(params, _kept)), "&")
+    return df.withColumn(
+        "url_canon",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(q_canon == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), q_canon)
+            ),
+        ),
+    )
+
+
+def canonicalize_url_sql(url_expr: str = "raw_url") -> str:
+    """The identical canonicalization as a DuckDB scalar expression
+    (oracle twin); splice into a SELECT as `... AS url_canon`."""
+    exact = ", ".join(f"'{k}'" for k in TRACKING_PARAM_KEYS)
+    u = url_expr
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
+    hostport = f"regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)"
+    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    path = f"regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (
+        f"CASE WHEN {query} = '' THEN [] ELSE string_split({query}, '&') END"
+    )
+    kept = (
+        f"list_filter({params}, p -> NOT ("
+        f"starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_') "
+        f"OR regexp_extract(p, '^([^=]*)', 1) IN ({exact})))"
+    )
+    # DuckDB: list_sort/array_to_string of an empty list yields NULL
+    # (Spark's array_join gives ''); COALESCE restores the parity.
+    q_canon = f"COALESCE(array_to_string(list_sort({kept}), '&'), '')"
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    return (
+        f"{scheme} || '://' || {host} "
+        f"|| CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END "
+        f"|| CASE WHEN {path} = '' THEN '/' ELSE {path} END "
+        f"|| CASE WHEN {q_canon} = '' THEN '' ELSE '?' || {q_canon} END"
+    )

@@ -5231,3 +5231,60 @@ Q128_SQL = _q128_sql()
 
 QUERIES["q128_robots_filter"] = q128_robots_filter
 ORACLES["q128_robots_filter"] = Q128_SQL
+
+
+def q129_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/web
+    .canonicalize_url): lowercase scheme/host, default-port strip,
+    fragment drop, tracking-param strip (utm_* + exact keys), param
+    sort, empty path -> "/". n_same_canon counts how many raw variants
+    collapse onto each canonical form (the pre-dedup key). All JVM
+    string/array expressions; identical-shape DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from ..functions.web import canonicalize_url, synth_raw_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    d = canonicalize_url(synth_raw_urls(docs)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "raw_url", "url_canon"
+    )
+    w = Window.partitionBy("url_canon")
+    return d.withColumn(
+        "n_same_canon", F.count(F.lit(1)).over(w).cast("long")
+    )
+
+
+def _q129_sql() -> str:
+    from ..functions.web import canonicalize_url_sql
+
+    raw = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || "
+        "CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'example' END || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.com' || "
+        "CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 5 = 0 THEN ':8080' "
+        "WHEN doc_id % 15 = 1 THEN ':80' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN '' "
+        "ELSE '/a/p' || CAST(doc_id % 50 AS VARCHAR) END || "
+        "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&b=2&a=1' "
+        "WHEN doc_id % 4 = 1 THEN '?a=1&gclid=xyz&b=2' "
+        "WHEN doc_id % 4 = 2 THEN '?utm_medium=cpc&ref=tw' ELSE '' END || "
+        "CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END"
+    )
+    canon = canonicalize_url_sql("raw_url")
+    return f"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {raw} AS raw_url FROM documents
+),
+c AS (
+  SELECT doc_id, raw_url, {canon} AS url_canon FROM r
+)
+SELECT doc_id, raw_url, url_canon,
+       CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same_canon
+FROM c
+"""
+
+
+Q129_SQL = _q129_sql()
+
+QUERIES["q129_url_canonicalize"] = q129_url_canonicalize
+ORACLES["q129_url_canonicalize"] = Q129_SQL

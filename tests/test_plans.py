@@ -397,6 +397,33 @@ def test_robots_filter_longest_match(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_canonicalize_url_designed_cases(spark):
+    """Every normalization branch: case-fold scheme/host (path case
+    kept), default-port strip vs non-default keep, fragment drop,
+    utm_*/exact tracking-param strip, byte-lexicographic param sort
+    with duplicates preserved, empty path -> '/', and a query that
+    strips to nothing. Plan must stay JVM-only (no EvalPython)."""
+    from instageo_e2e_geospatial_ml_spark.functions.web import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/B?x=1#f", "http://www.ex.com/A/B?x=1"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        ("http://ex.com:8080", "http://ex.com:8080/"),
+        ("http://ex.com/p?utm_source=a&b=2&a=1&gclid=z", "http://ex.com/p?a=1&b=2"),
+        ("http://ex.com/p?utm_medium=x&ref=y", "http://ex.com/p"),
+        ("http://ex.com/p?b=2&a=1&a=10", "http://ex.com/p?a=1&a=10&b=2"),
+        ("http://ex.com#only-frag", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw_url string")
+    out = canonicalize_url(df)
+    got = {r["raw_url"]: r["url_canon"] for r in out.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_cap_per_domain_salted_skew(spark):
     """Salted two-phase cap (VERDICT r6 #2): with one domain holding
     ~50% of rows, phase 1 bounds the global-window input to
