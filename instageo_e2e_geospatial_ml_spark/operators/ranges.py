@@ -100,3 +100,81 @@ def interval_join(
         )
     theta = events.join(F.broadcast(iv_w), refine, "inner")
     return out.unionByName(theta)
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals per key (peak
+    concurrent sessions / connections / jobs — the capacity-planning
+    aggregate), by the classic sweep line: each interval contributes
+    (+1 at start, -1 at end), a running sum ordered by (time, delta)
+    walks the timeline, and the answer is the max of that sum. Ends
+    sort before starts at the same instant (delta asc), so back-to-back
+    intervals [a,t) [t,b) never double-count — the half-open [start,
+    end) convention. Emits (key..., peak_concurrency, n_intervals).
+
+    Determinism: within one (time, delta) tie group every row carries
+    the same sign, so the running max is invariant to tie order — the
+    per-key result is exact even though row order inside ties is not.
+
+    Scale: endpoints are generated by a 2-element posexplode (no self
+    join); the one shuffle keys on (key...), the same key the window
+    and the final agg share — Catalyst reuses a single Exchange. Peak
+    load per task is the endpoint count of one key; keys here are
+    (type, day)-grained, so no task sees the whole corpus. The final
+    max is a map-side-combinable agg.
+    """
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    pts = intervals.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(s.alias("t"), F.lit(1).alias("delta")),
+                F.struct(e.alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("pt"),
+    ).select(*key_cols, F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("t"), F.col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("open_now", F.sum("delta").over(w))
+    return run.groupBy(*key_cols).agg(
+        F.max("open_now").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def peak_concurrency_sql(
+    intervals_sql: str,
+    key_exprs: str,
+    start_expr: str = "start_us",
+    end_expr: str = "end_us",
+) -> str:
+    """The identical sweep as DuckDB SQL (oracle twin). `key_exprs` is
+    the comma-separated key column list."""
+    return f"""
+WITH iv AS ({intervals_sql}),
+pts AS (
+  SELECT {key_exprs}, {start_expr} AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT {key_exprs}, {end_expr} AS t, -1 AS delta FROM iv
+),
+run AS (
+  SELECT {key_exprs},
+         sum(delta) OVER (PARTITION BY {key_exprs} ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+  FROM pts
+)
+SELECT {key_exprs},
+       CAST(max(open_now) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM run GROUP BY {key_exprs}
+"""

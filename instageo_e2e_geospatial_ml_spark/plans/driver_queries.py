@@ -5288,3 +5288,44 @@ Q129_SQL = _q129_sql()
 
 QUERIES["q129_url_canonicalize"] = q129_url_canonicalize
 ORACLES["q129_url_canonicalize"] = Q129_SQL
+
+
+def q130_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per (event_type, day) via the sweep
+    line (operators/ranges.peak_concurrency): deterministic synthetic
+    durations derived from the event value, +1/-1 endpoint explode,
+    per-key running sum, map-side max. One shuffle, no global window."""
+    from ..operators.ranges import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur_us = (
+        (F.round(F.col("value") * 100, 0).cast("long") % 3600 + 60) * 1000000
+    )
+    iv = ev.select(
+        F.col("event_type"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+        us.alias("start_us"),
+        (us + dur_us).alias("end_us"),
+    )
+    return peak_concurrency(iv, ["event_type", "day"])
+
+
+def _q130_sql() -> str:
+    from ..operators.ranges import peak_concurrency_sql
+
+    iv = (
+        "SELECT event_type, epoch_us(ts) // 86400000000 AS day, "
+        "epoch_us(ts) AS start_us, "
+        "epoch_us(ts) + (CAST(round(value * 100, 0) AS BIGINT) % 3600 + 60) "
+        "* 1000000 AS end_us FROM events"
+    )
+    return peak_concurrency_sql(iv, "event_type, day")
+
+
+Q130_SQL = _q130_sql()
+
+QUERIES["q130_peak_concurrency"] = q130_peak_concurrency
+ORACLES["q130_peak_concurrency"] = Q130_SQL

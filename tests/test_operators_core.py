@@ -1679,6 +1679,44 @@ def test_kcore_peel_cascade(spark):
     assert mid == {0, 1, 2, 3}  # node 3 survives round 1, dies round 2
 
 
+def test_peak_concurrency_sweep(spark):
+    """Designed cases: triple overlap -> 3, back-to-back half-open
+    intervals [a,t) [t,b) -> 1 (ends sort before starts at the same
+    instant), nested pairs, independent keys; then a 200-interval
+    random set cross-checked against a scalar brute-force sweep."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.ranges import peak_concurrency
+
+    rows = [
+        # key a: [0,10) [5,15) [9,12) -> peak 3
+        ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),
+        # key b: [0,5) [5,9) back-to-back -> peak 1
+        ("b", 0, 5), ("b", 5, 9),
+        # key c: nested [0,100) [10,20) [12,15) -> peak 3
+        ("c", 0, 100), ("c", 10, 20), ("c", 12, 15),
+    ]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = {r.k: (r.peak_concurrency, r.n_intervals)
+           for r in peak_concurrency(df, ["k"]).collect()}
+    assert got == {"a": (3, 3), "b": (1, 2), "c": (3, 3)}
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 1000, 200)
+    d = rng.integers(1, 80, 200)
+    rand = [("r", int(a), int(a + b)) for a, b in zip(s, d)]
+    df2 = spark.createDataFrame(rand, "k string, start_us long, end_us long")
+    (pk, n) = [(r.peak_concurrency, r.n_intervals)
+               for r in peak_concurrency(df2, ["k"]).collect()][0]
+    events = sorted([(a, 1) for _, a, _ in rand] + [(b, -1) for _, _, b in rand],
+                    key=lambda t: (t[0], t[1]))
+    cur = best = 0
+    for _, delta in events:
+        cur += delta
+        best = max(best, cur)
+    assert (pk, n) == (best, 200)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
