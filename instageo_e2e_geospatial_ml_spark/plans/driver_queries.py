@@ -5329,3 +5329,40 @@ Q130_SQL = _q130_sql()
 
 QUERIES["q130_peak_concurrency"] = q130_peak_concurrency
 ORACLES["q130_peak_concurrency"] = Q130_SQL
+
+
+# q131 constraint suite over orders — shared by the Spark query and the
+# oracle so the two sides always agree on the checks.
+Q131_CONSTRAINTS = [
+    ("orderkey_unique", "unique", "o_orderkey", None),
+    ("orderkey_not_null", "not_null", "o_orderkey", None),
+    ("custkey_unique", "unique", "o_custkey", None),
+    ("totalprice_nonneg", "min", "o_totalprice", 0),
+    ("totalprice_cap", "max", "o_totalprice", 250000),
+    ("status_domain", "in_set", "o_orderstatus", ("O", "F", "P")),
+    ("priority_format", "matches", "o_orderpriority", "^[1-5]-[A-Z]"),
+]
+
+
+def q131_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (operators/constraints
+    .check_constraints): 7 constraints over orders in ONE aggregation
+    pass — uniqueness, null, bounds, value domain, regex format — long
+    report (check_name, n_rows, n_violations, passed)."""
+    from ..operators.constraints import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "orders"), Q131_CONSTRAINTS
+    )
+
+
+def _q131_sql() -> str:
+    from ..operators.constraints import check_constraints_sql
+
+    return check_constraints_sql("SELECT * FROM orders", Q131_CONSTRAINTS)
+
+
+Q131_SQL = _q131_sql()
+
+QUERIES["q131_constraint_suite"] = q131_constraint_suite
+ORACLES["q131_constraint_suite"] = Q131_SQL

@@ -1717,6 +1717,51 @@ def test_peak_concurrency_sweep(spark):
     assert (pk, n) == (best, 200)
 
 
+def test_check_constraints_designed_dirty_data(spark):
+    """Hand-built dirty table: every constraint kind fires the exact
+    violation count it should; an empty table passes all non-unique
+    checks (SUM-over-empty coalesced to 0); the whole suite runs as
+    one aggregation over one scan."""
+    from instageo_e2e_geospatial_ml_spark.operators.constraints import (
+        check_constraints,
+    )
+
+    rows = [
+        (1, "A", 10.0, "1-HIGH"),
+        (1, "B", -5.0, "9-BAD"),     # dup id, below min, bad regex
+        (2, None, 200.0, "2-LOW"),   # null cat, above max
+        (3, "Z", 50.0, None),        # cat outside domain, null prio (no regex hit)
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, price double, prio string")
+    suite = [
+        ("id_unique", "unique", "id", None),
+        ("cat_not_null", "not_null", "cat", None),
+        ("price_min", "min", "price", 0),
+        ("price_max", "max", "price", 100),
+        ("cat_domain", "in_set", "cat", ("A", "B")),
+        ("prio_format", "matches", "prio", "^[1-5]-[A-Z]+$"),
+    ]
+    rep = check_constraints(df, suite)
+    # plan BEFORE collect: the post-AQE string repeats the plan in its
+    # == Initial Plan == section, double-counting the scan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    got = {r.check_name: (r.n_rows, r.n_violations, r.passed) for r in rep.collect()}
+    assert got == {
+        "id_unique": (4, 1, 0),
+        "cat_not_null": (4, 1, 0),
+        "price_min": (4, 1, 0),
+        "price_max": (4, 1, 0),
+        "cat_domain": (4, 1, 0),   # NULL cat does not violate in_set
+        "prio_format": (4, 1, 0),  # NULL prio does not violate matches
+    }
+    empty = df.limit(0)
+    got0 = {r.check_name: (r.n_rows, r.n_violations, r.passed)
+            for r in check_constraints(empty, suite).collect()}
+    assert all(v == (0, 0, 1) for v in got0.values()), got0
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
