@@ -5366,3 +5366,28 @@ Q131_SQL = _q131_sql()
 
 QUERIES["q131_constraint_suite"] = q131_constraint_suite
 ORACLES["q131_constraint_suite"] = Q131_SQL
+
+
+def q132_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell density (functions/hexgrid.hex_density): the
+    H3-style rollup the north star names — axial hex encode via cube
+    rounding (pure +,*,/,round arithmetic; no trig so the DuckDB twin
+    is bit-identical even on the double cell centers), then one
+    map-side-combinable groupBy on (hq, hr)."""
+    from ..functions.hexgrid import hex_density
+
+    return hex_density(
+        _points(spark, sf_dir), "lon", "lat", size=2.5, min_count=5
+    )
+
+
+def _q132_sql() -> str:
+    from ..functions.hexgrid import hex_density_sql
+
+    return hex_density_sql(PTS_SQL, "lon", "lat", size=2.5, min_count=5)
+
+
+Q132_SQL = _q132_sql()
+
+QUERIES["q132_hex_density"] = q132_hex_density
+ORACLES["q132_hex_density"] = Q132_SQL

@@ -1762,6 +1762,55 @@ def test_check_constraints_designed_dirty_data(spark):
     assert all(v == (0, 0, 1) for v in got0.values()), got0
 
 
+def test_hex_cell_nearest_center_property(spark):
+    """Cube-rounded hex assignment == nearest-center assignment: for a
+    400-point random cloud, the assigned cell's center is at least as
+    close (Euclidean) as every center in the surrounding 2-ring, and a
+    scalar numpy replica of the cube rounding agrees exactly."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.functions.hexgrid import (
+        SQRT3, hex_cell, hex_center,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = [(float(x), float(y)) for x, y in
+           zip(rng.uniform(-30, 30, 400), rng.uniform(-30, 30, 400))]
+    size = 2.5
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    hq, hr = hex_cell(F.col("lon"), F.col("lat"), size)
+    cx, cy = hex_center(hq, hr, size)
+    rows = df.select("lon", "lat", hq.alias("hq"), hr.alias("hr"),
+                     cx.alias("cx"), cy.alias("cy")).collect()
+
+    def center(q, r):
+        return (size * (SQRT3 * q + SQRT3 / 2 * r), size * 1.5 * r)
+
+    def scalar_cell(x, y):
+        qf = (SQRT3 / 3 * x - y / 3) / size
+        rf = (2 / 3 * y) / size
+        yf = -qf - rf
+        rq, rr, ry = round(qf), round(rf), round(yf)
+        dq, dr, dy = abs(rq - qf), abs(rr - rf), abs(ry - yf)
+        if dq > dy and dq > dr:
+            rq = -ry - rr
+        elif dy <= dr:
+            rr = -rq - ry
+        return int(rq), int(rr)
+
+    for r in rows:
+        d0 = (r.lon - r.cx) ** 2 + (r.lat - r.cy) ** 2
+        for dq_ in range(-2, 3):
+            for dr_ in range(-2, 3):
+                ox, oy = center(r.hq + dq_, r.hr + dr_)
+                d = (r.lon - ox) ** 2 + (r.lat - oy) ** 2
+                assert d0 <= d + 1e-9, (r.lon, r.lat, r.hq, r.hr, dq_, dr_)
+        # scalar replica parity: Python round is half-even vs the
+        # engines' half-away, but random uniform doubles never land on
+        # an exact .5, so the replica must agree exactly
+        assert scalar_cell(r.lon, r.lat) == (r.hq, r.hr), (r.lon, r.lat)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
