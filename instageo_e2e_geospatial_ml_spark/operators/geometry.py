@@ -307,3 +307,86 @@ FROM v JOIN nv ON v.{gc} = nv.{gc} JOIN ar ON v.{gc} = ar.{gc}
 UNION ALL
 SELECT {gc}, vx, vy, n_hull, area2 FROM singletons
 """
+
+
+def polygon_metrics(
+    vertices: DataFrame,
+    poly_col: str = "poly_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-polygon shoelace metrics over an ordered integer vertex ring
+    (poly_id, seq, x, y): signed twice-area, exact centroid NUMERATORS
+    (the centroid is (cx_num, cy_num) / (3 * area2) — kept rational so
+    every output stays a bit-exact BIGINT), vertex count, and bbox.
+    Works for any ring the caller supplies — shoelace is well-defined
+    (as the signed sum) even on non-simple rings; geometric meaning
+    (positive = counter-clockwise) holds for simple ones.
+
+        area2  = Σ (x_i·y_{i+1} − x_{i+1}·y_i)
+        cx_num = Σ (x_i + x_{i+1})·(x_i·y_{i+1} − x_{i+1}·y_i)
+        cy_num = Σ (y_i + y_{i+1})·(x_i·y_{i+1} − x_{i+1}·y_i)
+
+    Plan: one lead() window per ring (partitioned by polygon — no
+    global window; a ring's vertices are one entity's data, the q124
+    argument), wrap-around closed by coalescing lead with the ring's
+    first vertex via first_value over the same window frame, then a
+    map-side-combinable sum. One Exchange keyed on poly_id shared by
+    the window and the agg.
+    """
+    from pyspark.sql import Window
+
+    p, s = F.col(poly_col), F.col(seq_col)
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    w = Window.partitionBy(p).orderBy(s)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    xn = F.coalesce(F.lead(x).over(w), F.first(x).over(wall))
+    yn = F.coalesce(F.lead(y).over(w), F.first(y).over(wall))
+    cross = x * yn - xn * y
+    terms = vertices.select(
+        p.alias("poly_id"),
+        x.alias("x"),
+        y.alias("y"),
+        cross.alias("cr"),
+        ((x + xn) * cross).alias("cxt"),
+        ((y + yn) * cross).alias("cyt"),
+    )
+    return terms.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("cr").alias("area2"),
+        F.sum("cxt").alias("cx_num"),
+        F.sum("cyt").alias("cy_num"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+
+
+def polygon_metrics_sql(vertices_sql: str) -> str:
+    """DuckDB twin of polygon_metrics — identical window + aggregate
+    over (poly_id, seq, x, y)."""
+    return f"""
+WITH v AS (
+  SELECT poly_id, seq, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({vertices_sql})
+),
+e AS (
+  SELECT poly_id, x, y,
+         COALESCE(lead(x) OVER w, first_value(x) OVER w2) AS xn,
+         COALESCE(lead(y) OVER w, first_value(y) OVER w2) AS yn
+  FROM v
+  WINDOW w AS (PARTITION BY poly_id ORDER BY seq),
+         w2 AS (PARTITION BY poly_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT poly_id,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(x * yn - xn * y) AS BIGINT) AS area2,
+       CAST(sum((x + xn) * (x * yn - xn * y)) AS BIGINT) AS cx_num,
+       CAST(sum((y + yn) * (x * yn - xn * y)) AS BIGINT) AS cy_num,
+       CAST(min(x) AS BIGINT) AS xmin, CAST(max(x) AS BIGINT) AS xmax,
+       CAST(min(y) AS BIGINT) AS ymin, CAST(max(y) AS BIGINT) AS ymax
+FROM e GROUP BY poly_id
+"""

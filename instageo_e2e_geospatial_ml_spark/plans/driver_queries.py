@@ -5391,3 +5391,37 @@ Q132_SQL = _q132_sql()
 
 QUERIES["q132_hex_density"] = q132_hex_density
 ORACLES["q132_hex_density"] = Q132_SQL
+
+
+def q133_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon metrics (operators/geometry.polygon_metrics):
+    signed twice-area, exact rational centroid numerators, bbox — all
+    BIGINT — for synthetic supplier rings grouped per nation. One
+    per-ring lead window + map-side sum; identical DuckDB twin."""
+    from ..operators.geometry import polygon_metrics
+
+    s = _t(spark, sf_dir, "supplier")
+    v = s.select(
+        F.col("s_nationkey").cast("long").alias("poly_id"),
+        F.col("s_suppkey").cast("long").alias("seq"),
+        ((F.col("s_suppkey") * 7) % 21 - 10).alias("x"),
+        ((F.col("s_suppkey") * 13) % 19 - 9).alias("y"),
+    )
+    return polygon_metrics(v)
+
+
+def _q133_sql() -> str:
+    from ..operators.geometry import polygon_metrics_sql
+
+    return polygon_metrics_sql(
+        "SELECT CAST(s_nationkey AS BIGINT) AS poly_id, "
+        "CAST(s_suppkey AS BIGINT) AS seq, "
+        "(s_suppkey * 7) % 21 - 10 AS x, "
+        "(s_suppkey * 13) % 19 - 9 AS y FROM supplier"
+    )
+
+
+Q133_SQL = _q133_sql()
+
+QUERIES["q133_polygon_metrics"] = q133_polygon_metrics
+ORACLES["q133_polygon_metrics"] = Q133_SQL

@@ -1811,6 +1811,51 @@ def test_hex_cell_nearest_center_property(spark):
         assert scalar_cell(r.lon, r.lat) == (r.hq, r.hr), (r.lon, r.lat)
 
 
+def test_polygon_metrics_shoelace(spark):
+    """Designed rings: CCW unit square (area2=+2, centroid (1/2,1/2)),
+    the same square CW (sign flips), an L-shaped non-convex hexagon
+    (area 3, centroid from the exact rational formula), and a
+    degenerate collinear ring (area2=0, numerators 0)."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import polygon_metrics
+
+    rings = {
+        1: [(0, 0), (1, 0), (1, 1), (0, 1)],                    # CCW square
+        2: [(0, 0), (0, 1), (1, 1), (1, 0)],                    # CW square
+        3: [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)],    # L, area 3
+        4: [(0, 0), (1, 1), (2, 2)],                            # degenerate
+    }
+    rows = [(pid, i, x, y) for pid, vs in rings.items()
+            for i, (x, y) in enumerate(vs)]
+    df = spark.createDataFrame(rows, "poly_id long, seq long, x long, y long")
+    got = {r.poly_id: r for r in polygon_metrics(df).collect()}
+
+    def scalar(vs):
+        a2 = cx = cy = 0
+        for i, (x0, y0) in enumerate(vs):
+            x1, y1 = vs[(i + 1) % len(vs)]
+            cr = x0 * y1 - x1 * y0
+            a2 += cr
+            cx += (x0 + x1) * cr
+            cy += (y0 + y1) * cr
+        return a2, cx, cy
+
+    for pid, vs in rings.items():
+        a2, cx, cy = scalar(vs)
+        r = got[pid]
+        assert (r.area2, r.cx_num, r.cy_num) == (a2, cx, cy), (pid, r)
+        assert r.n_vertices == len(vs)
+    assert got[1].area2 == 2 and got[2].area2 == -2
+    assert Fraction(got[1].cx_num, 3 * got[1].area2) == Fraction(1, 2)
+    assert got[3].area2 == 6  # L-shape area 3
+    # decomposition check: [0,2]^2 minus [1,2]^2 -> (4*1 - 1*1.5)/3 = 5/6
+    assert Fraction(got[3].cx_num, 3 * got[3].area2) == Fraction(5, 6)
+    assert Fraction(got[3].cy_num, 3 * got[3].area2) == Fraction(5, 6)
+    assert got[4].area2 == 0 and got[4].cx_num == 0 and got[4].cy_num == 0
+    assert (got[3].xmin, got[3].xmax, got[3].ymin, got[3].ymax) == (0, 2, 0, 2)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
