@@ -70,3 +70,104 @@ def segment_trips(
         .drop("_tus", "_ltus")
     )
     return out
+
+
+def stay_points(
+    pings: DataFrame,
+    cell: int,
+    min_dwell_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Stay-point (dwell) detection, grid-quantized: a stay is a
+    maximal run of consecutive pings (per entity, time order) inside
+    one `cell`-sized grid square, kept when its dwell time reaches
+    `min_dwell_s` — the home/work/POI-visit primitive of mobility
+    analysis (Li et al. 2008 define the radius-threshold form; the
+    sequential seed-scan there is inherently order-dependent and
+    non-relational, so this operator pins the grid-quantized variant,
+    which is exact, engine-independent, and what production systems
+    ship at scale).
+
+    Emits (user, stay_id, cell_x, cell_y, t_start_us, t_end_us,
+    dwell_us, n_pings, sum_x, sum_y): the centroid is the exact
+    rational (sum_x/n, sum_y/n) — numerators kept integer.
+
+    Plan: floor-div cell encode (pure integer), one lag over
+    (user | ts, tiebreak) to flag cell changes, a running sum over the
+    SAME window for stay ids (one sort, no extra shuffle — the
+    segment_trips shape), then a map-side-combinable groupBy.
+    """
+    u, t = F.col(user_col), F.col(ts_col).cast("long")
+    cx = F.floor(F.col(x_col).cast("long") / cell).cast("long")
+    cy = F.floor(F.col(y_col).cast("long") / cell).cast("long")
+    d = pings.select(
+        u.alias("user_id"), t.alias("t_us"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "px", "py")
+    brk = (
+        F.lag("cx").over(w).isNull()
+        | (F.lag("cx").over(w) != F.col("cx"))
+        | (F.lag("cy").over(w) != F.col("cy"))
+    ).cast("long")
+    seg = d.withColumn(
+        "stay_id",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        seg.groupBy("user_id", "stay_id")
+        .agg(
+            F.first("cx").alias("cell_x"),
+            F.first("cy").alias("cell_y"),
+            F.min("t_us").alias("t_start_us"),
+            F.max("t_us").alias("t_end_us"),
+            (F.max("t_us") - F.min("t_us")).alias("dwell_us"),
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("px").alias("sum_x"),
+            F.sum("py").alias("sum_y"),
+        )
+        .filter(F.col("dwell_us") >= min_dwell_s * 1_000_000)
+    )
+
+
+def stay_points_sql(pings_sql: str, cell: int, min_dwell_s: int) -> str:
+    """DuckDB twin of stay_points over (user_id, ts_us, px, py).
+    NOTE: Spark floor(bigint/cell) is double division then floor —
+    replicated as floor(CAST(px AS DOUBLE) / cell) for bit parity
+    (exact for |px| < 2^52). first(cx) is well-defined because cx is
+    constant within a stay — replicated as min(cx)."""
+    return f"""
+WITH p AS (
+  SELECT user_id, CAST(ts_us AS BIGINT) AS t_us,
+         CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+         CAST(floor(CAST(px AS DOUBLE) / {cell}) AS BIGINT) AS cx,
+         CAST(floor(CAST(py AS DOUBLE) / {cell}) AS BIGINT) AS cy
+  FROM ({pings_sql})
+),
+f AS (
+  SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+                   OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+            THEN 1 ELSE 0 END AS brk
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_us, px, py)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, px, py
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stay_id
+  FROM f
+)
+SELECT user_id, CAST(stay_id AS BIGINT) AS stay_id,
+       min(cx) AS cell_x, min(cy) AS cell_y,
+       min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+       max(t_us) - min(t_us) AS dwell_us,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(sum(px) AS BIGINT) AS sum_x, CAST(sum(py) AS BIGINT) AS sum_y
+FROM s GROUP BY user_id, stay_id
+HAVING max(t_us) - min(t_us) >= {min_dwell_s} * CAST(1000000 AS BIGINT)
+"""

@@ -5425,3 +5425,42 @@ Q133_SQL = _q133_sql()
 
 QUERIES["q133_polygon_metrics"] = q133_polygon_metrics
 ORACLES["q133_polygon_metrics"] = Q133_SQL
+
+
+def q134_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection (operators/trajectory.stay_points):
+    grid-quantized maximal same-cell runs per user with dwell >= 1h,
+    exact integer centroid numerators. One lag+sum window per user (no
+    global window) then a map-side groupBy; identical DuckDB twin."""
+    from ..operators.trajectory import stay_points
+
+    ev = _t(spark, sf_dir, "events")
+    pings = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr(
+            "((event_id div 40) * 11 + user_id * 3) % 200"
+        ).cast("long").alias("px"),
+        F.expr(
+            "((event_id div 40) * 17 + user_id * 5) % 200"
+        ).cast("long").alias("py"),
+    )
+    return stay_points(pings, cell=25, min_dwell_s=3600)
+
+
+def _q134_sql() -> str:
+    from ..operators.trajectory import stay_points_sql
+
+    return stay_points_sql(
+        "SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us, "
+        "((event_id // 40) * 11 + user_id * 3) % 200 AS px, "
+        "((event_id // 40) * 17 + user_id * 5) % 200 AS py FROM events",
+        cell=25,
+        min_dwell_s=3600,
+    )
+
+
+Q134_SQL = _q134_sql()
+
+QUERIES["q134_stay_points"] = q134_stay_points
+ORACLES["q134_stay_points"] = Q134_SQL

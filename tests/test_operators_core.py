@@ -1856,6 +1856,40 @@ def test_polygon_metrics_shoelace(spark):
     assert (got[3].xmin, got[3].xmax, got[3].ymin, got[3].ymax) == (0, 2, 0, 2)
 
 
+def test_stay_points_designed_track(spark):
+    """Hand-built track: dwell in cell A (kept), a two-ping pass-through
+    cell (dwell under threshold, dropped), a RETURN to cell A later (a
+    NEW stay — runs are maximal-consecutive, not global-per-cell), and
+    a second user whose stays never merge with the first. Centroid
+    numerators are exact sums."""
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import stay_points
+
+    M = 1_000_000
+    rows = [
+        # user 1: cell (0,0) for 3 pings over 2h -> stay
+        (1, 0 * M * 3600, 5, 5), (1, 1 * M * 3600, 10, 10), (1, 2 * M * 3600, 20, 20),
+        # pass through cell (1,1): two pings 60s apart -> dropped
+        (1, 7300 * M, 30, 30), (1, 7360 * M, 40, 40),
+        # back to cell (0,0) for 2h -> second, separate stay
+        (1, 8000 * M, 6, 6), (1, 8000 * M + 7200 * M, 7, 7),
+        # user 2: same cell, 1h dwell exactly at threshold -> kept
+        (2, 0, 5, 5), (2, 3600 * M, 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, px long, py long")
+    out = stay_points(df, cell=25, min_dwell_s=3600).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.t_start_us)
+    assert len(u1) == 2  # pass-through dropped, return is a new stay
+    assert (u1[0].cell_x, u1[0].cell_y, u1[0].n_pings) == (0, 0, 3)
+    assert (u1[0].sum_x, u1[0].sum_y) == (35, 35)
+    assert u1[0].dwell_us == 2 * 3600 * M
+    assert (u1[1].cell_x, u1[1].cell_y, u1[1].n_pings) == (0, 0, 2)
+    assert u1[1].t_start_us == 8000 * M
+    assert len(by_user[2]) == 1 and by_user[2][0].dwell_us == 3600 * M
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
