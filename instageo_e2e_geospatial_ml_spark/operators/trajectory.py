@@ -171,3 +171,62 @@ SELECT user_id, CAST(stay_id AS BIGINT) AS stay_id,
 FROM s GROUP BY user_id, stay_id
 HAVING max(t_us) - min(t_us) >= {min_dwell_s} * CAST(1000000 AS BIGINT)
 """
+
+
+def od_flows(
+    stays: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "t_start_us",
+    cell_cols: tuple = ("cell_x", "cell_y"),
+) -> DataFrame:
+    """Origin-destination flow matrix from per-entity stay sequences:
+    each consecutive stay pair (in time order) contributes one trip
+    from its origin cell to its destination cell; flows aggregate
+    trip counts and total transit time (gap between leaving the
+    origin and entering the destination — nonnegative by
+    construction since stays are disjoint maximal runs).
+
+    The OD matrix is THE mobility-analysis product (commute matrices,
+    migration flows, tile-to-tile demand). Composes over stay_points
+    output; self-transitions (A -> A, a user returning to the same
+    cell) are real flows and are kept.
+
+    Plan: one lead window per entity over the stay sequence — stays
+    per entity are few (windows over post-aggregated data), then a
+    map-side-combinable groupBy on the 4-part (from, to) cell key.
+    """
+    from pyspark.sql import Window
+
+    cx, cy = cell_cols
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    nxt = stays.select(
+        F.col(user_col).alias("user_id"),
+        F.col(cx).alias("from_x"),
+        F.col(cy).alias("from_y"),
+        F.col("t_end_us").alias("leave_us"),
+        F.lead(F.col(cx)).over(w).alias("to_x"),
+        F.lead(F.col(cy)).over(w).alias("to_y"),
+        F.lead(F.col("t_start_us")).over(w).alias("enter_us"),
+    ).filter(F.col("to_x").isNotNull())
+    return nxt.groupBy("from_x", "from_y", "to_x", "to_y").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.sum(F.col("enter_us") - F.col("leave_us")).alias("transit_us_total"),
+    )
+
+
+def od_flows_sql(stays_sql: str) -> str:
+    """DuckDB twin of od_flows over stay_points_sql output."""
+    return f"""
+WITH st AS MATERIALIZED ({stays_sql}),
+tr AS (
+  SELECT user_id, cell_x AS from_x, cell_y AS from_y, t_end_us AS leave_us,
+         lead(cell_x) OVER w AS to_x, lead(cell_y) OVER w AS to_y,
+         lead(t_start_us) OVER w AS enter_us
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY t_start_us)
+)
+SELECT from_x, from_y, to_x, to_y,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(sum(enter_us - leave_us) AS BIGINT) AS transit_us_total
+FROM tr WHERE to_x IS NOT NULL
+GROUP BY from_x, from_y, to_x, to_y
+"""

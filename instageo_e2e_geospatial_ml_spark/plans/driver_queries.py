@@ -5464,3 +5464,26 @@ Q134_SQL = _q134_sql()
 
 QUERIES["q134_stay_points"] = q134_stay_points
 ORACLES["q134_stay_points"] = Q134_SQL
+
+
+def q135_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/trajectory.od_flows)
+    over the q134 stay points: consecutive significant stays per user
+    become trips; flows aggregate counts + total transit time on the
+    (from, to) cell key. Lead window over post-aggregated stays (tiny
+    per user), then one map-side groupBy."""
+    from ..operators.trajectory import od_flows
+
+    return od_flows(q134_stay_points(spark, sf_dir))
+
+
+def _q135_sql() -> str:
+    from ..operators.trajectory import od_flows_sql
+
+    return od_flows_sql(_q134_sql())
+
+
+Q135_SQL = _q135_sql()
+
+QUERIES["q135_od_flows"] = q135_od_flows
+ORACLES["q135_od_flows"] = Q135_SQL

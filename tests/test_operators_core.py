@@ -1890,6 +1890,34 @@ def test_stay_points_designed_track(spark):
     assert len(by_user[2]) == 1 and by_user[2][0].dwell_us == 3600 * M
 
 
+def test_od_flows_designed_stays(spark):
+    """Two users over three cells: A->B twice (flows aggregate),
+    B->A once, a self-transition A->A kept, transit sums exact; a
+    user with one stay contributes no flow."""
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import od_flows
+
+    rows = [
+        # user, cell_x, cell_y, t_start_us, t_end_us
+        (1, 0, 0, 0, 10),      # A
+        (1, 5, 0, 30, 40),     # B   (A->B transit 20)
+        (1, 0, 0, 50, 60),     # A   (B->A transit 10)
+        (1, 0, 0, 90, 95),     # A   (A->A transit 30, self-flow kept)
+        (2, 0, 0, 0, 5),       # A
+        (2, 5, 0, 15, 25),     # B   (A->B transit 10)
+        (3, 7, 7, 0, 1),       # lone stay: no flow
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, cell_x long, cell_y long, t_start_us long, t_end_us long"
+    )
+    got = {(r.from_x, r.from_y, r.to_x, r.to_y): (r.n_trips, r.transit_us_total)
+           for r in od_flows(df).collect()}
+    assert got == {
+        (0, 0, 5, 0): (2, 30),   # two A->B trips, transits 20+10
+        (5, 0, 0, 0): (1, 10),
+        (0, 0, 0, 0): (1, 30),   # self-transition
+    }
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
