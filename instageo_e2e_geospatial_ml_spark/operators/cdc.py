@@ -119,3 +119,94 @@ def merge_upsert(
         *target.columns
     )
     return untouched.unionByName(upserts)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table — the
+    change-data-feed primitive (what Delta CDF / Iceberg changelog
+    scans emit): one row per changed key with change_type in
+    ('added', 'removed', 'changed') and, for changes, the
+    comma-joined list of differing columns (in `compare_cols` order).
+    Unchanged keys are dropped. NULL-safe comparison throughout
+    (NULL -> value and value -> NULL are changes; NULL -> NULL is
+    not), via Spark's <=> / DuckDB's IS NOT DISTINCT FROM.
+
+    Plan: one full-outer shuffle join on the pk — the irreducible cost
+    of diffing two unordered snapshots; co-locate both snapshots by
+    bucketing on the pk (operators/skew.write_clustered) to make it
+    zero-shuffle on read. Column comparison is a constant-width CASE
+    chain, map-side after the join.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in pk_cols + compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in pk_cols + compare_cols]
+    )
+    cond = None
+    for c in pk_cols:
+        eq = F.col(f"_o_{c}") == F.col(f"_n_{c}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{pk_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{pk_cols[0]}").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_cols = F.concat_ws(",", *diffs)
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c)
+            for c in pk_cols
+        ],
+        change.alias("change_type"),
+        F.when(in_old & in_new, changed_cols).otherwise(F.lit("")).alias(
+            "changed_cols"
+        ),
+    )
+    return out.filter(
+        (F.col("change_type") != "changed") | (F.col("changed_cols") != "")
+    )
+
+
+def table_diff_sql(
+    old_sql: str, new_sql: str, pk_cols: list[str], compare_cols: list[str]
+) -> str:
+    """DuckDB twin of table_diff (identical join + CASE chain)."""
+    on = " AND ".join(f"o.{c} = n.{c}" for c in pk_cols)
+    pks = ", ".join(
+        f"COALESCE(o.{c}, n.{c}) AS {c}" for c in pk_cols
+    )
+    diffs = ", ".join(
+        f"CASE WHEN NOT (o.{c} IS NOT DISTINCT FROM n.{c}) "
+        f"THEN '{c}' ELSE NULL END"
+        for c in compare_cols
+    )
+    pk0 = pk_cols[0]
+    return f"""
+WITH o AS ({old_sql}), n AS ({new_sql}),
+j AS (
+  SELECT {pks},
+         CASE WHEN o.{pk0} IS NULL THEN 'added'
+              WHEN n.{pk0} IS NULL THEN 'removed'
+              ELSE 'changed' END AS change_type,
+         CASE WHEN o.{pk0} IS NOT NULL AND n.{pk0} IS NOT NULL
+              THEN concat_ws(',', {diffs}) ELSE '' END AS changed_cols
+  FROM o FULL OUTER JOIN n ON {on}
+)
+SELECT * FROM j
+WHERE change_type <> 'changed' OR changed_cols <> ''
+"""

@@ -5487,3 +5487,56 @@ Q135_SQL = _q135_sql()
 
 QUERIES["q135_od_flows"] = q135_od_flows
 ORACLES["q135_od_flows"] = Q135_SQL
+
+
+def q136_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed (operators/cdc.table_diff):
+    added + removed + changed keys with per-row changed-column lists,
+    between two deterministic versions of orders. One full-outer join
+    on the pk (bucketing removes the shuffle in production), CASE
+    chain map-side."""
+    from ..operators.cdc import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 3)
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 31 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    return table_diff(
+        old, new, ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _q136_sql() -> str:
+    from ..operators.cdc import table_diff_sql
+
+    return table_diff_sql(
+        "SELECT * FROM orders WHERE o_orderkey % 89 <> 3",
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 "
+        "ELSE o_totalprice END AS o_totalprice, "
+        "CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END "
+        "AS o_orderstatus, o_orderdate, o_orderpriority "
+        "FROM orders WHERE o_orderkey % 97 <> 5",
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+Q136_SQL = _q136_sql()
+
+QUERIES["q136_table_diff"] = q136_table_diff
+ORACLES["q136_table_diff"] = Q136_SQL

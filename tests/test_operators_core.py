@@ -1918,6 +1918,39 @@ def test_od_flows_designed_stays(spark):
     }
 
 
+def test_table_diff_designed_snapshots(spark):
+    """Added / removed / single-col change / multi-col change /
+    NULL-transition semantics (NULL->value is a change, NULL->NULL is
+    not) / unchanged rows dropped."""
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"),
+            (4, None, "D"), (5, None, "E"),
+        ],
+        "id long, price double, cat string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),          # unchanged -> dropped
+            (2, 21.0, "B"),          # price changed
+            (4, 44.0, "DD"),         # NULL->value + cat change
+            (5, None, "E"),          # NULL->NULL: not a change -> dropped
+            (6, 60.0, "F"),          # added
+        ],
+        "id long, price double, cat string",
+    )
+    got = {r.id: (r.change_type, r.changed_cols)
+           for r in table_diff(old, new, ["id"], ["price", "cat"]).collect()}
+    assert got == {
+        2: ("changed", "price"),
+        3: ("removed", ""),
+        4: ("changed", "price,cat"),
+        6: ("added", ""),
+    }
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
