@@ -178,3 +178,98 @@ SELECT {key_exprs},
        CAST(count(*) / 2 AS BIGINT) AS n_intervals
 FROM run GROUP BY {key_exprs}
 """
+
+
+def coalesce_read_ranges(
+    requests: DataFrame,
+    max_gap: int,
+    file_col: str = "file_id",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Byte-range fetch planning for cloud-object reads (the COG /
+    Parquet reader optimization GDAL ships as CPL_VSIL_CURL merging and
+    Spark's Parquet reader as io.file.buffer coalescing): merge each
+    file's requested (offset, length) ranges into fetch ranges,
+    joining two requests when the gap between them is <= max_gap —
+    paying up to max_gap wasted bytes beats paying another S3 GET's
+    latency. At 100 TB the chip extractor (operators/chips.py) issues
+    millions of tile-sized reads; this turns them into sequential
+    sweeps per object.
+
+    Classic sweep: per file in offset order, a request starts a new
+    fetch range iff its offset exceeds the running max of previous
+    request ends by more than max_gap (running max, not lag — an
+    earlier long request can span several later short ones). Emits
+    (file_id, range_id, fetch_start, fetch_end, n_requests,
+    bytes_requested, bytes_fetched); bytes_requested double-counts
+    overlapping requests (it is demand, not footprint).
+
+    One window partitioned by file (a file's request list is the unit
+    of work; no global window) + one groupBy on the same key — a
+    single Exchange.
+    """
+    from pyspark.sql import Window
+
+    fid = F.col(file_col)
+    off = F.col(offset_col).cast("long")
+    ln = F.col(length_col).cast("long")
+    d = requests.select(
+        fid.alias("file_id"), off.alias("off"), ln.alias("len"),
+        (off + ln).alias("end"),
+    )
+    w = Window.partitionBy("file_id").orderBy("off", "end")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        prev_max_end.isNull() | (F.col("off") > prev_max_end + max_gap)
+    ).cast("long")
+    seg = d.withColumn(
+        "range_id",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return seg.groupBy("file_id", "range_id").agg(
+        F.min("off").alias("fetch_start"),
+        F.max("end").alias("fetch_end"),
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("len").alias("bytes_requested"),
+        (F.max("end") - F.min("off")).alias("bytes_fetched"),
+    )
+
+
+def coalesce_read_ranges_sql(requests_sql: str, max_gap: int) -> str:
+    """DuckDB twin of coalesce_read_ranges over
+    (file_id, offset, length)."""
+    return f"""
+WITH d AS (
+  SELECT file_id, CAST("offset" AS BIGINT) AS off,
+         CAST(length AS BIGINT) AS len,
+         CAST("offset" AS BIGINT) + CAST(length AS BIGINT) AS "end"
+  FROM ({requests_sql})
+),
+f AS (
+  SELECT *, max("end") OVER (PARTITION BY file_id ORDER BY off, "end"
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM d
+),
+g AS (
+  SELECT *, CASE WHEN prev_max_end IS NULL
+                   OR off > prev_max_end + {max_gap}
+            THEN 1 ELSE 0 END AS brk
+  FROM f
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY file_id ORDER BY off, "end"
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_id
+  FROM g
+)
+SELECT file_id, CAST(range_id AS BIGINT) AS range_id,
+       min(off) AS fetch_start, max("end") AS fetch_end,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(len) AS BIGINT) AS bytes_requested,
+       max("end") - min(off) AS bytes_fetched
+FROM s GROUP BY file_id, range_id
+"""

@@ -5540,3 +5540,37 @@ Q136_SQL = _q136_sql()
 
 QUERIES["q136_table_diff"] = q136_table_diff
 ORACLES["q136_table_diff"] = Q136_SQL
+
+
+def q137_read_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-read byte-range coalescing (operators/ranges
+    .coalesce_read_ranges): synthetic COG tile requests per file
+    merged into fetch ranges at a 64 KiB gap tolerance. Running-max
+    sweep per file (one window + one groupBy, single Exchange)."""
+    from ..operators.ranges import coalesce_read_ranges
+
+    li = _t(spark, sf_dir, "lineitem")
+    reqs = li.select(
+        (F.col("l_partkey") % 200).alias("file_id"),
+        (((F.col("l_orderkey") * 131 + F.col("l_linenumber")) % 50000) * 512)
+        .alias("offset"),
+        (16384 + (F.col("l_suppkey") % 8) * 4096).alias("length"),
+    )
+    return coalesce_read_ranges(reqs, max_gap=65536)
+
+
+def _q137_sql() -> str:
+    from ..operators.ranges import coalesce_read_ranges_sql
+
+    return coalesce_read_ranges_sql(
+        "SELECT l_partkey % 200 AS file_id, "
+        "((l_orderkey * 131 + l_linenumber) % 50000) * 512 AS \"offset\", "
+        "16384 + (l_suppkey % 8) * 4096 AS length FROM lineitem",
+        max_gap=65536,
+    )
+
+
+Q137_SQL = _q137_sql()
+
+QUERIES["q137_read_range_plan"] = q137_read_range_plan
+ORACLES["q137_read_range_plan"] = Q137_SQL

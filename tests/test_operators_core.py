@@ -1951,6 +1951,36 @@ def test_table_diff_designed_snapshots(spark):
     }
 
 
+def test_coalesce_read_ranges_sweep(spark):
+    """Designed request sets: overlap merge, gap <= max_gap merge,
+    gap > max_gap split, a long request SPANNING later short ones
+    (the running-max-not-lag case), per-file independence, and exact
+    byte accounting."""
+    from instageo_e2e_geospatial_ml_spark.operators.ranges import (
+        coalesce_read_ranges,
+    )
+
+    rows = [
+        # file A: [0,100) [50,150) overlap; [160,200) gap 10 <= 16 merges;
+        # [300,350) gap 100 > 16 -> new range
+        ("A", 0, 100), ("A", 50, 100), ("A", 160, 40), ("A", 300, 50),
+        # file B: long [0,1000) spans [100,50) and [500,50); then [1990,10)
+        # gap 990 -> split
+        ("B", 0, 1000), ("B", 100, 50), ("B", 500, 50), ("B", 1990, 10),
+    ]
+    df = spark.createDataFrame(rows, "file_id string, offset long, length long")
+    out = coalesce_read_ranges(df, max_gap=16)
+    got = {(r.file_id, r.range_id): (r.fetch_start, r.fetch_end, r.n_requests,
+                                     r.bytes_requested, r.bytes_fetched)
+           for r in out.collect()}
+    assert got == {
+        ("A", 1): (0, 200, 3, 240, 200),
+        ("A", 2): (300, 350, 1, 50, 50),
+        ("B", 1): (0, 1000, 3, 1100, 1000),
+        ("B", 2): (1990, 2000, 1, 10, 10),
+    }
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
