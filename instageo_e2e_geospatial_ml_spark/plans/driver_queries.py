@@ -5574,3 +5574,56 @@ Q137_SQL = _q137_sql()
 
 QUERIES["q137_read_range_plan"] = q137_read_range_plan
 ORACLES["q137_read_range_plan"] = Q137_SQL
+
+
+# q138 query-range batch — shared by Spark and the oracle
+Q138_RANGES = [
+    (1, 0, 500),
+    (2, 400, 1200),
+    (3, 150000, 200000),
+    (4, 0, 10**9),
+    (5, 1999, 1999),
+    (6, 50000, 90000),
+]
+
+
+def q138_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (operators/pruning.zone_map_prune):
+    per-file min/max stats derived from lineitem 'files' (orderkey
+    blocks), classified against a broadcast batch of query ranges into
+    skip/full/partial with exact row accounting — Iceberg manifest
+    pruning as a relational op."""
+    from ..operators.pruning import zone_map_prune
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy(F.expr("l_orderkey div 1000").alias("file_id"))
+        .agg(
+            F.min("l_partkey").alias("fmin"),
+            F.max("l_partkey").alias("fmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    qr = spark.createDataFrame(Q138_RANGES, "query_id long, lo long, hi long")
+    return zone_map_prune(stats, qr)
+
+
+def _q138_sql() -> str:
+    from ..operators.pruning import zone_map_prune_sql
+
+    ranges = " UNION ALL ".join(
+        f"SELECT CAST({q} AS BIGINT) AS query_id, {lo} AS lo, {hi} AS hi"
+        for q, lo, hi in Q138_RANGES
+    )
+    return zone_map_prune_sql(
+        "SELECT l_orderkey // 1000 AS file_id, min(l_partkey) AS fmin, "
+        "max(l_partkey) AS fmax, count(*) AS n_rows "
+        "FROM lineitem GROUP BY l_orderkey // 1000",
+        ranges,
+    )
+
+
+Q138_SQL = _q138_sql()
+
+QUERIES["q138_zone_map_prune"] = q138_zone_map_prune
+ORACLES["q138_zone_map_prune"] = Q138_SQL

@@ -1981,6 +1981,37 @@ def test_coalesce_read_ranges_sweep(spark):
     }
 
 
+def test_zone_map_prune_classification(spark):
+    """Designed stats/query grid hits every class and boundary:
+    touching-at-bound is partial-or-full (inclusive bounds), exact-
+    equality point query, and the query side must broadcast."""
+    from instageo_e2e_geospatial_ml_spark.operators.pruning import zone_map_prune
+
+    stats = spark.createDataFrame(
+        [
+            ("f1", 0, 99, 10),     # below
+            ("f2", 100, 200, 20),  # fully inside [100, 300]
+            ("f3", 250, 400, 30),  # straddles hi
+            ("f4", 301, 500, 40),  # above
+            ("f5", 300, 300, 50),  # single-value file at hi -> full
+        ],
+        "file_id string, fmin long, fmax long, n_rows long",
+    )
+    qr = spark.createDataFrame(
+        [(1, 100, 300), (2, 99, 99)], "query_id long, lo long, hi long"
+    )
+    out = zone_map_prune(stats, qr)
+    got = {r.query_id: r for r in out.collect()}
+    r1 = got[1]
+    assert (r1.n_files_skip, r1.n_files_full, r1.n_files_partial) == (2, 2, 1)
+    assert (r1.rows_skip, r1.rows_full, r1.rows_partial) == (50, 70, 30)
+    r2 = got[2]  # point query at 99: only f1 touches (fmax == lo, partial)
+    assert (r2.n_files_skip, r2.n_files_full, r2.n_files_partial) == (4, 0, 1)
+    assert r2.rows_partial == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
