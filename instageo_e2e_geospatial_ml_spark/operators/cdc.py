@@ -210,3 +210,41 @@ j AS (
 SELECT * FROM j
 WHERE change_type <> 'changed' OR changed_cols <> ''
 """
+
+
+def temporal_dim_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_col: str,
+    fact_ts_us_col: str = "ts_us",
+    valid_from_col: str = "valid_from_us",
+    valid_to_col: str = "valid_to_us",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION that was valid at
+    the fact's event time — the point-in-time ("AS OF") dimension join
+    every warehouse backfill needs (joining today's dim attributes to
+    last year's facts silently rewrites history; this is the correct
+    form). dim_history is SCD2 output: per key, half-open
+    [valid_from_us, valid_to_us) intervals with NULL valid_to = open.
+
+    Plan: equi-join on the dimension key + validity filter. SCD2
+    intervals PARTITION each key's timeline, so at most one version
+    matches — no dedup stage. The shuffle keys on the dim key; version
+    counts per key are small (change history, not fact volume), so the
+    join side stays balanced even when fact keys are zipfian — the hot
+    key's facts spread over its tasks, and a broadcast hint is the
+    escape hatch when the whole dim history fits (often true: dims are
+    small next to facts by definition).
+
+    Facts with no valid version at their timestamp (before the key's
+    first change, or a deleted gap) keep NULL dim columns under
+    how='left' — the honest answer, not the latest version.
+    """
+    t = F.col(fact_ts_us_col).cast("long")
+    cond = (
+        (facts[key_col] == dim_history[key_col])
+        & (t >= F.col(valid_from_col))
+        & (F.col(valid_to_col).isNull() | (t < F.col(valid_to_col)))
+    )
+    return facts.join(dim_history, cond, how).drop(dim_history[key_col])

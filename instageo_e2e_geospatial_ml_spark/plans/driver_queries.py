@@ -5627,3 +5627,68 @@ Q138_SQL = _q138_sql()
 
 QUERIES["q138_zone_map_prune"] = q138_zone_map_prune
 ORACLES["q138_zone_map_prune"] = Q138_SQL
+
+
+def q139_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) dimension join (operators/cdc
+    .temporal_dim_join): order-derived facts join the user-dimension
+    VERSION valid at each fact's event time, from the q81 SCD2
+    history. Equi-join on the dim key + half-open validity filter; at
+    most one version matches (SCD2 intervals partition the timeline);
+    facts before a key's first version keep NULL honestly."""
+    from ..operators.cdc import scd2_history, temporal_dim_join
+
+    ch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    dim = scd2_history(ch, tiebreak_col="event_id").select(
+        F.col("key").cast("long").alias("key"),
+        F.col("event_id").alias("version_id"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    facts = orders.select(
+        (F.col("o_custkey") % 100).cast("long").alias("key"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (
+            F.lit(1704067200000000)  # 2024-01-01T00:00:00Z in micros
+            + (F.col("o_orderkey") * 7919 % 172800) * 1000000
+        ).alias("ts_us"),
+    )
+    out = temporal_dim_join(facts, dim, "key")
+    return out.select(
+        "key", "o_orderkey", "ts_us", "version_id", "valid_from_us"
+    )
+
+
+Q139_SQL = """
+WITH led AS (
+  SELECT user_id AS key, event_id AS version_id,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to_us,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+),
+dim AS (SELECT * FROM led WHERE op <> 'delete'),
+facts AS (
+  SELECT CAST(o_custkey % 100 AS BIGINT) AS key,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         1704067200000000 + (o_orderkey * 7919 % 172800)
+           * CAST(1000000 AS BIGINT) AS ts_us
+  FROM orders
+)
+SELECT f.key, f.o_orderkey, f.ts_us, d.version_id, d.valid_from_us
+FROM facts f LEFT JOIN dim d
+  ON f.key = d.key AND f.ts_us >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+"""
+
+QUERIES["q139_temporal_dim_join"] = q139_temporal_dim_join
+ORACLES["q139_temporal_dim_join"] = Q139_SQL

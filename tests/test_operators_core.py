@@ -2012,6 +2012,45 @@ def test_zone_map_prune_classification(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_temporal_dim_join_point_in_time(spark):
+    """Facts hit the version open at their timestamp: inclusive start,
+    exclusive end, open (NULL) current version, NULL for facts before
+    the first version and inside a deleted gap; exactly one output row
+    per fact (SCD2 intervals partition the timeline)."""
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import temporal_dim_join
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: v1 [100, 200), deleted gap [200, 300), v2 [300, NULL)
+            (1, "v1", 100, 200),
+            (1, "v2", 300, None),
+            (2, "w1", 0, None),
+        ],
+        "key long, version string, valid_from_us long, valid_to_us long",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "a", 50),    # before first version -> NULL
+            (1, "b", 100),   # inclusive start -> v1
+            (1, "c", 199),   # last instant of v1
+            (1, "d", 200),   # exclusive end -> deleted gap -> NULL
+            (1, "e", 250),   # deleted gap -> NULL
+            (1, "f", 300),   # v2 opens
+            (1, "g", 10**9), # open interval -> v2
+            (2, "h", 5),     # other key
+            (3, "i", 5),     # key with no history -> NULL
+        ],
+        "key long, fact_id string, ts_us long",
+    )
+    out = temporal_dim_join(facts, dim, "key").select("fact_id", "version")
+    got = {r.fact_id: r.version for r in out.collect()}
+    assert got == {
+        "a": None, "b": "v1", "c": "v1", "d": None, "e": None,
+        "f": "v2", "g": "v2", "h": "w1", "i": None,
+    }
+    assert out.count() == 9  # one row per fact, no fan-out
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
