@@ -607,3 +607,74 @@ SELECT t.{id_col}, CAST(t.pos AS BIGINT) AS pos,
        coalesce(v.tok_id, 0) AS tok_id
 FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
 """
+
+
+def mix_by_token_budget(
+    docs,
+    budgets,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int | None = None,
+):
+    """Token-budget corpus mixing (the Pile/Dolma recipe step): build a
+    training mixture by taking, from each source, a random-but-
+    deterministic subset whose token count reaches that source's
+    budget. Docs are ordered by an md5 rank (a seedless shuffle, the
+    q43 sampling pattern); a doc is selected iff the tokens accumulated
+    BEFORE it are still under budget, so every budget is reached or
+    exceeded by exactly one doc (or the source is exhausted). Sources
+    with no budget row are excluded — the mixture spec is the contract.
+
+    Emits (source, doc_id, n_tokens, cum_before) for the selected docs.
+
+    Scale: the per-source running sum uses the pack_token_shards
+    two-phase form generalized to (source, rank-range) buckets — ONE
+    tiny per-bucket totals job, broadcast cumulative offsets, then a
+    window partitioned by (source, bucket): no task ever sorts a whole
+    source, even when one source dominates the corpus. The budget spec
+    broadcasts.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sess = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix"))).alias("_r"),
+    )
+    ranged = (
+        d.repartitionByRange(
+            n_buckets, F.col("source").asc(), F.col("_r").asc(), F.col("doc_id").asc()
+        )
+        .withColumn("_b", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("source", "_b").agg(
+        F.sum("n_tokens").alias("_t")
+    ).collect()
+    acc: dict = {}
+    offsets = []
+    for r in sorted(totals, key=lambda r: (r["source"], r["_b"])):
+        offsets.append((r["source"], r["_b"], acc.get(r["source"], 0)))
+        acc[r["source"]] = acc.get(r["source"], 0) + r["_t"]
+    off_df = sess.createDataFrame(
+        offsets or [("", 0, 0)], "source string, _b int, _off long"
+    )
+    w = Window.partitionBy("source", "_b").orderBy(
+        F.col("_r").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum_before = (
+        F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        ranged.join(F.broadcast(off_df), ["source", "_b"])
+        .withColumn("cum_before", cum_before.cast("long"))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_before") < F.col("budget_tokens"))
+        .select("source", "doc_id", "n_tokens", "cum_before")
+    )

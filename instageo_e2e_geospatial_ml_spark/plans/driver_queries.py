@@ -5692,3 +5692,53 @@ FROM facts f LEFT JOIN dim d
 
 QUERIES["q139_temporal_dim_join"] = q139_temporal_dim_join
 ORACLES["q139_temporal_dim_join"] = Q139_SQL
+
+
+# q140 mixture spec: budgets per source (tokens), shared with the oracle
+Q140_BUDGETS = [(f"src{i}", 500 + 100 * (i % 5)) for i in range(0, 18)]
+# src18/src19 intentionally absent: unlisted sources are excluded
+
+
+def q140_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (functions/text.mix_by_token_budget):
+    deterministic md5-ranked per-source selection until each source's
+    token budget is reached; two-phase prefix sum (no whole-source
+    window task); unlisted sources excluded."""
+    from ..functions.text import mix_by_token_budget
+
+    budgets = spark.createDataFrame(
+        Q140_BUDGETS, "source string, budget_tokens long"
+    )
+    return mix_by_token_budget(_t(spark, sf_dir, "documents"), budgets)
+
+
+def _q140_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS source, CAST({b} AS BIGINT) AS budget_tokens"
+        for s, b in Q140_BUDGETS
+    )
+    return f"""
+WITH b AS ({rows}),
+d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':mix') AS _r
+  FROM documents
+),
+run AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY _r ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS cum_before
+  FROM d
+)
+SELECT r.source, r.doc_id, r.n_tokens, r.cum_before
+FROM run r JOIN b ON r.source = b.source
+WHERE r.cum_before < b.budget_tokens
+"""
+
+
+Q140_SQL = _q140_sql()
+
+QUERIES["q140_token_mixture"] = q140_token_mixture
+ORACLES["q140_token_mixture"] = Q140_SQL

@@ -2051,6 +2051,49 @@ def test_temporal_dim_join_point_in_time(spark):
     assert out.count() == 9  # one row per fact, no fan-out
 
 
+def test_mix_by_token_budget_replica(spark):
+    """Python replica over md5 rank order: selection matches exactly;
+    each budget is reached-or-exceeded by exactly one doc (or source
+    exhausted); unlisted source excluded; no partition-less window."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.functions.text import (
+        mix_by_token_budget,
+    )
+
+    docs = [(f"s{j}", j * 100 + i, "w " * (5 + (i * 7) % 20))
+            for j in range(3) for i in range(12)]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    budgets = spark.createDataFrame(
+        [("s0", 40), ("s1", 10**6)], "source string, budget_tokens long"
+    )
+    out = mix_by_token_budget(df, budgets)
+    got = {(r.source, r.doc_id): (r.n_tokens, r.cum_before)
+           for r in out.collect()}
+
+    want = {}
+    for src, budget in [("s0", 40), ("s1", 10**6)]:
+        rows = [(hashlib.md5(f"{d}:mix".encode()).hexdigest(), d,
+                 len(t.split()))
+                for s, d, t in docs if s == src]
+        cum = 0
+        for _, d, n in sorted(rows):
+            if cum < budget:
+                want[(src, d)] = (n, cum)
+            cum += n
+    assert got == want
+    assert not any(s == "s2" for s, _ in got)  # unlisted source excluded
+    # s1's huge budget keeps the whole source
+    assert sum(1 for s, _ in got if s == "s1") == 12
+    # s0: the selected set crosses the budget by exactly the last doc
+    s0 = sorted((v[1], v[0]) for k, v in got.items() if k[0] == "s0")
+    assert s0[-1][0] < 40 <= s0[-1][0] + s0[-1][1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "WindowExec" in line or "Window " in line:
+            assert "partitionBy" not in line or "source" in line
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
