@@ -678,3 +678,77 @@ def mix_by_token_budget(
         .filter(F.col("cum_before") < F.col("budget_tokens"))
         .select("source", "doc_id", "n_tokens", "cum_before")
     )
+
+
+def length_grouped_batches(
+    docs,
+    batch_size: int,
+    bucket_width: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+):
+    """Length-grouped batch planning (HF Trainer group_by_length): docs
+    bucket by token-length band (bucket = n_tokens div bucket_width),
+    shuffle deterministically inside each band (md5 rank), and chunk
+    into batches of `batch_size`; per batch we report the padding
+    economics — max_tokens (what every sequence pads to), sum_tokens
+    (real content) and pad_waste = n_docs*max - sum, the compute the
+    batching exists to save. Emits (bucket, batch_id, n_docs,
+    max_tokens, sum_tokens, pad_waste).
+
+    Scale: the in-band row number uses the same two-phase form as
+    mix_by_token_budget — range-bucket, count the tiny per-range
+    totals, broadcast cumulative offsets, window per (band, range) —
+    so no task ever sorts a whole length band (bands are few and fat
+    by construction, the worst window-skew shape). Final rollup is a
+    map-side-combinable groupBy.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sess = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":lgb"))).alias("_r"),
+    ).withColumn(
+        "bucket", F.expr(f"n_tokens div {bucket_width}").cast("long")
+    )
+    ranged = (
+        d.repartitionByRange(
+            n_buckets, F.col("bucket").asc(), F.col("_r").asc(), F.col("doc_id").asc()
+        )
+        .withColumn("_b", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("bucket", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).collect()
+    acc: dict = {}
+    offsets = []
+    for r in sorted(counts, key=lambda r: (r["bucket"], r["_b"])):
+        offsets.append((r["bucket"], r["_b"], acc.get(r["bucket"], 0)))
+        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["_c"]
+    off_df = sess.createDataFrame(
+        offsets or [(0, 0, 0)], "bucket long, _b int, _off long"
+    )
+    w = Window.partitionBy("bucket", "_b").orderBy(
+        F.col("_r").asc(), F.col("doc_id").asc()
+    )
+    rn = F.col("_off") + F.row_number().over(w) - 1
+    batched = (
+        ranged.join(F.broadcast(off_df), ["bucket", "_b"])
+        .withColumn("_rn", rn.cast("long"))
+        .withColumn("batch_id", F.expr(f"_rn div {batch_size}"))
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).alias("pad_waste"),
+    )

@@ -5742,3 +5742,41 @@ Q140_SQL = _q140_sql()
 
 QUERIES["q140_token_mixture"] = q140_token_mixture
 ORACLES["q140_token_mixture"] = Q140_SQL
+
+
+def q141_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch planning (functions/text
+    .length_grouped_batches): token-length bands, deterministic md5
+    shuffle inside each band, batches of 8, per-batch padding-waste
+    economics. Two-phase in-band row numbers — no whole-band window
+    task."""
+    from ..functions.text import length_grouped_batches
+
+    return length_grouped_batches(
+        _t(spark, sf_dir, "documents"), batch_size=8, bucket_width=32
+    )
+
+
+Q141_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':lgb') AS _r
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // 32
+                            ORDER BY _r ASC, doc_id ASC) - 1 AS rn
+  FROM d
+)
+SELECT bucket, CAST(rn // 8 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket, rn // 8
+"""
+
+QUERIES["q141_length_batches"] = q141_length_batches
+ORACLES["q141_length_batches"] = Q141_SQL

@@ -2094,6 +2094,45 @@ def test_mix_by_token_budget_replica(spark):
             assert "partitionBy" not in line or "source" in line
 
 
+def test_length_grouped_batches_replica(spark):
+    """Python replica: band assignment, md5-order chunking, batch
+    sizes (full batches of B, one trailing partial per band), and
+    exact padding-waste arithmetic all match."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.functions.text import (
+        length_grouped_batches,
+    )
+
+    docs = [(i, "t " * (3 + (i * 11) % 60)) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = length_grouped_batches(df, batch_size=4, bucket_width=16)
+    got = {(r.bucket, r.batch_id): (r.n_docs, r.max_tokens, r.sum_tokens,
+                                    r.pad_waste)
+           for r in out.collect()}
+
+    bands: dict = {}
+    for i, t in docs:
+        n = len(t.split())
+        bands.setdefault(n // 16, []).append(
+            (hashlib.md5(f"{i}:lgb".encode()).hexdigest(), i, n)
+        )
+    want = {}
+    for bucket, rows in bands.items():
+        rows.sort()
+        for b0 in range(0, len(rows), 4):
+            chunk = [n for _, _, n in rows[b0:b0 + 4]]
+            want[(bucket, b0 // 4)] = (
+                len(chunk), max(chunk), sum(chunk),
+                len(chunk) * max(chunk) - sum(chunk),
+            )
+    assert got == want
+    # every non-trailing batch in a band is exactly full
+    for (bucket, bid), (n_docs, *_rest) in got.items():
+        if (bucket, bid + 1) in got:
+            assert n_docs == 4
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
