@@ -1333,3 +1333,52 @@ SELECT p.{g}, p.x, p.y,
 FROM ipts p JOIN inner_min im ON p.{g} = im.{g} AND p.k = im.k AND im.i <= p.k
 GROUP BY 1, 2, 3
 """
+
+
+def partial_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable sufficient statistics per group over an INTEGER value
+    column: (n, s1=Σx, s2=Σx², vmin, vmax) — the partial-aggregation
+    state every incremental warehouse rollup keeps (hourly partials →
+    daily → monthly without rescanning raw data). All exact integers;
+    mean = s1/n and the variance numerator n·s2 − s1² are derivable
+    downstream with zero drift, which float mean/M2 states cannot
+    promise under re-merging.
+    """
+    v = F.col(value_col).cast("long")
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_partial_stats(
+    partials: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge partial_stats states to a coarser grain by pure addition
+    (min/max by min/max) — the state is a commutative monoid, so the
+    merge is exact for ANY partition of the rows into partials. Emits
+    the merged state plus the derived exact-rational moments:
+    mean and variance emitted as integer (numerator, denominator)
+    pairs: mean = s1/n, var = (n·s2 − s1²)/n² (population form).
+    """
+    m = partials.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    return m.select(
+        *group_cols,
+        "n", "s1", "s2", "vmin", "vmax",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num"),
+        (F.col("n") * F.col("n")).alias("var_den"),
+    )

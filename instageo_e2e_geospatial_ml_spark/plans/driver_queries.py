@@ -5780,3 +5780,51 @@ FROM b GROUP BY bucket, rn // 8
 
 QUERIES["q141_length_batches"] = q141_length_batches
 ORACLES["q141_length_batches"] = Q141_SQL
+
+
+def q142_partial_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partial-aggregation rollup (operators/stats
+    .partial_stats + merge_partial_stats): daily per-supplier-bucket
+    sufficient statistics (n, Σx, Σx², min, max — exact integers)
+    merged UP to monthly grain from the partials alone. The oracle
+    computes the monthly stats directly from raw rows — hash equality
+    proves the merge is lossless for any partitioning, the property
+    float mean/M2 states cannot offer."""
+    from ..operators.stats import merge_partial_stats, partial_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 50).alias("supp_bucket"),
+        (F.year(F.col("l_shipdate").cast("timestamp")) * 100
+         + F.month(F.col("l_shipdate").cast("timestamp"))).alias("ym"),
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+        ).alias("day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    daily = partial_stats(li, ["supp_bucket", "ym", "day"], "qty")
+    return merge_partial_stats(daily, ["supp_bucket", "ym"])
+
+
+Q142_SQL = """
+WITH raw AS (
+  SELECT l_suppkey % 50 AS supp_bucket,
+         year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+m AS (
+  SELECT supp_bucket, ym,
+         CAST(count(qty) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s1,
+         CAST(sum(qty * qty) AS BIGINT) AS s2,
+         min(qty) AS vmin, max(qty) AS vmax
+  FROM raw GROUP BY supp_bucket, ym
+)
+SELECT supp_bucket, ym, n, s1, s2, vmin, vmax,
+       n * s2 - s1 * s1 AS var_num,
+       n * n AS var_den
+FROM m
+"""
+
+QUERIES["q142_partial_stats_rollup"] = q142_partial_stats_rollup
+ORACLES["q142_partial_stats_rollup"] = Q142_SQL

@@ -2133,6 +2133,44 @@ def test_length_grouped_batches_replica(spark):
             assert n_docs == 4
 
 
+def test_partial_stats_merge_invariance(spark):
+    """The monoid property: merging partials built under ANY interior
+    partitioning (3 different splits incl. singleton-per-row) yields
+    identical merged states, equal to direct aggregation, with exact
+    variance numerators."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        merge_partial_stats, partial_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [("g" + str(int(g)), int(v), int(p))
+            for g, v, p in zip(rng.integers(0, 3, 120),
+                               rng.integers(-50, 50, 120),
+                               rng.integers(0, 7, 120))]
+    df = spark.createDataFrame(rows, "g string, v long, part long")
+
+    def merged(partition_cols):
+        partials = partial_stats(df, ["g"] + partition_cols, "v")
+        return {r.g: (r.n, r.s1, r.s2, r.vmin, r.vmax, r.var_num, r.var_den)
+                for r in merge_partial_stats(partials, ["g"]).collect()}
+
+    a = merged(["part"])
+    b = merged([])           # one partial per group == direct
+    c = merged(["v"])        # partial per distinct value
+    assert a == b == c
+    # exact moments vs numpy (integers, so == is safe)
+    vals = {}
+    for g, v, _ in rows:
+        vals.setdefault(g, []).append(v)
+    for g, xs in vals.items():
+        n, s1, s2, vmin, vmax, var_num, var_den = a[g]
+        assert (n, s1, s2) == (len(xs), sum(xs), sum(x * x for x in xs))
+        assert (vmin, vmax) == (min(xs), max(xs))
+        assert var_num == n * s2 - s1 * s1 and var_den == n * n
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
