@@ -253,3 +253,65 @@ SELECT {k}, CAST(max(last_slot) AS BIGINT) AS last_slot,
                      THEN sv >> age_h ELSE 0 END) AS BIGINT) AS decayed
 FROM d GROUP BY 1
 """
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    window_s: int,
+) -> DataFrame:
+    """Trailing time-window aggregates per key — for every event, the
+    count and sum of the key's events in the last `window_s` seconds
+    INCLUDING the current instant (rate limiting, rolling spend,
+    velocity features): a RANGE frame over the event-time axis, not a
+    ROWS frame — irregular event spacing means "last N rows" and
+    "last N seconds" differ, and fraud/ops features mean the latter.
+    Ties in ts share the frame (RANGE includes all peers), so the
+    result is deterministic even when event timestamps collide.
+
+    One window per key (a key's events are the unit of parallelism; no
+    global window) computing both aggregates over the same frame — a
+    single sort. Integer ts and values -> engine-exact.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_us_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(t)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return df.select(
+        F.col(key_col),
+        t.alias("ts_us"),
+        F.col(value_col).cast("long").alias("v"),
+    ).select(
+        key_col,
+        "ts_us",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.sum("v").over(w).alias("sum_in_window"),
+    )
+
+
+def rolling_time_stats_sql(
+    events_sql: str, key_col: str, window_s: int
+) -> str:
+    """DuckDB twin of rolling_time_stats over (key_col, ts_us, v);
+    the key keeps its name so the column sets match."""
+    us = window_s * 1_000_000
+    k = key_col
+    return f"""
+WITH e AS (
+  SELECT {k}, CAST(ts_us AS BIGINT) AS ts_us, CAST(v AS BIGINT) AS v
+  FROM ({events_sql})
+)
+SELECT {k}, ts_us, v,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(sum(v) OVER w AS BIGINT) AS sum_in_window
+FROM e
+WINDOW w AS (PARTITION BY {k} ORDER BY ts_us
+             RANGE BETWEEN {us} PRECEDING AND CURRENT ROW)
+"""

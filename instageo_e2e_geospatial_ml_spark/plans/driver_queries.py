@@ -5828,3 +5828,36 @@ FROM m
 
 QUERIES["q142_partial_stats_rollup"] = q142_partial_stats_rollup
 ORACLES["q142_partial_stats_rollup"] = Q142_SQL
+
+
+def q143_rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window features (operators/timeseries
+    .rolling_time_stats): per-user count and spend over the last hour
+    at every event — a RANGE frame on the event-time axis (not ROWS:
+    irregular spacing makes them differ), ties share the frame. One
+    per-key window; integer-exact."""
+    from ..operators.timeseries import rolling_time_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return rolling_time_stats(ev, "user_id", "ts_us", "cents", window_s=3600)
+
+
+def _q143_sql() -> str:
+    from ..operators.timeseries import rolling_time_stats_sql
+
+    return rolling_time_stats_sql(
+        "SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS v FROM events",
+        key_col="user_id",
+        window_s=3600,
+    )
+
+
+Q143_SQL = _q143_sql()
+
+QUERIES["q143_rolling_time_stats"] = q143_rolling_time_stats
+ORACLES["q143_rolling_time_stats"] = Q143_SQL

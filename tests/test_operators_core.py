@@ -2171,6 +2171,35 @@ def test_partial_stats_merge_invariance(spark):
         assert var_num == n * s2 - s1 * s1 and var_den == n * n
 
 
+def test_rolling_time_stats_range_frame(spark):
+    """RANGE semantics: trailing-hour frame includes the boundary
+    instant exactly one window back, excludes anything older; tied
+    timestamps are peers (both rows see both); keys independent."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        rolling_time_stats,
+    )
+
+    M = 1_000_000
+    rows = [
+        (1, 0, 10),
+        (1, 1800 * M, 20),
+        (1, 3600 * M, 30),        # exactly 1h after t=0: inclusive
+        (1, 3600 * M + 1, 40),    # 1h+1us after t=0: t=0 drops out
+        (1, 10000 * M, 50),       # isolated
+        (2, 100, 7), (2, 100, 8),  # tied peers
+    ]
+    df = spark.createDataFrame(rows, "k long, ts_us long, val long")
+    out = rolling_time_stats(df, "k", "ts_us", "val", window_s=3600)
+    got = {(r.k, r.ts_us, r.v): (r.n_in_window, r.sum_in_window)
+           for r in out.collect()}
+    assert got[(1, 0, 10)] == (1, 10)
+    assert got[(1, 1800 * M, 20)] == (2, 30)
+    assert got[(1, 3600 * M, 30)] == (3, 60)          # boundary inclusive
+    assert got[(1, 3600 * M + 1, 40)] == (3, 90)      # t=0 dropped
+    assert got[(1, 10000 * M, 50)] == (1, 50)
+    assert got[(2, 100, 7)] == (2, 15) and got[(2, 100, 8)] == (2, 15)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
