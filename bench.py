@@ -69,6 +69,13 @@ HEADLINE = [
     "q30_pii_scrub",
     "q18_decontamination",
     "q55_substring_dedup",
+    # round-7 additions (compare per-query across rounds: the total
+    # grows because the list does)
+    "q129_url_canonicalize",
+    "q132_hex_density",
+    "q137_read_range_plan",
+    "q140_token_mixture",
+    "q143_rolling_time_stats",
 ]
 
 BENCH_TILES = ["38PMB", "38PPB", "39QTT", "30RYS", "38QMC", "39QUT"]
