@@ -315,3 +315,116 @@ FROM e
 WINDOW w AS (PARTITION BY {k} ORDER BY ts_us
              RANGE BETWEEN {us} PRECEDING AND CURRENT ROW)
 """
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Offline change-point detection per key by the CUSUM statistic,
+    kept EXACTLY in integers: for the key's series x_1..x_n in t
+    order, the centered cusum at i is S_i − (i/n)·S_n; scaling by n
+    gives the integer D_i = n·S_i − i·S_n, and the change point is
+    the position maximizing |D_i| (the classic single-shift estimator
+    — argmax of the centered cusum; ties resolve to the EARLIEST
+    position). Emits (key, n, total, cp_t, cp_index, max_abs_dev)
+    where max_abs_dev = max|D_i| — divide by n·n for the classical
+    normalized statistic downstream; a flat series gives 0.
+
+    Plan: one per-key window pass builds prefix sums (a key's series
+    is the unit of parallelism), a tiny per-key aggregate takes
+    max|D|, and an equi-join back picks the earliest argmax row —
+    the portable argmax (no struct-ordering dependence, the q113
+    family rule). Three stages, all keyed on `key`, one Exchange
+    reused.
+    """
+    from pyspark.sql import Window
+
+    k, t = F.col(key_col), F.col(t_col).cast("long")
+    x = F.col(value_col).cast("long")
+    w = Window.partitionBy(key_col).orderBy(t_col)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = df.select(k.alias("key"), t.alias("t"), x.alias("x"))
+    pre = base.select(
+        "key",
+        "t",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy("t")
+        ).alias("i"),
+        F.sum("x").over(
+            Window.partitionBy("key").orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("s_i"),
+        F.sum("x").over(
+            Window.partitionBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).withColumn(
+        "abs_dev",
+        F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("total")),
+    )
+    peak = pre.groupBy("key").agg(
+        F.max("abs_dev").alias("max_abs_dev"),
+        F.first("n").alias("n"),
+        F.first("total").alias("total"),
+    )
+    cp = (
+        pre.join(peak.select("key", "max_abs_dev"), "key")
+        .filter(F.col("abs_dev") == F.col("max_abs_dev"))
+        .groupBy("key")
+        .agg(F.min("i").alias("cp_index"))
+    )
+    cpt = (
+        pre.select("key", "i", "t")
+        .join(cp, "key")
+        .filter(F.col("i") == F.col("cp_index"))
+        .select("key", F.col("t").alias("cp_t"), "cp_index")
+    )
+    return peak.join(cpt, "key").select(
+        "key", "n", "total", "cp_t", "cp_index", "max_abs_dev"
+    )
+
+
+def cusum_changepoint_sql(series_sql: str) -> str:
+    """DuckDB twin of cusum_changepoint over (key, t, x)."""
+    return f"""
+WITH base AS (
+  SELECT key, CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x
+  FROM ({series_sql})
+),
+pre AS MATERIALIZED (
+  SELECT key, t,
+         row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+         CAST(sum(x) OVER (PARTITION BY key ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_i,
+         CAST(sum(x) OVER (PARTITION BY key) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM base
+),
+dev AS MATERIALIZED (
+  SELECT *, abs(n * s_i - i * total) AS abs_dev FROM pre
+),
+peak AS MATERIALIZED (
+  SELECT key, max(abs_dev) AS max_abs_dev, min(n) AS n, min(total) AS total
+  FROM dev GROUP BY key
+),
+cp AS (
+  SELECT d.key, min(d.i) AS cp_index
+  FROM dev d JOIN peak p ON d.key = p.key AND d.abs_dev = p.max_abs_dev
+  GROUP BY d.key
+)
+SELECT p.key, p.n, p.total, d.t AS cp_t,
+       CAST(c.cp_index AS BIGINT) AS cp_index, p.max_abs_dev
+FROM peak p
+JOIN cp c ON c.key = p.key
+JOIN dev d ON d.key = p.key AND d.i = c.cp_index
+"""

@@ -5861,3 +5861,42 @@ Q143_SQL = _q143_sql()
 
 QUERIES["q143_rolling_time_stats"] = q143_rolling_time_stats
 ORACLES["q143_rolling_time_stats"] = Q143_SQL
+
+
+def q144_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per user (operators/timeseries
+    .cusum_changepoint) over daily spend series: integer statistic
+    D_i = n*S_i - i*S_n, argmax |D| with earliest-tie rule via the
+    portable two-step argmax (no struct-ordering dependence)."""
+    from ..operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("user_id").cast("long").alias("key"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("t"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("key", "t")
+        .agg(F.sum("cents").alias("x"))
+    )
+    return cusum_changepoint(daily, "key", "t", "x")
+
+
+def _q144_sql() -> str:
+    from ..operators.timeseries import cusum_changepoint_sql
+
+    return cusum_changepoint_sql(
+        "SELECT CAST(user_id AS BIGINT) AS key, "
+        "epoch_us(ts) // 86400000000 AS t, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+Q144_SQL = _q144_sql()
+
+QUERIES["q144_cusum_changepoint"] = q144_cusum_changepoint
+ORACLES["q144_cusum_changepoint"] = Q144_SQL

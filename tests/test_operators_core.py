@@ -2200,6 +2200,49 @@ def test_rolling_time_stats_range_frame(spark):
     assert got[(2, 100, 7)] == (2, 15) and got[(2, 100, 8)] == (2, 15)
 
 
+def test_cusum_changepoint_designed_series(spark):
+    """A step series (5x value 10 then 5x value 50) locates the change
+    at the last low point; a flat series gives max_abs_dev 0 with the
+    earliest-tie rule (cp_index 1); a scalar replica agrees on a
+    random series."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append(("step", i, 10 if i < 5 else 50))
+    for i in range(6):
+        rows.append(("flat", i, 7))
+    rng = np.random.default_rng(9)
+    rand = [int(v) for v in rng.integers(-30, 30, 40)]
+    for i, v in enumerate(rand):
+        rows.append(("rand", i, v))
+    df = spark.createDataFrame(rows, "key string, t long, x long")
+    got = {r.key: r for r in cusum_changepoint(df, "key", "t", "x").collect()}
+
+    s = got["step"]
+    assert s.cp_index == 5 and s.cp_t == 4  # last low point (1-based idx 5)
+    assert s.n == 10 and s.total == 5 * 10 + 5 * 50
+    assert s.max_abs_dev == abs(10 * 50 - 5 * 300)  # n*S_5 - 5*S_n
+
+    f = got["flat"]
+    assert f.max_abs_dev == 0 and f.cp_index == 1
+
+    # scalar replica for the random series
+    n, tot = len(rand), sum(rand)
+    devs = []
+    si = 0
+    for i, v in enumerate(rand, 1):
+        si += v
+        devs.append(abs(n * si - i * tot))
+    m = max(devs)
+    r = got["rand"]
+    assert r.max_abs_dev == m and r.cp_index == devs.index(m) + 1
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
