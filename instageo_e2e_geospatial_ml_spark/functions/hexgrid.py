@@ -122,3 +122,73 @@ SELECT hq, hr, n_points,
        {size!r} * 1.5 * CAST(hr AS DOUBLE) AS center_lat
 FROM agg
 """
+
+
+# pointy-top axial neighbor offsets (the 6 edge-adjacent hexes)
+HEX_NEIGHBOR_OFFSETS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_focal_sum(cells: DataFrame, value_col: str = "n_points") -> DataFrame:
+    """Focal (neighborhood) smoothing on a hex grid: for every occupied
+    cell, the sum of its value and its 6 edge-adjacent neighbors'
+    values, plus the occupied-neighbor count — the hexagonal focal
+    mean numerator/denominator (hot-spot smoothing without the square
+    grid's corner-neighbor asymmetry; the q85 Moran pattern on the
+    q132 lattice).
+
+    Plan: each occupied cell scatters its value to itself + 6 neighbor
+    coordinates via a 7-row explode (volume 7x cells, never pairwise),
+    one groupBy on the target cell, then an inner join back to the
+    occupied set so focal values exist only where data does. All
+    integer; offsets are a literal array, no dimension table needed.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in ((0, 0),) + HEX_NEIGHBOR_OFFSETS
+        ]
+    )
+    scat = cells.select(
+        F.col("hq"), F.col("hr"), F.col(value_col).alias("v"),
+        F.explode(offs).alias("o"),
+    ).select(
+        (F.col("hq") + F.col("o.dq")).alias("tq"),
+        (F.col("hr") + F.col("o.dr")).alias("tr"),
+        "v",
+        ((F.col("o.dq") == 0) & (F.col("o.dr") == 0)).cast("long").alias("_self"),
+    )
+    agg = scat.groupBy("tq", "tr").agg(
+        F.sum("v").alias("focal_sum"),
+        (F.count(F.lit(1)) - F.sum("_self")).alias("n_occupied_neighbors"),
+    )
+    return (
+        cells.join(
+            agg,
+            (cells["hq"] == agg["tq"]) & (cells["hr"] == agg["tr"]),
+        )
+        .select(
+            "hq", "hr", F.col(value_col),
+            "focal_sum", "n_occupied_neighbors",
+        )
+    )
+
+
+def hex_focal_sum_sql(cells_sql: str, value_col: str = "n_points") -> str:
+    """DuckDB twin of hex_focal_sum over (hq, hr, value_col)."""
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in ((0, 0),) + HEX_NEIGHBOR_OFFSETS)
+    return f"""
+WITH cells AS MATERIALIZED ({cells_sql}),
+offs AS (SELECT * FROM (VALUES {offs}) AS o(dq, dr)),
+scat AS (
+  SELECT c.hq + o.dq AS tq, c.hr + o.dr AS tr, c.{value_col} AS v,
+         CASE WHEN o.dq = 0 AND o.dr = 0 THEN 1 ELSE 0 END AS is_self
+  FROM cells c CROSS JOIN offs o
+),
+agg AS (
+  SELECT tq, tr, CAST(sum(v) AS BIGINT) AS focal_sum,
+         CAST(count(*) - sum(is_self) AS BIGINT) AS n_occupied_neighbors
+  FROM scat GROUP BY tq, tr
+)
+SELECT c.hq, c.hr, c.{value_col}, a.focal_sum, a.n_occupied_neighbors
+FROM cells c JOIN agg a ON c.hq = a.tq AND c.hr = a.tr
+"""

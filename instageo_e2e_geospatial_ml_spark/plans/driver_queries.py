@@ -5900,3 +5900,33 @@ Q144_SQL = _q144_sql()
 
 QUERIES["q144_cusum_changepoint"] = q144_cusum_changepoint
 ORACLES["q144_cusum_changepoint"] = Q144_SQL
+
+
+def q145_hex_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-grid focal smoothing (functions/hexgrid.hex_focal_sum) over
+    the q132 density cells: self + 6 edge-adjacent neighbor sums and
+    occupied-neighbor counts via a 7-row scatter explode — never a
+    pairwise join. Composes the hex encode end-to-end."""
+    from ..functions.hexgrid import hex_density, hex_focal_sum
+
+    cells = hex_density(
+        _points(spark, sf_dir), "lon", "lat", size=2.5, min_count=5
+    ).select("hq", "hr", "n_points")
+    return hex_focal_sum(cells)
+
+
+def _q145_sql() -> str:
+    from ..functions.hexgrid import hex_density_sql, hex_focal_sum_sql
+
+    inner = (
+        "SELECT hq, hr, n_points FROM ("
+        + hex_density_sql(PTS_SQL, "lon", "lat", size=2.5, min_count=5)
+        + ")"
+    )
+    return hex_focal_sum_sql(inner)
+
+
+Q145_SQL = _q145_sql()
+
+QUERIES["q145_hex_focal"] = q145_hex_focal
+ORACLES["q145_hex_focal"] = Q145_SQL

@@ -2243,6 +2243,32 @@ def test_cusum_changepoint_designed_series(spark):
     assert r.max_abs_dev == m and r.cp_index == devs.index(m) + 1
 
 
+def test_hex_focal_sum_designed_lattice(spark):
+    """Center cell with all 6 neighbors occupied sums all 7; an edge
+    cell sees only its occupied neighbors; an isolated cell keeps its
+    own value with 0 neighbors; unoccupied coordinates never appear."""
+    from instageo_e2e_geospatial_ml_spark.functions.hexgrid import (
+        HEX_NEIGHBOR_OFFSETS, hex_focal_sum,
+    )
+
+    center = (0, 0, 100)
+    ring = [(dq, dr, 10 * (i + 1))
+            for i, (dq, dr) in enumerate(HEX_NEIGHBOR_OFFSETS)]
+    lone = (50, 50, 7)
+    df = spark.createDataFrame(
+        [center] + ring + [lone], "hq long, hr long, n_points long"
+    )
+    got = {(r.hq, r.hr): (r.focal_sum, r.n_occupied_neighbors)
+           for r in hex_focal_sum(df).collect()}
+    assert got[(0, 0)] == (100 + sum(10 * (i + 1) for i in range(6)), 6)
+    assert got[(50, 50)] == (7, 0)
+    # ring cell (1, 0) [value 10]: neighbors among occupied = center
+    # plus the adjacent ring cells (1,-1) [20] and (0,1) [60]
+    assert got[(1, 0)] == (10 + 100 + 20 + 60, 3)
+    assert (2, 0) not in got  # unoccupied coordinate absent
+    assert len(got) == 8
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
