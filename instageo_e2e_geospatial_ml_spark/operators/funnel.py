@@ -101,3 +101,107 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def multi_touch_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    channel_col: str = "channel",
+    conv_id_col: str = "conv_id",
+) -> DataFrame:
+    """Multi-touch attribution: for every conversion, the marketing
+    touches inside its lookback window, credited under the three
+    standard models AT ONCE, all exact — no float credit splitting:
+      linear: (credit_num=1, credit_den=n_touches) per touch row
+      first : is_first = 1 on the earliest touch
+      last  : is_last  = 1 on the latest touch
+    Ties at the same instant resolve by (ts, channel, touch order) —
+    deterministic under replay. Per-channel rollups stay exact when
+    aggregated as fractions grouped by credit_den (or as the
+    is_first/is_last counts), which is why credit ships as a rational,
+    not a double. Conversions with zero in-window touches emit one
+    row with NULL channel and n_touches = 0 (the unattributable
+    budget line every report needs).
+
+    Plan: equi-join on user + time-range filter (touch volume per
+    user bounds the pair count), one per-conversion window for the
+    first/last ranks — a conversion's touch set is small by
+    construction (the lookback bounds it).
+    """
+    from pyspark.sql import Window
+
+    t = touches.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("long").alias("touch_ts"),
+        F.col(channel_col).alias("channel"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("long").alias("conv_ts"),
+        F.col(conv_id_col).alias("conv_id"),
+    )
+    j = c.join(
+        t,
+        (c["u"] == t["u"])
+        & (t["touch_ts"] <= c["conv_ts"])
+        & (t["touch_ts"] >= c["conv_ts"] - lookback_s * 1_000_000),
+        "left",
+    ).select("conv_id", "conv_ts", "touch_ts", "channel")
+    w = Window.partitionBy("conv_id")
+    wf = w.orderBy(F.col("touch_ts").asc(), F.col("channel").asc())
+    wl = w.orderBy(F.col("touch_ts").desc(), F.col("channel").desc())
+    return j.select(
+        "conv_id",
+        "channel",
+        "touch_ts",
+        F.count("touch_ts").over(w).alias("n_touches"),
+        F.when(F.col("touch_ts").isNotNull(), F.lit(1)).alias("credit_num"),
+        F.when(
+            F.col("touch_ts").isNotNull(), F.count("touch_ts").over(w)
+        ).alias("credit_den"),
+        (F.row_number().over(wf) == 1)
+        .cast("int")
+        .alias("is_first"),
+        (F.row_number().over(wl) == 1)
+        .cast("int")
+        .alias("is_last"),
+    ).withColumn(
+        "is_first",
+        F.when(F.col("touch_ts").isNull(), F.lit(0)).otherwise(F.col("is_first")),
+    ).withColumn(
+        "is_last",
+        F.when(F.col("touch_ts").isNull(), F.lit(0)).otherwise(F.col("is_last")),
+    )
+
+
+def multi_touch_attribution_sql(
+    touches_sql: str, conversions_sql: str, lookback_s: int
+) -> str:
+    """DuckDB twin of multi_touch_attribution."""
+    us = lookback_s * 1_000_000
+    return f"""
+WITH t AS ({touches_sql}),
+c AS ({conversions_sql}),
+j AS MATERIALIZED (
+  SELECT c.conv_id, c.conv_ts, t.touch_ts, t.channel
+  FROM c LEFT JOIN t
+    ON c.u = t.u AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - {us}
+)
+SELECT conv_id, channel, touch_ts,
+  CAST(count(touch_ts) OVER w AS BIGINT) AS n_touches,
+  CASE WHEN touch_ts IS NOT NULL THEN 1 END AS credit_num,
+  CASE WHEN touch_ts IS NOT NULL
+       THEN CAST(count(touch_ts) OVER w AS BIGINT) END AS credit_den,
+  CASE WHEN touch_ts IS NULL THEN 0
+       WHEN row_number() OVER (PARTITION BY conv_id
+         ORDER BY touch_ts ASC, channel ASC) = 1 THEN 1 ELSE 0 END AS is_first,
+  CASE WHEN touch_ts IS NULL THEN 0
+       WHEN row_number() OVER (PARTITION BY conv_id
+         ORDER BY touch_ts DESC, channel DESC) = 1 THEN 1 ELSE 0 END AS is_last
+FROM j
+WINDOW w AS (PARTITION BY conv_id)
+"""

@@ -5930,3 +5930,47 @@ Q145_SQL = _q145_sql()
 
 QUERIES["q145_hex_focal"] = q145_hex_focal
 ORACLES["q145_hex_focal"] = Q145_SQL
+
+
+def q146_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/funnel
+    .multi_touch_attribution): click/view/signup touches credited to
+    purchase conversions within a 2h lookback under linear
+    (exact-rational credit), first-touch, and last-touch models at
+    once. Equi-join on user + range filter; per-conversion windows."""
+    from ..operators.funnel import multi_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("conv_id"),
+    )
+    return multi_touch_attribution(touches, convs, lookback_s=7200)
+
+
+def _q146_sql() -> str:
+    from ..operators.funnel import multi_touch_attribution_sql
+
+    return multi_touch_attribution_sql(
+        "SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS touch_ts, "
+        "event_type AS channel FROM events "
+        "WHERE event_type IN ('click', 'view', 'signup')",
+        "SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS conv_ts, "
+        "CAST(event_id AS BIGINT) AS conv_id FROM events "
+        "WHERE event_type = 'purchase'",
+        lookback_s=7200,
+    )
+
+
+Q146_SQL = _q146_sql()
+
+QUERIES["q146_attribution"] = q146_attribution
+ORACLES["q146_attribution"] = Q146_SQL

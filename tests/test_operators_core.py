@@ -2269,6 +2269,48 @@ def test_hex_focal_sum_designed_lattice(spark):
     assert len(got) == 8
 
 
+def test_multi_touch_attribution_models(spark):
+    """Three-touch conversion: linear credit 1/3 each, first/last
+    flags on the right touches; lookback excludes an old touch and a
+    post-conversion touch; a touch AT the conversion instant counts;
+    a touchless conversion emits the NULL-channel row."""
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        multi_touch_attribution,
+    )
+
+    M = 1_000_000
+    touches = spark.createDataFrame(
+        [
+            (1, 0, "old"),             # outside 1h lookback of conv at 7200
+            (1, 4000 * M, "search"),
+            (1, 5000 * M, "social"),
+            (1, 7200 * M, "email"),    # at the conversion instant: counts
+            (1, 8000 * M, "late"),     # after conversion: excluded
+            (2, 100 * M, "search"),    # user 2 converts with 1 touch
+        ],
+        "user_id long, ts_us long, channel string",
+    )
+    convs = spark.createDataFrame(
+        [(1, 7200 * M, 900), (2, 150 * M, 901), (3, 0, 902)],
+        "user_id long, ts_us long, conv_id long",
+    )
+    out = multi_touch_attribution(touches, convs, lookback_s=3600)
+    rows = out.collect()
+    c900 = {r.channel: r for r in rows if r.conv_id == 900}
+    assert set(c900) == {"search", "social", "email"}
+    for ch, r in c900.items():
+        assert (r.n_touches, r.credit_num, r.credit_den) == (3, 1, 3)
+    assert c900["search"].is_first == 1 and c900["email"].is_last == 1
+    assert c900["social"].is_first == 0 and c900["social"].is_last == 0
+    c901 = [r for r in rows if r.conv_id == 901][0]
+    assert (c901.channel, c901.n_touches, c901.is_first, c901.is_last) == (
+        "search", 1, 1, 1,
+    )
+    c902 = [r for r in rows if r.conv_id == 902][0]
+    assert c902.channel is None and c902.n_touches == 0
+    assert c902.credit_num is None and c902.is_first == 0
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
