@@ -428,3 +428,84 @@ FROM peak p
 JOIN cp c ON c.key = p.key
 JOIN dev d ON d.key = p.key AND d.i = c.cp_index
 """
+
+
+def cadence_profile(
+    events: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    min_events: int = 3,
+    gap_unit_us: int = 1_000_000,
+) -> DataFrame:
+    """Inter-arrival cadence profile per key — the bot/scraper signal
+    web curation runs before trusting engagement counts: humans arrive
+    with bursty, high-variance gaps; schedulers and scrapers tick with
+    near-constant ones. Per key with at least `min_events` events:
+    n_gaps, gap sum/min/max, and the EXACT integer variance numerator
+    var_num = n·Σd² − (Σd)² with var_den = n² (population variance of
+    the gap series as a rational) — flag keys downstream with
+    var_num · T_den < T_num · var_den · μ² style cross-multiplied
+    thresholds, never a float CV.
+
+    One lag window per key (single sort) then a map-side aggregate.
+    Duplicate timestamps yield zero gaps — legitimate (batched client
+    flushes) and visible in gap_min = 0 rather than silently dropped.
+    Gaps are quantized to `gap_unit_us` (default 1 s) BEFORE squaring:
+    a month-long gap in raw microseconds squares past bigint, and
+    second-level cadence is the signal anyway.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_us_col).cast("long")
+    w = Window.partitionBy("key").orderBy("t")
+    d = (
+        events.select(F.col(key_col).alias("key"), t.alias("t"))
+        .withColumn(
+            "gap",
+            F.expr("(t - lag(t) over (partition by key order by t))"),
+        )
+        .withColumn("gap", F.expr(f"gap div {gap_unit_us}"))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = d.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("gap_sum"),
+        F.sum(F.col("gap") * F.col("gap")).alias("gap_sumsq"),
+        F.min("gap").alias("gap_min"),
+        F.max("gap").alias("gap_max"),
+    )
+    return agg.filter(F.col("n_gaps") >= min_events - 1).select(
+        "key", "n_gaps", "gap_sum", "gap_min", "gap_max",
+        (
+            F.col("n_gaps") * F.col("gap_sumsq")
+            - F.col("gap_sum") * F.col("gap_sum")
+        ).alias("var_num"),
+        (F.col("n_gaps") * F.col("n_gaps")).alias("var_den"),
+    )
+
+
+def cadence_profile_sql(
+    events_sql: str, key_expr: str, min_events: int = 3,
+    gap_unit_us: int = 1_000_000,
+) -> str:
+    """DuckDB twin of cadence_profile over (key, ts_us)."""
+    return f"""
+WITH e AS (
+  SELECT {key_expr} AS key, CAST(ts_us AS BIGINT) AS t FROM ({events_sql})
+),
+g AS (
+  SELECT key, (t - lag(t) OVER (PARTITION BY key ORDER BY t))
+           // {gap_unit_us} AS gap FROM e
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS gap_sum,
+         CAST(sum(gap * gap) AS BIGINT) AS gap_sumsq,
+         min(gap) AS gap_min, max(gap) AS gap_max
+  FROM g WHERE gap IS NOT NULL GROUP BY key
+)
+SELECT key, n_gaps, gap_sum, gap_min, gap_max,
+       n_gaps * gap_sumsq - gap_sum * gap_sum AS var_num,
+       n_gaps * n_gaps AS var_den
+FROM agg WHERE n_gaps >= {min_events - 1}
+"""

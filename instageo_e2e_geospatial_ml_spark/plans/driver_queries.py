@@ -5974,3 +5974,34 @@ Q146_SQL = _q146_sql()
 
 QUERIES["q146_attribution"] = q146_attribution
 ORACLES["q146_attribution"] = Q146_SQL
+
+
+def q147_cadence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-cadence profiling (operators/timeseries.cadence_profile):
+    per-user inter-arrival gap statistics with the exact rational
+    variance (n·Σd²−(Σd)², n²) — the scraper-regularity signal, no
+    float CV. One lag window per user + map-side aggregate."""
+    from ..operators.timeseries import cadence_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return cadence_profile(ev, "user_id", "ts_us", min_events=5)
+
+
+def _q147_sql() -> str:
+    from ..operators.timeseries import cadence_profile_sql
+
+    return cadence_profile_sql(
+        "SELECT CAST(user_id AS BIGINT) AS k0, epoch_us(ts) AS ts_us "
+        "FROM events",
+        key_expr="k0",
+        min_events=5,
+    )
+
+
+Q147_SQL = _q147_sql()
+
+QUERIES["q147_cadence_profile"] = q147_cadence_profile
+ORACLES["q147_cadence_profile"] = Q147_SQL

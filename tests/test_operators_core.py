@@ -2311,6 +2311,40 @@ def test_multi_touch_attribution_models(spark):
     assert c902.credit_num is None and c902.is_first == 0
 
 
+def test_cadence_profile_bot_vs_human(spark):
+    """A metronome key (constant 60s gaps) gets var_num 0; a bursty
+    key gets the exact integer variance numerator; a key under
+    min_events is dropped; duplicate timestamps surface as gap_min 0."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        cadence_profile,
+    )
+
+    M = 1_000_000
+    rows = []
+    for i in range(6):
+        rows.append(("bot", i * 60 * M))
+    human_gaps = [5, 600, 30, 7200, 1]
+    t = 0
+    rows.append(("human", 0))
+    for g in human_gaps:
+        t += g * M
+        rows.append(("human", t))
+    rows += [("sparse", 0), ("sparse", 60 * M)]     # 2 events < min 3
+    rows += [("dup", 0), ("dup", 0), ("dup", 60 * M)]
+    df = spark.createDataFrame(rows, "k string, ts_us long")
+    got = {r.key: r for r in cadence_profile(df, "k", "ts_us", 3).collect()}
+    assert "sparse" not in got
+    b = got["bot"]
+    assert (b.n_gaps, b.gap_min, b.gap_max, b.var_num) == (5, 60, 60, 0)
+    h = got["human"]
+    n, s1 = len(human_gaps), sum(human_gaps)
+    s2 = sum(g * g for g in human_gaps)
+    assert (h.n_gaps, h.gap_sum) == (n, s1)
+    assert h.var_num == n * s2 - s1 * s1 and h.var_den == n * n
+    d = got["dup"]
+    assert (d.n_gaps, d.gap_min, d.gap_max) == (2, 0, 60)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
