@@ -154,3 +154,70 @@ def knn_join(
         .filter(F.col("rank") <= F.lit(k_neighbors))
         .select(qid, pid, "dist", "rank")
     )
+
+
+def knn_label_audit(
+    points: DataFrame,
+    k_neighbors: int,
+    radius_deg: float,
+    res: int | None = None,
+    pid: str = "pid",
+    px: str = "x",
+    py: str = "y",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit by neighborhood disagreement (the Confident-
+    Learning-style screen an ML-data pipeline runs before training):
+    for every labeled point, its k nearest OTHER labeled points within
+    `radius_deg`, and how many of them disagree with its label. A
+    point whose neighborhood majority disagrees (2·n_disagree >
+    n_nbrs) is a mislabel suspect; isolated points (no neighbor in
+    radius) are reported with n_nbrs = 0, not flagged — isolation is
+    not evidence of mislabeling.
+
+    Emits (pid, label, n_nbrs, n_disagree, suspect). Exact: the same
+    cell-ring prefilter + exact-distance refine as knn_join, self
+    pairs excluded BEFORE ranking so they never consume a neighbor
+    slot; (dist, pid) ordering makes ranks deterministic.
+    """
+    q = points.select(
+        F.col(pid).alias("qid"),
+        F.col(px).alias("qx"),
+        F.col(py).alias("qy"),
+        F.col(label_col).alias("qlabel"),
+    )
+    p = points.select(
+        F.col(pid).alias("nid"),
+        F.col(px).alias("nx"),
+        F.col(py).alias("ny"),
+        F.col(label_col).alias("nlabel"),
+    )
+    # _radius_pairs preserves input columns, so both labels ride along
+    # the candidate pairs — no label re-join needed
+    pairs = _radius_pairs(
+        q, p, radius_deg, res, "qid", "nid", "qx", "qy", "nx", "ny",
+        "sq_euclid", True,
+    ).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_neighbors
+    )
+    agg = top.groupBy("qid", "qlabel").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum(
+            (F.col("nlabel") != F.col("qlabel")).cast("long")
+        ).alias("n_disagree"),
+    )
+    out = points.select(
+        F.col(pid).alias("qid"), F.col(label_col).alias("qlabel")
+    ).join(agg.select("qid", "n_nbrs", "n_disagree"), "qid", "left")
+    return out.select(
+        F.col("qid").alias(pid),
+        F.col("qlabel").alias("label"),
+        F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
+        F.coalesce("n_disagree", F.lit(0)).alias("n_disagree"),
+        (
+            F.coalesce("n_disagree", F.lit(0)) * 2
+            > F.coalesce("n_nbrs", F.lit(0))
+        ).cast("int").alias("suspect"),
+    )

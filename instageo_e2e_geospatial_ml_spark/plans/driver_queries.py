@@ -6005,3 +6005,64 @@ Q147_SQL = _q147_sql()
 
 QUERIES["q147_cadence_profile"] = q147_cadence_profile
 ORACLES["q147_cadence_profile"] = Q147_SQL
+
+
+def q148_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (operators/knn.knn_label_audit): for
+    every labeled point, its 5 nearest other points within radius 2.0
+    and the disagreement count; neighborhood-majority disagreement
+    flags the point as a mislabel suspect, isolated points report
+    n_nbrs=0 unflagged. Cell-ring prefilter + exact refine, labels
+    ride the candidate pairs (no re-join)."""
+    from ..operators.knn import knn_label_audit
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    pts = part.select(
+        F.col("p_partkey").cast("long").alias("pid"),
+        ((F.col("p_partkey") * 13) % 3600 / 10.0 - 180.0).alias("x"),
+        ((F.col("p_partkey") * 29) % 1600 / 10.0 - 80.0).alias("y"),
+        (F.col("p_size") % 3).cast("long").alias("label"),
+    )
+    return knn_label_audit(pts, k_neighbors=5, radius_deg=2.0)
+
+
+Q148_SQL = f"""
+WITH pts AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS pid,
+         ((p_partkey * 13) % 3600) / 10.0 - 180.0 AS x,
+         ((p_partkey * 29) % 1600) / 10.0 - 80.0 AS y,
+         CAST(p_size % 3 AS BIGINT) AS label
+  FROM part WHERE p_partkey % 5 = 0
+),
+c AS (
+  SELECT q.pid AS qid, q.label AS qlabel, p.pid AS nid, p.label AS nlabel,
+         (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS dist
+  FROM pts q JOIN pts p
+    ON p.x BETWEEN q.x - 2.0 AND q.x + 2.0
+   AND p.y BETWEEN q.y - 2.0 AND q.y + 2.0
+   AND q.pid <> p.pid
+  WHERE (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) <= 4.0
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+    FROM c
+  ) WHERE rank <= 5
+),
+agg AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_nbrs,
+         CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+  FROM top GROUP BY qid
+)
+SELECT pts.pid, pts.label,
+       COALESCE(agg.n_nbrs, 0) AS n_nbrs,
+       COALESCE(agg.n_disagree, 0) AS n_disagree,
+       CAST(CASE WHEN COALESCE(agg.n_disagree, 0) * 2
+                    > COALESCE(agg.n_nbrs, 0)
+            THEN 1 ELSE 0 END AS INTEGER) AS suspect
+FROM pts LEFT JOIN agg ON agg.qid = pts.pid
+"""
+
+QUERIES["q148_label_audit"] = q148_label_audit
+ORACLES["q148_label_audit"] = Q148_SQL

@@ -2345,6 +2345,32 @@ def test_cadence_profile_bot_vs_human(spark):
     assert (d.n_gaps, d.gap_min, d.gap_max) == (2, 0, 60)
 
 
+def test_knn_label_audit_mislabel_cluster(spark):
+    """A tight cluster of label-0 points with one label-1 intruder:
+    the intruder's whole neighborhood disagrees (suspect), its
+    neighbors see exactly one disagreement each (not suspect), an
+    isolated point reports n_nbrs=0 unflagged, and self never counts
+    as a neighbor."""
+    from instageo_e2e_geospatial_ml_spark.operators.knn import knn_label_audit
+
+    cluster = [(i, 0.1 * i, 0.0, 0) for i in range(5)]        # pids 0-4
+    intruder = [(9, 0.2, 0.01, 1)]
+    lone = [(99, 50.0, 50.0, 0)]
+    df = spark.createDataFrame(
+        cluster + intruder + lone, "pid long, x double, y double, label long"
+    )
+    got = {r.pid: r for r in
+           knn_label_audit(df, k_neighbors=3, radius_deg=2.0).collect()}
+    assert len(got) == 7
+    nine = got[9]
+    assert nine.n_nbrs == 3 and nine.n_disagree == 3 and nine.suspect == 1
+    for pid in range(5):
+        r = got[pid]
+        assert r.n_nbrs == 3 and r.suspect == 0
+        # the intruder is within everyone's 3-NN here except the far end
+    assert got[99].n_nbrs == 0 and got[99].suspect == 0
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
