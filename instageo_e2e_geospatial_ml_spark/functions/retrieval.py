@@ -275,3 +275,97 @@ def skipgram_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def rrf_fuse(
+    df,
+    group_col: str,
+    id_col: str,
+    score_cols: list[str],
+    k: int = 60,
+    scale: int = 1_000_000,
+    top_n: int | None = None,
+):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    way to combine heterogeneous retrieval signals (BM25 + vector
+    similarity, or any scored lists) without calibrating their score
+    scales: each signal contributes 1/(k + rank), only the ORDER of
+    each list matters. Kept exact: the contribution is the integer
+    scale div (k + rank), so fused scores and the final ordering are
+    engine-identical (float 1/(k+r) sums would be association-
+    sensitive). Ranks are dense per (group, signal), descending score
+    with ascending id tie-break — fully deterministic.
+
+    Emits (group, id, rank_<sig>..., rrf_score[, rrf_rank]) with
+    rrf_rank present when top_n is set (ties broken by id).
+
+    Plan: one window per signal over the same (group) partitioning —
+    Catalyst shares the Exchange; a group's candidate list is the unit
+    of parallelism (bounded by the retriever's candidate cap, not the
+    corpus).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = df
+    fused = None
+    for sc in score_cols:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(sc).desc(), F.col(id_col).asc()
+        )
+        rcol = f"rank_{sc}"
+        out = out.withColumn(rcol, F.row_number().over(w))
+        term = F.expr(f"{scale} div ({k} + rank_{sc})")
+        fused = term if fused is None else fused + term
+    out = out.withColumn("rrf_score", fused.cast("long"))
+    cols = [group_col, id_col] + [f"rank_{sc}" for sc in score_cols] + [
+        "rrf_score"
+    ]
+    if top_n is None:
+        return out.select(*cols)
+    wf = Window.partitionBy(group_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("rrf_rank", F.row_number().over(wf))
+        .filter(F.col("rrf_rank") <= top_n)
+        .select(*cols, "rrf_rank")
+    )
+
+
+def rrf_fuse_sql(
+    table_sql: str,
+    group_col: str,
+    id_col: str,
+    score_cols: list[str],
+    k: int = 60,
+    scale: int = 1_000_000,
+    top_n: int | None = None,
+) -> str:
+    """DuckDB twin of rrf_fuse (identical ranks, integer-div terms)."""
+    g, i = group_col, id_col
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY {g} ORDER BY {sc} DESC, {i} ASC)"
+        f" AS rank_{sc}"
+        for sc in score_cols
+    )
+    fused = " + ".join(f"({scale} // ({k} + rank_{sc}))" for sc in score_cols)
+    rank_cols = ", ".join(f"rank_{sc}" for sc in score_cols)
+    base = f"""
+WITH r AS (
+  SELECT {g}, {i}, {ranks} FROM ({table_sql})
+),
+f AS (
+  SELECT {g}, {i}, {rank_cols}, CAST({fused} AS BIGINT) AS rrf_score FROM r
+)"""
+    if top_n is None:
+        return base + f"\nSELECT {g}, {i}, {rank_cols}, rrf_score FROM f"
+    return base + f""",
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY {g}
+    ORDER BY rrf_score DESC, {i} ASC) AS rrf_rank
+  FROM f
+)
+SELECT {g}, {i}, {rank_cols}, rrf_score, rrf_rank FROM t
+WHERE rrf_rank <= {top_n}
+"""

@@ -6066,3 +6066,46 @@ FROM pts LEFT JOIN agg ON agg.qid = pts.pid
 
 QUERIES["q148_label_audit"] = q148_label_audit
 ORACLES["q148_label_audit"] = Q148_SQL
+
+
+def q149_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (functions/retrieval.rrf_fuse): per
+    source, fuse the token-count and lexical-diversity rankings with
+    integer-scaled 1/(60+rank) terms and keep the top 5 — the
+    uncalibrated-signal combination every retrieval/selection stack
+    uses. All ranks deterministic (desc score, asc doc_id)."""
+    from ..functions.retrieval import rrf_fuse
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens("text")).cast("long").alias("s_len"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("s_div"),
+    )
+    return rrf_fuse(
+        d, "source", "doc_id", ["s_len", "s_div"], k=60, top_n=5
+    )
+
+
+def _q149_sql() -> str:
+    from ..functions.retrieval import rrf_fuse_sql
+
+    return rrf_fuse_sql(
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS s_len, "
+        "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) "
+        "AS BIGINT) AS s_div FROM documents",
+        "source",
+        "doc_id",
+        ["s_len", "s_div"],
+        k=60,
+        top_n=5,
+    )
+
+
+Q149_SQL = _q149_sql()
+
+QUERIES["q149_rrf_fusion"] = q149_rrf_fusion
+ORACLES["q149_rrf_fusion"] = Q149_SQL

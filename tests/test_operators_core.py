@@ -2371,6 +2371,41 @@ def test_knn_label_audit_mislabel_cluster(spark):
     assert got[99].n_nbrs == 0 and got[99].suspect == 0
 
 
+def test_rrf_fuse_designed_rankings(spark):
+    """Designed 4-doc group: a doc ranked 1st by one signal and last
+    by the other loses to a doc ranked 2nd by both (the point of RRF);
+    integer-scaled terms match the exact formula; top_n + tie rule."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import rrf_fuse
+
+    rows = [
+        # (g, id, sA, sB): d1 top in A, last in B; d2 2nd in both;
+        # d3/d4 fill the field
+        ("g", 1, 100, 1),
+        ("g", 2, 90, 90),
+        ("g", 3, 80, 100),
+        ("g", 4, 70, 50),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, sA long, sB long")
+    out = rrf_fuse(df, "g", "id", ["sA", "sB"], k=60, top_n=4)
+    got = {r.id: r for r in out.collect()}
+
+    def term(rank):
+        return 1_000_000 // (60 + rank)
+
+    assert got[1].rank_sA == 1 and got[1].rank_sB == 4
+    assert got[2].rank_sA == 2 and got[2].rank_sB == 2
+    assert got[1].rrf_score == term(1) + term(4)
+    assert got[2].rrf_score == term(2) + term(2)
+    assert got[2].rrf_score > got[1].rrf_score  # consistent #2 beats spiky #1
+    # full-order replica: ranks per signal -> exact fused scores
+    ranks = {1: (1, 4), 2: (2, 2), 3: (3, 1), 4: (4, 3)}
+    want = {d: term(ra) + term(rb) for d, (ra, rb) in ranks.items()}
+    for d, r in got.items():
+        assert r.rrf_score == want[d], (d, r.rrf_score, want[d])
+    order = [r.id for r in sorted(got.values(), key=lambda r: r.rrf_rank)]
+    assert order == sorted(want, key=lambda d: (-want[d], d))  # [3, 2, 1, 4]
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
