@@ -752,3 +752,59 @@ def length_grouped_batches(
             F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
         ).alias("pad_waste"),
     )
+
+
+# line-level code signals (lookahead-free ASCII regexes — the Spark/
+# DuckDB-identical subset)
+CODE_SIGNAL_PATTERNS = {
+    "indent": r"^(  |\t)",             # leading 2-space/tab indent
+    "punct_end": r"[;{}]$",            # statement/brace line ends
+    "assign": r"[A-Za-z_][A-Za-z0-9_]* = ",
+    "comment": r"^ *(#|//)",
+}
+
+
+def code_likeness(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Code-vs-prose line signals (the StarCoder/CodeParrot-style
+    routing gate: code belongs in the code pile, not the prose pile):
+    per document, the line count and how many lines look like code —
+    indented, statement-terminated ({ } ;), assignments, comment
+    markers. Emitted as exact counts so the routing threshold is an
+    integer cross-multiplication downstream (n_code_lines * den >
+    n_lines * num), never a float ratio.
+
+    All JVM: one split('\\n') + one higher-order filter per signal
+    over the same line array — no explode, no shuffle; a pure
+    map-side projection that runs at scan speed.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    out = [
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+    ]
+    def _matcher(pat):
+        # closure, not a default arg: a 2-param lambda would be treated
+        # as the (element, index) form by F.filter
+        return lambda x: x.rlike(pat)
+
+    for name, pat in CODE_SIGNAL_PATTERNS.items():
+        out.append(
+            F.size(
+                F.filter(lines, _matcher(pat))
+            ).cast("long").alias(f"n_{name}")
+        )
+    return docs.select(*out)
+
+
+def code_likeness_sql(docs_sql: str, text_expr: str = "text") -> str:
+    """DuckDB twin of code_likeness (same regexes via regexp_matches
+    over string_split lines)."""
+    sigs = ", ".join(
+        f"CAST(len(list_filter(string_split({text_expr}, chr(10)), "
+        f"x -> regexp_matches(x, '{pat}'))) AS BIGINT) AS n_{name}"
+        for name, pat in CODE_SIGNAL_PATTERNS.items()
+    )
+    return (
+        f"SELECT doc_id, CAST(len(string_split({text_expr}, chr(10))) "
+        f"AS BIGINT) AS n_lines, {sigs} FROM ({docs_sql})"
+    )

@@ -6109,3 +6109,49 @@ Q149_SQL = _q149_sql()
 
 QUERIES["q149_rrf_fusion"] = q149_rrf_fusion
 ORACLES["q149_rrf_fusion"] = Q149_SQL
+
+
+def q150_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals (functions/text.code_likeness):
+    per-doc line counts + indented / statement-terminated / assignment
+    / comment line counts over deterministically 'linified' synthetic
+    text. Pure map-side projection (split + higher-order filters, no
+    explode, no shuffle)."""
+    from ..functions.text import code_likeness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n  indented = line;\nvalue = 42;\n# comment\n}"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return code_likeness(d)
+
+
+def _q150_sql() -> str:
+    from ..functions.text import code_likeness_sql
+
+    inner = (
+        "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || "
+        "'  indented = line;' || chr(10) || 'value = 42;' || chr(10) || "
+        "'# comment' || chr(10) || '}' "
+        "WHEN doc_id % 4 = 2 THEN replace(text, ' the ', chr(10)) "
+        "ELSE text END AS text FROM documents"
+    )
+    return code_likeness_sql(inner)
+
+
+Q150_SQL = _q150_sql()
+
+QUERIES["q150_code_likeness"] = q150_code_likeness
+ORACLES["q150_code_likeness"] = Q150_SQL

@@ -2406,6 +2406,34 @@ def test_rrf_fuse_designed_rankings(spark):
     assert order == sorted(want, key=lambda d: (-want[d], d))  # [3, 2, 1, 4]
 
 
+def test_code_likeness_designed_snippets(spark):
+    """A real code snippet fires every signal with exact counts; prose
+    fires none; mixed content counts only its code lines; a
+    single-line doc has n_lines 1."""
+    from instageo_e2e_geospatial_ml_spark.functions.text import code_likeness
+
+    code = "def f():\n  x = 1;\n  return x\n# done\nend = True\n}"
+    prose = "It was a bright cold day in April.\nThe clocks were striking."
+    mixed = "Some text\n  indented code;\nmore text"
+    rows = [(1, code), (2, prose), (3, mixed), (4, "one line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in code_likeness(df).collect()}
+
+    c = got[1]
+    assert c.n_lines == 6
+    assert c.n_indent == 2          # "  x = 1;", "  return x"
+    assert c.n_punct_end == 2       # "  x = 1;", "}"
+    assert c.n_assign == 2          # "x = 1;", "end = True"
+    assert c.n_comment == 1         # "# done"
+    p = got[2]
+    assert (p.n_lines, p.n_indent, p.n_punct_end, p.n_assign, p.n_comment) == (
+        2, 0, 0, 0, 0,
+    )
+    m = got[3]
+    assert (m.n_lines, m.n_indent, m.n_punct_end) == (3, 1, 1)
+    assert got[4].n_lines == 1
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
