@@ -1382,3 +1382,86 @@ def merge_partial_stats(
         (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num"),
         (F.col("n") * F.col("n")).alias("var_den"),
     )
+
+
+def distribution_drift_tv(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Feature-drift detection between two data windows as the exact
+    total-variation distance — the monitoring gate that decides
+    "retrain / investigate" when serving data shifts from the
+    reference window. For bucketed feature values with reference
+    counts c1_i (N1 total) and current counts c2_i (N2 total):
+
+        TV = 1/2 · Σ_i |c1_i/N1 − c2_i/N2|
+           = Σ_i |c1_i·N2 − c2_i·N1| / (2·N1·N2)
+
+    — emitted as the exact integer pair (tv_num, tv_den), unlike PSI/
+    KL whose logs force floats and engine-specific libm. Buckets
+    present in only one window contribute their full mass (the
+    missing side is 0) — no smoothing epsilon needed, another PSI
+    wart avoided. `period_col` must hold 'ref' or 'cur'.
+
+    Plan: one (group, bucket) aggregation with conditional sums, a
+    per-group totals aggregation broadcast back by a group-keyed
+    join, then one map-side-combinable final sum. All shuffles key on
+    the group; bucket cardinality per group bounds nothing — it is
+    aggregated away.
+    """
+    g = [F.col(c) for c in group_cols]
+    per = df.groupBy(*g, F.col(bucket_col).alias("_b")).agg(
+        F.sum((F.col(period_col) == "ref").cast("long")).alias("c1"),
+        F.sum((F.col(period_col) == "cur").cast("long")).alias("c2"),
+    )
+    totals = per.groupBy(*group_cols).agg(
+        F.sum("c1").alias("n_ref"), F.sum("c2").alias("n_cur")
+    )
+    j = per.join(totals, group_cols)
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.abs(
+                    F.col("c1") * F.col("n_cur") - F.col("c2") * F.col("n_ref")
+                )
+            ).alias("tv_num"),
+        )
+        .withColumn("tv_den", F.lit(2) * F.col("n_ref") * F.col("n_cur"))
+    )
+
+
+def distribution_drift_tv_sql(
+    rows_sql: str, group_exprs: str, bucket_expr: str, period_expr: str
+) -> str:
+    """DuckDB twin of distribution_drift_tv. `group_exprs` is the
+    comma-separated group column list (bare, not prefixed)."""
+    ge = group_exprs
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per AS (
+  SELECT {ge}, {bucket_expr} AS b,
+         CAST(sum(CASE WHEN {period_expr} = 'ref' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN {period_expr} = 'cur' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c2
+  FROM rows_in GROUP BY {ge}, {bucket_expr}
+),
+tot AS (
+  SELECT {ge}, CAST(sum(c1) AS BIGINT) AS n_ref,
+         CAST(sum(c2) AS BIGINT) AS n_cur
+  FROM per GROUP BY {ge}
+)
+SELECT p.{ge.replace(', ', ', p.')}, min(t.n_ref) AS n_ref,
+       min(t.n_cur) AS n_cur,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(abs(p.c1 * t.n_cur - p.c2 * t.n_ref)) AS BIGINT) AS tv_num,
+       CAST(2 AS BIGINT) * min(t.n_ref) * min(t.n_cur) AS tv_den
+FROM per p JOIN tot t USING ({ge})
+GROUP BY p.{ge.replace(', ', ', p.')}
+"""

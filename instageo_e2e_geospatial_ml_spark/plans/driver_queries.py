@@ -6155,3 +6155,45 @@ Q150_SQL = _q150_sql()
 
 QUERIES["q150_code_likeness"] = q150_code_likeness
 ORACLES["q150_code_likeness"] = Q150_SQL
+
+
+def q151_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift gate (operators/stats.distribution_drift_tv):
+    exact total-variation distance of the per-type value distribution
+    between the first and second half of the event timeline (split at
+    day 15 of the synthetic range) — integer (tv_num, tv_den), no PSI
+    logs, no smoothing epsilon."""
+    from ..operators.stats import distribution_drift_tv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(round(value * 100, 0) as bigint) div 500"
+        ).alias("bucket"),
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            < 19738 + 15,
+            F.lit("ref"),
+        ).otherwise(F.lit("cur")).alias("period"),
+    )
+    return distribution_drift_tv(ev, ["event_type"], "bucket", "period")
+
+
+def _q151_sql() -> str:
+    from ..operators.stats import distribution_drift_tv_sql
+
+    return distribution_drift_tv_sql(
+        "SELECT event_type, "
+        "CAST(round(value * 100, 0) AS BIGINT) // 500 AS bucket, "
+        "CASE WHEN epoch_us(ts) // 86400000000 < 19738 + 15 "
+        "THEN 'ref' ELSE 'cur' END AS period FROM events",
+        group_exprs="event_type",
+        bucket_expr="bucket",
+        period_expr="period",
+    )
+
+
+Q151_SQL = _q151_sql()
+
+QUERIES["q151_distribution_drift"] = q151_distribution_drift
+ORACLES["q151_distribution_drift"] = Q151_SQL

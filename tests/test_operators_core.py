@@ -2434,6 +2434,35 @@ def test_code_likeness_designed_snippets(spark):
     assert got[4].n_lines == 1
 
 
+def test_distribution_drift_tv_designed(spark):
+    """Identical distributions give TV 0; fully disjoint supports give
+    TV 1 (num == den); a half-shifted case matches the hand-computed
+    exact fraction; one-sided buckets contribute full mass."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        distribution_drift_tv,
+    )
+
+    rows = []
+    # g=same: ref and cur both 3xA 1xB -> TV 0
+    rows += [("same", "A", "ref")] * 3 + [("same", "B", "ref")]
+    rows += [("same", "A", "cur")] * 3 + [("same", "B", "cur")]
+    # g=disjoint: ref all A, cur all B -> TV 1
+    rows += [("disjoint", "A", "ref")] * 4 + [("disjoint", "B", "cur")] * 2
+    # g=half: ref 2A 2B, cur 4A -> TV = 1/2
+    rows += [("half", "A", "ref")] * 2 + [("half", "B", "ref")] * 2
+    rows += [("half", "A", "cur")] * 4
+    df = spark.createDataFrame(rows, "g string, bucket string, period string")
+    got = {r.g: r for r in
+           distribution_drift_tv(df, ["g"], "bucket", "period").collect()}
+    assert Fraction(got["same"].tv_num, got["same"].tv_den) == 0
+    assert Fraction(got["disjoint"].tv_num, got["disjoint"].tv_den) == 1
+    assert Fraction(got["half"].tv_num, got["half"].tv_den) == Fraction(1, 2)
+    assert got["disjoint"].n_ref == 4 and got["disjoint"].n_cur == 2
+    assert got["same"].n_buckets == 2
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
