@@ -369,3 +369,104 @@ t AS (
 SELECT {g}, {i}, {rank_cols}, rrf_score, rrf_rank FROM t
 WHERE rrf_rank <= {top_n}
 """
+
+
+def trending_terms(
+    docs,
+    period_col: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 5,
+    min_count: int = 3,
+):
+    """Trending-term detection between a reference and a current
+    window ('ref' / 'cur' in `period_col`): per group, the terms whose
+    frequency rose most, ranked by the EXACT cross-multiplied drift
+    delta = c_cur·N_ref − c_ref·N_cur (positive = rising; the same
+    no-float-ratio rule as the q151 TV gate — ratios of small counts
+    are exactly where float rank orders go nondeterministic). Terms
+    below `min_count` current occurrences are pruned before ranking
+    (rare-term noise control), absent-in-ref terms get c_ref = 0 —
+    genuinely new terms rank on their full current mass.
+
+    Emits (group, term, c_ref, c_cur, n_ref, n_cur, delta, rank).
+
+    Plan: one explode + (group, term, period) conditional-sum
+    aggregation, per-group totals joined back on the group key, then
+    a per-group top-n window (WindowGroupLimit keeps only n rows per
+    group per partition below the sort).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    tok = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(period_col).alias("p"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    per = tok.groupBy("g", "term").agg(
+        F.sum((F.col("p") == "ref").cast("long")).alias("c_ref"),
+        F.sum((F.col("p") == "cur").cast("long")).alias("c_cur"),
+    )
+    tot = per.groupBy("g").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    j = per.join(tot, "g").filter(F.col("c_cur") >= min_count)
+    j = j.withColumn(
+        "delta",
+        F.col("c_cur") * F.col("n_ref") - F.col("c_ref") * F.col("n_cur"),
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("delta").desc(), F.col("term").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("g").alias(group_col), "term", "c_ref", "c_cur",
+            "n_ref", "n_cur", "delta", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def trending_terms_sql(
+    docs_sql: str,
+    group_col: str = "source",
+    top_n: int = 5,
+    min_count: int = 3,
+) -> str:
+    """DuckDB twin of trending_terms over (group, period, text)."""
+    g = group_col
+    return f"""
+WITH tok AS (
+  SELECT {g} AS g, period AS p,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM ({docs_sql})
+),
+per AS (
+  SELECT g, term,
+         CAST(sum(CASE WHEN p = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN p = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM tok GROUP BY g, term
+),
+tot AS (
+  SELECT g, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM per GROUP BY g
+),
+d AS (
+  SELECT per.g, term, c_ref, c_cur, n_ref, n_cur,
+         c_cur * n_ref - c_ref * n_cur AS delta
+  FROM per JOIN tot ON per.g = tot.g
+  WHERE c_cur >= {min_count}
+)
+SELECT g AS {g}, term, c_ref, c_cur, n_ref, n_cur, delta,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY g
+    ORDER BY delta DESC, term ASC) AS rank
+  FROM d
+) WHERE rank <= {top_n}
+"""

@@ -6197,3 +6197,34 @@ Q151_SQL = _q151_sql()
 
 QUERIES["q151_distribution_drift"] = q151_distribution_drift
 ORACLES["q151_distribution_drift"] = Q151_SQL
+
+
+def q152_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per source (functions/retrieval.trending_terms):
+    doc_id parity splits the corpus into ref/cur windows; rising terms
+    rank by the exact cross-multiplied drift c_cur·N_ref − c_ref·N_cur
+    with a min-support prune."""
+    from ..functions.retrieval import trending_terms
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "period",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("cur")),
+    )
+    return trending_terms(docs, "period", top_n=5, min_count=3)
+
+
+def _q152_sql() -> str:
+    from ..functions.retrieval import trending_terms_sql
+
+    return trending_terms_sql(
+        "SELECT source, CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END "
+        "AS period, text FROM documents",
+        top_n=5,
+        min_count=3,
+    )
+
+
+Q152_SQL = _q152_sql()
+
+QUERIES["q152_trending_terms"] = q152_trending_terms
+ORACLES["q152_trending_terms"] = Q152_SQL

@@ -2463,6 +2463,37 @@ def test_distribution_drift_tv_designed(spark):
     assert got["same"].n_buckets == 2
 
 
+def test_trending_terms_designed_windows(spark):
+    """A term that explodes in the current window ranks first; a
+    brand-new term ranks on its full current mass (c_ref=0); steady
+    terms have delta ~ 0; min_count prunes a 2-occurrence term; a
+    declining term never outranks a rising one."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import (
+        trending_terms,
+    )
+
+    ref = "base base base base steady steady fading fading fading"
+    cur = ("base base base steady steady steady "
+           "surge surge surge surge novel novel novel rare rare")
+    df = spark.createDataFrame(
+        [("s", "ref", ref), ("s", "cur", cur)],
+        "source string, period string, text string",
+    )
+    out = trending_terms(df, "period", top_n=10, min_count=3).collect()
+    by_term = {r.term: r for r in out}
+    assert "rare" not in by_term                      # min_count prune
+    assert by_term["surge"].c_ref == 0 or by_term["surge"].c_ref is not None
+    n_ref, n_cur = 9, 15
+    for t, (cr, cc) in {"surge": (0, 4), "novel": (0, 3),
+                        "base": (4, 3), "steady": (2, 3)}.items():
+        r = by_term[t]
+        assert (r.c_ref, r.c_cur) == (cr, cc), (t, r)
+        assert r.delta == cc * n_ref - cr * n_cur
+    order = [r.term for r in sorted(out, key=lambda r: r.rank)]
+    assert order[0] == "surge" and order[1] == "novel"
+    assert order.index("surge") < order.index("base")  # riser beats decliner
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
