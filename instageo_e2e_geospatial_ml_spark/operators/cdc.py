@@ -248,3 +248,58 @@ def temporal_dim_join(
         & (F.col(valid_to_col).isNull() | (t < F.col(valid_to_col)))
     )
     return facts.join(dim_history, cond, how).drop(dim_history[key_col])
+
+
+def bitemporal_snapshot(
+    corrections: DataFrame,
+    tx_as_of_us: int,
+    key_col: str = "key",
+    valid_from_col: str = "valid_from_us",
+    tx_col: str = "tx_us",
+    tx_tiebreak_col: str = "tx_id",
+    op_col: str = "op",
+    retract_op: str = "retract",
+) -> DataFrame:
+    """Bitemporal dimension reconstruction: given a CORRECTION LOG —
+    rows (key, valid_from_us, value..., tx_us, op) where each
+    transaction restates what is believed about the valid period
+    starting at valid_from_us (op = retract withdraws that belief) —
+    rebuild the dimension as it was believed AS OF transaction time
+    `tx_as_of_us`: the backdated-fix problem (late amendments, audit
+    replays, 'what did the report say last quarter') that plain SCD2
+    cannot answer because it conflates the two time axes.
+
+      1. belief selection: latest tx ≤ T per (key, valid_from), ties
+         by tx_id — one row_number window;
+      2. retraction drop: a winning retract removes the period;
+      3. valid_to derivation: lead(valid_from) per key over the
+         SURVIVING periods (SCD2 interval closure) — so a retracted
+         middle period correctly extends its predecessor.
+
+    Output: the believed history (key, valid_from_us, valid_to_us,
+    is_current, value columns). Feed it to temporal_dim_join for
+    point-in-VALID-time queries — the two-axis query is the
+    composition, each axis one well-defined operator.
+
+    Both windows key on `key` (the belief window on (key, valid_from))
+    — no global window; a key's correction history is the unit of
+    parallelism.
+    """
+    from pyspark.sql import Window
+
+    c = corrections.filter(F.col(tx_col).cast("long") <= tx_as_of_us)
+    wb = Window.partitionBy(key_col, valid_from_col).orderBy(
+        F.col(tx_col).cast("long").desc(), F.col(tx_tiebreak_col).desc()
+    )
+    latest = (
+        c.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    alive = latest.filter(F.col(op_col) != retract_op)
+    wv = Window.partitionBy(key_col).orderBy(F.col(valid_from_col).asc())
+    return (
+        alive.withColumn("valid_to_us", F.lead(valid_from_col).over(wv))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .drop(op_col)
+    )

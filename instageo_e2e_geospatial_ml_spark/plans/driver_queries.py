@@ -6228,3 +6228,65 @@ Q152_SQL = _q152_sql()
 
 QUERIES["q152_trending_terms"] = q152_trending_terms
 ORACLES["q152_trending_terms"] = Q152_SQL
+
+
+def q153_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal reconstruction (operators/cdc.bitemporal_snapshot):
+    events as a correction log — user beliefs about day-grain valid
+    periods, amended over transaction time, 'error' rows retracting —
+    rebuilt AS OF the transaction-time midpoint. Two key-partitioned
+    windows; no global window."""
+    from ..operators.cdc import bitemporal_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    corr = ev.select(
+        F.col("user_id").cast("long").alias("key"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            % 10
+        ).alias("valid_from_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tx_us"),
+        F.col("event_id").cast("long").alias("tx_id"),
+        F.when(F.col("event_type") == "error", F.lit("retract"))
+        .otherwise(F.lit("assert")).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    # transaction-time cutoff: 15 days into the synthetic 2024 range
+    t = (19738 + 15) * 86400000000
+    out = bitemporal_snapshot(corr, t)
+    return out.select(
+        "key", "valid_from_us", "valid_to_us", "is_current",
+        "tx_us", "tx_id", "cents",
+    )
+
+
+Q153_SQL = """
+WITH corr AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         (epoch_us(ts) // 86400000000) % 10 AS valid_from_us,
+         epoch_us(ts) AS tx_us,
+         CAST(event_id AS BIGINT) AS tx_id,
+         CASE WHEN event_type = 'error' THEN 'retract' ELSE 'assert' END AS op,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE epoch_us(ts) <= (19738 + 15) * CAST(86400000000 AS BIGINT)
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key, valid_from_us
+      ORDER BY tx_us DESC, tx_id DESC) AS rn
+    FROM corr
+  ) WHERE rn = 1
+),
+alive AS (SELECT * FROM latest WHERE op <> 'retract')
+SELECT key, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY key ORDER BY valid_from_us ASC)
+         AS valid_to_us,
+       lead(valid_from_us) OVER (PARTITION BY key ORDER BY valid_from_us ASC)
+         IS NULL AS is_current,
+       tx_us, tx_id, cents
+FROM alive
+"""
+
+QUERIES["q153_bitemporal_snapshot"] = q153_bitemporal_snapshot
+ORACLES["q153_bitemporal_snapshot"] = Q153_SQL

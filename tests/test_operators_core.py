@@ -2494,6 +2494,37 @@ def test_trending_terms_designed_windows(spark):
     assert order.index("surge") < order.index("base")  # riser beats decliner
 
 
+def test_bitemporal_snapshot_corrections(spark):
+    """Backdated-fix semantics: a later correction (tx <= T) replaces
+    the believed value for its valid period; corrections after T are
+    invisible; a winning retraction removes its period AND extends
+    the predecessor's valid_to; tx tie resolves by tx_id."""
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import bitemporal_snapshot
+
+    rows = [
+        # key, valid_from, tx, tx_id, op, val
+        (1, 100, 10, 1, "assert", 5),     # period A first belief
+        (1, 100, 20, 2, "assert", 7),     # corrected at tx 20 -> wins at T=50
+        (1, 100, 90, 3, "assert", 9),     # after T: invisible
+        (1, 200, 30, 4, "assert", 11),    # period B
+        (1, 300, 35, 5, "assert", 13),    # period C
+        (1, 200, 40, 6, "retract", 0),    # B retracted -> A extends to 300
+        (2, 100, 10, 7, "assert", 1),
+        (2, 100, 10, 8, "assert", 2),     # same tx: higher tx_id wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key long, valid_from_us long, tx_us long, tx_id long, op string, val long",
+    )
+    out = bitemporal_snapshot(df, 50)
+    got = {(r.key, r.valid_from_us): r for r in out.collect()}
+    assert got[(1, 100)].val == 7          # corrected, not 5, not the tx-90 9
+    assert got[(1, 100)].valid_to_us == 300  # retracted B skipped
+    assert (1, 200) not in got
+    assert got[(1, 300)].val == 13 and got[(1, 300)].is_current
+    assert got[(2, 100)].val == 2          # tx_id tie-break
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
