@@ -509,3 +509,94 @@ SELECT key, n_gaps, gap_sum, gap_min, gap_max,
        n_gaps * n_gaps AS var_den
 FROM agg WHERE n_gaps >= {min_events - 1}
 """
+
+
+def sliding_window_distinct(
+    events: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    id_col: str,
+    window_slots: int,
+    slot_us: int,
+) -> DataFrame:
+    """EXACT distinct-entity counts over sliding windows (hourly-slide,
+    W-slot span — the 'distinct users last 3 h, every hour' gauge):
+    each event belongs to exactly `window_slots` sliding windows, so
+    it explodes to those window ids (volume x W, bounded and chosen by
+    the caller) and one count(DISTINCT id) per (key, window) finishes
+    it. The exact twin of what HLL sliding sketches approximate — at
+    W <= ~24 the explode is cheaper than maintaining W overlapping
+    sketches, and it is exactly mergeable with plain partial
+    aggregation because the explode made windows independent.
+
+    Window w covers slots [w − W + 1, w]; windows are emitted only
+    when their LAST slot has arrived data (leading partial windows of
+    the stream's warm-up are real; trailing empty ones do not exist).
+    Output: (key, window_slot, window_start_us, n_events,
+    n_distinct).
+    """
+    t = F.col(ts_us_col).cast("long")
+    slot = F.expr(f"cast({ts_us_col} as bigint) div {slot_us}")
+    d = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        slot.alias("_slot"),
+    ).select(
+        "key",
+        "id",
+        F.explode(
+            F.sequence(F.col("_slot"), F.col("_slot") + (window_slots - 1))
+        ).alias("window_slot"),
+        F.col("_slot").alias("_orig"),
+    )
+    return (
+        d.groupBy("key", "window_slot")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("id")).alias("n_distinct"),
+            F.max(
+                (F.col("_orig") == F.col("window_slot")).cast("int")
+            ).alias("_has_last"),
+        )
+        .filter(F.col("_has_last") == 1)
+        .select(
+            "key",
+            "window_slot",
+            (F.col("window_slot") * slot_us).alias("window_end_slot_start_us"),
+            "n_events",
+            "n_distinct",
+        )
+    )
+
+
+def sliding_window_distinct_sql(
+    events_sql: str,
+    key_expr: str,
+    id_expr: str,
+    window_slots: int,
+    slot_us: int,
+) -> str:
+    """DuckDB twin of sliding_window_distinct over (key, ts_us, id)."""
+    return f"""
+WITH e AS (
+  SELECT {key_expr} AS key, {id_expr} AS id,
+         CAST(ts_us AS BIGINT) // {slot_us} AS slot
+  FROM ({events_sql})
+),
+x AS (
+  SELECT key, id, slot,
+         unnest(generate_series(slot, slot + {window_slots - 1})) AS window_slot
+  FROM e
+),
+agg AS (
+  SELECT key, window_slot,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+         max(CASE WHEN slot = window_slot THEN 1 ELSE 0 END) AS has_last
+  FROM x GROUP BY key, window_slot
+)
+SELECT key, window_slot,
+       window_slot * CAST({slot_us} AS BIGINT) AS window_end_slot_start_us,
+       n_events, n_distinct
+FROM agg WHERE has_last = 1
+"""

@@ -6290,3 +6290,41 @@ FROM alive
 
 QUERIES["q153_bitemporal_snapshot"] = q153_bitemporal_snapshot
 ORACLES["q153_bitemporal_snapshot"] = Q153_SQL
+
+
+def q154_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact distinct users (operators/timeseries
+    .sliding_window_distinct): per event type, 3-slot windows sliding
+    one 6h slot — each event explodes to its 3 windows, then one
+    count(DISTINCT) per (type, window); windows emitted only when
+    their last slot has data."""
+    from ..operators.timeseries import sliding_window_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    return sliding_window_distinct(
+        ev, "event_type", "ts_us", "user_id",
+        window_slots=3, slot_us=21600000000,
+    )
+
+
+def _q154_sql() -> str:
+    from ..operators.timeseries import sliding_window_distinct_sql
+
+    return sliding_window_distinct_sql(
+        "SELECT event_type AS k0, epoch_us(ts) AS ts_us, "
+        "CAST(user_id AS BIGINT) AS uid FROM events",
+        key_expr="k0",
+        id_expr="uid",
+        window_slots=3,
+        slot_us=21600000000,
+    )
+
+
+Q154_SQL = _q154_sql()
+
+QUERIES["q154_sliding_distinct"] = q154_sliding_distinct
+ORACLES["q154_sliding_distinct"] = Q154_SQL

@@ -2525,6 +2525,34 @@ def test_bitemporal_snapshot_corrections(spark):
     assert got[(2, 100)].val == 2          # tx_id tie-break
 
 
+def test_sliding_window_distinct_exact(spark):
+    """3-slot sliding windows: a user active in two adjacent slots
+    counts once in the window spanning both; windows whose last slot
+    has no data are not emitted; per-key independence."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        sliding_window_distinct,
+    )
+
+    S = 100  # slot_us
+    rows = [
+        ("a", 0 * S + 1, 1), ("a", 0 * S + 2, 2),   # slot 0: users 1,2
+        ("a", 1 * S + 1, 1),                        # slot 1: user 1 again
+        ("a", 4 * S + 1, 3),                        # slot 4 (gap at 2,3)
+        ("b", 0 * S + 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_us long, uid long")
+    out = sliding_window_distinct(df, "k", "ts_us", "uid",
+                                  window_slots=3, slot_us=S)
+    got = {(r.key, r.window_slot): (r.n_events, r.n_distinct)
+           for r in out.collect()}
+    # emitted windows: last slot must have data -> slots 0,1,4 for a; 0 for b
+    assert set(got) == {("a", 0), ("a", 1), ("a", 4), ("b", 0)}
+    assert got[("a", 0)] == (2, 2)          # covers slots -2..0
+    assert got[("a", 1)] == (3, 2)          # slots -1..1: user 1 deduped
+    assert got[("a", 4)] == (1, 1)          # slots 2..4: only the gap-ender
+    assert got[("b", 0)] == (1, 1)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
