@@ -101,3 +101,114 @@ SELECT query_id,
   CAST(sum(CASE WHEN cls = 'partial' THEN n_rows ELSE 0 END) AS BIGINT) AS rows_partial
 FROM d GROUP BY query_id
 """
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition_id",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    small_file_bytes: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planning (the Delta OPTIMIZE / Iceberg
+    rewrite_data_files planner): within each table partition, group
+    the files needing compaction into merge bins of ≈ target_bytes by
+    NEXT-FIT-DECREASING — sort by (size desc, file_id), running sum,
+    bin = floor((run − size) / target): the q48 shard rule applied to
+    file sizes, fully relational and deterministic where first-fit's
+    per-bin backtracking is not. Files already ≥ small_file_bytes
+    (default target/2) are left alone (bin −1, the keep marker):
+    rewriting a right-sized file wastes IO.
+
+    Emits (partition, file, size, bin_id, bin_bytes, n_files_in_bin).
+    Single-file bins still merit rewriting only when the partition
+    has other compactable files — callers can drop bins with
+    n_files_in_bin = 1 (kept in the output because the decision is
+    policy, not planning).
+
+    Per-partition window (a partition's file list is the unit of
+    work) + one groupBy on (partition, bin) joined back — all keyed
+    on the partition.
+    """
+    from pyspark.sql import Window
+
+    if small_file_bytes is None:
+        small_file_bytes = target_bytes // 2
+    f = files.select(
+        F.col(partition_col).alias("partition_id"),
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    small = f.filter(F.col("size_bytes") < small_file_bytes)
+    big = f.filter(F.col("size_bytes") >= small_file_bytes).withColumn(
+        "bin_id", F.lit(-1).cast("long")
+    )
+    w = (
+        Window.partitionBy("partition_id")
+        .orderBy(F.col("size_bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = small.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("size_bytes").over(w) - F.col("size_bytes"))
+            / F.lit(float(target_bytes))
+        ).cast("long"),
+    )
+    allf = binned.unionByName(big)
+    stats = (
+        allf.filter(F.col("bin_id") >= 0)
+        .groupBy("partition_id", "bin_id")
+        .agg(
+            F.sum("size_bytes").alias("bin_bytes"),
+            F.count(F.lit(1)).alias("n_files_in_bin"),
+        )
+    )
+    return (
+        allf.join(stats, ["partition_id", "bin_id"], "left")
+        .withColumn("bin_bytes", F.coalesce("bin_bytes", F.lit(0)))
+        .withColumn("n_files_in_bin", F.coalesce("n_files_in_bin", F.lit(0)))
+        .select(
+            "partition_id", "file_id", "size_bytes", "bin_id",
+            "bin_bytes", "n_files_in_bin",
+        )
+    )
+
+
+def compaction_plan_sql(
+    files_sql: str, target_bytes: int, small_file_bytes: int | None = None
+) -> str:
+    """DuckDB twin of compaction_plan over (partition_id, file_id,
+    size_bytes)."""
+    if small_file_bytes is None:
+        small_file_bytes = target_bytes // 2
+    return f"""
+WITH f AS (
+  SELECT partition_id, file_id, CAST(size_bytes AS BIGINT) AS size_bytes
+  FROM ({files_sql})
+),
+binned AS (
+  SELECT partition_id, file_id, size_bytes,
+         CAST(floor((CAST(sum(size_bytes) OVER (
+             PARTITION BY partition_id
+             ORDER BY size_bytes DESC, file_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - size_bytes) / {float(target_bytes)!r}) AS BIGINT) AS bin_id
+  FROM f WHERE size_bytes < {small_file_bytes}
+  UNION ALL
+  SELECT partition_id, file_id, size_bytes, CAST(-1 AS BIGINT) AS bin_id
+  FROM f WHERE size_bytes >= {small_file_bytes}
+),
+stats AS (
+  SELECT partition_id, bin_id,
+         CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+         CAST(count(*) AS BIGINT) AS n_files_in_bin
+  FROM binned WHERE bin_id >= 0 GROUP BY partition_id, bin_id
+)
+SELECT b.partition_id, b.file_id, b.size_bytes, b.bin_id,
+       COALESCE(s.bin_bytes, 0) AS bin_bytes,
+       COALESCE(s.n_files_in_bin, 0) AS n_files_in_bin
+FROM binned b LEFT JOIN stats s
+  ON b.partition_id = s.partition_id AND b.bin_id = s.bin_id
+"""

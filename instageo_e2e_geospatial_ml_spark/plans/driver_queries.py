@@ -6328,3 +6328,42 @@ Q154_SQL = _q154_sql()
 
 QUERIES["q154_sliding_distinct"] = q154_sliding_distinct
 ORACLES["q154_sliding_distinct"] = Q154_SQL
+
+
+def q155_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/pruning
+    .compaction_plan): synthetic per-partition file listings binned
+    into 128 MB merge groups by next-fit-decreasing; right-sized
+    files (>= 64 MB) keep bin -1. Per-partition window + one keyed
+    groupBy joined back."""
+    from ..operators.pruning import compaction_plan
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.select(
+        (F.col("l_partkey") % 30).alias("partition_id"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("file_id"),
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            % 180000000
+            + 1000000
+        ).alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=134217728)
+
+
+def _q155_sql() -> str:
+    from ..operators.pruning import compaction_plan_sql
+
+    return compaction_plan_sql(
+        "SELECT l_partkey % 30 AS partition_id, "
+        "l_orderkey * 100 + l_linenumber AS file_id, "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 180000000 "
+        "+ 1000000 AS size_bytes FROM lineitem",
+        target_bytes=134217728,
+    )
+
+
+Q155_SQL = _q155_sql()
+
+QUERIES["q155_compaction_plan"] = q155_compaction_plan
+ORACLES["q155_compaction_plan"] = Q155_SQL

@@ -2553,6 +2553,38 @@ def test_sliding_window_distinct_exact(spark):
     assert got[("b", 0)] == (1, 1)
 
 
+def test_compaction_plan_nfd_bins(spark):
+    """Next-fit-decreasing: sizes [90, 60, 40, 30, 10] at target 100
+    bin as run-prefix cuts {90}, {60, 40}, {30, 10}; a 500-byte file
+    (>= small threshold 50... adjusted: threshold 100) keeps bin -1;
+    bin stats are exact; partitions independent."""
+    from instageo_e2e_geospatial_ml_spark.operators.pruning import (
+        compaction_plan,
+    )
+
+    rows = [
+        ("p1", "a", 90), ("p1", "b", 60), ("p1", "c", 40),
+        ("p1", "d", 30), ("p1", "e", 10), ("p1", "big", 500),
+        ("p2", "z", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "partition_id string, file_id string, size_bytes long"
+    )
+    out = compaction_plan(df, target_bytes=100, small_file_bytes=100)
+    got = {(r.partition_id, r.file_id): r for r in out.collect()}
+    # NFD: run-prefix before each file: 0, 90, 150, 190, 220
+    assert got[("p1", "a")].bin_id == 0
+    assert got[("p1", "b")].bin_id == 0   # prefix 90 < 100
+    assert got[("p1", "c")].bin_id == 1   # prefix 150
+    assert got[("p1", "d")].bin_id == 1   # prefix 190
+    assert got[("p1", "e")].bin_id == 2   # prefix 220
+    assert got[("p1", "big")].bin_id == -1
+    b0 = got[("p1", "a")]
+    assert (b0.bin_bytes, b0.n_files_in_bin) == (150, 2)
+    assert got[("p1", "big")].bin_bytes == 0
+    assert got[("p2", "z")].bin_id == 0 and got[("p2", "z")].bin_bytes == 5
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
