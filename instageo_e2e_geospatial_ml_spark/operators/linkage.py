@@ -140,3 +140,88 @@ def fuzzy_self_join(
             "dist",
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    cluster_col: str,
+    value_cols: list[str],
+    priority_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Survivorship (golden-record) merge — the step after entity
+    resolution: one row per matched cluster, each attribute taken
+    from the best record that actually HAS it, best = lowest
+    `priority` (source trust rank), then most recent ts, then id —
+    so a trusted-but-sparse source wins the fields it fills while a
+    fresher low-trust source fills the rest (per-ATTRIBUTE
+    survivorship, not whole-record winner-takes-all).
+
+    Per value column: rank the cluster's non-null holders by the
+    survivorship order and keep rank 1 — a row_number filtered on
+    non-null, the portable argmin (no struct-ordering, no
+    IGNORE NULLS divergence). k columns = k window passes over the
+    same cluster partitioning plus k cluster-keyed joins — all
+    shuffles share the cluster key; per-task load is one cluster's
+    records.
+
+    Output: (cluster, <col>_golden..., n_records, n_sources).
+    """
+    from pyspark.sql import Window
+
+    base = records.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct(F.col(priority_col)).alias("n_sources"),
+    )
+    out = base
+    for c in value_cols:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col(priority_col).asc(), F.col(ts_col).desc(), F.col(id_col).asc()
+        )
+        pick = (
+            records.filter(F.col(c).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(cluster_col).alias("cluster"),
+                F.col(c).alias(f"{c}_golden"),
+            )
+        )
+        out = out.join(pick, "cluster", "left")
+    return out
+
+
+def golden_record_sql(
+    records_sql: str,
+    cluster_col: str,
+    value_cols: list[str],
+    priority_col: str,
+    ts_col: str,
+    id_col: str,
+) -> str:
+    """DuckDB twin of golden_record (identical per-column ranked
+    picks)."""
+    k, p, t, i = cluster_col, priority_col, ts_col, id_col
+    picks = []
+    joins = []
+    for c in value_cols:
+        picks.append(
+            f"pick_{c} AS (SELECT {k} AS cluster, {c} AS {c}_golden FROM ("
+            f"SELECT {k}, {c}, row_number() OVER (PARTITION BY {k} "
+            f"ORDER BY {p} ASC, {t} DESC, {i} ASC) AS rn "
+            f"FROM r WHERE {c} IS NOT NULL) WHERE rn = 1)"
+        )
+        joins.append(f"LEFT JOIN pick_{c} USING (cluster)")
+    golden_cols = ", ".join(f"{c}_golden" for c in value_cols)
+    return f"""
+WITH r AS MATERIALIZED ({records_sql}),
+base AS (
+  SELECT {k} AS cluster, CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT {p}) AS BIGINT) AS n_sources
+  FROM r GROUP BY {k}
+),
+{", ".join(picks)}
+SELECT cluster, {golden_cols}, n_records, n_sources
+FROM base {" ".join(joins)}
+"""

@@ -6367,3 +6367,53 @@ Q155_SQL = _q155_sql()
 
 QUERIES["q155_compaction_plan"] = q155_compaction_plan
 ORACLES["q155_compaction_plan"] = Q155_SQL
+
+
+def q156_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.golden_record):
+    per matched cluster, each attribute from the best non-null holder
+    (source priority, then recency, then id) — per-attribute, not
+    winner-takes-all. Sparsity injected deterministically so the
+    per-column picks genuinely diverge."""
+    from ..operators.linkage import golden_record
+
+    o = _t(spark, sf_dir, "orders")
+    recs = o.select(
+        (F.col("o_custkey") % 300).alias("cluster"),
+        (F.col("o_orderkey") % 3).alias("prio"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        F.col("o_orderkey").cast("long").alias("rec_id"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("o_orderkey") % 5 == 1, None)
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("price_cents"),
+    )
+    return golden_record(
+        recs, "cluster", ["status", "price_cents"], "prio", "ts_us", "rec_id"
+    )
+
+
+def _q156_sql() -> str:
+    from ..operators.linkage import golden_record_sql
+
+    return golden_record_sql(
+        "SELECT o_custkey % 300 AS cluster, o_orderkey % 3 AS prio, "
+        "epoch_us(o_orderdate) AS ts_us, CAST(o_orderkey AS BIGINT) AS rec_id, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END "
+        "AS status, "
+        "CASE WHEN o_orderkey % 5 = 1 THEN NULL "
+        "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS price_cents "
+        "FROM orders",
+        "cluster",
+        ["status", "price_cents"],
+        "prio",
+        "ts_us",
+        "rec_id",
+    )
+
+
+Q156_SQL = _q156_sql()
+
+QUERIES["q156_golden_record"] = q156_golden_record
+ORACLES["q156_golden_record"] = Q156_SQL

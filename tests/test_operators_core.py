@@ -2585,6 +2585,35 @@ def test_compaction_plan_nfd_bins(spark):
     assert got[("p2", "z")].bin_id == 0 and got[("p2", "z")].bin_bytes == 5
 
 
+def test_golden_record_survivorship(spark):
+    """Per-attribute survivorship: the trusted source wins the field
+    it fills even though it is older; its NULL field falls through to
+    the next-best holder; recency breaks priority ties; a cluster
+    with an all-NULL column keeps NULL."""
+    from instageo_e2e_geospatial_ml_spark.operators.linkage import golden_record
+
+    rows = [
+        # cluster, prio, ts, id, name, phone
+        ("c1", 0, 100, 1, "TrustedName", None),   # trusted, sparse, old
+        ("c1", 1, 900, 2, "CrowdName", "555-1"),  # fresher, lower trust
+        ("c1", 1, 500, 3, "OldCrowd", "555-2"),
+        ("c2", 2, 100, 4, "A", None),
+        ("c2", 2, 200, 5, "B", None),             # same prio, newer -> wins
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster string, prio long, ts long, rid long, name string, phone string"
+    )
+    got = {r.cluster: r for r in golden_record(
+        df, "cluster", ["name", "phone"], "prio", "ts", "rid").collect()}
+    c1 = got["c1"]
+    assert c1.name_golden == "TrustedName"   # priority beats recency
+    assert c1.phone_golden == "555-1"        # trusted NULL falls through
+    assert (c1.n_records, c1.n_sources) == (3, 2)
+    c2 = got["c2"]
+    assert c2.name_golden == "B"             # recency tie-break
+    assert c2.phone_golden is None           # all-NULL column stays NULL
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
