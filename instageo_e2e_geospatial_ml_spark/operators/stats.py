@@ -1465,3 +1465,97 @@ SELECT p.{ge.replace(', ', ', p.')}, min(t.n_ref) AS n_ref,
 FROM per p JOIN tot t USING ({ge})
 GROUP BY p.{ge.replace(', ', ', p.')}
 """
+
+
+def abc_classification(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """Pareto / ABC contribution analysis per group — the 80/20 revenue
+    report: items ranked by value desc (ties by item id), cumulative
+    share classified A (first items reaching a_pct% of the group
+    total), B (through b_pct%), C (tail). Class boundaries are exact
+    integer cross-multiplications — cum·100 <= pct·total — never a
+    float share (the q58/q151 thresholds rule); an item straddling
+    the boundary is A when the cumulative INCLUDING it is still
+    within a_pct (the standard inclusive convention, so the first
+    item is always A even at 100% concentration).
+
+    One per-group window over value order (the group's item list is
+    the unit of parallelism) computing rank + running sum, with the
+    group total from the same partition — a single sort. Emits
+    (group..., item, value, rank, cum_value, total_value, abc).
+    """
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*g).orderBy(
+        F.col(value_col).desc(), F.col(item_col).asc()
+    )
+    wall = Window.partitionBy(*g)
+    v = F.col(value_col).cast("long")
+    d = df.select(*g, F.col(item_col).alias("item"), v.alias("value"))
+    d = (
+        d.withColumn("rank", F.row_number().over(
+            Window.partitionBy(*g).orderBy(
+                F.col("value").desc(), F.col("item").asc()
+            )
+        ))
+        .withColumn(
+            "cum_value",
+            F.sum("value").over(
+                Window.partitionBy(*g)
+                .orderBy(F.col("value").desc(), F.col("item").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total_value", F.sum("value").over(wall))
+    )
+    abc = (
+        F.when(
+            F.col("cum_value") * 100 <= F.lit(a_pct) * F.col("total_value"),
+            "A",
+        )
+        .when(
+            F.col("cum_value") * 100 <= F.lit(b_pct) * F.col("total_value"),
+            "B",
+        )
+        .otherwise("C")
+    )
+    # first item is A even when it alone exceeds a_pct
+    abc = F.when(F.col("rank") == 1, F.lit("A")).otherwise(abc)
+    return d.withColumn("abc", abc)
+
+
+def abc_classification_sql(
+    rows_sql: str,
+    group_exprs: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> str:
+    """DuckDB twin of abc_classification over (group..., item,
+    value)."""
+    g = group_exprs
+    return f"""
+WITH d AS (
+  SELECT {g}, item, CAST(value AS BIGINT) AS value FROM ({rows_sql})
+),
+r AS (
+  SELECT {g}, item, value,
+         row_number() OVER w AS rank,
+         CAST(sum(value) OVER (PARTITION BY {g}
+           ORDER BY value DESC, item ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_value,
+         CAST(sum(value) OVER (PARTITION BY {g}) AS BIGINT) AS total_value
+  FROM d WINDOW w AS (PARTITION BY {g} ORDER BY value DESC, item ASC)
+)
+SELECT {g}, item, value, CAST(rank AS BIGINT) AS rank, cum_value, total_value,
+       CASE WHEN rank = 1 THEN 'A'
+            WHEN cum_value * 100 <= {a_pct} * total_value THEN 'A'
+            WHEN cum_value * 100 <= {b_pct} * total_value THEN 'B'
+            ELSE 'C' END AS abc
+FROM r
+"""

@@ -6417,3 +6417,34 @@ Q156_SQL = _q156_sql()
 
 QUERIES["q156_golden_record"] = q156_golden_record
 ORACLES["q156_golden_record"] = Q156_SQL
+
+
+def q157_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC contribution analysis (operators/stats
+    .abc_classification): parts ranked by retail-price cents within
+    brand, cumulative share classified A/B/C at 80/95% with exact
+    cross-multiplied boundaries. One per-brand window, single sort."""
+    from ..operators.stats import abc_classification
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("item"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("value"),
+    )
+    return abc_classification(p, ["p_brand"], "item", "value")
+
+
+def _q157_sql() -> str:
+    from ..operators.stats import abc_classification_sql
+
+    return abc_classification_sql(
+        "SELECT p_brand, CAST(p_partkey AS BIGINT) AS item, "
+        "CAST(round(p_retailprice * 100, 0) AS BIGINT) AS value FROM part",
+        group_exprs="p_brand",
+    )
+
+
+Q157_SQL = _q157_sql()
+
+QUERIES["q157_abc_pareto"] = q157_abc_pareto
+ORACLES["q157_abc_pareto"] = Q157_SQL

@@ -2614,6 +2614,26 @@ def test_golden_record_survivorship(spark):
     assert c2.phone_golden is None           # all-NULL column stays NULL
 
 
+def test_abc_classification_boundaries(spark):
+    """Designed values [50, 30, 15, 4, 1] (total 100): cumulative 50,
+    80, 95, 99, 100 -> A, A (exactly 80%), B (exactly 95%), C, C;
+    a 100%-concentration single item is still A; tie order by item."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        abc_classification,
+    )
+
+    rows = [("g", i, v) for i, v in enumerate([50, 30, 15, 4, 1])]
+    rows += [("solo", 9, 777)]
+    rows += [("tie", 1, 10), ("tie", 2, 10)]
+    df = spark.createDataFrame(rows, "g string, item long, value long")
+    got = {(r.g, r.item): r for r in
+           abc_classification(df, ["g"], "item", "value").collect()}
+    assert [got[("g", i)].abc for i in range(5)] == ["A", "A", "B", "C", "C"]
+    assert got[("g", 1)].cum_value == 80 and got[("g", 2)].cum_value == 95
+    assert got[("solo", 9)].abc == "A" and got[("solo", 9)].rank == 1
+    assert got[("tie", 1)].rank == 1 and got[("tie", 2)].rank == 2
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
