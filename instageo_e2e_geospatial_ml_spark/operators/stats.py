@@ -1559,3 +1559,111 @@ SELECT {g}, item, value, CAST(rank AS BIGINT) AS rank, cum_value, total_value,
             ELSE 'C' END AS abc
 FROM r
 """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sample_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    ordering-sensitive drift/test statistic TV (q151) cannot see
+    (a uniform shift moves every bucket a little; KS catches the
+    accumulated displacement): with samples 'a' (n_a total) and 'b',
+
+        KS = max over values v of |F_a(v) − F_b(v)|
+           = max |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b)
+
+    evaluated AFTER each distinct value (the ECDF is right-
+    continuous; ties must be fully absorbed before comparing —
+    evaluating mid-tie overstates the gap). Emitted as the exact
+    integer pair (ks_num, ks_den) plus the smallest value attaining
+    the supremum.
+
+    Plan: per-(group, value) sample counts, one running-sum window
+    over value order per group (a group's distinct-value list is the
+    unit of parallelism — already aggregated, so far smaller than the
+    rows), then the portable two-step argmax (peak + join back, the
+    q144 rule). Every shuffle keys on the group.
+    """
+    g = [F.col(c) for c in group_cols]
+    per = df.groupBy(*g, F.col(value_col).alias("v")).agg(
+        F.sum((F.col(sample_col) == "a").cast("long")).alias("ca"),
+        F.sum((F.col(sample_col) == "b").cast("long")).alias("cb"),
+    )
+    wv = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = per.select(
+        *group_cols,
+        "v",
+        F.sum("ca").over(wv).alias("cum_a"),
+        F.sum("cb").over(wv).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    ).withColumn(
+        "dev",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")),
+    )
+    peak = cum.groupBy(*group_cols).agg(
+        F.max("dev").alias("ks_num"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    at = (
+        cum.join(
+            peak.select(*group_cols, F.col("ks_num").alias("_pk")), group_cols
+        )
+        .filter(F.col("dev") == F.col("_pk"))
+        .groupBy(*group_cols)
+        .agg(F.min("v").alias("ks_at_value"))
+    )
+    return (
+        peak.join(at, group_cols)
+        .withColumn("ks_den", F.col("n_a") * F.col("n_b"))
+        .select(*group_cols, "n_a", "n_b", "ks_num", "ks_den", "ks_at_value")
+    )
+
+
+def ks_two_sample_sql(rows_sql: str, group_col: str) -> str:
+    """DuckDB twin of ks_two_sample over (group, v, sample) — single
+    group column (the Spark operator takes a list; the twin generator
+    keeps the join plumbing simple with one)."""
+    g = group_col
+    return f"""
+WITH rows_in AS ({rows_sql}),
+per AS (
+  SELECT {g}, v,
+         CAST(sum(CASE WHEN sample = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN sample = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM rows_in GROUP BY {g}, v
+),
+cum AS MATERIALIZED (
+  SELECT {g}, v,
+         CAST(sum(ca) OVER (PARTITION BY {g} ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (PARTITION BY {g} ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+         CAST(sum(ca) OVER (PARTITION BY {g}) AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER (PARTITION BY {g}) AS BIGINT) AS n_b
+  FROM per
+),
+dev AS MATERIALIZED (
+  SELECT *, abs(cum_a * n_b - cum_b * n_a) AS dev FROM cum
+),
+peak AS MATERIALIZED (
+  SELECT {g}, max(dev) AS ks_num, min(n_a) AS n_a, min(n_b) AS n_b
+  FROM dev GROUP BY {g}
+),
+at AS (
+  SELECT d.{g}, min(d.v) AS ks_at_value
+  FROM dev d JOIN peak p ON d.{g} = p.{g} AND d.dev = p.ks_num
+  GROUP BY d.{g}
+)
+SELECT p.{g}, p.n_a, p.n_b, p.ks_num, p.n_a * p.n_b AS ks_den, a.ks_at_value
+FROM peak p JOIN at a ON a.{g} = p.{g}
+"""

@@ -6448,3 +6448,40 @@ Q157_SQL = _q157_sql()
 
 QUERIES["q157_abc_pareto"] = q157_abc_pareto
 ORACLES["q157_abc_pareto"] = Q157_SQL
+
+
+def q158_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (operators/stats.ks_two_sample)
+    per event type: first vs second half of the timeline, value in
+    cents — the ordering-sensitive companion to the q151 TV gate,
+    evaluated after each distinct value (ties fully absorbed),
+    supremum located by the portable two-step argmax."""
+    from ..operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            < 19738 + 15,
+            F.lit("a"),
+        ).otherwise(F.lit("b")).alias("sample"),
+    )
+    return ks_two_sample(ev, ["event_type"], "v", "sample")
+
+
+def _q158_sql() -> str:
+    from ..operators.stats import ks_two_sample_sql
+
+    return ks_two_sample_sql(
+        "SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v, "
+        "CASE WHEN epoch_us(ts) // 86400000000 < 19738 + 15 "
+        "THEN 'a' ELSE 'b' END AS sample FROM events",
+        group_col="event_type",
+    )
+
+
+Q158_SQL = _q158_sql()
+
+QUERIES["q158_ks_two_sample"] = q158_ks_two_sample
+ORACLES["q158_ks_two_sample"] = Q158_SQL

@@ -2634,6 +2634,35 @@ def test_abc_classification_boundaries(spark):
     assert got[("tie", 1)].rank == 1 and got[("tie", 2)].rank == 2
 
 
+def test_ks_two_sample_exact(spark):
+    """Identical samples -> KS 0; disjoint shifted samples -> KS 1 at
+    the last a-value; a tie-heavy designed case matches
+    scipy-by-hand ECDF arithmetic; a uniform shift invisible to
+    per-bucket TV is caught."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import ks_two_sample
+
+    rows = []
+    # g=same: a==b -> 0
+    for v in (1, 2, 2, 5):
+        rows += [("same", v, "a"), ("same", v, "b")]
+    # g=disjoint: a in {1,2}, b in {10, 11} -> KS 1 at v=2
+    rows += [("disjoint", 1, "a"), ("disjoint", 2, "a"),
+             ("disjoint", 10, "b"), ("disjoint", 11, "b")]
+    # g=shift: b = a + 1 over {1..4}: ECDF gap 1/4 at each step
+    for v in (1, 2, 3, 4):
+        rows += [("shift", v, "a"), ("shift", v + 1, "b")]
+    df = spark.createDataFrame(rows, "g string, v long, sample string")
+    got = {r.g: r for r in ks_two_sample(df, ["g"], "v", "sample").collect()}
+    assert Fraction(got["same"].ks_num, got["same"].ks_den) == 0
+    d = got["disjoint"]
+    assert Fraction(d.ks_num, d.ks_den) == 1 and d.ks_at_value == 2
+    s = got["shift"]
+    assert Fraction(s.ks_num, s.ks_den) == Fraction(1, 4)
+    assert s.ks_at_value == 1  # earliest supremum point
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
