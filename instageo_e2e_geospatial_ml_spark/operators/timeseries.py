@@ -600,3 +600,90 @@ SELECT key, window_slot,
        n_events, n_distinct
 FROM agg WHERE has_last = 1
 """
+
+
+def lag_autocovariance(
+    series: DataFrame,
+    key_col: str,
+    slot_col: str,
+    value_col: str,
+    lags: tuple = (1, 7),
+) -> DataFrame:
+    """Seasonality detection via EXACT lag autocovariance: for each
+    key's regular series x_1..x_N (one value per slot; missing slots
+    are genuinely absent pairs, not zeros) and each lag k, the
+    N-squared-scaled centered numerator
+
+        acov_k = Sum_t (N*x_t - S) * (N*x_{t+k} - S)      (S = Sum x)
+
+    - every factor integer, so a strong weekly cycle shows as
+    acov_7 >> acov_1 with zero float drift; normalize downstream by
+    N^2 * n_pairs or compare lags by cross-multiplication. The
+    classic periodicity probe without FFTs or float means.
+
+    Plan: per-key totals (one agg), an equi-self-join on
+    (key, slot + k) per lag over the SAME shuffle key, map-side sum.
+    Each lag is one cheap join of the slot-aggregated series (already
+    tiny relative to raw events). Emits
+    (key, lag, n_pairs, acov_num, n, s).
+    """
+    base = series.select(
+        F.col(key_col).alias("key"),
+        F.col(slot_col).cast("long").alias("slot"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    b = base.join(tot, "key")
+    outs = []
+    for k in lags:
+        lead = b.select(
+            "key",
+            (F.col("slot") - k).alias("slot"),
+            F.col("x").alias("x_lead"),
+        )
+        pairs = b.join(lead, ["key", "slot"])
+        outs.append(
+            pairs.groupBy("key").agg(
+                F.lit(int(k)).cast("long").alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    (F.col("n") * F.col("x") - F.col("s"))
+                    * (F.col("n") * F.col("x_lead") - F.col("s"))
+                ).alias("acov_num"),
+                F.first("n").alias("n"),
+                F.first("s").alias("s"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("key", "lag", "n_pairs", "acov_num", "n", "s")
+
+
+def lag_autocovariance_sql(series_sql: str, lags: tuple = (1, 7)) -> str:
+    """DuckDB twin of lag_autocovariance over (key, slot, x)."""
+    parts = []
+    for k in lags:
+        parts.append(f"""
+SELECT b.key, CAST({int(k)} AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((t.n * b.x - t.s) * (t.n * l.x - t.s)) AS BIGINT) AS acov_num,
+       min(t.n) AS n, min(t.s) AS s
+FROM b JOIN b l ON l.key = b.key AND l.slot = b.slot + {int(k)}
+JOIN t ON t.key = b.key
+GROUP BY b.key""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT key, CAST(slot AS BIGINT) AS slot, CAST(x AS BIGINT) AS x
+  FROM ({series_sql})
+),
+t AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM base GROUP BY key
+),
+b AS MATERIALIZED (SELECT * FROM base)
+{body}
+"""

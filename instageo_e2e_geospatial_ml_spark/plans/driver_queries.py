@@ -6485,3 +6485,42 @@ Q158_SQL = _q158_sql()
 
 QUERIES["q158_ks_two_sample"] = q158_ks_two_sample
 ORACLES["q158_ks_two_sample"] = Q158_SQL
+
+
+def q159_lag_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality probe (operators/timeseries.lag_autocovariance):
+    exact N²-scaled centered autocovariance of per-user daily event
+    counts at lags 1 and 7 — weekly cycles show as acov_7 >> acov_1
+    with zero float drift. Per-lag equi-self-joins on the
+    slot-aggregated series, all keyed on the user."""
+    from ..operators.timeseries import lag_autocovariance
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("user_id").cast("long").alias("key"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("slot"),
+        )
+        .groupBy("key", "slot")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return lag_autocovariance(daily, "key", "slot", "x", lags=(1, 7))
+
+
+def _q159_sql() -> str:
+    from ..operators.timeseries import lag_autocovariance_sql
+
+    return lag_autocovariance_sql(
+        "SELECT CAST(user_id AS BIGINT) AS key, "
+        "epoch_us(ts) // 86400000000 AS slot, "
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2",
+        lags=(1, 7),
+    )
+
+
+Q159_SQL = _q159_sql()
+
+QUERIES["q159_lag_autocovariance"] = q159_lag_autocovariance
+ORACLES["q159_lag_autocovariance"] = Q159_SQL

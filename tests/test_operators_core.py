@@ -2663,6 +2663,44 @@ def test_ks_two_sample_exact(spark):
     assert s.ks_at_value == 1  # earliest supremum point
 
 
+def test_lag_autocovariance_periodicity(spark):
+    """A period-2 alternating series has strongly negative acov_1 and
+    strongly positive acov_2; a constant series gives 0; missing
+    slots shrink n_pairs (absent pairs, not zeros); a numpy replica
+    agrees exactly."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        lag_autocovariance,
+    )
+
+    rows = []
+    alt = [10, 2] * 6
+    for i, v in enumerate(alt):
+        rows.append(("alt", i, v))
+    for i in range(8):
+        rows.append(("flat", i, 7))
+    rows += [("gap", 0, 5), ("gap", 1, 6), ("gap", 3, 9)]  # slot 2 missing
+    df = spark.createDataFrame(rows, "key string, slot long, x long")
+    out = lag_autocovariance(df, "key", "slot", "x", lags=(1, 2))
+    got = {(r.key, r.lag): r for r in out.collect()}
+
+    def replica(xs, pairs, k):
+        n, s = len(xs), sum(xs)
+        return sum((n * a - s) * (n * b - s) for a, b in pairs)
+
+    xs = alt
+    p1 = list(zip(xs, xs[1:]))
+    p2 = list(zip(xs, xs[2:]))
+    assert got[("alt", 1)].acov_num == replica(xs, p1, 1) < 0
+    assert got[("alt", 2)].acov_num == replica(xs, p2, 2) > 0
+    assert got[("flat", 1)].acov_num == 0 and got[("flat", 2)].acov_num == 0
+    g1 = got[("gap", 1)]
+    assert g1.n_pairs == 1  # only (0,1); (1,2) and (2,3) lack slot 2
+    n, s = 3, 20
+    assert g1.acov_num == (n * 5 - s) * (n * 6 - s)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
