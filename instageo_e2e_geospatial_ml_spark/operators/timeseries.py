@@ -687,3 +687,92 @@ t AS MATERIALIZED (
 b AS MATERIALIZED (SELECT * FROM base)
 {body}
 """
+
+
+def arrival_disorder(
+    events: DataFrame,
+    key_col: str,
+    arrival_col: str,
+    event_ts_col: str,
+    late_thresholds_us: tuple = (1_000_000, 60_000_000),
+) -> DataFrame:
+    """Out-of-order arrival profiling - the measurement that picks a
+    streaming watermark delay: process each key's events in ARRIVAL
+    order, track the running max event time (the stream's frontier),
+    and measure how far behind the frontier each event lands
+    (disorder = frontier - event_ts, 0 for in-order events). Emits
+    per key: n_events, n_late (disorder > 0), the max disorder (the
+    delay that would have lost nothing), and a count at each
+    configured threshold (events a watermark of that delay would
+    drop). All integers.
+
+    One window per key over arrival order (running max via the
+    1-PRECEDING frame so an event is compared to the frontier BEFORE
+    itself - an event is never late against itself), then a map-side
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(event_ts_col).cast("long")
+    d = events.select(
+        F.col(key_col).alias("key"),
+        F.col(arrival_col).cast("long").alias("arr"),
+        t.alias("t"),
+    )
+    # ties on arr ordered by t: deterministic frame for colliding
+    # arrival stamps (a tied earlier-t row never makes its peer late)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("arr", "t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "disorder",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max("t").over(w) - F.col("t"), F.lit(0)),
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("disorder") > 0).cast("long")).alias("n_late"),
+        F.max("disorder").alias("max_disorder_us"),
+    ]
+    for th in late_thresholds_us:
+        aggs.append(
+            F.sum((F.col("disorder") > th).cast("long")).alias(
+                f"n_late_over_{th}"
+            )
+        )
+    return d.groupBy("key").agg(*aggs)
+
+
+def arrival_disorder_sql(
+    events_sql: str,
+    late_thresholds_us: tuple = (1_000_000, 60_000_000),
+) -> str:
+    """DuckDB twin of arrival_disorder over (key, arr, t)."""
+    ths = ", ".join(
+        f"CAST(sum(CASE WHEN disorder > {th} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_late_over_{th}"
+        for th in late_thresholds_us
+    )
+    return f"""
+WITH e AS (
+  SELECT key, CAST(arr AS BIGINT) AS arr, CAST(t AS BIGINT) AS t
+  FROM ({events_sql})
+),
+d AS (
+  SELECT key,
+         greatest(CAST(0 AS BIGINT), COALESCE(max(t) OVER (
+           PARTITION BY key ORDER BY arr, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t, 0))
+           AS disorder
+  FROM e
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN disorder > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       max(disorder) AS max_disorder_us, {ths}
+FROM d GROUP BY key
+"""

@@ -6524,3 +6524,41 @@ Q159_SQL = _q159_sql()
 
 QUERIES["q159_lag_autocovariance"] = q159_lag_autocovariance
 ORACLES["q159_lag_autocovariance"] = Q159_SQL
+
+
+def q160_arrival_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay advisor (operators/timeseries.arrival_disorder):
+    per event type, how far behind the event-time frontier events
+    arrive when processed in a deterministic synthetic arrival order
+    (event_id scrambled by a jitter term so some events arrive late).
+    Counts at 1s/60s thresholds = what those watermark delays would
+    drop."""
+    from ..operators.timeseries import arrival_disorder
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # synthetic arrival sequence: event time scrambled by a
+        # deterministic jitter so ~arrival != event order
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") * 7919 % 997) * 1_000_000
+        ).alias("arr"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return arrival_disorder(ev, "event_type", "arr", "t")
+
+
+def _q160_sql() -> str:
+    from ..operators.timeseries import arrival_disorder_sql
+
+    return arrival_disorder_sql(
+        "SELECT event_type AS key, "
+        "epoch_us(ts) + (event_id * 7919 % 997) * 1000000 AS arr, "
+        "epoch_us(ts) AS t FROM events"
+    )
+
+
+Q160_SQL = _q160_sql()
+
+QUERIES["q160_arrival_disorder"] = q160_arrival_disorder
+ORACLES["q160_arrival_disorder"] = Q160_SQL

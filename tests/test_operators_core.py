@@ -2701,6 +2701,39 @@ def test_lag_autocovariance_periodicity(spark):
     assert g1.acov_num == (n * 5 - s) * (n * 6 - s)
 
 
+def test_arrival_disorder_watermark_advisor(spark):
+    """Designed arrival sequence: in-order events have disorder 0; a
+    late event measures against the frontier BEFORE it (never against
+    itself); threshold counts split exactly; a fully in-order key
+    reports max 0."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        arrival_disorder,
+    )
+
+    M = 1_000_000
+    rows = [
+        # key k: arrival order a1..a5; event times make two late events
+        ("k", 1, 0),
+        ("k", 2, 100 * M),          # frontier 100s
+        ("k", 3, 98 * M),           # 2s late  (> 1s threshold)
+        ("k", 4, 200 * M),          # frontier 200s
+        ("k", 5, 110 * M),          # 90s late (> 1s, <= 60s? no: > 60s)
+        ("ok", 1, 10), ("ok", 2, 20),
+    ]
+    df = spark.createDataFrame(rows, "key string, arr long, t long")
+    out = arrival_disorder(
+        df, "key", "arr", "t", late_thresholds_us=(1 * M, 60 * M)
+    )
+    got = {r.key: r for r in out.collect()}
+    k = got["k"]
+    assert (k.n_events, k.n_late) == (5, 2)
+    assert k.max_disorder_us == 90 * M
+    assert getattr(k, f"n_late_over_{1 * M}") == 2
+    assert getattr(k, f"n_late_over_{60 * M}") == 1
+    ok = got["ok"]
+    assert (ok.n_late, ok.max_disorder_us) == (0, 0)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
