@@ -483,6 +483,45 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q118_corr_matrix",
         "q120_time_weighted_avg",
     ]
+    # session-2 round-7 relational batch: same hygiene bar. (q134/q135
+    # and q144 window on per-user keys; q140/q141 use the bucketed
+    # two-phase row numbers; all must stay partitioned and JVM-only.)
+    jvm_queries += [
+        "q127_kcore",
+        "q128_robots_filter",
+        "q129_url_canonicalize",
+        "q130_peak_concurrency",
+        "q131_constraint_suite",
+        "q132_hex_density",
+        "q133_polygon_metrics",
+        "q134_stay_points",
+        "q135_od_flows",
+        "q136_table_diff",
+        "q137_read_range_plan",
+        "q138_zone_map_prune",
+        "q139_temporal_dim_join",
+        "q140_token_mixture",
+        "q141_length_batches",
+        "q142_partial_stats_rollup",
+        "q143_rolling_time_stats",
+        "q144_cusum_changepoint",
+        "q145_hex_focal",
+        "q146_attribution",
+        "q147_cadence_profile",
+        "q148_label_audit",
+        "q149_rrf_fusion",
+        "q150_code_likeness",
+        "q151_distribution_drift",
+        "q152_trending_terms",
+        "q153_bitemporal_snapshot",
+        "q154_sliding_distinct",
+        "q155_compaction_plan",
+        "q156_golden_record",
+        "q157_abc_pareto",
+        "q158_ks_two_sample",
+        "q159_lag_autocovariance",
+        "q160_arrival_disorder",
+    ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
         assert "EvalPython" not in plan, name
