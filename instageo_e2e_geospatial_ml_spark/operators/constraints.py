@@ -126,3 +126,93 @@ def check_constraints_sql(table_sql: str, constraints: list[tuple]) -> str:
         f"WITH w AS MATERIALIZED "
         f"(SELECT count(*) AS n, {vs} FROM ({table_sql}))\n{rows}"
     )
+
+
+def embedding_audit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Vector-column quality audit — the gate an ANN/retrieval
+    pipeline runs before indexing (a handful of zero vectors or NaNs
+    silently poison IVF training and cosine ranking): per vector, the
+    dimension, NaN/zero-element counts, and the quantized squared
+    norm Σ round(x·scale)² — an exact integer, so degeneracy
+    (norm2_q = 0: the all-~zero vector cosine cannot rank) and dim
+    drift (dim_ok) are integer predicates, not float-epsilon ones.
+
+    Pure JVM: size() + two higher-order aggregates over the array —
+    no explode (the vector never leaves its row), no Python, scan
+    speed. The quantization matches the engine's ANN family (q17/q25
+    x100 rule), so 'degenerate here' == 'invisible to the ANN ops'.
+    """
+    v = F.col(vec_col)
+    # NaN guard FIRST: round(NaN)::bigint throws under ANSI; a NaN
+    # element contributes 0 to the norm and is counted in n_nan
+    # (degenerate flags the vector regardless)
+    q = (
+        "case when isnan(cast(x as double)) then cast(0 as bigint) "
+        "else cast(round(cast(x as double) * {s}, 0) as bigint) end"
+    ).format(s=scale)
+    norm2 = F.expr(
+        f"aggregate(transform({vec_col}, x -> {q} * {q}), "
+        f"cast(0 as bigint), (a, b) -> a + b)"
+    )
+    n_nan = F.expr(
+        f"size(filter({vec_col}, x -> isnan(cast(x as double))))"
+    )
+    n_zero = F.expr(
+        f"size(filter({vec_col}, "
+        f"x -> NOT isnan(cast(x as double)) AND {q} = 0))"
+    )
+    out = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(v).cast("long").alias("dim"),
+        n_nan.cast("long").alias("n_nan"),
+        n_zero.cast("long").alias("n_zero"),
+        norm2.cast("long").alias("norm2_q"),
+    ).withColumn(
+        "degenerate",
+        ((F.col("norm2_q") == 0) | (F.col("n_nan") > 0)).cast("int"),
+    )
+    if expected_dim is not None:
+        out = out.withColumn(
+            "dim_ok", (F.col("dim") == expected_dim).cast("int")
+        )
+    return out
+
+
+def embedding_audit_sql(
+    vectors_sql: str, expected_dim: int | None = None, scale: int = 100
+) -> str:
+    """DuckDB twin of embedding_audit over (vec_id, embedding)."""
+    q = (
+        f"CASE WHEN isnan(CAST(x AS DOUBLE)) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT) END"
+    )
+    dim_col = (
+        f", CAST(CASE WHEN dim = {expected_dim} "
+        f"THEN 1 ELSE 0 END AS INTEGER) AS dim_ok"
+        if expected_dim is not None
+        else ""
+    )
+    return f"""
+WITH v AS ({vectors_sql}),
+a AS (
+  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(len(list_filter(embedding,
+           x -> isnan(CAST(x AS DOUBLE)))) AS BIGINT) AS n_nan,
+         CAST(len(list_filter(embedding,
+           x -> NOT isnan(CAST(x AS DOUBLE)) AND {q} = 0)) AS BIGINT)
+           AS n_zero,
+         CAST(list_aggregate(list_transform(embedding,
+           x -> {q} * {q}), 'sum') AS BIGINT) AS norm2_q
+  FROM v
+)
+SELECT vec_id, dim, n_nan, n_zero, norm2_q,
+       CAST(CASE WHEN norm2_q = 0 OR n_nan > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS degenerate{dim_col}
+FROM a
+"""

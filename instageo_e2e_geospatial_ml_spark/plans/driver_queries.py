@@ -6562,3 +6562,29 @@ Q160_SQL = _q160_sql()
 
 QUERIES["q160_arrival_disorder"] = q160_arrival_disorder
 ORACLES["q160_arrival_disorder"] = Q160_SQL
+
+
+def q161_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality gate (operators/constraints.embedding_audit):
+    per embedding — dim, NaN/zero-element counts, exact quantized
+    norm², degeneracy and dim-drift flags. Higher-order array ops
+    only; the vector never leaves its row."""
+    from ..operators.constraints import embedding_audit
+
+    return embedding_audit(
+        _t(spark, sf_dir, "embeddings"), expected_dim=64
+    )
+
+
+def _q161_sql() -> str:
+    from ..operators.constraints import embedding_audit_sql
+
+    return embedding_audit_sql(
+        "SELECT vec_id, embedding FROM embeddings", expected_dim=64
+    )
+
+
+Q161_SQL = _q161_sql()
+
+QUERIES["q161_embedding_audit"] = q161_embedding_audit
+ORACLES["q161_embedding_audit"] = Q161_SQL

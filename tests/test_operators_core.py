@@ -2734,6 +2734,35 @@ def test_arrival_disorder_watermark_advisor(spark):
     assert (ok.n_late, ok.max_disorder_us) == (0, 0)
 
 
+def test_embedding_audit_degenerates(spark):
+    """A healthy vector, an all-zero vector (degenerate), a NaN
+    carrier (degenerate, NaN counted), a sub-quantization vector
+    (norm2_q 0 even though floats aren't exactly zero), and a
+    wrong-dim vector (dim_ok 0) — exact counts throughout."""
+    import math
+
+    from instageo_e2e_geospatial_ml_spark.operators.constraints import (
+        embedding_audit,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [1.0, float("nan"), 2.0]),
+        (4, [0.001, -0.004, 0.002]),   # |x*100| < 0.5 -> quantizes to 0
+        (5, [1.0, 1.0]),               # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in embedding_audit(df, expected_dim=3).collect()}
+    h = got[1]
+    assert (h.dim, h.n_nan, h.n_zero, h.degenerate, h.dim_ok) == (3, 0, 0, 0, 1)
+    assert h.norm2_q == 100**2 + 200**2 + 50**2
+    assert got[2].degenerate == 1 and got[2].norm2_q == 0 and got[2].n_zero == 3
+    assert got[3].degenerate == 1 and got[3].n_nan == 1
+    assert got[4].norm2_q == 0 and got[4].degenerate == 1
+    assert got[5].dim_ok == 0 and got[5].degenerate == 0
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
