@@ -216,3 +216,67 @@ SELECT vec_id, dim, n_nan, n_zero, norm2_q,
          AS degenerate{dim_col}
 FROM a
 """
+
+
+def referential_audit(
+    fact: DataFrame,
+    relationships: list[tuple],
+) -> DataFrame:
+    """Referential-integrity report — the warehouse FK audit
+    (constraints nobody enforces at 100 TB still break joins
+    silently: an orphan fact row vanishes from every inner join that
+    should have counted it): for each (name, fact_key_col, dim_df,
+    dim_key_col) relationship, the fact count, NULL-key count, orphan
+    count (non-null key with no dim match) and distinct orphan keys.
+
+    Each relationship is one LEFT join against the DISTINCT dim keys
+    with a hit marker, folded to a single conditional-aggregate row —
+    no driver-side .count() per relationship, so the whole audit is
+    one union of join-aggregate jobs; dim key sides are distinct
+    projections (small next to facts — AQE broadcasts them). Emits
+    (relationship, n_facts, n_null_keys, n_orphans,
+    n_orphan_keys).
+    """
+    outs = []
+    for name, fk, dim, dk in relationships:
+        keys = dim.select(F.col(dk).alias("_k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+        j = fact.select(F.col(fk).alias("_k")).join(keys, "_k", "left")
+        orphan = F.col("_k").isNotNull() & F.col("_hit").isNull()
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_facts"),
+                F.sum(F.col("_k").isNull().cast("long")).alias("n_null_keys"),
+                F.sum(orphan.cast("long")).alias("n_orphans"),
+                F.count_distinct(
+                    F.when(orphan, F.col("_k"))
+                ).alias("n_orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def referential_audit_sql(relationships: list[tuple]) -> str:
+    """DuckDB twin of referential_audit; relationships are
+    (name, fact_sql_with__k, dim_sql_with__k) — both subqueries
+    exposing the key as `_k`."""
+    parts = []
+    for name, fact_sql, dim_sql in relationships:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(CASE WHEN f._k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys,
+       CAST(sum(CASE WHEN f._k IS NOT NULL AND d._hit IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT CASE WHEN f._k IS NOT NULL AND d._hit IS NULL
+                THEN f._k END) AS BIGINT) AS n_orphan_keys
+FROM ({fact_sql}) f
+LEFT JOIN (SELECT DISTINCT _k, 1 AS _hit FROM ({dim_sql})) d
+  ON f._k = d._k""")
+    return "\nUNION ALL\n".join(parts)

@@ -6588,3 +6588,52 @@ Q161_SQL = _q161_sql()
 
 QUERIES["q161_embedding_audit"] = q161_embedding_audit
 ORACLES["q161_embedding_audit"] = Q161_SQL
+
+
+def q162_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK integrity report (operators/constraints.referential_audit):
+    lineitem -> orders/part/supplier plus a deliberately-broken
+    synthetic relationship (keys shifted so orphans exist) — per
+    relationship one LEFT join vs distinct dim keys folded to a
+    conditional-aggregate row; no driver-side counts."""
+    from ..operators.constraints import referential_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    broken = li.select((F.col("l_partkey") * 2).alias("bad_key"))
+    rels = [
+        ("lineitem_orders", "l_orderkey", orders.select("o_orderkey"), "o_orderkey"),
+        ("lineitem_part", "l_partkey", part.select("p_partkey"), "p_partkey"),
+        ("lineitem_supplier", "l_suppkey", supplier.select("s_suppkey"), "s_suppkey"),
+        ("lineitem_broken", "l_partkey", broken, "bad_key"),
+    ]
+    return referential_audit(li, rels)
+
+
+def _q162_sql() -> str:
+    from ..operators.constraints import referential_audit_sql
+
+    return referential_audit_sql(
+        [
+            ("lineitem_orders",
+             "SELECT l_orderkey AS _k FROM lineitem",
+             "SELECT o_orderkey AS _k FROM orders"),
+            ("lineitem_part",
+             "SELECT l_partkey AS _k FROM lineitem",
+             "SELECT p_partkey AS _k FROM part"),
+            ("lineitem_supplier",
+             "SELECT l_suppkey AS _k FROM lineitem",
+             "SELECT s_suppkey AS _k FROM supplier"),
+            ("lineitem_broken",
+             "SELECT l_partkey AS _k FROM lineitem",
+             "SELECT l_partkey * 2 AS _k FROM lineitem"),
+        ]
+    )
+
+
+Q162_SQL = _q162_sql()
+
+QUERIES["q162_referential_audit"] = q162_referential_audit
+ORACLES["q162_referential_audit"] = Q162_SQL

@@ -2763,6 +2763,31 @@ def test_embedding_audit_degenerates(spark):
     assert got[5].dim_ok == 0 and got[5].degenerate == 0
 
 
+def test_referential_audit_orphans(spark):
+    """Designed FK sets: a clean relationship (0 orphans), one with
+    two orphan rows sharing one orphan key, NULL keys counted apart
+    from orphans, duplicate dim keys not fanning out fact rows."""
+    from instageo_e2e_geospatial_ml_spark.operators.constraints import (
+        referential_audit,
+    )
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    dim_ok = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    dim_dup = spark.createDataFrame([(1,), (1,), (2,)], "k long")  # 9 missing
+    out = referential_audit(
+        fact,
+        [("clean", "fk", dim_ok, "k"), ("holed", "fk", dim_dup, "k")],
+    )
+    got = {r.relationship: r for r in out.collect()}
+    c = got["clean"]
+    assert (c.n_facts, c.n_null_keys, c.n_orphans, c.n_orphan_keys) == (6, 1, 0, 0)
+    h = got["holed"]
+    # dup dim key 1 must not fan out: still 6 fact rows
+    assert (h.n_facts, h.n_null_keys, h.n_orphans, h.n_orphan_keys) == (6, 1, 2, 1)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
