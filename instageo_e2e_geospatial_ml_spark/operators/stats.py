@@ -1667,3 +1667,60 @@ at AS (
 SELECT p.{g}, p.n_a, p.n_b, p.ks_num, p.n_a * p.n_b AS ks_den, a.ks_at_value
 FROM peak p JOIN at a ON a.{g} = p.{g}
 """
+
+
+def percent_rank_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Rank-space feature normalization per group — the
+    distribution-free scaling trick (quantile transform) that makes
+    skewed features comparable across groups: each row gets its exact
+    percent rank as the RATIONAL (rank − 1, n − 1) using RANK (ties
+    share a rank, so equal values get equal features — row_number
+    would split ties arbitrarily), plus the tie-group size. n = 1
+    groups emit (0, 0) — flagged by pr_den = 0 rather than a forced
+    0.5 float.
+
+    One window pass per group (rank + count over the same partition,
+    single sort). Emits (group..., id, value, pr_num, pr_den,
+    n_ties).
+    """
+    g = [F.col(c) for c in group_cols]
+    return df.select(
+        *g,
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("value"),
+    ).select(
+        *group_cols,
+        "id",
+        "value",
+        (F.rank().over(
+            Window.partitionBy(*group_cols).orderBy(F.col("value").asc())
+        ) - 1).cast("long").alias("pr_num"),
+        (F.count(F.lit(1)).over(
+            Window.partitionBy(*group_cols)
+        ) - 1).cast("long").alias("pr_den"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*group_cols, F.col("value"))
+        ).cast("long").alias("n_ties"),
+    )
+
+
+def percent_rank_normalize_sql(rows_sql: str, group_exprs: str) -> str:
+    """DuckDB twin of percent_rank_normalize over (group..., id,
+    value)."""
+    g = group_exprs
+    return f"""
+WITH d AS (
+  SELECT {g}, id, CAST(value AS BIGINT) AS value FROM ({rows_sql})
+)
+SELECT {g}, id, value,
+       CAST(rank() OVER (PARTITION BY {g} ORDER BY value ASC) - 1
+         AS BIGINT) AS pr_num,
+       CAST(count(*) OVER (PARTITION BY {g}) - 1 AS BIGINT) AS pr_den,
+       CAST(count(*) OVER (PARTITION BY {g}, value) AS BIGINT) AS n_ties
+FROM d
+"""

@@ -6637,3 +6637,34 @@ Q162_SQL = _q162_sql()
 
 QUERIES["q162_referential_audit"] = q162_referential_audit
 ORACLES["q162_referential_audit"] = Q162_SQL
+
+
+def q163_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-space normalization (operators/stats
+    .percent_rank_normalize): exact rational percent rank per part
+    within its brand (RANK so ties share a feature value), the
+    quantile-transform scaling step. One window pass per group."""
+    from ..operators.stats import percent_rank_normalize
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("pid"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return percent_rank_normalize(p, ["p_brand"], "cents", "pid")
+
+
+def _q163_sql() -> str:
+    from ..operators.stats import percent_rank_normalize_sql
+
+    return percent_rank_normalize_sql(
+        "SELECT p_brand, CAST(p_partkey AS BIGINT) AS id, "
+        "CAST(round(p_retailprice * 100, 0) AS BIGINT) AS value FROM part",
+        group_exprs="p_brand",
+    )
+
+
+Q163_SQL = _q163_sql()
+
+QUERIES["q163_percent_rank"] = q163_percent_rank
+ORACLES["q163_percent_rank"] = Q163_SQL

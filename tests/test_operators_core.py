@@ -2788,6 +2788,29 @@ def test_referential_audit_orphans(spark):
     assert (h.n_facts, h.n_null_keys, h.n_orphans, h.n_orphan_keys) == (6, 1, 2, 1)
 
 
+def test_percent_rank_normalize_rationals(spark):
+    """[10, 20, 20, 40]: ranks via RANK give exact rationals 0/3,
+    1/3, 1/3, 3/3 (ties share the feature), n_ties 2 for the pair;
+    a singleton group flags pr_den 0."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        percent_rank_normalize,
+    )
+
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 3, 20), ("g", 4, 40),
+            ("solo", 9, 5)]
+    df = spark.createDataFrame(rows, "grp string, id long, value long")
+    got = {(r.grp, r.id): r for r in
+           percent_rank_normalize(df, ["grp"], "value", "id").collect()}
+    fr = lambda r: Fraction(r.pr_num, r.pr_den)  # noqa: E731
+    assert fr(got[("g", 1)]) == 0
+    assert fr(got[("g", 2)]) == fr(got[("g", 3)]) == Fraction(1, 3)
+    assert fr(got[("g", 4)]) == 1
+    assert got[("g", 2)].n_ties == 2 and got[("g", 1)].n_ties == 1
+    assert got[("solo", 9)].pr_den == 0 and got[("solo", 9)].pr_num == 0
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
