@@ -810,3 +810,68 @@ def test_decayed_counts_stream_exact_batch_parity(spark, tmp_path):
             int(row.n_events),
             int(row.decayed),
         ) == batch[k], k
+
+
+def test_temporal_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static point-in-time enrichment: facts streamed in TWO
+    files (two micro-batches) against a cached SCD2 dim produce
+    row-identical results to the batch temporal_dim_join on the union
+    — the stateless class: batching cannot matter. Includes boundary
+    facts (inclusive start, exclusive end), a deleted-gap NULL, and
+    an unknown key."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import temporal_dim_join
+    from instageo_e2e_geospatial_ml_spark.streaming.enrich import (
+        temporal_enrich_stream,
+    )
+
+    dim_rows = [
+        (1, "v1", 100, 200),
+        (1, "v2", 300, None),
+        (2, "w1", 0, None),
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "key long, version string, valid_from_us long, valid_to_us long"
+    ).cache()
+    facts1 = pd.DataFrame(
+        {"key": [1, 1, 1], "fact_id": [1, 2, 3], "ts_us": [50, 100, 199]}
+    )
+    facts2 = pd.DataFrame(
+        {"key": [1, 1, 2, 3], "fact_id": [4, 5, 6, 7],
+         "ts_us": [250, 301, 5, 5]}
+    )
+
+    d = tmp_path / "facts"
+    d.mkdir()
+    _write_stream_file(spark, tmp_path, d, "b1", facts1)
+    stream = (
+        spark.readStream.schema("key long, fact_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    enriched = temporal_enrich_stream(stream, dim, "key").select(
+        "fact_id", "version"
+    )
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    got1 = _drain_to_parquet(spark, enriched, out, ck)
+    assert len(got1) == 3
+    _write_stream_file(spark, tmp_path, d, "b2", facts2)
+    got = _drain_to_parquet(spark, enriched, out, ck)
+
+    facts_all = spark.createDataFrame(
+        pd.concat([facts1, facts2]), "key long, fact_id long, ts_us long"
+    )
+    want = (
+        temporal_dim_join(facts_all, dim, "key")
+        .select("fact_id", "version")
+        .toPandas()
+    )
+    g = got.sort_values("fact_id").reset_index(drop=True)
+    w = want.sort_values("fact_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    by = dict(zip(g["fact_id"], g["version"]))
+    assert by[1] is None and by[2] == "v1" and by[3] == "v1"
+    assert by[4] is None  # deleted gap
+    assert by[5] == "v2" and by[6] == "w1" and by[7] is None
