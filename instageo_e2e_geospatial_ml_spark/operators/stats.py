@@ -1724,3 +1724,155 @@ SELECT {g}, id, value,
        CAST(count(*) OVER (PARTITION BY {g}, value) AS BIGINT) AS n_ties
 FROM d
 """
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Trimmed and winsorized aggregation per group — the robust-mean
+    family's workhorse (MAD flags outliers; trimming neutralizes
+    them): drop the lowest and highest k = floor(n·p/100) values BY
+    RANK (deterministic (value, id) order — rank-based trimming is
+    well-defined under ties where threshold-based clipping is not),
+    and also report the winsorized sum (clipped to the surviving
+    min/max instead of dropped). All exact integers; means are the
+    rationals (trim_sum, n − 2k) and (winsor_sum, n).
+
+    One ranked window per group + one conditional aggregate over the
+    same partition — a single sort. Emits (group..., n, k,
+    trim_sum, trim_n, winsor_sum, vmin_kept, vmax_kept).
+    """
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*g).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(*g)
+    d = df.select(
+        *g,
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("_id"),
+    ).select(
+        *group_cols,
+        "v",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(
+                F.col("v").asc(), F.col("_id").asc()
+            )
+        ).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    k = F.expr(f"(_n * {trim_pct}) div 100")
+    kept = (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+    d = d.withColumn("_k", k).withColumn("_kept", kept.cast("long"))
+    agg = d.groupBy(*group_cols).agg(
+        F.first("_n").alias("n"),
+        F.first("_k").alias("k"),
+        F.sum(F.col("v") * F.col("_kept")).alias("trim_sum"),
+        F.sum("_kept").alias("trim_n"),
+        F.min(F.when(F.col("_kept") == 1, F.col("v"))).alias("vmin_kept"),
+        F.max(F.when(F.col("_kept") == 1, F.col("v"))).alias("vmax_kept"),
+    )
+    return agg.withColumn(
+        "winsor_sum",
+        F.col("trim_sum")
+        + F.col("k") * F.col("vmin_kept")
+        + F.col("k") * F.col("vmax_kept"),
+    )
+
+
+def trimmed_stats_sql(
+    rows_sql: str, group_exprs: str, trim_pct: int = 5
+) -> str:
+    """DuckDB twin of trimmed_stats over (group..., v, _id)."""
+    g = group_exprs
+    return f"""
+WITH d AS (
+  SELECT {g}, CAST(v AS BIGINT) AS v, _id,
+         row_number() OVER (PARTITION BY {g} ORDER BY v ASC, _id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY {g}) AS BIGINT) AS n
+  FROM ({rows_sql})
+),
+m AS (
+  SELECT *, (n * {trim_pct}) // 100 AS k,
+         CASE WHEN rn > (n * {trim_pct}) // 100
+               AND rn <= n - (n * {trim_pct}) // 100
+         THEN 1 ELSE 0 END AS kept
+  FROM d
+),
+agg AS (
+  SELECT {g}, min(n) AS n, min(k) AS k,
+         CAST(sum(v * kept) AS BIGINT) AS trim_sum,
+         CAST(sum(kept) AS BIGINT) AS trim_n,
+         min(CASE WHEN kept = 1 THEN v END) AS vmin_kept,
+         max(CASE WHEN kept = 1 THEN v END) AS vmax_kept
+  FROM m GROUP BY {g}
+)
+SELECT {g}, n, k, trim_sum, trim_n, vmin_kept, vmax_kept,
+       trim_sum + k * vmin_kept + k * vmax_kept AS winsor_sum
+FROM agg
+"""
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact Gini coefficient per group — the concentration metric
+    for hub-dominance audits (degree inequality of a link graph,
+    revenue concentration, per-domain crawl share): for nonnegative
+    values sorted ascending,
+
+        G = Σ_i (2i − n − 1)·x_i  /  (n · Σ x)
+
+    emitted as the integer pair (gini_num, gini_den); 0 = perfectly
+    equal, (n−1)/n at full concentration. Ties are rank-order
+    independent in the numerator? NO — but summing (2i−n−1)·x over a
+    tie run of equal x is invariant to order WITHIN the run (the
+    coefficients are consumed by equal values), so the result is
+    deterministic without a tie-break. One ranked window + one
+    aggregate, single sort per group.
+    """
+    g = [F.col(c) for c in group_cols]
+    d = df.select(
+        *g, F.col(value_col).cast("long").alias("v"), F.col(id_col).alias("_id")
+    ).select(
+        *group_cols,
+        "v",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(
+                F.col("v").asc(), F.col("_id").asc()
+            )
+        ).alias("_i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    return d.groupBy(*group_cols).agg(
+        F.first("_n").alias("n"),
+        F.sum("v").alias("total"),
+        F.sum(
+            (F.lit(2) * F.col("_i") - F.col("_n") - 1) * F.col("v")
+        ).alias("gini_num"),
+        (F.first("_n") * F.sum("v")).alias("gini_den"),
+    )
+
+
+def gini_coefficient_sql(rows_sql: str, group_exprs: str) -> str:
+    """DuckDB twin of gini_coefficient over (group..., v, _id)."""
+    g = group_exprs
+    return f"""
+WITH d AS (
+  SELECT {g}, CAST(v AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {g} ORDER BY v ASC, _id ASC) AS i,
+         CAST(count(*) OVER (PARTITION BY {g}) AS BIGINT) AS n
+  FROM ({rows_sql})
+)
+SELECT {g}, min(n) AS n, CAST(sum(v) AS BIGINT) AS total,
+       CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num,
+       min(n) * CAST(sum(v) AS BIGINT) AS gini_den
+FROM d GROUP BY {g}
+"""

@@ -6668,3 +6668,72 @@ Q163_SQL = _q163_sql()
 
 QUERIES["q163_percent_rank"] = q163_percent_rank
 ORACLES["q163_percent_rank"] = Q163_SQL
+
+
+def q164_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trimmed/winsorized aggregation (operators/stats
+    .trimmed_stats): per-brand retail-price cents with 5% rank-based
+    trimming — exact rational means, deterministic under ties."""
+    from ..operators.stats import trimmed_stats
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("pid"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return trimmed_stats(p, ["p_brand"], "cents", "pid", trim_pct=5)
+
+
+def _q164_sql() -> str:
+    from ..operators.stats import trimmed_stats_sql
+
+    return trimmed_stats_sql(
+        "SELECT p_brand, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS v, "
+        "CAST(p_partkey AS BIGINT) AS _id FROM part",
+        group_exprs="p_brand",
+        trim_pct=5,
+    )
+
+
+Q164_SQL = _q164_sql()
+
+QUERIES["q164_trimmed_stats"] = q164_trimmed_stats
+ORACLES["q164_trimmed_stats"] = Q164_SQL
+
+
+def q165_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration (operators/stats.gini_coefficient) of
+    node degrees on the q94 link graph — the hub-dominance audit as
+    the integer pair (Σ(2i−n−1)x_i, n·Σx)."""
+    from ..operators.stats import gini_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(
+            (F.col("l_partkey") % 150).alias("src"),
+            (F.col("l_suppkey") * 7 % 150).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .withColumn("bucket", (F.col("src") % 3).cast("long"))
+    )
+    return gini_coefficient(deg, ["bucket"], "degree", "src")
+
+
+def _q165_sql() -> str:
+    from ..operators.stats import gini_coefficient_sql
+
+    return gini_coefficient_sql(
+        "SELECT src % 3 AS bucket, CAST(count(*) AS BIGINT) AS v, "
+        "src AS _id FROM ("
+        "SELECT l_partkey % 150 AS src, (l_suppkey * 7) % 150 AS dst "
+        "FROM lineitem) WHERE src <> dst GROUP BY src",
+        group_exprs="bucket",
+    )
+
+
+Q165_SQL = _q165_sql()
+
+QUERIES["q165_gini"] = q165_gini
+ORACLES["q165_gini"] = Q165_SQL

@@ -2811,6 +2811,47 @@ def test_percent_rank_normalize_rationals(spark):
     assert got[("solo", 9)].pr_den == 0 and got[("solo", 9)].pr_num == 0
 
 
+def test_trimmed_stats_and_gini(spark):
+    """Trimmed: [1, 2, ..., 10] at 10% drops exactly the min and max
+    (k=1), trimmed sum 2..9, winsorized sum clips 1->2 and 10->9;
+    outlier robustness: a huge outlier leaves the trimmed mean
+    unchanged. Gini: equal values -> 0; one-holder concentration ->
+    (n-1)/n; replica on a random vector."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        gini_coefficient, trimmed_stats,
+    )
+
+    rows = [("a", i, i) for i in range(1, 11)]
+    rows += [("b", i, v) for i, v in enumerate([5, 5, 5, 5, 10**9])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.g: r for r in
+           trimmed_stats(df, ["g"], "v", "id", trim_pct=10).collect()}
+    a = got["a"]
+    assert (a.n, a.k, a.trim_n) == (10, 1, 8)
+    assert a.trim_sum == sum(range(2, 10))
+    assert a.winsor_sum == a.trim_sum + 2 + 9
+    b = got["b"]  # 10% of 5 -> k=0: nothing trimmed; robustness needs k>=1
+    assert b.k == 0 and b.trim_sum == 20 + 10**9
+
+    grows = [("eq", i, 7) for i in range(4)]
+    grows += [("conc", 0, 100)] + [("conc", i, 0) for i in range(1, 5)]
+    rng = np.random.default_rng(2)
+    rv = [int(x) for x in rng.integers(0, 50, 30)]
+    grows += [("rand", i, v) for i, v in enumerate(rv)]
+    gdf = spark.createDataFrame(grows, "g string, id long, v long")
+    gg = {r.g: r for r in gini_coefficient(gdf, ["g"], "v", "id").collect()}
+    assert Fraction(gg["eq"].gini_num, gg["eq"].gini_den) == 0
+    assert Fraction(gg["conc"].gini_num, gg["conc"].gini_den) == Fraction(4, 5)
+    xs = sorted(rv)
+    n, s = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    assert (gg["rand"].gini_num, gg["rand"].gini_den) == (num, n * s)
+
+
 def test_median_composite_scalar_replica(spark):
     """Vectorized per-pixel median vs a scalar per-pixel replica on a
     random masked stack, plus designed corners: all-masked pixel ->
