@@ -6737,3 +6737,56 @@ Q165_SQL = _q165_sql()
 
 QUERIES["q165_gini"] = q165_gini
 ORACLES["q165_gini"] = Q165_SQL
+
+
+def q166_nms_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image greedy non-max suppression (operators/detection.
+    nms_boxes) over synthetic detection boxes derived from the part
+    table (8 boxes/image, integer geometry + scores) at IoU > 3/10 —
+    duplicate-annotation dedup, independent per image, applyInPandas
+    with numpy-vectorized suppression."""
+    from ..operators.detection import nms_boxes
+
+    p = _t(spark, sf_dir, "part")
+    boxes = p.select(
+        (F.col("p_partkey") % 250).cast("long").alias("image_id"),
+        F.col("p_partkey").cast("long").alias("box_id"),
+        ((F.col("p_partkey") * 7) % 200).cast("long").alias("x1"),
+        ((F.col("p_partkey") * 13) % 200).cast("long").alias("y1"),
+        (
+            (F.col("p_partkey") * 7) % 200
+            + 20
+            + (F.col("p_partkey") * 3) % 60
+        ).cast("long").alias("x2"),
+        (
+            (F.col("p_partkey") * 13) % 200
+            + 20
+            + (F.col("p_partkey") * 5) % 60
+        ).cast("long").alias("y2"),
+        (
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)) % 10000
+        ).cast("long").alias("score"),
+    )
+    return nms_boxes(boxes, iou_num=3, iou_den=10)
+
+
+def _q166_sql() -> str:
+    from ..operators.detection import nms_sql
+
+    return nms_sql(
+        "SELECT p_partkey % 250 AS image_id, p_partkey AS box_id, "
+        "(p_partkey * 7) % 200 AS x1, (p_partkey * 13) % 200 AS y1, "
+        "(p_partkey * 7) % 200 + 20 + (p_partkey * 3) % 60 AS x2, "
+        "(p_partkey * 13) % 200 + 20 + (p_partkey * 5) % 60 AS y2, "
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) % 10000 AS score "
+        "FROM part",
+        k_rounds=8,
+        iou_num=3,
+        iou_den=10,
+    )
+
+
+Q166_SQL = _q166_sql()
+
+QUERIES["q166_nms_boxes"] = q166_nms_boxes
+ORACLES["q166_nms_boxes"] = Q166_SQL
