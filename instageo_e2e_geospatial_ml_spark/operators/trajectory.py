@@ -230,3 +230,153 @@ SELECT from_x, from_y, to_x, to_y,
 FROM tr WHERE to_x IS NOT NULL
 GROUP BY from_x, from_y, to_x, to_y
 """
+
+
+def hausdorff_join(
+    points: DataFrame,
+    threshold: int,
+    id_col: str = "track_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Trajectory-similarity join: all track pairs whose discrete
+    Hausdorff distance is <= threshold, with the exact squared distance.
+
+    H(A,B) = max(h(A,B), h(B,A)), h(A,B) = max_{a in A} min_{b in B}
+    d(a,b) — the standard symmetric set distance for GPS-track /
+    shape matching. Everything is integer: coordinates are integer
+    units, distances stay squared (h2 = H^2), and the gate is
+    h2 <= threshold^2, so a second engine reproduces every bit.
+
+    Scale shape: candidate pairs come from a LOSSLESS bbox prefilter —
+    H(A,B) <= T forces every A-point within T of bbox(B) and vice
+    versa, hence |min_x(A) - min_x(B)| <= T (same for the other three
+    bbox edges). Min-corner cells at cell size T therefore differ by
+    <= 1, so candidates are a 3x3 cell-ring EQUI-join on the tiny
+    per-track bbox table (one row per track; the knn.py pattern — no
+    cross join). The exact refine joins each candidate pair back to its
+    points: cost Σ|A|·|B| over candidates only, quadratic in TRACK
+    LENGTH, not corpus size — cap/resample track length upstream
+    (operators/simplify.py) as any real matcher does. The oracle twin
+    is the unfiltered brute force over all pairs, so a green hash is a
+    machine-checked proof the prefilter dropped nothing.
+    """
+    t2 = threshold * threshold
+    pts = points.select(
+        F.col(id_col).cast("long").alias("tid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    )
+    bbox = pts.groupBy("tid").agg(
+        F.min("px").alias("mnx"),
+        F.max("px").alias("mxx"),
+        F.min("py").alias("mny"),
+        F.max("py").alias("mxy"),
+    )
+    cell = bbox.select(
+        "*",
+        F.expr(f"mnx div {threshold}").alias("cx"),
+        F.expr(f"mny div {threshold}").alias("cy"),
+    )
+    a = cell.select([F.col(c).alias(f"a_{c}") for c in cell.columns])
+    ring = a.withColumn(
+        "dx", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    ).withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+    b = cell.select([F.col(c).alias(f"b_{c}") for c in cell.columns])
+    cand = (
+        ring.join(
+            b,
+            (F.col("a_cx") + F.col("dx") == F.col("b_cx"))
+            & (F.col("a_cy") + F.col("dy") == F.col("b_cy")),
+        )
+        .filter(F.col("a_tid") < F.col("b_tid"))
+        .filter(
+            # mutual bbox nesting within T: necessary for H <= T
+            (F.col("a_mnx") >= F.col("b_mnx") - threshold)
+            & (F.col("a_mxx") <= F.col("b_mxx") + threshold)
+            & (F.col("a_mny") >= F.col("b_mny") - threshold)
+            & (F.col("a_mxy") <= F.col("b_mxy") + threshold)
+            & (F.col("b_mnx") >= F.col("a_mnx") - threshold)
+            & (F.col("b_mxx") <= F.col("a_mxx") + threshold)
+            & (F.col("b_mny") >= F.col("a_mny") - threshold)
+            & (F.col("b_mxy") <= F.col("a_mxy") + threshold)
+        )
+        .select("a_tid", "b_tid")
+    )
+    # both directions through one generic directed pass
+    dirs = cand.select(
+        F.col("a_tid").alias("src"), F.col("b_tid").alias("dst")
+    ).unionByName(
+        cand.select(F.col("b_tid").alias("src"), F.col("a_tid").alias("dst"))
+    )
+    sp = pts.select(
+        F.col("tid").alias("src"),
+        F.col("px").alias("sx"),
+        F.col("py").alias("sy"),
+    )
+    dp = pts.select(
+        F.col("tid").alias("dst"),
+        F.col("px").alias("dx_"),
+        F.col("py").alias("dy_"),
+    )
+    d2 = (F.col("sx") - F.col("dx_")) * (F.col("sx") - F.col("dx_")) + (
+        F.col("sy") - F.col("dy_")
+    ) * (F.col("sy") - F.col("dy_"))
+    directed = (
+        dirs.join(sp, "src")
+        .join(dp, "dst")
+        .groupBy("src", "dst", "sx", "sy")
+        .agg(F.min(d2).alias("md"))
+        .groupBy("src", "dst")
+        .agg(F.max("md").alias("h"))
+    )
+    return (
+        directed.select(
+            F.least("src", "dst").alias("a_id"),
+            F.greatest("src", "dst").alias("b_id"),
+            "h",
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.max("h").alias("h2"))
+        .filter(F.col("h2") <= t2)
+    )
+
+
+def hausdorff_join_sql(
+    points_sql: str,
+    threshold: int,
+    id_col: str = "track_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> str:
+    """DuckDB twin: brute force over ALL track pairs (no prefilter) —
+    hash equality with the operator proves prefilter losslessness."""
+    t2 = threshold * threshold
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS tid, CAST({x_col} AS BIGINT) AS px,
+         CAST({y_col} AS BIGINT) AS py FROM ({points_sql})
+),
+ids AS (SELECT DISTINCT tid FROM p),
+pairs AS MATERIALIZED (
+  SELECT a.tid AS a_id, b.tid AS b_id FROM ids a JOIN ids b ON a.tid < b.tid
+),
+dirs AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+directed AS (
+  SELECT src, dst, max(md) AS h FROM (
+    SELECT d.src, d.dst, sa.px, sa.py,
+           min((sa.px - sb.px) * (sa.px - sb.px)
+             + (sa.py - sb.py) * (sa.py - sb.py)) AS md
+    FROM dirs d JOIN p sa ON sa.tid = d.src JOIN p sb ON sb.tid = d.dst
+    GROUP BY d.src, d.dst, sa.px, sa.py
+  ) GROUP BY src, dst
+)
+SELECT least(src, dst) AS a_id, greatest(src, dst) AS b_id,
+       CAST(max(h) AS BIGINT) AS h2
+FROM directed GROUP BY least(src, dst), greatest(src, dst)
+HAVING max(h) <= {t2}
+"""

@@ -6790,3 +6790,44 @@ Q166_SQL = _q166_sql()
 
 QUERIES["q166_nms_boxes"] = q166_nms_boxes
 ORACLES["q166_nms_boxes"] = Q166_SQL
+
+
+def q167_hausdorff_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory Hausdorff-similarity join (operators/trajectory.
+    hausdorff_join): 40 synthetic tracks of 50 integer points clustered
+    in 8 home regions; pairs within discrete Hausdorff distance 150,
+    exact squared distance. The DuckDB twin brute-forces all pairs, so
+    the hash also proves the bbox cell-ring prefilter lossless."""
+    from ..operators.trajectory import hausdorff_join
+
+    p = _t(spark, sf_dir, "part")
+    tracks = p.select(
+        (F.col("p_partkey") % 40).cast("long").alias("track_id"),
+        (
+            (F.col("p_partkey") % 40 % 5) * 400
+            + (F.col("p_partkey") * 17) % 250
+        ).cast("long").alias("px"),
+        (
+            F.expr("p_partkey % 40 % 10 div 5") * 400
+            + (F.col("p_partkey") * 29) % 250
+        ).cast("long").alias("py"),
+    )
+    return hausdorff_join(tracks, threshold=150)
+
+
+def _q167_sql() -> str:
+    from ..operators.trajectory import hausdorff_join_sql
+
+    return hausdorff_join_sql(
+        "SELECT p_partkey % 40 AS track_id, "
+        "(p_partkey % 40 % 5) * 400 + (p_partkey * 17) % 250 AS px, "
+        "(p_partkey % 40 % 10 // 5) * 400 + (p_partkey * 29) % 250 AS py "
+        "FROM part",
+        threshold=150,
+    )
+
+
+Q167_SQL = _q167_sql()
+
+QUERIES["q167_hausdorff_join"] = q167_hausdorff_join
+ORACLES["q167_hausdorff_join"] = Q167_SQL
