@@ -6831,3 +6831,49 @@ Q167_SQL = _q167_sql()
 
 QUERIES["q167_hausdorff_join"] = q167_hausdorff_join
 ORACLES["q167_hausdorff_join"] = Q167_SQL
+
+
+def q168_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity CUBE aggregation with grouping-id lineage —
+    the one-pass alternative to re-aggregating per granularity (Catalyst
+    expands the cube into a single Expand + hash-agg plan; partial
+    aggregation still combines map-side, so the shuffle carries at most
+    4x the distinct-group rows, not 4x the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        rows.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gset_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "gset_id",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+Q168_SQL = """
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gset_id,
+       coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES["q168_cube_rollup"] = q168_cube_rollup
+ORACLES["q168_cube_rollup"] = Q168_SQL
