@@ -470,3 +470,87 @@ FROM (
   FROM d
 ) WHERE rank <= {top_n}
 """
+
+
+def pmi_collocations(
+    docs,
+    window: int = 2,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Pointwise-mutual-information collocation scores over skip-gram
+    pairs — the classic collocation / phrase-mining statistic (Church &
+    Hanks 1990). PMI = log(N·n_xy / (n_x·n_y)) is monotone in the exact
+    rational N·n_xy / (n_x·n_y), so the score is emitted as the scaled
+    integer floor(scale·N·n_xy / (n_x·n_y)) — no log, no float, engine-
+    exact. Overflow bound: scale·N·n_xy must stay < 2^63; with scale
+    1e6 that holds up to N·n_xy < 9.2e12 (pair-count marginals are far
+    below that even at corpus scale because n_xy <= n_x <= N — if N
+    grows past ~3e6 with near-degenerate vocabularies, drop scale).
+
+    Plan: one skip-gram pair aggregation (equi-join on (doc, pos+k) —
+    functions/retrieval.skipgram_counts), then center/context marginals
+    are two more groupBys of the PAIR table (already aggregated, small),
+    and the corpus total joins in as a broadcast single row. min_count
+    gates output only — marginals always use the full pair table."""
+    from pyspark.sql import functions as F
+
+    pairs = skipgram_counts(
+        docs, window=window, min_count=1, text_col=text_col, id_col=id_col
+    )
+    nx = pairs.groupBy("center").agg(F.sum("n").alias("n_x"))
+    ny = pairs.groupBy("context").agg(F.sum("n").alias("n_y"))
+    tot = pairs.agg(F.sum("n").alias("n_total"))
+    return (
+        pairs.filter(F.col("n") >= min_count)
+        .join(F.broadcast(nx), "center")
+        .join(F.broadcast(ny), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            F.col("n").alias("n_xy"),
+            F.col("n_x"),
+            F.col("n_y"),
+            F.expr(f"(n_total * n * {scale}) div (n_x * n_y)").alias(
+                "pmi_q"
+            ),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    docs_sql: str,
+    window: int = 2,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of pmi_collocations (window offsets inlined)."""
+    offs = ", ".join(
+        str(k) for k in range(-window, window + 1) if k != 0
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM ({docs_sql})),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+pairs AS MATERIALIZED (
+  SELECT a.tok AS center, b.tok AS context,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos - a.pos IN ({offs})
+  GROUP BY 1, 2
+),
+nx AS (SELECT center, CAST(sum(n) AS BIGINT) AS n_x FROM pairs GROUP BY 1),
+ny AS (SELECT context, CAST(sum(n) AS BIGINT) AS n_y FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pairs)
+SELECT p.center, p.context, p.n AS n_xy, nx.n_x, ny.n_y,
+       (tot.n_total * p.n * {scale}) // (nx.n_x * ny.n_y) AS pmi_q
+FROM pairs p
+JOIN nx USING (center) JOIN ny USING (context) CROSS JOIN tot
+WHERE p.n >= {min_count}
+"""

@@ -6877,3 +6877,28 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 QUERIES["q168_cube_rollup"] = q168_cube_rollup
 ORACLES["q168_cube_rollup"] = Q168_SQL
+
+
+def q169_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PMI collocation mining over documents (functions/
+    retrieval.pmi_collocations), skip-gram window ±2, min pair count 5
+    — phrase detection scored as floor(1e6·N·n_xy/(n_x·n_y))."""
+    from ..functions.retrieval import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), window=2, min_count=5
+    )
+
+
+def _q169_sql() -> str:
+    from ..functions.retrieval import pmi_collocations_sql
+
+    return pmi_collocations_sql(
+        "SELECT doc_id, text FROM documents", window=2, min_count=5
+    )
+
+
+Q169_SQL = _q169_sql()
+
+QUERIES["q169_pmi_collocations"] = q169_pmi_collocations
+ORACLES["q169_pmi_collocations"] = Q169_SQL
