@@ -205,3 +205,112 @@ SELECT conv_id, channel, touch_ts,
 FROM j
 WINDOW w AS (PARTITION BY conv_id)
 """
+
+
+def windowed_funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse-windowFunnel-style conversion: the deepest stage each
+    user reaches with every step STRICTLY after the previous one and the
+    WHOLE chain within `horizon_us` of the stage-1 anchor. Semantics are
+    pinned to the greedy-earliest rule — the anchor is the user's FIRST
+    step-1 event and each later stage takes its earliest qualifying
+    event — so the result is a pure function of the input (a sliding
+    anchor could convert more users but is not engine-exact; the greedy
+    rule is the documented, reproducible convention here).
+
+    One row per user who reached stage >= 1: (user, stage, anchor_us,
+    last_us). Plan shape = funnel_stages' chain of per-step min
+    aggregates (k steps = k hash aggs narrowed by the horizon filter),
+    then one max(struct) per user — no windows over raw history, so
+    cost is bounded by funnel depth, not history length."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("etype"),
+        tus.alias("tus"),
+    )
+    s1 = (
+        ev.filter(F.col("etype") == steps[0])
+        .groupBy("u")
+        .agg(F.min("tus").alias("anchor_us"))
+    )
+    prev = s1.select(
+        "u", "anchor_us", F.col("anchor_us").alias("last_us"),
+        F.lit(1).alias("stage"),
+    )
+    reached = [prev]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("etype") == step)
+            .join(prev.select("u", "anchor_us", "last_us"), "u")
+            .filter(
+                (F.col("tus") > F.col("last_us"))
+                & (F.col("tus") <= F.col("anchor_us") + F.lit(horizon_us))
+            )
+            .groupBy("u", "anchor_us")
+            .agg(F.min("tus").alias("last_us"))
+        )
+        prev = nxt.select(
+            "u", "anchor_us", "last_us", F.lit(k).alias("stage")
+        )
+        reached.append(prev)
+    allr = reached[0]
+    for r in reached[1:]:
+        allr = allr.unionByName(r)
+    m = F.max(F.struct("stage", "anchor_us", "last_us")).alias("m")
+    return (
+        allr.groupBy("u")
+        .agg(m)
+        .select(
+            "u",
+            F.col("m.stage").cast("long").alias("stage"),
+            F.col("m.anchor_us").alias("anchor_us"),
+            F.col("m.last_us").alias("last_us"),
+        )
+    )
+
+
+def windowed_funnel_sql(
+    events_sql: str, steps: list[str], horizon_us: int
+) -> str:
+    """DuckDB twin of windowed_funnel (chain unrolled into CTEs)."""
+    ctes = [
+        f"ev AS (SELECT user_id AS u, event_type AS etype,\n"
+        f"  epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM ({events_sql}))",
+        f"s1 AS (SELECT u, min(tus) AS t1 FROM ev\n"
+        f"  WHERE etype = '{steps[0]}' GROUP BY u)",
+    ]
+    for k in range(2, len(steps) + 1):
+        prev = f"s{k-1}"
+        ctes.append(
+            f"s{k} AS (SELECT e.u, min(e.tus) AS t{k}\n"
+            f"  FROM ev e JOIN {prev} p ON e.u = p.u\n"
+            f"  JOIN s1 ON e.u = s1.u\n"
+            f"  WHERE e.etype = '{steps[k-1]}' AND e.tus > p.t{k-1}\n"
+            f"    AND e.tus <= s1.t1 + {horizon_us} GROUP BY e.u)"
+        )
+    n = len(steps)
+    stage = "CASE " + " ".join(
+        f"WHEN s{k}.t{k} IS NOT NULL THEN {k}"
+        for k in range(n, 1, -1)
+    ) + " ELSE 1 END"
+    last = "coalesce(" + ", ".join(
+        f"s{k}.t{k}" for k in range(n, 0, -1)
+    ) + ")"
+    joins = "\n".join(
+        f"LEFT JOIN s{k} ON s1.u = s{k}.u" for k in range(2, n + 1)
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block}
+SELECT s1.u, CAST({stage} AS BIGINT) AS stage,
+       s1.t1 AS anchor_us, {last} AS last_us
+FROM s1
+{joins}
+"""

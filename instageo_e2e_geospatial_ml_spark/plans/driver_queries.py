@@ -6902,3 +6902,33 @@ Q169_SQL = _q169_sql()
 
 QUERIES["q169_pmi_collocations"] = q169_pmi_collocations
 ORACLES["q169_pmi_collocations"] = Q169_SQL
+
+
+def q170_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-bounded conversion funnel (operators/funnel.
+    windowed_funnel — ClickHouse windowFunnel semantics): deepest stage
+    of view -> click -> purchase reached with each step strictly after
+    the previous AND the whole chain within 6h of the user's FIRST view.
+    Greedy-earliest anchor rule => deterministic, engine-exact."""
+    from ..operators.funnel import windowed_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_funnel(
+        ev, ["view", "click", "purchase"], horizon_us=6 * 3600 * 1000000
+    ).orderBy("u")
+
+
+def _q170_sql() -> str:
+    from ..operators.funnel import windowed_funnel_sql
+
+    return windowed_funnel_sql(
+        "SELECT user_id, event_type, ts FROM events",
+        ["view", "click", "purchase"],
+        horizon_us=6 * 3600 * 1000000,
+    )
+
+
+Q170_SQL = _q170_sql()
+
+QUERIES["q170_windowed_funnel"] = q170_windowed_funnel
+ORACLES["q170_windowed_funnel"] = Q170_SQL

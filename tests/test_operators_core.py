@@ -4145,3 +4145,44 @@ def test_exact_stratified_split_invariants(spark):
     assert {(r.source, r.doc_id) for r in sel} == {
         (r.source, r.doc_id) for r in sel2
     }
+
+
+def test_windowed_funnel_horizon_and_greedy_anchor(spark):
+    """windowed_funnel corners: (a) a chain completing AFTER the horizon
+    from the FIRST step-1 event does not convert (greedy anchor — a
+    later view would fit, but the rule pins the first); (b) a chain
+    inside the horizon converts with the earliest qualifying event per
+    stage; (c) step order is strict (same-ts does not chain); (d) users
+    with no step-1 event are absent."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        windowed_funnel,
+    )
+
+    t = lambda m: (pd.Timestamp("2024-01-01")
+                   + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [
+        # u1: full chain within 10 min horizon
+        (1, t(0), "view"), (1, t(2), "click"), (1, t(4), "purchase"),
+        # u2: anchor at t0; click at t15 is past the 10-min horizon even
+        # though a second view at t14 would anchor a converting chain
+        (2, t(0), "view"), (2, t(14), "view"), (2, t(15), "click"),
+        # u3: click at same ts as view -> not strictly later
+        (3, t(0), "view"), (3, t(0), "click"),
+        # u4: click only, no view -> absent
+        (4, t(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.u: (r.stage, r.anchor_us, r.last_us)
+           for r in windowed_funnel(
+               ev, ["view", "click", "purchase"],
+               horizon_us=10 * 60 * 1000000).collect()}
+    us = lambda m: int(pd.Timestamp("2024-01-01").value // 1000
+                       + m * 60 * 1000000)
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (3, us(0), us(4))
+    assert out[2] == (1, us(0), us(0))
+    assert out[3] == (1, us(0), us(0))
