@@ -314,3 +314,98 @@ SELECT s1.u, CAST({stage} AS BIGINT) AS stage,
 FROM s1
 {joins}
 """
+
+
+def event_pattern_matches(
+    events: DataFrame,
+    type_chars: dict[str, str],
+    patterns: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite / CEP over batch history: encode each user's
+    time-ordered event stream as a string of single-char symbols
+    (`type_chars`: event_type -> char; unmapped types are dropped) and
+    count the non-overlapping matches of each regex in `patterns` — the
+    row-pattern-matching analytic (conversion paths 'vc+p', error bursts
+    'eee+', abandonment 'vc+(?!p)', ...) without a MATCH_RECOGNIZE
+    engine. Output: (u, seq_len, seq_md5, n_<name>... per pattern).
+
+    Determinism: the symbol order is the unique (ts, event_id) total
+    order, so the sequence string — and every count — is a pure function
+    of the input. Patterns should stay in the lookahead-free ASCII
+    subset shared by Java regex and RE2 if oracle parity matters.
+
+    Scale: one sort_array(collect_list) per user — per-user state is the
+    user's (bounded) history, the same contract as sessionization;
+    unbounded histories should be sessionized first and matched per
+    session. No window over raw rows, no driver collect."""
+    c = None
+    for etype, ch in sorted(type_chars.items()):
+        c = (
+            F.when(F.col(type_col) == etype, F.lit(ch))
+            if c is None
+            else c.when(F.col(type_col) == etype, F.lit(ch))
+        )
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        tus.alias("tus"),
+        F.col(id_col).alias("eid"),
+        c.alias("c"),
+    ).filter(F.col("c").isNotNull())
+    seq = ev.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tus", "eid", "c"))),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    counts = [
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in sorted(patterns.items())
+    ]
+    return seq.select(
+        "u",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.md5("seq").alias("seq_md5"),
+        *counts,
+    )
+
+
+def event_pattern_matches_sql(
+    events_sql: str,
+    type_chars: dict[str, str],
+    patterns: dict[str, str],
+) -> str:
+    """DuckDB twin of event_pattern_matches."""
+    case = "CASE " + " ".join(
+        f"WHEN event_type = '{e}' THEN '{ch}'"
+        for e, ch in sorted(type_chars.items())
+    ) + " END"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(seq, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in sorted(patterns.items())
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS eid,
+         {case} AS c
+  FROM ({events_sql})
+),
+seq AS (
+  SELECT u, string_agg(c, '' ORDER BY tus, eid) AS seq
+  FROM ev WHERE c IS NOT NULL GROUP BY u
+)
+SELECT u, CAST(length(seq) AS BIGINT) AS seq_len, md5(seq) AS seq_md5,
+       {counts}
+FROM seq
+"""

@@ -1876,3 +1876,97 @@ SELECT {g}, min(n) AS n, CAST(sum(v) AS BIGINT) AS total,
        min(n) * CAST(sum(v) AS BIGINT) AS gini_den
 FROM d GROUP BY {g}
 """
+
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame, value_int_col: str
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud / synthetic-
+    data / unit-mixup detector for positive magnitude columns: the
+    leading significant digit of naturally occurring multi-scale values
+    follows P(d) = log10(1 + 1/d); flat or spiked digit histograms flag
+    fabricated or truncated data.
+
+    One row per digit 1-9: (digit, n, total, observed_ppm, expected_ppm,
+    dev_ppm). The first digit comes from the DECIMAL STRING of the
+    positive int64 value — exact, no log/pow float path — and the
+    expected frequencies are fixed literal ppm constants, so every
+    output column is a pure integer function of the input (engine-exact).
+    Rows with value <= 0 are excluded (Benford is defined on positive
+    magnitudes).
+
+    Scale: one conditional-count aggregation (9 partial counters per
+    task, map-side combined) — no shuffle beyond a 9-group agg."""
+    pos = df.select(
+        F.col(value_int_col).cast("long").alias("v")
+    ).filter(F.col("v") > 0)
+    d = pos.select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("long").alias(
+            "digit"
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # complete the 1..9 support (a digit can be absent) from a literal
+    digits = counts.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("total"))
+    exp = None
+    for dg, ppm in _BENFORD_PPM.items():
+        exp = (
+            F.when(F.col("digit") == dg, F.lit(ppm))
+            if exp is None
+            else exp.when(F.col("digit") == dg, F.lit(ppm))
+        )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            "total",
+            F.expr("(1000000 * n) DIV total").alias("observed_ppm"),
+            exp.cast("long").alias("expected_ppm"),
+            (
+                F.expr("(1000000 * n) DIV total") - exp.cast("long")
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def benford_audit_sql(rows_sql: str, value_int_expr: str) -> str:
+    """DuckDB twin of benford_audit."""
+    exp_case = "CASE " + " ".join(
+        f"WHEN d.digit = {dg} THEN {ppm}"
+        for dg, ppm in _BENFORD_PPM.items()
+    ) + " END"
+    return f"""
+WITH pos AS (
+  SELECT CAST({value_int_expr} AS BIGINT) AS v FROM ({rows_sql})
+  WHERE {value_int_expr} > 0
+),
+counts AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1
+),
+d AS (
+  SELECT g.digit, coalesce(c.n, 0) AS n
+  FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+  LEFT JOIN counts c ON g.digit = c.digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+SELECT d.digit, d.n, t.total,
+       (1000000 * d.n) // t.total AS observed_ppm,
+       CAST({exp_case} AS BIGINT) AS expected_ppm,
+       (1000000 * d.n) // t.total - {exp_case} AS dev_ppm
+FROM d CROSS JOIN tot t
+"""

@@ -380,3 +380,144 @@ SELECT least(src, dst) AS a_id, greatest(src, dst) AS b_id,
 FROM directed GROUP BY least(src, dst), greatest(src, dst)
 HAVING max(h) <= {t2}
 """
+
+
+def map_match_segments(
+    points: DataFrame,
+    route: list[tuple[int, int]],
+    id_col: str = "pid",
+    x_col: str = "px",
+    y_col: str = "py",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Linear referencing / nearest-segment map matching: snap every
+    integer-coordinate point to its closest segment of the reference
+    polyline `route` — (pid, seg_idx, d2_scaled, t_scaled) where
+    t_scaled = floor(scale·t) is the clamped along-segment parameter
+    (chainage fraction) and d2_scaled = floor(scale·d²) the squared
+    point-to-segment distance. The matching rule is DEFINED on the
+    quantized distance with seg_idx as tie-break, so the assignment is
+    a deterministic pure function of the input (engine-exact — both
+    sides quantize identically before the argmin).
+
+    Geometry is exact until the single final floor: with w = p - a and
+    d = b - a, the interior squared distance is cross(w,d)²/|d|² and the
+    endpoint cases are decided by the INTEGER comparisons dot ≤ 0 /
+    dot ≥ |d|² — no sqrt, no float. Callers keep coordinates small
+    enough that scale·cross² fits int64 (|coord| ≲ 400 at scale 1e6).
+
+    Scale: the route is a broadcast literal of |segments| rows — the
+    plan is scan → broadcast nested-loop over a constant-size side →
+    one min(struct) aggregate per point. No shuffle beyond the final
+    per-point aggregate; at 1000 executors this is a map-side pipeline.
+    Long routes should be pre-bucketed by coarse cell (the
+    operators/knn.py cell-ring pattern) before the refine — this
+    operator is the exact refine stage."""
+    segs = [
+        (i, ax, ay, bx, by)
+        for i, ((ax, ay), (bx, by)) in enumerate(
+            zip(route[:-1], route[1:])
+        )
+    ]
+    spark = points.sparkSession
+    seg_df = spark.createDataFrame(
+        segs, "seg_idx int, ax long, ay long, bx long, by long"
+    )
+    p = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    )
+    j = p.crossJoin(F.broadcast(seg_df))
+    wx = F.col("px") - F.col("ax")
+    wy = F.col("py") - F.col("ay")
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    dot = wx * dx + wy * dy
+    len2 = dx * dx + dy * dy
+    cross = wx * dy - wy * dx
+    ex = F.col("px") - F.col("bx")
+    ey = F.col("py") - F.col("by")
+    sc = F.lit(scale)
+    d2s = (
+        F.when(dot <= 0, sc * (wx * wx + wy * wy))
+        .when(dot >= len2, sc * (ex * ex + ey * ey))
+        .otherwise(F.expr(f"({scale} * ((py-ay)*(bx-ax)-(px-ax)*(by-ay))"
+                          f" * ((py-ay)*(bx-ax)-(px-ax)*(by-ay)))"
+                          f" DIV ((bx-ax)*(bx-ax)+(by-ay)*(by-ay))"))
+    )
+    ts = (
+        F.when(dot <= 0, F.lit(0))
+        .when(dot >= len2, sc)
+        .otherwise(F.expr(f"({scale} * ((px-ax)*(bx-ax)+(py-ay)*(by-ay)))"
+                          f" DIV ((bx-ax)*(bx-ax)+(by-ay)*(by-ay))"))
+    )
+    scored = j.select(
+        "pid",
+        F.struct(
+            d2s.cast("long").alias("d2_scaled"),
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            ts.cast("long").alias("t_scaled"),
+        ).alias("s"),
+    )
+    best = scored.groupBy("pid").agg(F.min("s").alias("s"))
+    return best.select(
+        "pid",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.d2_scaled").alias("d2_scaled"),
+        F.col("s.t_scaled").alias("t_scaled"),
+    )
+
+
+def map_match_segments_sql(
+    points_sql: str,
+    route: list[tuple[int, int]],
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of map_match_segments (argmin via row_number over the
+    same (d2_scaled, seg_idx) order)."""
+    seg_rows = ", ".join(
+        f"({i}, {ax}, {ay}, {bx}, {by})"
+        for i, ((ax, ay), (bx, by)) in enumerate(
+            zip(route[:-1], route[1:])
+        )
+    )
+    return f"""
+WITH segs(seg_idx, ax, ay, bx, by) AS (VALUES {seg_rows}),
+pts AS (
+  SELECT pid, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py
+  FROM ({points_sql})
+),
+scored AS (
+  SELECT p.pid, s.seg_idx,
+    CASE
+      WHEN (p.px-s.ax)*(s.bx-s.ax)+(p.py-s.ay)*(s.by-s.ay) <= 0
+        THEN {scale} * ((p.px-s.ax)*(p.px-s.ax)+(p.py-s.ay)*(p.py-s.ay))
+      WHEN (p.px-s.ax)*(s.bx-s.ax)+(p.py-s.ay)*(s.by-s.ay)
+           >= (s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay)
+        THEN {scale} * ((p.px-s.bx)*(p.px-s.bx)+(p.py-s.by)*(p.py-s.by))
+      ELSE ({scale} * ((p.py-s.ay)*(s.bx-s.ax)-(p.px-s.ax)*(s.by-s.ay))
+                    * ((p.py-s.ay)*(s.bx-s.ax)-(p.px-s.ax)*(s.by-s.ay)))
+           // ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+    END AS d2_scaled,
+    CASE
+      WHEN (p.px-s.ax)*(s.bx-s.ax)+(p.py-s.ay)*(s.by-s.ay) <= 0 THEN 0
+      WHEN (p.px-s.ax)*(s.bx-s.ax)+(p.py-s.ay)*(s.by-s.ay)
+           >= (s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay)
+        THEN {scale}
+      ELSE ({scale} * ((p.px-s.ax)*(s.bx-s.ax)+(p.py-s.ay)*(s.by-s.ay)))
+           // ((s.bx-s.ax)*(s.bx-s.ax)+(s.by-s.ay)*(s.by-s.ay))
+    END AS t_scaled
+  FROM pts p CROSS JOIN segs s
+),
+rnk AS (
+  SELECT pid, seg_idx, d2_scaled, t_scaled,
+         row_number() OVER (PARTITION BY pid
+           ORDER BY d2_scaled, seg_idx) AS rn
+  FROM scored
+)
+SELECT pid, CAST(seg_idx AS BIGINT) AS seg_idx,
+       CAST(d2_scaled AS BIGINT) AS d2_scaled,
+       CAST(t_scaled AS BIGINT) AS t_scaled
+FROM rnk WHERE rn = 1
+"""

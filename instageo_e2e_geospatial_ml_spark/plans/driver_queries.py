@@ -6932,3 +6932,148 @@ Q170_SQL = _q170_sql()
 
 QUERIES["q170_windowed_funnel"] = q170_windowed_funnel
 ORACLES["q170_windowed_funnel"] = Q170_SQL
+
+
+def q171_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (operators/encoding.target_encode_oof)
+    of o_orderpriority against integer-cents o_totalprice, 5 md5 folds —
+    the leakage-safe categorical-feature table an ML training pipeline
+    broadcasts back onto its rows."""
+    from ..operators.encoding import target_encode_oof
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    return target_encode_oof(
+        o, "o_orderpriority", "cents", "o_orderkey", n_folds=5
+    )
+
+
+def _q171_sql() -> str:
+    from ..operators.encoding import target_encode_oof_sql
+
+    return target_encode_oof_sql(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders",
+        "o_orderpriority",
+        "cents",
+        "o_orderkey",
+        n_folds=5,
+    )
+
+
+Q171_SQL = _q171_sql()
+
+QUERIES["q171_target_encoding"] = q171_target_encoding
+ORACLES["q171_target_encoding"] = Q171_SQL
+
+
+_Q172_CHARS = {
+    "view": "v", "click": "c", "purchase": "p",
+    "signup": "s", "error": "e",
+}
+_Q172_PATS = {
+    "convert": "vc+p",      # view -> clicks -> purchase paths
+    "error_burst": "eee+",  # >= 3 consecutive errors
+    "bounce": "vv",         # back-to-back views with nothing between
+}
+
+
+def q172_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching / CEP (operators/funnel.
+    event_pattern_matches): per-user event streams as symbol strings,
+    counting conversion paths (vc+p), error bursts (eee+) and bounces
+    (vv) via non-overlapping regex — the MATCH_RECOGNIZE workload."""
+    from ..operators.funnel import event_pattern_matches
+
+    return event_pattern_matches(
+        _t(spark, sf_dir, "events"), _Q172_CHARS, _Q172_PATS
+    )
+
+
+def _q172_sql() -> str:
+    from ..operators.funnel import event_pattern_matches_sql
+
+    return event_pattern_matches_sql(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        _Q172_CHARS,
+        _Q172_PATS,
+    )
+
+
+Q172_SQL = _q172_sql()
+
+QUERIES["q172_event_patterns"] = q172_event_patterns
+ORACLES["q172_event_patterns"] = Q172_SQL
+
+
+_Q173_ROUTE = [
+    (0, 10), (60, 80), (120, 40), (180, 140),
+    (240, 60), (300, 150), (360, 20),
+]
+
+
+def q173_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing / map matching (operators/trajectory.
+    map_match_segments): snap synthetic integer points to the nearest
+    segment of a 6-segment reference route — exact integer
+    point-to-segment geometry, quantized argmin, broadcast route."""
+    from ..operators.trajectory import map_match_segments
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        (F.col("p_partkey") % 361).alias("px"),
+        ((F.col("p_partkey") * 131) % 161).alias("py"),
+    )
+    return map_match_segments(pts, _Q173_ROUTE)
+
+
+def _q173_sql() -> str:
+    from ..operators.trajectory import map_match_segments_sql
+
+    return map_match_segments_sql(
+        "SELECT p_partkey AS pid, p_partkey % 361 AS px, "
+        "(p_partkey * 131) % 161 AS py FROM part",
+        _Q173_ROUTE,
+    )
+
+
+Q173_SQL = _q173_sql()
+
+QUERIES["q173_map_match"] = q173_map_match
+ORACLES["q173_map_match"] = Q173_SQL
+
+
+def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/stats.benford_audit) over
+    o_totalprice cents — digit histogram vs the log10(1+1/d) law with
+    integer ppm deviations."""
+    from ..operators.stats import benford_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        )
+    )
+    return benford_audit(o, "cents")
+
+
+def _q174_sql() -> str:
+    from ..operators.stats import benford_audit_sql
+
+    return benford_audit_sql(
+        "SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders",
+        "cents",
+    )
+
+
+Q174_SQL = _q174_sql()
+
+QUERIES["q174_benford_audit"] = q174_benford_audit
+ORACLES["q174_benford_audit"] = Q174_SQL

@@ -4186,3 +4186,153 @@ def test_windowed_funnel_horizon_and_greedy_anchor(spark):
     assert out[1] == (3, us(0), us(4))
     assert out[2] == (1, us(0), us(0))
     assert out[3] == (1, us(0), us(0))
+
+
+def test_target_encode_oof_exact_vs_python_replica(spark):
+    """target_encode_oof vs an independent hashlib/dict replica of the
+    same md5-fold + out-of-fold-mean rule: every (category, fold) cell
+    matches exactly, including fold cells where the category has no rows
+    and the prior fallback for single-fold categories."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.operators.encoding import (
+        target_encode_oof,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 37) % 100 + 1)
+            for i in range(60)]
+    # category 'z' lives in exactly one fold -> its own fold's encoding
+    # must fall back to the global prior
+    zid = 1000
+    while True:
+        h = int(hashlib.md5(f"{zid}:oof".encode()).hexdigest()[:8], 16)
+        if (h % 1000000) % 5 == 2:
+            break
+        zid += 1
+    rows.append((zid, "z", 50))
+    df = spark.createDataFrame(rows, "id long, cat string, t long")
+    got = {(r.category, r.fold): (r.oof_sum, r.oof_cnt, r.enc_scaled)
+           for r in target_encode_oof(df, "cat", "t", "id",
+                                      n_folds=5).collect()}
+
+    fold = {i: (int(hashlib.md5(f"{i}:oof".encode()).hexdigest()[:8], 16)
+                % 1000000) % 5 for i, _, _ in rows}
+    fs, fc = {}, {}
+    for i, c, t in rows:
+        k = (c, fold[i])
+        fs[k] = fs.get(k, 0) + t
+        fc[k] = fc.get(k, 0) + 1
+    p_sum = sum(t for _, _, t in rows)
+    p_cnt = len(rows)
+    exp = {}
+    for c in {c for _, c, _ in rows}:
+        cs = sum(v for (cc, _), v in fs.items() if cc == c)
+        cn = sum(v for (cc, _), v in fc.items() if cc == c)
+        for f in range(5):
+            osum = cs - fs.get((c, f), 0)
+            ocnt = cn - fc.get((c, f), 0)
+            enc = (1000000 * osum) // ocnt if ocnt > 0 else \
+                (1000000 * p_sum) // p_cnt
+            exp[(c, f)] = (osum, ocnt, enc)
+    assert got == exp
+    assert got[("z", 2)][1] == 0  # prior fallback cell exercised
+
+
+def test_event_pattern_matches_hand_trace(spark):
+    """CEP regex matcher corners: ordering by (ts, event_id) not arrival,
+    non-overlapping counts (vvv = one 'vv' match), unmapped types
+    dropped from the sequence."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        event_pattern_matches,
+    )
+
+    t = lambda m: (pd.Timestamp("2024-01-01")
+                   + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [
+        # u1 seq: v c c p v v v  (+ one unmapped 'other' in the middle)
+        (1, 1, t(0), "view"), (1, 2, t(1), "click"),
+        (1, 3, t(2), "click"), (1, 9, t(3), "other"),
+        (1, 4, t(4), "purchase"), (1, 5, t(5), "view"),
+        (1, 6, t(6), "view"), (1, 7, t(7), "view"),
+        # u2: same-ts events ordered by event_id -> 'vc' not 'cv'
+        (2, 10, t(0), "view"), (2, 11, t(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r.u: r for r in event_pattern_matches(
+        ev,
+        {"view": "v", "click": "c", "purchase": "p"},
+        {"convert": "vc+p", "bounce": "vv"},
+    ).collect()}
+    assert out[1].seq_len == 7          # vccpvvv
+    assert out[1].n_convert == 1
+    assert out[1].n_bounce == 1         # vvv -> one non-overlapping vv
+    assert out[2].seq_len == 2
+    assert out[2].n_convert == 0 and out[2].n_bounce == 0
+
+
+def test_map_match_segments_vs_exact_rational_bruteforce(spark):
+    """map_match_segments vs a Fraction-exact brute force over the same
+    quantized-argmin rule: endpoint clamping (dot<=0 / dot>=len2),
+    interior perpendicular distance, and seg-index tie-break."""
+    from fractions import Fraction
+
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import (
+        map_match_segments,
+    )
+
+    route = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    pts = [(1, -5, -5), (2, 5, 3), (3, 12, 5), (4, 5, 12),
+           (5, 10, 0), (6, 5, 5), (7, 0, 0)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    got = {r.pid: (r.seg_idx, r.d2_scaled, r.t_scaled)
+           for r in map_match_segments(df, route).collect()}
+
+    S = 1_000_000
+    exp = {}
+    for pid, px, py in pts:
+        best = None
+        for i, ((ax, ay), (bx, by)) in enumerate(zip(route[:-1], route[1:])):
+            wx, wy, dx, dy = px - ax, py - ay, bx - ax, by - ay
+            dot, len2 = wx * dx + wy * dy, dx * dx + dy * dy
+            if dot <= 0:
+                d2, t = S * (wx * wx + wy * wy), 0
+            elif dot >= len2:
+                ex, ey = px - bx, py - by
+                d2, t = S * (ex * ex + ey * ey), S
+            else:
+                cr = wx * dy - wy * dx
+                d2 = (S * cr * cr) // len2
+                t = (S * dot) // len2
+            cand = (d2, i, t)
+            if best is None or cand < best:
+                best = cand
+        exp[pid] = (best[1], best[0], best[2])
+    assert got == exp
+    # sanity: the exact rational distance agrees with the quantized pick
+    # for the interior case (pid 2 -> segment 0, t = 1/2)
+    assert got[2][0] == 0 and got[2][2] == S // 2
+    assert Fraction(got[2][1], S) == Fraction(9)
+
+
+def test_benford_audit_hand_counts(spark):
+    """benford_audit: counts by decimal first digit, zero/negative rows
+    excluded, absent digits completed with n=0, literal expected ppm."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        benford_audit,
+    )
+
+    vals = [1, 19, 150, 2, 250, 3, 9001, -5, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.digit: (r.n, r.total, r.observed_ppm, r.expected_ppm,
+                     r.dev_ppm)
+           for r in benford_audit(df, "v").collect()}
+    assert {d: g[0] for d, g in got.items()} == {
+        1: 3, 2: 2, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert all(g[1] == 7 for g in got.values())
+    assert got[1][2] == (1000000 * 3) // 7
+    assert got[1][3] == 301030
+    assert got[1][4] == got[1][2] - 301030
