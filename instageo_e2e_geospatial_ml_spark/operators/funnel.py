@@ -409,3 +409,89 @@ SELECT u, CAST(length(seq) AS BIGINT) AS seq_len, md5(seq) AS seq_md5,
        {counts}
 FROM seq
 """
+
+
+def sequential_pair_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Order-sensitive association rules over event histories: for every
+    ordered pair of event types (a, b), how many users exhibit "a THEN
+    b" — an a-event strictly before (by timestamp) some b-event. The
+    sequential-pattern-mining support/confidence table (length-2
+    patterns), complementary to q100's ADJACENT transitions: here the
+    pair may be separated by any number of events.
+
+    Per user and type only (min_ts, max_ts) are kept — "exists a before
+    b" ⇔ min_ts(a) < max_ts(b) — so the join is over the tiny
+    (user × |types|) profile, never raw history. Output per (a, b),
+    a ≠ b: n_seq users with the pattern, n_a / n_b user supports,
+    conf_ppm = floor(1e6·n_seq/n_a) (confidence of the rule a→b).
+
+    Scale: one (user, type) aggregate over the data, then a per-user
+    self-join with |types|² fan-out on profiles — bounded by the type
+    vocabulary, not history length; the final table is |types|² rows."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prof = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            tus.alias("tus"),
+        )
+        .groupBy("u", "t")
+        .agg(F.min("tus").alias("tmin"), F.max("tus").alias("tmax"))
+    )
+    a = prof.select("u", F.col("t").alias("a"), "tmin")
+    b = prof.select("u", F.col("t").alias("b"), "tmax")
+    seq = (
+        a.join(b, "u")
+        .filter(
+            (F.col("a") != F.col("b")) & (F.col("tmin") < F.col("tmax"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    supp = prof.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    return (
+        seq.join(
+            F.broadcast(supp.select(F.col("t").alias("a"),
+                                    F.col("n_t").alias("n_a"))), "a"
+        )
+        .join(
+            F.broadcast(supp.select(F.col("t").alias("b"),
+                                    F.col("n_t").alias("n_b"))), "b"
+        )
+        .select(
+            "a", "b", "n_seq", "n_a", "n_b",
+            F.expr("(1000000 * n_seq) DIV n_a").alias("conf_ppm"),
+        )
+    )
+
+
+def sequential_pair_support_sql(events_sql: str) -> str:
+    """DuckDB twin of sequential_pair_support."""
+    return f"""
+WITH prof AS (
+  SELECT user_id AS u, event_type AS t,
+         min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+  FROM ({events_sql})
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT a.t AS a, b.t AS b, CAST(count(*) AS BIGINT) AS n_seq
+  FROM prof a JOIN prof b ON a.u = b.u AND a.t <> b.t
+  WHERE a.tmin < b.tmax
+  GROUP BY 1, 2
+),
+supp AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM prof GROUP BY 1
+)
+SELECT s.a, s.b, s.n_seq, sa.n_t AS n_a, sb.n_t AS n_b,
+       (1000000 * s.n_seq) // sa.n_t AS conf_ppm
+FROM seq s
+JOIN supp sa ON s.a = sa.t
+JOIN supp sb ON s.b = sb.t
+"""

@@ -28,7 +28,7 @@ co-located probe.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000_000  # 1e12 integer mass units
@@ -422,3 +422,127 @@ def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
         )
         parts.append(f"a{i + 1} AS MATERIALIZED (SELECT node FROM d{i + 1})")
     return ",\n".join(parts) + f"\nSELECT node, core_deg FROM d{rounds}"
+
+
+def link_prediction(
+    edges: DataFrame, top_k: int = 100
+) -> DataFrame:
+    """Common-neighbors / Jaccard link prediction: score every NON-edge
+    pair of nodes that shares at least one neighbor — the classic
+    missing-link ranking (friend suggestion, co-purchase gap, knowledge-
+    graph completion). Output (a, b, common, deg_a, deg_b, jaccard_ppm,
+    rnk) for the global top_k by (common DESC, jaccard_ppm DESC, a, b):
+    jaccard_ppm = floor(1e6·common/(deg_a+deg_b-common)) — exact
+    integers throughout.
+
+    Plan: edges are canonicalized + deduped, wedges enumerate candidate
+    pairs through their shared neighbor (the triangle_counts join shape:
+    one self-join on the undirected adjacency), existing edges are
+    removed with a LEFT ANTI join, degrees broadcast back. The wedge
+    join is the only data-scale shuffle; its fan-out is Σ deg(v)² — the
+    usual cap is degree-bounding hubs upstream, same contract as
+    triangle_counts. The final top_k is a tiny global sort over
+    already-aggregated pairs guarded by limit."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected adjacency (both directions)
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges u - w - v with u < v: candidate pair (u, v) via shared w
+    w1 = adj.select(F.col("b").alias("w"), F.col("a").alias("u"))
+    w2 = adj.select(F.col("b").alias("w"), F.col("a").alias("v"))
+    pairs = (
+        w1.join(w2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edges = pairs.join(
+        e,
+        (pairs["u"] == e["a"]) & (pairs["v"] == e["b"]),
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(
+            deg.select(F.col("a").alias("u"), F.col("deg").alias("deg_a")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("a").alias("v"), F.col("deg").alias("deg_b")),
+            "v",
+        )
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(1000000 * common) DIV (deg_a + deg_b - common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("common").desc(),
+        F.col("jaccard_ppm").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    )
+    # global window over candidate pairs ranked for a tiny top_k: input
+    # is the aggregated pair table; at huge scale pre-filter by a
+    # per-node top-k first (same two-phase trick as q60's rerank)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def link_prediction_sql(edges_sql: str, top_k: int = 100) -> str:
+    """DuckDB twin of link_prediction."""
+    return f"""
+WITH raw AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+),
+e AS (SELECT DISTINCT a, b FROM raw),
+adj AS (
+  SELECT a, b FROM e
+  UNION ALL
+  SELECT b AS a, a AS b FROM e
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+pairs AS (
+  SELECT w1.a AS u, w2.a AS v, CAST(count(*) AS BIGINT) AS common
+  FROM adj w1 JOIN adj w2 ON w1.b = w2.b AND w1.a < w2.a
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN e ON p.u = e.a AND p.v = e.b
+  WHERE e.a IS NULL
+),
+scored AS (
+  SELECT n.u AS a, n.v AS b, n.common, da.deg AS deg_a, db.deg AS deg_b,
+         (1000000 * n.common) // (da.deg + db.deg - n.common)
+           AS jaccard_ppm
+  FROM non_edges n
+  JOIN deg da ON n.u = da.a
+  JOIN deg db ON n.v = db.a
+)
+SELECT a, b, common, deg_a, deg_b, jaccard_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY common DESC, jaccard_ppm DESC, a ASC, b ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {top_k}
+"""

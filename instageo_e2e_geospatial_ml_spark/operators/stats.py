@@ -1970,3 +1970,103 @@ SELECT d.digit, d.n, t.total,
        (1000000 * d.n) // t.total - {exp_case} AS dev_ppm
 FROM d CROSS JOIN tot t
 """
+
+
+def spearman_moments(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation as EXACT integer moments — the robust
+    (monotone-invariant, outlier-resistant) correlation q118's Pearson
+    matrix cannot give. Values are replaced by tie-averaged ranks; to
+    stay integral, ranks are DOUBLED: r2 = 2·rank_min + (ties − 1), the
+    average rank ×2 (half-integer-free). Centered at the exact mean
+    2·(n+1)/2 = n+1 (tie-averaging preserves the rank total, so the
+    doubled-rank mean is exactly n+1), the output single row is
+    (n, num, den_x, den_y) with num = Σ dx·dy, den_* = Σ d*² over
+    d* = r2* − (n+1): rho = num/sqrt(den_x·den_y) — published as exact
+    int64 moments (the q142/q159 mergeable-moments pattern; den_x·den_y
+    would overflow int64, the consumer takes the sqrt) plus
+    rho_ppm_sq = sign-carrying floor(1e6·num²/(den_x·den_y)) staged as
+    ((1e6·num) div den_x · num) div den_y so every intermediate fits
+    int64 for n ≲ 30k rows (den ~ n³/3; beyond that read the exact
+    moments and skip the convenience column).
+
+    Plan: two rank windows (one per column, each a single sort on its
+    value — ties share the rank, so the window is by VALUE partitioning,
+    not a global row sort... rank() over a global value order IS one
+    global sort per column; for matrix-scale inputs pre-aggregate or
+    sample) and one scalar aggregate. Inputs here are post-aggregate /
+    bounded analytic tables — the same documented small-input contract
+    as q163 percent_rank."""
+    # rank() over value order = min rank; ties counted per value
+    wx = Window.orderBy(F.col(x_col).asc())
+    wy = Window.orderBy(F.col(y_col).asc())
+    cx = Window.partitionBy(x_col)
+    cy = Window.partitionBy(y_col)
+    r = df.select(
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("long")
+        .alias("r2x"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("long")
+        .alias("r2y"),
+    )
+    nn = df.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    d = r.crossJoin(F.broadcast(nn)).select(
+        (F.col("r2x") - (F.col("n_all") + 1)).alias("dx"),
+        (F.col("r2y") - (F.col("n_all") + 1)).alias("dy"),
+    )
+    mom = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).alias("num"),
+        F.sum(F.col("dx") * F.col("dx")).alias("den_x"),
+        F.sum(F.col("dy") * F.col("dy")).alias("den_y"),
+    )
+    rho_sq = F.expr(
+        "CASE WHEN den_x = 0 OR den_y = 0 THEN 0 ELSE "
+        "CASE WHEN num < 0 THEN -1 ELSE 1 END * "
+        "((((1000000 * abs(num)) DIV den_x) * abs(num)) DIV den_y) END"
+    )
+    return mom.select(
+        "n",
+        "num",
+        "den_x",
+        "den_y",
+        rho_sq.cast("long").alias("rho_ppm_sq"),
+    )
+
+
+def spearman_moments_sql(rows_sql: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB twin of spearman_moments."""
+    return f"""
+WITH v AS (
+  SELECT {x_expr} AS x, {y_expr} AS y FROM ({rows_sql})
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x ASC)
+      + count(*) OVER (PARTITION BY x) - 1 AS r2x,
+    2 * rank() OVER (ORDER BY y ASC)
+      + count(*) OVER (PARTITION BY y) - 1 AS r2y
+  FROM v
+),
+d AS (
+  SELECT CAST(r2x AS BIGINT) - (n + 1) AS dx,
+         CAST(r2y AS BIGINT) - (n + 1) AS dy
+  FROM r CROSS JOIN nn
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx * dy) AS BIGINT) AS num,
+         CAST(sum(dx * dx) AS BIGINT) AS den_x,
+         CAST(sum(dy * dy) AS BIGINT) AS den_y
+  FROM d
+)
+SELECT n, num, den_x, den_y,
+  CAST(CASE WHEN den_x = 0 OR den_y = 0 THEN 0 ELSE
+    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+    ((((1000000 * abs(num)) // den_x) * abs(num)) // den_y)
+    END AS BIGINT) AS rho_ppm_sq
+FROM mom
+"""

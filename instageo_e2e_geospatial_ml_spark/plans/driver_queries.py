@@ -7077,3 +7077,88 @@ Q174_SQL = _q174_sql()
 
 QUERIES["q174_benford_audit"] = q174_benford_audit
 ORACLES["q174_benford_audit"] = Q174_SQL
+
+
+def q175_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.spearman_moments) of
+    part retailprice vs size — tie-averaged doubled ranks, exact int64
+    moments + staged rho² ppm."""
+    from ..operators.stats import spearman_moments
+
+    p = _t(spark, sf_dir, "part").select(
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    return spearman_moments(p, "price_cents", "sz")
+
+
+def _q175_sql() -> str:
+    from ..operators.stats import spearman_moments_sql
+
+    return spearman_moments_sql(
+        "SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+        " AS price_cents, CAST(p_size AS BIGINT) AS sz FROM part",
+        "price_cents",
+        "sz",
+    )
+
+
+Q175_SQL = _q175_sql()
+
+QUERIES["q175_spearman"] = q175_spearman
+ORACLES["q175_spearman"] = Q175_SQL
+
+
+def q176_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors/Jaccard link prediction (operators/graph.
+    link_prediction) over the q94 lineitem-derived graph: top-100
+    missing links by shared-neighbor count with exact jaccard ppm."""
+    from ..operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 150).alias("src"),
+        (F.col("l_suppkey") * 7 % 150).alias("dst"),
+    )
+    return link_prediction(e, top_k=100)
+
+
+def _q176_sql() -> str:
+    from ..operators.graph import link_prediction_sql
+
+    return link_prediction_sql(
+        "SELECT l_partkey % 150 AS src, l_suppkey * 7 % 150 AS dst "
+        "FROM lineitem",
+        top_k=100,
+    )
+
+
+Q176_SQL = _q176_sql()
+
+QUERIES["q176_link_prediction"] = q176_link_prediction
+ORACLES["q176_link_prediction"] = Q176_SQL
+
+
+def q177_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules (operators/funnel.
+    sequential_pair_support): per ordered event-type pair, users with
+    'a then b' anywhere in their history + rule confidence ppm."""
+    from ..operators.funnel import sequential_pair_support
+
+    return sequential_pair_support(_t(spark, sf_dir, "events"))
+
+
+def _q177_sql() -> str:
+    from ..operators.funnel import sequential_pair_support_sql
+
+    return sequential_pair_support_sql(
+        "SELECT user_id, ts, event_type FROM events"
+    )
+
+
+Q177_SQL = _q177_sql()
+
+QUERIES["q177_sequential_rules"] = q177_sequential_rules
+ORACLES["q177_sequential_rules"] = Q177_SQL

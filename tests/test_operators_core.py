@@ -4336,3 +4336,87 @@ def test_benford_audit_hand_counts(spark):
     assert got[1][2] == (1000000 * 3) // 7
     assert got[1][3] == 301030
     assert got[1][4] == got[1][2] - 301030
+
+
+def test_spearman_moments_known_values(spark):
+    """spearman_moments vs scipy-free hand math: perfect monotone ->
+    rho_ppm_sq = 1e6 and num = den; perfect anti-monotone -> num = -den;
+    ties handled by average rank (golden from the textbook tie
+    formula)."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        spearman_moments,
+    )
+
+    inc = spark.createDataFrame(
+        [(i, i * 10 + 3) for i in range(9)], "x long, y long"
+    )
+    r = spearman_moments(inc, "x", "y").collect()[0]
+    assert r.n == 9 and r.num == r.den_x == r.den_y and r.rho_ppm_sq == 1000000
+
+    dec = spark.createDataFrame(
+        [(i, 100 - i) for i in range(9)], "x long, y long"
+    )
+    r = spearman_moments(dec, "x", "y").collect()[0]
+    assert r.num == -r.den_x and r.rho_ppm_sq == -1000000
+
+    # ties: x = [1,1,2], y = [5,7,7]. avg ranks x: 1.5,1.5,3 / y: 1,2.5,2.5
+    # doubled: x2=[3,3,6], y2=[2,5,5]; centered (n+1=4): dx=[-1,-1,2],
+    # dy=[-2,1,1]; num = 2+(-1)+2 = 3? pairing is rowwise: rows (1,5),(1,7),(2,7)
+    # dx,dy per row: (-1,-2),(-1,1),(2,1) -> num = 2 - 1 + 2 = 3,
+    # den_x = 1+1+4 = 6, den_y = 4+1+1 = 6
+    tie = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 7)], "x long, y long"
+    )
+    r = spearman_moments(tie, "x", "y").collect()[0]
+    assert (r.n, r.num, r.den_x, r.den_y) == (3, 3, 6, 6)
+
+
+def test_link_prediction_hand_graph(spark):
+    """link_prediction on a hand graph: path 1-2-3-4 plus edge 1-3.
+    Non-edges sharing neighbors: (2,4) via 3 -> common 1; (1,4) via 3 ->
+    common 1. (1,3) is an EDGE so it must not appear even though they
+    share node 2. Jaccard exact: deg(2)=2, deg(4)=1, common=1 ->
+    1e6*1/(2+1-1)=500000."""
+    from instageo_e2e_geospatial_ml_spark.operators.graph import (
+        link_prediction,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 1)], "src long, dst long"
+    )
+    out = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard_ppm, r.rnk)
+           for r in link_prediction(e, top_k=10).collect()}
+    assert set(out) == {(2, 4), (1, 4)}
+    assert out[(2, 4)] == (1, 2, 1, 500000, 2)
+    assert out[(1, 4)] == (1, 2, 1, 500000, 1)
+
+
+def test_sequential_pair_support_hand_trace(spark):
+    """sequential_pair_support: 'a then b' needs strictly-later ts of
+    SOME b after SOME a (min(a) < max(b)); adjacent not required;
+    simultaneous-only pairs don't count."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        sequential_pair_support,
+    )
+
+    t = lambda m: (pd.Timestamp("2024-01-01")
+                   + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [
+        # u1: a@0, x@1, b@2 -> a-then-b (non-adjacent)
+        (1, t(0), "a"), (1, t(1), "x"), (1, t(2), "b"),
+        # u2: b@0, a@1 -> b-then-a only
+        (2, t(0), "b"), (2, t(1), "a"),
+        # u3: a and b same ts -> neither direction
+        (3, t(0), "a"), (3, t(0), "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {(r.a, r.b): (r.n_seq, r.n_a, r.n_b, r.conf_ppm)
+           for r in sequential_pair_support(ev).collect()}
+    assert out[("a", "b")] == (1, 3, 3, 333333)
+    assert out[("b", "a")] == (1, 3, 3, 333333)
+    assert out[("a", "x")] == (1, 3, 1, 333333)
+    assert ("x", "b") in out  # x@1 before b@2 for u1

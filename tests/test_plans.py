@@ -522,6 +522,27 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q159_lag_autocovariance",
         "q160_arrival_disorder",
     ]
+    # session-3+ additions. Excluded BY DESIGN (documented bounded-input
+    # global windows, like q119): q175_spearman (global rank transform —
+    # analytic-table contract in its docstring), q176_link_prediction
+    # (global top-k row_number over the aggregated candidate-pair table).
+    jvm_queries += [
+        "q161_embedding_audit",
+        "q162_referential_audit",
+        "q163_percent_rank",
+        "q164_trimmed_stats",
+        "q165_gini",
+        "q166_nms_boxes",
+        "q167_hausdorff_join",
+        "q168_cube_rollup",
+        "q169_pmi_collocations",
+        "q170_windowed_funnel",
+        "q171_target_encoding",
+        "q172_event_patterns",
+        "q173_map_match",
+        "q174_benford_audit",
+        "q177_sequential_rules",
+    ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
         assert "EvalPython" not in plan, name
