@@ -7162,3 +7162,83 @@ Q177_SQL = _q177_sql()
 
 QUERIES["q177_sequential_rules"] = q177_sequential_rules
 ORACLES["q177_sequential_rules"] = Q177_SQL
+
+
+def q178_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXIF metadata extraction (sources/exif.py): builds a
+    REAL JPEG + APP1-EXIF payload per part key (writer), then parses the
+    bytes back (segment walk + IFD decode + exact DMS→1e-7° GPS) inside
+    mapInPandas. The oracle is the closed form of the synthesized fields
+    — value-hash parity proves the binary round-trip reproduces them
+    exactly through real EXIF bytes."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_partkey").alias("pid"))
+        .repartition(8)
+    )
+
+    def extract(it):
+        import numpy as np
+
+        from ..jpeg import jpeg_encode
+        from ..sources.exif import (
+            exif_from_jpeg, exif_tiff_bytes, jpeg_with_exif,
+        )
+
+        base = jpeg_encode(np.full((16, 16), 128, np.uint8))
+        for pdf in it:
+            rows = []
+            for pid in pdf["pid"]:
+                i = int(pid)
+                tiff = exif_tiff_bytes(
+                    orientation=1 + i % 8,
+                    iso=100 * (1 + i % 16),
+                    exposure=(1, 125 + i % 100),
+                    gps_lat_dms=(i % 89, i % 60, (i * 7) % 6000, 100),
+                    lat_ref="N" if i % 2 == 0 else "S",
+                    gps_lon_dms=(i % 179, (i * 3) % 60,
+                                 (i * 11) % 6000, 100),
+                    lon_ref="E" if i % 3 == 0 else "W",
+                )
+                meta = exif_from_jpeg(jpeg_with_exif(base, tiff))
+                rows.append(
+                    (i, meta["orientation"], meta["iso"],
+                     meta["exposure_den"], meta["gps_lat_e7"],
+                     meta["gps_lon_e7"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["pid", "orientation", "iso", "exposure_den",
+                         "gps_lat_e7", "gps_lon_e7"],
+            )
+
+    return ids.mapInPandas(
+        extract,
+        "pid long, orientation long, iso long, exposure_den long, "
+        "gps_lat_e7 long, gps_lon_e7 long",
+    )
+
+
+Q178_SQL = """
+SELECT p_partkey AS pid,
+       1 + p_partkey % 8 AS orientation,
+       100 * (1 + p_partkey % 16) AS iso,
+       125 + p_partkey % 100 AS exposure_den,
+       (CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE -1 END) *
+         ((p_partkey % 89) * 10000000
+          + ((p_partkey % 60) * 10000000) // 60
+          + (((p_partkey * 7) % 6000) * 10000000) // 360000)
+         AS gps_lat_e7,
+       (CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE -1 END) *
+         ((p_partkey % 179) * 10000000
+          + (((p_partkey * 3) % 60) * 10000000) // 60
+          + (((p_partkey * 11) % 6000) * 10000000) // 360000)
+         AS gps_lon_e7
+FROM part WHERE p_partkey % 10 = 0
+"""
+
+QUERIES["q178_exif_extract"] = q178_exif_extract
+ORACLES["q178_exif_extract"] = Q178_SQL

@@ -875,3 +875,67 @@ def test_temporal_enrich_stream_matches_batch(spark, tmp_path):
     assert by[1] is None and by[2] == "v1" and by[3] == "v1"
     assert by[4] is None  # deleted gap
     assert by[5] == "v2" and by[6] == "w1" and by[7] is None
+
+
+def test_windowed_funnel_stream_matches_batch(spark, tmp_path):
+    """The streaming funnel's LAST emitted row per user equals the batch
+    windowed_funnel result when events arrive in event-time order across
+    batches, and every intermediate emission is a strict stage advance."""
+    from instageo_e2e_geospatial_ml_spark.operators.funnel import (
+        windowed_funnel,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.funnel import (
+        windowed_funnel_stream,
+    )
+
+    t = lambda m: pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        # u converts to depth (u % 4): view at u min, click +2, purchase +4
+        rows.append((eid, t(u), u, "view")); eid += 1
+        if u % 4 >= 1:
+            rows.append((eid, t(u + 2), u, "click")); eid += 1
+        if u % 4 >= 2:
+            rows.append((eid, t(u + 4), u, "purchase")); eid += 1
+        # noise the funnel must ignore
+        rows.append((eid, t(u + 5), u, "error")); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    ev = spark.createDataFrame(pdf)
+
+    # ordered multi-file source: split by time so files arrive in order
+    d = tmp_path / "in"
+    for i, chunk in enumerate(
+        [pdf[pdf.ts < t(10)], pdf[(pdf.ts >= t(10)) & (pdf.ts < t(18))],
+         pdf[pdf.ts >= t(18)]]
+    ):
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    stream = read_event_stream(spark, str(d), ev.schema, max_files=1)
+    out = windowed_funnel_stream(
+        stream, ["view", "click", "purchase"],
+        horizon_us=10 * 60 * 1000000, watermark="1 minute",
+    )
+    got = run_available_now(out, "wfun", str(tmp_path / "ck")).toPandas()
+
+    want = {
+        r.u: (r.stage, r.anchor_us, r.last_us)
+        for r in windowed_funnel(
+            ev, ["view", "click", "purchase"],
+            horizon_us=10 * 60 * 1000000,
+        ).collect()
+    }
+    assert len(got) > 0
+    # every emission is a valid (user, stage<=final) advance
+    last = {}
+    for _, r in got.sort_values(["u", "stage"]).iterrows():
+        assert r["stage"] == last.get(r["u"], 0) + 1
+        last[r["u"]] = r["stage"]
+    # final emitted row per user == batch result
+    fin = got.sort_values("stage").groupby("u").last()
+    assert set(fin.index) == set(want)
+    for u, row in fin.iterrows():
+        assert (row["stage"], row["anchor_us"], row["last_us"]) == want[u]
