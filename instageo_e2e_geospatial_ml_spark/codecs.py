@@ -978,3 +978,112 @@ def decode_ico(buf: bytes) -> np.ndarray:
             out = np.dstack([rgb, alpha])
             return out
     return rgb
+
+
+# --- GIF encode (89a) --------------------------------------------------------
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (the inverse of _gif_lzw_decode): LSB-first
+    packing, leading CLEAR, trailing EOI, width grows when next_code
+    reaches 2^width (matching the decoder's no-early-change rule), CLEAR
+    + table reset at the 4096-entry cap. Interop-validated BOTH ways
+    (javax.imageio reads our streams bit-exact, we read javax's) across
+    the 512/1024/2048/4096 code-width boundaries — the paired-off-by-one
+    bug class self-round-trips cannot catch (round-6 TIFF-LZW lesson)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        # the decoder appends OUR entry only on the NEXT code it reads,
+        # so its width bump lands one code later than our add: widen
+        # when next_code EXCEEDS 2^width (next_code == 2^width + 1)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == 4097:  # table full: reset mid-stream
+            emit(clear)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: "np.ndarray",
+    palette: "np.ndarray",
+    delay_cs: int = 10,
+    loop: bool = True,
+) -> bytes:
+    """(h, w) or (n, h, w) uint8 palette indices + (<=256, 3) palette →
+    GIF89a bytes. Multi-frame inputs become an animation (full-frame
+    keyframes, 'do not dispose', Netscape loop extension). Lossless:
+    decode_gif and javax.imageio recover the exact palette[indices]
+    pixels."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    n, h, w = frames.shape
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (<=256, 3) uint8")
+    if frames.max(initial=0) >= len(palette):
+        raise ValueError("index exceeds palette size")
+    # global color table size: power of two >= len(palette), min 2
+    gct_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    gct = np.zeros((1 << gct_bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1))
+    out += b"\x00\x00"  # background index, aspect
+    out += gct.tobytes()
+    if n > 1 and loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, gct_bits)
+    for f in frames:
+        if n > 1:
+            # graphic control: delay, no transparency, keep previous
+            out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs)
+            out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+        lzw = _gif_lzw_encode(f.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)

@@ -934,3 +934,73 @@ def test_jpeg_16bit_quant_tables(spark):
     # (the same tolerance the baseline/progressive interop tests use)
     jv = _java_decode(spark._jvm, wide, gray=True)
     assert np.abs(jpeg_decode(wide).astype(int) - jv.astype(int)).max() <= 1
+
+
+def test_encode_gif_javax_reads_bit_exact(spark):
+    """Our GIF writer vs the JDK's independent GIF reader: pixels must be
+    BIT-EXACT across inputs sized to cross the LZW code-width boundaries
+    (512/1024/2048) and the 4096-entry table reset — the cross-
+    implementation check paired off-by-ones survive round-trips without
+    (the TIFF-LZW lesson)."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_gif, encode_gif
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(29)
+    palette = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    # three sizes: tiny (no width bump), medium (a few bumps), large
+    # (random 256-symbol data grows ~1 entry/px -> 128x64=8192 px crosses
+    # every width boundary AND the 4096 reset)
+    for h, w in [(5, 7), (40, 40), (64, 128)]:
+        idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        gif = encode_gif(idx, palette)
+        # our own decoder first
+        ours = decode_gif(gif)
+        np.testing.assert_array_equal(ours[0], palette[idx])
+        # javax.imageio
+        bais = jvm.java.io.ByteArrayInputStream(gif)
+        bimg = jvm.javax.imageio.ImageIO.read(bais)
+        assert bimg is not None, "javax could not read our GIF"
+        assert bimg.getWidth() == w and bimg.getHeight() == h
+        flat = bimg.getRGB(0, 0, w, h, None, 0, w)
+        got = np.array(flat, dtype=np.int64).reshape(h, w)
+        rgb = np.stack(
+            [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(rgb, palette[idx]), (h, w)
+
+
+def test_encode_gif_small_palette_and_animation(spark):
+    """Sub-256 palettes round the color table up to a power of two with a
+    correct min-code-size; animated multi-frame GIFs decode frame-exact
+    through decode_gif and javax sees every frame."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.codecs import decode_gif, encode_gif
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+        np.uint8,
+    )
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 5, (3, 9, 11)).astype(np.uint8)
+    gif = encode_gif(frames, palette, delay_cs=7)
+    ours = decode_gif(gif)
+    assert ours.shape == (3, 9, 11, 3)
+    for i in range(3):
+        np.testing.assert_array_equal(ours[i], palette[frames[i]])
+
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(gif)
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(bais)
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == 3
+    b0 = reader.read(0)
+    flat = b0.getRGB(0, 0, 11, 9, None, 0, 11)
+    got = np.array(flat, dtype=np.int64).reshape(9, 11)
+    rgb = np.stack(
+        [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(rgb, palette[frames[0]])

@@ -180,3 +180,39 @@ def test_exif_parser_hand_built_golden_big_endian():
     assert got["orientation"] == 8
     assert got["iso"] == 1600
     assert got["make"] is None and got["gps_lat_e7"] is None
+
+
+def test_apply_exif_orientation_all_eight():
+    """Each orientation maps the spec's reference corner back to top-left:
+    undoing orientation k must place the pixel the CAMERA stored first
+    at its true scene position. Verified by the standard inverse pairs
+    (6 undoes an 8-rotation and vice versa) and involutions (2,3,4 are
+    self-inverse; 5 and 7 are transposes)."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.sources.exif import (
+        apply_exif_orientation as fix,
+    )
+
+    a = np.arange(6).reshape(2, 3)
+    np.testing.assert_array_equal(fix(a, 1), a)
+    np.testing.assert_array_equal(fix(a, 2), a[:, ::-1])
+    np.testing.assert_array_equal(fix(a, 3), a[::-1, ::-1])
+    np.testing.assert_array_equal(fix(a, 4), a[::-1])
+    assert fix(a, 5).shape == (3, 2) and fix(a, 6).shape == (3, 2)
+    # involutions / inverses
+    np.testing.assert_array_equal(fix(fix(a, 2), 2), a)
+    np.testing.assert_array_equal(fix(fix(a, 3), 3), a)
+    np.testing.assert_array_equal(fix(fix(a, 4), 4), a)
+    np.testing.assert_array_equal(fix(fix(a, 5), 5), a)
+    np.testing.assert_array_equal(fix(fix(a, 7), 7), a)
+    np.testing.assert_array_equal(fix(fix(a, 6), 8), a)
+    np.testing.assert_array_equal(fix(fix(a, 8), 6), a)
+    # rotate-90-CW spec vector: stored [[1,2],[3,4]] with orientation 6
+    # displays as 90° CW of scene -> undo = rotate CCW? the table's
+    # view-normalization: fix(stored, 6) = scene
+    s = np.array([[1, 2], [3, 4]])
+    np.testing.assert_array_equal(fix(s, 6), np.array([[3, 1], [4, 2]]))
+    # channels preserved
+    c = np.arange(24).reshape(2, 3, 4)
+    assert fix(c, 6).shape == (3, 2, 4)
