@@ -390,3 +390,96 @@ SELECT poly_id,
        CAST(min(y) AS BIGINT) AS ymin, CAST(max(y) AS BIGINT) AS ymax
 FROM e GROUP BY poly_id
 """
+
+
+def areal_interpolate(
+    src: DataFrame,
+    dst: DataFrame,
+    cell_size: float = 64.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Area-weighted areal interpolation — redistributing a count from
+    one zone system onto another (census tracts → grid cells, admin
+    units → watersheds): each source zone's value is split across the
+    target zones it overlaps, proportional to overlap area. The
+    standard GIS dasymetric baseline.
+
+    Contract: src carries (sid, a_minx, a_miny, a_maxx, a_maxy, val) —
+    integer rect corners + integer value; dst carries (tid, b_minx,
+    ...). Each overlapping (sid, tid) pair contributes
+    floor(scale · val · overlap_area / src_area); the output is one row
+    per target zone: (tid, alloc_scaled, n_src). The floor-per-pair rule
+    is the DEFINED semantics (a pure integer function of the input —
+    engine-exact; the un-floored total differs by < n_src/scale).
+    Overlap areas use HALF-OPEN boxes (max-min edges, touching rects
+    share zero area) while candidate pairing uses bbox_join's closed
+    test — the zero-area touches drop out of the weighted sum naturally.
+
+    Scale: candidate pairs come from operators/spatial_join.bbox_join
+    (grid-bucketed equi-join, responsibility-cell dedup — no distinct,
+    no cross join); the re-aggregation shuffles the pair table once on
+    tid. Zone tables are typically dimension-sized; the plan never
+    materializes anything bigger than the overlap pair list."""
+    from .spatial_join import bbox_join
+
+    pairs = bbox_join(
+        src.select(
+            "sid", "val", "a_minx", "a_miny", "a_maxx", "a_maxy"
+        ),
+        dst.select("tid", "b_minx", "b_miny", "b_maxx", "b_maxy"),
+        cell_size=cell_size,
+    )
+    ow = F.greatest(
+        F.lit(0),
+        F.least("a_maxx", "b_maxx") - F.greatest("a_minx", "b_minx"),
+    )
+    oh = F.greatest(
+        F.lit(0),
+        F.least("a_maxy", "b_maxy") - F.greatest("a_miny", "b_miny"),
+    )
+    contrib = pairs.select(
+        "tid",
+        (ow * oh).alias("ov"),
+        (
+            (F.col("a_maxx") - F.col("a_minx"))
+            * (F.col("a_maxy") - F.col("a_miny"))
+        ).alias("sa"),
+        "val",
+    ).filter(F.col("ov") > 0)
+    return (
+        contrib.select(
+            "tid",
+            F.expr(f"({scale} * val * ov) DIV sa").alias("c"),
+        )
+        .groupBy("tid")
+        .agg(
+            F.sum("c").alias("alloc_scaled"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+    )
+
+
+def areal_interpolate_sql(
+    src_sql: str, dst_sql: str, scale: int = 1000
+) -> str:
+    """DuckDB twin of areal_interpolate (brute-force theta join — the
+    oracle also proves the bucketed candidate set is lossless)."""
+    return f"""
+WITH s AS ({src_sql}), d AS ({dst_sql}),
+pairs AS (
+  SELECT d.tid,
+         (least(s.a_maxx, d.b_maxx) - greatest(s.a_minx, d.b_minx)) *
+         (least(s.a_maxy, d.b_maxy) - greatest(s.a_miny, d.b_miny)) AS ov,
+         (s.a_maxx - s.a_minx) * (s.a_maxy - s.a_miny) AS sa,
+         s.val
+  FROM s JOIN d
+    ON s.a_minx <= d.b_maxx AND d.b_minx <= s.a_maxx
+   AND s.a_miny <= d.b_maxy AND d.b_miny <= s.a_maxy
+  WHERE (least(s.a_maxx, d.b_maxx) - greatest(s.a_minx, d.b_minx)) > 0
+    AND (least(s.a_maxy, d.b_maxy) - greatest(s.a_miny, d.b_miny)) > 0
+)
+SELECT tid, CAST(sum(({scale} * val * ov) // sa) AS BIGINT)
+         AS alloc_scaled,
+       CAST(count(*) AS BIGINT) AS n_src
+FROM pairs GROUP BY tid
+"""

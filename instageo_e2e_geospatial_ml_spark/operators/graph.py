@@ -546,3 +546,85 @@ FROM (
 )
 WHERE rnk <= {top_k}
 """
+
+
+def bom_rollup(
+    edges: DataFrame, rounds: int
+) -> DataFrame:
+    """Bill-of-materials explosion / hierarchy transitive closure: edges
+    are (child, parent, qty) — each child appears qty times inside its
+    parent assembly (equally: an org/category tree with weights). The
+    closure lists every (node, ancestor) pair with level (1 = direct)
+    and qty_total = PRODUCT of qtys along the path — the classic
+    WITH-RECURSIVE workload (BOM quantity explosion, org rollups,
+    category trees) as a fixed-round Spark loop.
+
+    `rounds` must be >= the hierarchy depth (the sssp_int contract:
+    deterministic fixed iteration count, exact integer math). In a tree
+    each (node, ancestor) path is unique, so rounds concatenate without
+    dedup — level-k pairs are found exactly once at round k.
+
+    Scale: round k joins the (still-shrinking) frontier of level-k pairs
+    against the broadcast-or-shuffled edge table on the ancestor key;
+    total work is the closure size Σ depth(v) (what any engine must
+    produce). Integer products stay exact; callers keep qty ranges small
+    enough that products along the deepest path fit int64."""
+    base = edges.select(
+        F.col("child").alias("node"),
+        F.col("parent").alias("anc"),
+        F.lit(1).alias("level"),
+        F.col("qty").cast("long").alias("qty_total"),
+    )
+    frontier = base
+    out = [base]
+    for _ in range(1, rounds):
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col("child").alias("anc"),
+                    F.col("parent").alias("nanc"),
+                    F.col("qty").alias("q2"),
+                ),
+                "anc",
+            )
+            .select(
+                "node",
+                F.col("nanc").alias("anc"),
+                (F.col("level") + 1).alias("level"),
+                (F.col("qty_total") * F.col("q2")).alias("qty_total"),
+            )
+        )
+        frontier = nxt
+        out.append(nxt)
+    allp = out[0]
+    for o in out[1:]:
+        allp = allp.unionByName(o)
+    return allp.select(
+        "node", "anc", F.col("level").cast("long").alias("level"),
+        "qty_total",
+    )
+
+
+def bom_rollup_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB twin of bom_rollup (unrolled level CTEs — same fixed-round
+    semantics, no WITH RECURSIVE re-evaluation pitfalls)."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT child, parent, CAST(qty AS BIGINT)"
+        f" AS qty FROM ({edges_sql}))",
+        "l1 AS MATERIALIZED (SELECT child AS node, parent AS anc,"
+        " 1 AS level, qty AS qty_total FROM e)",
+    ]
+    for k in range(2, rounds + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT p.node, e.parent AS anc,"
+            f" {k} AS level, p.qty_total * e.qty AS qty_total"
+            f" FROM l{k-1} p JOIN e ON p.anc = e.child)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM l{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, anc, CAST(level AS BIGINT) AS level,"
+        f" qty_total FROM ({union})"
+    )

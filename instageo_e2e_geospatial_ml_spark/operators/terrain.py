@@ -211,3 +211,172 @@ def terrain_derivatives(
 
     halos = tiles.mapInPandas(emit_halos, schema=_HALO_SCHEMA)
     return halos.groupBy("tx", "ty").applyInPandas(assemble, schema=OUT_SCHEMA)
+
+
+def d8_flow(
+    cells: DataFrame,
+    rounds: int = 8,
+) -> DataFrame:
+    """D8 flow direction + fixed-horizon flow accumulation — the
+    hydrology primitives behind watershed delineation and stream-order
+    maps (gdaldem/r.watershed family), on a relational (x, y, elev)
+    grid rather than tiles so the stencil is pure Catalyst joins.
+
+    Direction: each cell flows to the steepest-DESCENT neighbor of its 8
+    (D8). Steepness = drop/distance; diagonals divide by √2 — compared
+    exactly as 2·drop_card² vs drop_diag² (cross-multiplied squares of
+    positive drops: no sqrt, no float). Ties break to the SMALLEST
+    direction code (1=E, 2=SE, 3=S, ... 8=NE clockwise); cells with no
+    strictly-lower neighbor are pits/flats (dir 0).
+
+    Accumulation: acc_0 = 1 everywhere; acc_{k+1}(v) = 1 + Σ acc_k(u)
+    over cells u flowing into v — after k rounds acc counts the
+    upstream cells within k hops, and once `rounds` >= the longest flow
+    path it equals the classic D8 contributing-cell count. The fixed
+    horizon is the DEFINED output (the sssp_int fixed-round contract —
+    engine-exact, oracle = unrolled CTE chain).
+
+    Scale: the direction stencil is 8 equi-joins on shifted integer
+    keys (one shuffle each, or one shuffle total after AQE reuses the
+    exchange); each accumulation round is one join + one aggregate on
+    the flow edge list. Grid size bounds everything; no windows, no
+    Python."""
+    c = cells.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("elev").cast("long").alias("elev"),
+    )
+    # 8 neighbors: code 1..8 clockwise from East; diag flag for the
+    # sqrt(2) distance
+    dirs = [
+        (1, 1, 0, 0), (2, 1, 1, 1), (3, 0, 1, 0), (4, -1, 1, 1),
+        (5, -1, 0, 0), (6, -1, -1, 1), (7, 0, -1, 0), (8, 1, -1, 1),
+    ]
+    spark = cells.sparkSession
+    ddf = spark.createDataFrame(
+        dirs, "dcode int, dx int, dy int, diag int"
+    )
+    nb = (
+        c.crossJoin(F.broadcast(ddf))
+        .select(
+            "x", "y", "elev", "dcode", "diag",
+            (F.col("x") + F.col("dx")).alias("nx"),
+            (F.col("y") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            c.select(
+                F.col("x").alias("nx"),
+                F.col("y").alias("ny"),
+                F.col("elev").alias("nelev"),
+            ),
+            ["nx", "ny"],
+        )
+        .filter(F.col("nelev") < F.col("elev"))
+        .select(
+            "x", "y", "dcode", "nx", "ny",
+            (F.col("elev") - F.col("nelev")).alias("dz"),
+            "diag",
+        )
+    )
+    # steepness rank key: 2*drop^2 for cardinal, drop^2 for diagonal
+    # (both sides of drop_c/1 > drop_d/sqrt2 squared x2); min-struct of
+    # (-steep, dcode) = argmax steep with smallest-code tie-break
+    steep = F.when(
+        F.col("diag") == 0, 2 * F.col("dz") * F.col("dz")
+    ).otherwise(F.col("dz") * F.col("dz"))
+    best = (
+        nb.select(
+            "x", "y",
+            F.struct(
+                (-steep).alias("ns"),
+                F.col("dcode").cast("long").alias("dcode"),
+                F.col("nx").alias("tox"),
+                F.col("ny").alias("toy"),
+            ).alias("s"),
+        )
+        .groupBy("x", "y")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "x", "y", F.col("s.dcode").alias("flow_dir"),
+            F.col("s.tox").alias("tox"), F.col("s.toy").alias("toy"),
+        )
+    )
+    grid = c.join(best, ["x", "y"], "left").select(
+        "x", "y",
+        F.coalesce("flow_dir", F.lit(0)).alias("flow_dir"),
+        "tox", "toy",
+    )
+    # fixed-round accumulation over the flow edges
+    edges = grid.filter(F.col("flow_dir") > 0).select(
+        F.col("x").alias("ux"), F.col("y").alias("uy"),
+        F.col("tox").alias("x"), F.col("toy").alias("y"),
+    )
+    acc = c.select("x", "y", F.lit(1).cast("long").alias("acc"))
+    for _ in range(rounds):
+        inflow = (
+            edges.join(
+                acc.select(
+                    F.col("x").alias("ux"), F.col("y").alias("uy"),
+                    F.col("acc").alias("uacc"),
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("uacc").alias("inflow"))
+        )
+        acc = (
+            c.select("x", "y")
+            .join(inflow, ["x", "y"], "left")
+            .select(
+                "x", "y",
+                (F.lit(1) + F.coalesce("inflow", F.lit(0))).alias("acc"),
+            )
+        )
+    return grid.select("x", "y", "flow_dir").join(
+        acc, ["x", "y"]
+    ).select("x", "y", "flow_dir", "acc")
+
+
+def d8_flow_sql(cells_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin of d8_flow."""
+    ctes = [
+        f"c AS MATERIALIZED (SELECT CAST(x AS BIGINT) AS x,"
+        f" CAST(y AS BIGINT) AS y, CAST(elev AS BIGINT) AS elev"
+        f" FROM ({cells_sql}))",
+        "dirs(dcode, dx, dy, diag) AS (VALUES (1,1,0,0),(2,1,1,1),"
+        "(3,0,1,0),(4,-1,1,1),(5,-1,0,0),(6,-1,-1,1),(7,0,-1,0),"
+        "(8,1,-1,1))",
+        """nb AS MATERIALIZED (
+  SELECT c.x, c.y, d.dcode, n.x AS nx, n.y AS ny,
+         c.elev - n.elev AS dz, d.diag
+  FROM c CROSS JOIN dirs d
+  JOIN c n ON n.x = c.x + d.dx AND n.y = c.y + d.dy
+  WHERE n.elev < c.elev)""",
+        """best AS MATERIALIZED (
+  SELECT x, y, dcode AS flow_dir, nx AS tox, ny AS toy FROM (
+    SELECT *, row_number() OVER (PARTITION BY x, y ORDER BY
+      -(CASE WHEN diag = 0 THEN 2 * dz * dz
+             ELSE dz * dz END) ASC, dcode ASC) AS rn
+    FROM nb) WHERE rn = 1)""",
+        """grid AS MATERIALIZED (
+  SELECT c.x, c.y, COALESCE(b.flow_dir, 0) AS flow_dir, b.tox, b.toy
+  FROM c LEFT JOIN best b ON c.x = b.x AND c.y = b.y)""",
+        """e AS MATERIALIZED (SELECT x AS ux, y AS uy, tox AS x,
+  toy AS y FROM grid WHERE flow_dir > 0)""",
+        "a0 AS MATERIALIZED (SELECT x, y, CAST(1 AS BIGINT) AS acc FROM c)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT c.x, c.y, 1 + COALESCE(i.inflow, 0) AS acc
+  FROM c LEFT JOIN (
+    SELECT e.x, e.y, CAST(sum(p.acc) AS BIGINT) AS inflow
+    FROM e JOIN a{k-1} p ON p.x = e.ux AND p.y = e.uy
+    GROUP BY e.x, e.y) i ON c.x = i.x AND c.y = i.y)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT g.x, g.y, CAST(g.flow_dir AS BIGINT) AS flow_dir,"
+        f" a.acc FROM grid g JOIN a{rounds} a"
+        f" ON g.x = a.x AND g.y = a.y"
+    )

@@ -7242,3 +7242,136 @@ FROM part WHERE p_partkey % 10 = 0
 
 QUERIES["q178_exif_extract"] = q178_exif_extract
 ORACLES["q178_exif_extract"] = Q178_SQL
+
+
+def q179_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/geometry.areal_interpolate):
+    customer-zone counts redistributed onto a part-derived target zone
+    system by exact integer overlap-area weights, candidates via the
+    bucketed bbox join."""
+    from ..operators.geometry import areal_interpolate
+
+    src = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sid"),
+        (F.col("c_custkey") * 7919 % 2000).alias("a_minx"),
+        (F.col("c_custkey") * 104729 % 2000).alias("a_miny"),
+        (F.col("c_custkey") * 7919 % 2000 + 20
+         + F.col("c_custkey") * 31 % 80).alias("a_maxx"),
+        (F.col("c_custkey") * 104729 % 2000 + 20
+         + F.col("c_custkey") * 17 % 80).alias("a_maxy"),
+        (1 + F.col("c_custkey") % 500).alias("val"),
+    )
+    dst = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 4 == 0
+    ).select(
+        F.col("p_partkey").alias("tid"),
+        (F.col("p_partkey") * 131 % 2000).alias("b_minx"),
+        (F.col("p_partkey") * 257 % 2000).alias("b_miny"),
+        (F.col("p_partkey") * 131 % 2000 + 30
+         + F.col("p_partkey") % 90).alias("b_maxx"),
+        (F.col("p_partkey") * 257 % 2000 + 30
+         + F.col("p_partkey") * 3 % 90).alias("b_maxy"),
+    )
+    return areal_interpolate(src, dst, cell_size=64.0)
+
+
+def _q179_sql() -> str:
+    from ..operators.geometry import areal_interpolate_sql
+
+    src = (
+        "SELECT c_custkey AS sid, c_custkey * 7919 % 2000 AS a_minx, "
+        "c_custkey * 104729 % 2000 AS a_miny, "
+        "c_custkey * 7919 % 2000 + 20 + c_custkey * 31 % 80 AS a_maxx, "
+        "c_custkey * 104729 % 2000 + 20 + c_custkey * 17 % 80 AS a_maxy, "
+        "1 + c_custkey % 500 AS val FROM customer"
+    )
+    dst = (
+        "SELECT p_partkey AS tid, p_partkey * 131 % 2000 AS b_minx, "
+        "p_partkey * 257 % 2000 AS b_miny, "
+        "p_partkey * 131 % 2000 + 30 + p_partkey % 90 AS b_maxx, "
+        "p_partkey * 257 % 2000 + 30 + p_partkey * 3 % 90 AS b_maxy "
+        "FROM part WHERE p_partkey % 4 = 0"
+    )
+    return areal_interpolate_sql(src, dst)
+
+
+Q179_SQL = _q179_sql()
+
+QUERIES["q179_areal_interp"] = q179_areal_interp
+ORACLES["q179_areal_interp"] = Q179_SQL
+
+
+def q180_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM explosion / hierarchy closure (operators/graph.bom_rollup):
+    10-ary part tree (parent = key DIV 10), per-edge quantity 1 + key%5,
+    7 fixed rounds — every (node, ancestor, level, qty-product) pair."""
+    from ..operators.graph import bom_rollup
+
+    e = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey") >= 10
+    ).select(
+        F.col("p_partkey").alias("child"),
+        (F.col("p_partkey") / 10).cast("long").alias("parent"),
+        (1 + F.col("p_partkey") % 5).alias("qty"),
+    )
+    return bom_rollup(e, rounds=7)
+
+
+def _q180_sql() -> str:
+    from ..operators.graph import bom_rollup_sql
+
+    return bom_rollup_sql(
+        "SELECT p_partkey AS child, p_partkey // 10 AS parent, "
+        "1 + p_partkey % 5 AS qty FROM part WHERE p_partkey >= 10",
+        rounds=7,
+    )
+
+
+Q180_SQL = _q180_sql()
+
+QUERIES["q180_bom_rollup"] = q180_bom_rollup
+ORACLES["q180_bom_rollup"] = Q180_SQL
+
+
+_Q181_GRID = (
+    "SELECT p_partkey % 40 AS x, (p_partkey // 40) % 40 AS y, "
+    "(((p_partkey % 40) - 20) * ((p_partkey % 40) - 20) "
+    " + 3 * (((p_partkey // 40) % 40) - 17) "
+    "   * (((p_partkey // 40) % 40) - 17) "
+    " + (p_partkey * 37) % 11) AS elev "
+    "FROM part WHERE p_partkey < 1600"
+)
+
+
+def q181_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction + 8-round flow accumulation (operators/terrain.
+    d8_flow) on a 40x40 synthetic bowl-with-noise DEM — exact integer
+    steepest-descent (cross-multiplied squared drops, no sqrt)."""
+    from ..operators.terrain import d8_flow
+
+    g = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1600)
+    cells = g.select(
+        (F.col("p_partkey") % 40).alias("x"),
+        ((F.col("p_partkey") / 40).cast("long") % 40).alias("y"),
+        (
+            ((F.col("p_partkey") % 40) - 20)
+            * ((F.col("p_partkey") % 40) - 20)
+            + 3
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            + (F.col("p_partkey") * 37) % 11
+        ).alias("elev"),
+    )
+    return d8_flow(cells, rounds=8)
+
+
+def _q181_sql() -> str:
+    from ..operators.terrain import d8_flow_sql
+
+    return d8_flow_sql(_Q181_GRID, rounds=8)
+
+
+Q181_SQL = _q181_sql()
+
+QUERIES["q181_d8_flow"] = q181_d8_flow
+ORACLES["q181_d8_flow"] = Q181_SQL

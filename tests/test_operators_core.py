@@ -4420,3 +4420,86 @@ def test_sequential_pair_support_hand_trace(spark):
     assert out[("b", "a")] == (1, 3, 3, 333333)
     assert out[("a", "x")] == (1, 3, 1, 333333)
     assert ("x", "b") in out  # x@1 before b@2 for u1
+
+
+def test_areal_interpolate_hand_zones(spark):
+    """areal_interpolate: a 10x10 source zone (val 100) split across two
+    5x10 target halves -> 50 each (exact); a source only touching (edge
+    contact, zero area) contributes nothing; floor-per-pair semantics."""
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import (
+        areal_interpolate,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, 0, 0, 10, 10, 100),
+            # rect touching t1's right edge only: zero overlap area
+            (2, 5, 10, 9, 14, 999),
+            # 3x3 rect val 10 fully inside t1: contributes all 10
+            (3, 1, 1, 4, 4, 10),
+        ],
+        "sid long, a_minx long, a_miny long, a_maxx long, a_maxy long,"
+        " val long",
+    )
+    dst = spark.createDataFrame(
+        [(1, 0, 0, 5, 10), (2, 5, 0, 10, 10)],
+        "tid long, b_minx long, b_miny long, b_maxx long, b_maxy long",
+    )
+    got = {r.tid: (r.alloc_scaled, r.n_src)
+           for r in areal_interpolate(src, dst, cell_size=8.0).collect()}
+    # t1: 100*50/100 = 50 -> 50000 scaled, plus all of sid3 (10 -> 10000)
+    assert got[1] == (50000 + 10000, 2)
+    assert got[2] == (50000, 1)
+
+
+def test_bom_rollup_hand_hierarchy(spark):
+    """bom_rollup: 3-level chain 100 -> 10 -> 1 with qtys 2 and 3:
+    closure has (100,10,L1,q2), (10,1,L1,q3), (100,1,L2,q6)."""
+    from instageo_e2e_geospatial_ml_spark.operators.graph import bom_rollup
+
+    e = spark.createDataFrame(
+        [(100, 10, 2), (10, 1, 3), (20, 1, 5)],
+        "child long, parent long, qty long",
+    )
+    got = {(r.node, r.anc): (r.level, r.qty_total)
+           for r in bom_rollup(e, rounds=4).collect()}
+    assert got == {
+        (100, 10): (1, 2), (10, 1): (1, 3), (20, 1): (1, 5),
+        (100, 1): (2, 6),
+    }
+
+
+def test_d8_flow_hand_dem(spark):
+    """d8_flow on a 3x3 pit DEM: all 8 border cells flow into the center
+    (steepest descent), center is a pit (dir 0), accumulation at the
+    center counts the whole grid; diagonal-vs-cardinal steepness uses
+    the exact 2*dz_card^2 vs dz_diag^2 rule (a diagonal drop must be
+    >sqrt(2)x deeper to win)."""
+    from instageo_e2e_geospatial_ml_spark.operators.terrain import d8_flow
+
+    # center (1,1) elev 0; cardinals elev 5; corners elev 6
+    rows = []
+    for x in range(3):
+        for y in range(3):
+            if (x, y) == (1, 1):
+                e = 0
+            elif (x + y) % 2 == 0:
+                e = 6  # corners
+            else:
+                e = 5  # cardinal neighbors
+            rows.append((x, y, e))
+    g = spark.createDataFrame(rows, "x long, y long, elev long")
+    got = {(r.x, r.y): (r.flow_dir, r.acc)
+           for r in d8_flow(g, rounds=3).collect()}
+    assert got[(1, 1)] == (0, 9)  # pit collects all 9 cells
+    for (x, y), (d, a) in got.items():
+        if (x, y) == (1, 1):
+            continue
+        assert d > 0  # everything else drains
+    # cardinal neighbor (2,1): drops 5 to center (W, code 5) vs 1 to
+    # nothing else lower... its flow target must be the center
+    # corner (0,0): cardinal drop 6-5=1 vs diagonal drop 6-0=6 to the
+    # center: 2*1 < 36 -> diagonal (SE, code 2) wins
+    assert got[(0, 0)][0] == 2
+    # steepness tie shape: cell (2,1) -> center is W = code 5
+    assert got[(2, 1)][0] == 5
