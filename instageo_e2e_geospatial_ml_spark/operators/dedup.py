@@ -1070,3 +1070,143 @@ def setsim_join(
             F.col("union_").cast("long").alias("union_"),
         )
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplication profile — the
+    storage-dedup / large-doc near-dup primitive (LBFS/rsync lineage):
+    token streams are cut at CONTENT-dependent boundaries (positions
+    whose k-gram hash ≡ 0 mod `mask`, expected chunk length ≈ mask
+    tokens), so an insertion early in a document shifts ONLY the chunk
+    it lands in — byte-offset chunking would shift every later chunk,
+    defeating dedup. Chunks are fingerprinted (md5 of their token span)
+    and counted across the corpus.
+
+    Output per document: (doc_id, n_chunks, n_dup_chunks, dup_ppm) —
+    n_dup_chunks = this doc's chunks whose fingerprint occurs in more
+    than one document (the redundancy a chunk store would reclaim).
+
+    Exactness: the same md5-prefix k-gram hash as winnow_fingerprints,
+    cut rule and chunk assembly pure integer/string ops — engine-exact.
+
+    Scale: one posexplode (doc-keyed), one per-doc window for the
+    running cut count (partitioned by doc), one chunk aggregate, one
+    fingerprint-frequency aggregate, one broadcast-size join back per
+    doc. Everything keys on doc or fingerprint — no global stage."""
+    from ..functions.text import tokens
+
+    sh = shingles_with_pos(
+        docs.select(id_col, text_col), text_col, shingle_n
+    ).select(
+        id_col,
+        F.col("_i").alias("p"),
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            % mask
+            == 0
+        ).cast("int").alias("is_cut"),
+    )
+    tok = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), "tok")
+    marked = tok.join(sh, [id_col, "p"], "left").select(
+        id_col, "p", "tok",
+        F.coalesce("is_cut", F.lit(0)).alias("is_cut"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("p").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = marked.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum("is_cut").over(w), F.lit(0)).cast("long"),
+    )
+    chunks = assigned.groupBy(id_col, "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("chunk_md5"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    j = chunks.join(freq, "chunk_md5")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(1000000 * n_dup_chunks) DIV n_chunks").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+def cdc_chunk_dedup_sql(
+    docs_sql: str, shingle_n: int = 3, mask: int = 16
+) -> str:
+    """DuckDB twin of cdc_chunk_dedup."""
+    gram = " || ' ' || ".join(
+        f"t[i + {j}]" for j in range(shingle_n)
+    ).replace("t[i + 0]", "t[i]")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM ({docs_sql})
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d
+),
+marked AS (
+  SELECT doc_id, i AS p, t[i] AS tok,
+    CASE WHEN i <= len(t) - {shingle_n - 1}
+          AND CAST(('0x' || substr(md5({gram}), 1, 8)) AS BIGINT)
+              % {mask} = 0
+         THEN 1 ELSE 0 END AS is_cut
+  FROM pos
+),
+assigned AS (
+  SELECT doc_id, p, tok,
+    coalesce(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5,
+         count(*) AS n_toks
+  FROM assigned GROUP BY 1, 2
+),
+freq AS (
+  SELECT chunk_md5, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       (1000000 * CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)
+          AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_ppm
+FROM chunks c JOIN freq f ON c.chunk_md5 = f.chunk_md5
+GROUP BY c.doc_id
+"""

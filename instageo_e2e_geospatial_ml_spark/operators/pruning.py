@@ -26,7 +26,7 @@ zone maps selective.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,4 +211,112 @@ SELECT b.partition_id, b.file_id, b.size_bytes, b.bin_id,
        COALESCE(s.n_files_in_bin, 0) AS n_files_in_bin
 FROM binned b LEFT JOIN stats s
   ON b.partition_id = s.partition_id AND b.bin_id = s.bin_id
+"""
+
+
+def partition_advisor(
+    df: DataFrame,
+    candidates: list[str],
+    target_partitions: int = 1000,
+) -> DataFrame:
+    """Partition-key advisor — the layout-planning analytic behind
+    "which column should this 100 TB table be partitioned by": for each
+    candidate column it measures exact NDV, the hottest value's row
+    share, and the null share, then scores suitability. A good
+    partition key has NDV near the target partition count (too few ⇒
+    giant partitions, too many ⇒ small-file explosion), no dominant hot
+    value (skewed task), and few nulls (a default-partition dump).
+
+    Integer score (engine-exact): ndv_fit_ppm = 1e6·min(ndv, target) //
+    max(ndv, target); score = ndv_fit_ppm − top1_ppm − null_ppm; output
+    one row per candidate, rnk 1 = best (score DESC, column ASC).
+
+    Scale: one groupBy per candidate over the data (each a map-side
+    combining hash agg producing an NDV-sized table), then scalar
+    re-aggregates of those tiny tables. Candidate lists are small and
+    static — the unrolled per-column aggregates run as independent jobs
+    over the same cached scan."""
+    parts = []
+    for c in candidates:
+        per_val = df.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        summ = per_val.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.max("cnt").alias("top1_cnt"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("n_null"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "ndv",
+            "top1_cnt",
+            "n_rows",
+            "n_null",
+        )
+        parts.append(summ)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    t = target_partitions
+    scored = out.select(
+        "column_name",
+        "ndv",
+        F.expr("(1000000 * top1_cnt) DIV n_rows").alias("top1_ppm"),
+        F.expr("(1000000 * n_null) DIV n_rows").alias("null_ppm"),
+        F.expr(
+            f"(1000000 * least(ndv, {t})) DIV greatest(ndv, {t})"
+        ).alias("ndv_fit_ppm"),
+    ).select(
+        "column_name",
+        "ndv",
+        "top1_ppm",
+        "null_ppm",
+        "ndv_fit_ppm",
+        (
+            F.col("ndv_fit_ppm") - F.col("top1_ppm") - F.col("null_ppm")
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("column_name").asc())
+    # |candidates| rows only — the global rank window is bounded input
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+
+
+def partition_advisor_sql(
+    rows_sql: str, candidates: list[str], target_partitions: int = 1000
+) -> str:
+    """DuckDB twin of partition_advisor."""
+    t = target_partitions
+    blocks = []
+    for c in candidates:
+        blocks.append(
+            f"""SELECT '{c}' AS column_name,
+  CAST(count(*) AS BIGINT) AS ndv,
+  CAST(max(cnt) AS BIGINT) AS top1_cnt,
+  CAST(sum(cnt) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+    AS n_null
+FROM (SELECT {c} AS v, count(*) AS cnt FROM ({rows_sql}) GROUP BY 1)"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH raw AS ({union}),
+scored AS (
+  SELECT column_name, ndv,
+         (1000000 * top1_cnt) // n_rows AS top1_ppm,
+         (1000000 * n_null) // n_rows AS null_ppm,
+         (1000000 * least(ndv, {t})) // greatest(ndv, {t})
+           AS ndv_fit_ppm
+  FROM raw
+)
+SELECT column_name, ndv, top1_ppm, null_ppm, ndv_fit_ppm,
+       ndv_fit_ppm - top1_ppm - null_ppm AS score,
+       CAST(row_number() OVER (ORDER BY
+         ndv_fit_ppm - top1_ppm - null_ppm DESC, column_name ASC)
+         AS BIGINT) AS rnk
+FROM scored
 """

@@ -2070,3 +2070,105 @@ SELECT n, num, den_x, den_y,
     END AS BIGINT) AS rho_ppm_sq
 FROM mom
 """
+
+
+def ripley_k_counts(
+    points: DataFrame,
+    r_sq_bands: list[int],
+    area: int,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (spatial clustering vs CSR —
+    the global companion of q85's local Moran): for each distance band
+    r, K(r) = area · n_pairs(r) / (n·(n−1)) over ORDERED point pairs
+    with 0 < d² ≤ r². K above πr² ⇒ clustering at that scale, below ⇒
+    dispersion. One row per band: (band, r_sq, n_pairs, k_scaled =
+    floor(1000·area·n_pairs / (n·(n−1)))) — all integer (squared radii,
+    no sqrt; edge correction is deliberately omitted — the uncorrected
+    raw-count estimator, documented).
+
+    Scale: pairs come from operators/knn.distance_join's cell-ring
+    bucketed self-join at the LARGEST band (superset prefilter + exact
+    refine — never the n² cross join); bands then roll up from the one
+    pair table with conditional sums (a single aggregate). n·(n−1)
+    enters as an exact scalar from one count."""
+    from .knn import distance_join
+
+    import math
+
+    p = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    q = p.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    # +0.5 keeps the float prefilter radius² strictly above the integer
+    # max band, so no boundary pair is lost to sqrt/square rounding; the
+    # per-band cuts below are exact integer comparisons on d²
+    rmax = math.sqrt(max(r_sq_bands) + 0.5)
+    pairs = distance_join(
+        q, p, radius_deg=rmax, metric="sq_euclid"
+    ).filter(F.col("qid") != F.col("pid"))
+    counts = pairs.agg(
+        *[
+            F.sum(
+                F.when(F.col("dist") <= F.lit(r2), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, r2 in enumerate(r_sq_bands)
+        ]
+    )
+    nn = p.agg(F.count(F.lit(1)).alias("n"))
+    j = counts.crossJoin(nn)
+    sel = []
+    for i, r2 in enumerate(r_sq_bands):
+        sel.append(
+            j.select(
+                F.lit(i).cast("long").alias("band"),
+                F.lit(r2).cast("long").alias("r_sq"),
+                F.col(f"c{i}").cast("long").alias("n_pairs"),
+                F.expr(
+                    f"({1000 * area} * c{i}) DIV (n * (n - 1))"
+                ).alias("k_scaled"),
+            )
+        )
+    out = sel[0]
+    for s in sel[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def ripley_k_counts_sql(
+    pts_sql: str, r_sq_bands: list[int], area: int
+) -> str:
+    """DuckDB twin of ripley_k_counts (brute-force pair join — also
+    proves the bucketed candidate set lossless at the largest band)."""
+    rmax = max(r_sq_bands)
+    band_rows = ", ".join(
+        f"({i}, {r2})" for i, r2 in enumerate(r_sq_bands)
+    )
+    return f"""
+WITH p AS (SELECT pid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+           FROM ({pts_sql})),
+pairs AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM p a JOIN p b ON a.pid <> b.pid
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {rmax}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+bands(band, r_sq) AS (VALUES {band_rows})
+SELECT CAST(b.band AS BIGINT) AS band, CAST(b.r_sq AS BIGINT) AS r_sq,
+       CAST(count(*) FILTER (WHERE pairs.d2 <= b.r_sq) AS BIGINT)
+         AS n_pairs,
+       (CAST({1000 * area} AS BIGINT) *
+        CAST(count(*) FILTER (WHERE pairs.d2 <= b.r_sq) AS BIGINT))
+       // (nn.n * (nn.n - 1)) AS k_scaled
+FROM bands b CROSS JOIN nn LEFT JOIN pairs ON TRUE
+GROUP BY b.band, b.r_sq, nn.n
+"""

@@ -7375,3 +7375,93 @@ Q181_SQL = _q181_sql()
 
 QUERIES["q181_d8_flow"] = q181_d8_flow
 ORACLES["q181_d8_flow"] = Q181_SQL
+
+
+_Q182_PTS = (
+    "SELECT p_partkey AS pid, p_partkey * 7919 % 2000 AS x, "
+    "p_partkey * 104729 % 2000 AS y FROM part"
+)
+
+
+def q182_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern bands (operators/stats.ripley_k_counts)
+    over part-derived points: ordered pair counts at r = 25/50/100 and
+    the integer K statistic — cell-ring bucketed self-join, never n²."""
+    from ..operators.stats import ripley_k_counts
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        (F.col("p_partkey") * 7919 % 2000).alias("x"),
+        (F.col("p_partkey") * 104729 % 2000).alias("y"),
+    )
+    return ripley_k_counts(
+        pts, [625, 2500, 10000], area=2000 * 2000
+    )
+
+
+def _q182_sql() -> str:
+    from ..operators.stats import ripley_k_counts_sql
+
+    return ripley_k_counts_sql(
+        _Q182_PTS, [625, 2500, 10000], area=2000 * 2000
+    )
+
+
+Q182_SQL = _q182_sql()
+
+QUERIES["q182_ripley_k"] = q182_ripley_k
+ORACLES["q182_ripley_k"] = Q182_SQL
+
+
+_Q183_CANDS = ["l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"]
+
+
+def q183_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor (operators/pruning.partition_advisor) over
+    lineitem candidates — exact NDV / hot-value / null shares folded
+    into an integer layout-suitability score."""
+    from ..operators.pruning import partition_advisor
+
+    return partition_advisor(
+        _t(spark, sf_dir, "lineitem"), _Q183_CANDS,
+        target_partitions=400,
+    )
+
+
+def _q183_sql() -> str:
+    from ..operators.pruning import partition_advisor_sql
+
+    return partition_advisor_sql(
+        "SELECT * FROM lineitem", _Q183_CANDS, target_partitions=400
+    )
+
+
+Q183_SQL = _q183_sql()
+
+QUERIES["q183_partition_advisor"] = q183_partition_advisor
+ORACLES["q183_partition_advisor"] = Q183_SQL
+
+
+def q184_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile (operators/dedup.
+    cdc_chunk_dedup): hash-gated token cuts (expected chunk ~16 tokens),
+    md5 chunk fingerprints, cross-doc duplicate-chunk shares."""
+    from ..operators.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"), shingle_n=3, mask=16
+    )
+
+
+def _q184_sql() -> str:
+    from ..operators.dedup import cdc_chunk_dedup_sql
+
+    return cdc_chunk_dedup_sql(
+        "SELECT doc_id, text FROM documents", shingle_n=3, mask=16
+    )
+
+
+Q184_SQL = _q184_sql()
+
+QUERIES["q184_cdc_chunks"] = q184_cdc_chunks
+ORACLES["q184_cdc_chunks"] = Q184_SQL

@@ -4503,3 +4503,76 @@ def test_d8_flow_hand_dem(spark):
     assert got[(0, 0)][0] == 2
     # steepness tie shape: cell (2,1) -> center is W = code 5
     assert got[(2, 1)][0] == 5
+
+
+def test_ripley_k_hand_points(spark):
+    """ripley_k_counts: 3 collinear points at x=0,3,10 — band r²=9 pairs
+    only (0,3)/(3,0); r²=49 adds (3,10)/(10,3); r²=100 adds (0,10) both
+    ways; K scaling = floor(1000·area·pairs / (n(n-1)))."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        ripley_k_counts,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 0), (3, 10, 0)], "pid long, x long, y long"
+    )
+    got = {r.band: (r.r_sq, r.n_pairs, r.k_scaled)
+           for r in ripley_k_counts(pts, [9, 49, 100], area=100).collect()}
+    assert got[0] == (9, 2, (1000 * 100 * 2) // 6)
+    assert got[1] == (49, 4, (1000 * 100 * 4) // 6)
+    assert got[2] == (100, 6, (1000 * 100 * 6) // 6)
+
+
+def test_partition_advisor_scoring(spark):
+    """partition_advisor: a near-ideal-NDV low-skew column must outrank
+    both a 2-value column (ndv_fit tiny) and a unique-key column (ndv
+    overshoot); nulls are charged to null_ppm."""
+    from instageo_e2e_geospatial_ml_spark.operators.pruning import (
+        partition_advisor,
+    )
+
+    rows = [(i, i % 2, i % 10, i, (i % 10) if i % 5 else None)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "id long, two long, ten long, uniq long, tennull long"
+    )
+    got = {r.column_name: r for r in partition_advisor(
+        df, ["two", "ten", "uniq", "tennull"], target_partitions=10
+    ).collect()}
+    assert got["ten"].rnk == 1
+    assert got["ten"].ndv_fit_ppm == 1000000
+    assert got["ten"].top1_ppm == 100000  # 10 values x 10 rows
+    assert got["two"].ndv_fit_ppm == 200000  # 2/10
+    assert got["uniq"].ndv_fit_ppm == 100000  # 10/100
+    assert got["tennull"].null_ppm == 200000  # i%5==0 -> 20 nulls
+    assert got["two"].score == 200000 - 500000 - 0
+
+
+def test_cdc_chunk_dedup_shift_invariance(spark):
+    """The CDC property: inserting tokens at the FRONT of a document
+    leaves its later chunk fingerprints intact (duplicate-chunk share
+    stays high), because boundaries are content-defined. Also: identical
+    docs have every chunk duplicated (dup_ppm = 1e6)."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    base = " ".join(f"w{(i * 7) % 31}x{i % 13}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            (3, "zzz qqq " + base),         # front-shifted copy
+            (4, " ".join(f"u{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_ppm)
+           for r in cdc_chunk_dedup(docs, shingle_n=3, mask=8).collect()}
+    assert got[1][0] >= 5                      # ~120/8 chunks expected
+    assert got[1] == got[2]                    # identical docs identical
+    assert got[1][2] == 1000000                # every chunk duplicated
+    # the shifted copy shares all but its first chunk(s)
+    n3, d3, _ = got[3]
+    assert d3 >= n3 - 2
+    assert got[4][1] == 0                      # unrelated: no dups

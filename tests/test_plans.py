@@ -543,6 +543,16 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q174_benford_audit",
         "q177_sequential_rules",
     ]
+    # Excluded by design: q178 (mapInPandas EXIF kernel — Python IS the
+    # operator), q183_partition_advisor (global rank over the
+    # |candidates|-row summary — bounded input).
+    jvm_queries += [
+        "q179_areal_interp",
+        "q180_bom_rollup",
+        "q181_d8_flow",
+        "q182_ripley_k",
+        "q184_cdc_chunks",
+    ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
         assert "EvalPython" not in plan, name
