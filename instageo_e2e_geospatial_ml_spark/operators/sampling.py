@@ -146,3 +146,74 @@ SELECT r.{st}, r.{i}, r.rk
 FROM ranked r JOIN alloc a ON r.{st} = a.{st}
 WHERE r.rk <= a.quota
 """
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row
+    gets priority = (u · SCALE) div w where u = md5-uniform in [0, 1e6)
+    and w its positive integer weight; the k SMALLEST priorities win —
+    heavier rows draw proportionally smaller priorities, the
+    integer-exact surrogate of Efraimidis-Spirakis exponential-clock
+    sampling (u^(1/w) needs log/float; u/w preserves the per-row
+    monotonicity in w and, like all samplers here, the DEFINED
+    semantics is the deterministic rule itself: reproducible across
+    engines, re-runs, and repartitioning).
+
+    Output: the k winners as (key, weight, priority, rnk), rnk 1 =
+    smallest priority, ties broken by key.
+
+    Scale: priority is a scan-side expression; the global top-k is
+    TakeOrdered (per-partition heap + k-row driver merge — no global
+    sort, no full-data window); the rank window after the limit sees k
+    rows only."""
+    pri = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("long").alias("weight"),
+            _hash_point(F.col(key_col), salt).alias("_u"),
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn(
+            "priority",
+            F.expr(f"({_DENOM} * _u) DIV weight").cast("long"),
+        )
+        .drop("_u")
+    )
+    top = pri.orderBy(
+        F.col("priority").asc(), F.col("key").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("priority").asc(), F.col("key").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def weighted_priority_sample_sql(
+    rows_sql: str, key_expr: str, weight_expr: str, k: int,
+    salt: str = "wps",
+) -> str:
+    """DuckDB twin of weighted_priority_sample."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
+        f" || ':{salt}'), 1, 8)) AS BIGINT) % {_DENOM}"
+    )
+    return f"""
+WITH pri AS (
+  SELECT {key_expr} AS key, CAST({weight_expr} AS BIGINT) AS weight,
+         (CAST({_DENOM} AS BIGINT) * ({h})) // CAST({weight_expr}
+           AS BIGINT) AS priority
+  FROM ({rows_sql})
+  WHERE {weight_expr} > 0
+)
+SELECT key, weight, priority, CAST(row_number() OVER (
+         ORDER BY priority ASC, key ASC) AS BIGINT) AS rnk
+FROM pri
+ORDER BY priority ASC, key ASC
+LIMIT {k}
+"""

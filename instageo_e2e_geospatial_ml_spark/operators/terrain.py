@@ -241,6 +241,47 @@ def d8_flow(
     exchange); each accumulation round is one join + one aggregate on
     the flow edge list. Grid size bounds everything; no windows, no
     Python."""
+    grid = d8_direction(cells)
+    c = cells.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    # fixed-round accumulation over the flow edges
+    edges = grid.filter(F.col("flow_dir") > 0).select(
+        F.col("x").alias("ux"), F.col("y").alias("uy"),
+        F.col("tox").alias("x"), F.col("toy").alias("y"),
+    )
+    acc = c.select("x", "y", F.lit(1).cast("long").alias("acc"))
+    for _ in range(rounds):
+        inflow = (
+            edges.join(
+                acc.select(
+                    F.col("x").alias("ux"), F.col("y").alias("uy"),
+                    F.col("acc").alias("uacc"),
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("uacc").alias("inflow"))
+        )
+        acc = (
+            c.select("x", "y")
+            .join(inflow, ["x", "y"], "left")
+            .select(
+                "x", "y",
+                (F.lit(1) + F.coalesce("inflow", F.lit(0))).alias("acc"),
+            )
+        )
+    return grid.select("x", "y", "flow_dir").join(
+        acc, ["x", "y"]
+    ).select("x", "y", "flow_dir", "acc")
+
+
+def d8_direction(cells: DataFrame) -> DataFrame:
+    """The D8 direction stencil alone: (x, y, flow_dir, tox, toy) with
+    tox/toy NULL at pits — the shared front half of d8_flow and
+    watershed_labels (see d8_flow's docstring for the exact-steepness
+    rule)."""
     c = cells.select(
         F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
@@ -301,45 +342,25 @@ def d8_flow(
             F.col("s.tox").alias("tox"), F.col("s.toy").alias("toy"),
         )
     )
-    grid = c.join(best, ["x", "y"], "left").select(
+    return c.join(best, ["x", "y"], "left").select(
         "x", "y",
         F.coalesce("flow_dir", F.lit(0)).alias("flow_dir"),
         "tox", "toy",
     )
-    # fixed-round accumulation over the flow edges
-    edges = grid.filter(F.col("flow_dir") > 0).select(
-        F.col("x").alias("ux"), F.col("y").alias("uy"),
-        F.col("tox").alias("x"), F.col("toy").alias("y"),
+
+
+def d8_direction_sql(cells_sql: str) -> str:
+    """DuckDB twin of d8_direction — a standalone SELECT of the grid
+    table (x, y, flow_dir, tox, toy), reusing d8_flow_sql's CTE text."""
+    ctes = _d8_grid_ctes(cells_sql)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT x, y, flow_dir, tox, toy FROM grid"
     )
-    acc = c.select("x", "y", F.lit(1).cast("long").alias("acc"))
-    for _ in range(rounds):
-        inflow = (
-            edges.join(
-                acc.select(
-                    F.col("x").alias("ux"), F.col("y").alias("uy"),
-                    F.col("acc").alias("uacc"),
-                ),
-                ["ux", "uy"],
-            )
-            .groupBy("x", "y")
-            .agg(F.sum("uacc").alias("inflow"))
-        )
-        acc = (
-            c.select("x", "y")
-            .join(inflow, ["x", "y"], "left")
-            .select(
-                "x", "y",
-                (F.lit(1) + F.coalesce("inflow", F.lit(0))).alias("acc"),
-            )
-        )
-    return grid.select("x", "y", "flow_dir").join(
-        acc, ["x", "y"]
-    ).select("x", "y", "flow_dir", "acc")
 
 
-def d8_flow_sql(cells_sql: str, rounds: int = 8) -> str:
-    """DuckDB twin of d8_flow."""
-    ctes = [
+def _d8_grid_ctes(cells_sql: str) -> list[str]:
+    return [
         f"c AS MATERIALIZED (SELECT CAST(x AS BIGINT) AS x,"
         f" CAST(y AS BIGINT) AS y, CAST(elev AS BIGINT) AS elev"
         f" FROM ({cells_sql}))",
@@ -361,6 +382,12 @@ def d8_flow_sql(cells_sql: str, rounds: int = 8) -> str:
         """grid AS MATERIALIZED (
   SELECT c.x, c.y, COALESCE(b.flow_dir, 0) AS flow_dir, b.tox, b.toy
   FROM c LEFT JOIN best b ON c.x = b.x AND c.y = b.y)""",
+    ]
+
+
+def d8_flow_sql(cells_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin of d8_flow."""
+    ctes = _d8_grid_ctes(cells_sql) + [
         """e AS MATERIALIZED (SELECT x AS ux, y AS uy, tox AS x,
   toy AS y FROM grid WHERE flow_dir > 0)""",
         "a0 AS MATERIALIZED (SELECT x, y, CAST(1 AS BIGINT) AS acc FROM c)",
@@ -379,4 +406,74 @@ def d8_flow_sql(cells_sql: str, rounds: int = 8) -> str:
         + f"\nSELECT g.x, g.y, CAST(g.flow_dir AS BIGINT) AS flow_dir,"
         f" a.acc FROM grid g JOIN a{rounds} a"
         f" ON g.x = a.x AND g.y = a.y"
+    )
+
+
+def watershed_labels(
+    cells: DataFrame,
+    doubling_rounds: int = 6,
+) -> DataFrame:
+    """Watershed/basin delineation on the D8 flow forest: every cell is
+    labeled with the pit (flow_dir 0 terminal) its water ultimately
+    reaches — the r.watershed basin map. Input is d8_flow-shaped
+    (x, y, flow_dir, tox, toy nullable); output (x, y, basin_x,
+    basin_y, basin_id = basin_x·2^32 + basin_y).
+
+    POINTER DOUBLING, not per-hop walking: each round replaces every
+    cell's successor with its successor's successor, so after k rounds
+    a cell points 2^k hops downstream — paths up to 2^doubling_rounds
+    hops resolve in `doubling_rounds` self-joins (64 hops at the
+    default 6), the O(log path) trick flow forests share with
+    dedup_clusters' label propagation. Pits self-loop, making the
+    iteration idempotent at the terminal.
+
+    Scale: each round is ONE equi-join of the pointer table with itself
+    on the successor key — no windows, no driver state; the table never
+    grows (one row per cell)."""
+    ptr = cells.select(
+        "x", "y",
+        F.coalesce("tox", F.col("x")).alias("nx"),
+        F.coalesce("toy", F.col("y")).alias("ny"),
+    )
+    for _ in range(doubling_rounds):
+        nxt = ptr.select(
+            F.col("x").alias("nx"),
+            F.col("y").alias("ny"),
+            F.col("nx").alias("nnx"),
+            F.col("ny").alias("nny"),
+        )
+        ptr = ptr.join(nxt, ["nx", "ny"]).select(
+            "x", "y",
+            F.col("nnx").alias("nx"),
+            F.col("nny").alias("ny"),
+        )
+    return ptr.select(
+        "x", "y",
+        F.col("nx").alias("basin_x"),
+        F.col("ny").alias("basin_y"),
+        (F.col("nx") * F.lit(1 << 32) + F.col("ny")).alias("basin_id"),
+    )
+
+
+def watershed_labels_sql(
+    grid_sql: str, doubling_rounds: int = 6
+) -> str:
+    """DuckDB twin of watershed_labels — `grid_sql` must yield
+    (x, y, flow_dir, tox, toy) like d8_flow_sql's `grid` CTE."""
+    ctes = [
+        f"""p0 AS MATERIALIZED (
+  SELECT x, y, coalesce(tox, x) AS nx, coalesce(toy, y) AS ny
+  FROM ({grid_sql}))"""
+    ]
+    for k in range(1, doubling_rounds + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT a.x, a.y, b.nx, b.ny
+  FROM p{k-1} a JOIN p{k-1} b ON a.nx = b.x AND a.ny = b.y)"""
+        )
+    last = f"p{doubling_rounds}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT x, y, nx AS basin_x, ny AS basin_y,"
+        f" nx * {1 << 32} + ny AS basin_id FROM {last}"
     )

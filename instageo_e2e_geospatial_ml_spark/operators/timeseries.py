@@ -776,3 +776,98 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_events,
        max(disorder) AS max_disorder_us, {ths}
 FROM d GROUP BY key
 """
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 4,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds — the
+    only leakage-safe CV for time series (random K-fold trains on the
+    future): the observed time span is cut into n_folds+1 equal
+    intervals; fold k trains on everything before cut_k and tests on
+    [cut_k, cut_{k+1}). Returns one row per fold: (fold, train_end_us,
+    test_end_us, n_train, n_test) — the assignment plan a training
+    pipeline joins back by timestamp range.
+
+    Exact: cuts are integer microsecond arithmetic on the (min, max)
+    span — cut_k = tmin + (span·k) div (n_folds+1) — and counts are
+    conditional sums against those integer cuts; the last interval's
+    end is max+1 so the newest row always tests in the final fold.
+
+    Scale: one (min, max) scalar aggregate + one conditional-sum
+    aggregate over the data per fold set (folds unrolled into one
+    aggregate projection — a single pass); nothing is shuffled by
+    fold."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = df.agg(
+        F.min(us).alias("tmin"), F.max(us).alias("tmax")
+    )
+    rows = df.select(us.alias("tus")).crossJoin(F.broadcast(span))
+    aggs = []
+    for k in range(1, n_folds + 1):
+        cut = f"(tmin + ((tmax - tmin) * {k}) DIV {n_folds + 1})"
+        nxt = (
+            f"(tmin + ((tmax - tmin) * {k + 1}) DIV {n_folds + 1})"
+            if k < n_folds
+            else "(tmax + 1)"
+        )
+        aggs += [
+            F.expr(
+                f"sum(CASE WHEN tus < {cut} THEN 1 ELSE 0 END)"
+            ).alias(f"n_train_{k}"),
+            F.expr(
+                f"sum(CASE WHEN tus >= {cut} AND tus < {nxt}"
+                f" THEN 1 ELSE 0 END)"
+            ).alias(f"n_test_{k}"),
+            F.expr(f"min({cut})").alias(f"train_end_{k}"),
+            F.expr(f"min({nxt})").alias(f"test_end_{k}"),
+        ]
+    one = rows.agg(*aggs)
+    sel = []
+    for k in range(1, n_folds + 1):
+        sel.append(
+            one.select(
+                F.lit(k).cast("long").alias("fold"),
+                F.col(f"train_end_{k}").alias("train_end_us"),
+                F.col(f"test_end_{k}").alias("test_end_us"),
+                F.col(f"n_train_{k}").cast("long").alias("n_train"),
+                F.col(f"n_test_{k}").cast("long").alias("n_test"),
+            )
+        )
+    out = sel[0]
+    for s in sel[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def rolling_origin_folds_sql(rows_sql: str, n_folds: int = 4) -> str:
+    """DuckDB twin of rolling_origin_folds (`rows_sql` must yield ts)."""
+    blocks = []
+    for k in range(1, n_folds + 1):
+        cut = f"(tmin + ((tmax - tmin) * {k}) // {n_folds + 1})"
+        nxt = (
+            f"(tmin + ((tmax - tmin) * {k + 1}) // {n_folds + 1})"
+            if k < n_folds
+            else "(tmax + 1)"
+        )
+        blocks.append(
+            f"""SELECT {k} AS fold, {cut} AS train_end_us,
+  {nxt} AS test_end_us,
+  CAST(sum(CASE WHEN tus < {cut} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_train,
+  CAST(sum(CASE WHEN tus >= {cut} AND tus < {nxt} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_test
+FROM rows_w GROUP BY tmin, tmax"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH r AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+           FROM ({rows_sql})),
+span AS (SELECT min(tus) AS tmin, max(tus) AS tmax FROM r),
+rows_w AS (SELECT r.tus, s.tmin, s.tmax FROM r CROSS JOIN span s)
+SELECT CAST(fold AS BIGINT) AS fold, train_end_us, test_end_us,
+       n_train, n_test
+FROM ({union})
+"""

@@ -7465,3 +7465,97 @@ Q184_SQL = _q184_sql()
 
 QUERIES["q184_cdc_chunks"] = q184_cdc_chunks
 ORACLES["q184_cdc_chunks"] = Q184_SQL
+
+
+def q185_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basins (operators/terrain.watershed_labels): pointer
+    doubling over the q181 D8 flow forest — every cell labeled with its
+    terminal pit in O(log path) self-joins."""
+    from ..operators.terrain import d8_direction, watershed_labels
+
+    g = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1600)
+    cells = g.select(
+        (F.col("p_partkey") % 40).alias("x"),
+        ((F.col("p_partkey") / 40).cast("long") % 40).alias("y"),
+        (
+            ((F.col("p_partkey") % 40) - 20)
+            * ((F.col("p_partkey") % 40) - 20)
+            + 3
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            + (F.col("p_partkey") * 37) % 11
+        ).alias("elev"),
+    )
+    return watershed_labels(d8_direction(cells), doubling_rounds=6)
+
+
+def _q185_sql() -> str:
+    from ..operators.terrain import d8_direction_sql, watershed_labels_sql
+
+    return watershed_labels_sql(
+        d8_direction_sql(_Q181_GRID), doubling_rounds=6
+    )
+
+
+Q185_SQL = _q185_sql()
+
+QUERIES["q185_watershed"] = q185_watershed
+ORACLES["q185_watershed"] = Q185_SQL
+
+
+def q186_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.
+    weighted_priority_sample): 200 winners from orders weighted by
+    integer price cents — md5 priority clocks, no global sort."""
+    from ..operators.sampling import weighted_priority_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    return weighted_priority_sample(o, "o_orderkey", "cents", k=200)
+
+
+def _q186_sql() -> str:
+    from ..operators.sampling import weighted_priority_sample_sql
+
+    return weighted_priority_sample_sql(
+        "SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5)"
+        " AS BIGINT) AS cents FROM orders",
+        "o_orderkey",
+        "cents",
+        k=200,
+    )
+
+
+Q186_SQL = _q186_sql()
+
+QUERIES["q186_weighted_sample"] = q186_weighted_sample
+ORACLES["q186_weighted_sample"] = Q186_SQL
+
+
+def q187_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin CV folds (operators/timeseries.
+    rolling_origin_folds): 4 expanding-window train/test splits over
+    the events span — integer microsecond cuts, one-pass counts."""
+    from ..operators.timeseries import rolling_origin_folds
+
+    return rolling_origin_folds(
+        _t(spark, sf_dir, "events"), "ts", n_folds=4
+    )
+
+
+def _q187_sql() -> str:
+    from ..operators.timeseries import rolling_origin_folds_sql
+
+    return rolling_origin_folds_sql(
+        "SELECT ts FROM events", n_folds=4
+    )
+
+
+Q187_SQL = _q187_sql()
+
+QUERIES["q187_cv_folds"] = q187_cv_folds
+ORACLES["q187_cv_folds"] = Q187_SQL

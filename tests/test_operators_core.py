@@ -4576,3 +4576,84 @@ def test_cdc_chunk_dedup_shift_invariance(spark):
     n3, d3, _ = got[3]
     assert d3 >= n3 - 2
     assert got[4][1] == 0                      # unrelated: no dups
+
+
+def test_watershed_labels_two_pits(spark):
+    """watershed_labels on a hand forest: chain a->b->pit1, c->pit2 —
+    every cell resolves to its terminal pit via pointer doubling, pits
+    label themselves."""
+    from instageo_e2e_geospatial_ml_spark.operators.terrain import (
+        watershed_labels,
+    )
+
+    # grid rows: (x, y, flow_dir, tox, toy); dir 0 = pit (tox/toy null)
+    rows = [
+        (0, 0, 1, 1, 0), (1, 0, 1, 2, 0), (2, 0, 0, None, None),
+        (5, 5, 3, 5, 6), (5, 6, 0, None, None),
+    ]
+    g = spark.createDataFrame(
+        rows, "x long, y long, flow_dir long, tox long, toy long"
+    )
+    got = {(r.x, r.y): (r.basin_x, r.basin_y)
+           for r in watershed_labels(g, doubling_rounds=3).collect()}
+    assert got[(0, 0)] == (2, 0)
+    assert got[(1, 0)] == (2, 0)
+    assert got[(2, 0)] == (2, 0)
+    assert got[(5, 5)] == (5, 6)
+    assert got[(5, 6)] == (5, 6)
+
+
+def test_weighted_priority_sample_determinism_and_weight_bias(spark):
+    """weighted_priority_sample: repartition-stable (same winners any
+    layout), zero/negative weights excluded, and a 1000x weight pulls a
+    row's priority 1000x down (exact integer division check)."""
+    import hashlib
+
+    from instageo_e2e_geospatial_ml_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 1 + (i % 7) * 100) for i in range(500)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = weighted_priority_sample(df, "id", "w", k=50).collect()
+    b = weighted_priority_sample(
+        df.repartition(13), "id", "w", k=50
+    ).collect()
+    assert [(r.key, r.rnk) for r in a] == [(r.key, r.rnk) for r in b]
+    assert all(r.key != 999 for r in a)  # zero weight excluded
+    # exact priority replica for the top row
+    top = a[0]
+    u = int(hashlib.md5(f"{top.key}:wps".encode()).hexdigest()[:8], 16) \
+        % 1000000
+    assert top.priority == (1000000 * u) // top.weight
+    assert top.rnk == 1
+
+
+def test_rolling_origin_folds_exact_cuts(spark):
+    """rolling_origin_folds: 10 hourly events, 4 folds -> 5 equal
+    intervals; train counts grow monotonically, every event tests in
+    exactly one fold, the last fold includes the max timestamp."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        rolling_origin_folds,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = spark.createDataFrame(
+        [( (t0 + pd.Timedelta(hours=i)).to_pydatetime(),) for i in range(10)],
+        "ts timestamp",
+    )
+    got = sorted(
+        rolling_origin_folds(df, "ts", n_folds=4).collect(),
+        key=lambda r: r.fold,
+    )
+    n_trains = [r.n_train for r in got]
+    assert n_trains == sorted(n_trains)
+    assert sum(r.n_test for r in got) + got[0].n_train == 10
+    # span = 9h; cut_k = t0 + 9h*k/5
+    us0 = t0.value // 1000
+    h = 3600 * 10**6
+    for r in got:
+        assert r.train_end_us == us0 + (9 * h * r.fold) // 5
+    assert got[-1].test_end_us == us0 + 9 * h + 1

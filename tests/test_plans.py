@@ -552,6 +552,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q181_d8_flow",
         "q182_ripley_k",
         "q184_cdc_chunks",
+        # q186_weighted_sample excluded: rank window AFTER limit(k) —
+        # k rows only (TakeOrdered does the data-scale work).
+        "q185_watershed",
+        "q187_cv_folds",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
