@@ -939,3 +939,51 @@ def test_windowed_funnel_stream_matches_batch(spark, tmp_path):
     assert set(fin.index) == set(want)
     for u, row in fin.iterrows():
         assert (row["stage"], row["anchor_us"], row["last_us"]) == want[u]
+
+
+def test_cusum_monitor_stream_matches_reference(spark, tmp_path):
+    """Online CUSUM streaming monitor vs the single-pass reference, fed
+    across 3 ordered micro-batches: identical alarm sequence (times,
+    sides, statistics), state carrying S across batch boundaries."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.streaming.cusum import (
+        cusum_alarms_reference,
+        cusum_monitor_stream,
+    )
+
+    rng = np.random.default_rng(41)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    vals = []
+    for i in range(300):
+        # regime shift at 150: mean 100 -> 160
+        base = 100 if i < 150 else 160
+        v = int(base + rng.integers(-20, 21))
+        ts = t0 + pd.Timedelta(minutes=i)
+        rows.append((i, ts, "m1", v))
+        vals.append((int(ts.value // 1000), v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type",
+                                      "value_int"])
+    d = tmp_path / "in"
+    for chunk in np.array_split(pdf.index, 3):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    ev = spark.createDataFrame(pdf)
+    stream = read_event_stream(spark, str(d), ev.schema, max_files=1)
+    out = cusum_monitor_stream(
+        stream, mu0=100, slack=10, h=200, watermark="1 minute"
+    )
+    got = run_available_now(out, "cusum", str(tmp_path / "ck")).toPandas()
+    got = got.sort_values("alarm_us").reset_index(drop=True)
+
+    want = cusum_alarms_reference(vals, mu0=100, slack=10, h=200)
+    assert len(want) > 0, "test setup: the shift must trigger alarms"
+    assert len(got) == len(want)
+    for (_, g), w in zip(got.iterrows(), want):
+        assert (g["alarm_us"], g["side"], g["s_at_alarm"],
+                g["n_since_reset"]) == w
+    # first alarm fires after the regime shift, not before
+    shift_us = int((t0 + pd.Timedelta(minutes=150)).value // 1000)
+    assert want[0][0] >= shift_us
