@@ -477,3 +477,139 @@ def watershed_labels_sql(
         + f"\nSELECT x, y, nx AS basin_x, ny AS basin_y,"
         f" nx * {1 << 32} + ny AS basin_id FROM {last}"
     )
+
+
+def viewshed(
+    cells: DataFrame,
+    ox: int,
+    oy: int,
+    observer_height: int = 2,
+) -> DataFrame:
+    """Observer viewshed over an (x, y, elev) grid — the line-of-sight
+    raster analysis (gdal_viewshed / r.viewshed): a target cell is
+    VISIBLE when no intermediate cell on the discrete sight line rises
+    above the ray from the observer's eye to the target's top.
+
+    Integer-exact formulation: the sight line to a target at L∞
+    distance s is sampled at i = 1..s−1 with the DEFINED lattice
+    x_i = ox + (2·dx·i + s) div (2s) (floor division — identical in
+    Spark DIV and DuckDB //, so the sample set is engine-exact even for
+    negative deltas), and the blocking test cross-multiplies the ray
+    interpolation by s:  s·elev(x_i,y_i) > s·eye + i·(elev_t − eye)
+    ⇒ blocked — no division, no float. Output one row per target:
+    (x, y, dist_linf, visible, n_blockers).
+
+    Scale: targets explode to at most s−1 samples each (Σ ≈ grid·radius
+    rows), then ONE equi-join back to the grid on the sampled cell and
+    one aggregate per target — scan → explode → join → agg, all keyed;
+    tile the grid + halo (terrain_derivatives' pattern) when the radius
+    exceeds a partition."""
+    c = cells.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("elev").cast("long").alias("elev"),
+    )
+    obs = c.filter(
+        (F.col("x") == ox) & (F.col("y") == oy)
+    ).select((F.col("elev") + observer_height).alias("eye"))
+    t = (
+        c.crossJoin(F.broadcast(obs))
+        .withColumn("dx", F.col("x") - F.lit(ox))
+        .withColumn("dy", F.col("y") - F.lit(oy))
+        .withColumn(
+            "s", F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+        )
+    )
+    near = t.filter(F.col("s") <= 1).select(
+        "x", "y", F.col("s").alias("dist_linf"),
+        F.lit(1).cast("long").alias("visible"),
+        F.lit(0).cast("long").alias("n_blockers"),
+    )
+    far = t.filter(F.col("s") > 1)
+    samples = far.select(
+        "x", "y", "elev", "eye", "dx", "dy", "s",
+        F.explode(
+            F.sequence(F.lit(1), F.col("s") - 1)
+        ).alias("i"),
+    ).select(
+        "x", "y", "elev", "eye", "s", "i",
+        F.expr(f"{ox} + (2 * dx * i + s) DIV (2 * s)").alias("sx"),
+        F.expr(f"{oy} + (2 * dy * i + s) DIV (2 * s)").alias("sy"),
+    )
+    joined = samples.join(
+        c.select(
+            F.col("x").alias("sx"), F.col("y").alias("sy"),
+            F.col("elev").alias("selev"),
+        ),
+        ["sx", "sy"],
+    )
+    blocked = joined.select(
+        "x", "y",
+        (
+            F.col("s") * F.col("selev")
+            > F.col("s") * F.col("eye")
+            + F.col("i") * (F.col("elev") - F.col("eye"))
+        ).cast("int").alias("blk"),
+    ).groupBy("x", "y").agg(F.sum("blk").alias("n_blockers"))
+    farout = (
+        far.select("x", "y", F.col("s").alias("dist_linf"))
+        .join(blocked, ["x", "y"], "left")
+        .select(
+            "x", "y", "dist_linf",
+            (F.coalesce("n_blockers", F.lit(0)) == 0)
+            .cast("long").alias("visible"),
+            F.coalesce("n_blockers", F.lit(0)).cast("long").alias(
+                "n_blockers"
+            ),
+        )
+    )
+    return near.unionByName(farout)
+
+
+def viewshed_sql(
+    cells_sql: str, ox: int, oy: int, observer_height: int = 2
+) -> str:
+    """DuckDB twin of viewshed."""
+    return f"""
+WITH c AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                  CAST(elev AS BIGINT) AS elev FROM ({cells_sql})),
+obs AS (SELECT elev + {observer_height} AS eye FROM c
+        WHERE x = {ox} AND y = {oy}),
+t AS (
+  SELECT c.x, c.y, c.elev, o.eye, c.x - {ox} AS dx, c.y - {oy} AS dy,
+         greatest(abs(c.x - {ox}), abs(c.y - {oy})) AS s
+  FROM c CROSS JOIN obs o
+),
+near AS (
+  SELECT x, y, s AS dist_linf, CAST(1 AS BIGINT) AS visible,
+         CAST(0 AS BIGINT) AS n_blockers
+  FROM t WHERE s <= 1
+),
+samples AS (
+  SELECT x, y, elev, eye, s,
+         unnest(generate_series(1, s - 1)) AS i, dx, dy
+  FROM t WHERE s > 1
+),
+pts AS (
+  SELECT x, y, elev, eye, s, i,
+         {ox} + (2 * dx * i + s) // (2 * s) AS sx,
+         {oy} + (2 * dy * i + s) // (2 * s) AS sy
+  FROM samples
+),
+blocked AS (
+  SELECT p.x, p.y,
+         CAST(sum(CASE WHEN p.s * g.elev >
+           p.s * p.eye + p.i * (p.elev - p.eye) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_blockers
+  FROM pts p JOIN c g ON g.x = p.sx AND g.y = p.sy
+  GROUP BY p.x, p.y
+)
+SELECT x, y, dist_linf, visible, n_blockers FROM near
+UNION ALL
+SELECT f.x, f.y, f.s AS dist_linf,
+       CAST(CASE WHEN coalesce(b.n_blockers, 0) = 0 THEN 1 ELSE 0 END
+         AS BIGINT) AS visible,
+       coalesce(b.n_blockers, 0) AS n_blockers
+FROM t f LEFT JOIN blocked b ON f.x = b.x AND f.y = b.y
+WHERE f.s > 1
+"""

@@ -7559,3 +7559,65 @@ Q187_SQL = _q187_sql()
 
 QUERIES["q187_cv_folds"] = q187_cv_folds
 ORACLES["q187_cv_folds"] = Q187_SQL
+
+
+def q188_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets (operators/baskets.frequent_triples)
+    over order baskets of part groups — downward-closure candidate
+    pruning, brute-force oracle as the losslessness proof."""
+    from ..operators.baskets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("oid"),
+        (F.col("l_partkey") % 25).alias("item"),
+    )
+    return frequent_triples(li, min_support=12)
+
+
+def _q188_sql() -> str:
+    from ..operators.baskets import frequent_triples_sql
+
+    return frequent_triples_sql(
+        "SELECT l_orderkey AS oid, l_partkey % 25 AS item FROM lineitem",
+        min_support=12,
+    )
+
+
+Q188_SQL = _q188_sql()
+
+QUERIES["q188_frequent_triples"] = q188_frequent_triples
+ORACLES["q188_frequent_triples"] = Q188_SQL
+
+
+def q189_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer viewshed (operators/terrain.viewshed) from the bowl rim
+    of the q181 DEM — integer sight-line sampling + cross-multiplied
+    blocking test, explode/join/agg plan."""
+    from ..operators.terrain import viewshed
+
+    g = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1600)
+    cells = g.select(
+        (F.col("p_partkey") % 40).alias("x"),
+        ((F.col("p_partkey") / 40).cast("long") % 40).alias("y"),
+        (
+            ((F.col("p_partkey") % 40) - 20)
+            * ((F.col("p_partkey") % 40) - 20)
+            + 3
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            * (((F.col("p_partkey") / 40).cast("long") % 40) - 17)
+            + (F.col("p_partkey") * 37) % 11
+        ).alias("elev"),
+    )
+    return viewshed(cells, ox=5, oy=5, observer_height=3)
+
+
+def _q189_sql() -> str:
+    from ..operators.terrain import viewshed_sql
+
+    return viewshed_sql(_Q181_GRID, ox=5, oy=5, observer_height=3)
+
+
+Q189_SQL = _q189_sql()
+
+QUERIES["q189_viewshed"] = q189_viewshed
+ORACLES["q189_viewshed"] = Q189_SQL

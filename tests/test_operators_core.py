@@ -4657,3 +4657,62 @@ def test_rolling_origin_folds_exact_cuts(spark):
     for r in got:
         assert r.train_end_us == us0 + (9 * h * r.fold) // 5
     assert got[-1].test_end_us == us0 + 9 * h + 1
+
+
+def test_frequent_triples_vs_bruteforce(spark):
+    """Apriori pruning is lossless: on random baskets the pruned
+    candidate path must produce EXACTLY the brute-force triple counts;
+    duplicate (basket, item) rows collapse first."""
+    import itertools
+
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.baskets import (
+        frequent_triples,
+    )
+
+    rng = np.random.default_rng(43)
+    rows = []
+    baskets = {}
+    for oid in range(80):
+        items = set(rng.choice(12, size=rng.integers(2, 7),
+                               replace=False).tolist())
+        baskets[oid] = items
+        for it in items:
+            rows.append((oid, int(it)))
+            if rng.random() < 0.2:
+                rows.append((oid, int(it)))  # dup row must not double
+    df = spark.createDataFrame(rows, "oid long, item long")
+    got = {(r.a, r.b, r.c): r.support
+           for r in frequent_triples(df, min_support=4).collect()}
+
+    want = {}
+    for items in baskets.values():
+        for tri in itertools.combinations(sorted(items), 3):
+            want[tri] = want.get(tri, 0) + 1
+    want = {t: s for t, s in want.items() if s >= 4}
+    assert got == want and len(want) > 0
+
+
+def test_viewshed_wall_blocks(spark):
+    """viewshed hand case: flat plain with one wall column between the
+    observer and the far side — cells behind the wall are invisible,
+    cells before it and beside it visible; the observer's own cell and
+    adjacent cells are always visible (s <= 1)."""
+    from instageo_e2e_geospatial_ml_spark.operators.terrain import viewshed
+
+    rows = []
+    for x in range(9):
+        for y in range(3):
+            elev = 100 if x == 4 else 0  # wall at x=4, all y
+            rows.append((x, y, elev))
+    g = spark.createDataFrame(rows, "x long, y long, elev long")
+    got = {(r.x, r.y): (r.visible, r.n_blockers)
+           for r in viewshed(g, ox=0, oy=1, observer_height=2).collect()}
+    assert got[(0, 1)] == (1, 0)          # self
+    assert got[(1, 1)][0] == 1            # adjacent
+    assert got[(3, 1)][0] == 1            # before the wall
+    assert got[(4, 1)][0] == 1            # the wall top itself is seen
+    for x in range(5, 9):
+        assert got[(x, 1)] [0] == 0, x    # shadow behind the wall
+        assert got[(x, 1)][1] >= 1

@@ -556,6 +556,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # k rows only (TakeOrdered does the data-scale work).
         "q185_watershed",
         "q187_cv_folds",
+        "q188_frequent_triples",
+        "q189_viewshed",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
