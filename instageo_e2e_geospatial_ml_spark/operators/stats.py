@@ -2172,3 +2172,93 @@ SELECT CAST(b.band AS BIGINT) AS band, CAST(b.r_sq AS BIGINT) AS r_sq,
 FROM bands b CROSS JOIN nn LEFT JOIN pairs ON TRUE
 GROUP BY b.band, b.r_sq, nn.n
 """
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha_num: int = 10,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk/Angelopoulos): from a
+    calibration set of nonconformity scores, the prediction-set
+    threshold is the k-th SMALLEST score with k = ceil((n+1)·(1−α)) —
+    guaranteeing ≥ 1−α coverage on exchangeable data. α is passed as
+    the exact rational alpha_num/alpha_den so k = ceil((n+1)·(den−num)
+    / den) stays integer: k = ((n+1)·(den−num) + den − 1) div den.
+
+    Output one row: (n, k, q_hat, n_at_or_below) — q_hat the threshold
+    score (int64), n_at_or_below its exact calibration coverage count
+    (ties mean it can exceed k). If k > n (α too small for the sample)
+    q_hat is NULL — the honest "no finite-sample guarantee" signal.
+
+    Scale: NO global sort of raw scores — scores aggregate to (value,
+    count) first, the threshold is selected on the value-distinct table
+    by a running-count window (bounded by score NDV; pre-quantize
+    continuous scores). The selection is count-based, not positional."""
+    s = df.select(F.col(score_col).cast("long").alias("v"))
+    per = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    nn = per.agg(
+        F.sum("c").alias("n")
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # running count over the NDV-sized distinct-value table (documented
+    # bounded-input global window, the q119/q175 contract)
+    ranked = per.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(nn)
+    ).withColumn(
+        "k",
+        F.expr(
+            f"((n + 1) * ({alpha_den} - {alpha_num}) + {alpha_den} - 1)"
+            f" DIV {alpha_den}"
+        ),
+    )
+    hit = (
+        ranked.filter(F.col("cum") >= F.col("k"))
+        .orderBy(F.col("v").asc())
+        .limit(1)
+        .select("n", "k", F.col("v").alias("q_hat"),
+                F.col("cum").alias("n_at_or_below"))
+    )
+    empty_guard = ranked.groupBy("n", "k").agg(
+        F.max("cum").alias("total")
+    ).filter(F.col("k") > F.col("total")).select(
+        "n", "k",
+        F.lit(None).cast("long").alias("q_hat"),
+        F.lit(None).cast("long").alias("n_at_or_below"),
+    )
+    return hit.unionByName(empty_guard)
+
+
+def conformal_threshold_sql(
+    rows_sql: str, score_expr: str,
+    alpha_num: int = 10, alpha_den: int = 100,
+) -> str:
+    """DuckDB twin of conformal_threshold."""
+    return f"""
+WITH s AS (SELECT CAST({score_expr} AS BIGINT) AS v FROM ({rows_sql})),
+per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+ranked AS (
+  SELECT per.v, per.c,
+         CAST(sum(per.c) OVER (ORDER BY per.v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         nn.n,
+         ((nn.n + 1) * ({alpha_den} - {alpha_num}) + {alpha_den} - 1)
+           // {alpha_den} AS k
+  FROM per CROSS JOIN nn
+),
+hit AS (
+  SELECT n, k, v AS q_hat, cum AS n_at_or_below
+  FROM ranked WHERE cum >= k ORDER BY v ASC LIMIT 1
+),
+guard AS (
+  SELECT n, k, CAST(NULL AS BIGINT) AS q_hat,
+         CAST(NULL AS BIGINT) AS n_at_or_below
+  FROM ranked GROUP BY n, k HAVING k > max(cum)
+)
+SELECT * FROM hit UNION ALL SELECT * FROM guard
+"""

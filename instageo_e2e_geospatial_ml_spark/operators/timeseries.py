@@ -871,3 +871,106 @@ SELECT CAST(fold AS BIGINT) AS fold, train_end_us, test_end_us,
        n_train, n_test
 FROM ({union})
 """
+
+
+def motif_signatures(
+    events: DataFrame,
+    m: int = 5,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Repeated-shape (motif) mining, matrix-profile-lite: every length-m
+    window of a key's value series is reduced to its DELTA-SIGN
+    signature — 'u'p/'d'own/'f'lat per consecutive step — and equal
+    signatures are counted. Recurring signatures expose periodic or
+    templated behavior (retry storms, daily ramps, flatlined sensors)
+    without any float distance: sign(Δ) of IEEE doubles is
+    engine-exact, and the signature is a pure string key.
+
+    Output per (key, sig): n occurrences, first_start_us of the
+    earliest occurrence, rnk by (n DESC, sig ASC) within key.
+
+    Plan: m−1 LEAD columns over ONE per-key (ts, id) window order (a
+    single sort), signature = concat of sign cases, then one aggregate
+    — per-key history is the parallelism unit, the sessionization
+    contract."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col).alias("k"),
+        tus.alias("tus"),
+        F.col(id_col).alias("eid"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("tus", "eid")
+    cols = [F.col("v")] + [
+        F.lead("v", i).over(w).alias(f"v{i}") for i in range(1, m)
+    ]
+    led = base.select("k", "tus", *cols)
+    sigs = []
+    prev = F.col("v")
+    for i in range(1, m):
+        cur = F.col(f"v{i}")
+        sigs.append(
+            F.when(cur > prev, F.lit("u"))
+            .when(cur < prev, F.lit("d"))
+            .otherwise(F.lit("f"))
+        )
+        prev = cur
+    sig = F.concat(*sigs)
+    full = led.filter(F.col(f"v{m-1}").isNotNull()).select(
+        "k", "tus", sig.alias("sig")
+    )
+    agg = full.groupBy("k", "sig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tus").alias("first_start_us"),
+    )
+    wr = Window.partitionBy("k").orderBy(
+        F.col("n").desc(), F.col("sig").asc()
+    )
+    return agg.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    )
+
+
+def motif_signatures_sql(
+    events_sql: str, m: int = 5
+) -> str:
+    """DuckDB twin of motif_signatures."""
+    leads = ",\n         ".join(
+        f"lead(v, {i}) OVER w AS v{i}" for i in range(1, m)
+    )
+    cases = []
+    prev = "v"
+    for i in range(1, m):
+        cases.append(
+            f"CASE WHEN v{i} > {prev} THEN 'u'"
+            f" WHEN v{i} < {prev} THEN 'd' ELSE 'f' END"
+        )
+        prev = f"v{i}"
+    sig = " || ".join(cases)
+    return f"""
+WITH base AS (
+  SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS eid, value AS v
+  FROM ({events_sql})
+),
+led AS (
+  SELECT k, tus, v, {leads}
+  FROM base
+  WINDOW w AS (PARTITION BY k ORDER BY tus, eid)
+),
+sigs AS (
+  SELECT k, tus, {sig} AS sig FROM led WHERE v{m-1} IS NOT NULL
+),
+agg AS (
+  SELECT k, sig, CAST(count(*) AS BIGINT) AS n,
+         min(tus) AS first_start_us
+  FROM sigs GROUP BY 1, 2
+)
+SELECT k, sig, n, first_start_us,
+       CAST(row_number() OVER (PARTITION BY k
+         ORDER BY n DESC, sig ASC) AS BIGINT) AS rnk
+FROM agg
+"""

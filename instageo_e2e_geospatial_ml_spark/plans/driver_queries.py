@@ -7621,3 +7621,58 @@ Q189_SQL = _q189_sql()
 
 QUERIES["q189_viewshed"] = q189_viewshed
 ORACLES["q189_viewshed"] = Q189_SQL
+
+
+def q190_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration threshold (operators/stats.
+    conformal_threshold) at α = 1/10 over integer-cent order scores —
+    count-based k-th-smallest selection on the distinct-value table,
+    no global sort of raw rows."""
+    from ..operators.stats import conformal_threshold
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 10000)
+        .alias("score")
+    )
+    return conformal_threshold(o, "score", alpha_num=10, alpha_den=100)
+
+
+def _q190_sql() -> str:
+    from ..operators.stats import conformal_threshold_sql
+
+    return conformal_threshold_sql(
+        "SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 10000"
+        " AS score FROM orders",
+        "score",
+        alpha_num=10,
+        alpha_den=100,
+    )
+
+
+Q190_SQL = _q190_sql()
+
+QUERIES["q190_conformal"] = q190_conformal
+ORACLES["q190_conformal"] = Q190_SQL
+
+
+def q191_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif mining (operators/timeseries.motif_signatures): length-5
+    delta-sign window signatures per event type — recurring shapes
+    counted and ranked, one per-key sort."""
+    from ..operators.timeseries import motif_signatures
+
+    return motif_signatures(_t(spark, sf_dir, "events"), m=5)
+
+
+def _q191_sql() -> str:
+    from ..operators.timeseries import motif_signatures_sql
+
+    return motif_signatures_sql(
+        "SELECT event_type, event_id, ts, value FROM events", m=5
+    )
+
+
+Q191_SQL = _q191_sql()
+
+QUERIES["q191_motifs"] = q191_motifs
+ORACLES["q191_motifs"] = Q191_SQL

@@ -4716,3 +4716,57 @@ def test_viewshed_wall_blocks(spark):
     for x in range(5, 9):
         assert got[(x, 1)] [0] == 0, x    # shadow behind the wall
         assert got[(x, 1)][1] >= 1
+
+
+def test_conformal_threshold_exact_rank(spark):
+    """conformal_threshold: n=9, alpha=1/10 -> k = ceil(10*0.9) = 9 ->
+    q_hat = 9th smallest; ties roll the coverage count past k; k > n
+    yields the NULL guard row."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        conformal_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 1, 3, 3, 7, 2, 9, 4, 6]], "s long"
+    )
+    r = conformal_threshold(df, "s", 10, 100).collect()
+    assert len(r) == 1
+    assert (r[0].n, r[0].k, r[0].q_hat, r[0].n_at_or_below) == (9, 9, 9, 9)
+
+    # heavy ties: scores all equal -> q_hat is that value, coverage n
+    df2 = spark.createDataFrame([(4,)] * 9, "s long")
+    r2 = conformal_threshold(df2, "s", 10, 100).collect()[0]
+    assert (r2.q_hat, r2.n_at_or_below) == (4, 9)
+
+    # alpha = 1/100 with n=9 -> k = ceil(10*0.99) = 10 > 9 -> guard row
+    r3 = conformal_threshold(df, "s", 1, 100).collect()
+    assert len(r3) == 1 and r3[0].q_hat is None and r3[0].k == 10
+
+
+def test_motif_signatures_hand_series(spark):
+    """motif_signatures: an up-down sawtooth of period 2 yields exactly
+    the two alternating length-5 signatures; flats map to 'f'."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        motif_signatures,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    vals = [1.0, 2.0] * 6  # u d u d ...
+    rows = [(i, (t0 + pd.Timedelta(minutes=i)).to_pydatetime(), "a", v)
+            for i, v in enumerate(vals)]
+    rows += [(100 + i, (t0 + pd.Timedelta(minutes=i)).to_pydatetime(),
+              "b", 5.0) for i in range(6)]  # constant -> all 'f'
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    got = {(r.k, r.sig): (r.n, r.rnk)
+           for r in motif_signatures(ev, m=5).collect()}
+    # 12 points -> 8 windows alternating udud / dudu, 4 each; the
+    # (n DESC, sig ASC) tie-break puts 'dudu' first ('d' < 'u')
+    assert got[("a", "dudu")] == (4, 1)
+    assert got[("a", "udud")] == (4, 2)
+    assert got[("b", "ffff")] == (2, 1)   # 6 points -> 2 windows
+    assert set(got) <= {("a", "udud"), ("a", "dudu"), ("b", "ffff")}

@@ -558,6 +558,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q187_cv_folds",
         "q188_frequent_triples",
         "q189_viewshed",
+        # q190_conformal excluded: running count over the score-NDV
+        # distinct-value table (documented bounded-input contract).
+        "q191_motifs",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
