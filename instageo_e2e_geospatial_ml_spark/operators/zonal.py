@@ -187,3 +187,119 @@ def spectral_index_timeseries(
         F.round(F.col("min_q") / F.lit(scale), 6).alias("min_index"),
         F.round(F.col("max_q") / F.lit(scale), 6).alias("max_index"),
     )
+
+
+def polygonize_regions(
+    cells: DataFrame,
+    value_col: str = "v",
+    coord_bits: int = 20,
+) -> DataFrame:
+    """Raster polygonization (gdal_polygonize): group 4-connected runs
+    of EQUAL-valued cells into regions and report their vector summary —
+    (region_id, v, n_cells, min_x, min_y, max_x, max_y, perimeter).
+    region_id = the region's minimum linear cell id (x·2^bits + y, the
+    canonical-keeper rule dedup_clusters already uses); perimeter =
+    boundary edge count (neighbor missing or different-valued), the
+    exact polygon perimeter in cell-edge units.
+
+    Plan: equal-value 4-adjacency edges from two shifted equi-joins
+    (E and S — each undirected edge built once), connected components
+    via operators/dedup.dedup_clusters (hash-to-min + pointer jumping,
+    O(log diameter) rounds), isolated cells label themselves, one
+    aggregate per region. The perimeter needs no extra pass: it is
+    4·n_cells − 2·(internal edge count), counted per region from the
+    same edge table."""
+    from .dedup import dedup_clusters
+
+    c = cells.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    nid = (F.col("x") * F.lit(1 << coord_bits) + F.col("y"))
+    cn = c.withColumn("nid", nid)
+    edges = None
+    for dx, dy in ((1, 0), (0, 1)):
+        e = (
+            cn.alias("a")
+            .join(
+                cn.select(
+                    (F.col("x") - dx).alias("x"),
+                    (F.col("y") - dy).alias("y"),
+                    F.col("v").alias("v2"),
+                    F.col("nid").alias("nid2"),
+                ).alias("b"),
+                ["x", "y"],
+            )
+            .filter(F.col("v") == F.col("v2"))
+            .select(F.col("nid").alias("doc_a"), F.col("nid2").alias("doc_b"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    labels = dedup_clusters(edges)
+    lab = cn.join(
+        labels.withColumnRenamed("doc_id", "nid"), "nid", "left"
+    ).select(
+        "x", "y", "v", "nid",
+        F.coalesce("cluster_id", F.col("nid")).alias("region_id"),
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("nid"))
+        .unionByName(edges.select(F.col("doc_b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("eq_nbrs"))
+    )
+    per_cell = lab.join(deg, "nid", "left").select(
+        "region_id", "v", "x", "y",
+        (F.lit(4) - F.coalesce("eq_nbrs", F.lit(0))).alias("boundary"),
+    )
+    return per_cell.groupBy("region_id", "v").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("x").alias("min_x"),
+        F.min("y").alias("min_y"),
+        F.max("x").alias("max_x"),
+        F.max("y").alias("max_y"),
+        F.sum("boundary").alias("perimeter"),
+    )
+
+
+def polygonize_regions_sql(
+    cells_sql: str, coord_bits: int = 20
+) -> str:
+    """DuckDB twin of polygonize_regions (recursive-CTE components —
+    the q32 oracle pattern)."""
+    m = 1 << coord_bits
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         CAST(v AS BIGINT) AS v,
+         CAST(x AS BIGINT) * {m} + CAST(y AS BIGINT) AS nid
+  FROM ({cells_sql})
+),
+pairs AS (
+  SELECT a.nid AS u, b.nid AS w FROM c a
+  JOIN c b ON (b.x = a.x + 1 AND b.y = a.y)
+           OR (b.x = a.x AND b.y = a.y + 1)
+  WHERE a.v = b.v
+),
+e AS (SELECT u, w FROM pairs UNION ALL SELECT w, u FROM pairs),
+walk(u, lbl) AS (
+  SELECT DISTINCT u, u AS lbl FROM e
+  UNION
+  SELECT e.u, w2.lbl FROM e JOIN walk w2 ON w2.u = e.w
+),
+labels AS (SELECT u AS nid, min(lbl) AS region_id FROM walk GROUP BY u),
+deg AS (
+  SELECT u AS nid, CAST(count(*) AS BIGINT) AS eq_nbrs FROM e GROUP BY u
+),
+per_cell AS (
+  SELECT coalesce(l.region_id, c.nid) AS region_id, c.v, c.x, c.y,
+         4 - coalesce(d.eq_nbrs, 0) AS boundary
+  FROM c LEFT JOIN labels l ON c.nid = l.nid
+  LEFT JOIN deg d ON c.nid = d.nid
+)
+SELECT region_id, v, CAST(count(*) AS BIGINT) AS n_cells,
+       min(x) AS min_x, min(y) AS min_y,
+       max(x) AS max_x, max(y) AS max_y,
+       CAST(sum(boundary) AS BIGINT) AS perimeter
+FROM per_cell GROUP BY 1, 2
+"""

@@ -7676,3 +7676,100 @@ Q191_SQL = _q191_sql()
 
 QUERIES["q191_motifs"] = q191_motifs
 ORACLES["q191_motifs"] = Q191_SQL
+
+
+def q192_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster polygonization (operators/zonal.polygonize_regions):
+    4-connected equal-value regions of the banded q181 DEM (elev DIV
+    100) — components by pointer jumping, exact cell-edge perimeters."""
+    from ..operators.zonal import polygonize_regions
+
+    g = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1600)
+    cells = g.select(
+        (F.col("p_partkey") % 40).alias("x"),
+        ((F.col("p_partkey") / 40).cast("long") % 40).alias("y"),
+        F.expr(
+            "(((p_partkey % 40) - 20) * ((p_partkey % 40) - 20)"
+            " + 3 * (((p_partkey DIV 40) % 40) - 17)"
+            "     * (((p_partkey DIV 40) % 40) - 17)"
+            " + (p_partkey * 37) % 11) DIV 100"
+        ).alias("v"),
+    )
+    return polygonize_regions(cells)
+
+
+def _q192_sql() -> str:
+    from ..operators.zonal import polygonize_regions_sql
+
+    return polygonize_regions_sql(
+        f"SELECT x, y, elev // 100 AS v FROM ({_Q181_GRID})"
+    )
+
+
+Q192_SQL = _q192_sql()
+
+QUERIES["q192_polygonize"] = q192_polygonize
+ORACLES["q192_polygonize"] = Q192_SQL
+
+
+def q193_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Shapefile ingest (sources/shapefile.py): each task
+    WRITES a real .shp + .dbf for its rows, parses both back, joins
+    geometry to attributes by record order, and emits quarter-unit
+    quantized coordinates — the oracle is the closed form of the
+    synthesized points, so hash parity proves the byte round-trip."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("pid"))
+        .repartition(8)
+    )
+
+    def roundtrip(it):
+        from ..sources.shapefile import (
+            read_dbf, read_shp, write_dbf, write_shp,
+        )
+
+        for pdf in it:
+            pids = [int(v) for v in pdf["pid"]]
+            if not pids:
+                continue
+            shapes = [
+                ("point", ((p * 13) % 1000 + 0.25, (p * 29) % 500 + 0.5))
+                for p in pids
+            ]
+            shp = write_shp(shapes)
+            dbf = write_dbf(
+                [("ID", "N", 10), ("NAME", "C", 12)],
+                [(p, f"p{p}") for p in pids],
+            )
+            geo = read_shp(shp)
+            _, attrs = read_dbf(dbf)
+            rows = []
+            for (rec_no, kind, pts, _parts), (pid, name) in zip(
+                geo, attrs
+            ):
+                (x, y) = pts[0]
+                rows.append(
+                    (pid, name, int(x * 4), int(y * 4))
+                )
+            yield pd.DataFrame(
+                rows, columns=["pid", "name", "x_q4", "y_q4"]
+            )
+
+    return ids.mapInPandas(
+        roundtrip, "pid long, name string, x_q4 long, y_q4 long"
+    )
+
+
+Q193_SQL = """
+SELECT p_partkey AS pid, 'p' || CAST(p_partkey AS VARCHAR) AS name,
+       ((p_partkey * 13) % 1000) * 4 + 1 AS x_q4,
+       ((p_partkey * 29) % 500) * 4 + 2 AS y_q4
+FROM part WHERE p_partkey % 5 = 0
+"""
+
+QUERIES["q193_shapefile_ingest"] = q193_shapefile_ingest
+ORACLES["q193_shapefile_ingest"] = Q193_SQL

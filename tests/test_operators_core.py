@@ -4770,3 +4770,34 @@ def test_motif_signatures_hand_series(spark):
     assert got[("a", "udud")] == (4, 2)
     assert got[("b", "ffff")] == (2, 1)   # 6 points -> 2 windows
     assert set(got) <= {("a", "udud"), ("a", "dudu"), ("b", "ffff")}
+
+
+def test_polygonize_regions_hand_grid(spark):
+    """polygonize_regions on a 4x3 grid with an L-shaped region of 1s in
+    a field of 0s plus one isolated diagonal cell (diagonals do NOT
+    connect in 4-adjacency): region membership, canonical min-id labels,
+    and exact cell-edge perimeters."""
+    from instageo_e2e_geospatial_ml_spark.operators.zonal import (
+        polygonize_regions,
+    )
+
+    # grid (x: 0..3, y: 0..2); 1s at (0,0),(0,1),(1,1); another 1 at
+    # (2,2) touching (1,1) only diagonally -> separate region
+    ones = {(0, 0), (0, 1), (1, 1), (2, 2)}
+    rows = [(x, y, 1 if (x, y) in ones else 0)
+            for x in range(4) for y in range(3)]
+    g = spark.createDataFrame(rows, "x long, y long, v long")
+    got = {(r.region_id, r.v): (r.n_cells, r.min_x, r.min_y, r.max_x,
+                                r.max_y, r.perimeter)
+           for r in polygonize_regions(g).collect()}
+    m = 1 << 20
+    lid = lambda x, y: x * m + y
+    # L region: min id = (0,0); 3 cells; perimeter 8
+    assert got[(lid(0, 0), 1)] == (3, 0, 0, 1, 1, 8)
+    # isolated diagonal cell: own region, perimeter 4
+    assert got[(lid(2, 2), 1)] == (1, 2, 2, 2, 2, 4)
+    # background 0s split into TWO regions: the L and the diagonal cell
+    # cut {(0,2),(1,2)} off from the other six zeros
+    assert got[(lid(0, 2), 0)][0] == 2
+    assert got[(lid(1, 0), 0)][0] == 6
+    assert len(got) == 4
