@@ -483,3 +483,167 @@ SELECT tid, CAST(sum(({scale} * val * ov) // sa) AS BIGINT)
        CAST(count(*) AS BIGINT) AS n_src
 FROM pairs GROUP BY tid
 """
+
+
+def rings_to_wkt(
+    vertices: DataFrame,
+    poly_col: str = "poly_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Vertex table → OGC WKT 'POLYGON ((x y, ...))' per polygon — the
+    text interchange every GIS tool reads. The ring is emitted in seq
+    order and explicitly CLOSED (first vertex re-appended when the
+    input ring is open), per the OGC simple-features spec. Integer
+    coordinates keep the string a pure function of the input.
+
+    Plan: one per-polygon sorted collect (the sessionization unit-of-
+    parallelism contract) + string concat — no windows, no Python."""
+    v = vertices.select(
+        F.col(poly_col).alias("poly_id"),
+        F.col(seq_col).alias("seq"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = v.groupBy("poly_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seq", "x", "y"))
+        ).alias("ring")
+    )
+    pt = lambda s: F.concat_ws(
+        " ", s["x"].cast("string"), s["y"].cast("string")
+    )
+    first = F.element_at(F.col("ring"), 1)
+    last = F.element_at(F.col("ring"), -1)
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    body = F.array_join(
+        F.transform(F.col("ring"), pt), ", "
+    )
+    body_closed = F.when(closed, body).otherwise(
+        F.concat(body, F.lit(", "), pt(first))
+    )
+    return agg.select(
+        "poly_id",
+        F.concat(
+            F.lit("POLYGON (("), body_closed, F.lit("))")
+        ).alias("wkt"),
+        F.size("ring").cast("long").alias("n_src_pts"),
+    )
+
+
+def rings_to_wkt_sql(vertices_sql: str) -> str:
+    """DuckDB twin of rings_to_wkt."""
+    return f"""
+WITH v AS (
+  SELECT poly_id, seq, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({vertices_sql})
+),
+agg AS (
+  SELECT poly_id,
+    string_agg(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR),
+               ', ' ORDER BY seq) AS body,
+    CAST(count(*) AS BIGINT) AS n_src_pts,
+    min_by(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR), seq)
+      AS first_pt,
+    max_by(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR), seq)
+      AS last_pt
+  FROM v GROUP BY poly_id
+)
+SELECT poly_id,
+  'POLYGON ((' ||
+  CASE WHEN first_pt = last_pt THEN body
+       ELSE body || ', ' || first_pt END
+  || '))' AS wkt,
+  n_src_pts
+FROM agg
+"""
+
+
+def wkt_to_metrics(
+    wkts: DataFrame,
+    poly_col: str = "poly_id",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """WKT 'POLYGON ((...))' → parsed metrics (poly_id, n_pts, area2,
+    min_x, max_y bbox corners) — the ingest direction, all JVM regex +
+    higher-order array functions: coordinate pairs come from
+    regexp_extract_all('(-?\\d+) (-?\\d+)'), the shoelace runs over the
+    parsed array with aggregate() — integer-exact end to end, no UDF.
+
+    Together with rings_to_wkt this pins the emit/parse round-trip in
+    one engine-exact query (q194)."""
+    pairs = F.expr(
+        f"regexp_extract_all({wkt_col}, '(-?\\\\d+) (-?\\\\d+)', 0)"
+    )
+    parsed = wkts.select(
+        F.col(poly_col).alias("poly_id"),
+        F.transform(
+            pairs,
+            lambda s: F.struct(
+                F.split(s, " ")[0].cast("long").alias("x"),
+                F.split(s, " ")[1].cast("long").alias("y"),
+            ),
+        ).alias("pts"),
+    )
+    n = F.size("pts")
+    idx = F.sequence(F.lit(1), n - 1)
+    shoe = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            F.element_at(F.col("pts"), i)["x"]
+            * F.element_at(F.col("pts"), i + 1)["y"]
+            - F.element_at(F.col("pts"), i + 1)["x"]
+            * F.element_at(F.col("pts"), i)["y"]
+        ),
+    )
+    xs = F.transform(F.col("pts"), lambda s: s["x"])
+    ys = F.transform(F.col("pts"), lambda s: s["y"])
+    return parsed.select(
+        "poly_id",
+        n.cast("long").alias("n_pts"),
+        shoe.alias("area2"),
+        F.array_min(xs).alias("min_x"),
+        F.array_max(xs).alias("max_x"),
+        F.array_min(ys).alias("min_y"),
+        F.array_max(ys).alias("max_y"),
+    )
+
+
+def wkt_to_metrics_sql(wkts_sql: str) -> str:
+    """DuckDB twin of wkt_to_metrics (two-step generate_series for
+    per-element position — the engine's standard ordinality pattern)."""
+    return f"""
+WITH parsed AS (
+  SELECT poly_id,
+         regexp_extract_all(wkt, '(-?\\d+) (-?\\d+)') AS prs
+  FROM ({wkts_sql})
+),
+pos AS (
+  SELECT poly_id, prs, unnest(generate_series(1, len(prs))) AS i
+  FROM parsed
+),
+pts AS (
+  SELECT poly_id, i,
+         CAST(string_split(prs[i], ' ')[1] AS BIGINT) AS x,
+         CAST(string_split(prs[i], ' ')[2] AS BIGINT) AS y,
+         len(prs) AS n
+  FROM pos
+),
+shoe AS (
+  SELECT a.poly_id, a.n,
+         CAST(sum(a.x * b.y - b.x * a.y) AS BIGINT) AS area2
+  FROM pts a JOIN pts b ON a.poly_id = b.poly_id AND b.i = a.i + 1
+  GROUP BY a.poly_id, a.n
+),
+box AS (
+  SELECT poly_id, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM pts GROUP BY poly_id
+)
+SELECT s.poly_id, CAST(s.n AS BIGINT) AS n_pts, s.area2,
+       b.min_x, b.max_x, b.min_y, b.max_y
+FROM shoe s JOIN box b ON s.poly_id = b.poly_id
+"""

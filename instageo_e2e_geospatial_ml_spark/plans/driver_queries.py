@@ -7773,3 +7773,49 @@ FROM part WHERE p_partkey % 5 = 0
 
 QUERIES["q193_shapefile_ingest"] = q193_shapefile_ingest
 ORACLES["q193_shapefile_ingest"] = Q193_SQL
+
+
+_Q194_VERTS = (
+    "SELECT p_partkey % 200 AS poly_id, (p_partkey // 200) % 10 AS seq, "
+    "(p_partkey * 17) % 500 AS x, (p_partkey * 23) % 400 AS y "
+    "FROM part WHERE p_partkey < 2000"
+)
+
+
+def q194_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT emit → parse round-trip (operators/geometry.rings_to_wkt +
+    wkt_to_metrics): synthetic integer rings serialized to OGC POLYGON
+    text, re-parsed with JVM regex + higher-order shoelace — exact
+    end-to-end, oracle runs the identical two stages in SQL."""
+    from ..operators.geometry import rings_to_wkt, wkt_to_metrics
+
+    verts = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 2000
+    ).select(
+        (F.col("p_partkey") % 200).alias("poly_id"),
+        ((F.col("p_partkey") / 200).cast("long") % 10).alias("seq"),
+        ((F.col("p_partkey") * 17) % 500).alias("x"),
+        ((F.col("p_partkey") * 23) % 400).alias("y"),
+    )
+    wkt = rings_to_wkt(verts)
+    m = wkt_to_metrics(wkt)
+    return m.join(
+        wkt.select("poly_id", F.md5("wkt").alias("wkt_md5")), "poly_id"
+    )
+
+
+def _q194_sql() -> str:
+    from ..operators.geometry import rings_to_wkt_sql, wkt_to_metrics_sql
+
+    wkt = rings_to_wkt_sql(_Q194_VERTS)
+    metrics = wkt_to_metrics_sql(f"SELECT poly_id, wkt FROM ({wkt})")
+    return f"""
+SELECT m.*, md5(w.wkt) AS wkt_md5
+FROM ({metrics}) m JOIN ({wkt}) w ON m.poly_id = w.poly_id
+"""
+
+
+Q194_SQL = _q194_sql()
+
+QUERIES["q194_wkt_roundtrip"] = q194_wkt_roundtrip
+ORACLES["q194_wkt_roundtrip"] = Q194_SQL

@@ -4801,3 +4801,31 @@ def test_polygonize_regions_hand_grid(spark):
     assert got[(lid(0, 2), 0)][0] == 2
     assert got[(lid(1, 0), 0)][0] == 6
     assert len(got) == 4
+
+
+def test_wkt_emit_parse_known_square(spark):
+    """rings_to_wkt closes an open ring per OGC; wkt_to_metrics recovers
+    vertex count, shoelace area (CCW positive), and bbox from the text —
+    unit square area2 = 2·area = 2·(10·10) = 200."""
+    from instageo_e2e_geospatial_ml_spark.operators.geometry import (
+        rings_to_wkt, wkt_to_metrics,
+    )
+
+    verts = spark.createDataFrame(
+        [(1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 10, 10), (1, 3, 0, 10)],
+        "poly_id long, seq long, x long, y long",
+    )
+    w = rings_to_wkt(verts).collect()[0]
+    assert w.wkt == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    m = wkt_to_metrics(
+        spark.createDataFrame([(1, w.wkt)], "poly_id long, wkt string")
+    ).collect()[0]
+    assert m.n_pts == 5 and m.area2 == 200
+    assert (m.min_x, m.max_x, m.min_y, m.max_y) == (0, 10, 0, 10)
+    # already-closed input is not double-closed
+    closed = spark.createDataFrame(
+        [(2, 0, 0, 0), (2, 1, 5, 0), (2, 2, 0, 5), (2, 3, 0, 0)],
+        "poly_id long, seq long, x long, y long",
+    )
+    w2 = rings_to_wkt(closed).collect()[0]
+    assert w2.wkt == "POLYGON ((0 0, 5 0, 0 5, 0 0))"

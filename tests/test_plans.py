@@ -560,7 +560,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q189_viewshed",
         # q190_conformal excluded: running count over the score-NDV
         # distinct-value table (documented bounded-input contract).
+        # q193 excluded: mapInPandas shapefile kernel (Python IS the op).
         "q191_motifs",
+        "q192_polygonize",
+        "q194_wkt_roundtrip",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
