@@ -679,3 +679,64 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_quality_estimate(buf: bytes) -> tuple[int, int, int]:
+    """Estimate the IJG encode quality of a baseline/progressive JPEG
+    from its luminance DQT — the curation signal for filtering
+    recompressed/low-quality imagery. Returns (sum_ts, s_est, q_est):
+    sum_ts = Σ of the 64 stored luminance quant values, s_est the
+    rounded scale 100·sum_ts/ΣAnnexK, and
+
+        q_est = (200 − s_est + 1) div 2   if s_est ≤ 100  (q ≥ 50)
+                (5000 + s_est div 2) div s_est   otherwise
+
+    — the integer inverse of _quality_tables' scaling (exact on the
+    5-step grid 30..95; clipping at 1/255 makes extreme qualities
+    approximate, as for every quality estimator). All-integer: the
+    q195 oracle reproduces the identical arithmetic from the known
+    Annex K base values."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    ts = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                size = 129 if pq else 65
+                if tq == 0 and ts is None:
+                    if pq:
+                        z = np.frombuffer(
+                            seg[sp + 1 : sp + 129], dtype=">u2"
+                        ).astype(np.int64)
+                    else:
+                        z = np.frombuffer(
+                            seg[sp + 1 : sp + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                    ts = int(z.sum())
+                sp += size
+        pos += 2 + seglen
+    if ts is None:
+        raise ValueError("no luminance DQT found")
+    sum_tb = int(QT_LUM.sum())
+    s_est = (200 * ts + sum_tb) // (2 * sum_tb)
+    if s_est <= 100:
+        q_est = (200 - s_est + 1) // 2
+    else:
+        q_est = (5000 + s_est // 2) // s_est
+    return ts, s_est, q_est

@@ -2262,3 +2262,81 @@ guard AS (
 )
 SELECT * FROM hit UNION ALL SELECT * FROM guard
 """
+
+
+def diff_in_differences(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_int_col: str,
+) -> DataFrame:
+    """2×2 difference-in-differences — the standard quasi-experimental
+    effect estimate (did = (treated:post − treated:pre) − (control:post
+    − control:pre)) over pre-quantized integer outcomes. One row out:
+    per-cell exact (sum, n), per-cell mean_ppm = (1e6·sum) div n (the
+    defined quantization), and did_ppm combined from the quantized
+    means — a pure integer function of the input.
+
+    Scale: ONE conditional aggregate (8 partial counters, map-side
+    combined); no shuffle beyond the single-row agg."""
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    v = F.col(value_int_col).cast("long")
+    cells = {}
+    for ti in (0, 1):
+        for pi in (0, 1):
+            tag = f"{'t' if ti else 'c'}{'p' if pi else 'r'}"
+            cond = (t == ti) & (p == pi)
+            cells[f"s_{tag}"] = F.sum(
+                F.when(cond, v).otherwise(0)
+            ).alias(f"s_{tag}")
+            cells[f"n_{tag}"] = F.sum(
+                F.when(cond, 1).otherwise(0)
+            ).alias(f"n_{tag}")
+    agg = df.agg(*cells.values())
+    m = lambda tag: F.expr(
+        f"CASE WHEN n_{tag} = 0 THEN NULL"
+        f" ELSE (1000000 * s_{tag}) DIV n_{tag} END"
+    )
+    return agg.select(
+        *[F.col(c).cast("long").alias(c) for c in cells],
+        m("tr").alias("mean_tr_ppm"),
+        m("tp").alias("mean_tp_ppm"),
+        m("cr").alias("mean_cr_ppm"),
+        m("cp").alias("mean_cp_ppm"),
+        (
+            (m("tp") - m("tr")) - (m("cp") - m("cr"))
+        ).alias("did_ppm"),
+    )
+
+
+def diff_in_differences_sql(
+    rows_sql: str, treated_expr: str, post_expr: str, value_expr: str
+) -> str:
+    """DuckDB twin of diff_in_differences."""
+    cells = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            tag = f"{'t' if ti else 'c'}{'p' if pi else 'r'}"
+            cond = f"({treated_expr}) = {ti} AND ({post_expr}) = {pi}"
+            cells.append(
+                f"CAST(sum(CASE WHEN {cond} THEN ({value_expr})"
+                f" ELSE 0 END) AS BIGINT) AS s_{tag}"
+            )
+            cells.append(
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{tag}"
+            )
+    sel = ",\n  ".join(cells)
+    m = lambda tag: (
+        f"(CASE WHEN n_{tag} = 0 THEN NULL"
+        f" ELSE (1000000 * s_{tag}) // n_{tag} END)"
+    )
+    return f"""
+WITH agg AS (SELECT {sel} FROM ({rows_sql}))
+SELECT *,
+  {m('tr')} AS mean_tr_ppm, {m('tp')} AS mean_tp_ppm,
+  {m('cr')} AS mean_cr_ppm, {m('cp')} AS mean_cp_ppm,
+  ({m('tp')} - {m('tr')}) - ({m('cp')} - {m('cr')}) AS did_ppm
+FROM agg
+"""

@@ -7819,3 +7819,120 @@ Q194_SQL = _q194_sql()
 
 QUERIES["q194_wkt_roundtrip"] = q194_wkt_roundtrip
 ORACLES["q194_wkt_roundtrip"] = Q194_SQL
+
+
+_ANNEX_K_LUM = (
+    "16,11,10,16,24,40,51,61,12,12,14,19,26,58,60,55,14,13,16,24,40,57,"
+    "69,56,14,17,22,29,51,87,80,62,18,22,37,56,68,109,103,77,24,35,55,"
+    "64,81,104,113,92,49,64,78,87,103,121,120,101,72,92,95,98,112,100,"
+    "103,99"
+)
+
+
+def q195_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quality estimation (jpeg.jpeg_quality_estimate): encode a
+    REAL baseline JPEG per key at quality 30..95, then estimate the
+    quality back from the file's own DQT bytes — the low-quality-image
+    curation filter. Oracle reproduces the IJG scaling + inverse from
+    the Annex K literals, so hash parity proves the DQT byte walk."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(F.col("p_partkey").alias("pid"))
+        .repartition(8)
+    )
+
+    def est(it):
+        import numpy as np
+
+        from ..jpeg import jpeg_encode, jpeg_quality_estimate
+
+        img = np.full((16, 16), 128, np.uint8)
+        for pdf in it:
+            rows = []
+            for pid in pdf["pid"]:
+                i = int(pid)
+                q = 30 + (i % 14) * 5
+                ts, s_est, q_est = jpeg_quality_estimate(
+                    jpeg_encode(img, q)
+                )
+                rows.append((i, q, ts, s_est, q_est))
+            yield pd.DataFrame(
+                rows,
+                columns=["pid", "q_in", "sum_ts", "s_est", "q_est"],
+            )
+
+    return ids.mapInPandas(
+        est, "pid long, q_in long, sum_ts long, s_est long, q_est long"
+    )
+
+
+Q195_SQL = f"""
+WITH ids AS (
+  SELECT p_partkey AS pid, 30 + (p_partkey % 14) * 5 AS q_in
+  FROM part WHERE p_partkey % 7 = 0
+),
+tb AS (SELECT unnest([{_ANNEX_K_LUM}]) AS v),
+scaled AS (
+  SELECT i.pid, i.q_in,
+         CASE WHEN i.q_in < 50 THEN 5000 // i.q_in
+              ELSE 200 - 2 * i.q_in END AS s
+  FROM ids i
+),
+ts AS (
+  SELECT s.pid, s.q_in,
+         CAST(sum(least(greatest((t.v * s.s + 50) // 100, 1), 255))
+           AS BIGINT) AS sum_ts
+  FROM scaled s CROSS JOIN tb t
+  GROUP BY s.pid, s.q_in
+)
+SELECT pid, CAST(q_in AS BIGINT) AS q_in, sum_ts,
+       (200 * sum_ts + 3688) // (2 * 3688) AS s_est,
+       CASE WHEN (200 * sum_ts + 3688) // (2 * 3688) <= 100
+            THEN (200 - (200 * sum_ts + 3688) // (2 * 3688) + 1) // 2
+            ELSE (5000 + ((200 * sum_ts + 3688) // (2 * 3688)) // 2)
+                 // ((200 * sum_ts + 3688) // (2 * 3688)) END AS q_est
+FROM ts
+"""
+
+QUERIES["q195_jpeg_quality"] = q195_jpeg_quality
+ORACLES["q195_jpeg_quality"] = Q195_SQL
+
+
+def q196_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-in-differences (operators/stats.diff_in_differences): odd
+    users 'treated', events after the median-ish cutoff 'post', outcome
+    = value quantized ×10000 — one conditional aggregate, exact ppm."""
+    from ..operators.stats import diff_in_differences
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            >= F.lit(1705363200000000)
+        ).cast("int").alias("post"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v"),
+    )
+    return diff_in_differences(ev, "treated", "post", "v")
+
+
+def _q196_sql() -> str:
+    from ..operators.stats import diff_in_differences_sql
+
+    return diff_in_differences_sql(
+        "SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated, "
+        "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= 1705363200000000 "
+        "THEN 1 ELSE 0 END AS post, "
+        "CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v FROM events",
+        "treated",
+        "post",
+        "v",
+    )
+
+
+Q196_SQL = _q196_sql()
+
+QUERIES["q196_diff_in_diff"] = q196_diff_in_diff
+ORACLES["q196_diff_in_diff"] = Q196_SQL

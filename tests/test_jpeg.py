@@ -1004,3 +1004,23 @@ def test_encode_gif_small_palette_and_animation(spark):
         [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
     ).astype(np.uint8)
     np.testing.assert_array_equal(rgb, palette[frames[0]])
+
+
+def test_jpeg_quality_estimate_inverts_encoder_grid():
+    """jpeg_quality_estimate recovers the exact IJG quality for every
+    5-step grid point 30..95 from real encoded bytes (luminance DQT
+    walk + integer inverse scaling); non-JPEG input raises."""
+    import numpy as np
+    import pytest
+
+    from instageo_e2e_geospatial_ml_spark.jpeg import (
+        jpeg_encode, jpeg_quality_estimate,
+    )
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    for q in range(30, 100, 5):
+        ts, s_est, q_est = jpeg_quality_estimate(jpeg_encode(img, q))
+        assert q_est == q, (q, q_est)
+        assert ts > 64  # sanity: real table sums
+    with pytest.raises(ValueError):
+        jpeg_quality_estimate(b"not a jpeg")

@@ -4829,3 +4829,30 @@ def test_wkt_emit_parse_known_square(spark):
     )
     w2 = rings_to_wkt(closed).collect()[0]
     assert w2.wkt == "POLYGON ((0 0, 5 0, 0 5, 0 0))"
+
+
+def test_diff_in_differences_hand_cells(spark):
+    """diff_in_differences: hand 2x2 — treated rises 10 -> 30, control
+    rises 5 -> 10 => DiD = (30-10)-(10-5) = 15 (x1e6 ppm); an empty
+    cell yields NULL means instead of a divide-by-zero."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        diff_in_differences,
+    )
+
+    rows = [
+        (1, 0, 10), (1, 0, 10), (1, 1, 30), (1, 1, 30),
+        (0, 0, 5), (0, 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "treated int, post int, v long")
+    r = diff_in_differences(df, "treated", "post", "v").collect()[0]
+    assert (r.n_tr, r.n_tp, r.n_cr, r.n_cp) == (2, 2, 1, 1)
+    assert r.mean_tr_ppm == 10_000_000 and r.mean_tp_ppm == 30_000_000
+    assert r.did_ppm == (30 - 10 - (10 - 5)) * 1_000_000
+
+    empty_cell = spark.createDataFrame(
+        [(1, 1, 5), (0, 0, 3), (0, 1, 4)], "treated int, post int, v long"
+    )
+    r2 = diff_in_differences(
+        empty_cell, "treated", "post", "v"
+    ).collect()[0]
+    assert r2.mean_tr_ppm is None and r2.did_ppm is None
