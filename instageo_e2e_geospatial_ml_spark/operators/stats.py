@@ -2340,3 +2340,196 @@ SELECT *,
   ({m('tp')} - {m('tr')}) - ({m('cp')} - {m('cr')}) AS did_ppm
 FROM agg
 """
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_int_col: str,
+    key_col: str,
+    n_resamples: int = 50,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean: B
+    Poisson(1)-approximated resamples, each DEFINED by an md5 hash of
+    (row key, resample index) — every row joins resample b with weight
+    0/1/2 (P≈1/e, 1/e, the rest — the two-term integer approximation of
+    the Poisson bootstrap, the streaming-friendly bootstrap used at
+    scale where per-resample sampling-without-replacement is
+    impossible). Rerun- and repartition-stable: the resample membership
+    is a pure function of the data.
+
+    Output one row: (n, mean_ppm, ci_lo_ppm, ci_hi_ppm, b) — the CI
+    bounds are the lo/hi percentile resample means by EXACT rank over
+    the B resample means (B is a constant, so the rank window is
+    bounded input).
+
+    Scale: ONE aggregate pass computes all B weighted sums (3B partial
+    counters, map-side combined) — no per-resample shuffle, no data
+    duplication."""
+    v = F.col(value_int_col).cast("long")
+    h = lambda b: F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(f":{salt}:{b}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    # two-term Poisson(1): P(w=0)=368/1000, P(w=1)=368/1000, else w=2
+    w = lambda b: (
+        F.when(h(b) < 368_000, F.lit(0))
+        .when(h(b) < 736_000, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+    ]
+    for b in range(n_resamples):
+        aggs.append(F.sum(w(b) * v).alias(f"bs_{b}"))
+        aggs.append(F.sum(w(b)).alias(f"bn_{b}"))
+    one = df.agg(*aggs)
+    means = [
+        F.expr(
+            f"CASE WHEN bn_{b} = 0 THEN NULL"
+            f" ELSE (1000000 * bs_{b}) DIV bn_{b} END"
+        )
+        for b in range(n_resamples)
+    ]
+    arr = F.array_sort(F.array(*means))
+    lo_i = max(1, (lo_pct * n_resamples + 99) // 100)
+    hi_i = max(1, (hi_pct * n_resamples + 99) // 100)
+    return one.select(
+        "n",
+        F.expr("(1000000 * s) DIV n").alias("mean_ppm"),
+        F.element_at(arr, lo_i).alias("ci_lo_ppm"),
+        F.element_at(arr, hi_i).alias("ci_hi_ppm"),
+        F.lit(n_resamples).cast("long").alias("b"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    rows_sql: str,
+    value_expr: str,
+    key_expr: str,
+    n_resamples: int = 50,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of bootstrap_mean_ci."""
+    def h(b):
+        return (
+            f"(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
+            f" || ':{salt}:{b}'), 1, 8)) AS BIGINT) % 1000000)"
+        )
+
+    def w(b):
+        return (
+            f"(CASE WHEN {h(b)} < 368000 THEN 0"
+            f" WHEN {h(b)} < 736000 THEN 1 ELSE 2 END)"
+        )
+
+    cols = ["CAST(count(*) AS BIGINT) AS n",
+            f"CAST(sum({value_expr}) AS BIGINT) AS s"]
+    for b in range(n_resamples):
+        cols.append(
+            f"CAST(sum({w(b)} * ({value_expr})) AS BIGINT) AS bs_{b}"
+        )
+        cols.append(f"CAST(sum({w(b)}) AS BIGINT) AS bn_{b}")
+    sel = ",\n  ".join(cols)
+    means = ", ".join(
+        f"CASE WHEN bn_{b} = 0 THEN NULL"
+        f" ELSE (1000000 * bs_{b}) // bn_{b} END"
+        for b in range(n_resamples)
+    )
+    lo_i = max(1, (lo_pct * n_resamples + 99) // 100)
+    hi_i = max(1, (hi_pct * n_resamples + 99) // 100)
+    return f"""
+WITH agg AS (SELECT {sel} FROM ({rows_sql})),
+arr AS (SELECT *, list_sort([{means}]) AS ms FROM agg)
+SELECT n, (1000000 * s) // n AS mean_ppm,
+       ms[{lo_i}] AS ci_lo_ppm, ms[{hi_i}] AS ci_hi_ppm,
+       CAST({n_resamples} AS BIGINT) AS b
+FROM arr
+"""
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_int_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per key — the standard
+    nonparametric trend detector in hydrology/climatology (fits the
+    NDVI/discharge time-series surface): S = Σ_{i<j} sign(x_j − x_i)
+    over all time-ordered pairs, with n and the tie-correction inputs
+    published so the consumer can form the variance. All integers:
+    (key, n, s_stat, n_pos, n_neg, n_tie_pairs).
+
+    Plan: a per-key pairwise self-join on the (bounded) per-key series
+    — the hausdorff_join/q167 contract: per-key history is the unit of
+    work, the join keys on `key` so nothing global ever materializes.
+    For long series pre-aggregate to a coarser grain first."""
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_int_col).cast("long").alias("v"),
+    )
+    a = b.select("k", F.col("t").alias("ti"), F.col("v").alias("vi"))
+    c = b.select("k", F.col("t").alias("tj"), F.col("v").alias("vj"))
+    pairs = a.join(c, "k").filter(F.col("ti") < F.col("tj"))
+    sgn = F.when(F.col("vj") > F.col("vi"), 1).when(
+        F.col("vj") < F.col("vi"), -1
+    ).otherwise(0)
+    return (
+        pairs.select("k", sgn.alias("sg"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("sg").alias("s_stat"),
+            F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).alias(
+                "n_pos"
+            ),
+            F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).alias(
+                "n_neg"
+            ),
+            F.sum(F.when(F.col("sg") == 0, 1).otherwise(0)).alias(
+                "n_tie_pairs"
+            ),
+        )
+    )
+
+
+def mann_kendall_sql(rows_sql: str) -> str:
+    """DuckDB twin of mann_kendall (`rows_sql` yields k, t, v)."""
+    return f"""
+WITH b AS (SELECT k, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+           FROM ({rows_sql})),
+pairs AS (
+  SELECT a.k,
+         CASE WHEN c.v > a.v THEN 1 WHEN c.v < a.v THEN -1 ELSE 0 END
+           AS sg
+  FROM b a JOIN b c ON a.k = c.k AND a.t < c.t
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sg) AS BIGINT) AS s_stat,
+       CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tie_pairs
+FROM pairs GROUP BY k
+"""

@@ -974,3 +974,82 @@ SELECT k, sig, n, first_start_us,
          ORDER BY n DESC, sig ASC) AS BIGINT) AS rnk
 FROM agg
 """
+
+
+def seasonal_profile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Seasonal-means decomposition (STL-lite, the dashboard staple):
+    per (key, season-slot) the exact mean of a quantized outcome, plus
+    the key's overall mean, published as exact integer ppm — seasonal
+    effect = slot mean − overall mean. Slots are calendar components
+    ('hour' = hour-of-day, 'dow' = ISO day-of-week) computed from the
+    UTC timestamp identically in both engines.
+
+    Output per (key, slot): (n, slot_mean_ppm, overall_mean_ppm,
+    seasonal_ppm). One aggregate + a broadcast join of the per-key
+    totals re-aggregated from the slot table — never a second pass."""
+    tus = F.col(ts_col).cast("timestamp")
+    slot = (
+        F.hour(tus) if period_expr == "hour"
+        else F.dayofweek(tus)
+    ).cast("long")
+    v = F.floor(F.col(value_col) * 10000 + 0.5).cast("long")
+    base = events.select(
+        F.col(key_col).alias("k"), slot.alias("slot"), v.alias("v")
+    )
+    per_slot = base.groupBy("k", "slot").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    per_key = per_slot.groupBy("k").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    return (
+        per_slot.join(F.broadcast(per_key), "k")
+        .select(
+            "k", "slot", "n",
+            F.expr("(1000000 * s) DIV n").alias("slot_mean_ppm"),
+            F.expr("(1000000 * ts) DIV tn").alias("overall_mean_ppm"),
+            (
+                F.expr("(1000000 * s) DIV n")
+                - F.expr("(1000000 * ts) DIV tn")
+            ).alias("seasonal_ppm"),
+        )
+    )
+
+
+def seasonal_profile_sql(
+    events_sql: str, period_expr: str = "hour"
+) -> str:
+    """DuckDB twin of seasonal_profile."""
+    slot = (
+        "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+        if period_expr == "hour"
+        else "CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS k, {slot} AS slot,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM ({events_sql})
+),
+per_slot AS (
+  SELECT k, slot, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM base GROUP BY 1, 2
+),
+per_key AS (
+  SELECT k, CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
+  FROM per_slot GROUP BY 1
+)
+SELECT p.k, p.slot, p.n,
+       (1000000 * p.s) // p.n AS slot_mean_ppm,
+       (1000000 * g.ts) // g.tn AS overall_mean_ppm,
+       (1000000 * p.s) // p.n - (1000000 * g.ts) // g.tn
+         AS seasonal_ppm
+FROM per_slot p JOIN per_key g ON p.k = g.k
+"""

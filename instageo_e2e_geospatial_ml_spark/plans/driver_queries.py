@@ -7936,3 +7936,100 @@ Q196_SQL = _q196_sql()
 
 QUERIES["q196_diff_in_diff"] = q196_diff_in_diff
 ORACLES["q196_diff_in_diff"] = Q196_SQL
+
+
+def q197_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (operators/stats.
+    bootstrap_mean_ci): 50 hash-defined resamples of order cents in ONE
+    aggregate pass, exact-rank percentile bounds."""
+    from ..operators.stats import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    return bootstrap_mean_ci(o, "cents", "o_orderkey", n_resamples=50)
+
+
+def _q197_sql() -> str:
+    from ..operators.stats import bootstrap_mean_ci_sql
+
+    return bootstrap_mean_ci_sql(
+        "SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5)"
+        " AS BIGINT) AS cents FROM orders",
+        "cents",
+        "o_orderkey",
+        n_resamples=50,
+    )
+
+
+Q197_SQL = _q197_sql()
+
+QUERIES["q197_bootstrap_ci"] = q197_bootstrap_ci
+ORACLES["q197_bootstrap_ci"] = Q197_SQL
+
+
+def q198_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (operators/stats.mann_kendall) per event
+    type over DAILY value sums (pre-aggregated grain keeps the pairwise
+    join bounded) — integer S statistic + tie inputs."""
+    from ..operators.stats import mann_kendall
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("k"),
+            F.unix_micros(F.date_trunc("DAY", F.col("ts").cast(
+                "timestamp"
+            ))).alias("t"),
+            F.floor(F.col("value") * 10000 + 0.5).cast("long").alias(
+                "vq"
+            ),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("vq").alias("v"))
+    )
+    return mann_kendall(daily, "k", "t", "v")
+
+
+def _q198_sql() -> str:
+    from ..operators.stats import mann_kendall_sql
+
+    return mann_kendall_sql(
+        "SELECT event_type AS k, "
+        "epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS t, "
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))"
+        " AS BIGINT) AS v "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+Q198_SQL = _q198_sql()
+
+QUERIES["q198_mann_kendall"] = q198_mann_kendall
+ORACLES["q198_mann_kendall"] = Q198_SQL
+
+
+def q199_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal means (operators/timeseries.
+    seasonal_profile): per (event_type, hour) exact ppm means and the
+    seasonal effect vs the type's overall mean."""
+    from ..operators.timeseries import seasonal_profile
+
+    return seasonal_profile(_t(spark, sf_dir, "events"))
+
+
+def _q199_sql() -> str:
+    from ..operators.timeseries import seasonal_profile_sql
+
+    return seasonal_profile_sql(
+        "SELECT event_type, ts, value FROM events"
+    )
+
+
+Q199_SQL = _q199_sql()
+
+QUERIES["q199_seasonal_profile"] = q199_seasonal_profile
+ORACLES["q199_seasonal_profile"] = Q199_SQL

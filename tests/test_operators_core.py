@@ -4856,3 +4856,63 @@ def test_diff_in_differences_hand_cells(spark):
         empty_cell, "treated", "post", "v"
     ).collect()[0]
     assert r2.mean_tr_ppm is None and r2.did_ppm is None
+
+
+def test_bootstrap_mean_ci_determinism_and_coverage(spark):
+    """bootstrap_mean_ci: repartition-stable (pure function of data),
+    CI brackets the point mean on well-behaved data, and ci_lo <= ci_hi
+    by construction of the sorted resample-mean array."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = bootstrap_mean_ci(df, "v", "id", n_resamples=30).collect()[0]
+    b = bootstrap_mean_ci(
+        df.repartition(17), "v", "id", n_resamples=30
+    ).collect()[0]
+    assert a == b
+    assert a.ci_lo_ppm <= a.mean_ppm <= a.ci_hi_ppm
+    assert a.ci_lo_ppm < a.ci_hi_ppm
+    assert a.n == 400 and a.b == 30
+
+
+def test_mann_kendall_known_trends(spark):
+    """mann_kendall: strictly increasing series -> S = n(n-1)/2; strictly
+    decreasing -> -n(n-1)/2; constant -> S = 0 with all tie pairs."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        mann_kendall,
+    )
+
+    rows = ([("up", t, t * 2) for t in range(8)]
+            + [("down", t, 100 - t) for t in range(8)]
+            + [("flat", t, 7) for t in range(8)])
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {r.k: r for r in mann_kendall(df, "k", "t", "v").collect()}
+    assert got["up"].s_stat == 28 and got["up"].n_pairs == 28
+    assert got["down"].s_stat == -28
+    assert got["flat"].s_stat == 0 and got["flat"].n_tie_pairs == 28
+
+
+def test_seasonal_profile_hand_slots(spark):
+    """seasonal_profile: two hours with distinct means — seasonal effect
+    = slot mean - overall mean, exact in ppm of the x1e4 quantization."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    t = lambda h, i: (pd.Timestamp("2024-01-01")
+                      + pd.Timedelta(hours=h, minutes=i)).to_pydatetime()
+    rows = [("a", t(3, i), 1.0) for i in range(4)] + \
+           [("a", t(15, i), 3.0) for i in range(4)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                               " value double")
+    got = {r.slot: r for r in seasonal_profile(ev).collect()}
+    # quantized: 1.0 -> 10000, 3.0 -> 30000; overall mean 20000
+    assert got[3].slot_mean_ppm == 10000 * 1000000
+    assert got[3].overall_mean_ppm == 20000 * 1000000
+    assert got[3].seasonal_ppm == -10000 * 1000000
+    assert got[15].seasonal_ppm == 10000 * 1000000

@@ -566,6 +566,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q194_wkt_roundtrip",
         # q195 excluded: mapInPandas JPEG-encode kernel.
         "q196_diff_in_diff",
+        "q197_bootstrap_ci",
+        "q198_mann_kendall",
+        "q199_seasonal_profile",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
