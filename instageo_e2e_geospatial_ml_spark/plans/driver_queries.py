@@ -8033,3 +8033,136 @@ Q199_SQL = _q199_sql()
 
 QUERIES["q199_seasonal_profile"] = q199_seasonal_profile
 ORACLES["q199_seasonal_profile"] = Q199_SQL
+
+
+def q200_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed audio VAD statistics (sources/images.wav_encode /
+    wav_decode / audio_frame_energy): per key, synthesize a REAL WAV —
+    a square wave of amplitude 100·(1 + pid % 20) with the middle third
+    zeroed (silence) — round-trip the RIFF bytes, compute exact int64
+    frame energies and silence-frame counts. Oracle = the closed form:
+    a full square-wave frame's energy is frame·amp², silent frames 0."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 11 == 0)
+        .select(F.col("p_partkey").alias("pid"))
+        .repartition(8)
+    )
+
+    def analyze(it):
+        import numpy as np
+
+        from ..sources.images import (
+            audio_frame_energy, silence_runs, wav_decode, wav_encode,
+        )
+
+        FRAME = 160
+        for pdf in it:
+            rows = []
+            for pid in pdf["pid"]:
+                i = int(pid)
+                amp = 100 * (1 + i % 20)
+                # 30 frames: 10 loud, 10 silent, 10 loud — frame-aligned
+                seg = FRAME * 10
+                x = np.empty(3 * seg, dtype=np.int16)
+                sq = np.where(np.arange(seg) % 2 == 0, amp, -amp)
+                x[:seg] = sq
+                x[seg : 2 * seg] = 0
+                x[2 * seg :] = sq
+                buf = wav_encode(x, sample_rate=16000)
+                pcm, sr = wav_decode(buf)
+                en = audio_frame_energy(pcm, FRAME)
+                runs = silence_runs(en, threshold=1)
+                rows.append(
+                    (
+                        i,
+                        int(sr),
+                        len(en),
+                        int(en.sum()),
+                        int(sum(n for _, n in runs)),
+                        len(runs),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["pid", "sr", "n_frames", "total_energy",
+                         "n_silent_frames", "n_silence_runs"],
+            )
+
+    return ids.mapInPandas(
+        analyze,
+        "pid long, sr long, n_frames long, total_energy long, "
+        "n_silent_frames long, n_silence_runs long",
+    )
+
+
+Q200_SQL = """
+SELECT p_partkey AS pid, CAST(16000 AS BIGINT) AS sr,
+       CAST(30 AS BIGINT) AS n_frames,
+       20 * 160 * (100 * (1 + p_partkey % 20))
+                * (100 * (1 + p_partkey % 20)) AS total_energy,
+       CAST(10 AS BIGINT) AS n_silent_frames,
+       CAST(1 AS BIGINT) AS n_silence_runs
+FROM part WHERE p_partkey % 11 = 0
+"""
+
+QUERIES["q200_audio_energy"] = q200_audio_energy
+ORACLES["q200_audio_energy"] = Q200_SQL
+
+
+def q201_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard packaging (sources/tar.tar_write/tar_list):
+    documents grouped 25-per-shard, each task writes a REAL USTAR
+    archive (doc_id-ordered members), re-lists it (checksum-verified)
+    and emits structural facts — the oracle is the closed form of USTAR
+    block arithmetic (512-byte header + ceil(size/512) data blocks per
+    member + the 1024-byte terminator)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") / 25).cast("long").alias(
+            "shard"
+        )
+    )
+
+    def build(key, pdf):
+        from ..sources.tar import tar_list, tar_write
+
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"{int(r.doc_id):08d}.txt", str(r.text).encode("utf-8"))
+            for r in pdf.itertuples()
+        ]
+        buf = tar_write(members)
+        listing = tar_list(buf)
+        assert [n for n, _, _ in listing] == [n for n, _ in members]
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_members": [len(members)],
+                "tar_len": [len(buf)],
+                "sum_sizes": [sum(len(d) for _, d in members)],
+                "first_data_off": [listing[0][1] if listing else None],
+            }
+        )
+
+    return docs.groupBy("shard").applyInPandas(
+        build,
+        "shard long, n_members long, tar_len long, sum_sizes long, "
+        "first_data_off long",
+    )
+
+
+Q201_SQL = """
+SELECT doc_id // 25 AS shard, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(1024 + sum(512 + ((octet_length(encode(text)) + 511)
+         // 512) * 512) AS BIGINT) AS tar_len,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_sizes,
+       CAST(512 AS BIGINT) AS first_data_off
+FROM documents GROUP BY 1
+"""
+
+QUERIES["q201_tar_shards"] = q201_tar_shards
+ORACLES["q201_tar_shards"] = Q201_SQL

@@ -687,3 +687,35 @@ def build_overviews(
         build,
         "image_id string, level int, w int, h int, px_sum long, digest string",
     )
+
+
+def audio_frame_energy(
+    pcm: "np.ndarray", frame: int = 160
+) -> "np.ndarray":
+    """Per-frame energy of 16-bit mono PCM: int64 Σ x² over consecutive
+    `frame`-sample windows (trailing partial frame dropped) — the
+    primitive behind VAD/silence trimming and loudness normalization in
+    audio-dataset curation. Exact integer (max |x| = 32768 → frame sums
+    bounded by 160·2³⁰ ≪ 2⁶³)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    n = (len(x) // frame) * frame
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (x[:n] ** 2).reshape(-1, frame).sum(axis=1)
+
+
+def silence_runs(
+    energy: "np.ndarray", threshold: int
+) -> list[tuple[int, int]]:
+    """Maximal runs of frames with energy < threshold → [(start_frame,
+    n_frames)] — the trim/segment boundaries."""
+    runs = []
+    start = None
+    for i, e in enumerate(list(energy) + [None]):
+        quiet = e is not None and int(e) < threshold
+        if quiet and start is None:
+            start = i
+        elif not quiet and start is not None:
+            runs.append((start, i - start))
+            start = None
+    return runs

@@ -216,3 +216,51 @@ def test_apply_exif_orientation_all_eight():
     # channels preserved
     c = np.arange(24).reshape(2, 3, 4)
     assert fix(c, 6).shape == (3, 2, 4)
+
+
+def test_tar_interop_with_stdlib_tarfile():
+    """Our USTAR writer vs stdlib tarfile (independent implementation):
+    tarfile reads our archive back byte-exact, and our parser lists a
+    tarfile-written archive identically — both directions, plus the
+    checksum-corruption raise."""
+    import io
+    import tarfile as tf
+
+    import pytest
+
+    from instageo_e2e_geospatial_ml_spark.sources.tar import (
+        tar_list, tar_write,
+    )
+
+    members = [
+        ("000001.txt", b"hello world"),
+        ("000001.json", b'{"k": 1}'),
+        ("img/000002.bin", bytes(range(256)) * 3),  # crosses blocks
+        ("empty.txt", b""),
+    ]
+    buf = tar_write(members)
+    with tf.open(fileobj=io.BytesIO(buf)) as t:
+        got = [(m.name, t.extractfile(m).read() if m.size else b"")
+               for m in t.getmembers()]
+    assert got == members
+
+    # reverse: stdlib writes, we list
+    bio = io.BytesIO()
+    with tf.open(fileobj=bio, mode="w", format=tf.USTAR_FORMAT) as t:
+        for name, data in members:
+            info = tf.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    listing = tar_list(bio.getvalue())
+    assert [(n, s) for n, _, s in listing] == \
+        [(n, len(d)) for n, d in members]
+    # offsets point at the actual payloads
+    raw = bio.getvalue()
+    for (n, off, s), (_, d) in zip(listing, members):
+        assert raw[off : off + s] == d
+
+    # corruption: flip a header byte -> checksum raise
+    bad = bytearray(buf)
+    bad[50] ^= 0xFF
+    with pytest.raises(ValueError):
+        tar_list(bytes(bad))
