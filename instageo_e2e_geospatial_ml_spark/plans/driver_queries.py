@@ -8166,3 +8166,154 @@ FROM documents GROUP BY 1
 
 QUERIES["q201_tar_shards"] = q201_tar_shards
 ORACLES["q201_tar_shards"] = Q201_SQL
+
+
+def q202_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (Spark-native columnar format
+    beyond Parquet): project orders to exact integer/string columns,
+    write ORC (zlib, overwrite), read it back — the oracle reads the
+    same projection from the parquet table, so hash parity proves the
+    ORC write/read path is lossless. (Avro is NOT on this distro's
+    classpath — external module since Spark 2.4 — documented in
+    COVERAGE.md; ORC is the in-box second format.)"""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_q202_orc"
+    )
+    proj = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        "o_orderpriority",
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("odate"),
+    )
+    proj.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+Q202_SQL = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       o_orderpriority,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S')
+         AS odate
+FROM orders
+"""
+
+QUERIES["q202_orc_roundtrip"] = q202_orc_roundtrip
+ORACLES["q202_orc_roundtrip"] = Q202_SQL
+
+
+def q203_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-ingest audit: a CSV where every 7th data line is
+    corrupt (non-numeric value column) read in PERMISSIVE mode with a
+    _corrupt_record column — per-parity counts of good/bad rows and the
+    exact sum of surviving values. The real-world CSV robustness
+    surface: bad rows must neither crash the scan nor silently vanish.
+    Oracle = the closed form of the generating rule."""
+    import os
+    import tempfile
+
+    n = 7000
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_q203.csv"
+    )
+    # deterministic file content (written once per run, driver-side —
+    # a fixture write, not a data-scale operation)
+    with open(path, "w") as f:
+        f.write("id,val\n")
+        for i in range(n):
+            if i % 7 == 3:
+                f.write(f"{i},notanumber\n")
+            else:
+                f.write(f"{i},{i * 13 % 1000}\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id LONG, val LONG, _bad STRING")
+        .csv(path)
+    )
+    return df.select(
+        (F.col("id") % 2).alias("parity"),
+        F.when(F.col("_bad").isNull(), 1).otherwise(0).alias("ok"),
+        F.coalesce("val", F.lit(0)).alias("v"),
+    ).groupBy("parity").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("ok").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("ok")).alias("n_bad"),
+        F.sum("v").alias("sum_val"),
+    )
+
+
+Q203_SQL = """
+WITH g AS (
+  SELECT unnest(generate_series(0, 6999)) AS id
+),
+rows_w AS (
+  SELECT id, id % 2 AS parity,
+         CASE WHEN id % 7 = 3 THEN 0 ELSE 1 END AS ok,
+         CASE WHEN id % 7 = 3 THEN 0 ELSE (id * 13) % 1000 END AS v
+  FROM g
+)
+SELECT parity, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(ok) AS BIGINT) AS n_good,
+       CAST(count(*) - sum(ok) AS BIGINT) AS n_bad,
+       CAST(sum(v) AS BIGINT) AS sum_val
+FROM rows_w GROUP BY parity
+"""
+
+QUERIES["q203_csv_corrupt_audit"] = q203_csv_corrupt_audit
+ORACLES["q203_csv_corrupt_audit"] = Q203_SQL
+
+
+def q204_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned source: orders written
+    partitionBy(o_orderpriority) to ORC-on-disk, read back with a
+    partition filter — the write-side layout feature every warehouse
+    sink needs; a plan test asserts the read scans only the selected
+    partitions. Oracle = the equivalent filtered projection."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_q204_part"
+    )
+    proj = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    proj.write.mode("overwrite").partitionBy("prio").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("prio").isin("1-URGENT", "2-HIGH"))
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+Q204_SQL = """
+SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+"""
+
+QUERIES["q204_partitioned_sink"] = q204_partitioned_sink
+ORACLES["q204_partitioned_sink"] = Q204_SQL

@@ -592,3 +592,16 @@ def test_round7_operator_family_plans_stay_jvm(spark):
                 or first.startswith("specifiedwindowframe")
             )
             assert not partition_less, (name, first)
+
+
+def test_q204_partition_pruning_visible(spark):
+    """The q204 partitioned sink must produce a read whose scan carries
+    PartitionFilters on prio (pruning at the source, not a post-scan
+    filter) — the layout feature the partitioned write exists for."""
+    df = dq.QUERIES["q204_partitioned_sink"](spark, SF)
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "prio" in m.group(1), m.group(0) if m else plan[:500]
