@@ -808,3 +808,31 @@ def code_likeness_sql(docs_sql: str, text_expr: str = "text") -> str:
         f"SELECT doc_id, CAST(len(string_split({text_expr}, chr(10))) "
         f"AS BIGINT) AS n_lines, {sigs} FROM ({docs_sql})"
     )
+
+
+def light_stem(col) -> Column:
+    """Harman S-stemmer (light English stemming, the IR recall
+    normalizer): three ordered suffix rules applied to a lowercase
+    token — 'ies'→'y' (unless preceded by a/e/i/o/u... the classic
+    S-stemmer keeps it simple: len>3), 'es'→'e' for sses/xes/zes
+    shapes simplified to: 'sses'→'ss', then final 's' dropped when the
+    token ends in a consonant+s (not 'ss', not 'us', not 'is'). Pure
+    JVM regexp_replace chain — engine-exact (same regex dialect subset
+    as DuckDB's RE2) and UDF-free. Deliberately light: Porter's full
+    rule cascade trades exactness-of-intent for aggressiveness; the
+    S-stemmer is the standard conservative choice."""
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    c = F.regexp_replace(c, "^(.{2,})ies$", "$1y")
+    c = F.regexp_replace(c, "^(.*)sses$", "$1ss")
+    c = F.regexp_replace(c, "^(.*[^siu])s$", "$1")
+    return c
+
+
+def light_stem_sql(expr: str) -> str:
+    """DuckDB twin of light_stem (identical rule order; DuckDB regex
+    backreference is \\1)."""
+    s = f"lower({expr})"
+    s = f"regexp_replace({s}, '^(.{{2,}})ies$', '\\1y')"
+    s = f"regexp_replace({s}, '^(.*)sses$', '\\1ss')"
+    s = f"regexp_replace({s}, '^(.*[^siu])s$', '\\1')"
+    return s

@@ -521,3 +521,115 @@ SELECT pid, CAST(seg_idx AS BIGINT) AS seg_idx,
        CAST(t_scaled AS BIGINT) AS t_scaled
 FROM rnk WHERE rn = 1
 """
+
+
+def heading_profile(
+    pings: DataFrame,
+    user_col: str = "uid",
+    ts_col: str = "tus",
+    id_col: str = "eid",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Per-entity heading distribution over consecutive integer-grid
+    pings — the movement-direction analytic (commute axes, migration
+    bearing) WITHOUT atan2: the hop (dx, dy) maps to one of 8 compass
+    octants by pure integer sign/magnitude comparisons (|dx| vs |dy|
+    splits at the 45° diagonals; equality IS the diagonal sector;
+    zero-hop pings are counted separately as 'stay'). Deterministic
+    and engine-exact by construction.
+
+    Output per entity: n_hops, stay, e, ne, n, nw, w, sw, s, se, and
+    dominant = the max-count octant name (ties → compass order E..SE,
+    portable argmax via the greatest-of chain). One lag window per
+    entity on (ts) + one aggregate — the segment_trips plan shape."""
+    # (ts, id) total order — a ts tie alone would be engine-ambiguous
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    hops = pings.select(
+        F.col(user_col).alias("uid"), dx.alias("dx"), dy.alias("dy")
+    ).filter(F.col("dx").isNotNull())
+    ax, ay = F.abs(F.col("dx")), F.abs(F.col("dy"))
+    oct_ = (
+        F.when((F.col("dx") == 0) & (F.col("dy") == 0), "stay")
+        .when((ax > ay) & (F.col("dx") > 0), "e")
+        .when((ax > ay) & (F.col("dx") < 0), "w")
+        .when((ay > ax) & (F.col("dy") > 0), "n")
+        .when((ay > ax) & (F.col("dy") < 0), "s")
+        .when((F.col("dx") > 0) & (F.col("dy") > 0), "ne")
+        .when((F.col("dx") < 0) & (F.col("dy") > 0), "nw")
+        .when((F.col("dx") > 0) & (F.col("dy") < 0), "se")
+        .otherwise("sw")
+    )
+    names = ["stay", "e", "ne", "n", "nw", "w", "sw", "s", "se"]
+    agg = hops.select("uid", oct_.alias("o")).groupBy("uid").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        *[
+            F.sum(F.when(F.col("o") == nm, 1).otherwise(0)).alias(nm)
+            for nm in names
+        ],
+    )
+    compass = ["e", "ne", "n", "nw", "w", "sw", "s", "se"]
+    # portable argmax with compass-order tie-break: fold max over the
+    # fixed column list, then pick the FIRST name attaining it
+    mx = F.greatest(*[F.col(nm) for nm in compass])
+    dom = None
+    for nm in reversed(compass):
+        dom = (
+            F.when(F.col(nm) == mx, F.lit(nm))
+            if dom is None
+            else F.when(F.col(nm) == mx, F.lit(nm)).otherwise(dom)
+        )
+    return agg.select(
+        "uid", "n_hops", *names, dom.alias("dominant")
+    )
+
+
+def heading_profile_sql(pings_sql: str) -> str:
+    """DuckDB twin of heading_profile (`pings_sql` yields uid, tus,
+    eid, px, py)."""
+    names = ["stay", "e", "ne", "n", "nw", "w", "sw", "s", "se"]
+    sums = ",\n  ".join(
+        f"CAST(sum(CASE WHEN o = '{nm}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {nm}"
+        for nm in names
+    )
+    compass = ["e", "ne", "n", "nw", "w", "sw", "s", "se"]
+    mx = "greatest(" + ", ".join(compass) + ")"
+    dom = "CASE "
+    for nm in compass:
+        dom += f"WHEN {nm} = {mx} THEN '{nm}' "
+    dom += "END"
+    return f"""
+WITH hops AS (
+  SELECT uid,
+         px - lag(px) OVER (PARTITION BY uid ORDER BY tus, eid) AS dx,
+         py - lag(py) OVER (PARTITION BY uid ORDER BY tus, eid) AS dy
+  FROM ({pings_sql})
+),
+named AS (
+  SELECT uid,
+    CASE
+      WHEN dx = 0 AND dy = 0 THEN 'stay'
+      WHEN abs(dx) > abs(dy) AND dx > 0 THEN 'e'
+      WHEN abs(dx) > abs(dy) AND dx < 0 THEN 'w'
+      WHEN abs(dy) > abs(dx) AND dy > 0 THEN 'n'
+      WHEN abs(dy) > abs(dx) AND dy < 0 THEN 's'
+      WHEN dx > 0 AND dy > 0 THEN 'ne'
+      WHEN dx < 0 AND dy > 0 THEN 'nw'
+      WHEN dx > 0 AND dy < 0 THEN 'se'
+      ELSE 'sw'
+    END AS o
+  FROM hops WHERE dx IS NOT NULL
+),
+agg AS (
+  SELECT uid, CAST(count(*) AS BIGINT) AS n_hops,
+  {sums}
+  FROM named GROUP BY uid
+)
+SELECT uid, n_hops, {", ".join(names)}, {dom} AS dominant
+FROM agg
+"""

@@ -8317,3 +8317,117 @@ GROUP BY 1
 
 QUERIES["q204_partitioned_sink"] = q204_partitioned_sink
 ORACLES["q204_partitioned_sink"] = Q204_SQL
+
+
+def q205_light_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light S-stemmer vocabulary collapse (functions/text.light_stem):
+    token counts before/after stemming over documents — the IR recall
+    normalizer as a pure JVM regexp chain."""
+    from ..functions.text import light_stem, tokens
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    return (
+        tok.select(light_stem(F.col("tok")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+def _q205_sql() -> str:
+    from ..functions.text import light_stem_sql
+
+    return f"""
+SELECT {light_stem_sql('tok')} AS stem, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents)
+GROUP BY 1 HAVING count(*) >= 50
+"""
+
+
+Q205_SQL = _q205_sql()
+
+QUERIES["q205_light_stem"] = q205_light_stem
+ORACLES["q205_light_stem"] = Q205_SQL
+
+
+def q206_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 projection (no discount column) and
+    a v2 projection (adds discount_bp) of lineitem unioned with
+    allowMissingColumns — the contract-versioned ingest merge every
+    long-lived table needs; v1 rows carry NULL→0 defaults. Oracle
+    rebuilds the same union relationally."""
+    li = _t(spark, sf_dir, "lineitem")
+    v1 = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+    )
+    v2 = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias(
+            "discount_bp"
+        ),
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        F.coalesce("discount_bp", F.lit(0)).alias("discount_bp"),
+        F.col("discount_bp").isNull().cast("long").alias("is_v1"),
+    )
+
+
+Q206_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         AS price_cents,
+       CASE WHEN l_orderkey % 2 = 1
+            THEN CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+            ELSE 0 END AS discount_bp,
+       CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_v1
+FROM lineitem
+"""
+
+QUERIES["q206_schema_evolution"] = q206_schema_evolution
+ORACLES["q206_schema_evolution"] = Q206_SQL
+
+
+def q207_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading octant distribution (operators/trajectory.
+    heading_profile): per-user compass histogram of consecutive event
+    hops on an integer grid — atan2-free octants, portable argmax."""
+    from ..operators.trajectory import heading_profile
+
+    pings = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+        ((F.col("event_id") * 17) % 101).alias("px"),
+        ((F.col("event_id") * 29) % 97).alias("py"),
+    )
+    return heading_profile(pings)
+
+
+def _q207_sql() -> str:
+    from ..operators.trajectory import heading_profile_sql
+
+    return heading_profile_sql(
+        "SELECT user_id AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, "
+        "event_id AS eid, "
+        "(event_id * 17) % 101 AS px, (event_id * 29) % 97 AS py "
+        "FROM events"
+    )
+
+
+Q207_SQL = _q207_sql()
+
+QUERIES["q207_heading_profile"] = q207_heading_profile
+ORACLES["q207_heading_profile"] = Q207_SQL

@@ -4916,3 +4916,48 @@ def test_seasonal_profile_hand_slots(spark):
     assert got[3].overall_mean_ppm == 20000 * 1000000
     assert got[3].seasonal_ppm == -10000 * 1000000
     assert got[15].seasonal_ppm == 10000 * 1000000
+
+
+def test_light_stem_rules(spark):
+    """light_stem: the three S-stemmer rules in order with their
+    exclusions — ies->y, sses->ss, trailing s dropped except after
+    s/i/u; short 'ies' words keep their form via the len guard."""
+    from instageo_e2e_geospatial_ml_spark.functions.text import light_stem
+
+    words = ["ponies", "ties", "caresses", "cats", "class", "virus",
+             "basis", "dog", "Knives"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = dict(
+        (r.w, r.s)
+        for r in df.select("w", light_stem("w").alias("s")).collect()
+    )
+    assert got["ponies"] == "pony"
+    assert got["ties"] == "tie"         # <2 chars before 'ies': rule 1
+                                        # skips, plain s-drop applies
+    assert got["caresses"] == "caress"
+    assert got["cats"] == "cat"
+    assert got["class"] == "class"      # 'ss' protected
+    assert got["virus"] == "virus"      # 'us' protected
+    assert got["basis"] == "basis"      # 'is' protected
+    assert got["dog"] == "dog"
+    assert got["Knives"] == "knive"     # lowercased, plain s-drop
+
+
+def test_heading_profile_hand_hops(spark):
+    """heading_profile: hand hops hit every octant rule — axis wins on
+    strict majority, equality is the diagonal, zero hop is 'stay',
+    dominant breaks ties in compass order."""
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import (
+        heading_profile,
+    )
+
+    # uid 1 path: E (3,0), NE (2,2), N (0,5), stay (0,0), W (-4,1)
+    pts = [(0, 0), (3, 0), (5, 2), (5, 7), (5, 7), (1, 8)]
+    rows = [(1, i, i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "uid long, tus long, eid long, px long, py long"
+    )
+    r = heading_profile(df).collect()[0]
+    assert r.n_hops == 5
+    assert (r.e, r.ne, r.n, r.w, r.stay) == (1, 1, 1, 1, 1)
+    assert r.dominant == "e"  # all tied at 1 -> compass order E first

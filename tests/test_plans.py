@@ -571,6 +571,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q199_seasonal_profile",
         # q200/q201 excluded: mapInPandas/applyInPandas byte-format
         # kernels (WAV synthesis, USTAR shard build) — Python IS the op.
+        "q205_light_stem",
+        "q206_schema_evolution",
+        "q207_heading_profile",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
