@@ -448,3 +448,106 @@ def canonicalize_url_sql(url_expr: str = "raw_url") -> str:
         f"|| CASE WHEN {path} = '' THEN '/' ELSE {path} END "
         f"|| CASE WHEN {q_canon} = '' THEN '' ELSE '?' || {q_canon} END"
     )
+
+
+def ipv4_to_long(col) -> "Column":
+    """Dotted-quad string → uint32 as int64 (a.b.c.d →
+    a·2²⁴ + b·2¹⁶ + c·2⁸ + d) — pure split/cast arithmetic, UDF-free."""
+    c = col if not isinstance(col, str) else F.col(col)
+    p = F.split(c, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def cidr_join(
+    ips: DataFrame,
+    blocks: DataFrame,
+    ip_col: str = "ip",
+    cidr_base_col: str = "base_ip",
+    cidr_bits_col: str = "bits",
+) -> DataFrame:
+    """IP-in-CIDR containment join — the geo-IP / bot-net / datacenter
+    tagging step of crawl curation: an address matches a block when its
+    top `bits` bits equal the block's base. Matching uses pure integer
+    range arithmetic (lo = base, hi = base + 2^(32−bits) − 1), and the
+    MOST-SPECIFIC match wins (max bits, then lowest base — the routing
+    longest-prefix rule) via one min(struct) per address.
+
+    Scale: block tables are dimension-sized → broadcast range join
+    (BroadcastNestedLoop over the tiny side) + the struct-argmin
+    aggregate; for million-block tables pre-bucket by the top octet
+    (the interval_join rewrite) — this operator is the refine."""
+    b = blocks.select(
+        ipv4_to_long(F.col(cidr_base_col)).alias("lo"),
+        F.col(cidr_bits_col).cast("long").alias("bits"),
+        F.col(cidr_base_col).alias("block_base"),
+    ).withColumn(
+        "hi",
+        F.col("lo") + F.expr("CAST(pow(2, 32 - bits) AS BIGINT)") - 1,
+    )
+    ipl = ips.withColumn("_ip_long", ipv4_to_long(F.col(ip_col)))
+    j = ipl.join(
+        F.broadcast(b),
+        (F.col("_ip_long") >= F.col("lo"))
+        & (F.col("_ip_long") <= F.col("hi")),
+        "left",
+    )
+    pick = F.min(
+        F.struct(
+            (-F.col("bits")).alias("neg_bits"),
+            F.col("lo").alias("lo"),
+            F.col("block_base").alias("block_base"),
+            F.col("bits").alias("bits"),
+        )
+    ).alias("m")
+    keys = [c for c in ips.columns]
+    out = (
+        j.groupBy(*keys, "_ip_long")
+        .agg(pick)
+        .select(
+            *keys,
+            F.col("_ip_long").alias("ip_long"),
+            F.col("m.block_base").alias("block_base"),
+            F.col("m.bits").alias("block_bits"),
+        )
+    )
+    return out
+
+
+def cidr_join_sql(
+    ips_sql: str, blocks_sql: str
+) -> str:
+    """DuckDB twin of cidr_join for the (ip)-only input shape — emits
+    (ip, ip_long, block_base, block_bits); blocks_sql yields
+    (base_ip, bits)."""
+    ip2l = lambda e: (
+        f"(CAST(string_split({e}, '.')[1] AS BIGINT) * 16777216"
+        f" + CAST(string_split({e}, '.')[2] AS BIGINT) * 65536"
+        f" + CAST(string_split({e}, '.')[3] AS BIGINT) * 256"
+        f" + CAST(string_split({e}, '.')[4] AS BIGINT))"
+    )
+    return f"""
+WITH b AS (
+  SELECT {ip2l('base_ip')} AS lo, CAST(bits AS BIGINT) AS bits,
+         base_ip AS block_base,
+         {ip2l('base_ip')} + CAST(pow(2, 32 - bits) AS BIGINT) - 1
+           AS hi
+  FROM ({blocks_sql})
+),
+i AS (SELECT *, {ip2l('ip')} AS ip_long FROM ({ips_sql})),
+j AS (
+  SELECT i.ip, i.ip_long, b.bits, b.lo, b.block_base
+  FROM i LEFT JOIN b ON i.ip_long >= b.lo AND i.ip_long <= b.hi
+),
+rnk AS (
+  SELECT *, row_number() OVER (PARTITION BY ip, ip_long
+    ORDER BY bits DESC NULLS LAST, lo ASC) AS rn
+  FROM j
+)
+SELECT ip, ip_long, block_base, bits AS block_bits
+FROM rnk WHERE rn = 1
+"""

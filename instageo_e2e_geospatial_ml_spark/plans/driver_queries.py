@@ -8431,3 +8431,83 @@ Q207_SQL = _q207_sql()
 
 QUERIES["q207_heading_profile"] = q207_heading_profile
 ORACLES["q207_heading_profile"] = Q207_SQL
+
+
+_Q208_BLOCKS = (
+    "SELECT * FROM (VALUES"
+    " ('10.0.0.0', 8), ('10.1.0.0', 16), ('10.1.2.0', 24),"
+    " ('192.168.0.0', 16), ('172.16.0.0', 12)"
+    ") AS t(base_ip, bits)"
+)
+
+
+def q208_cidr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-in-CIDR longest-prefix join (functions/web.cidr_join):
+    synthetic dotted quads vs a nested block table (10/8 ⊃ 10.1/16 ⊃
+    10.1.2/24) — integer range containment, most-specific-wins."""
+    from ..functions.web import cidr_join
+
+    ips = _t(spark, sf_dir, "part").select(
+        F.concat_ws(
+            ".",
+            (F.col("p_partkey") % 2 * 182 + 10).cast("string"),
+            ((F.col("p_partkey") / 7).cast("long") % 4).cast("string"),
+            ((F.col("p_partkey") / 3).cast("long") % 8).cast("string"),
+            (F.col("p_partkey") % 250).cast("string"),
+        ).alias("ip")
+    )
+    blocks = spark.createDataFrame(
+        [("10.0.0.0", 8), ("10.1.0.0", 16), ("10.1.2.0", 24),
+         ("192.168.0.0", 16), ("172.16.0.0", 12)],
+        "base_ip string, bits int",
+    )
+    return cidr_join(ips, blocks)
+
+
+def _q208_sql() -> str:
+    from ..functions.web import cidr_join_sql
+
+    return cidr_join_sql(
+        "SELECT (p_partkey % 2 * 182 + 10) || '.' || "
+        "((p_partkey // 7) % 4) || '.' || ((p_partkey // 3) % 8)"
+        " || '.' || (p_partkey % 250) AS ip FROM part",
+        _Q208_BLOCKS,
+    )
+
+
+Q208_SQL = _q208_sql()
+
+QUERIES["q208_cidr_join"] = q208_cidr_join
+ORACLES["q208_cidr_join"] = Q208_SQL
+
+
+def q209_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limit replay (operators/ratelimit.
+    token_bucket_admit): per event type, which arrivals would a
+    2-token/s burst-3 bucket have throttled — exact micro-token
+    integer recurrence, recursive-CTE oracle."""
+    from ..operators.ratelimit import token_bucket_admit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+    )
+    return token_bucket_admit(ev, rate_per_s=2, burst=3)
+
+
+def _q209_sql() -> str:
+    from ..operators.ratelimit import token_bucket_admit_sql
+
+    return token_bucket_admit_sql(
+        "SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,"
+        " event_id AS eid FROM events",
+        rate_per_s=2,
+        burst=3,
+    )
+
+
+Q209_SQL = _q209_sql()
+
+QUERIES["q209_token_bucket"] = q209_token_bucket
+ORACLES["q209_token_bucket"] = Q209_SQL

@@ -574,6 +574,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q205_light_stem",
         "q206_schema_evolution",
         "q207_heading_profile",
+        # q209 excluded: applyInPandas sequential bucket fold (the
+        # recurrence IS order-dependent state, not a window shape).
+        "q208_cidr_join",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))

@@ -987,3 +987,62 @@ def test_cusum_monitor_stream_matches_reference(spark, tmp_path):
     # first alarm fires after the regime shift, not before
     shift_us = int((t0 + pd.Timedelta(minutes=150)).value // 1000)
     assert want[0][0] >= shift_us
+
+
+def test_token_bucket_stream_matches_batch(spark, tmp_path):
+    """token_bucket_stream throttle events across 3 ordered batches
+    equal the batch replay's per-key throttle counts + first-throttle
+    time; bucket state (tokens, last arrival) survives batch
+    boundaries."""
+    from instageo_e2e_geospatial_ml_spark.operators.ratelimit import (
+        token_bucket_admit,
+        token_bucket_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # key 'a': a burst of 6 at t=0s..0.5s (burst 3, rate 2/s -> some
+    # throttled), then spaced-out arrivals that all pass
+    for i in range(6):
+        rows.append((eid, t0 + pd.Timedelta(milliseconds=100 * i), "a"))
+        eid += 1
+    for i in range(4):
+        rows.append((eid, t0 + pd.Timedelta(seconds=5 + 2 * i), "a"))
+        eid += 1
+    # key 'b': always under the rate
+    for i in range(5):
+        rows.append((eid, t0 + pd.Timedelta(seconds=3 * i), "b"))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["eid", "ts", "k"]).sort_values(
+        "ts"
+    ).reset_index(drop=True)
+    d = tmp_path / "in"
+    import numpy as np
+
+    for chunk in np.array_split(pdf.index, 3):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    ev = spark.createDataFrame(pdf)
+    stream = read_event_stream(spark, str(d), ev.schema, max_files=1)
+    out = token_bucket_stream(
+        stream, rate_per_s=2, burst=3, watermark="1 minute"
+    )
+    got = run_available_now(out, "tb", str(tmp_path / "ck")).toPandas()
+
+    batch_in = ev.select(
+        "k",
+        (F.unix_micros(F.col("ts").cast("timestamp"))).alias("tus"),
+        "eid",
+    )
+    want = {r.k: r for r in token_bucket_admit(
+        batch_in, rate_per_s=2, burst=3
+    ).collect()}
+    assert want["a"].n_throttled > 0
+    assert want["b"].n_throttled == 0
+    per_key = got.groupby("k").size().to_dict()
+    assert per_key.get("a", 0) == want["a"].n_throttled
+    assert per_key.get("b", 0) == 0
+    assert int(got[got.k == "a"]["arrival_us"].min()) == \
+        want["a"].first_throttled_us
