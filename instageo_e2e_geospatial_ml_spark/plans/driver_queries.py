@@ -8511,3 +8511,149 @@ Q209_SQL = _q209_sql()
 
 QUERIES["q209_token_bucket"] = q209_token_bucket
 ORACLES["q209_token_bucket"] = Q209_SQL
+
+
+def q210_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: q170's windowed funnel composed
+    with exact rank-based quartiles — per reached stage, the min/q1/
+    median/q3/max of (last_us − anchor_us). Quartiles are the k-th
+    smallest by k = ceil(n·p/4) (exact integer rank, ties natural),
+    computed with one rank window per stage (per-stage partitions)."""
+    from ..operators.funnel import windowed_funnel
+
+    f = windowed_funnel(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        horizon_us=6 * 3600 * 1000000,
+    ).select(
+        "stage", (F.col("last_us") - F.col("anchor_us")).alias("lat")
+    )
+    w = Window.partitionBy("stage").orderBy(F.col("lat").asc())
+    ranked = f.select(
+        "stage", "lat", F.row_number().over(w).alias("rn")
+    )
+    n = ranked.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(n), "stage")
+    qsel = lambda p: F.max(
+        F.when(
+            F.col("rn") == F.expr(f"CAST((n * {p} + 3) DIV 4 AS INT)"),
+            F.col("lat"),
+        )
+    )
+    return j.groupBy("stage").agg(
+        F.min("lat").alias("lat_min"),
+        qsel(1).alias("lat_q1"),
+        qsel(2).alias("lat_med"),
+        qsel(3).alias("lat_q3"),
+        F.max("lat").alias("lat_max"),
+        F.max("n").alias("n_users"),
+    )
+
+
+def _q210_sql() -> str:
+    from ..operators.funnel import windowed_funnel_sql
+
+    funnel = windowed_funnel_sql(
+        "SELECT user_id, event_type, ts FROM events",
+        ["view", "click", "purchase"],
+        horizon_us=6 * 3600 * 1000000,
+    )
+    return f"""
+WITH f AS (
+  SELECT stage, last_us - anchor_us AS lat FROM ({funnel})
+),
+ranked AS (
+  SELECT stage, lat,
+         row_number() OVER (PARTITION BY stage ORDER BY lat ASC) AS rn,
+         count(*) OVER (PARTITION BY stage) AS n
+  FROM f
+)
+SELECT stage, min(lat) AS lat_min,
+  max(CASE WHEN rn = CAST((n * 1 + 3) // 4 AS INT) THEN lat END)
+    AS lat_q1,
+  max(CASE WHEN rn = CAST((n * 2 + 3) // 4 AS INT) THEN lat END)
+    AS lat_med,
+  max(CASE WHEN rn = CAST((n * 3 + 3) // 4 AS INT) THEN lat END)
+    AS lat_q3,
+  max(lat) AS lat_max, CAST(max(n) AS BIGINT) AS n_users
+FROM ranked GROUP BY stage
+"""
+
+
+Q210_SQL = _q210_sql()
+
+QUERIES["q210_conversion_latency"] = q210_conversion_latency
+ORACLES["q210_conversion_latency"] = Q210_SQL
+
+
+def q211_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit: per order, o_totalprice (cents)
+    vs the lineitem-derived charge Σ round(extprice·(1−disc)·(1+tax))
+    — the cross-table consistency check every billing pipeline runs.
+    Emits per-order-priority: orders checked, exact-match count, and
+    the total absolute drift in cents (synthetic data does NOT
+    reconcile — the audit MEASURES that, which is the point)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100
+            + 0.5
+        ).cast("long").alias("charge_cents"),
+    ).groupBy("l_orderkey").agg(
+        F.sum("charge_cents").alias("derived_cents")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "stated_cents"
+        ),
+    )
+    j = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left"
+    ).select(
+        "o_orderpriority",
+        "stated_cents",
+        F.coalesce("derived_cents", F.lit(0)).alias("derived_cents"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("stated_cents") == F.col("derived_cents"), 1
+            ).otherwise(0)
+        ).alias("n_exact"),
+        F.sum(
+            F.abs(F.col("stated_cents") - F.col("derived_cents"))
+        ).alias("abs_drift_cents"),
+    )
+
+
+Q211_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+           * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS derived_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+           AS stated_cents,
+         coalesce(li.derived_cents, 0) AS derived_cents
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN stated_cents = derived_cents THEN 1 ELSE 0
+         END) AS BIGINT) AS n_exact,
+       CAST(sum(abs(stated_cents - derived_cents)) AS BIGINT)
+         AS abs_drift_cents
+FROM j GROUP BY 1
+"""
+
+QUERIES["q211_totals_reconcile"] = q211_totals_reconcile
+ORACLES["q211_totals_reconcile"] = Q211_SQL

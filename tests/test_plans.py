@@ -577,6 +577,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # q209 excluded: applyInPandas sequential bucket fold (the
         # recurrence IS order-dependent state, not a window shape).
         "q208_cidr_join",
+        "q210_conversion_latency",
+        "q211_totals_reconcile",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
