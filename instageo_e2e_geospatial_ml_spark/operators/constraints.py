@@ -280,3 +280,76 @@ FROM ({fact_sql}) f
 LEFT JOIN (SELECT DISTINCT _k, 1 AS _hit FROM ({dim_sql})) d
   ON f._k = d._k""")
     return "\nUNION ALL\n".join(parts)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy re-identification audit: group rows by their
+    quasi-identifier combination and report, per equivalence-class
+    SIZE BUCKET, how many classes/rows fall there — classes smaller
+    than k violate k-anonymity (suppression candidates) — plus the
+    l-diversity floor (min distinct sensitive values over classes in
+    the bucket; a 1 means attribute disclosure even where k holds).
+
+    Output per bucket ('1', '2..k-1', '>=k'): n_classes, n_rows,
+    n_rows_violating (rows needing suppression under plain
+    k-suppression), min_l (l-diversity floor). Pure counting — exact.
+
+    Scale: one groupBy over the quasi columns (map-side combining),
+    then aggregation of the class table (one row per equivalence
+    class)."""
+    cls = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(sensitive_col).alias("l_div"),
+    )
+    bucket = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") < k, f"2..{k - 1}")
+        .otherwise(f">={k}")
+    )
+    return (
+        cls.select(bucket.alias("bucket"), "sz", "l_div")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(
+                F.when(F.col("sz") < k, F.col("sz")).otherwise(0)
+            ).alias("n_rows_violating"),
+            F.min("l_div").alias("min_l"),
+        )
+    )
+
+
+def k_anonymity_audit_sql(
+    rows_sql: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of k_anonymity_audit."""
+    qi = ", ".join(quasi_cols)
+    return f"""
+WITH cls AS (
+  SELECT {qi}, CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT {sensitive_col}) AS BIGINT) AS l_div
+  FROM ({rows_sql}) GROUP BY {qi}
+),
+b AS (
+  SELECT CASE WHEN sz = 1 THEN '1'
+              WHEN sz < {k} THEN '2..{k - 1}'
+              ELSE '>={k}' END AS bucket,
+         sz, l_div
+  FROM cls
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_violating,
+       CAST(min(l_div) AS BIGINT) AS min_l
+FROM b GROUP BY bucket
+"""

@@ -98,3 +98,96 @@ def fmt_iso(col: Column | str) -> Column:
     (data_pipeline.py:322-326)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def next_business_day(
+    df: DataFrame,
+    ts_col: str,
+    holidays: list[str],
+) -> DataFrame:
+    """Settlement-date calendar math: for each timestamp, the NEXT day
+    (strictly later) that is neither a weekend nor a listed holiday —
+    the T+1 rule of billing/settlement pipelines. Weekday arithmetic is
+    pure epoch-day integers — dow = (epoch_day + 3) % 7 with Monday 0
+    (1970-01-01 was a Thursday = 3) — identical in any engine, immune
+    to locale/week-start configuration (Spark dayofweek and DuckDB
+    dayofweek disagree on numbering; epoch math does not).
+
+    Holidays are ISO dates resolved to epoch days at plan time and
+    tested with a literal IN — the broadcast-dim-table shape for larger
+    calendars. Two skip rounds handle holiday-then-weekend chains up to
+    2 long (extend the chain for dense calendars; each round is one
+    CASE, documented bound).
+
+    Output: input columns + (epoch_day, nbd_epoch_day, nbd_date)."""
+    import datetime as _dt
+
+    hol = sorted(
+        (_dt.date.fromisoformat(h) - _dt.date(1970, 1, 1)).days
+        for h in holidays
+    )
+    hol_lit = ", ".join(str(d) for d in hol) or "-1"
+    day = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        f" DIV {86400 * 1000000}"
+    )
+    base = df.withColumn("epoch_day", day)
+
+    def skip(col_expr: str) -> str:
+        # advance past Sat(5)/Sun(6) then past a holiday
+        wk = (
+            f"CASE WHEN (({col_expr}) + 3) % 7 = 5 THEN ({col_expr}) + 2 "
+            f"WHEN (({col_expr}) + 3) % 7 = 6 THEN ({col_expr}) + 1 "
+            f"ELSE ({col_expr}) END"
+        )
+        return (
+            f"CASE WHEN ({wk}) IN ({hol_lit}) THEN ({wk}) + 1"
+            f" ELSE ({wk}) END"
+        )
+
+    nbd = skip(skip("epoch_day + 1"))
+    return base.withColumn(
+        "nbd_epoch_day", F.expr(nbd).cast("long")
+    ).withColumn(
+        "nbd_date",
+        F.date_format(
+            F.expr("timestamp_seconds(nbd_epoch_day * 86400)"),
+            "yyyy-MM-dd",
+        ),
+    )
+
+
+def next_business_day_sql(
+    rows_sql: str, ts_expr: str, holidays: list[str]
+) -> str:
+    """DuckDB twin of next_business_day."""
+    import datetime as _dt
+
+    hol = sorted(
+        (_dt.date.fromisoformat(h) - _dt.date(1970, 1, 1)).days
+        for h in holidays
+    )
+    hol_lit = ", ".join(str(d) for d in hol) or "-1"
+    day = (
+        f"(epoch_us(CAST({ts_expr} AS TIMESTAMP))"
+        f" // {86400 * 1000000})"
+    )
+
+    def skip(col_expr: str) -> str:
+        wk = (
+            f"CASE WHEN (({col_expr}) + 3) % 7 = 5 THEN ({col_expr}) + 2 "
+            f"WHEN (({col_expr}) + 3) % 7 = 6 THEN ({col_expr}) + 1 "
+            f"ELSE ({col_expr}) END"
+        )
+        return (
+            f"CASE WHEN ({wk}) IN ({hol_lit}) THEN ({wk}) + 1"
+            f" ELSE ({wk}) END"
+        )
+
+    nbd = skip(skip(f"{day} + 1"))
+    return f"""
+SELECT *, CAST({day} AS BIGINT) AS epoch_day,
+       CAST({nbd} AS BIGINT) AS nbd_epoch_day,
+       strftime(to_timestamp(({nbd}) * 86400), '%Y-%m-%d') AS nbd_date
+FROM ({rows_sql})
+"""

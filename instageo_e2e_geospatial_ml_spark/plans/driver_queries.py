@@ -8657,3 +8657,91 @@ FROM j GROUP BY 1
 
 QUERIES["q211_totals_reconcile"] = q211_totals_reconcile
 ORACLES["q211_totals_reconcile"] = Q211_SQL
+
+
+_Q212_HOLIDAYS = ["2024-01-01", "2024-01-15", "2024-02-19"]
+
+
+def q212_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settlement calendar (operators/dates.next_business_day): T+1
+    business day for order dates under a 2024 holiday list — locale-
+    free epoch-day weekday arithmetic, per-priority rollup of lag
+    days."""
+    from ..operators.dates import next_business_day
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    nbd = next_business_day(o, "o_orderdate", _Q212_HOLIDAYS)
+    return nbd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("nbd_epoch_day") - F.col("epoch_day")
+        ).alias("sum_lag_days"),
+        F.max(
+            F.col("nbd_epoch_day") - F.col("epoch_day")
+        ).alias("max_lag_days"),
+        F.min("nbd_date").alias("first_nbd"),
+    )
+
+
+def _q212_sql() -> str:
+    from ..operators.dates import next_business_day_sql
+
+    inner = next_business_day_sql(
+        "SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders",
+        "o_orderdate",
+        _Q212_HOLIDAYS,
+    )
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(nbd_epoch_day - epoch_day) AS BIGINT) AS sum_lag_days,
+       CAST(max(nbd_epoch_day - epoch_day) AS BIGINT) AS max_lag_days,
+       min(nbd_date) AS first_nbd
+FROM ({inner}) GROUP BY 1
+"""
+
+
+Q212_SQL = _q212_sql()
+
+QUERIES["q212_business_days"] = q212_business_days
+ORACLES["q212_business_days"] = Q212_SQL
+
+
+def q213_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/constraints.
+    k_anonymity_audit): customer quasi-identifiers (nation bucket,
+    spend decile) vs the order-priority 'sensitive' column at k=5 —
+    equivalence-class size buckets, suppression volume, diversity
+    floor."""
+    from ..operators.constraints import k_anonymity_audit
+
+    rows = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 250).alias("nation_b"),
+        (F.floor(F.col("o_totalprice") / 8000).cast("long")).alias(
+            "spend_b"
+        ),
+        "o_orderpriority",
+    )
+    return k_anonymity_audit(
+        rows, ["nation_b", "spend_b"], "o_orderpriority", k=5
+    )
+
+
+def _q213_sql() -> str:
+    from ..operators.constraints import k_anonymity_audit_sql
+
+    return k_anonymity_audit_sql(
+        "SELECT o_custkey % 250 AS nation_b, "
+        "CAST(floor(o_totalprice / 8000) AS BIGINT) AS spend_b, "
+        "o_orderpriority FROM orders",
+        ["nation_b", "spend_b"],
+        "o_orderpriority",
+        k=5,
+    )
+
+
+Q213_SQL = _q213_sql()
+
+QUERIES["q213_k_anonymity"] = q213_k_anonymity
+ORACLES["q213_k_anonymity"] = Q213_SQL

@@ -4961,3 +4961,51 @@ def test_heading_profile_hand_hops(spark):
     assert r.n_hops == 5
     assert (r.e, r.ne, r.n, r.w, r.stay) == (1, 1, 1, 1, 1)
     assert r.dominant == "e"  # all tied at 1 -> compass order E first
+
+
+def test_next_business_day_weekend_holiday_chains(spark):
+    """next_business_day: Friday -> Monday; Friday before a Monday
+    holiday -> Tuesday; mid-week -> next day. 2024-01-05 is a Friday;
+    2024-01-15 (MLK Monday) is in the holiday list."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.operators.dates import (
+        next_business_day,
+    )
+
+    rows = [
+        (1, pd.Timestamp("2024-01-03").to_pydatetime()),  # Wed -> Thu
+        (2, pd.Timestamp("2024-01-05").to_pydatetime()),  # Fri -> Mon
+        (3, pd.Timestamp("2024-01-12").to_pydatetime()),  # Fri -> Tue
+                                                          # (15th holiday)
+        (4, pd.Timestamp("2024-01-13").to_pydatetime()),  # Sat -> Tue
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {r.id: r.nbd_date
+           for r in next_business_day(
+               df, "ts", ["2024-01-01", "2024-01-15"]).collect()}
+    assert got[1] == "2024-01-04"
+    assert got[2] == "2024-01-08"
+    assert got[3] == "2024-01-16"
+    assert got[4] == "2024-01-16"
+
+
+def test_k_anonymity_audit_hand_classes(spark):
+    """k_anonymity_audit at k=3: singleton class, a 2-class, a >=3
+    class; l-diversity floor 1 flags a uniform-sensitive class."""
+    from instageo_e2e_geospatial_ml_spark.operators.constraints import (
+        k_anonymity_audit,
+    )
+
+    rows = [
+        ("a", 1, "x"),                     # singleton
+        ("b", 1, "x"), ("b", 1, "x"),      # size 2, l=1
+        ("c", 2, "x"), ("c", 2, "y"), ("c", 2, "z"),  # size 3, l=3
+    ]
+    df = spark.createDataFrame(rows, "qi1 string, qi2 int, s string")
+    got = {r.bucket: (r.n_classes, r.n_rows, r.n_rows_violating, r.min_l)
+           for r in k_anonymity_audit(df, ["qi1", "qi2"], "s",
+                                      k=3).collect()}
+    assert got["1"] == (1, 1, 1, 1)
+    assert got["2..2"] == (1, 2, 2, 1)
+    assert got[">=3"] == (1, 3, 0, 3)

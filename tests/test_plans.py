@@ -579,6 +579,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q208_cidr_join",
         "q210_conversion_latency",
         "q211_totals_reconcile",
+        "q212_business_days",
+        "q213_k_anonymity",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
