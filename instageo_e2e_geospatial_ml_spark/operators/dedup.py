@@ -1210,3 +1210,109 @@ SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
 FROM chunks c JOIN freq f ON c.chunk_md5 = f.chunk_md5
 GROUP BY c.doc_id
 """
+
+
+def containment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment_ppm: int = 800_000,
+    max_doc_freq: int = 200,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A→B) = |S_A ∩ S_B| /
+    |S_A| — the doc-inside-doc detector Jaccard misses (a paragraph
+    quoted inside a long article has tiny Jaccard but containment ≈ 1;
+    C4/RefinedWeb-style pipelines drop the CONTAINED side). Output:
+    (doc_a, doc_b, inter, size_a, size_b, containment_ppm) for ordered
+    pairs with C(A→B) ≥ threshold and A ≠ B — doc_a is the contained
+    (smaller) side by definition of the direction emitted.
+
+    Exact: distinct-shingle sets, integer intersection counts,
+    containment as floor-ppm. The candidate join is doc-frequency
+    capped (shingles in > max_doc_freq docs are dropped from PAIRING
+    — boilerplate shingles pair everything with everything; the
+    docstring caveat is that containment against pure-boilerplate docs
+    is then underestimated, the standard LSH-style trade)."""
+    sh = (
+        shingles_with_pos(docs.select(id_col, text_col), text_col,
+                          shingle_n)
+        .select(F.col(id_col).alias("doc"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        dfreq.filter(F.col("df") <= max_doc_freq), "shingle"
+    ).select("doc", "shingle")
+    inter = (
+        rare.alias("x")
+        .join(rare.alias("y"), "shingle")
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .groupBy(
+            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"),
+                         F.col("sz").alias("size_a")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"),
+                         F.col("sz").alias("size_b")), "doc_b"
+        )
+        .select(
+            "doc_a", "doc_b", "inter", "size_a", "size_b",
+            F.expr("(1000000 * inter) DIV size_a").alias(
+                "containment_ppm"
+            ),
+        )
+        .filter(F.col("containment_ppm") >= min_containment_ppm)
+    )
+    return out
+
+
+def containment_dedup_sql(
+    docs_sql: str,
+    shingle_n: int = 3,
+    min_containment_ppm: int = 800_000,
+    max_doc_freq: int = 200,
+) -> str:
+    """DuckDB twin of containment_dedup."""
+    gram = " || ' ' || ".join(
+        f"t[i + {j}]" for j in range(shingle_n)
+    ).replace("t[i + 0]", "t[i]")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM ({docs_sql})
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {shingle_n - 1}))
+    AS i
+  FROM d WHERE len(t) >= {shingle_n}
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, {gram} AS shingle FROM pos
+),
+sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT s.doc, s.shingle FROM sh s
+  JOIN dfreq f ON s.shingle = f.shingle AND f.df <= {max_doc_freq}
+),
+inter AS (
+  SELECT x.doc AS doc_a, y.doc AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc <> y.doc
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       (1000000 * i.inter) // sa.sz AS containment_ppm
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc
+JOIN sizes sb ON i.doc_b = sb.doc
+WHERE (1000000 * i.inter) // sa.sz >= {min_containment_ppm}
+"""

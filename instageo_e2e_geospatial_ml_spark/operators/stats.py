@@ -2533,3 +2533,86 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
          AS n_tie_pairs
 FROM pairs GROUP BY k
 """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) as an EXACT rational — the
+    label-quality gate for human-annotated training data: κ =
+    (p_o − p_e)/(1 − p_e) with observed agreement p_o = agree/n and
+    chance agreement p_e = Σ_c m_c·k_c / n² (m, k the raters' marginal
+    counts). Clearing denominators: κ = (n·agree − S) / (n² − S) with
+    S = Σ m_c·k_c — two exact int64s (kappa_num, kappa_den) plus
+    kappa_ppm = (1e6·num) div den (den > 0 unless a rater is constant;
+    NULL-guarded).
+
+    Scale: one (a, b) confusion aggregate; marginals re-aggregate the
+    confusion table (|labels|² rows). Nothing else touches the data."""
+    conf = df.groupBy(
+        F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ma = conf.groupBy("a").agg(F.sum("c").alias("m"))
+    mb = conf.groupBy("b").agg(F.sum("c").alias("k"))
+    s = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("m") * F.col("k")).alias("s"))
+    )
+    tot = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .alias("agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            "agree",
+            F.coalesce("s", F.lit(0)).alias("s"),
+        )
+        .select(
+            "n",
+            "agree",
+            (F.col("n") * F.col("agree") - F.col("s")).alias(
+                "kappa_num"
+            ),
+            (F.col("n") * F.col("n") - F.col("s")).alias("kappa_den"),
+            F.expr(
+                "CASE WHEN n * n - s = 0 THEN NULL ELSE"
+                " (1000000 * (n * agree - s)) DIV (n * n - s) END"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+def cohens_kappa_sql(
+    rows_sql: str, a_expr: str, b_expr: str
+) -> str:
+    """DuckDB twin of cohens_kappa."""
+    return f"""
+WITH conf AS (
+  SELECT {a_expr} AS a, {b_expr} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM ({rows_sql}) GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS m FROM conf GROUP BY a),
+mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS k FROM conf GROUP BY b),
+sv AS (
+  SELECT CAST(coalesce(sum(ma.m * mb.k), 0) AS BIGINT) AS s
+  FROM ma JOIN mb ON ma.a = mb.b
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM conf
+)
+SELECT t.n, t.agree,
+       t.n * t.agree - sv.s AS kappa_num,
+       t.n * t.n - sv.s AS kappa_den,
+       CASE WHEN t.n * t.n - sv.s = 0 THEN NULL
+            ELSE (1000000 * (t.n * t.agree - sv.s))
+                 // (t.n * t.n - sv.s) END AS kappa_ppm
+FROM tot t CROSS JOIN sv
+"""

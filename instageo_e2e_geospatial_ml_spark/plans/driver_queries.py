@@ -8745,3 +8745,67 @@ Q213_SQL = _q213_sql()
 
 QUERIES["q213_k_anonymity"] = q213_k_anonymity
 ORACLES["q213_k_anonymity"] = Q213_SQL
+
+
+def q214_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators/stats.cohens_kappa):
+    synthetic double-annotation of documents (two deterministic
+    labelers agreeing ~70%) — exact rational κ + ppm."""
+    from ..operators.stats import cohens_kappa
+
+    labeled = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("rater_a"),
+        F.when(
+            F.col("doc_id") % 10 < 7, F.col("doc_id") % 4
+        ).otherwise((F.col("doc_id") + 1) % 4).alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+def _q214_sql() -> str:
+    from ..operators.stats import cohens_kappa_sql
+
+    return cohens_kappa_sql(
+        "SELECT doc_id % 4 AS rater_a, "
+        "CASE WHEN doc_id % 10 < 7 THEN doc_id % 4"
+        " ELSE (doc_id + 1) % 4 END AS rater_b FROM documents",
+        "rater_a",
+        "rater_b",
+    )
+
+
+Q214_SQL = _q214_sql()
+
+QUERIES["q214_cohens_kappa"] = q214_cohens_kappa
+ORACLES["q214_cohens_kappa"] = Q214_SQL
+
+
+def q215_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.containment_dedup):
+    doc-inside-doc pairs at C >= 0.5 over 3-gram shingle sets — the
+    quote/subset detector Jaccard misses."""
+    from ..operators.dedup import containment_dedup
+
+    return containment_dedup(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        min_containment_ppm=500_000,
+        max_doc_freq=200,
+    )
+
+
+def _q215_sql() -> str:
+    from ..operators.dedup import containment_dedup_sql
+
+    return containment_dedup_sql(
+        "SELECT doc_id, text FROM documents",
+        shingle_n=3,
+        min_containment_ppm=500_000,
+        max_doc_freq=200,
+    )
+
+
+Q215_SQL = _q215_sql()
+
+QUERIES["q215_containment_dedup"] = q215_containment_dedup
+ORACLES["q215_containment_dedup"] = Q215_SQL

@@ -5009,3 +5009,55 @@ def test_k_anonymity_audit_hand_classes(spark):
     assert got["1"] == (1, 1, 1, 1)
     assert got["2..2"] == (1, 2, 2, 1)
     assert got[">=3"] == (1, 3, 0, 3)
+
+
+def test_cohens_kappa_known_values(spark):
+    """cohens_kappa: perfect agreement -> kappa 1; independent constant
+    raters -> den 0 (NULL guard); textbook 2x2 golden (po=0.7, pe=0.5
+    -> kappa = 0.4)."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(9)], "a long, b long"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa_num == r.kappa_den and r.kappa_ppm == 1000000
+
+    const = spark.createDataFrame([(1, 1)] * 5, "a long, b long")
+    r2 = cohens_kappa(const, "a", "b").collect()[0]
+    assert r2.kappa_den == 0 and r2.kappa_ppm is None
+
+    # 2x2: counts [[4,1],[2,3]]: n=10, agree=7, marginals a: 5,5;
+    # b: 6,4 -> S = 5*6 + 5*4 = 50; kappa = (70-50)/(100-50) = 0.4
+    rows = ([(0, 0)] * 4 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(1, 1)] * 3)
+    r3 = cohens_kappa(
+        spark.createDataFrame(rows, "a long, b long"), "a", "b"
+    ).collect()[0]
+    assert (r3.kappa_num, r3.kappa_den) == (20, 50)
+    assert r3.kappa_ppm == 400000
+
+
+def test_containment_dedup_quote_inside_article(spark):
+    """containment_dedup: a short doc fully quoted inside a long one
+    gets containment 1e6 in the contained->container direction while
+    the reverse stays low; unrelated docs never pair."""
+    from instageo_e2e_geospatial_ml_spark.operators.dedup import (
+        containment_dedup,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    article = (" ".join(f"a{i}" for i in range(40)) + " " + quote
+               + " " + " ".join(f"z{i}" for i in range(40)))
+    other = " ".join(f"u{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, article), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.containment_ppm
+           for r in containment_dedup(
+               docs, min_containment_ppm=500_000).collect()}
+    assert got[(1, 2)] == 1000000     # quote fully contained
+    assert (2, 1) not in got          # article not contained in quote
+    assert all(3 not in k for k in got)

@@ -581,6 +581,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q211_totals_reconcile",
         "q212_business_days",
         "q213_k_anonymity",
+        "q214_cohens_kappa",
+        "q215_containment_dedup",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
