@@ -628,3 +628,131 @@ def bom_rollup_sql(edges_sql: str, rounds: int) -> str:
         + f"\nSELECT node, anc, CAST(level AS BIGINT) AS level,"
         f" qty_total FROM ({union})"
     )
+
+
+def hits_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) in exact integer arithmetic.
+
+    The other classic link-importance pair (Kleinberg 1999, the
+    Clever/Teoma ranker): a page is a good AUTHORITY if good hubs link
+    to it, a good HUB if it links to good authorities. For crawl
+    curation it separates directories/aggregators (hubs) from content
+    pages (authorities) — a distinction PageRank's single score blurs.
+
+    Power iteration with the standard mutual recurrence, but where the
+    textbook normalizes by the L2 norm (irreproducible across engines
+    in floats), this uses max-normalization in floor arithmetic:
+
+        a_t(v) = sum_{u->v} h_{t-1}(u);  a_t <- a_t * SCALE // max(a_t)
+        h_t(u) = sum_{u->v} a_t(v);      h_t <- h_t * SCALE // max(h_t)
+
+    Max-normalized power iteration converges to the same principal
+    eigenvector direction as L2 (normalization choice only rescales),
+    and every step is floor division — Spark `div` == DuckDB `//` —
+    so a fixed iteration count is bit-reproducible (oracle: hits_sql,
+    the unrolled MATERIALIZED CTE chain).
+
+    Scale: per round, one shuffle keyed on dst (authority fold) and one
+    on src (hub fold); the max() is a scalar agg broadcast back —
+    identical plan shape and skew story as pagerank_int above. Nodes
+    with no in-links hold authority 0; no out-links, hub 0.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(a_raw, 0) * {PR_SCALE} div a_max"
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(h_raw, 0) * {PR_SCALE} div h_max"
+                ).alias("h"),
+            )
+        )
+    return (
+        hub.join(auth.withColumnRenamed("a", "a_score"), "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_score"),
+            F.col("a_score").alias("auth_score"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB oracle twin of hits_int: the identical max-normalized
+    integer recurrence unrolled as MATERIALIZED CTEs (each round's
+    score table is referenced twice — once by the next fold, once by
+    its own max — so materialization is required to keep the chain
+    linear, not exponential)."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"ar{i + 1} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(sum(p.h) AS BIGINT) AS a_raw "
+            f"FROM e JOIN h{i} p ON p.node = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(ar.a_raw, 0) * {PR_SCALE} "
+            f"// (SELECT max(a_raw) FROM ar{i + 1}) AS a "
+            f"FROM nodes LEFT JOIN ar{i + 1} ar ON ar.node = nodes.node)"
+        )
+        parts.append(
+            f"hr{i + 1} AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(sum(p.a) AS BIGINT) AS h_raw "
+            f"FROM e JOIN a{i + 1} p ON p.node = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(hr.h_raw, 0) * {PR_SCALE} "
+            f"// (SELECT max(h_raw) FROM hr{i + 1}) AS h "
+            f"FROM nodes LEFT JOIN hr{i + 1} hr ON hr.node = nodes.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT h.node, CAST(h.h AS BIGINT) AS hub_score, "
+        f"CAST(a.a AS BIGINT) AS auth_score "
+        f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )

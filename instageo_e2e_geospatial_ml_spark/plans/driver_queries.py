@@ -8809,3 +8809,108 @@ Q215_SQL = _q215_sql()
 
 QUERIES["q215_containment_dedup"] = q215_containment_dedup
 ORACLES["q215_containment_dedup"] = Q215_SQL
+
+
+def q216_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic OLAP parity, the TPC-H Q1 shape, expressed as PURE SQL
+    through spark.sql over registered temp views — the engine's SQL
+    surface is first-class, not just the DataFrame DSL. Money stays in
+    integer cents/bp so the grouped sums hash exactly; the single
+    scan + grouped aggregate pipeline is the canonical
+    whole-stage-codegen showcase."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS sum_base_cents,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                 + 0.5) AS BIGINT)) AS sum_disc_cents,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                 AS sum_charge_cents,
+               count(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+Q216_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+         + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+         * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["q216_pricing_summary"] = q216_pricing_summary
+ORACLES["q216_pricing_summary"] = Q216_SQL
+
+
+def q217_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective
+    dim filters and a top-10 by revenue — the canonical join-planning
+    benchmark (the dim side broadcasts, the revenue aggregate partials
+    map-side, the top-k is TakeOrdered not a global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + 0.5
+        ).cast("long").alias("rev_cents"),
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+    return (
+        j.orderBy(
+            F.col("revenue_cents").desc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+Q217_SQL = """
+SELECT l.l_orderkey,
+       strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS odate,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+         * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["q217_shipping_priority"] = q217_shipping_priority
+ORACLES["q217_shipping_priority"] = Q217_SQL

@@ -617,3 +617,13 @@ def test_q204_partition_pruning_visible(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "prio" in m.group(1), m.group(0) if m else plan[:500]
+
+
+def test_q217_join_plan_broadcasts_dim_and_takeordered(spark):
+    """The Q3-shape multi-join must broadcast the filtered customer dim
+    (never shuffle the fact side for it) and run the top-10 as
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(dq.QUERIES["q217_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
