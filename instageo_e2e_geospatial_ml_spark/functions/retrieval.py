@@ -554,3 +554,77 @@ FROM pairs p
 JOIN nx USING (center) JOIN ny USING (context) CROSS JOIN tot
 WHERE p.n >= {min_count}
 """
+
+
+def phrase_search(
+    docs,
+    phrase: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Positional-index phrase query — the `"exact phrase"` operator of
+    every search engine, run as relational ops over a positional
+    posting list.
+
+    posexplode gives (doc, position, term); an n-word phrase is n-1
+    chained equi-joins on (doc, position + i) — the classic
+    positional-intersection algorithm (Manning/IR ch. 2) expressed so
+    the engine plans it: each join keys on (doc_id, pos), the rarest
+    term could drive join order under CBO, and no document's token
+    list is ever materialized driver-side. Returns
+    (doc_id, n_occurrences) for documents containing the phrase at
+    least once.
+
+    Scale: the position lists shuffle by (doc_id, pos) — uniformly
+    distributed keys, no skew; each join's output is bounded by the
+    rarer side. Stopword-only phrases degenerate to the bigram join
+    volume, the same bound as bigram_surprisal_scores above.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("d"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("pos", "term"),
+    )
+    out = toks.filter(F.col("term") == phrase[0]).select(
+        "d", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == term).select(
+            "d", (F.col("pos") - i).alias("p0")
+        )
+        out = out.join(nxt, ["d", "p0"])
+    return (
+        out.groupBy(F.col("d").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def phrase_search_sql(
+    docs_sql: str,
+    phrase: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of phrase_search: the identical positional joins over
+    the two-step generate_series tokenization (DuckDB lacks
+    WITH ORDINALITY; `t[i]` on the split list recovers positions)."""
+    joins = []
+    for i, term in enumerate(phrase[1:], start=1):
+        joins.append(
+            f"JOIN toks t{i} ON t{i}.d = t0.d AND t{i}.pos = t0.pos + {i} "
+            f"AND t{i}.term = '{term}'"
+        )
+    return f"""
+WITH src AS (SELECT {id_col} AS d,
+             string_split_regex(trim({text_col}), '\\s+') AS ts
+             FROM ({docs_sql})),
+idx AS (SELECT d, ts, unnest(generate_series(1, len(ts))) AS i FROM src),
+toks AS (SELECT d, i - 1 AS pos, ts[i] AS term FROM idx)
+SELECT t0.d AS {id_col}, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks t0 {' '.join(joins)}
+WHERE t0.term = '{phrase[0]}'
+GROUP BY 1
+"""

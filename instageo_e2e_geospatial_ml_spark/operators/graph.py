@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000_000  # 1e12 integer mass units
+HITS_SCALE = 1_000_000  # 1e6: raw*SCALE must not overflow int64 (see hits_int)
 
 
 def pagerank_int(
@@ -655,7 +656,12 @@ def hits_int(
     eigenvector direction as L2 (normalization choice only rescales),
     and every step is floor division — Spark `div` == DuckDB `//` —
     so a fixed iteration count is bit-reproducible (oracle: hits_sql,
-    the unrolled MATERIALIZED CTE chain).
+    the unrolled MATERIALIZED CTE chain). SCALE is 1e6 (not
+    pagerank's 1e12): the normalize step computes raw*SCALE before
+    dividing, and raw <= max_in_degree*SCALE, so SCALE^2*max_indeg
+    must stay under 2^63 — 1e6 leaves room for in-degrees to 9e6,
+    past any degree-bounded crawl graph (bound hubs upstream, the
+    same contract as link_prediction below).
 
     Scale: per round, one shuffle keyed on dst (authority fold) and one
     on src (hub fold); the max() is a scalar agg broadcast back —
@@ -671,7 +677,7 @@ def hits_int(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    hub = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("h"))
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
     auth = None
     for _ in range(iters):
         a_raw = (
@@ -686,7 +692,7 @@ def hits_int(
             .select(
                 "node",
                 F.expr(
-                    f"coalesce(a_raw, 0) * {PR_SCALE} div a_max"
+                    f"coalesce(a_raw, 0) * {HITS_SCALE} div a_max"
                 ).alias("a"),
             )
         )
@@ -702,7 +708,7 @@ def hits_int(
             .select(
                 "node",
                 F.expr(
-                    f"coalesce(h_raw, 0) * {PR_SCALE} div h_max"
+                    f"coalesce(h_raw, 0) * {HITS_SCALE} div h_max"
                 ).alias("h"),
             )
         )
@@ -725,7 +731,7 @@ def hits_sql(edges_sql: str, iters: int = 3) -> str:
     parts = [
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        f"h0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) AS h FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
     ]
     for i in range(iters):
         parts.append(
@@ -735,7 +741,7 @@ def hits_sql(edges_sql: str, iters: int = 3) -> str:
         )
         parts.append(
             f"a{i + 1} AS MATERIALIZED (SELECT nodes.node, "
-            f"COALESCE(ar.a_raw, 0) * {PR_SCALE} "
+            f"COALESCE(ar.a_raw, 0) * {HITS_SCALE} "
             f"// (SELECT max(a_raw) FROM ar{i + 1}) AS a "
             f"FROM nodes LEFT JOIN ar{i + 1} ar ON ar.node = nodes.node)"
         )
@@ -746,7 +752,7 @@ def hits_sql(edges_sql: str, iters: int = 3) -> str:
         )
         parts.append(
             f"h{i + 1} AS MATERIALIZED (SELECT nodes.node, "
-            f"COALESCE(hr.h_raw, 0) * {PR_SCALE} "
+            f"COALESCE(hr.h_raw, 0) * {HITS_SCALE} "
             f"// (SELECT max(h_raw) FROM hr{i + 1}) AS h "
             f"FROM nodes LEFT JOIN hr{i + 1} hr ON hr.node = nodes.node)"
         )

@@ -320,3 +320,133 @@ SELECT column_name, ndv, top1_ppm, null_ppm, ndv_fit_ppm,
          AS BIGINT) AS rnk
 FROM scored
 """
+
+
+def bloom_prune_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter join pruning, audited against exact membership.
+
+    The runtime-filter idea Spark itself applies under
+    spark.sql.optimizer.runtime.bloomFilter.enabled (and every
+    warehouse engine ships as a semi-join reduction): hash the small
+    build side's join keys into an m-bit Bloom filter, broadcast it,
+    and drop probe rows whose key cannot possibly match BEFORE the
+    shuffle. Built-in bloom_filter_agg is JVM-internal and never
+    hash-portable, so this audit variant builds the filter
+    relationally — exactly reproducible in any engine:
+
+        pos_j(key) = md5_int(j || ':' || key) mod m     j < n_hashes
+
+    The filter is the DISTINCT set of build-side positions (at most
+    m rows of one int — broadcastable by construction, the point of a
+    Bloom filter); a probe key passes iff ALL its n_hashes positions
+    are present. The audit joins the Bloom verdict against exact
+    membership (left-semi ground truth) and reports the confusion
+    summary — the false-positive rate that decides whether the filter
+    is worth its broadcast at a given m.
+
+    Returns one row: (n_probe_keys, n_members, n_pass_bloom,
+    n_false_pos, fp_ppm). Bloom never yields false NEGATIVES (asserted
+    by construction here: a member's positions are all in the set), so
+    n_pass_bloom - n_members == n_false_pos.
+
+    Scale: distinct probe keys -> n_hashes positions (explode by a
+    3-element literal array), one broadcast join on position, one
+    all-match count per key, one semi-join for truth. No shuffle
+    carries more than n_hashes rows per distinct key.
+    """
+    pk = probe.select(F.col(probe_key).cast("long").alias("k")).distinct()
+    bk = build.select(F.col(build_key).cast("long").alias("k")).distinct()
+
+    def positions(df):
+        out = df
+        for j in range(n_hashes):
+            out = out.withColumn(
+                f"_p{j}",
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(j)), F.col("k"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits,
+            )
+        return out.select(
+            "k",
+            F.explode(
+                F.array(*[F.col(f"_p{j}") for j in range(n_hashes)])
+            ).alias("pos"),
+        )
+
+    bits = positions(bk).select("pos").distinct()
+    hits = (
+        positions(pk)
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == n_hashes)
+        .select("k")
+    )
+    members = pk.join(bk, "k", "left_semi")
+    return (
+        pk.agg(F.count(F.lit(1)).alias("n_probe_keys"))
+        .crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_pass_bloom")))
+        .select(
+            "n_probe_keys",
+            "n_members",
+            "n_pass_bloom",
+            (F.col("n_pass_bloom") - F.col("n_members")).alias(
+                "n_false_pos"
+            ),
+            F.expr(
+                "(n_pass_bloom - n_members) * 1000000 div n_probe_keys"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+def bloom_prune_audit_sql(
+    build_sql: str,
+    probe_sql: str,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> str:
+    """DuckDB twin of bloom_prune_audit: `build_sql` / `probe_sql` each
+    yield one column k (BIGINT)."""
+    pos_exprs = " UNION ALL ".join(
+        f"SELECT k, CAST(('0x' || substring(md5('{j}:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {m_bits} AS pos FROM {{src}}"
+        for j in range(n_hashes)
+    )
+    return f"""
+WITH bk AS MATERIALIZED (SELECT DISTINCT k FROM ({build_sql})),
+pk AS MATERIALIZED (SELECT DISTINCT k FROM ({probe_sql})),
+bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM ({pos_exprs.format(src='bk')})
+),
+ppos AS ({pos_exprs.format(src='pk')}),
+hits AS (
+  SELECT k FROM ppos
+  WHERE pos IN (SELECT pos FROM bits)
+  GROUP BY k HAVING count(*) = {n_hashes}
+),
+members AS (SELECT k FROM pk WHERE k IN (SELECT k FROM bk))
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM pk) AS n_probe_keys,
+  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_pass_bloom,
+  (SELECT CAST(count(*) AS BIGINT) FROM hits)
+    - (SELECT count(*) FROM members) AS n_false_pos,
+  ((SELECT CAST(count(*) AS BIGINT) FROM hits)
+    - (SELECT count(*) FROM members)) * 1000000
+    // (SELECT count(*) FROM pk) AS fp_ppm
+"""

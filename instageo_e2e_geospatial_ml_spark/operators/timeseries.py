@@ -1053,3 +1053,112 @@ SELECT p.k, p.slot, p.n,
          AS seasonal_ppm
 FROM per_slot p JOIN per_key g ON p.k = g.k
 """
+
+
+def ewma_anomaly(
+    series: DataFrame,
+    key_col: str = "k",
+    ts_col: str = "tus",
+    val_col: str = "v",
+    shift_pow: int = 4,
+    band: int = 3,
+) -> DataFrame:
+    """EWMA smoothing + residual anomaly flags, exact integer recurrence.
+
+    The alerting primitive of every metrics pipeline (Holt's level
+    equation / the EWMA control chart): smooth a per-key series with
+    alpha = 1/2^shift_pow and flag points whose deviation from the
+    running level exceeds `band` value units. Floats make the fold
+    engine-irreproducible, so state is held in SCALE=1024 fixed-point
+    and the update is a floor division by a power of two:
+
+        s_0 = v_0 * SCALE
+        d_t = v_t * SCALE - s_{t-1}
+        s_t = s_{t-1} + trunc(d_t / 2^shift_pow)
+        anomaly_t = |d_t| >= band * SCALE        (t >= 1)
+
+    trunc (round-toward-zero) is the one integer division BOTH engines
+    agree on for signed operands (DuckDB `//` and Spark `div` truncate;
+    Python `//` floors — the fold computes sign(d)*(|d|//2^k)
+    explicitly). The recurrence is order-dependent state, not
+    a window shape, so batch = per-key applyInPandas numpy fold (keys
+    are the parallelism unit; a key's history must fit one task — the
+    sessionize contract) and the oracle is a DuckDB RECURSIVE CTE
+    stepping identical arithmetic (ewma_anomaly_sql).
+
+    Returns (k, n, n_anomalies, level_final, max_abs_dev) with the
+    level reported back in value units (floor(s_n / SCALE)).
+    """
+    import pandas as pd
+
+    scale = 1024
+    den = float(1 << shift_pow)
+    thresh = band * scale
+
+    def fold(key, pdf):
+        pdf = pdf.sort_values([ts_col, val_col], kind="mergesort")
+        vs = pdf[val_col].astype("int64").to_numpy()
+        s = int(vs[0]) * scale
+        n_anom = 0
+        max_dev = 0
+        for v in vs[1:]:
+            d = int(v) * scale - s
+            ad = -d if d < 0 else d
+            if ad > max_dev:
+                max_dev = ad
+            if ad >= thresh:
+                n_anom += 1
+            q = ad // (1 << shift_pow)
+            s += q if d >= 0 else -q
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n": [len(vs)],
+                "n_anomalies": [n_anom],
+                "level_final": [s // scale],
+                "max_abs_dev": [max_dev],
+            }
+        )
+
+    _ = den
+    return series.groupBy(key_col).applyInPandas(
+        fold,
+        "k string, n long, n_anomalies long, level_final long, "
+        "max_abs_dev long",
+    )
+
+
+def ewma_anomaly_sql(
+    series_sql: str, shift_pow: int = 4, band: int = 3
+) -> str:
+    """DuckDB twin of ewma_anomaly: the identical fixed-point recurrence
+    as a RECURSIVE CTE over per-key row numbers (`series_sql` yields
+    k, tus, v). DuckDB's // on BIGINT floors like Python's, and the
+    2^shift_pow divisor keeps every step exact."""
+    scale = 1024
+    div = 1 << shift_pow
+    thresh = band * scale
+    return f"""
+WITH RECURSIVE sv AS (
+  SELECT k, CAST(v AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY k ORDER BY tus, v) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM ({series_sql})
+),
+walk(k, rn, n, s, n_anom, max_dev) AS (
+  SELECT k, rn, n, v * {scale}, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM sv WHERE rn = 1
+  UNION ALL
+  SELECT sv.k, sv.rn, sv.n,
+         w.s + (sv.v * {scale} - w.s) // {div},
+         w.n_anom + CASE WHEN abs(sv.v * {scale} - w.s) >= {thresh}
+                         THEN 1 ELSE 0 END,
+         greatest(w.max_dev, abs(sv.v * {scale} - w.s))
+  FROM walk w JOIN sv ON sv.k = w.k AND sv.rn = w.rn + 1
+)
+SELECT k, CAST(n AS BIGINT) AS n,
+       CAST(n_anom AS BIGINT) AS n_anomalies,
+       CAST(s // {scale} AS BIGINT) AS level_final,
+       CAST(max_dev AS BIGINT) AS max_abs_dev
+FROM walk WHERE rn = n
+"""

@@ -8914,3 +8914,215 @@ LIMIT 10
 
 QUERIES["q217_shipping_priority"] = q217_shipping_priority
 ORACLES["q217_shipping_priority"] = Q217_SQL
+
+
+def q218_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities (operators/graph.hits_int), 3
+    max-normalized integer power-iteration rounds over the same
+    part-supplier link graph as q88 — the hub/authority split PageRank
+    can't express. Oracle: the unrolled MATERIALIZED CTE chain."""
+    from ..operators.graph import hits_int
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") % 120).alias("src"),
+        (F.col("l_suppkey") % 80 + 1000).alias("dst"),
+    )
+    back = li.filter(F.col("l_linenumber") % 2 == 0).select(
+        (F.col("l_suppkey") % 80 + 1000).alias("src"),
+        (F.col("l_orderkey") % 120).alias("dst"),
+    )
+    return hits_int(fwd.unionByName(back), iters=3)
+
+
+def _q218_sql() -> str:
+    from ..operators.graph import hits_sql
+
+    edges = (
+        "SELECT l_partkey % 120 AS src, l_suppkey % 80 + 1000 AS dst FROM lineitem "
+        "UNION ALL "
+        "SELECT l_suppkey % 80 + 1000 AS src, l_orderkey % 120 AS dst "
+        "FROM lineitem WHERE l_linenumber % 2 = 0"
+    )
+    return hits_sql(edges, iters=3)
+
+
+Q218_SQL = _q218_sql()
+
+QUERIES["q218_hits"] = q218_hits
+ORACLES["q218_hits"] = Q218_SQL
+
+
+def q219_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q4 shape — EXISTS rewritten as a LEFT SEMI join:
+    orders of 1996 with at least one line shipped more than 60 days
+    after the order date, counted per priority. The semi join stops
+    probing an order at its first late line (no fan-out, no distinct),
+    the plan shape EXISTS subqueries should always lower to."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q219_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+"""
+
+QUERIES["q219_late_orders"] = q219_late_orders
+ORACLES["q219_late_orders"] = Q219_SQL
+
+
+def q220_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q13 shape — the orders-per-customer histogram INCLUDING
+    zero-order customers: a left outer join (never inner — losing the
+    zeros is the classic Q13 bug), count per customer, then a second
+    aggregation over the counts. Urgent orders are excluded in the
+    JOIN CONDITION, not a WHERE (a WHERE would turn the outer join
+    inner)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q220_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) per_cust
+GROUP BY 1
+"""
+
+QUERIES["q220_custdist"] = q220_custdist
+ORACLES["q220_custdist"] = Q220_SQL
+
+
+def q221_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA level + residual anomaly counts (operators/timeseries.
+    ewma_anomaly): per user cohort (user_id % 50), smooth the
+    event-value series (integer cents) with alpha=1/16 fixed-point
+    arithmetic and count deviations >= 3 value units — the metrics
+    alerting fold, recursive-CTE oracle."""
+    from ..operators.timeseries import ewma_anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).cast("string").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return ewma_anomaly(ev, shift_pow=4, band=300)
+
+
+def _q221_sql() -> str:
+    from ..operators.timeseries import ewma_anomaly_sql
+
+    return ewma_anomaly_sql(
+        "SELECT CAST(user_id % 50 AS VARCHAR) AS k,"
+        " epoch_us(CAST(ts AS TIMESTAMP)) AS tus,"
+        " CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events",
+        shift_pow=4,
+        band=300,
+    )
+
+
+Q221_SQL = _q221_sql()
+
+QUERIES["q221_ewma_anomaly"] = q221_ewma_anomaly
+ORACLES["q221_ewma_anomaly"] = Q221_SQL
+
+
+def q222_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning audit (operators/pruning.
+    bloom_prune_audit): a 4096-bit, 3-hash relational Bloom filter of
+    BUILDING-segment customer keys probed by orders' customer keys —
+    the runtime semi-join reduction, with its false-positive rate
+    measured against exact membership."""
+    from ..operators.pruning import bloom_prune_audit
+
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders")
+    return bloom_prune_audit(
+        c, o, build_key="c_custkey", probe_key="o_custkey"
+    )
+
+
+def _q222_sql() -> str:
+    from ..operators.pruning import bloom_prune_audit_sql
+
+    return bloom_prune_audit_sql(
+        "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "SELECT o_custkey AS k FROM orders",
+    )
+
+
+Q222_SQL = _q222_sql()
+
+QUERIES["q222_bloom_prune"] = q222_bloom_prune
+ORACLES["q222_bloom_prune"] = Q222_SQL
+
+
+def q223_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query (functions/retrieval.phrase_search):
+    documents containing the exact 2-word phrase "table part" with
+    occurrence counts — posexplode positional postings + chained
+    (doc, pos+i) equi-joins, the inverted-index phrase operator."""
+    from ..functions.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, ("table", "part"))
+
+
+def _q223_sql() -> str:
+    from ..functions.retrieval import phrase_search_sql
+
+    return phrase_search_sql(
+        "SELECT doc_id, text FROM documents", ("table", "part")
+    )
+
+
+Q223_SQL = _q223_sql()
+
+QUERIES["q223_phrase_search"] = q223_phrase_search
+ORACLES["q223_phrase_search"] = Q223_SQL

@@ -5061,3 +5061,111 @@ def test_containment_dedup_quote_inside_article(spark):
     assert got[(1, 2)] == 1000000     # quote fully contained
     assert (2, 1) not in got          # article not contained in quote
     assert all(3 not in k for k in got)
+
+
+def test_hits_star_graph_hub_authority_split(spark):
+    """hits_int: a pure hub (links to every authority, no in-links)
+    must take hub score SCALE and authority 0; the most-linked
+    authority takes auth SCALE and hub 0 — the split PageRank blurs."""
+    from instageo_e2e_geospatial_ml_spark.operators.graph import (
+        HITS_SCALE,
+        hits_int,
+    )
+
+    # node 1 links to 10,11,12; node 2 links to 10 only.
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long"
+    )
+    got = {r.node: (r.hub_score, r.auth_score)
+           for r in hits_int(edges, iters=3).collect()}
+    assert got[1] == (HITS_SCALE, 0)          # best hub, no in-links
+    assert got[10][1] == HITS_SCALE           # best authority
+    assert got[10][0] == 0                    # ... with no out-links
+    assert 0 < got[2][0] < HITS_SCALE         # weaker hub strictly between
+    assert got[11] == got[12]                 # symmetric authorities
+    assert 0 < got[11][1] < HITS_SCALE
+
+
+def test_ewma_anomaly_hand_fold_and_negative_truncation(spark):
+    """ewma_anomaly: hand-stepped fixed-point recurrence, including a
+    NEGATIVE delta whose division must truncate toward zero (the
+    DuckDB `//` rule), not floor."""
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+
+    # k=a: v = 100, 116, 99.  SCALE=1024, shift 4 (div 16), band 3.
+    # s0 = 102400
+    # t1: d = 116*1024-102400 = 16384;  |d|>=3072 -> anomaly
+    #     s = 102400 + 16384//16 = 103424
+    # t2: d = 99*1024-103424 = -2048;   |d|<3072 -> not anomaly
+    #     trunc(-2048/16) = -128 -> s = 103296; level = 103296//1024=100
+    rows = [("a", 1_000_000, 100), ("a", 2_000_000, 116),
+            ("a", 3_000_000, 99)]
+    df = spark.createDataFrame(rows, "k string, tus long, v long")
+    r = ewma_anomaly(df, shift_pow=4, band=3).collect()[0]
+    assert (r.n, r.n_anomalies, r.level_final, r.max_abs_dev) == (
+        3, 1, 100, 16384
+    )
+
+    # truncation direction matters: -2049 // 16 floors to -129 in
+    # Python but the fold must produce trunc (-128 for -2048, -128 for
+    # -2049): same series with v2 = 98 -> d2 = -3072 (anomaly, trunc
+    # -192) -> s = 103424 - 192 = 103232 -> level 100
+    rows2 = [("b", 1, 100), ("b", 2, 116), ("b", 3, 98)]
+    df2 = spark.createDataFrame(rows2, "k string, tus long, v long")
+    r2 = ewma_anomaly(df2, shift_pow=4, band=3).collect()[0]
+    assert (r2.n_anomalies, r2.level_final) == (2, 100)
+
+
+def test_bloom_prune_no_false_negatives_and_forced_collisions(spark):
+    """bloom_prune_audit: members ALWAYS pass (no false negatives, the
+    Bloom contract) at any m; a deliberately tiny filter (m=4) forces
+    false positives that the audit must count exactly."""
+    from instageo_e2e_geospatial_ml_spark.operators.pruning import (
+        bloom_prune_audit,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(10)], "bk long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "pk long")
+    r = bloom_prune_audit(
+        build, probe, "bk", "pk", m_bits=4096, n_hashes=3
+    ).collect()[0]
+    assert r.n_probe_keys == 200 and r.n_members == 10
+    assert r.n_pass_bloom >= r.n_members            # no false negatives
+    assert r.n_false_pos == r.n_pass_bloom - 10
+
+    tiny = bloom_prune_audit(
+        build, probe, "bk", "pk", m_bits=4, n_hashes=2
+    ).collect()[0]
+    # 10 keys x 2 hashes into 4 bits: the deterministic md5 draws set
+    # 3 of the 4 bits, so a non-member passes iff both its positions
+    # land in those 3 (~(3/4)^2) — heavy false positives, zero false
+    # negatives, all exactly countable.
+    assert tiny.n_pass_bloom == 118
+    assert tiny.n_false_pos == 108
+
+
+def test_phrase_search_overlaps_and_order(spark):
+    """phrase_search: counts OVERLAPPING occurrences, respects word
+    order, and never matches across documents."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # ("a","a") twice (overlap)
+            (2, "b a"),              # reverse order: no match
+            (3, "x a"),              # "a" at end, next doc starts "a"
+            (4, "a y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences
+           for r in phrase_search(docs, ("a", "a")).collect()}
+    assert got == {1: 2}
+
+    got3 = {r.doc_id: r.n_occurrences
+            for r in phrase_search(docs, ("a", "a", "a")).collect()}
+    assert got3 == {1: 1}
