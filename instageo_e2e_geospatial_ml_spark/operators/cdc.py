@@ -303,3 +303,61 @@ def bitemporal_snapshot(
         .withColumn("is_current", F.col("valid_to_us").isNull())
         .drop(op_col)
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_col: str,
+    cols: list,
+) -> DataFrame:
+    """Order-insensitive content fingerprint — the migration/replication
+    validation primitive: prove two copies of a table hold identical
+    rows without sorting either one.
+
+    Per group: row digest = first 15 hex chars of md5 over the
+    '|'-joined column values (NULL rendered as the sentinel '\\N' so
+    NULL != 'null' != ''), folded with the COMMUTATIVE, ASSOCIATIVE
+    bit_xor aggregate — any row order, any partitioning, any merge tree
+    gives the same fold, which is exactly why replication checkers
+    (pt-table-checksum et al.) use xor-of-hashes. Count rides along:
+    xor alone cannot see a row appearing twice AND a compensating pair
+    (xor of a duplicate cancels), so (count, xor) together are the
+    check. Emits (group, n_rows, xor_fp).
+
+    Scale: one scan, one partial-aggregating hash agg keyed on the
+    group — the cheapest possible full-table verification; at 100 TB
+    the groups are file/partition ids and mismatched groups re-check
+    individually (the binary-search-by-partition repair loop).
+    """
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\\N")))
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(F.col(group_col).alias("grp"), digest.alias("d"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(d)").alias("xor_fp"),
+        )
+    )
+
+
+def table_fingerprint_sql(
+    table_sql: str, group_expr: str, col_exprs: list
+) -> str:
+    """DuckDB twin of table_fingerprint: identical digest rendering
+    (CAST to VARCHAR, '\\N' NULL sentinel, '|' separator)."""
+    rendered = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in col_exprs
+    )
+    return f"""
+WITH src AS (SELECT {group_expr} AS grp,
+  CAST(('0x' || substring(md5(concat_ws('|', {rendered})), 1, 15)) AS BIGINT) AS d
+FROM ({table_sql}))
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(d) AS BIGINT) AS xor_fp
+FROM src GROUP BY 1
+"""

@@ -9126,3 +9126,398 @@ Q223_SQL = _q223_sql()
 
 QUERIES["q223_phrase_search"] = q223_phrase_search
 ORACLES["q223_phrase_search"] = Q223_SQL
+
+
+def q224_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() provenance flags — the reporting
+    cube beyond q69's plain ROLLUP: four explicit aggregation grains
+    (priority, status, both, grand total) in ONE scan via Catalyst's
+    Expand, each output row carrying the bitmask that tells a consumer
+    which NULLs mean 'all'. Exercised through the SQL surface like
+    q216."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS sum_cents
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS (
+          (o_orderpriority), (o_orderstatus),
+          (o_orderpriority, o_orderstatus), ()
+        )
+        """
+    )
+
+
+Q224_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority), (o_orderstatus),
+  (o_orderpriority, o_orderstatus), ()
+)
+"""
+
+QUERIES["q224_grouping_sets"] = q224_grouping_sets
+ORACLES["q224_grouping_sets"] = Q224_SQL
+
+
+def q225_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra (operators/bitmaps): customers packed
+    into 63-bit words per (mktsegment x acctbal-sign) set, pairwise
+    intersection/union sizes via word-aligned AND + bit_count — the
+    Druid/ClickHouse segment-filter intersection, one int64 op per 63
+    members instead of a row-level join."""
+    from ..operators.bitmaps import bitmap_intersections, bitmap_words
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat_ws(
+            ":",
+            F.col("c_mktsegment"),
+            F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(
+                F.lit("pos")
+            ),
+        ).alias("s"),
+        F.col("c_custkey").alias("id"),
+    )
+    return bitmap_intersections(bitmap_words(c))
+
+
+def _q225_sql() -> str:
+    from ..operators.bitmaps import bitmap_intersections_sql
+
+    return bitmap_intersections_sql(
+        "SELECT c_mktsegment || ':' ||"
+        " CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS s,"
+        " c_custkey AS id FROM customer"
+    )
+
+
+Q225_SQL = _q225_sql()
+
+QUERIES["q225_bitmap_segments"] = q225_bitmap_segments
+ORACLES["q225_bitmap_segments"] = Q225_SQL
+
+
+def q226_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: per query, how many of the 8-bit-LSH top-5
+    (q29's operator, verbatim) land in the exact top-10 (q17's
+    operator, verbatim) — precision@5 against exact@10 in ppm, the
+    recall dial that decides n_bits/probes before shipping an index.
+    Composes the two already-oracle-pinned pipelines; the oracle is the
+    same composition of their SQL twins."""
+    from ..operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    exact = brute_force_topk(q, p, k=10).select("qid", "pid")
+    approx = lsh_topk(q, p, k=5, n_bits=8).select("qid", "pid")
+    hits = (
+        approx.join(exact, ["qid", "pid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = approx.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    return per_q.join(hits, "qid", "left").select(
+        "qid",
+        "n_approx",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.expr("coalesce(n_hit, 0) * 1000000 div 5").alias("prec_ppm"),
+    )
+
+
+Q226_SQL = f"""
+WITH exact AS ({Q17_SQL}),
+approx AS ({Q29_SQL}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+  FROM approx a JOIN exact e ON e.qid = a.qid AND e.pid = a.pid
+  GROUP BY 1
+),
+per_q AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1
+)
+SELECT p.qid, p.n_approx, COALESCE(h.n_hit, 0) AS n_hit,
+       COALESCE(h.n_hit, 0) * 1000000 // 5 AS prec_ppm
+FROM per_q p LEFT JOIN hits h ON h.qid = p.qid
+"""
+
+QUERIES["q226_ann_recall_audit"] = q226_ann_recall_audit
+ORACLES["q226_ann_recall_audit"] = Q226_SQL
+
+
+def q227_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive replication checksum (operators/cdc.
+    table_fingerprint): per return-flag group, (row count, xor of
+    15-hex md5 row digests) over canonically rendered lineitem columns
+    — the pt-table-checksum primitive that validates a migrated copy
+    without sorting 100 TB."""
+    from ..operators.cdc import table_fingerprint
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return table_fingerprint(
+        li,
+        "l_returnflag",
+        ["l_orderkey", "l_linenumber", "l_linestatus", "price_cents"],
+    )
+
+
+def _q227_sql() -> str:
+    from ..operators.cdc import table_fingerprint_sql
+
+    return table_fingerprint_sql(
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_linestatus,"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents"
+        " FROM lineitem",
+        "l_returnflag",
+        ["l_orderkey", "l_linenumber", "l_linestatus", "price_cents"],
+    )
+
+
+Q227_SQL = _q227_sql()
+
+QUERIES["q227_table_fingerprint"] = q227_table_fingerprint
+ORACLES["q227_table_fingerprint"] = Q227_SQL
+
+
+def q228_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL — the bag-semantics set
+    operators (multiplicity = min / difference of counts, NOT distinct)
+    over two day-partitioned snapshots of the same key stream; the
+    dup-aware compare that DISTINCT-based diffs get wrong. One row per
+    op with surviving multiplicities summed."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15).select(
+        (F.col("user_id") % 97).alias("k")
+    )
+    b = ev.filter(F.dayofmonth("ts") >= 10).select(
+        (F.col("user_id") % 97).alias("k")
+    )
+    inter = a.intersectAll(b).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("k")).alias("n_keys"),
+    ).select(F.lit("intersect_all").alias("op"), "n_rows", "n_keys")
+    diff = a.exceptAll(b).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("k")).alias("n_keys"),
+    ).select(F.lit("except_all").alias("op"), "n_rows", "n_keys")
+    return inter.unionByName(diff)
+
+
+Q228_SQL = """
+WITH a AS (SELECT user_id % 97 AS k FROM events
+           WHERE date_part('day', CAST(ts AS TIMESTAMP)) <= 15),
+b AS (SELECT user_id % 97 AS k FROM events
+      WHERE date_part('day', CAST(ts AS TIMESTAMP)) >= 10)
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT k) AS BIGINT)
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+"""
+
+QUERIES["q228_bag_set_ops"] = q228_bag_set_ops
+ORACLES["q228_bag_set_ops"] = Q228_SQL
+
+
+def q229_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: build a REAL json document per order (an
+    array of line objects — the shape event collectors emit), then
+    parse it back with from_json + explode and aggregate the extracted
+    fields. The oracle is the CLOSED FORM of the generator (this
+    container's DuckDB has no json extension): the serialize ->
+    from_json -> explode round trip on the Spark side must reproduce
+    the direct lineitem aggregate exactly — any parse/quoting/ordering
+    loss breaks the hash (the q195 EXIF-writer pattern)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    doc = li.groupBy("l_orderkey").agg(
+        F.concat(
+            F.lit('{"lines":['),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lit('{"ln":'),
+                            F.col("l_linenumber").cast("string"),
+                            F.lit(',"qty":'),
+                            F.col("l_quantity").cast("long").cast("string"),
+                            F.lit("}"),
+                        )
+                    )
+                ),
+                ",",
+            ),
+            F.lit("]}"),
+        ).alias("payload")
+    )
+    parsed = doc.select(
+        "l_orderkey",
+        F.explode(
+            F.from_json(
+                F.col("payload"),
+                "struct<lines:array<struct<ln:long,qty:long>>>",
+            )["lines"]
+        ).alias("line"),
+    )
+    return (
+        parsed.groupBy((F.col("l_orderkey") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("line.qty")).alias("sum_qty"),
+            F.max(F.col("line.ln")).alias("max_ln"),
+        )
+    )
+
+
+Q229_SQL = """
+SELECT l_orderkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(max(l_linenumber) AS BIGINT) AS max_ln
+FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1
+"""
+
+QUERIES["q229_json_explode"] = q229_json_explode
+ORACLES["q229_json_explode"] = Q229_SQL
+
+
+def q230_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DECIMAL(38,4) money aggregation — the alternative to the
+    integer-cents discipline used elsewhere: both engines carry exact
+    scaled decimals through sum/avg-free arithmetic and must render
+    identical scale-preserving strings. Sums per order priority."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(38,4)").alias("p"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.sum("p").cast("decimal(38,4)").alias("total_price"),
+        F.max("p").cast("decimal(38,4)").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q230_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+         AS total_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+         AS max_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+QUERIES["q230_decimal_totals"] = q230_decimal_totals
+ORACLES["q230_decimal_totals"] = Q230_SQL
+
+
+def q231_pivot_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulation via the DataFrame pivot operator (explicit value
+    list — the only scalable form: pivot without values is a
+    driver-side distinct scan): order counts per market segment x
+    order priority, zero-filled."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    out = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"p{i}"), F.lit(0)).alias(f"p{i}")
+          for i in range(1, 6)],
+    )
+
+
+Q231_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+QUERIES["q231_pivot_crosstab"] = q231_pivot_crosstab
+ORACLES["q231_pivot_crosstab"] = Q231_SQL
+
+
+def q232_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a grouped rollup maintained as
+    base-aggregate + delta-aggregate MERGED BY PARTIAL-SUM, never
+    recomputed from raw — the only viable refresh at 100 TB (the delta
+    is a day; the base is the archive). The oracle aggregates the full
+    input directly, proving merge losslessness: sum/count/max are the
+    mergeable partials (avg is DERIVED from sum/count downstream, never
+    maintained itself — the classic IVM trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("max_cents"),
+        )
+
+    base = agg(li.filter(F.col("l_shipdate") < cut))
+    delta = agg(li.filter(F.col("l_shipdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("n_rows").alias("n_rows"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged
+
+
+Q232_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS max_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+QUERIES["q232_incremental_rollup"] = q232_incremental_rollup
+ORACLES["q232_incremental_rollup"] = Q232_SQL

@@ -5169,3 +5169,67 @@ def test_phrase_search_overlaps_and_order(spark):
     got3 = {r.doc_id: r.n_occurrences
             for r in phrase_search(docs, ("a", "a", "a")).collect()}
     assert got3 == {1: 1}
+
+
+def test_bitmap_words_boundary_bits_and_algebra(spark):
+    """bitmap_words/bitmap_intersections: ids on word boundaries (62,
+    63, 0) pack into the right words; intersection/union match set
+    algebra computed by hand."""
+    from instageo_e2e_geospatial_ml_spark.operators.bitmaps import (
+        bitmap_intersections,
+        bitmap_words,
+    )
+
+    a = {0, 62, 63, 125, 126}     # words 0 (bits 0,62), 1 (bits 0,62), 2 (bit 0)
+    b = {62, 63, 200}
+    rows = [("A", i) for i in sorted(a)] + [("B", i) for i in sorted(b)]
+    words = bitmap_words(
+        spark.createDataFrame(rows, "s string, id long")
+    )
+    got_words = {(r.s, r.word_idx): r.word for r in words.collect()}
+    assert got_words[("A", 0)] == (1 | (1 << 62))
+    assert got_words[("A", 1)] == (1 | (1 << 62))
+    assert got_words[("A", 2)] == 1
+    assert got_words[("B", 3)] == 1 << (200 % 63)
+
+    r = bitmap_intersections(words).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.s_a, row.s_b) == ("A", "B")
+    assert row.n_a == 5 and row.n_b == 3
+    assert row.n_inter == len(a & b) == 2
+    assert row.n_union == len(a | b) == 6
+
+
+def test_table_fingerprint_order_invariance_and_null_sentinel(spark):
+    """table_fingerprint: same rows in any order/partitioning give the
+    same (count, xor); NULL, 'null' and '' all digest differently; a
+    duplicated row changes count even when xor cancels."""
+    from instageo_e2e_geospatial_ml_spark.operators.cdc import (
+        table_fingerprint,
+    )
+
+    rows = [("g", 1, "x"), ("g", 2, None), ("g", 3, "")]
+    base = spark.createDataFrame(rows, "grp string, a long, b string")
+    fp1 = table_fingerprint(base, "grp", ["a", "b"]).collect()[0]
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "grp string, a long, b string"
+    ).repartition(7)
+    fp2 = table_fingerprint(shuffled, "grp", ["a", "b"]).collect()[0]
+    assert (fp1.n_rows, fp1.xor_fp) == (fp2.n_rows, fp2.xor_fp)
+
+    lit_null = spark.createDataFrame(
+        [("g", 2, "null")], "grp string, a long, b string"
+    )
+    vs_null = spark.createDataFrame(
+        [("g", 2, None)], "grp string, a long, b string"
+    )
+    d1 = table_fingerprint(lit_null, "grp", ["a", "b"]).collect()[0]
+    d2 = table_fingerprint(vs_null, "grp", ["a", "b"]).collect()[0]
+    assert d1.xor_fp != d2.xor_fp
+
+    # duplicate-pair blindness of xor is covered by the row count
+    doubled = base.unionAll(base)
+    fp3 = table_fingerprint(doubled, "grp", ["a", "b"]).collect()[0]
+    assert fp3.xor_fp == 0 or fp3.xor_fp != fp1.xor_fp
+    assert fp3.n_rows == 6 != fp1.n_rows

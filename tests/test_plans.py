@@ -584,6 +584,25 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q214_cohens_kappa",
         "q215_containment_dedup",
     ]
+    # session-4 batches. Excluded by design: q221 (applyInPandas EWMA
+    # fold — order-dependent state like q209); q226 composes the
+    # already-plan-tested q17/q29 operators.
+    jvm_queries += [
+        "q216_pricing_summary",
+        "q218_hits",
+        "q219_late_orders",
+        "q220_custdist",
+        "q222_bloom_prune",
+        "q223_phrase_search",
+        "q224_grouping_sets",
+        "q225_bitmap_segments",
+        "q227_table_fingerprint",
+        "q228_bag_set_ops",
+        "q229_json_explode",
+        "q230_decimal_totals",
+        "q231_pivot_crosstab",
+        "q232_incremental_rollup",
+    ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
         assert "EvalPython" not in plan, name

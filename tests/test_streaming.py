@@ -1046,3 +1046,59 @@ def test_token_bucket_stream_matches_batch(spark, tmp_path):
     assert per_key.get("b", 0) == 0
     assert int(got[got.k == "a"]["arrival_us"].min()) == \
         want["a"].first_throttled_us
+
+
+def test_ewma_monitor_stream_matches_batch(spark, tmp_path):
+    """ewma_monitor_stream anomaly emissions across 3 ordered
+    micro-batches equal the batch replay (ewma_anomaly): same per-key
+    anomaly count and max deviation; the fixed-point level survives
+    batch boundaries."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+    from instageo_e2e_geospatial_ml_spark.streaming.ewma import (
+        ewma_monitor_stream,
+    )
+
+    rng = np.random.default_rng(17)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(240):
+        for k in ("m1", "m2"):
+            base = 100 if k == "m1" else 500
+            v = int(base + rng.integers(-2, 3))
+            if i % 37 == 0:  # periodic spikes -> anomalies
+                v += 40
+            rows.append((i * 2 + (k == "m2"),
+                         t0 + pd.Timedelta(minutes=i), k, v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type",
+                                      "value_int"])
+    d = tmp_path / "in"
+    for chunk in np.array_split(pdf.index, 3):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    ev = spark.createDataFrame(pdf)
+    stream = read_event_stream(spark, str(d), ev.schema, max_files=1)
+    out = ewma_monitor_stream(stream, shift_pow=4, band=8,
+                              watermark="1 minute")
+    got = run_available_now(out, "ewma", str(tmp_path / "ck")).toPandas()
+    assert len(got) > 0
+
+    batch_in = spark.createDataFrame(pdf).selectExpr(
+        "event_type AS k",
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS LONG) AS tus",
+        "CAST(value_int AS LONG) AS v",
+    )
+    want = {
+        r.k: (r.n_anomalies, r.max_abs_dev)
+        for r in ewma_anomaly(batch_in, shift_pow=4, band=8).collect()
+    }
+    counts = got.groupby("key").size().to_dict()
+    maxdev = got.groupby("key")["abs_dev"].max().to_dict()
+    for k, (n_anom, mx) in want.items():
+        assert counts.get(k, 0) == n_anom
+        if n_anom:
+            assert maxdev[k] == mx
