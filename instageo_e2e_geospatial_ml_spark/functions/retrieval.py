@@ -628,3 +628,120 @@ FROM toks t0 {' '.join(joins)}
 WHERE t0.term = '{phrase[0]}'
 GROUP BY 1
 """
+
+
+def sparse_cosine_join(
+    docs,
+    n: int = 3,
+    df_cap: int = 50,
+    min_cos2_ppm: int = 250_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact sparse-cosine similarity join over n-gram term-frequency
+    vectors — the inverted-index APSS algorithm (Bayardo et al. WWW'07
+    without the prefix filter): dot products accumulate ONLY over the
+    posting lists both documents share, never over a dense vector.
+
+    tf vectors are integer shingle counts, so the score is exact
+    rational arithmetic: cos² in ppm = dot²·1e6 // (|a|²·|b|²) — no
+    sqrt, no floats, oracle-identical. Terms with document frequency
+    > df_cap are dropped BEFORE the self-join (the LSH-family skew
+    cap: a stopword shingle's posting list would quadratically
+    dominate the join; dropping it bounds per-term join fan-out at
+    df_cap² while leaving discriminative mass — documented recall
+    trade, same contract as ngram-jaccard's cap). Emits
+    (doc_a, doc_b, dot, cos2_ppm) for doc_a < doc_b pairs at
+    cos² >= min_cos2_ppm.
+
+    Scale: shuffle keys on the shingle (bounded fan-out via the cap),
+    then one hash agg on the pair — the canonical similarity-join
+    plan; norms broadcast back by doc join.
+    """
+    from pyspark.sql import functions as F
+
+    pos = docs.select(
+        F.col(id_col).cast("long").alias("d"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("i", "w"),
+    )
+    grams = pos
+    for k in range(1, n):
+        nxt = pos.select(
+            "d", (F.col("i") - k).alias("i"), F.col("w").alias(f"w{k}")
+        )
+        grams = grams.join(nxt, ["d", "i"])
+    shingle = F.concat_ws(
+        " ", F.col("w"), *[F.col(f"w{k}") for k in range(1, n)]
+    )
+    tf = (
+        grams.select("d", shingle.alias("t"))
+        .groupBy("d", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    tf = tf.join(rare.select("t"), "t", "left_semi")
+    norms = tf.groupBy("d").agg(F.sum(F.expr("tf * tf")).alias("nrm2"))
+    a = tf.select(F.col("d").alias("da"), "t", F.col("tf").alias("tfa"))
+    b = tf.select(F.col("d").alias("db"), "t", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.expr("tfa * tfb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("d", "da").withColumnRenamed("nrm2", "na"), "da")
+        .join(norms.withColumnRenamed("d", "db").withColumnRenamed("nrm2", "nb"), "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "dot",
+            F.expr("dot * dot * 1000000 div (na * nb)").alias("cos2_ppm"),
+        )
+        .filter(F.col("cos2_ppm") >= min_cos2_ppm)
+    )
+    return scored
+
+
+def sparse_cosine_join_sql(
+    docs_sql: str,
+    n: int = 3,
+    df_cap: int = 50,
+    min_cos2_ppm: int = 250_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of sparse_cosine_join (two-step generate_series
+    positional n-grams, same cap and integer score)."""
+    gram_terms = " || ' ' || ".join(
+        f"ts[i + {k}]" for k in range(n)
+    )
+    return f"""
+WITH src AS (SELECT {id_col} AS d,
+             string_split_regex(trim({text_col}), '\\s+') AS ts
+             FROM ({docs_sql})),
+idx AS (SELECT d, ts, unnest(generate_series(1, len(ts) - {n - 1})) AS i
+        FROM src WHERE len(ts) >= {n}),
+tf0 AS (
+  SELECT d, {gram_terms} AS t, CAST(count(*) AS BIGINT) AS tf
+  FROM idx GROUP BY 1, 2
+),
+rare AS (SELECT t FROM tf0 GROUP BY t HAVING count(*) <= {df_cap}),
+tf AS (SELECT * FROM tf0 WHERE t IN (SELECT t FROM rare)),
+norms AS (SELECT d, CAST(sum(tf * tf) AS BIGINT) AS nrm2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.d AS da, b.d AS db, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.t = b.t AND a.d < b.d
+  GROUP BY 1, 2
+)
+SELECT dots.da AS doc_a, dots.db AS doc_b, dot,
+       dot * dot * 1000000 // (na.nrm2 * nb.nrm2) AS cos2_ppm
+FROM dots
+JOIN norms na ON na.d = dots.da
+JOIN norms nb ON nb.d = dots.db
+WHERE dot * dot * 1000000 // (na.nrm2 * nb.nrm2) >= {min_cos2_ppm}
+"""

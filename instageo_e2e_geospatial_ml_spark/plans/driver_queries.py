@@ -9521,3 +9521,148 @@ FROM lineitem GROUP BY 1, 2
 
 QUERIES["q232_incremental_rollup"] = q232_incremental_rollup
 ORACLES["q232_incremental_rollup"] = Q232_SQL
+
+
+def q233_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth accounting: monthly revenue (integer
+    cents) self-joined on month-key − 12, growth in signed ppm by
+    integer cross-multiply — the calendar-aligned comparison every
+    finance rollup runs; truncating division is identical in both
+    engines for either sign."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("ym")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    prev = monthly.select(
+        (F.col("ym") + 12).alias("ym"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    return monthly.join(prev, "ym").select(
+        "ym",
+        "rev_cents",
+        "prev_cents",
+        F.expr(
+            "(rev_cents - prev_cents) * 1000000 div prev_cents"
+        ).alias("yoy_ppm"),
+    )
+
+
+Q233_SQL = """
+WITH monthly AS (
+  SELECT date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+         + date_part('month', CAST(o_orderdate AS TIMESTAMP)) - 1 AS ym,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT cur.ym, cur.rev_cents, p.rev_cents AS prev_cents,
+       (cur.rev_cents - p.rev_cents) * 1000000 // p.rev_cents AS yoy_ppm
+FROM monthly cur JOIN monthly p ON p.ym = cur.ym - 12
+"""
+
+QUERIES["q233_yoy_growth"] = q233_yoy_growth
+ORACLES["q233_yoy_growth"] = Q233_SQL
+
+
+def q234_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical URL-path rollup: every path PREFIX of every crawled
+    URL counted in one pass (explode the prefix chain, one agg) — the
+    site-tree profile a crawl-budget planner reads. Prefixes build
+    JVM-side via slice + array_join over the split path; no UDF."""
+    from ..functions.web import synth_urls, url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    u = url_components(synth_urls(docs))
+    segs = u.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.col("path"), r"^/", ""), "/"
+        ).alias("segs"),
+    )
+    pref = segs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("segs")),
+                lambda k: F.concat(
+                    F.lit("/"),
+                    F.array_join(F.slice(F.col("segs"), 1, k), "/"),
+                ),
+            )
+        ).alias("prefix"),
+    )
+    return pref.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def _q234_sql() -> str:
+    # the same synth-url derivation used by q56/q129 oracles
+    return """
+WITH u AS (
+  SELECT doc_id,
+    '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) || '.html'
+      AS path
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(path, '^/', ''), '/') AS segs
+  FROM u
+),
+pref AS (
+  SELECT doc_id,
+         '/' || array_to_string(segs[1:k.k], '/') AS prefix
+  FROM segs, (SELECT unnest(generate_series(1, 2)) AS k) k
+  WHERE k.k <= len(segs)
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pref GROUP BY 1
+"""
+
+
+Q234_SQL = _q234_sql()
+
+QUERIES["q234_path_rollup"] = q234_path_rollup
+ORACLES["q234_path_rollup"] = Q234_SQL
+
+
+def q235_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse-cosine similarity join (functions/retrieval.
+    sparse_cosine_join): integer 3-gram tf vectors, inverted-index
+    dot products with a df<=50 posting cap, cos² in ppm by exact
+    cross-multiply — the APSS complement to MinHash (q15: estimates
+    Jaccard) and embedding LSH (q29: dense vectors)."""
+    from ..functions.retrieval import sparse_cosine_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_join(
+        docs, n=3, df_cap=50, min_cos2_ppm=120_000
+    )
+
+
+def _q235_sql() -> str:
+    from ..functions.retrieval import sparse_cosine_join_sql
+
+    return sparse_cosine_join_sql(
+        "SELECT doc_id, text FROM documents",
+        n=3,
+        df_cap=50,
+        min_cos2_ppm=120_000,
+    )
+
+
+Q235_SQL = _q235_sql()
+
+QUERIES["q235_sparse_cosine"] = q235_sparse_cosine
+ORACLES["q235_sparse_cosine"] = Q235_SQL

@@ -5233,3 +5233,37 @@ def test_table_fingerprint_order_invariance_and_null_sentinel(spark):
     fp3 = table_fingerprint(doubled, "grp", ["a", "b"]).collect()[0]
     assert fp3.xor_fp == 0 or fp3.xor_fp != fp1.xor_fp
     assert fp3.n_rows == 6 != fp1.n_rows
+
+
+def test_sparse_cosine_join_identity_and_df_cap(spark):
+    """sparse_cosine_join: identical documents score cos2 = 1e6; docs
+    sharing only a capped (ubiquitous) shingle never pair; a partial
+    overlap scores the hand value."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import (
+        sparse_cosine_join,
+    )
+
+    t = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): (r.dot, r.cos2_ppm)
+           for r in sparse_cosine_join(
+               docs, n=3, df_cap=50, min_cos2_ppm=0).collect()}
+    assert got == {(1, 2): (3, 1_000_000)}   # 3 shared trigrams, cos=1
+
+    # df_cap: the trigram "x y z" appears in ALL 3 docs -> df=3 > cap=2
+    # and is dropped, so docs sharing ONLY it never pair.
+    d2 = spark.createDataFrame(
+        [(1, "x y z a b"), (2, "x y z c d"), (3, "x y z e f")],
+        "doc_id long, text string",
+    )
+    pairs = sparse_cosine_join(d2, n=3, df_cap=2, min_cos2_ppm=0).collect()
+    assert pairs == []
+    # with the cap lifted they all pair through the shared shingle
+    pairs2 = sparse_cosine_join(d2, n=3, df_cap=3, min_cos2_ppm=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs2} == {(1, 2), (1, 3), (2, 3)}
+    # each doc has 3 trigrams, shares exactly "x y z": dot=1, norms 3
+    # -> cos2 = 1e6 // 9
+    assert all(r.dot == 1 and r.cos2_ppm == 111_111 for r in pairs2)

@@ -602,6 +602,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q230_decimal_totals",
         "q231_pivot_crosstab",
         "q232_incremental_rollup",
+        "q233_yoy_growth",
+        "q234_path_rollup",
+        "q235_sparse_cosine",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
