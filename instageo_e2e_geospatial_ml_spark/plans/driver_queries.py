@@ -9666,3 +9666,182 @@ Q235_SQL = _q235_sql()
 
 QUERIES["q235_sparse_cosine"] = q235_sparse_cosine
 ORACLES["q235_sparse_cosine"] = Q235_SQL
+
+
+def q236_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: each
+    customer's order count above THEIR OWN average order value —
+    Catalyst must decorrelate (RewriteCorrelatedScalarSubquery) into
+    an aggregate + join, never a per-row re-execution. Integer-cents
+    comparison keeps the correlation predicate exact."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_cs")
+    return spark.sql(
+        """
+        SELECT o.o_custkey AS custkey,
+               count(*) AS n_above_own_avg
+        FROM v_orders_cs o
+        WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 1000 >
+          (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+                  * 1000 div count(*)
+           FROM v_orders_cs i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY 1
+        """
+    )
+
+
+Q236_SQL = """
+SELECT o.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_above_own_avg
+FROM orders o
+WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 1000 >
+  (SELECT CAST(sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+          * 1000 AS BIGINT) // count(*)
+   FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY 1
+"""
+
+QUERIES["q236_correlated_subquery"] = q236_correlated_subquery
+ORACLES["q236_correlated_subquery"] = Q236_SQL
+
+
+def q237_churn_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS cohort: customers who ordered in 1995 but
+    never again from 2000 on — the churn set, lowered to one LEFT SEMI and
+    one LEFT ANTI join (never count-based detours). Counted per
+    market segment."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    in95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    after = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    churned = (
+        c.join(in95, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(
+            after, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+    )
+    return churned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+
+
+Q237_SQL = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_churned
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+QUERIES["q237_churn_cohort"] = q237_churn_cohort
+ORACLES["q237_churn_cohort"] = Q237_SQL
+
+
+def q238_argmax_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max) aggregate surface: per market segment,
+    WHICH customer holds the top account balance and WHICH the
+    bottom — the ordering value made unique (cents * 2^20 + custkey)
+    so arg ties cannot exist and both engines must agree exactly."""
+    c = _t(spark, sf_dir, "customer")
+    keyed = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        (
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            * 1048576
+            + F.col("c_custkey")
+        ).alias("ord_key"),
+    )
+    return keyed.groupBy("c_mktsegment").agg(
+        F.expr("max_by(c_custkey, ord_key)").alias("top_cust"),
+        F.expr("min_by(c_custkey, ord_key)").alias("bottom_cust"),
+        F.max("ord_key").alias("max_key"),
+        F.min("ord_key").alias("min_key"),
+    )
+
+
+Q238_SQL = """
+WITH keyed AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 1048576
+           + c_custkey AS ord_key
+  FROM customer
+)
+SELECT c_mktsegment,
+       arg_max(c_custkey, ord_key) AS top_cust,
+       arg_min(c_custkey, ord_key) AS bottom_cust,
+       CAST(max(ord_key) AS BIGINT) AS max_key,
+       CAST(min(ord_key) AS BIGINT) AS min_key
+FROM keyed GROUP BY 1
+"""
+
+QUERIES["q238_argmax_surface"] = q238_argmax_surface
+ORACLES["q238_argmax_surface"] = Q238_SQL
+
+
+def q239_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle eliminator for repeated
+    big-big joins: both sides written bucketBy(8, orderkey) +
+    sortBy (hash-bucketed files + catalog metadata), so the join
+    consumes each table's bucketing as its partitioning and the plan
+    carries NO Exchange on either side (pinned by
+    test_q239_bucketed_join_no_shuffle with broadcast disabled). At
+    100 TB this is the difference between shuffling both fact tables
+    on every run and shuffling them once at write time. Oracle =
+    the same join/agg straight off the raw parquet (the bucketed
+    round trip must be lossless)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = _scratch_subdir("bucketed")
+    (
+        li.write.format("parquet")
+        .option("path", f"{base}/li")
+        .mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("t_bkt_lineitem")
+    )
+    (
+        o.write.format("parquet")
+        .option("path", f"{base}/o")
+        .mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("t_bkt_orders")
+    )
+    lb = spark.table("t_bkt_lineitem")
+    ob = spark.table("t_bkt_orders")
+    return (
+        lb.join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("sum_qty"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+Q239_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES["q239_bucketed_join"] = q239_bucketed_join
+ORACLES["q239_bucketed_join"] = Q239_SQL

@@ -605,6 +605,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q233_yoy_growth",
         "q234_path_rollup",
         "q235_sparse_cosine",
+        "q236_correlated_subquery",
+        "q237_churn_cohort",
+        "q238_argmax_surface",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
@@ -649,3 +652,22 @@ def test_q217_join_plan_broadcasts_dim_and_takeordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_q239_bucketed_join_no_shuffle(spark):
+    """The bucketed co-located join must consume both tables' bucketing:
+    with broadcast disabled the plan is a SortMergeJoin (or shuffled
+    hash join) with ZERO Exchange operators feeding the join — the
+    write-once-shuffle-never contract bucketing exists for."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = dq.QUERIES["q239_bucketed_join"](spark, SF)
+        static = df._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in static or "ShuffledHashJoin" in static
+        # the only exchange allowed is the one ABOVE the aggregate
+        # (groupBy o_orderpriority); the join inputs read bucketed.
+        assert "Exchange hashpartitioning(l_orderkey" not in static
+        assert "Exchange hashpartitioning(o_orderkey" not in static
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
