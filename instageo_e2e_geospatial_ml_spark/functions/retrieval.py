@@ -745,3 +745,109 @@ JOIN norms na ON na.d = dots.da
 JOIN norms nb ON nb.d = dots.db
 WHERE dot * dot * 1000000 // (na.nrm2 * nb.nrm2) >= {min_cos2_ppm}
 """
+
+
+# 1e9-scaled 1/log2(i+1) discounts for ranks 1..10 — precomputed so
+# DCG stays pure integer arithmetic in BOTH engines (floats in a sum
+# are shuffle-order-dependent; an integer discount table is not).
+NDCG_DISC = (
+    1000000000, 630929753, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464876, 301029995, 289064826,
+)
+
+
+def ndcg_audit(
+    ranked,
+    k: int = 10,
+    q_col: str = "q",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+):
+    """NDCG@k — the graded ranking metric (Järvelin & Kekäläinen 2002)
+    as exact integer arithmetic: gain 2^rel − 1 (integer rel, capped
+    upstream), discount from the 1e9-scaled table above, so
+    DCG_scaled = Σ gain·disc is a plain bigint sum and
+    ndcg_ppm = DCG·1e6 // IDCG. IDCG re-ranks the SAME gains by
+    (rel desc, rank asc) — the ideal ordering with a deterministic
+    tie-break, the detail float NDCG implementations leave to chance.
+
+    Input: one row per (q, rank 1..k, rel). Output per q:
+    (q, dcg_scaled, idcg_scaled, ndcg_ppm).
+
+    Scale: two windows partitioned by q + one agg — evaluation runs
+    over millions of queries as one shuffle, not a driver loop.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISC[:k]]),
+        F.col(rank_col).cast("int"),
+    )
+    gain = (
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rel_col} AS INT))")
+        - 1
+    ).cast("long")
+    g = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(q_col).alias("q"),
+        F.col(rank_col).alias("rank"),
+        gain.alias("gain"),
+        disc.cast("long").alias("disc"),
+    )
+    ideal_rank = F.row_number().over(
+        Window.partitionBy("q").orderBy(
+            F.col("gain").desc(), F.col("rank").asc()
+        )
+    )
+    ideal_disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISC[:k]]), ideal_rank
+    )
+    g = g.withColumn("ideal_disc", ideal_disc.cast("long"))
+    return (
+        g.groupBy("q")
+        .agg(
+            F.sum(F.expr("gain * disc")).alias("dcg_scaled"),
+            F.sum(F.expr("gain * ideal_disc")).alias("idcg_scaled"),
+        )
+        .select(
+            "q",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.when(
+                F.col("idcg_scaled") > 0,
+                F.expr("dcg_scaled * 1000000 div idcg_scaled"),
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+def ndcg_audit_sql(
+    ranked_sql: str, k: int = 10
+) -> str:
+    """DuckDB twin of ndcg_audit (`ranked_sql` yields q, rank, rel)."""
+    disc_vals = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISC[:k])
+    )
+    return f"""
+WITH disc(r, d) AS (VALUES {disc_vals}),
+g AS (
+  SELECT q, rank, CAST((1 << CAST(rel AS INT)) - 1 AS BIGINT) AS gain
+  FROM ({ranked_sql}) WHERE rank <= {k}
+),
+gd AS (
+  SELECT g.q, g.rank, g.gain, disc.d AS disc,
+         row_number() OVER (PARTITION BY g.q
+                            ORDER BY g.gain DESC, g.rank ASC) AS irank
+  FROM g JOIN disc ON disc.r = g.rank
+),
+gi AS (
+  SELECT gd.*, disc.d AS ideal_disc
+  FROM gd JOIN disc ON disc.r = gd.irank
+)
+SELECT q, CAST(sum(gain * disc) AS BIGINT) AS dcg_scaled,
+       CAST(sum(gain * ideal_disc) AS BIGINT) AS idcg_scaled,
+       CASE WHEN sum(gain * ideal_disc) > 0 THEN
+         CAST(sum(gain * disc) AS BIGINT) * 1000000
+           // CAST(sum(gain * ideal_disc) AS BIGINT) END AS ndcg_ppm
+FROM gi GROUP BY 1
+"""

@@ -2616,3 +2616,111 @@ SELECT t.n, t.agree,
                  // (t.n * t.n - sv.s) END AS kappa_ppm
 FROM tot t CROSS JOIN sv
 """
+
+
+def cuped_adjustment(
+    exposures: DataFrame,
+    arm_col: str = "arm",
+    user_col: str = "u",
+    pre_col: str = "pre",
+    post_col: str = "post",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) — the industry
+    experiment-analysis adjustment: regress the post-period metric on
+    the pre-period covariate, theta = cov(pre, post) / var(pre), and
+    compare arms on post − theta·(pre − mean(pre)).
+
+    Engine-exact: all statistics are N-scaled integer moments (the
+    q97 OLS trick — no division until the final ppm quantization):
+
+        Sxx = n·Σpre² − (Σpre)²          Sxy = n·Σpre·post − Σpre·Σpost
+        theta_ppm = Sxy·1e6 // Sxx       (truncating, both engines)
+        adj_scaled(arm) = n·1e6·Σ_arm(post)
+                          − theta_ppm·(n·Σ_arm(pre) − n_arm·Σpre)
+
+    adj_scaled is n·1e6 times the arm's adjusted metric TOTAL — the
+    downstream consumer divides once, outside the hash. Inputs are
+    one row per user (pre-aggregate upstream); callers keep units
+    coarse enough that n·Σpre² fits int64 (documented bound:
+    n·max(pre)²·n ≤ 2^63 — dollars not cents at 100 M users).
+
+    Output one row per arm: (arm, n_users, sum_pre, sum_post,
+    theta_ppm, adj_scaled). Scale: one user-keyed aggregate feeding
+    two scalar broadcasts — the same plan as a grouped mean.
+    """
+    g = exposures.groupBy(arm_col, user_col).agg(
+        F.sum(pre_col).cast("long").alias("pre"),
+        F.sum(post_col).cast("long").alias("post"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.expr("pre * pre")).alias("spp"),
+        F.sum(F.expr("pre * post")).alias("spo"),
+    ).select(
+        "n",
+        "sp",
+        "so",
+        F.expr("n * spp - sp * sp").alias("sxx"),
+        F.expr("n * spo - sp * so").alias("sxy"),
+    ).select(
+        "n",
+        "sp",
+        F.expr(
+            "CASE WHEN sxx > 0 THEN sxy * 1000000 div sxx ELSE 0 END"
+        ).alias("theta_ppm"),
+    )
+    arm = g.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre").alias("sum_pre"),
+        F.sum("post").alias("sum_post"),
+    )
+    return arm.crossJoin(F.broadcast(tot)).select(
+        F.col(arm_col).alias("arm"),
+        "n_users",
+        "sum_pre",
+        "sum_post",
+        "theta_ppm",
+        F.expr(
+            "n * 1000000 * sum_post"
+            " - theta_ppm * (n * sum_pre - n_users * sp)"
+        ).alias("adj_scaled"),
+    )
+
+
+def cuped_adjustment_sql(exposures_sql: str) -> str:
+    """DuckDB twin of cuped_adjustment (`exposures_sql` yields
+    arm, u, pre, post — pre/post integer units)."""
+    return f"""
+WITH g AS (
+  SELECT arm, u, CAST(sum(pre) AS BIGINT) AS pre,
+         CAST(sum(post) AS BIGINT) AS post
+  FROM ({exposures_sql}) GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(pre) AS BIGINT) AS sp,
+         CAST(sum(post) AS BIGINT) AS so,
+         CAST(sum(pre * pre) AS BIGINT) AS spp,
+         CAST(sum(pre * post) AS BIGINT) AS spo
+  FROM g
+),
+th AS (
+  SELECT n, sp,
+         CASE WHEN n * spp - sp * sp > 0 THEN
+           (n * spo - sp * so) * 1000000 // (n * spp - sp * sp)
+         ELSE 0 END AS theta_ppm
+  FROM tot
+),
+arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre) AS BIGINT) AS sum_pre,
+         CAST(sum(post) AS BIGINT) AS sum_post
+  FROM g GROUP BY 1
+)
+SELECT arm.arm, arm.n_users, arm.sum_pre, arm.sum_post, th.theta_ppm,
+       th.n * 1000000 * arm.sum_post
+         - th.theta_ppm * (th.n * arm.sum_pre - arm.n_users * th.sp)
+         AS adj_scaled
+FROM arm CROSS JOIN th
+"""

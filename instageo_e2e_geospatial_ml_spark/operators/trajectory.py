@@ -633,3 +633,96 @@ agg AS (
 SELECT uid, n_hops, {", ".join(names)}, {dom} AS dominant
 FROM agg
 """
+
+
+def impossible_travel(
+    pings: DataFrame,
+    vmax: int,
+    key_col: str = "u",
+    ts_col: str = "tus",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Impossible-travel detection — the account-security primitive
+    (two logins whose implied speed exceeds any real journey): per key,
+    consecutive hops ordered by time, flagged when
+
+        dist² > vmax² · dt_s²        (dt_s > 0)
+        dist² > 0                    (dt_s = 0: teleport)
+
+    The squared comparison keeps it pure integer (no sqrt, no
+    division): dist² in grid-unit², dt in whole seconds (dt_s =
+    dt_us div 1e6), vmax in units/second. Callers size the grid so
+    dist²·1 and vmax²·dt_s² fit int64 (a month of seconds squared is
+    ~7e12 — vmax up to ~1e3 is safe).
+
+    One lag window per key (the sessionize shuffle), one filterless
+    aggregate. Output per key: (u, n_hops, n_impossible,
+    max_dist2_flagged or NULL).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(x_col).asc(), F.col(y_col).asc()
+    )
+    hops = pings.select(
+        F.col(key_col).alias("u"),
+        F.col(ts_col).alias("tus"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.lag(ts_col).over(w).alias("ptus"),
+        F.lag(x_col).over(w).alias("px"),
+        F.lag(y_col).over(w).alias("py"),
+    ).filter(F.col("ptus").isNotNull())
+    hops = hops.select(
+        "u",
+        F.expr("(x - px) * (x - px) + (y - py) * (y - py)").alias("d2"),
+        F.expr("(tus - ptus) div 1000000").alias("dt_s"),
+    ).select(
+        "u",
+        "d2",
+        (
+            F.when(F.col("dt_s") > 0,
+                   F.col("d2") > F.lit(vmax * vmax) * F.col("dt_s") * F.col("dt_s"))
+            .otherwise(F.col("d2") > 0)
+        ).cast("long").alias("flag"),
+    )
+    return hops.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.sum("flag").alias("n_impossible"),
+        F.max(F.when(F.col("flag") == 1, F.col("d2"))).alias(
+            "max_dist2_flagged"
+        ),
+    )
+
+
+def impossible_travel_sql(
+    pings_sql: str, vmax: int
+) -> str:
+    """DuckDB twin of impossible_travel (`pings_sql` yields
+    u, tus, x, y)."""
+    return f"""
+WITH hops AS (
+  SELECT u, tus, x, y,
+         lag(tus) OVER w AS ptus, lag(x) OVER w AS px,
+         lag(y) OVER w AS py
+  FROM ({pings_sql})
+  WINDOW w AS (PARTITION BY u ORDER BY tus ASC, x ASC, y ASC)
+),
+d AS (
+  SELECT u,
+         (x - px) * (x - px) + (y - py) * (y - py) AS d2,
+         (tus - ptus) // 1000000 AS dt_s
+  FROM hops WHERE ptus IS NOT NULL
+),
+f AS (
+  SELECT u, d2,
+         CASE WHEN dt_s > 0 THEN
+           CASE WHEN d2 > {vmax * vmax} * dt_s * dt_s THEN 1 ELSE 0 END
+         ELSE CASE WHEN d2 > 0 THEN 1 ELSE 0 END END AS flag
+  FROM d
+)
+SELECT u, CAST(count(*) AS BIGINT) AS n_hops,
+       CAST(sum(flag) AS BIGINT) AS n_impossible,
+       CAST(max(CASE WHEN flag = 1 THEN d2 END) AS BIGINT)
+         AS max_dist2_flagged
+FROM f GROUP BY 1
+"""

@@ -9845,3 +9845,211 @@ GROUP BY 1
 
 QUERIES["q239_bucketed_join"] = q239_bucketed_join
 ORACLES["q239_bucketed_join"] = Q239_SQL
+
+
+_Q240_CUT = 1705363200000000  # events median (2024-01-16), FIXTURES convention
+
+
+def q240_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment adjustment (operators/stats.cuped_adjustment):
+    arms = user_id parity, pre/post-period spend in whole dollars
+    around the events-median cutoff; theta and the per-arm adjusted
+    totals all N-scaled integer moments — the WSDM'13 variance
+    reduction, engine-exact."""
+    from ..operators.stats import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.col("user_id").alias("u"),
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) < _Q240_CUT,
+            F.floor(F.col("value")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("pre"),
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) >= _Q240_CUT,
+            F.floor(F.col("value")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("post"),
+    )
+    return cuped_adjustment(ev)
+
+
+def _q240_sql() -> str:
+    from ..operators.stats import cuped_adjustment_sql
+
+    return cuped_adjustment_sql(
+        f"SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,"
+        f" user_id AS u,"
+        f" CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < {_Q240_CUT}"
+        f" THEN CAST(floor(value) AS BIGINT) ELSE 0 END AS pre,"
+        f" CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= {_Q240_CUT}"
+        f" THEN CAST(floor(value) AS BIGINT) ELSE 0 END AS post"
+        f" FROM events"
+    )
+
+
+Q240_SQL = _q240_sql()
+
+QUERIES["q240_cuped"] = q240_cuped
+ORACLES["q240_cuped"] = Q240_SQL
+
+
+def q241_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel audit (operators/trajectory.impossible_travel):
+    event stream with md5-derived 300-unit grid positions per event,
+    consecutive per-user hops flagged when implied speed exceeds
+    2 units/s — squared integer comparison, no sqrt/floats. Only
+    flagged users returned."""
+    from ..operators.trajectory import impossible_travel
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("px:"), F.col("event_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 300
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("py:"), F.col("event_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 300
+        ).alias("y"),
+    )
+    return impossible_travel(ev, vmax=2).filter(
+        F.col("n_impossible") >= 1
+    )
+
+
+def _q241_sql() -> str:
+    from ..operators.trajectory import impossible_travel_sql
+
+    pings = (
+        "SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,"
+        " CAST(('0x' || substring(md5('px:' || CAST(event_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 300 AS x,"
+        " CAST(('0x' || substring(md5('py:' || CAST(event_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 300 AS y"
+        " FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + impossible_travel_sql(pings, vmax=2)
+        + ") WHERE n_impossible >= 1"
+    )
+
+
+Q241_SQL = _q241_sql()
+
+QUERIES["q241_impossible_travel"] = q241_impossible_travel
+ORACLES["q241_impossible_travel"] = Q241_SQL
+
+
+def q242_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranker audit (functions/retrieval.ndcg_audit): for four
+    probe terms, a tf ranker vs a length-prior ranker scored against
+    graded relevance rel = min(tf, 3) — exact integer DCG via the
+    1e9-scaled discount table; per (term x ranker) ndcg in ppm. The
+    ranking-quality gate an IR pipeline runs before swapping scorers."""
+    from ..functions.retrieval import ndcg_audit
+
+    terms = ["table", "window", "merge", "spark"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+
+    wa = Window.partitionBy("w").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ranked_a = (
+        tf.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.concat(F.col("w"), F.lit(":tf")).alias("q"),
+            "rank",
+            F.least(F.col("tf"), F.lit(3)).alias("rel"),
+        )
+    )
+
+    top_long = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    wb = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    term_df = spark.createDataFrame([(t,) for t in terms], "w string")
+    ranked_b = (
+        top_long.withColumn("rank", F.row_number().over(wb))
+        .crossJoin(F.broadcast(term_df))
+        .join(tf, ["doc_id", "w"], "left")
+        .select(
+            F.concat(F.col("w"), F.lit(":len")).alias("q"),
+            "rank",
+            F.least(F.coalesce(F.col("tf"), F.lit(0)), F.lit(3)).alias(
+                "rel"
+            ),
+        )
+    )
+    return ndcg_audit(ranked_a.unionByName(ranked_b), k=10)
+
+
+def _q242_sql() -> str:
+    from ..functions.retrieval import ndcg_audit_sql
+
+    terms = "('table'), ('window'), ('merge'), ('spark')"
+    ranked = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok IN ('table', 'window', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+ra AS (
+  SELECT w || ':tf' AS q,
+         row_number() OVER (PARTITION BY w
+                            ORDER BY tf DESC, doc_id ASC) AS rank,
+         least(tf, 3) AS rel
+  FROM tf
+),
+top_long AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+),
+rb AS (
+  SELECT t.w || ':len' AS q, tl.rank,
+         least(COALESCE(tf.tf, 0), 3) AS rel
+  FROM top_long tl
+  CROSS JOIN (VALUES {terms}) t(w)
+  LEFT JOIN tf ON tf.doc_id = tl.doc_id AND tf.w = t.w
+)
+SELECT q, rank, rel FROM ra WHERE rank <= 10
+UNION ALL
+SELECT q, rank, rel FROM rb
+"""
+    return ndcg_audit_sql(ranked, k=10)
+
+
+Q242_SQL = _q242_sql()
+
+QUERIES["q242_ndcg_audit"] = q242_ndcg_audit
+ORACLES["q242_ndcg_audit"] = Q242_SQL

@@ -5267,3 +5267,72 @@ def test_sparse_cosine_join_identity_and_df_cap(spark):
     # each doc has 3 trigrams, shares exactly "x y z": dot=1, norms 3
     # -> cos2 = 1e6 // 9
     assert all(r.dot == 1 and r.cos2_ppm == 111_111 for r in pairs2)
+
+
+def test_cuped_theta_and_adjustment_hand_values(spark):
+    """cuped_adjustment: hand-computable moments — pre perfectly
+    predicts post (post = 2*pre) gives theta_ppm = 2e6 and ZERO
+    adjusted difference between arms regardless of pre imbalance."""
+    from instageo_e2e_geospatial_ml_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    rows = [("A", 1, 10, 20), ("A", 2, 20, 40),
+            ("B", 3, 30, 60), ("B", 4, 40, 80)]
+    df = spark.createDataFrame(rows, "arm string, u long, pre long, post long")
+    got = {r.arm: r for r in cuped_adjustment(df).collect()}
+    assert got["A"].theta_ppm == 2_000_000
+    # adj_scaled equal across arms: the entire arm difference was
+    # pre-period imbalance, CUPED removes it exactly.
+    assert got["A"].adj_scaled == got["B"].adj_scaled
+
+    # a real treatment effect survives: add +5 to every B post
+    rows2 = [(a, u, p, q + (5 if a == "B" else 0))
+             for a, u, p, q in rows]
+    df2 = spark.createDataFrame(rows2, "arm string, u long, pre long, post long")
+    g2 = {r.arm: r for r in cuped_adjustment(df2).collect()}
+    assert g2["B"].adj_scaled > g2["A"].adj_scaled
+
+
+def test_impossible_travel_teleport_and_speed_gate(spark):
+    """impossible_travel: a same-second move flags (teleport), a slow
+    move does not, a fast move does — squared-comparison arithmetic
+    checked by hand."""
+    from instageo_e2e_geospatial_ml_spark.operators.trajectory import (
+        impossible_travel,
+    )
+
+    rows = [
+        ("u1", 0, 0, 0),
+        ("u1", 0, 3, 4),              # dt=0, d2=25 -> teleport flag
+        ("u1", 100_000_000, 3, 4),    # dt=100s, d2=0 -> no flag
+        ("u1", 200_000_000, 204, 4),  # dt=100s, d2=40401 > 40000 -> flag
+        ("u2", 0, 0, 0),
+        ("u2", 100_000_000, 100, 0),  # d2=10000 <= 40000 -> no flag
+    ]
+    df = spark.createDataFrame(rows, "u string, tus long, x long, y long")
+    got = {r.u: r for r in impossible_travel(df, vmax=2).collect()}
+    assert (got["u1"].n_hops, got["u1"].n_impossible) == (3, 2)
+    assert got["u1"].max_dist2_flagged == 40401
+    assert (got["u2"].n_hops, got["u2"].n_impossible) == (1, 0)
+    assert got["u2"].max_dist2_flagged is None
+
+
+def test_ndcg_perfect_and_inverted_rankings(spark):
+    """ndcg_audit: the ideal ordering scores ppm 1e6; a fully inverted
+    ranking scores strictly less; all-zero relevance yields NULL."""
+    from instageo_e2e_geospatial_ml_spark.functions.retrieval import (
+        ndcg_audit,
+    )
+
+    perfect = [("p", r, 4 - r) for r in (1, 2, 3)]     # rel 3,2,1
+    inverted = [("i", r, r - 1) for r in (1, 2, 3)]    # rel 0,1,2
+    zero = [("z", r, 0) for r in (1, 2, 3)]
+    df = spark.createDataFrame(
+        perfect + inverted + zero, "q string, rank long, rel long"
+    )
+    got = {r.q: r for r in ndcg_audit(df, k=10).collect()}
+    assert got["p"].ndcg_ppm == 1_000_000
+    assert got["p"].dcg_scaled == got["p"].idcg_scaled
+    assert 0 < got["i"].ndcg_ppm < 1_000_000
+    assert got["z"].ndcg_ppm is None and got["z"].dcg_scaled == 0
