@@ -183,3 +183,90 @@ SELECT q.{id_col}, CAST(r.k AS INTEGER) AS k,
 FROM q, r
 GROUP BY 1, 2
 """
+
+
+PI_SCALE = 1_000_000  # eigenvector fixed-point scale (see power_iteration)
+
+
+def power_iteration(
+    mat: DataFrame,
+    iters: int = 3,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Dominant eigenvector of a symmetric integer matrix by
+    max-normalized power iteration — distributed PCA's first component
+    when fed gram_matrix above (the matrix lives as (i, j, g) cell
+    rows; nothing is ever collected).
+
+    Same engine-exactness contract as graph.hits_int: the float
+    L2 normalization of textbook power iteration is irreproducible, so
+    each round rescales by the max ABSOLUTE component in floor/trunc
+    arithmetic (identical in Spark `div` and DuckDB `//` for either
+    sign — both truncate toward zero):
+
+        w(i) = Σ_j A(i,j) · v(j);   v(i) = w(i)·SCALE // max|w|
+
+    Max-normalization preserves the eigenvector direction; the sign
+    convention is inherited from the all-ones start (v0 = SCALE). Input
+    is the UPPER triangle (i <= j, gram_matrix's output); the transpose
+    is derived. Callers bound |g|·SCALE·dim ≤ 2^63 (embeddings
+    quantized at scale 100 over ≤ ~1e8 rows are safe).
+
+    Output one row per dimension: (i, v) after `iters` rounds. Deep
+    chains truncate their lineage every `checkpoint_every` rounds
+    (localCheckpoint, the q32 connected-components contract) —
+    Catalyst re-optimizes the whole accumulated tree per round
+    otherwise, which turns 10+ rounds into minutes of PLANNING on a
+    4x4 matrix.
+    Scale: each round is one join keyed on the matrix column index +
+    one agg on the row index + one scalar max broadcast — dim² cell
+    rows distribute; no driver-side matrix ever materializes.
+    """
+    full = mat.unionByName(
+        mat.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    dims = full.select(F.col("i")).distinct()
+    v = dims.select("i", F.lit(PI_SCALE).cast("long").alias("v"))
+    for t in range(iters):
+        w = (
+            full.join(
+                v.select(F.col("i").alias("j"), "v"), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i", F.expr(f"w * {PI_SCALE} div mx").alias("v")
+        )
+        if (t + 1) % checkpoint_every == 0 and (t + 1) < iters:
+            v = v.localCheckpoint(eager=True)
+    return v
+
+
+def power_iteration_sql(mat_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of power_iteration (`mat_sql` yields the upper
+    triangle i, j, g)."""
+    parts = [
+        f"m0 AS MATERIALIZED (SELECT i, j, g FROM ({mat_sql}))",
+        "m AS MATERIALIZED (SELECT i, j, g FROM m0 UNION ALL "
+        "SELECT j AS i, i AS j, g FROM m0 WHERE i < j)",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT i, CAST({PI_SCALE} AS BIGINT) AS v FROM m)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT m.i, "
+            f"CAST(sum(m.g * v.v) AS BIGINT) AS w "
+            f"FROM m JOIN v{t} v ON v.i = m.j GROUP BY 1)"
+        )
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT i, "
+            f"w * {PI_SCALE} // (SELECT max(abs(w)) FROM w{t + 1}) AS v "
+            f"FROM w{t + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT i, CAST(v AS BIGINT) AS v FROM v{iters}"
+    )

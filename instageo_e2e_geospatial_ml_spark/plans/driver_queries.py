@@ -10053,3 +10053,184 @@ Q242_SQL = _q242_sql()
 
 QUERIES["q242_ndcg_audit"] = q242_ndcg_audit
 ORACLES["q242_ndcg_audit"] = Q242_SQL
+
+
+def q243_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join surfaced through the oracle gate: lineitem
+    (fact, zipf-hot suppliers via %7 keys) joined to a supplier dim
+    through operators/skew.salted_join with 8 salts — the hot key's
+    rows spread over 8 tasks instead of one straggler — and the
+    aggregate must equal the UNSALTED join exactly (the oracle is the
+    plain join: salting must be invisible in the result)."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 7).alias("sk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") % 7).alias("sk"))
+        .distinct()
+        .withColumn("tier", F.concat(F.lit("T"), F.col("sk")))
+    )
+    j = salted_join(li, dim, key="sk", n_salt=8, salt_by="qty")
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+    )
+
+
+Q243_SQL = """
+WITH li AS (SELECT l_suppkey % 7 AS sk, CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem),
+dim AS (SELECT DISTINCT s_suppkey % 7 AS sk FROM supplier),
+dimt AS (SELECT sk, 'T' || CAST(sk AS VARCHAR) AS tier FROM dim)
+SELECT d.tier, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(li.qty) AS BIGINT) AS sum_qty
+FROM li JOIN dimt d ON d.sk = li.sk
+GROUP BY 1
+"""
+
+QUERIES["q243_salted_join_parity"] = q243_salted_join_parity
+ORACLES["q243_salted_join_parity"] = Q243_SQL
+
+
+def q244_scd2_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 conformance audit: the validity intervals produced by q81's
+    scd2_history must never OVERLAP and must hold exactly one open
+    (current) row per live key; gaps are legal only where a delete
+    closed the timeline. One lag window over the history recomputes
+    interval adjacency; the counts are the dimension-table invariant
+    every warehouse checks after a CDC apply (overlaps and
+    open-not-last must be zero; gaps must equal the delete count)."""
+    from ..operators.cdc import scd2_history
+
+    ch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    hist = scd2_history(ch, tiebreak_col="event_id")
+    w = Window.partitionBy("key").orderBy(F.col("valid_from_us").asc())
+    audited = hist.select(
+        "key",
+        "valid_from_us",
+        "valid_to_us",
+        F.lead("valid_from_us").over(w).alias("next_from_us"),
+    )
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count_distinct("key").alias("n_keys"),
+        F.sum(
+            F.when(
+                F.col("next_from_us").isNotNull()
+                & (F.col("valid_to_us") > F.col("next_from_us")),
+                1,
+            ).otherwise(0)
+        ).alias("n_overlaps"),
+        F.sum(
+            F.when(
+                F.col("next_from_us").isNotNull()
+                & (F.col("valid_to_us") < F.col("next_from_us")),
+                1,
+            ).otherwise(0)
+        ).alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("next_from_us").isNull()
+                & F.col("valid_to_us").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_open_rows"),
+        F.sum(
+            F.when(
+                F.col("next_from_us").isNotNull()
+                & F.col("valid_to_us").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_open_not_last"),
+    )
+
+
+def _q244_sql() -> str:
+    return """
+WITH ch AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op
+  FROM events
+),
+hist AS (
+  SELECT key,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER
+           (PARTITION BY key ORDER BY ts ASC, event_id ASC)
+           AS valid_to_us,
+         op
+  FROM ch
+),
+kept AS (SELECT * FROM hist WHERE op <> 'delete'),
+audited AS (
+  SELECT key, valid_from_us, valid_to_us,
+         lead(valid_from_us) OVER
+           (PARTITION BY key ORDER BY valid_from_us ASC)
+           AS next_from_us
+  FROM kept
+)
+SELECT CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN next_from_us IS NOT NULL
+                      AND valid_to_us > next_from_us THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_overlaps,
+       CAST(sum(CASE WHEN next_from_us IS NOT NULL
+                      AND valid_to_us < next_from_us THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN next_from_us IS NULL
+                      AND valid_to_us IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_open_rows,
+       CAST(sum(CASE WHEN next_from_us IS NOT NULL
+                      AND valid_to_us IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_open_not_last
+FROM audited
+"""
+
+
+Q244_SQL = _q244_sql()
+
+QUERIES["q244_scd2_conformance"] = q244_scd2_conformance
+ORACLES["q244_scd2_conformance"] = Q244_SQL
+
+
+def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA first component (operators/linalg.
+    power_iteration over q110's exact integer Gram matrix): 3
+    max-normalized power-iteration rounds, each one join + one agg
+    over (i, j, g) cell rows — no matrix ever reaches the driver.
+    Oracle: the unrolled MATERIALIZED CTE chain over the same Gram
+    SQL."""
+    from ..operators.linalg import gram_matrix, power_iteration
+
+    g = gram_matrix(
+        _t(spark, sf_dir, "embeddings"), vec_col="embedding", scale=100
+    )
+    return power_iteration(g, iters=3)
+
+
+def _q245_sql() -> str:
+    from ..operators.linalg import gram_matrix_sql, power_iteration_sql
+
+    return power_iteration_sql(
+        gram_matrix_sql("SELECT embedding FROM embeddings", dim=64,
+                        scale=100),
+        iters=3,
+    )
+
+
+Q245_SQL = _q245_sql()
+
+QUERIES["q245_pca_power"] = q245_pca_power
+ORACLES["q245_pca_power"] = Q245_SQL

@@ -5336,3 +5336,39 @@ def test_ndcg_perfect_and_inverted_rankings(spark):
     assert got["p"].dcg_scaled == got["p"].idcg_scaled
     assert 0 < got["i"].ndcg_ppm < 1_000_000
     assert got["z"].ndcg_ppm is None and got["z"].dcg_scaled == 0
+
+
+def test_power_iteration_rank1_exact_and_numpy_parity(spark):
+    """power_iteration: a rank-1 matrix vvᵀ reproduces v's direction
+    exactly in one round (and stays fixed); a random symmetric matrix
+    converges to numpy's principal eigenvector direction."""
+    import numpy as np
+
+    from instageo_e2e_geospatial_ml_spark.operators.linalg import (
+        PI_SCALE,
+        power_iteration,
+    )
+
+    # A = outer([3,1],[3,1]) upper triangle
+    m = spark.createDataFrame(
+        [(1, 1, 9), (1, 2, 3), (2, 2, 1)], "i int, j int, g long"
+    )
+    got = {r.i: r.v for r in power_iteration(m, iters=3).collect()}
+    assert got[1] == PI_SCALE
+    assert got[2] == PI_SCALE // 3
+
+    # engineered 50x spectral gap so 10 rounds converge far past the
+    # fixed-point resolution (error ~ (1/50)^10); long chains would
+    # want a localCheckpoint every ~10 rounds, same note as q32.
+    u = np.array([3, 1, 2, 1])
+    w = np.array([1, -1, 0, 2])
+    a = 50 * np.outer(u, u) + np.outer(w, w)
+    rows = [(i + 1, j + 1, int(a[i, j]))
+            for i in range(4) for j in range(i, 4)]
+    mm = spark.createDataFrame(rows, "i int, j int, g long")
+    got2 = {r.i: r.v for r in power_iteration(mm, iters=10).collect()}
+    v = np.array([got2[i + 1] for i in range(4)], dtype=float)
+    v /= np.linalg.norm(v)
+    evals, evecs = np.linalg.eigh(a)
+    ref = evecs[:, -1]
+    assert abs(abs(v @ ref) - 1.0) < 1e-6
