@@ -10234,3 +10234,169 @@ Q245_SQL = _q245_sql()
 
 QUERIES["q245_pca_power"] = q245_pca_power
 ORACLES["q245_pca_power"] = Q245_SQL
+
+
+def q246_polygon_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon self-intersection audit (ST_IsValid-lite): 6-vertex
+    rings derived closed-form per part bucket; every pair of
+    NON-ADJACENT edges runs through the exact integer segment
+    intersection (operators/spatial_join.segment_intersect_join — the
+    q78 cell-bucketed join against itself), adjacent edges excluded
+    because closed segments legally share endpoints. Emits polys with
+    at least one crossing — the validity gate before any polygon op."""
+    from ..operators.spatial_join import segment_intersect_join
+
+    polys = (
+        _t(spark, sf_dir, "part")
+        .select((F.col("p_partkey") % 40).alias("poly"))
+        .distinct()
+    )
+    edges = polys.select(
+        "poly",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+    ).select(
+        "poly",
+        "k",
+        ((F.col("poly") * 6101 + F.col("k") * 7919) % 100).alias("x1"),
+        ((F.col("poly") * 9973 + F.col("k") * 104729) % 100).alias("y1"),
+        (
+            (F.col("poly") * 6101 + ((F.col("k") + 1) % 6) * 7919) % 100
+        ).alias("x2"),
+        (
+            (F.col("poly") * 9973 + ((F.col("k") + 1) % 6) * 104729) % 100
+        ).alias("y2"),
+    )
+    a = edges.select(
+        F.col("poly").alias("a_poly"),
+        F.col("k").alias("a_k"),
+        F.col("x1").alias("a_x1"),
+        F.col("y1").alias("a_y1"),
+        F.col("x2").alias("a_x2"),
+        F.col("y2").alias("a_y2"),
+    )
+    b = edges.select(
+        F.col("poly").alias("b_poly"),
+        F.col("k").alias("b_k"),
+        F.col("x1").alias("b_x1"),
+        F.col("y1").alias("b_y1"),
+        F.col("x2").alias("b_x2"),
+        F.col("y2").alias("b_y2"),
+    )
+    hits = segment_intersect_join(a, b, cell_size=25).filter(
+        (F.col("a_poly") == F.col("b_poly"))
+        & (F.col("a_k") < F.col("b_k"))
+        & (F.col("b_k") - F.col("a_k") != 1)
+        & ~((F.col("a_k") == 0) & (F.col("b_k") == 5))
+    )
+    return (
+        hits.groupBy(F.col("a_poly").alias("poly"))
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+    )
+
+
+Q246_SQL = """
+WITH polys AS (SELECT DISTINCT p_partkey % 40 AS poly FROM part),
+edges AS (
+  SELECT poly, k.k AS k,
+         (poly * 6101 + k.k * 7919) % 100 AS x1,
+         (poly * 9973 + k.k * 104729) % 100 AS y1,
+         (poly * 6101 + ((k.k + 1) % 6) * 7919) % 100 AS x2,
+         (poly * 9973 + ((k.k + 1) % 6) * 104729) % 100 AS y2
+  FROM polys, (SELECT unnest(generate_series(0, 5)) AS k) k
+),
+pairs AS (
+  SELECT a.poly, a.k AS ka, b.k AS kb,
+         a.x1 AS a_x1, a.y1 AS a_y1, a.x2 AS a_x2, a.y2 AS a_y2,
+         b.x1 AS b_x1, b.y1 AS b_y1, b.x2 AS b_x2, b.y2 AS b_y2
+  FROM edges a JOIN edges b
+    ON b.poly = a.poly AND a.k < b.k AND b.k - a.k <> 1
+   AND NOT (a.k = 0 AND b.k = 5)
+),
+d AS (
+  SELECT poly,
+         sign((b_x2 - b_x1) * (a_y1 - b_y1) - (b_y2 - b_y1) * (a_x1 - b_x1)) AS d1,
+         sign((b_x2 - b_x1) * (a_y2 - b_y1) - (b_y2 - b_y1) * (a_x2 - b_x1)) AS d2,
+         sign((a_x2 - a_x1) * (b_y1 - a_y1) - (a_y2 - a_y1) * (b_x1 - a_x1)) AS d3,
+         sign((a_x2 - a_x1) * (b_y2 - a_y1) - (a_y2 - a_y1) * (b_x2 - a_x1)) AS d4,
+         a_x1, a_y1, a_x2, a_y2, b_x1, b_y1, b_x2, b_y2
+  FROM pairs
+)
+SELECT poly, CAST(count(*) AS BIGINT) AS n_crossings FROM d
+WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
+   OR (d1 = 0 AND a_x1 BETWEEN least(b_x1, b_x2) AND greatest(b_x1, b_x2)
+              AND a_y1 BETWEEN least(b_y1, b_y2) AND greatest(b_y1, b_y2))
+   OR (d2 = 0 AND a_x2 BETWEEN least(b_x1, b_x2) AND greatest(b_x1, b_x2)
+              AND a_y2 BETWEEN least(b_y1, b_y2) AND greatest(b_y1, b_y2))
+   OR (d3 = 0 AND b_x1 BETWEEN least(a_x1, a_x2) AND greatest(a_x1, a_x2)
+              AND b_y1 BETWEEN least(a_y1, a_y2) AND greatest(a_y1, a_y2))
+   OR (d4 = 0 AND b_x2 BETWEEN least(a_x1, a_x2) AND greatest(a_x1, a_x2)
+              AND b_y2 BETWEEN least(a_y1, a_y2) AND greatest(a_y1, a_y2))
+GROUP BY 1
+"""
+
+QUERIES["q246_polygon_validity"] = q246_polygon_validity
+ORACLES["q246_polygon_validity"] = Q246_SQL
+
+
+def q247_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q5 shape — the five-table star join (region → nation →
+    supplier ⋈ lineitem ⋈ orders) with the classic local-supplier
+    twist (customer and supplier share a nation): 1996 revenue per
+    ASIA nation. The three dim hops broadcast; only the
+    lineitem ⋈ orders join shuffles."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + 0.5
+        ).cast("long").alias("rev_cents"),
+    )
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    sn = s.join(
+        F.broadcast(nr.select("n_nationkey", "n_name")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(
+            F.broadcast(c),
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == sn["s_nationkey"]),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q247_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+         + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+QUERIES["q247_regional_revenue"] = q247_regional_revenue
+ORACLES["q247_regional_revenue"] = Q247_SQL

@@ -616,6 +616,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q244_scd2_conformance",
         # q245 excluded: the Gram stage is the q110 mapInPandas numpy
         # kernel (Python IS the operator); the iteration itself is JVM.
+        "q246_polygon_validity",
+        "q247_regional_revenue",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
