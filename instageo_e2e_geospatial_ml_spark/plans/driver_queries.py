@@ -10400,3 +10400,303 @@ GROUP BY 1
 
 QUERIES["q247_regional_revenue"] = q247_regional_revenue
 ORACLES["q247_regional_revenue"] = Q247_SQL
+
+
+def q248_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT (the stack() surface): the q231 pivot
+    cross-tab melted straight back to (segment, priority-slot, n) rows
+    — the melt step every metrics warehouse needs when a wide export
+    re-enters relational processing. The roundtrip must reproduce the
+    direct group counts exactly (zero-filled cells INCLUDED: unpivot
+    keeps them, a naive long aggregate would not)."""
+    wide = q231_pivot_crosstab(spark, sf_dir)
+    return wide.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(5, 'p1', p1, 'p2', p2, 'p3', p3, 'p4', p4, 'p5', p5)"
+        ).alias("prio_slot", "n_orders"),
+    )
+
+
+Q248_SQL = """
+WITH counts AS (
+  SELECT c.c_mktsegment, 'p' || CAST(
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+             ELSE 5 END AS VARCHAR) AS prio_slot,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.c_mktsegment, 'p' || CAST(k.k AS VARCHAR) AS prio_slot
+  FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+       (SELECT unnest(generate_series(1, 5)) AS k) k
+)
+SELECT g.c_mktsegment, g.prio_slot,
+       COALESCE(c.n_orders, 0) AS n_orders
+FROM grid g LEFT JOIN counts c
+  ON c.c_mktsegment = g.c_mktsegment AND c.prio_slot = g.prio_slot
+"""
+
+QUERIES["q248_unpivot_roundtrip"] = q248_unpivot_roundtrip
+ORACLES["q248_unpivot_roundtrip"] = Q248_SQL
+
+
+def q249_weblog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-access-log ETL: REAL Apache combined-log lines synthesized
+    closed-form from events, then parsed back with regexp_extract
+    (ip / timestamp / path / status / bytes) and aggregated per
+    status class — the serialize->regex-parse round trip both engines
+    must agree on byte for byte (the q195 generator-oracle pattern,
+    here with the oracle ALSO parsing the identically built line)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        (F.col("event_id") % 223 + 1).cast("string"), F.lit("."),
+        (F.col("event_id") % 13).cast("string"), F.lit("."),
+        (F.col("event_id") % 251).cast("string"), F.lit("."),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit(' - - ['),
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(' +0000] "GET /p/'),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        F.when(F.col("event_type") == "error", F.lit("500"))
+        .when(F.col("event_type") == "purchase", F.lit("201"))
+        .otherwise(F.lit("200")),
+        F.lit(" "),
+        F.floor(F.col("value") * 10).cast("long").cast("string"),
+    )
+    logs = ev.select(line.alias("line"))
+    pat = r'^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$'
+    parsed = logs.select(
+        F.regexp_extract("line", pat, 1).alias("ip"),
+        F.regexp_extract("line", pat, 3).alias("path"),
+        F.regexp_extract("line", pat, 4).cast("long").alias("status"),
+        F.regexp_extract("line", pat, 5).cast("long").alias("bytes"),
+        F.substring(F.regexp_extract("line", pat, 2), 13, 2)
+        .cast("long")
+        .alias("hour"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.count_distinct("ip").alias("n_ips"),
+        F.count_distinct("path").alias("n_paths"),
+        F.max("hour").alias("max_hour"),
+    )
+
+
+Q249_SQL = r"""
+WITH logs AS (
+  SELECT CAST(event_id % 223 + 1 AS VARCHAR) || '.'
+         || CAST(event_id % 13 AS VARCHAR) || '.'
+         || CAST(event_id % 251 AS VARCHAR) || '.'
+         || CAST(event_id % 97 AS VARCHAR)
+         || ' - - ['
+         || strftime(CAST(ts AS TIMESTAMP), '%d/%b/%Y:%H:%M:%S')
+         || ' +0000] "GET /p/' || CAST(user_id % 50 AS VARCHAR)
+         || ' HTTP/1.1" '
+         || CASE WHEN event_type = 'error' THEN '500'
+                 WHEN event_type = 'purchase' THEN '201'
+                 ELSE '200' END
+         || ' ' || CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR)
+         AS line
+  FROM events
+),
+parsed AS (
+  SELECT regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$', 1) AS ip,
+         regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$', 3) AS path,
+         CAST(regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$', 4) AS BIGINT) AS status,
+         CAST(regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$', 5) AS BIGINT) AS bytes,
+         CAST(substring(regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "GET (\S+) HTTP/1\.1" (\d+) (\d+)$', 2), 13, 2) AS BIGINT) AS hour
+  FROM logs
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(max(hour) AS BIGINT) AS max_hour
+FROM parsed GROUP BY 1
+"""
+
+QUERIES["q249_weblog_parse"] = q249_weblog_parse
+ORACLES["q249_weblog_parse"] = Q249_SQL
+
+
+def q250_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column surface: synthesize a BLOB per document (unhex of
+    its md5 ⊕ structure), push it through base64 encode -> decode ->
+    hex, and digest per language — the opaque-payload handling
+    (images/audio ride exactly this path at 100 TB) exercised through
+    every binary<->text codec both engines share. Any byte lost in
+    the round trip breaks the hash."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.concat(F.md5(F.col("text")), F.md5(F.col("doc_id").cast("string")))
+    )
+    rt = d.select(
+        "lang",
+        F.hex(F.unbase64(F.base64(payload))).alias("rt_hex"),
+    )
+    return rt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("rt_hex")), "|")
+        ).alias("payload_digest"),
+        F.sum(F.length("rt_hex")).alias("total_hex_len"),
+    )
+
+
+Q250_SQL = """
+WITH rt AS (
+  SELECT lang,
+         hex(from_base64(to_base64(
+           unhex(md5(text) || md5(CAST(doc_id AS VARCHAR)))
+         ))) AS rt_hex
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(rt_hex, '|' ORDER BY rt_hex)) AS payload_digest,
+       CAST(sum(length(rt_hex)) AS BIGINT) AS total_hex_len
+FROM rt GROUP BY 1
+"""
+
+QUERIES["q250_binary_roundtrip"] = q250_binary_roundtrip
+ORACLES["q250_binary_roundtrip"] = Q250_SQL
+
+
+def q251_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation — the warehouse's most-joined
+    table, built relationally (explode a date sequence; no driver
+    loop): one row per ISO (year, week) over the orders span with day
+    counts, weekend counts, and month-boundary days — ISO week
+    semantics must agree across engines (the Jan-1st-belongs-to-
+    last-year trap is the test: 1995-01-01 is 1994-W52)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+            )
+        ).alias("d")
+    )
+    cal = days.select(
+        F.expr("extract(YEAROFWEEK FROM d)").cast("long").alias("iso_year"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        (F.dayofweek("d") - 1).alias("dow"),  # 0 = Sunday, DuckDB's base
+        F.when(F.dayofmonth("d") == 1, 1).otherwise(0).alias("is_month_start"),
+        F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias(
+            "is_month_end"
+        ),
+    )
+    return cal.groupBy("iso_year", "iso_week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when((F.col("dow") == 0) | (F.col("dow") == 6), 1).otherwise(0)
+        ).alias("n_weekend_days"),
+        F.sum("is_month_start").alias("n_month_starts"),
+        F.sum("is_month_end").alias("n_month_ends"),
+    )
+
+
+Q251_SQL = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                INTERVAL 1 DAY)) AS d
+),
+cal AS (
+  SELECT CAST(isoyear(d) AS BIGINT) AS iso_year,
+         CAST(weekofyear(d) AS BIGINT) AS iso_week,
+         dayofweek(d) AS dow,
+         CASE WHEN date_part('day', d) = 1 THEN 1 ELSE 0 END
+           AS is_month_start,
+         CASE WHEN CAST(d AS DATE) = last_day(CAST(d AS DATE)) THEN 1
+              ELSE 0 END AS is_month_end
+  FROM days
+)
+SELECT iso_year, iso_week, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN dow = 0 OR dow = 6 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_weekend_days,
+       CAST(sum(is_month_start) AS BIGINT) AS n_month_starts,
+       CAST(sum(is_month_end) AS BIGINT) AS n_month_ends
+FROM cal GROUP BY 1, 2
+"""
+
+QUERIES["q251_calendar_dim"] = q251_calendar_dim
+ORACLES["q251_calendar_dim"] = Q251_SQL
+
+
+def q252_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator audit — the CBO arithmetic made
+    inspectable: for the lineitem ⋈ orders key domain, the uniform-
+    distribution estimate |A|·|B| / max(ndv_a, ndv_b) (what a cost
+    model without histograms assumes) against the TRUE join size
+    Σ_k cnt_a(k)·cnt_b(k), plus the frequency skew that explains the
+    gap. One aggregate per side + one join on the key histogram —
+    the query a tuning engineer runs before believing an EXPLAIN
+    row-count."""
+    a = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    sa = a.agg(
+        F.sum("ca").alias("rows_a"), F.count(F.lit(1)).alias("ndv_a")
+    )
+    sb = b.agg(
+        F.sum("cb").alias("rows_b"), F.count(F.lit(1)).alias("ndv_b")
+    )
+    actual = a.join(b, "k").agg(
+        F.sum(F.expr("ca * cb")).alias("actual_rows"),
+        F.max(F.expr("ca * cb")).alias("max_key_contrib"),
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(actual)
+        .select(
+            "rows_a",
+            "rows_b",
+            "ndv_a",
+            "ndv_b",
+            "actual_rows",
+            "max_key_contrib",
+            F.expr("rows_a * rows_b div greatest(ndv_a, ndv_b)").alias(
+                "uniform_estimate"
+            ),
+            F.expr(
+                "(rows_a * rows_b div greatest(ndv_a, ndv_b)) * 1000000"
+                " div actual_rows"
+            ).alias("estimate_ratio_ppm"),
+        )
+    )
+
+
+Q252_SQL = """
+WITH a AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+           FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+      FROM orders GROUP BY 1),
+sa AS (SELECT CAST(sum(ca) AS BIGINT) AS rows_a,
+              CAST(count(*) AS BIGINT) AS ndv_a FROM a),
+sb AS (SELECT CAST(sum(cb) AS BIGINT) AS rows_b,
+              CAST(count(*) AS BIGINT) AS ndv_b FROM b),
+act AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual_rows,
+               CAST(max(ca * cb) AS BIGINT) AS max_key_contrib
+        FROM a JOIN b ON b.k = a.k)
+SELECT rows_a, rows_b, ndv_a, ndv_b, actual_rows, max_key_contrib,
+       rows_a * rows_b // greatest(ndv_a, ndv_b) AS uniform_estimate,
+       (rows_a * rows_b // greatest(ndv_a, ndv_b)) * 1000000
+         // actual_rows AS estimate_ratio_ppm
+FROM sa CROSS JOIN sb CROSS JOIN act
+"""
+
+QUERIES["q252_join_cardinality_audit"] = q252_join_cardinality_audit
+ORACLES["q252_join_cardinality_audit"] = Q252_SQL

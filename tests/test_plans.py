@@ -618,6 +618,11 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # kernel (Python IS the operator); the iteration itself is JVM.
         "q246_polygon_validity",
         "q247_regional_revenue",
+        "q248_unpivot_roundtrip",
+        "q249_weblog_parse",
+        "q250_binary_roundtrip",
+        "q251_calendar_dim",
+        "q252_join_cardinality_audit",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
