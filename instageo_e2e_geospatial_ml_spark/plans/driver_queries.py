@@ -10700,3 +10700,276 @@ FROM sa CROSS JOIN sb CROSS JOIN act
 
 QUERIES["q252_join_cardinality_audit"] = q252_join_cardinality_audit
 ORACLES["q252_join_cardinality_audit"] = Q252_SQL
+
+
+def q253_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold grid sweep — the tuning loop that decides a
+    corpus gate BEFORE committing a 100 TB pass: 9 (min_words,
+    max_mean_wordlen) combinations evaluated in ONE scan (cross join
+    against the 9-row grid — Catalyst broadcasts it and the corpus is
+    read once), survivors and survivor-token mass per combo. Ratio
+    thresholds stay cross-multiplied integers (the gopher_gates
+    discipline)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "wc"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast(
+            "long"
+        ).alias("chars"),
+    )
+    grid = spark.createDataFrame(
+        [(mw, ml) for mw in (10, 25, 40) for ml in (6, 8, 10)],
+        "min_words long, max_mwl long",
+    )
+    j = d.crossJoin(F.broadcast(grid))
+    return (
+        j.groupBy("min_words", "max_mwl")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("wc") >= F.col("min_words"))
+                    & (F.col("chars") <= F.col("max_mwl") * F.col("wc")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    (F.col("wc") >= F.col("min_words"))
+                    & (F.col("chars") <= F.col("max_mwl") * F.col("wc")),
+                    F.col("wc"),
+                ).otherwise(0)
+            ).alias("tokens_kept"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+Q253_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wc,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+           AS chars
+  FROM documents
+),
+grid AS (
+  SELECT mw.v AS min_words, ml.v AS max_mwl
+  FROM (VALUES (10), (25), (40)) mw(v), (VALUES (6), (8), (10)) ml(v)
+)
+SELECT min_words, max_mwl,
+       CAST(sum(CASE WHEN wc >= min_words AND chars <= max_mwl * wc
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN wc >= min_words AND chars <= max_mwl * wc
+                     THEN wc ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d CROSS JOIN grid
+GROUP BY 1, 2
+"""
+
+QUERIES["q253_threshold_sweep"] = q253_threshold_sweep
+ORACLES["q253_threshold_sweep"] = Q253_SQL
+
+
+def q254_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge losslessness for HLL (the q142 proof applied to
+    sketches): registers built PER SOURCE then merged by elementwise
+    max must equal registers built over the whole corpus directly —
+    the property that lets a 100 TB job sketch per partition/day and
+    combine later. Output: registers compared, mismatches (must be 0),
+    and the merged register digest."""
+    from ..operators.stats import hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = hll_registers(d, key_col="text", p=9,
+                            group_cols=["source"])
+    merged = per_src.groupBy("reg").agg(
+        F.max("rho_max").alias("rho_merged")
+    )
+    direct = hll_registers(d, key_col="text", p=9).withColumnRenamed(
+        "rho_max", "rho_direct"
+    )
+    cmp = merged.join(direct, "reg", "full")
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.when(
+                F.col("rho_merged") != F.col("rho_direct"), 1
+            ).otherwise(0)
+        ).alias("n_mismatches"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", "reg", "rho_merged")
+                    )
+                ),
+                "|",
+            )
+        ).alias("register_digest"),
+    )
+
+
+def _q254_sql() -> str:
+    from ..operators.stats import hll_sql
+
+    per_src = hll_sql("SELECT text, source FROM documents", "text",
+                      p=9, group_exprs=", source")
+    direct = hll_sql("SELECT text FROM documents", "text", p=9)
+    return f"""
+WITH per_src AS ({per_src}),
+merged AS (SELECT reg, CAST(max(rho_max) AS BIGINT) AS rho_merged
+           FROM per_src GROUP BY 1),
+direct AS (SELECT reg, rho_max AS rho_direct FROM ({direct}) t),
+cmp AS (
+  SELECT COALESCE(m.reg, d.reg) AS reg, m.rho_merged, d.rho_direct
+  FROM merged m FULL JOIN direct d ON d.reg = m.reg
+)
+SELECT CAST(count(*) AS BIGINT) AS n_registers,
+       CAST(sum(CASE WHEN rho_merged <> rho_direct THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_mismatches,
+       md5(string_agg(CAST(reg AS VARCHAR) || ':'
+             || CAST(rho_merged AS VARCHAR), '|'
+           ORDER BY CAST(reg AS VARCHAR) || ':'
+             || CAST(rho_merged AS VARCHAR))) AS register_digest
+FROM cmp
+"""
+
+
+Q254_SQL = _q254_sql()
+
+QUERIES["q254_hll_merge_audit"] = q254_hll_merge_audit
+ORACLES["q254_hll_merge_audit"] = Q254_SQL
+
+
+def q255_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate keeper election — the step AFTER clustering that
+    decides which copy survives: q32's connected components over the
+    MinHash pair graph, each cluster's keeper elected by
+    (longest text, then lowest id) via one max_by over a uniquified
+    ordering key. Emits multi-doc clusters with keeper and evicted
+    count — the dedup pipeline's final verdict table."""
+    from ..operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, shingle_n=3, num_hashes=8, rows_per_band=2)
+    clusters = dedup_clusters(pairs)
+    sized = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).withColumn(
+        "ord_key",
+        F.col("n_chars").cast("long") * 1048576
+        + (1048575 - F.col("doc_id")),
+    )
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("max_by(doc_id, ord_key)").alias("keeper"),
+            F.max("n_chars").alias("keeper_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            "keeper",
+            "keeper_chars",
+            (F.col("n_members") - 1).alias("n_evicted"),
+        )
+    )
+
+
+def _q255_sql() -> str:
+    # q32's oracle (recursive CC over the same pair graph) + election
+    q32 = ORACLES["q32_dedup_clusters"]
+    return f"""
+WITH cc AS ({q32}),
+sized AS (
+  SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+         CAST(d.n_chars AS BIGINT) * 1048576
+           + (1048575 - cc.doc_id) AS ord_key
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       arg_max(doc_id, ord_key) AS keeper,
+       CAST(max(n_chars) AS BIGINT) AS keeper_chars,
+       CAST(count(*) - 1 AS BIGINT) AS n_evicted
+FROM sized GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+Q255_SQL = _q255_sql()
+
+QUERIES["q255_dedup_keeper"] = q255_dedup_keeper
+ORACLES["q255_dedup_keeper"] = Q255_SQL
+
+
+def q256_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — contrastive training-pair
+    generation: per anchor document, 4 pseudo-random negatives drawn
+    by md5(anchor, k) mod corpus-span, self-collisions re-mapped by a
+    fixed +1 bump (never dropped: the pair count per anchor is part
+    of the training contract). Pure column arithmetic; reproducible
+    run to run, the property that makes training data auditable."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = 500  # fixed corpus span at any sf: doc_id % span keeps the
+    # draw deterministic and portable (documented; span < corpus is
+    # fine for negatives)
+    anchors = d.select("doc_id")
+    ks = anchors.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("neg"), F.col("doc_id"), F.col("k"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % n_docs
+    ks = ks.withColumn("raw_neg", raw).withColumn(
+        "neg_id",
+        F.when(F.col("raw_neg") == F.col("doc_id") % n_docs,
+               (F.col("raw_neg") + 1) % n_docs)
+        .otherwise(F.col("raw_neg")),
+    )
+    return ks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_negs"),
+        F.count_distinct("neg_id").alias("n_distinct_negs"),
+        F.sum("neg_id").alias("neg_sum"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("neg_id").cast("string"))), ",")
+        ).alias("neg_digest"),
+    )
+
+
+Q256_SQL = """
+WITH ks AS (
+  SELECT doc_id, k.k AS k,
+         CAST(('0x' || substring(md5('neg:' || CAST(doc_id AS VARCHAR)
+           || ':' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT) % 500
+           AS raw_neg
+  FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+fixed AS (
+  SELECT doc_id,
+         CASE WHEN raw_neg = doc_id % 500 THEN (raw_neg + 1) % 500
+              ELSE raw_neg END AS neg_id
+  FROM ks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_negs,
+       CAST(count(DISTINCT neg_id) AS BIGINT) AS n_distinct_negs,
+       CAST(sum(neg_id) AS BIGINT) AS neg_sum,
+       md5(string_agg(CAST(neg_id AS VARCHAR), ','
+           ORDER BY CAST(neg_id AS VARCHAR))) AS neg_digest
+FROM fixed GROUP BY 1
+"""
+
+QUERIES["q256_negative_sampling"] = q256_negative_sampling
+ORACLES["q256_negative_sampling"] = Q256_SQL

@@ -623,6 +623,11 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q250_binary_roundtrip",
         "q251_calendar_dim",
         "q252_join_cardinality_audit",
+        "q253_threshold_sweep",
+        "q254_hll_merge_audit",
+        # q255 composes q32's driver-looped CC (documented isEmpty
+        # convergence checks); its own election agg is JVM.
+        "q256_negative_sampling",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
