@@ -10973,3 +10973,115 @@ FROM fixed GROUP BY 1
 
 QUERIES["q256_negative_sampling"] = q256_negative_sampling
 ORACLES["q256_negative_sampling"] = Q256_SQL
+
+
+def q257_temporal_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting two-hop paths (temporal motif counting, the
+    Paranjape et al. WSDM'17 primitive): edges (src → mid at t1,
+    mid → dst at t2) count only when t1 < t2 <= t1 + 7 days — static
+    2-paths overcount influence because information cannot flow
+    backwards in time. The middle-node equi-join carries the time
+    band as a join predicate (the interval-join shape); per (src,
+    dst) path counts, src != dst."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 40).alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    ).filter(F.col("src") != F.col("dst"))
+    week_us = 7 * 86400 * 1000000
+    a = edges.select(
+        F.col("src").alias("p_src"),
+        F.col("dst").alias("mid"),
+        F.col("t").alias("t1"),
+    )
+    b = edges.select(
+        F.col("src").alias("mid_b"),
+        F.col("dst").alias("p_dst"),
+        F.col("t").alias("t2"),
+    )
+    paths = a.join(
+        b,
+        (F.col("mid_b") == F.col("mid"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.lit(week_us)),
+        "inner",
+    ).filter(F.col("p_src") != F.col("p_dst"))
+    return (
+        paths.groupBy("p_src", "p_dst")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .filter(F.col("n_paths") >= 50)
+    )
+
+
+_Q257_WEEK = 7 * 86400 * 1000000
+
+Q257_SQL = f"""
+WITH edges AS (
+  SELECT user_id % 40 AS src, event_id % 40 AS dst,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM events WHERE user_id % 40 <> event_id % 40
+)
+SELECT a.src AS p_src, b.dst AS p_dst,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM edges a JOIN edges b
+  ON b.src = a.dst AND b.t > a.t AND b.t <= a.t + {_Q257_WEEK}
+WHERE a.src <> b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 50
+"""
+
+QUERIES["q257_temporal_two_hop"] = q257_temporal_two_hop
+ORACLES["q257_temporal_two_hop"] = Q257_SQL
+
+
+def q258_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (the gap-based grouping Structured
+    Streaming shares with batch) — the built-in complement to the
+    custom stateful sessionizer (q31): per user, sessions split at
+    30-minute inactivity, with bounds and event counts. Oracle = the
+    classic gaps-and-islands rewrite (lag + running sum), which the
+    built-in must match row for row."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    s = ev.groupBy(
+        "u", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return s.select(
+        "u",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+Q258_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+  FROM events
+),
+marked AS (
+  SELECT u, tus,
+         CASE WHEN tus - lag(tus) OVER (PARTITION BY u ORDER BY tus)
+                   > 1800000000 THEN 1 ELSE 1 - sign(COALESCE(
+                     lag(tus) OVER (PARTITION BY u ORDER BY tus), -1)
+                     + 1) END AS new_s
+  FROM ev
+),
+-- first row per user: lag NULL -> coalesce(-1)+1 = 0 -> sign 0 -> 1
+grp AS (
+  SELECT u, tus,
+         sum(new_s) OVER (PARTITION BY u ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT u, CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(max(tus) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM grp GROUP BY u, sid
+"""
+
+QUERIES["q258_session_window_builtin"] = q258_session_window_builtin
+ORACLES["q258_session_window_builtin"] = Q258_SQL

@@ -628,6 +628,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # q255 composes q32's driver-looped CC (documented isEmpty
         # convergence checks); its own election agg is JVM.
         "q256_negative_sampling",
+        "q257_temporal_two_hop",
+        "q258_session_window_builtin",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
