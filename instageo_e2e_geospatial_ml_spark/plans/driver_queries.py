@@ -11085,3 +11085,147 @@ FROM grp GROUP BY u, sid
 
 QUERIES["q258_session_window_builtin"] = q258_session_window_builtin
 ORACLES["q258_session_window_builtin"] = Q258_SQL
+
+
+def q259_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion — the semi-structured type that
+    replaces schema-on-write JSON structs: event props parsed with
+    parse_json into VARIANT, fields pulled back typed with
+    try_variant_get (including a path that is ABSENT, which must yield
+    NULL, not an error), aggregated per event type. Oracle = the
+    closed form of the generator (events.props is '{"k": <int>}')."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json(F.col("props")).alias("v"),
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count("m").alias("n_missing_found"),
+    )
+
+
+Q259_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1)
+         AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1)
+         AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(0 AS BIGINT) AS n_missing_found
+FROM events GROUP BY 1
+"""
+
+QUERIES["q259_variant_ingest"] = q259_variant_ingest
+ORACLES["q259_variant_ingest"] = Q259_SQL
+
+
+def q260_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4's built-in from_xml): a real XML document
+    serialized per order, parsed back with a typed schema, aggregated —
+    the B2B-feed ETL path. Oracle = closed form of the generator
+    (this DuckDB has no XML reader), the q229/q249 pattern: any
+    escaping or type-coercion loss in the round trip breaks the
+    hash."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio><cents>"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = o.select(xml.alias("doc")).select(
+        F.from_xml(
+            "doc", "key BIGINT, prio STRING, cents BIGINT"
+        ).alias("s")
+    )
+    return (
+        parsed.select("s.key", "s.prio", "s.cents")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
+Q260_SQL = """
+SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_cents,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1
+"""
+
+QUERIES["q260_xml_ingest"] = q260_xml_ingest
+ORACLES["q260_xml_ingest"] = Q260_SQL
+
+
+def q261_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: group under UTF8_LCASE so 'BUILDING'
+    and 'building' collapse WITHOUT rewriting the data (the collation
+    travels with the comparison, not the column) — here over a
+    deliberately case-mangled segment column. The oracle lower()s
+    explicitly; the engine-side point is that the collated GROUP BY
+    needs no projection. The group key is re-emitted lower()ed for
+    hashing because a collated group key keeps an arbitrary member's
+    case (Spark picks first-seen — not deterministic across shuffles;
+    lower() is)."""
+    c = _t(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .when(F.col("c_custkey") % 3 == 1,
+              F.initcap(F.lower(F.col("c_mktsegment"))))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "bal_cents"
+        ),
+    )
+    return (
+        mangled.groupBy(
+            F.expr("collate(seg, 'UTF8_LCASE')").alias("seg_ci")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+            F.count_distinct("seg").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("seg_ci")).alias("segment"),
+            "n_customers",
+            "sum_bal_cents",
+            "n_case_variants",
+        )
+    )
+
+
+Q261_SQL = """
+WITH mangled AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN
+                upper(substring(lower(c_mktsegment), 1, 1))
+                || substring(lower(c_mktsegment), 2)
+              ELSE c_mktsegment END AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+FROM mangled GROUP BY 1
+"""
+
+QUERIES["q261_collation_grouping"] = q261_collation_grouping
+ORACLES["q261_collation_grouping"] = Q261_SQL

@@ -630,6 +630,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q256_negative_sampling",
         "q257_temporal_two_hop",
         "q258_session_window_builtin",
+        "q259_variant_ingest",
+        "q260_xml_ingest",
+        "q261_collation_grouping",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
