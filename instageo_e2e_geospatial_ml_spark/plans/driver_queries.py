@@ -11229,3 +11229,85 @@ FROM mangled GROUP BY 1
 
 QUERIES["q261_collation_grouping"] = q261_collation_grouping
 ORACLES["q261_collation_grouping"] = Q261_SQL
+
+
+def q262_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 Python Data Source API
+    (sources/pydatasource.SensorDataSource): a partition-parallel scan
+    of the deterministic sensor feed — 4 declared input partitions,
+    each executor materializing only its sensor slice — aggregated per
+    sensor. The oracle rebuilds the connector's closed-form payload;
+    a partition-boundary bug (dup or gap) changes counts, a schema
+    bug changes the hash."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("sensors")
+        .option("nsensors", 8)
+        .option("nreadings", 100)
+        .option("npartitions", 4)
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("temp_milli").alias("sum_temp_milli"),
+        F.max("temp_milli").alias("max_temp_milli"),
+        F.min("tus").alias("first_tus"),
+        F.max("tus").alias("last_tus"),
+    )
+
+
+def _q262_sql() -> str:
+    from ..sources.pydatasource import sensor_oracle_sql
+
+    return f"""
+WITH feed AS ({sensor_oracle_sql(8, 100)})
+SELECT sensor_id, CAST(count(*) AS BIGINT) AS n_readings,
+       CAST(sum(temp_milli) AS BIGINT) AS sum_temp_milli,
+       CAST(max(temp_milli) AS BIGINT) AS max_temp_milli,
+       CAST(min(tus) AS BIGINT) AS first_tus,
+       CAST(max(tus) AS BIGINT) AS last_tus
+FROM feed GROUP BY 1
+"""
+
+
+Q262_SQL = _q262_sql()
+
+QUERIES["q262_custom_datasource"] = q262_custom_datasource
+ORACLES["q262_custom_datasource"] = Q262_SQL
+
+
+def q263_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped kernel (operators/arrowops.
+    arrow_group_profile via Spark 4 applyInArrow): per-cell weighted
+    centroid numerators computed on pyarrow Tables directly — no
+    pandas materialization, no NaN/dtype coercion (pandas floats an
+    int64 column with NULLs; Arrow keeps validity). Oracle = the same
+    aggregates in SQL: the path under test is the Arrow exchange."""
+    from ..operators.arrowops import arrow_group_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") % 16).alias("cell"),
+        (F.col("l_partkey") % 3600).alias("x"),
+        (F.col("l_suppkey") % 1600).alias("y"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return arrow_group_profile(pts)
+
+
+Q263_SQL = """
+SELECT l_partkey % 16 AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_w,
+       CAST(sum(CAST(l_quantity AS BIGINT) * (l_partkey % 3600))
+         AS BIGINT) AS sum_wx,
+       CAST(sum(CAST(l_quantity AS BIGINT) * (l_suppkey % 1600))
+         AS BIGINT) AS sum_wy,
+       CAST(min(l_partkey % 3600) AS BIGINT) AS min_x,
+       CAST(max(l_suppkey % 1600) AS BIGINT) AS max_y
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["q263_arrow_kernel"] = q263_arrow_kernel
+ORACLES["q263_arrow_kernel"] = Q263_SQL

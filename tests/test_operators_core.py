@@ -5372,3 +5372,48 @@ def test_power_iteration_rank1_exact_and_numpy_parity(spark):
     evals, evecs = np.linalg.eigh(a)
     ref = evecs[:, -1]
     assert abs(abs(v @ ref) - 1.0) < 1e-6
+
+
+def test_sensor_datasource_partitions_no_dup_no_gap(spark):
+    """The custom Python Data Source: an UNEVEN partition split (8
+    sensors over 3 partitions) must still emit every (sensor, seq)
+    exactly once, with the declared schema."""
+    from instageo_e2e_geospatial_ml_spark.sources.pydatasource import (
+        _reading,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("sensors")
+        .option("nsensors", 8)
+        .option("nreadings", 5)
+        .option("npartitions", 3)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<sensor_id:int,tus:bigint,temp_milli:bigint>"
+    )
+    rows = {(r.sensor_id, r.tus): r.temp_milli for r in df.collect()}
+    assert len(rows) == 40                      # 8 x 5, no dup, no gap
+    for sid in range(8):
+        for seq in range(5):
+            want = _reading(sid, seq)
+            assert rows[(want[0], want[1])] == want[2]
+
+
+def test_arrow_group_profile_hand_values(spark):
+    """applyInArrow kernel: hand-checked weighted sums per group; the
+    Arrow path must not coerce int64 arithmetic."""
+    from instageo_e2e_geospatial_ml_spark.operators.arrowops import (
+        arrow_group_profile,
+    )
+
+    rows = [(1, 10, 2, 3), (1, 20, 4, 5), (2, 7, 7, 1)]
+    df = spark.createDataFrame(rows, "cell long, x long, y long, w long")
+    got = {r.k: r for r in arrow_group_profile(df).collect()}
+    assert (got[1].n, got[1].sum_w) == (2, 8)
+    assert got[1].sum_wx == 3 * 10 + 5 * 20
+    assert got[1].sum_wy == 3 * 2 + 5 * 4
+    assert (got[1].min_x, got[1].max_y) == (10, 4)
+    assert (got[2].n, got[2].sum_wx) == (1, 7)
