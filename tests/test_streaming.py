@@ -1102,3 +1102,54 @@ def test_ewma_monitor_stream_matches_batch(spark, tmp_path):
         assert counts.get(k, 0) == n_anom
         if n_anom:
             assert maxdev[k] == mx
+
+
+def test_sensor_stream_datasource_drains_exactly_once(spark, tmp_path):
+    """The Python STREAMING data source (SimpleDataSourceStreamReader):
+    an availableNow drain over the offset range emits every
+    (sensor, seq) exactly once — micro-batch boundaries (batchseqs=7
+    does not divide maxseq=20) must not duplicate or drop readings —
+    and matches the batch connector's closed form."""
+    from instageo_e2e_geospatial_ml_spark.sources.pydatasource import (
+        _reading,
+        register_stream,
+    )
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("sensorstream")
+        .option("nsensors", 3)
+        .option("batchseqs", 7)
+        .option("maxseq", 20)
+        .load()
+    )
+    # Python micro-batch streams don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch) — drain with a fast
+    # processing-time trigger until the offset log reaches maxseq.
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sensorstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = spark.table("sensorstream").toPandas()
+        if len(got) >= 3 * 20:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = spark.table("sensorstream").toPandas()
+    assert len(got) == 3 * 20
+    seen = {(r.sensor_id, r.tus): r.temp_milli
+            for r in got.itertuples()}
+    assert len(seen) == 60                      # no dups
+    for sid in range(3):
+        for seq in range(20):
+            want = _reading(sid, seq)
+            assert seen[(want[0], want[1])] == want[2]
