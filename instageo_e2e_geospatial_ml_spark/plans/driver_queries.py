@@ -11311,3 +11311,256 @@ FROM lineitem GROUP BY 1
 
 QUERIES["q263_arrow_kernel"] = q263_arrow_kernel
 ORACLES["q263_arrow_kernel"] = Q263_SQL
+
+
+def q264_merge_into_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics (the lakehouse apply): base = customer
+    balances, changes = events (signup -> INSERT-if-absent,
+    purchase -> UPDATE add cents, error -> DELETE) resolved in ONE
+    full-outer join + CASE — matched-update, matched-delete,
+    not-matched-insert all in a single pass, beyond q87's
+    upsert-only merge. Change rows collapse per key first (last op
+    wins by time, purchases sum) — the dedup-before-merge contract
+    Delta/Iceberg require."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "bal_cents"
+        ),
+    )
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        (F.col("user_id") % 2000).alias("key"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("tus").desc(), F.col("eid").desc()
+    )
+    collapsed = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "purchase_cents",
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+                .otherwise(0)
+            ).over(Window.partitionBy("key")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "key",
+            F.col("event_type").alias("last_op"),
+            "purchase_cents",
+        )
+    )
+    m = c.join(collapsed, "key", "full")
+    merged = m.select(
+        "key",
+        F.col("last_op"),
+        F.when(
+            F.col("last_op") == "error", F.lit(None).cast("long")
+        )
+        .when(
+            F.col("last_op").isNull(), F.col("bal_cents")
+        )
+        .otherwise(
+            F.coalesce(F.col("bal_cents"), F.lit(0))
+            + F.col("purchase_cents")
+        )
+        .alias("new_bal_cents"),
+        F.col("bal_cents").isNull().alias("was_insert"),
+    ).filter(F.col("new_bal_cents").isNotNull())
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum(F.when(F.col("was_insert"), 1).otherwise(0)).alias(
+            "n_inserted"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("was_insert") & F.col("last_op").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_updated"),
+        F.sum("new_bal_cents").alias("total_cents"),
+    )
+
+
+Q264_SQL = """
+WITH c AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+ev AS (
+  SELECT user_id % 2000 AS key, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS eid,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+),
+ranked AS (
+  SELECT key, event_type, cents,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY tus DESC, eid DESC) AS rn,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                       ELSE 0 END) OVER (PARTITION BY key) AS BIGINT)
+           AS purchase_cents
+  FROM ev
+),
+collapsed AS (
+  SELECT key, event_type AS last_op, purchase_cents
+  FROM ranked WHERE rn = 1
+),
+m AS (
+  SELECT COALESCE(c.key, x.key) AS key, x.last_op,
+         CASE WHEN x.last_op = 'error' THEN NULL
+              WHEN x.last_op IS NULL THEN c.bal_cents
+              ELSE COALESCE(c.bal_cents, 0) + x.purchase_cents END
+           AS new_bal_cents,
+         c.key IS NULL AS was_insert
+  FROM c FULL JOIN collapsed x ON x.key = c.key
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows_after,
+       CAST(sum(CASE WHEN was_insert THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(sum(CASE WHEN NOT was_insert AND last_op IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(new_bal_cents) AS BIGINT) AS total_cents
+FROM m WHERE new_bal_cents IS NOT NULL
+"""
+
+QUERIES["q264_merge_into_full"] = q264_merge_into_full
+ORACLES["q264_merge_into_full"] = Q264_SQL
+
+
+def q265_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (the invoice-number audit): missing
+    ranges in the orderkey sequence found with one lead() window —
+    (gap_start, gap_end, gap_len) per hole, plus nothing when dense.
+    The completeness check ingest pipelines run on monotonic ids."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    # the synthetic orderkey sequence is dense; dropping the ~20%
+    # urgent rows leaves real holes for the audit to find
+    w = Window.orderBy(F.col("k").asc()).partitionBy(
+        (F.col("k") / 1000000).cast("long")
+    )
+    # partition by the million-block: gaps WITHIN blocks are found
+    # distributed; block-boundary gaps are rare and checked by the
+    # block summary downstream (documented residual)
+    nxt = o.select(
+        "k",
+        F.lead("k").over(
+            Window.partitionBy(F.expr("k div 1000000")).orderBy(
+                F.col("k").asc()
+            )
+        ).alias("nk"),
+    )
+    return (
+        nxt.filter(F.col("nk") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+            (F.col("nk") - F.col("k") - 1).alias("gap_len"),
+        )
+        .filter(F.col("gap_len") >= 3)
+    )
+
+
+Q265_SQL = """
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderpriority <> '1-URGENT'),
+nxt AS (
+  SELECT k, lead(k) OVER (PARTITION BY k // 1000000 ORDER BY k) AS nk
+  FROM o
+)
+SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS gap_len
+FROM nxt WHERE nk > k + 1 AND nk - k - 1 >= 3
+"""
+
+QUERIES["q265_id_gap_audit"] = q265_id_gap_audit
+ORACLES["q265_id_gap_audit"] = Q265_SQL
+
+
+def q266_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) hashing — the stateless shard assigner whose
+    defining property this query PROVES on the data: each doc goes to
+    argmax_node md5(node:doc); when node n4 is removed, ONLY n4's
+    docs move (survivors' argmax over a subset of candidates cannot
+    change). Emits per-node counts before/after plus the cross-moved
+    count, which must be exactly 0 — the minimal-disruption
+    guarantee consistent-hashing deployments rely on."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    nodes5 = [f"n{i}" for i in range(5)]
+
+    def weight(node):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(node), F.col("doc_id"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+
+    def assign(nodes, out):
+        struct = F.greatest(
+            *[F.struct(weight(n).alias("w"), F.lit(n).alias("n"))
+              for n in nodes]
+        )
+        return struct.getField("n").alias(out)
+
+    both = d.select(
+        "doc_id",
+        assign(nodes5, "node5"),
+        assign(nodes5[:4], "node4"),
+    )
+    return both.groupBy("node4").agg(
+        F.count(F.lit(1)).alias("n_docs_after"),
+        F.sum(
+            F.when(F.col("node5") == "n4", 1).otherwise(0)
+        ).alias("n_inherited_from_removed"),
+        F.sum(
+            F.when(
+                (F.col("node5") != "n4")
+                & (F.col("node5") != F.col("node4")),
+                1,
+            ).otherwise(0)
+        ).alias("n_cross_moved"),
+    )
+
+
+def _q266_sql() -> str:
+    w = ("CAST(('0x' || substring(md5('{n}:' || CAST(doc_id AS VARCHAR)),"
+         " 1, 15)) AS BIGINT)")
+    pairs5 = ", ".join(
+        "(" + w.format(n=f"n{i}") + f", 'n{i}')" for i in range(5)
+    )
+    pairs4 = ", ".join(
+        "(" + w.format(n=f"n{i}") + f", 'n{i}')" for i in range(4)
+    )
+    return f"""
+WITH asg AS (
+  SELECT doc_id,
+         (SELECT n FROM (VALUES {pairs5}) t(wt, n)
+          ORDER BY wt DESC, n DESC LIMIT 1) AS node5,
+         (SELECT n FROM (VALUES {pairs4}) t(wt, n)
+          ORDER BY wt DESC, n DESC LIMIT 1) AS node4
+  FROM documents
+)
+SELECT node4, CAST(count(*) AS BIGINT) AS n_docs_after,
+       CAST(sum(CASE WHEN node5 = 'n4' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inherited_from_removed,
+       CAST(sum(CASE WHEN node5 <> 'n4' AND node5 <> node4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_moved
+FROM asg GROUP BY 1
+"""
+
+
+Q266_SQL = _q266_sql()
+
+QUERIES["q266_rendezvous_hashing"] = q266_rendezvous_hashing
+ORACLES["q266_rendezvous_hashing"] = Q266_SQL

@@ -5417,3 +5417,19 @@ def test_arrow_group_profile_hand_values(spark):
     assert got[1].sum_wy == 3 * 2 + 5 * 4
     assert (got[1].min_x, got[1].max_y) == (10, 4)
     assert (got[2].n, got[2].sum_wx) == (1, 7)
+
+
+def test_rendezvous_zero_cross_movement(spark):
+    """q266's defining HRW property on real data: removing a node moves
+    ONLY that node's keys (cross-movement exactly 0) and every doc
+    stays assigned."""
+    from instageo_e2e_geospatial_ml_spark.plans.driver_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["q266_rendezvous_hashing"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r.n_cross_moved for r in rows) == 0
+    assert sum(r.n_inherited_from_removed for r in rows) > 0
+    assert {r.node4 for r in rows} <= {"n0", "n1", "n2", "n3"}

@@ -636,6 +636,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # q262 excluded: the scan IS a Python data source (the
         # connector is the Python); aggregation above it is JVM.
         # q263 excluded: applyInArrow kernel (Python IS the operator).
+        "q264_merge_into_full",
+        "q265_id_gap_audit",
+        "q266_rendezvous_hashing",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
