@@ -11564,3 +11564,284 @@ Q266_SQL = _q266_sql()
 
 QUERIES["q266_rendezvous_hashing"] = q266_rendezvous_hashing
 ORACLES["q266_rendezvous_hashing"] = Q266_SQL
+
+
+def q267_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (log2-bucket) histogram — the DDSketch/HdrHistogram
+    family's mergeable percentile summary, integer-exact: bucket =
+    bit_length(cents) via the length(bin(x)) trick (the HLL rho
+    idiom), plus the sketch's p50 estimate (low edge of the bucket
+    holding the median rank) AUDITED against the exact count-based
+    median — relative error bounded by the bucket base, measured in
+    ppm. Per order priority."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    b = o.select(
+        "o_orderpriority",
+        "cents",
+        F.length(F.bin(F.col("cents"))).cast("long").alias("bucket"),
+    )
+    hist = b.groupBy("o_orderpriority", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    tot = Window.partitionBy("o_orderpriority")
+    est = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot))
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("bucket").alias("med_bucket"))
+        .select(
+            "o_orderpriority",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(med_bucket - 1 AS INT))")
+            .alias("p50_sketch_low"),
+        )
+    )
+    # exact median: k-th smallest by count (k = (n+1) div 2), the
+    # conformal-threshold selection shape
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc()
+    )
+    exact = (
+        o.withColumn("rn", F.row_number().over(wr))
+        .withColumn("total", F.count(F.lit(1)).over(tot))
+        .filter(F.expr("rn = (total + 1) div 2"))
+        .select("o_orderpriority", F.col("cents").alias("p50_exact"))
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50_sketch_low",
+        "p50_exact",
+        F.expr(
+            "abs(p50_exact - p50_sketch_low) * 1000000 div p50_exact"
+        ).alias("err_ppm"),
+    )
+
+
+Q267_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT o_orderpriority, cents,
+         CAST(length(bin(cents)) AS BIGINT) AS bucket
+  FROM o
+),
+hist AS (
+  SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, bucket,
+         sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS total
+  FROM hist
+),
+est AS (
+  SELECT o_orderpriority,
+         CAST(1 AS BIGINT) << CAST(min(bucket) - 1 AS INT)
+           AS p50_sketch_low
+  FROM cum WHERE cum * 2 >= total GROUP BY 1
+),
+ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS total
+  FROM o
+),
+exact AS (
+  SELECT o_orderpriority, cents AS p50_exact
+  FROM ranked WHERE rn = (total + 1) // 2
+)
+SELECT est.o_orderpriority, est.p50_sketch_low, exact.p50_exact,
+       abs(exact.p50_exact - est.p50_sketch_low) * 1000000
+         // exact.p50_exact AS err_ppm
+FROM est JOIN exact ON exact.o_orderpriority = est.o_orderpriority
+"""
+
+QUERIES["q267_log_histogram"] = q267_log_histogram
+ORACLES["q267_log_histogram"] = Q267_SQL
+
+
+def q268_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed EMISSION (the Delta CDF row shape, beyond
+    q136's diff summary): comparing two key-ranged snapshots of the
+    customer table (balances bumped for a slice, a slice deleted, a
+    slice inserted), emit one row per change with _change_type in
+    insert / delete / update_preimage / update_postimage — update
+    rows appear TWICE (pre+post), the contract downstream
+    incremental consumers rely on."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "bal"
+        ),
+    )
+    snap_a = c.filter(F.col("key") % 10 != 0)          # 0-slice absent
+    snap_b = c.filter(F.col("key") % 10 != 5).select(  # 5-slice deleted
+        "key",
+        F.when(F.col("key") % 10 == 3, F.col("bal") + 100)
+        .otherwise(F.col("bal"))
+        .alias("bal"),                                  # 3-slice updated
+    )
+    j = snap_a.select(
+        "key", F.col("bal").alias("bal_a")
+    ).join(
+        snap_b.select("key", F.col("bal").alias("bal_b")), "key", "full"
+    )
+    ins = j.filter(F.col("bal_a").isNull()).select(
+        "key", F.col("bal_b").alias("bal"), F.lit("insert").alias("_change_type")
+    )
+    dele = j.filter(F.col("bal_b").isNull()).select(
+        "key", F.col("bal_a").alias("bal"), F.lit("delete").alias("_change_type")
+    )
+    upd = j.filter(
+        F.col("bal_a").isNotNull()
+        & F.col("bal_b").isNotNull()
+        & (F.col("bal_a") != F.col("bal_b"))
+    )
+    pre = upd.select(
+        "key", F.col("bal_a").alias("bal"),
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = upd.select(
+        "key", F.col("bal_b").alias("bal"),
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
+Q268_SQL = """
+WITH c AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+),
+a AS (SELECT key, bal AS bal_a FROM c WHERE key % 10 <> 0),
+b AS (SELECT key, CASE WHEN key % 10 = 3 THEN bal + 100 ELSE bal END
+        AS bal_b FROM c WHERE key % 10 <> 5),
+j AS (SELECT COALESCE(a.key, b.key) AS key, a.bal_a, b.bal_b
+      FROM a FULL JOIN b ON b.key = a.key)
+SELECT key, bal_b AS bal, 'insert' AS _change_type FROM j
+WHERE bal_a IS NULL
+UNION ALL
+SELECT key, bal_a, 'delete' FROM j WHERE bal_b IS NULL
+UNION ALL
+SELECT key, bal_a, 'update_preimage' FROM j
+WHERE bal_a IS NOT NULL AND bal_b IS NOT NULL AND bal_a <> bal_b
+UNION ALL
+SELECT key, bal_b, 'update_postimage' FROM j
+WHERE bal_a IS NOT NULL AND bal_b IS NOT NULL AND bal_a <> bal_b
+"""
+
+QUERIES["q268_change_data_feed"] = q268_change_data_feed
+ORACLES["q268_change_data_feed"] = Q268_SQL
+
+
+def q269_linear_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a fixed grid (the resample step LOCF
+    can't do): per user-cohort series, each 6-hour grid point takes
+    v0 + (v1-v0)·(t-t0)/(t1-t0) from its bracketing observations —
+    kept exact by emitting the interpolation as value·1e6
+    (cross-multiplied, truncating div identical in both engines);
+    grid points outside a series' span are dropped (no
+    extrapolation). Plan: two as-of joins (prev via max_by window
+    shape, next via min) expressed as one range join + conditional
+    aggregation."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    ).groupBy("k", "t").agg(F.max("v").alias("v"))
+    step = 6 * 3600 * 1000000
+    span = ev.groupBy("k").agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    )
+    grid = span.select(
+        "k",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / step).cast("long") + 1,
+                (F.col("hi") / step).cast("long"),
+            )
+        ).alias("g"),
+    ).select("k", (F.col("g") * step).alias("gt"))
+    w = Window.partitionBy("k").orderBy(F.col("t").asc())
+    seg = ev.select(
+        "k",
+        F.col("t").alias("t0"),
+        F.col("v").alias("v0"),
+        F.lead("t").over(w).alias("t1"),
+        F.lead("v").over(w).alias("v1"),
+    ).filter(F.col("t1").isNotNull())
+    j = grid.join(
+        seg,
+        (F.col("gt") >= F.col("t0")) & (F.col("gt") < F.col("t1"))
+        & (grid["k"] == seg["k"]),
+    ).drop(seg["k"])
+    # second-granularity deltas: µs deltas would push
+    # (v1-v0)*1e6*(gt-t0) past int64 on long gaps; the div-by-zero
+    # guard covers sub-second segments (identical shape in the twin)
+    interp = j.select(
+        "k",
+        "gt",
+        F.expr(
+            "v0 * 1000000 + (v1 - v0) * 1000000"
+            " * ((gt - t0) div 1000000)"
+            " div greatest((t1 - t0) div 1000000, 1)"
+        ).alias("v_micro"),
+    )
+    return interp.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_grid_points"),
+        F.sum("v_micro").alias("sum_v_micro"),
+        F.max("v_micro").alias("max_v_micro"),
+    )
+
+
+_Q269_STEP = 6 * 3600 * 1000000
+
+Q269_SQL = f"""
+WITH ev AS (
+  SELECT user_id % 20 AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT k, min(t) AS lo, max(t) AS hi FROM ev GROUP BY 1),
+grid AS (
+  SELECT k, g.g * {_Q269_STEP} AS gt
+  FROM span, LATERAL (SELECT unnest(generate_series(
+    lo // {_Q269_STEP} + 1, hi // {_Q269_STEP})) AS g) g
+),
+seg AS (
+  SELECT k, t AS t0, v AS v0,
+         lead(t) OVER (PARTITION BY k ORDER BY t) AS t1,
+         lead(v) OVER (PARTITION BY k ORDER BY t) AS v1
+  FROM ev
+),
+interp AS (
+  SELECT grid.k, grid.gt,
+         seg.v0 * 1000000 + (seg.v1 - seg.v0) * 1000000
+           * ((grid.gt - seg.t0) // 1000000)
+           // greatest((seg.t1 - seg.t0) // 1000000, 1) AS v_micro
+  FROM grid JOIN seg ON seg.k = grid.k
+    AND grid.gt >= seg.t0 AND grid.gt < seg.t1
+  WHERE seg.t1 IS NOT NULL
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_grid_points,
+       CAST(sum(v_micro) AS BIGINT) AS sum_v_micro,
+       CAST(max(v_micro) AS BIGINT) AS max_v_micro
+FROM interp GROUP BY 1
+"""
+
+QUERIES["q269_linear_resample"] = q269_linear_resample
+ORACLES["q269_linear_resample"] = Q269_SQL

@@ -639,6 +639,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q264_merge_into_full",
         "q265_id_gap_audit",
         "q266_rendezvous_hashing",
+        "q267_log_histogram",
+        "q268_change_data_feed",
+        "q269_linear_resample",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
