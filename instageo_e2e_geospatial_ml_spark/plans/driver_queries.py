@@ -11845,3 +11845,252 @@ FROM interp GROUP BY 1
 
 QUERIES["q269_linear_resample"] = q269_linear_resample
 ORACLES["q269_linear_resample"] = Q269_SQL
+
+
+def q270_ledger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-ledger audit: per account (customer bucket), the
+    chronological balance prefix sum (credits = purchases, debits =
+    errors), its minimum, and overdraft breaches below -50000 cents —
+    one partitioned cumulative window, the core-banking statement
+    recomputation every ledger system replays nightly."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        (F.col("user_id") % 100).alias("acct"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        )
+        .otherwise(-F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("acct")
+        .orderBy(F.col("tus").asc(), F.col("eid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = ev.withColumn("balance", F.sum("delta_cents").over(w))
+    return bal.groupBy("acct").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("delta_cents").alias("final_balance"),
+        F.min("balance").alias("min_balance"),
+        F.sum(
+            F.when(F.col("balance") < -50000, 1).otherwise(0)
+        ).alias("n_breaches"),
+    )
+
+
+Q270_SQL = """
+WITH ev AS (
+  SELECT user_id % 100 AS acct, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS eid,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END
+           AS delta_cents
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+bal AS (
+  SELECT acct, delta_cents,
+         sum(delta_cents) OVER (PARTITION BY acct
+                                ORDER BY tus ASC, eid ASC
+                                ROWS UNBOUNDED PRECEDING) AS balance
+  FROM ev
+)
+SELECT acct, CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(delta_cents) AS BIGINT) AS final_balance,
+       CAST(min(balance) AS BIGINT) AS min_balance,
+       CAST(sum(CASE WHEN balance < -50000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_breaches
+FROM bal GROUP BY 1
+"""
+
+QUERIES["q270_ledger_breach"] = q270_ledger_breach
+ORACLES["q270_ledger_breach"] = Q270_SQL
+
+
+def q271_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile mapping between two distributions (batch-effect /
+    domain-shift correction): each BUILDING-segment balance maps to
+    the AUTOMOBILE-segment value at the same rank position — exact
+    order statistics via target_index = (rank_a - 1)·n_b div
+    (n_a - 1) + 1 (endpoints pinned), a rank equi-join, no
+    interpolation floats. Emits per-decile means of source vs mapped
+    values (integer-cents sums with counts)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        "c_custkey",
+    )
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    wa = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    ra = a.select(
+        "cents", F.row_number().over(wa).alias("ra")
+    ).crossJoin(F.broadcast(a.agg(F.count(F.lit(1)).alias("na"))))
+    rb = b.select(
+        F.col("cents").alias("cents_b"),
+        F.row_number().over(
+            Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+        ).alias("rb"),
+    ).crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("nb"))))
+    mapped = ra.join(
+        rb, F.col("rb") == F.expr("(ra - 1) * (nb - 1) div (na - 1) + 1")
+    )
+    return (
+        mapped.groupBy(
+            F.expr("(ra - 1) * 10 div na").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_src_cents"),
+            F.sum("cents_b").alias("sum_mapped_cents"),
+        )
+    )
+
+
+Q271_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         c_custkey
+  FROM customer
+),
+a AS (SELECT cents, row_number() OVER (ORDER BY cents, c_custkey) AS ra
+      FROM c WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT cents AS cents_b,
+             row_number() OVER (ORDER BY cents, c_custkey) AS rb
+      FROM c WHERE c_mktsegment = 'AUTOMOBILE'),
+na AS (SELECT count(*) AS na FROM a),
+nb AS (SELECT count(*) AS nb FROM b),
+mapped AS (
+  SELECT a.cents, a.ra, na.na,
+         b.cents_b
+  FROM a CROSS JOIN na CROSS JOIN nb
+  JOIN b ON b.rb = (a.ra - 1) * (nb.nb - 1) // (na.na - 1) + 1
+)
+SELECT (ra - 1) * 10 // na AS decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_src_cents,
+       CAST(sum(cents_b) AS BIGINT) AS sum_mapped_cents
+FROM mapped GROUP BY 1
+"""
+
+QUERIES["q271_quantile_mapping"] = q271_quantile_mapping
+ORACLES["q271_quantile_mapping"] = Q271_SQL
+
+
+def q272_symspell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary join via SYMMETRIC DELETES (the
+    SymSpell/FastSS blocking): two words are within one edit iff they
+    share a member of their delete-1 neighborhoods (the word itself
+    included), so the candidate join keys on generated variants —
+    |word| variants per word instead of an all-pairs scan — then the
+    exact levenshtein refines (both engines ship the same DP). The
+    spelling-normalization step of query understanding; q83's q-gram
+    filter is the OTHER blocking family."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    # noisy channel: every >=5-char token also arrives last-char-
+    # truncated (the OCR/typo simulation) so the join has real
+    # distance-1 mass to find
+    noisy = toks.filter(F.length("w") >= 5).select(
+        F.expr("substring(w, 1, length(w) - 1)").alias("w")
+    )
+    vocab = (
+        toks.unionByName(noisy)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 3)
+    )
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.array(F.col("w")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.concat(
+                        F.expr("substring(w, 1, CAST(i - 1 AS INT))""")
+                        if False
+                        else F.substring(F.col("w"), 1, 0),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    # substring with column args needs expr; build delete-1 variants
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)), i ->"
+                    " concat(substring(w, 1, i - 1),"
+                    " substring(w, i + 1, length(w) - i)))"
+                ),
+            )
+        ).alias("v"),
+    ).distinct()
+    a = variants.select(F.col("w").alias("wa"), "v")
+    b = variants.select(F.col("w").alias("wb"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb")
+        .distinct()
+    )
+    hits = cand.filter(F.levenshtein("wa", "wb") <= 1)
+    return hits.join(
+        vocab.select(F.col("w").alias("wa"), F.col("freq").alias("fa")),
+        "wa",
+    ).join(
+        vocab.select(F.col("w").alias("wb"), F.col("freq").alias("fb")),
+        "wb",
+    ).select("wa", "wb", "fa", "fb")
+
+
+Q272_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+noisy AS (
+  SELECT substring(w, 1, length(w) - 1) AS w FROM toks
+  WHERE length(w) >= 5
+),
+allw AS (SELECT w FROM toks UNION ALL SELECT w FROM noisy),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM allw
+  WHERE length(w) >= 3 GROUP BY 1
+),
+variants AS (
+  SELECT DISTINCT w, v FROM (
+    SELECT w, w AS v FROM vocab
+    UNION ALL
+    SELECT w, substring(w, 1, i.i - 1)
+             || substring(w, i.i + 1, length(w) - i.i) AS v
+    FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(w)))
+                         AS i) i
+  )
+),
+cand AS (
+  SELECT DISTINCT a.w AS wa, b.w AS wb
+  FROM variants a JOIN variants b ON b.v = a.v AND a.w < b.w
+),
+hits AS (
+  SELECT wa, wb FROM cand WHERE levenshtein(wa, wb) <= 1
+)
+SELECT h.wa, h.wb, va.freq AS fa, vb.freq AS fb
+FROM hits h
+JOIN vocab va ON va.w = h.wa
+JOIN vocab vb ON vb.w = h.wb
+"""
+
+QUERIES["q272_symspell_join"] = q272_symspell_join
+ORACLES["q272_symspell_join"] = Q272_SQL
