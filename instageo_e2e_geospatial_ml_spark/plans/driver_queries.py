@@ -12094,3 +12094,195 @@ JOIN vocab vb ON vb.w = h.wb
 
 QUERIES["q272_symspell_join"] = q272_symspell_join
 ORACLES["q272_symspell_join"] = Q272_SQL
+
+
+def q273_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al. VLDB'14 — the
+    error-free chart reduction every monitoring UI runs): per
+    (series, pixel bucket) exactly four values — min, max, first,
+    last — which provably reproduce the line rendering at that pixel
+    width. first/last are min_by/max_by on the timestamp (uniquified
+    by event id so ties cannot smear across engines); one hash
+    aggregate, map-side combinable."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    day_us = 86400 * 1000000
+    b = ev.select(
+        "series",
+        F.expr(f"tus div {day_us}").alias("bucket"),
+        F.expr("(tus - 1704067200000000) * 1048576 + eid % 1048576").alias("ord"),
+        "v",
+    )
+    return b.groupBy("series", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.expr("min_by(v, ord)").alias("v_first"),
+        F.expr("max_by(v, ord)").alias("v_last"),
+    )
+
+
+Q273_SQL = """
+WITH ev AS (
+  SELECT event_type AS series, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS eid,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+b AS (
+  SELECT series, tus // 86400000000 AS bucket,
+         (tus - 1704067200000000) * 1048576 + eid % 1048576 AS ord, v
+  FROM ev
+)
+SELECT series, bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max,
+       arg_min(v, ord) AS v_first, arg_max(v, ord) AS v_last
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES["q273_m4_downsample"] = q273_m4_downsample
+ORACLES["q273_m4_downsample"] = Q273_SQL
+
+
+def q274_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM scoring): per customer
+    Recency (days since last order), Frequency (order count),
+    Monetary (total cents), each cut into count-based quintiles
+    (exact ranks — (rank-1)*5 div n, never percent floats), combined
+    into the three-digit segment code; emits segment sizes and value.
+    The quintile windows partition by nothing BUT run over the
+    per-customer aggregate (one row per customer), the q175
+    analytic-table contract."""
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("monetary"),
+    )
+
+    def quintile(col, asc, name):
+        order = [F.col(col).asc(), F.col("cust").asc()] if asc else [
+            F.col(col).desc(), F.col("cust").asc()
+        ]
+        w = Window.orderBy(*order)
+        return (
+            (F.row_number().over(w) - 1) * 5
+            / F.count(F.lit(1)).over(Window.partitionBy())
+        ).cast("long").alias(name)
+
+    scored = per_c.select(
+        "cust",
+        "monetary",
+        quintile("last_us", False, "r_score"),   # recent = rank 0
+        quintile("freq", False, "f_score"),
+        quintile("monetary", False, "m_score"),
+    )
+    return scored.groupBy(
+        F.expr("r_score * 100 + f_score * 10 + m_score").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").alias("total_cents"),
+    )
+
+
+Q274_SQL = """
+WITH per_c AS (
+  SELECT o_custkey AS cust,
+         max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT cust, monetary,
+         (row_number() OVER (ORDER BY last_us DESC, cust) - 1) * 5
+           // count(*) OVER () AS r_score,
+         (row_number() OVER (ORDER BY freq DESC, cust) - 1) * 5
+           // count(*) OVER () AS f_score,
+         (row_number() OVER (ORDER BY monetary DESC, cust) - 1) * 5
+           // count(*) OVER () AS m_score
+  FROM per_c
+)
+SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1
+"""
+
+QUERIES["q274_rfm_segments"] = q274_rfm_segments
+ORACLES["q274_rfm_segments"] = Q274_SQL
+
+
+def q275_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity GENERALIZATION ladder (the active step q213's audit
+    only measures): quasi-identifiers (nation, balance-band) coarsen
+    through 3 fixed levels — (nation, 1k-cents band) -> (nation,
+    10k band) -> (region-of-5-nations, 10k band) — and each level
+    reports its minimum class size and how many rows would need
+    suppression at k=10; the publisher picks the first compliant
+    level. One Expand-style union of three grains, one scan."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def level(df, lvl, nat_expr, band_expr):
+        return df.select(
+            F.lit(lvl).alias("level"),
+            F.expr(nat_expr).alias("qi_nat"),
+            F.expr(band_expr).alias("qi_band"),
+        )
+
+    lv = (
+        level(c, 0, "nat", "cents div 100000")
+        .unionByName(level(c, 1, "nat", "cents div 1000000"))
+        .unionByName(level(c, 2, "nat div 5", "cents div 1000000"))
+    )
+    classes = lv.groupBy("level", "qi_nat", "qi_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return classes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < 10, F.col("n")).otherwise(0)).alias(
+            "n_suppressed_at_k10"
+        ),
+    )
+
+
+Q275_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nat,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+lv AS (
+  SELECT 0 AS level, nat AS qi_nat, cents // 100000 AS qi_band FROM c
+  UNION ALL
+  SELECT 1, nat, cents // 1000000 FROM c
+  UNION ALL
+  SELECT 2, nat // 5, cents // 1000000 FROM c
+),
+classes AS (
+  SELECT level, qi_nat, qi_band, CAST(count(*) AS BIGINT) AS n
+  FROM lv GROUP BY 1, 2, 3
+)
+SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+         AS n_suppressed_at_k10
+FROM classes GROUP BY 1
+"""
+
+QUERIES["q275_k_anon_generalize"] = q275_k_anon_generalize
+ORACLES["q275_k_anon_generalize"] = Q275_SQL

@@ -647,6 +647,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # segment's customers each (bounded analytic-table contract,
         # the q175 precedent).
         "q272_symspell_join",
+        "q273_m4_downsample",
+        # q274 excluded: quintile rank windows over the per-customer
+        # AGGREGATE (one row per customer — q175 contract).
+        "q275_k_anon_generalize",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
