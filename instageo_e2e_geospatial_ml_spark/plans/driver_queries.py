@@ -12286,3 +12286,294 @@ FROM classes GROUP BY 1
 
 QUERIES["q275_k_anon_generalize"] = q275_k_anon_generalize
 ORACLES["q275_k_anon_generalize"] = Q275_SQL
+
+
+def q276_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance (keyword-in-context, the corpus-linguistics /
+    annotation-review view): every occurrence of the probe term with
+    its ±2-token window, rebuilt from the positional token table by
+    slicing the SAME split array (no re-tokenization drift), digested
+    per document. Boundary occurrences take the truncated window —
+    the detail concordancers get wrong first."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ts"),
+    )
+    pos = docs.select(
+        "doc_id",
+        "ts",
+        F.posexplode(F.col("ts")).alias("i", "w"),
+    ).filter(F.col("w") == "merge")
+    ctx = pos.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.col("ts"),
+                F.greatest(F.col("i") - 1, F.lit(1)),
+                F.when(F.col("i") - 1 >= 1, 5).otherwise(
+                    F.col("i") + 3
+                ),
+            ),
+            " ",
+        ).alias("ctx"),
+    )
+    return ctx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("ctx")), "|")
+        ).alias("ctx_digest"),
+    )
+
+
+Q276_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, i.i AS i
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
+  WHERE ts[i.i] = 'merge'
+),
+ctx AS (
+  SELECT doc_id,
+         array_to_string(
+           ts[greatest(i - 2, 1) : least(i + 2, len(ts))], ' '
+         ) AS ctx
+  FROM pos
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       md5(string_agg(ctx, '|' ORDER BY ctx)) AS ctx_digest
+FROM ctx GROUP BY 1
+"""
+
+QUERIES["q276_kwic_concordance"] = q276_kwic_concordance
+ORACLES["q276_kwic_concordance"] = Q276_SQL
+
+
+def q277_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction detection (the AP fraud/retry audit):
+    same account, same whole-dollar amount, within 24 hours — a
+    self-join blocked
+    on (account, amount) with a time-band predicate, each unordered
+    pair reported once. Blocking on the exact-match columns keeps the
+    join linear in group sizes; the band is checked inside the
+    bucket."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 200).alias("acct"),
+        F.floor(F.col("value")).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+    )
+    a = ev.select("acct", "cents", F.col("tus").alias("t1"),
+                  F.col("eid").alias("e1"))
+    b = ev.select("acct", "cents", F.col("tus").alias("t2"),
+                  F.col("eid").alias("e2"))
+    win = 24 * 3600 * 1000000
+    pairs = a.join(b, ["acct", "cents"]).filter(
+        (F.col("e1") < F.col("e2"))
+        & (F.abs(F.col("t2") - F.col("t1")) <= win)
+    )
+    return pairs.groupBy("acct").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum("cents").alias("dup_cents_sum"),
+        F.min(F.abs(F.col("t2") - F.col("t1"))).alias("min_gap_us"),
+    )
+
+
+Q277_SQL = """
+WITH ev AS (
+  SELECT user_id % 200 AS acct,
+         CAST(floor(value) AS BIGINT) AS cents,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS eid
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.acct, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(sum(a.cents) AS BIGINT) AS dup_cents_sum,
+       CAST(min(abs(b.tus - a.tus)) AS BIGINT) AS min_gap_us
+FROM ev a JOIN ev b
+  ON b.acct = a.acct AND b.cents = a.cents AND a.eid < b.eid
+ AND abs(b.tus - a.tus) <= 86400000000
+GROUP BY 1
+"""
+
+QUERIES["q277_duplicate_payments"] = q277_duplicate_payments
+ORACLES["q277_duplicate_payments"] = Q277_SQL
+
+
+def q278_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (ISO/IEC 7812 — card/IMEI/account
+    numbers): 12-digit account numbers synthesized from keys, check
+    digit recomputed with the double-every-second-digit rule as pure
+    digit arithmetic (div/mod ladders, the sum-of-digits-of-2d trick
+    2d div 10 + 2d mod 10), and a deterministic 3% corruption channel
+    whose failures the validator must catch exactly."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") * 7919 % 100000000000).alias("acct11"),
+    )
+    # digits d0 (least significant) .. d10 of the 11-digit body;
+    # Luhn doubles alternating digits starting with d0 (the digit
+    # adjacent to the check position)
+    digit_sum = "+".join(
+        f"(CASE WHEN {i} % 2 = 0 THEN"
+        f" (acct11 div {10**i} % 10) * 2 div 10"
+        f" + (acct11 div {10**i} % 10) * 2 % 10"
+        f" ELSE acct11 div {10**i} % 10 END)"
+        for i in range(11)
+    )
+    withcheck = c.select(
+        "k",
+        "acct11",
+        F.expr(f"(10 - ({digit_sum}) % 10) % 10").alias("check_digit"),
+    ).select(
+        "k",
+        F.expr(
+            "acct11 * 10 + CASE WHEN k % 33 = 0 THEN"
+            " (check_digit + 1) % 10 ELSE check_digit END"
+        ).alias("acct12"),
+    )
+    # validator: full 12-digit Luhn — sum over all digits with
+    # doubling from the second-least-significant
+    vsum = "+".join(
+        f"(CASE WHEN {i} % 2 = 1 THEN"
+        f" (acct12 div {10**i} % 10) * 2 div 10"
+        f" + (acct12 div {10**i} % 10) * 2 % 10"
+        f" ELSE acct12 div {10**i} % 10 END)"
+        for i in range(12)
+    )
+    v = withcheck.select(
+        "k",
+        F.expr(f"CASE WHEN ({vsum}) % 10 = 0 THEN 1 ELSE 0 END").alias(
+            "valid"
+        ),
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        F.sum("valid").alias("n_valid"),
+        F.sum(1 - F.col("valid")).alias("n_invalid"),
+        F.sum(
+            F.when((F.col("k") % 33 == 0) & (F.col("valid") == 1), 1)
+            .otherwise(0)
+        ).alias("n_missed_corruptions"),
+    )
+
+
+def _q278_sql() -> str:
+    digit_sum = "+".join(
+        f"(CASE WHEN {i} % 2 = 0 THEN"
+        f" (acct11 // {10**i} % 10) * 2 // 10"
+        f" + (acct11 // {10**i} % 10) * 2 % 10"
+        f" ELSE acct11 // {10**i} % 10 END)"
+        for i in range(11)
+    )
+    vsum = "+".join(
+        f"(CASE WHEN {i} % 2 = 1 THEN"
+        f" (acct12 // {10**i} % 10) * 2 // 10"
+        f" + (acct12 // {10**i} % 10) * 2 % 10"
+        f" ELSE acct12 // {10**i} % 10 END)"
+        for i in range(12)
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS k,
+         c_custkey * 7919 % 100000000000 AS acct11
+  FROM customer
+),
+wc AS (
+  SELECT k, acct11,
+         (10 - ({digit_sum}) % 10) % 10 AS check_digit
+  FROM c
+),
+acct AS (
+  SELECT k, acct11 * 10 + CASE WHEN k % 33 = 0
+           THEN (check_digit + 1) % 10 ELSE check_digit END AS acct12
+  FROM wc
+),
+v AS (
+  SELECT k, CASE WHEN ({vsum}) % 10 = 0 THEN 1 ELSE 0 END AS valid
+  FROM acct
+)
+SELECT CAST(count(*) AS BIGINT) AS n_accounts,
+       CAST(sum(valid) AS BIGINT) AS n_valid,
+       CAST(sum(1 - valid) AS BIGINT) AS n_invalid,
+       CAST(sum(CASE WHEN k % 33 = 0 AND valid = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_missed_corruptions
+FROM v
+"""
+
+
+Q278_SQL = _q278_sql()
+
+QUERIES["q278_luhn_validation"] = q278_luhn_validation
+ORACLES["q278_luhn_validation"] = Q278_SQL
+
+
+def q279_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery — ntile, cume_dist, percent_rank, and
+    defaulted lag exercised together and cross-checked per partition:
+    both engines must agree on ntile's uneven-bucket fill rule
+    (earlier buckets take the extra row), cume_dist's k/n (exact in
+    doubles at these sizes, emitted as ppm), and lag's default. One
+    digest row per priority."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    r = o.select(
+        "o_orderpriority",
+        F.ntile(7).over(w).cast("long").alias("bucket"),
+        F.floor(F.cume_dist().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("cd_ppm"),
+        F.floor(F.percent_rank().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("pr_ppm"),
+        F.lag("cents", 1, -1).over(w).alias("prev_cents"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bucket").alias("bucket_sum"),
+        F.sum("cd_ppm").alias("cd_ppm_sum"),
+        F.sum("pr_ppm").alias("pr_ppm_sum"),
+        F.sum("prev_cents").alias("prev_cents_sum"),
+    )
+
+
+Q279_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority,
+         CAST(ntile(7) OVER w AS BIGINT) AS bucket,
+         CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS cd_ppm,
+         CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS pr_ppm,
+         COALESCE(lag(cents, 1) OVER w, -1) AS prev_cents
+  FROM o
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY cents ASC, o_orderkey ASC)
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bucket) AS BIGINT) AS bucket_sum,
+       CAST(sum(cd_ppm) AS BIGINT) AS cd_ppm_sum,
+       CAST(sum(pr_ppm) AS BIGINT) AS pr_ppm_sum,
+       CAST(sum(prev_cents) AS BIGINT) AS prev_cents_sum
+FROM r GROUP BY 1
+"""
+
+QUERIES["q279_window_battery"] = q279_window_battery
+ORACLES["q279_window_battery"] = Q279_SQL

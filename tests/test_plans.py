@@ -651,6 +651,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # q274 excluded: quintile rank windows over the per-customer
         # AGGREGATE (one row per customer — q175 contract).
         "q275_k_anon_generalize",
+        "q276_kwic_concordance",
+        "q277_duplicate_payments",
+        "q278_luhn_validation",
+        "q279_window_battery",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
