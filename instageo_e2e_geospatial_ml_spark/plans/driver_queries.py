@@ -12577,3 +12577,139 @@ FROM r GROUP BY 1
 
 QUERIES["q279_window_battery"] = q279_window_battery
 ORACLES["q279_window_battery"] = Q279_SQL
+
+
+def q280_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging (the finance close report): open
+    orders (status 'O') bucketed by age at a fixed reference date —
+    current / 31-60 / 61-90 / 90+ days — amounts per segment x
+    bucket as conditional integer sums in one scan (the
+    FILTER-clause reporting shape, never four scans)."""
+    ref = "2001-08-01"
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    age = F.datediff(
+        F.lit(ref).cast("date"), F.col("o_orderdate").cast("date")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_open"),
+        F.sum(F.when(age <= 30, cents).otherwise(0)).alias("d0_30"),
+        F.sum(
+            F.when((age > 30) & (age <= 60), cents).otherwise(0)
+        ).alias("d31_60"),
+        F.sum(
+            F.when((age > 60) & (age <= 90), cents).otherwise(0)
+        ).alias("d61_90"),
+        F.sum(F.when(age > 90, cents).otherwise(0)).alias("d90_plus"),
+    )
+
+
+Q280_SQL = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_open,
+  CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       DATE '2001-08-01') <= 30
+       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS d0_30,
+  CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       DATE '2001-08-01') BETWEEN 31 AND 60
+       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS d31_60,
+  CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       DATE '2001-08-01') BETWEEN 61 AND 90
+       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS d61_90,
+  CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       DATE '2001-08-01') > 90
+       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS d90_plus
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1
+"""
+
+QUERIES["q280_ar_aging"] = q280_ar_aging
+ORACLES["q280_ar_aging"] = Q280_SQL
+
+
+def q281_backfill_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness matrix (the backfill planner): the expected
+    (day x event-type) spine — every day in the observed range for
+    every type — anti-compared against actual arrivals; emits per
+    type the missing-day count and a digest of WHICH days, the
+    work-list a backfill job consumes. Spine = one sequence explode
+    cross the tiny type dim; actual = one distinct; the compare is a
+    broadcast-able left anti."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    # simulate lost ingest partitions: drop a deterministic ~1/7 of
+    # (type, day) cells so the planner has real holes to find
+    drop = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "et", F.date_format("d", "yyyy-MM-dd"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 7 == 0
+    )
+    ev = ev.filter(~drop)
+    span = ev.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    types = ev.select("et").distinct()
+    spine = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    ).crossJoin(types)
+    actual = ev.distinct()
+    missing = spine.join(actual, ["et", "d"], "left_anti")
+    return missing.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_missing_days"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.date_format("d", "yyyy-MM-dd"))
+                ),
+                ",",
+            )
+        ).alias("missing_days_digest"),
+        F.min(F.date_format("d", "yyyy-MM-dd")).alias("first_missing"),
+    )
+
+
+Q281_SQL = """
+WITH ev0 AS (
+  SELECT event_type AS et, CAST(ts AS DATE) AS d FROM events
+),
+ev AS (
+  SELECT et, d FROM ev0
+  WHERE CAST(('0x' || substring(md5(et || '|'
+        || strftime(d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 7 <> 0
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+spine AS (
+  SELECT t.et, CAST(g.g AS DATE) AS d
+  FROM (SELECT DISTINCT et FROM ev) t,
+       span,
+       LATERAL (SELECT unnest(generate_series(lo, hi,
+                INTERVAL 1 DAY)) AS g) g
+),
+actual AS (SELECT DISTINCT et, d FROM ev),
+missing AS (
+  SELECT s.et, s.d FROM spine s
+  WHERE NOT EXISTS (SELECT 1 FROM actual a
+                    WHERE a.et = s.et AND a.d = s.d)
+)
+SELECT et, CAST(count(*) AS BIGINT) AS n_missing_days,
+       md5(string_agg(strftime(d, '%Y-%m-%d'), ','
+           ORDER BY strftime(d, '%Y-%m-%d'))) AS missing_days_digest,
+       min(strftime(d, '%Y-%m-%d')) AS first_missing
+FROM missing GROUP BY 1
+"""
+
+QUERIES["q281_backfill_matrix"] = q281_backfill_matrix
+ORACLES["q281_backfill_matrix"] = Q281_SQL

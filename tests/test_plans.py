@@ -655,6 +655,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q277_duplicate_payments",
         "q278_luhn_validation",
         "q279_window_battery",
+        "q280_ar_aging",
+        "q281_backfill_matrix",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
