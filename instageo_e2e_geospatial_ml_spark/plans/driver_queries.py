@@ -12713,3 +12713,196 @@ FROM missing GROUP BY 1
 
 QUERIES["q281_backfill_matrix"] = q281_backfill_matrix
 ORACLES["q281_backfill_matrix"] = Q281_SQL
+
+
+def q282_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API endpoint template mining: raw request paths generalized by
+    collapsing numeric segments to {n} (one regexp_replace — the
+    endpoint-cardinality reducer every API-analytics pipeline runs
+    first), then traffic per template with distinct-raw-path counts —
+    the fan-in that tells you the templating worked."""
+    from ..functions.web import synth_urls, url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    u = url_components(synth_urls(docs)).select(
+        "doc_id", "scheme", "path"
+    )
+    t = u.select(
+        "doc_id",
+        "scheme",
+        "path",
+        F.regexp_replace(F.col("path"), r"[0-9]+", "{n}").alias(
+            "template"
+        ),
+    )
+    return t.groupBy("scheme", "template").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.count_distinct("path").alias("n_raw_paths"),
+    )
+
+
+Q282_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+    '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR) || '.html'
+      AS path
+  FROM documents
+),
+t AS (
+  SELECT doc_id, scheme, path,
+         regexp_replace(path, '[0-9]+', '{n}', 'g') AS template
+  FROM u
+)
+SELECT scheme, template, CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_raw_paths
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES["q282_url_templates"] = q282_url_templates
+ORACLES["q282_url_templates"] = Q282_SQL
+
+
+def q283_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift timeline (vector-pipeline monitoring):
+    per vec_id-derived day bucket, the quantized centroid SUM vector;
+    consecutive buckets compared by exact integer cosine² ppm — the
+    alarm that catches an encoder version change upstream. Dimension
+    explode -> per-(bucket, dim) sums -> self-join on bucket+1 ->
+    one dot/norm aggregate; everything int64."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 8).alias("b"),
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+    ).select(
+        "b",
+        "i",
+        F.expr(
+            "CAST(sign(x) * floor(abs(CAST(x AS DOUBLE)) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("q"),
+    )
+    sums = q.groupBy("b", "i").agg(F.sum("q").alias("s"))
+    a = sums.select(F.col("b").alias("ba"), "i", F.col("s").alias("sa"))
+    bb = sums.select(
+        (F.col("b") - 1).alias("ba"), "i", F.col("s").alias("sb")
+    )
+    j = a.join(bb, ["ba", "i"])
+    return (
+        j.groupBy("ba")
+        .agg(
+            F.sum(F.expr("sa * sb")).alias("dot"),
+            F.sum(F.expr("sa * sa")).alias("na"),
+            F.sum(F.expr("sb * sb")).alias("nb"),
+        )
+        .select(
+            F.col("ba").alias("bucket"),
+            "dot",
+            F.expr(
+                "CASE WHEN dot >= 0 THEN dot * dot * 1000000"
+                " div (na * nb) ELSE -(dot * dot * 1000000"
+                " div (na * nb)) END"
+            ).alias("cos2_signed_ppm"),
+        )
+    )
+
+
+Q283_SQL = """
+WITH q AS (
+  SELECT vec_id % 8 AS b, i.i AS i,
+         CAST(sign(embedding[i.i])
+              * floor(abs(CAST(embedding[i.i] AS DOUBLE)) * 100 + 0.5)
+           AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+sums AS (SELECT b, i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+j AS (
+  SELECT a.b AS bucket, a.i, a.s AS sa, c.s AS sb
+  FROM sums a JOIN sums c ON c.b = a.b + 1 AND c.i = a.i
+)
+SELECT bucket, CAST(sum(sa * sb) AS BIGINT) AS dot,
+       CASE WHEN sum(sa * sb) >= 0 THEN
+         CAST(sum(sa * sb) AS BIGINT) * CAST(sum(sa * sb) AS BIGINT)
+           * 1000000 // (CAST(sum(sa * sa) AS BIGINT)
+           * CAST(sum(sb * sb) AS BIGINT))
+       ELSE
+         -(CAST(sum(sa * sb) AS BIGINT) * CAST(sum(sa * sb) AS BIGINT)
+           * 1000000 // (CAST(sum(sa * sa) AS BIGINT)
+           * CAST(sum(sb * sb) AS BIGINT)))
+       END AS cos2_signed_ppm
+FROM j GROUP BY 1
+"""
+
+QUERIES["q283_embedding_drift"] = q283_embedding_drift
+ORACLES["q283_embedding_drift"] = Q283_SQL
+
+
+def q284_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day rank movers (the leaderboard-diff report): part
+    revenue ranks in 1997 vs 1998, joined to surface the biggest
+    climbers — rank windows partitioned per year, and the mover list
+    restricted to parts present in BOTH years (an inner join, so
+    new entries/dropouts don't fake swings)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_partkey") % 200).alias("pk"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            ).cast("long").alias("cents"),
+        )
+        .groupBy("yr", "pk")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("rev").desc(), F.col("pk").asc()
+    )
+    ranked = rev.withColumn("rnk", F.rank().over(w))
+    a = ranked.filter(F.col("yr") == 1997).select(
+        "pk", F.col("rnk").alias("rank_1997")
+    )
+    b = ranked.filter(F.col("yr") == 1998).select(
+        "pk", F.col("rnk").alias("rank_1998")
+    )
+    return (
+        a.join(b, "pk")
+        .select(
+            "pk",
+            "rank_1997",
+            "rank_1998",
+            (F.col("rank_1997") - F.col("rank_1998")).alias("climb"),
+        )
+        .filter(F.abs(F.col("climb")) >= 50)
+    )
+
+
+Q284_SQL = """
+WITH rev AS (
+  SELECT date_part('year', CAST(l_shipdate AS TIMESTAMP)) AS yr,
+         l_partkey % 200 AS pk,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr, pk, rank() OVER (PARTITION BY yr
+                              ORDER BY rev DESC, pk ASC) AS rnk
+  FROM rev
+)
+SELECT a.pk, a.rnk AS rank_1997, b.rnk AS rank_1998,
+       a.rnk - b.rnk AS climb
+FROM ranked a JOIN ranked b ON b.pk = a.pk AND b.yr = 1998
+WHERE a.yr = 1997 AND abs(a.rnk - b.rnk) >= 50
+"""
+
+QUERIES["q284_rank_movers"] = q284_rank_movers
+ORACLES["q284_rank_movers"] = Q284_SQL

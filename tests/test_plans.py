@@ -657,6 +657,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q279_window_battery",
         "q280_ar_aging",
         "q281_backfill_matrix",
+        "q282_url_templates",
+        "q283_embedding_drift",
+        "q284_rank_movers",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
