@@ -12906,3 +12906,204 @@ WHERE a.yr = 1997 AND abs(a.rnk - b.rnk) >= 50
 
 QUERIES["q284_rank_movers"] = q284_rank_movers
 ORACLES["q284_rank_movers"] = Q284_SQL
+
+
+def q285_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-sensitive duplicate audit: documents grouped by
+    the md5 of their NORMALIZED form (lower, trim, whitespace
+    collapse, punctuation strip — the canonical text-prep chain) vs
+    their raw md5 — surfacing groups that only normalization
+    collapses. A deterministic case/spacing corruption channel
+    (uppercase every 7th doc, double spaces every 11th) plants the
+    mass the raw hash misses."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.upper(F.col("text"))
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.regexp_replace(F.col("text"), " ", "  "),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    n = d.select(
+        "doc_id",
+        F.md5(F.col("raw")).alias("raw_md5"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("raw")), r"[^a-z0-9 ]", ""),
+                    r" +",
+                    " ",
+                )
+            )
+        ).alias("norm_md5"),
+    )
+    g = n.groupBy("norm_md5").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("raw_md5").alias("n_raw_forms"),
+    )
+    return g.filter(F.col("n_docs") >= 2).agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.sum("n_docs").alias("n_docs_in_groups"),
+        F.sum(
+            F.when(F.col("n_raw_forms") >= 2, 1).otherwise(0)
+        ).alias("n_groups_norm_only"),
+    )
+
+
+Q285_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text)
+              WHEN doc_id % 11 = 0 THEN replace(text, ' ', '  ')
+              ELSE text END AS raw
+  FROM documents
+),
+n AS (
+  SELECT doc_id, md5(raw) AS raw_md5,
+         md5(trim(regexp_replace(regexp_replace(lower(raw),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+  FROM d
+),
+g AS (
+  SELECT norm_md5, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_raw_forms
+  FROM n GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs_in_groups,
+       CAST(sum(CASE WHEN n_raw_forms >= 2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_groups_norm_only
+FROM g WHERE n_docs >= 2
+"""
+
+QUERIES["q285_normalized_dedup"] = q285_normalized_dedup
+ORACLES["q285_normalized_dedup"] = Q285_SQL
+
+
+def q286_map_type_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip (the q250 pattern for the MAP column type):
+    per-order attribute maps built with map_from_entries, consumed
+    back through map_keys/map_values/element_at and an explode —
+    the schema shape event systems use for sparse attributes. Oracle
+    = closed form of the generator; any key-order or null-handling
+    drift in the map codec breaks the hash."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic data —
+    # collapse first or map_from_entries throws DUPLICATED_MAP_KEY
+    m = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.concat(F.lit("ln"), F.col("l_linenumber"))
+                        .alias("k"),
+                        F.col("qty").alias("v"),
+                    )
+                )
+            )
+        ).alias("attrs")
+    )
+    ex = m.select(
+        "l_orderkey",
+        F.size(F.col("attrs")).cast("long").alias("n_keys"),
+        F.element_at(F.col("attrs"), "ln1").alias("ln1_qty"),
+        F.explode(F.col("attrs")).alias("k", "v"),
+    )
+    return ex.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("v").alias("sum_qty"),
+        F.sum("n_keys").alias("keys_weighted"),
+        F.sum(F.coalesce("ln1_qty", F.lit(0))).alias("ln1_qty_weighted"),
+    )
+
+
+Q286_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 11 = 0 GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(CASE WHEN l_linenumber = 1 THEN qty END) AS BIGINT)
+           AS ln1_qty
+  FROM li GROUP BY 1
+)
+SELECT li.l_orderkey % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(li.qty) AS BIGINT) AS sum_qty,
+       CAST(sum(p.n_keys) AS BIGINT) AS keys_weighted,
+       CAST(sum(COALESCE(p.ln1_qty, 0)) AS BIGINT) AS ln1_qty_weighted
+FROM li JOIN per_order p ON p.l_orderkey = li.l_orderkey
+GROUP BY 1
+"""
+
+QUERIES["q286_map_type_surface"] = q286_map_type_surface
+ORACLES["q286_map_type_surface"] = Q286_SQL
+
+
+def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall audit (the Jaccard-family twin of q226's ANN
+    audit): ground truth = exact 3-gram Jaccard pairs >= 0.7 (q27's
+    operator at the dedup threshold), candidates = the q15 banded
+    MinHash pairs; recall = how many true near-dups the bands
+    surfaced, in ppm — the number that justifies (or indicts) the
+    band/row configuration before a 100 TB dedup run."""
+    from ..operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.7).select(
+        "doc_a", "doc_b"
+    )
+    cand = minhash_lsh_dedup(
+        docs, shingle_n=3, num_hashes=8, rows_per_band=2
+    ).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true"
+                " END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _q287_sql() -> str:
+    truth = Q27_SQL.replace(">= 0.2", ">= 0.7")
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+cand AS (SELECT doc_a, doc_b FROM ({Q15_SQL})),
+hit AS (
+  SELECT t.doc_a, t.doc_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c
+                WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         (SELECT CAST(count(*) AS BIGINT) FROM hit) * 1000000
+           // (SELECT count(*) FROM truth) END AS recall_ppm
+"""
+
+
+Q287_SQL = _q287_sql()
+
+QUERIES["q287_lsh_recall_audit"] = q287_lsh_recall_audit
+ORACLES["q287_lsh_recall_audit"] = Q287_SQL

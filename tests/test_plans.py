@@ -660,6 +660,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q282_url_templates",
         "q283_embedding_drift",
         "q284_rank_movers",
+        "q285_normalized_dedup",
+        "q286_map_type_surface",
+        # q287 composes the q15 minhash pipeline (its localCheckpoint
+        # materialization shows as ExistingRDD, documented at q15).
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
