@@ -13107,3 +13107,230 @@ Q287_SQL = _q287_sql()
 
 QUERIES["q287_lsh_recall_audit"] = q287_lsh_recall_audit
 ORACLES["q287_lsh_recall_audit"] = Q287_SQL
+
+
+def q288_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    HHI = Σ share² over customers — the antitrust/portfolio
+    concentration metric — computed as the exact rational
+    Σ c_i² · 1e8 div (Σ c_i)² (shares in basis points squared, no
+    floats), plus the top-1 customer share in ppm via max/total
+    cross-multiply. One aggregate after one grouped sum."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            # 100-dollar units: keeps sum(rev)^2 and sum(rev^2)*1e4
+            # inside int64 through sf1 (cents would overflow at sf0.1)
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast(
+                        "long"
+                    )
+                ) / 10000
+            ).cast("long").alias("rev")
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total_units"),
+        F.expr(
+            "sum(rev * rev) * 10000 div (sum(rev) * sum(rev))"
+        ).alias("hhi_pts"),
+        F.expr("max(rev) * 1000000 div sum(rev)").alias("top1_ppm"),
+    )
+
+
+Q288_SQL = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(floor(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+           AS BIGINT)) AS DOUBLE) / 10000) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS BIGINT) AS total_units,
+       CAST(sum(rev * rev) AS BIGINT) * 10000
+         // (CAST(sum(rev) AS BIGINT) * sum(rev)) AS hhi_pts,
+       CAST(max(rev) AS BIGINT) * 1000000 // sum(rev) AS top1_ppm
+FROM per_cust GROUP BY 1
+"""
+
+QUERIES["q288_hhi_concentration"] = q288_hhi_concentration
+ORACLES["q288_hhi_concentration"] = Q288_SQL
+
+
+def q289_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM coverage / OOV audit (the eval-readiness check before
+    training): vocabulary and bigram tables from the TRAIN split
+    (doc_id % 5 != 0), measured against the TEST split — per test-doc
+    aggregate: token OOV rate and unseen-bigram rate in ppm (mass
+    a model cannot have learned). Two broadcast-able left joins
+    against the train tables; all counts integer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "i", "w"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = toks.select(
+        "doc_id",
+        "w",
+        F.lead("w").over(w).alias("w2"),
+    )
+    train_vocab = (
+        toks.filter(F.col("doc_id") % 5 != 0).select("w").distinct()
+    )
+    train_big = (
+        big.filter(
+            (F.col("doc_id") % 5 != 0) & F.col("w2").isNotNull()
+        )
+        .select("w", "w2")
+        .distinct()
+    )
+    test_toks = toks.filter(F.col("doc_id") % 5 == 0)
+    test_big = big.filter(
+        (F.col("doc_id") % 5 == 0) & F.col("w2").isNotNull()
+    )
+    oov = test_toks.join(train_vocab, "w", "left_anti")
+    unseen = test_big.join(train_big, ["w", "w2"], "left_anti")
+    return (
+        test_toks.agg(F.count(F.lit(1)).alias("n_test_tokens"))
+        .crossJoin(oov.agg(F.count(F.lit(1)).alias("n_oov")))
+        .crossJoin(test_big.agg(F.count(F.lit(1)).alias("n_test_bigrams")))
+        .crossJoin(unseen.agg(F.count(F.lit(1)).alias("n_unseen_bigrams")))
+        .select(
+            "n_test_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_test_tokens").alias("oov_ppm"),
+            "n_test_bigrams",
+            "n_unseen_bigrams",
+            F.expr(
+                "n_unseen_bigrams * 1000000 div n_test_bigrams"
+            ).alias("unseen_bigram_ppm"),
+        )
+    )
+
+
+Q289_SQL = """
+WITH toks AS (
+  SELECT doc_id, i.i AS i, ts[i.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
+),
+big AS (
+  SELECT doc_id, w,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+),
+train_vocab AS (SELECT DISTINCT w FROM toks WHERE doc_id % 5 <> 0),
+train_big AS (SELECT DISTINCT w, w2 FROM big
+              WHERE doc_id % 5 <> 0 AND w2 IS NOT NULL),
+test_toks AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+test_big AS (SELECT * FROM big
+             WHERE doc_id % 5 = 0 AND w2 IS NOT NULL),
+oov AS (SELECT * FROM test_toks t
+        WHERE NOT EXISTS (SELECT 1 FROM train_vocab v WHERE v.w = t.w)),
+unseen AS (SELECT * FROM test_big t
+           WHERE NOT EXISTS (SELECT 1 FROM train_big v
+                             WHERE v.w = t.w AND v.w2 = t.w2))
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM test_toks) AS n_test_tokens,
+  (SELECT CAST(count(*) AS BIGINT) FROM oov) AS n_oov,
+  (SELECT CAST(count(*) AS BIGINT) FROM oov) * 1000000
+    // (SELECT count(*) FROM test_toks) AS oov_ppm,
+  (SELECT CAST(count(*) AS BIGINT) FROM test_big) AS n_test_bigrams,
+  (SELECT CAST(count(*) AS BIGINT) FROM unseen) AS n_unseen_bigrams,
+  (SELECT CAST(count(*) AS BIGINT) FROM unseen) * 1000000
+    // (SELECT count(*) FROM test_big) AS unseen_bigram_ppm
+"""
+
+QUERIES["q289_oov_coverage"] = q289_oov_coverage
+ORACLES["q289_oov_coverage"] = Q289_SQL
+
+
+def q290_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete index: for every 1-3 char prefix in the
+    corpus vocabulary, the most frequent completion (max_by on a
+    uniquified (freq, word) key — deterministic ties) plus candidate
+    counts — the typeahead table a search box serves from. One
+    explode over three prefix lengths, one aggregate."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # bound k by the word length INSIDE the sequence: substring
+    # clamps silently, which would double-count short words' full-
+    # word prefix at k = len..3
+    pref = vocab.select(
+        "w",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(3), F.length("w"))
+                ),
+                lambda k: F.substring(F.col("w"), 1, k),
+            )
+        ).alias("prefix"),
+    )
+    # election by (freq desc, word desc) via join-back: top_freq per
+    # prefix, then the lexicographically greatest word at that freq —
+    # the portable form (DuckDB arg_max takes no struct ordering)
+    tops = pref.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("freq").alias("total_freq"),
+        F.max("freq").alias("top_freq"),
+    )
+    winner = (
+        pref.join(
+            tops.select("prefix", "top_freq"),
+            (pref["prefix"] == tops["prefix"])
+            & (pref["freq"] == tops["top_freq"]),
+        )
+        .drop(tops["prefix"])
+        .groupBy("prefix")
+        .agg(F.max("w").alias("top_completion"))
+    )
+    return tops.join(winner, "prefix").select(
+        "prefix", "n_candidates", "total_freq", "top_completion",
+        "top_freq",
+    )
+
+
+Q290_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+pref AS (
+  SELECT w, freq, substring(w, 1, k.k) AS prefix
+  FROM vocab, (SELECT unnest(generate_series(1, 3)) AS k) k
+  WHERE length(w) >= k.k
+)
+, tops AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(freq) AS BIGINT) AS total_freq,
+         CAST(max(freq) AS BIGINT) AS top_freq
+  FROM pref GROUP BY 1
+),
+winner AS (
+  SELECT p.prefix, max(p.w) AS top_completion
+  FROM pref p JOIN tops t ON t.prefix = p.prefix
+                         AND p.freq = t.top_freq
+  GROUP BY 1
+)
+SELECT t.prefix, t.n_candidates, t.total_freq, w.top_completion,
+       t.top_freq
+FROM tops t JOIN winner w ON w.prefix = t.prefix
+"""
+
+QUERIES["q290_autocomplete_index"] = q290_autocomplete_index
+ORACLES["q290_autocomplete_index"] = Q290_SQL

@@ -664,6 +664,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q286_map_type_surface",
         # q287 composes the q15 minhash pipeline (its localCheckpoint
         # materialization shows as ExistingRDD, documented at q15).
+        "q288_hhi_concentration",
+        "q289_oov_coverage",
+        "q290_autocomplete_index",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
