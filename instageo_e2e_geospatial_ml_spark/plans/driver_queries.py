@@ -13334,3 +13334,159 @@ FROM tops t JOIN winner w ON w.prefix = t.prefix
 
 QUERIES["q290_autocomplete_index"] = q290_autocomplete_index
 ORACLES["q290_autocomplete_index"] = Q290_SQL
+
+
+def q291_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels / critical-path depth of a task DAG (the
+    scheduler primitive): acyclicity guaranteed by construction
+    (edges only point key-upward), level(v) = 1 + max level of
+    predecessors, computed in 4 fixed join-max rounds (longest path
+    <= 4 by the edge derivation) — the same unrolled integer-rounds
+    contract as PageRank/BOM. Emits per-level task counts and the
+    deepest level's task digest."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 60).alias("src"),
+        (F.col("l_partkey") % 60 + F.col("l_suppkey") % 5 + 1).alias(
+            "dst"
+        ),
+    ).filter(F.col("dst") <= 64).distinct()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    lv = nodes.select("v", F.lit(0).alias("level"))
+    for _ in range(4):
+        upd = (
+            e.join(lv.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.max("level") + 1).alias("plevel"))
+        )
+        lv = (
+            nodes.join(upd, "v", "left")
+            .join(lv.withColumnRenamed("level", "old"), "v")
+            .select(
+                "v",
+                F.greatest(
+                    F.coalesce(F.col("plevel"), F.lit(0)), F.col("old")
+                ).alias("level"),
+            )
+        )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("v").cast("string"))),
+                ",",
+            )
+        ).alias("task_digest"),
+    )
+
+
+def _q291_sql() -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT l_partkey % 60 AS src,"
+        " l_partkey % 60 + l_suppkey % 5 + 1 AS dst FROM lineitem"
+        " WHERE l_partkey % 60 + l_suppkey % 5 + 1 <= 64)",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM e"
+        " UNION SELECT dst FROM e)",
+        "l0 AS MATERIALIZED (SELECT v, 0 AS level FROM nodes)",
+    ]
+    for t in range(4):
+        parts.append(
+            f"u{t + 1} AS MATERIALIZED (SELECT e.dst AS v,"
+            f" max(l.level) + 1 AS plevel"
+            f" FROM e JOIN l{t} l ON l.v = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT n.v,"
+            f" greatest(COALESCE(u.plevel, 0), o.level) AS level"
+            f" FROM nodes n LEFT JOIN u{t + 1} u ON u.v = n.v"
+            f" JOIN l{t} o ON o.v = n.v)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT level, CAST(count(*) AS BIGINT) AS n_tasks,
+       md5(string_agg(CAST(v AS VARCHAR), ','
+           ORDER BY CAST(v AS VARCHAR))) AS task_digest
+FROM l4 GROUP BY 1"""
+    )
+
+
+Q291_SQL = _q291_sql()
+
+QUERIES["q291_critical_path"] = q291_critical_path
+ORACLES["q291_critical_path"] = Q291_SQL
+
+
+def q292_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration reliability bins (the ML-monitoring curve): a
+    deterministic md5-derived score in ppm against a ground-truth
+    label correlated with it by construction; scores cut into 10
+    equal-WIDTH bins, each reporting predicted mass (mean score as
+    exact N-scaled sums) vs observed positive rate in ppm — the
+    inputs of an ECE computation, all integer."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("score:"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("score_ppm"),
+    )
+    lab = d.select(
+        "doc_id",
+        "score_ppm",
+        # label correlated with score: positive iff score + a
+        # deterministic n_chars-derived nudge crosses the median-ish
+        # threshold — calibrated-by-construction in the upper bins
+        F.when(
+            F.col("score_ppm") + (F.col("n_chars") % 200000) > 600000,
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    b = lab.select(
+        (F.col("score_ppm") / 100000).cast("long").alias("bin"),
+        "score_ppm",
+        "label",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_ppm").alias("score_ppm_sum"),
+        F.sum("label").alias("n_pos"),
+        F.expr("sum(label) * 1000000 div count(*)").alias(
+            "pos_rate_ppm"
+        ),
+    )
+
+
+Q292_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5('score:' || CAST(doc_id AS VARCHAR)),
+           1, 8)) AS BIGINT) % 1000000 AS score_ppm
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, score_ppm,
+         CASE WHEN score_ppm + (n_chars % 200000) > 600000 THEN 1
+              ELSE 0 END AS label
+  FROM d
+)
+SELECT score_ppm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(score_ppm) AS BIGINT) AS score_ppm_sum,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(sum(label) AS BIGINT) * 1000000 // count(*) AS pos_rate_ppm
+FROM lab GROUP BY 1
+"""
+
+QUERIES["q292_calibration_bins"] = q292_calibration_bins
+ORACLES["q292_calibration_bins"] = Q292_SQL

@@ -667,6 +667,8 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q288_hhi_concentration",
         "q289_oov_coverage",
         "q290_autocomplete_index",
+        "q291_critical_path",
+        "q292_calibration_bins",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
