@@ -13490,3 +13490,219 @@ FROM lab GROUP BY 1
 
 QUERIES["q292_calibration_bins"] = q292_calibration_bins
 ORACLES["q292_calibration_bins"] = Q292_SQL
+
+
+def q293_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vocabulary overlap matrix (corpus comparison): each
+    source's top-20 terms by frequency (rank window partitioned per
+    source, ties broken lexicographically), then pairwise overlap
+    counts + Jaccard ppm between source buckets — the redundancy map
+    that decides which crawls to keep. Top-k first, THEN the
+    quadratic pair join: 20-row sides, never raw vocabularies."""
+    toks = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("src"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("src", "w").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("n").desc(), F.col("w").asc()
+    )
+    top = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 20
+    )
+    a = top.select(F.col("src").alias("sa"), "w")
+    b = top.select(F.col("src").alias("sb"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "sa",
+        "sb",
+        "n_common",
+        F.expr("n_common * 1000000 div (40 - n_common)").alias(
+            "jaccard_ppm"
+        ),
+    )
+
+
+Q293_SQL = """
+WITH toks AS (
+  SELECT doc_id % 4 AS src,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT src, w, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT src, w FROM (
+    SELECT src, w,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY n DESC, w ASC) AS r
+    FROM tf
+  ) WHERE r <= 20
+)
+SELECT a.src AS sa, b.src AS sb,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(count(*) AS BIGINT) * 1000000
+         // (40 - count(*)) AS jaccard_ppm
+FROM top a JOIN top b ON b.w = a.w AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+QUERIES["q293_vocab_overlap"] = q293_vocab_overlap
+ORACLES["q293_vocab_overlap"] = Q293_SQL
+
+
+def q294_histogram_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection kernel between segments (the HIK of
+    image retrieval, applied to value distributions): per-segment
+    10-bucket balance histograms, pairwise Σ min(c_a, c_b) and the
+    normalized HIK in ppm (divide by the smaller mass — the kernel's
+    standard normalization). min() on aligned buckets via one
+    equi-join; the histograms are the only shuffled rows."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor((c_acctbal + 1000) / 700) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    h = c.groupBy("c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = h.select(
+        F.col("c_mktsegment").alias("seg_a"), "bucket",
+        F.col("n").alias("na"),
+    )
+    b = h.select(
+        F.col("c_mktsegment").alias("seg_b"), "bucket",
+        F.col("n").alias("nb"),
+    )
+    tot = h.groupBy("c_mktsegment").agg(F.sum("n").alias("total"))
+    inter = (
+        a.join(b, "bucket")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.sum(F.least("na", "nb")).alias("hik"))
+    )
+    return (
+        inter.join(
+            tot.withColumnRenamed("c_mktsegment", "seg_a")
+            .withColumnRenamed("total", "ta"),
+            "seg_a",
+        )
+        .join(
+            tot.withColumnRenamed("c_mktsegment", "seg_b")
+            .withColumnRenamed("total", "tb"),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "hik",
+            F.expr("hik * 1000000 div least(ta, tb)").alias("hik_ppm"),
+        )
+    )
+
+
+Q294_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(floor((c_acctbal + 1000) / 700) AS BIGINT) AS bucket
+  FROM customer
+),
+h AS (SELECT c_mktsegment, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2),
+tot AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS total
+        FROM h GROUP BY 1),
+inter AS (
+  SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         CAST(sum(least(a.n, b.n)) AS BIGINT) AS hik
+  FROM h a JOIN h b ON b.bucket = a.bucket
+                   AND a.c_mktsegment < b.c_mktsegment
+  GROUP BY 1, 2
+)
+SELECT i.seg_a, i.seg_b, i.hik,
+       i.hik * 1000000 // least(ta.total, tb.total) AS hik_ppm
+FROM inter i
+JOIN tot ta ON ta.c_mktsegment = i.seg_a
+JOIN tot tb ON tb.c_mktsegment = i.seg_b
+"""
+
+QUERIES["q294_histogram_intersection"] = q294_histogram_intersection
+ORACLES["q294_histogram_intersection"] = Q294_SQL
+
+
+def q295_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-exact z-score outliers (the parametric complement to
+    q98's MAD): flag x with z > 3 WITHOUT ever computing a float
+    sigma — cross-multiplied moments per group:
+
+        z² > 9  ⟺  (x·n − s)² > 9 · (n·Σx² − s²)
+
+    (both sides exact int64 in whole-dollar units). Per segment:
+    outlier counts and the extreme deviations, one grouped-moment
+    pass + one broadcast join back."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("v"),
+    )
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    )
+    j = c.join(F.broadcast(m), "c_mktsegment")
+    flagged = j.select(
+        "c_mktsegment",
+        "v",
+        (
+            (F.col("v") * F.col("n") - F.col("s"))
+            * (F.col("v") * F.col("n") - F.col("s"))
+            > F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        ).cast("long").alias("is_outlier"),
+    )
+    return flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_outlier").alias("n_outliers"),
+        F.max(F.when(F.col("is_outlier") == 1, F.col("v"))).alias(
+            "max_outlier_v"
+        ),
+        F.min(F.when(F.col("is_outlier") == 1, F.col("v"))).alias(
+            "min_outlier_v"
+        ),
+    )
+
+
+Q295_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS v
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM c GROUP BY 1
+),
+flagged AS (
+  SELECT c.c_mktsegment, c.v,
+         CASE WHEN (c.v * m.n - m.s) * (c.v * m.n - m.s)
+                   > 9 * (m.n * m.ss - m.s * m.s)
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM c JOIN m ON m.c_mktsegment = c.c_mktsegment
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
+       CAST(max(CASE WHEN is_outlier = 1 THEN v END) AS BIGINT)
+         AS max_outlier_v,
+       CAST(min(CASE WHEN is_outlier = 1 THEN v END) AS BIGINT)
+         AS min_outlier_v
+FROM flagged GROUP BY 1
+"""
+
+QUERIES["q295_zscore_outliers"] = q295_zscore_outliers
+ORACLES["q295_zscore_outliers"] = Q295_SQL

@@ -669,6 +669,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q290_autocomplete_index",
         "q291_critical_path",
         "q292_calibration_bins",
+        "q293_vocab_overlap",
+        "q294_histogram_intersection",
+        "q295_zscore_outliers",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
