@@ -13706,3 +13706,365 @@ FROM flagged GROUP BY 1
 
 QUERIES["q295_zscore_outliers"] = q295_zscore_outliers
 ORACLES["q295_zscore_outliers"] = Q295_SQL
+
+
+def q296_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per service (the SLA industry standard): satisfied
+    (latency <= T) count full, tolerating (<= 4T) count half,
+    frustrated zero — score = (sat·2 + tol) / (2·total), kept exact
+    by scoring in HALF-units (the ×2 trick) and emitting milli-Apdex
+    by integer division. Latency is the md5-derived deterministic
+    duration column; T = 300 ms."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("service"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lat:"), F.col("event_id"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long")
+            % 2000
+        ).alias("ms"),
+    )
+    t = 300
+    scored = ev.select(
+        "service",
+        F.when(F.col("ms") <= t, 2)
+        .when(F.col("ms") <= 4 * t, 1)
+        .otherwise(0)
+        .alias("half_units"),
+    )
+    return scored.groupBy("service").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("half_units").alias("half_units"),
+        F.expr(
+            "sum(half_units) * 1000 div (2 * count(*))"
+        ).alias("apdex_milli"),
+    )
+
+
+Q296_SQL = """
+WITH ev AS (
+  SELECT event_type AS service,
+         CAST(('0x' || substring(md5('lat:' || CAST(event_id AS VARCHAR)),
+           1, 8)) AS BIGINT) % 2000 AS ms
+  FROM events
+),
+scored AS (
+  SELECT service,
+         CASE WHEN ms <= 300 THEN 2 WHEN ms <= 1200 THEN 1
+              ELSE 0 END AS half_units
+  FROM ev
+)
+SELECT service, CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(half_units) AS BIGINT) AS half_units,
+       CAST(sum(half_units) AS BIGINT) * 1000
+         // (2 * count(*)) AS apdex_milli
+FROM scored GROUP BY 1
+"""
+
+QUERIES["q296_apdex"] = q296_apdex
+ORACLES["q296_apdex"] = Q296_SQL
+
+
+def q297_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman-Liau readability (the syllable-free grade-level index,
+    built for machine scoring): CLI = 0.0588·L − 0.296·S − 15.8 with
+    L = letters per 100 words, S = sentences per 100 words — here in
+    milli-grades with every division an explicit truncating integer
+    op (identical both engines). Sentences are proxied by a fixed
+    8-token segmentation of the unpunctuated corpus (documented);
+    letters/words are real counts. Grouped per language."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length(F.regexp_replace(F.col("text"), r"[^a-z]", "")).cast(
+            "long"
+        ).alias("letters"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "words"
+        ),
+    ).withColumn("sentences", F.expr("greatest(words div 8, 1)"))
+    cli = d.select(
+        "lang",
+        "letters",
+        "words",
+        "sentences",
+        (
+            F.expr("5880 * letters * 100 div words div 100")
+            - F.expr("29600 * sentences * 100 div words div 100")
+            - 15800
+        ).alias("cli_milli"),
+    )
+    return cli.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("letters").alias("letters"),
+        F.sum("words").alias("words"),
+        F.sum("cli_milli").alias("cli_milli_sum"),
+        F.max("cli_milli").alias("cli_milli_max"),
+    )
+
+
+Q297_SQL = """
+WITH d AS (
+  SELECT lang,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+           AS letters,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS words
+  FROM documents
+),
+s AS (
+  SELECT lang, letters, words,
+         greatest(words // 8, 1) AS sentences
+  FROM d
+),
+cli AS (
+  SELECT lang, letters, words, sentences,
+         5880 * letters * 100 // words // 100
+           - 29600 * sentences * 100 // words // 100
+           - 15800 AS cli_milli
+  FROM s
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(letters) AS BIGINT) AS letters,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(cli_milli) AS BIGINT) AS cli_milli_sum,
+       CAST(max(cli_milli) AS BIGINT) AS cli_milli_max
+FROM cli GROUP BY 1
+"""
+
+QUERIES["q297_readability"] = q297_readability
+ORACLES["q297_readability"] = Q297_SQL
+
+
+def q298_uptime_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uptime from a state-change log (the availability report): each
+    event flips its service between up ('error' = down, anything
+    else = up); state holds until the next event (LOCF interval
+    semantics, lead() dwell like the TWAP operator); uptime =
+    up-dwell over observed span, in ppm. The last interval is
+    open-ended and excluded (the standard last-observation
+    convention)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("svc_group"),
+        (F.col("user_id") % 10).alias("svc"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_id").alias("eid"),
+    ).withColumn(
+        "up",
+        F.when(F.col("svc_group") == "error", 0).otherwise(1),
+    )
+    w = Window.partitionBy("svc").orderBy(
+        F.col("tus").asc(), F.col("eid").asc()
+    )
+    d = ev.withColumn("nxt", F.lead("tus").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return d.groupBy("svc").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.expr("(nxt - tus) * up")).alias("up_us"),
+        F.sum(F.expr("nxt - tus")).alias("span_us"),
+        F.expr(
+            "sum((nxt - tus) * up) * 1000000 div sum(nxt - tus)"
+        ).alias("uptime_ppm"),
+    )
+
+
+Q298_SQL = """
+WITH ev AS (
+  SELECT user_id % 10 AS svc,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS eid,
+         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS up
+  FROM events
+),
+d AS (
+  SELECT svc, up, tus,
+         lead(tus) OVER (PARTITION BY svc ORDER BY tus ASC, eid ASC)
+           AS nxt
+  FROM ev
+)
+SELECT svc, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum((nxt - tus) * up) AS BIGINT) AS up_us,
+       CAST(sum(nxt - tus) AS BIGINT) AS span_us,
+       CAST(sum((nxt - tus) * up) AS BIGINT) * 1000000
+         // sum(nxt - tus) AS uptime_ppm
+FROM d WHERE nxt IS NOT NULL GROUP BY 1
+"""
+
+QUERIES["q298_uptime_report"] = q298_uptime_report
+ORACLES["q298_uptime_report"] = Q298_SQL
+
+
+def q299_distributed_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k exactness proof: the union of per-shard local
+    top-10s re-ranked globally must equal the direct global top-10 —
+    the lemma (any global top-k member is in its own shard's top-k)
+    that makes tree-reduced top-k exact, here AUDITED: both lists
+    computed, joined, and the mismatch count pinned at 0 alongside
+    the candidate-reduction factor the two-phase form buys."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 16).alias("shard"),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber").alias("rid"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    ).select(
+        "shard",
+        "cents",
+        F.expr("ok * 10 + ln").alias("rid"),
+    )
+    wl = Window.partitionBy("shard").orderBy(
+        F.col("cents").desc(), F.col("rid").asc()
+    )
+    local = li.withColumn("r", F.row_number().over(wl)).filter(
+        F.col("r") <= 10
+    )
+    two_phase = (
+        local.orderBy(F.col("cents").desc(), F.col("rid").asc())
+        .limit(10)
+        .select("rid", "cents")
+    )
+    direct = (
+        li.orderBy(F.col("cents").desc(), F.col("rid").asc())
+        .limit(10)
+        .select(F.col("rid").alias("rid_d"), F.col("cents").alias("cents_d"))
+    )
+    j = two_phase.join(
+        direct, F.col("rid") == F.col("rid_d"), "full"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("rid").isNull() | F.col("rid_d").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_mismatches"),
+        F.sum("cents").alias("topk_cents_sum"),
+        F.count_distinct(F.col("rid")).alias("n_candidates_kept"),
+    )
+
+
+Q299_SQL = """
+WITH li AS (
+  SELECT l_partkey % 16 AS shard,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_orderkey * 10 + l_linenumber AS rid
+  FROM lineitem
+),
+local AS (
+  SELECT shard, cents, rid,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cents DESC, rid ASC) AS r
+  FROM li
+),
+two_phase AS (
+  SELECT rid, cents FROM local WHERE r <= 10
+  ORDER BY cents DESC, rid ASC LIMIT 10
+),
+direct AS (
+  SELECT rid AS rid_d, cents AS cents_d FROM li
+  ORDER BY cents DESC, rid ASC LIMIT 10
+),
+j AS (
+  SELECT t.rid, t.cents, d.rid_d
+  FROM two_phase t FULL JOIN direct d ON d.rid_d = t.rid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN rid IS NULL OR rid_d IS NULL THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_mismatches,
+       CAST(sum(cents) AS BIGINT) AS topk_cents_sum,
+       CAST(count(DISTINCT rid) AS BIGINT) AS n_candidates_kept
+FROM j
+"""
+
+QUERIES["q299_distributed_topk_audit"] = q299_distributed_topk_audit
+ORACLES["q299_distributed_topk_audit"] = Q299_SQL
+
+
+def q300_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone scorecard: one row of cross-table health KPIs a
+    platform dashboard polls — row counts, referential orphans,
+    duplicate keys, corpus token mass, embedding dimension
+    conformance, event-time span — each a cheap aggregate, unioned
+    as (metric, value) pairs so new KPIs append without schema
+    change (the long-format metrics contract)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = _t(spark, sf_dir, "events")
+
+    rows = [
+        o.agg(F.lit("orders_rows").alias("metric"),
+              F.count(F.lit(1)).alias("value")),
+        li.agg(F.lit("lineitem_rows").alias("metric"),
+               F.count(F.lit(1)).alias("value")),
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.lit("lineitem_orphans").alias("metric"),
+             F.count(F.lit(1)).alias("value")),
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.lit("order_cust_orphans").alias("metric"),
+             F.count(F.lit(1)).alias("value")),
+        docs.agg(
+            F.lit("corpus_tokens").alias("metric"),
+            F.sum(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).cast("long").alias("value"),
+        ),
+        emb.agg(
+            F.lit("bad_dim_vectors").alias("metric"),
+            F.sum(
+                F.when(F.size("embedding") != 64, 1).otherwise(0)
+            ).cast("long").alias("value"),
+        ),
+        ev.agg(
+            F.lit("event_span_days").alias("metric"),
+            F.expr(
+                "(max(unix_micros(CAST(ts AS TIMESTAMP)))"
+                " - min(unix_micros(CAST(ts AS TIMESTAMP))))"
+                " div 86400000000"
+            ).alias("value"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+Q300_SQL = """
+SELECT 'orders_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM orders
+UNION ALL
+SELECT 'lineitem_rows', CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'order_cust_orphans', CAST(count(*) AS BIGINT) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'corpus_tokens',
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'bad_dim_vectors',
+       CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+         AS BIGINT)
+FROM embeddings
+UNION ALL
+SELECT 'event_span_days',
+       CAST((max(epoch_us(CAST(ts AS TIMESTAMP)))
+             - min(epoch_us(CAST(ts AS TIMESTAMP))))
+            // 86400000000 AS BIGINT)
+FROM events
+"""
+
+QUERIES["q300_health_scorecard"] = q300_health_scorecard
+ORACLES["q300_health_scorecard"] = Q300_SQL

@@ -672,6 +672,11 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q293_vocab_overlap",
         "q294_histogram_intersection",
         "q295_zscore_outliers",
+        "q296_apdex",
+        "q297_readability",
+        "q298_uptime_report",
+        "q299_distributed_topk_audit",
+        "q300_health_scorecard",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
