@@ -14068,3 +14068,210 @@ FROM events
 
 QUERIES["q300_health_scorecard"] = q300_health_scorecard
 ORACLES["q300_health_scorecard"] = Q300_SQL
+
+
+def q301_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-moving-average seasonal index (the classical
+    decomposition step): monthly revenue over a centered 13-month
+    window (6 back / 6 forward, ROWS frame — complete windows only),
+    index = month / MA in ppm by integer cross-multiply, then the
+    per-calendar-month average index across years — the seasonal
+    profile a demand planner divides out."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("ym")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("rev")
+    )
+    w = Window.orderBy("ym").rowsBetween(-6, 6)
+    ma = monthly.select(
+        "ym",
+        "rev",
+        F.sum("rev").over(w).alias("ma_sum"),
+        F.count(F.lit(1)).over(w).alias("ma_n"),
+    ).filter(F.col("ma_n") == 13)
+    idx = ma.select(
+        "ym",
+        F.expr("rev * 13 * 1000000 div ma_sum").alias("index_ppm"),
+    )
+    return idx.groupBy((F.col("ym") % 12).alias("month")).agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.expr("sum(index_ppm) div count(*)").alias("avg_index_ppm"),
+        F.max("index_ppm").alias("max_index_ppm"),
+    )
+
+
+Q301_SQL = """
+WITH monthly AS (
+  SELECT date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+         + date_part('month', CAST(o_orderdate AS TIMESTAMP)) - 1 AS ym,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT ym, rev,
+         sum(rev) OVER (ORDER BY ym ROWS BETWEEN 6 PRECEDING
+                        AND 6 FOLLOWING) AS ma_sum,
+         count(*) OVER (ORDER BY ym ROWS BETWEEN 6 PRECEDING
+                        AND 6 FOLLOWING) AS ma_n
+  FROM monthly
+),
+idx AS (
+  SELECT ym, rev * 13 * 1000000 // ma_sum AS index_ppm
+  FROM ma WHERE ma_n = 13
+)
+SELECT ym % 12 AS month, CAST(count(*) AS BIGINT) AS n_years,
+       CAST(sum(index_ppm) // count(*) AS BIGINT) AS avg_index_ppm,
+       CAST(max(index_ppm) AS BIGINT) AS max_index_ppm
+FROM idx GROUP BY 1
+"""
+
+QUERIES["q301_seasonal_index"] = q301_seasonal_index
+ORACLES["q301_seasonal_index"] = Q301_SQL
+
+
+def q302_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child hierarchy flattened to fixed level COLUMNS (the
+    dimensional-modeling denormalization every BI tool wants): a
+    3-level org tree derived closed-form (node -> parent = node div
+    4), flattened by two self-joins into (node, l1, l2, l3) path
+    columns plus the level — the complement of q180's BOM explosion
+    (which keeps paths as rows)."""
+    c = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 340).alias("node")
+    ).distinct()
+    edges = c.select(
+        "node", F.expr("node div 4").alias("parent")
+    ).filter(F.col("node") != F.col("parent"))
+    p1 = edges.select(
+        F.col("node").alias("n"), F.col("parent").alias("l2")
+    )
+    p2 = edges.select(
+        F.col("node").alias("l2x"), F.col("parent").alias("l1")
+    )
+    flat = (
+        p1.join(p2, F.col("l2") == F.col("l2x"), "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("l1"), F.col("l2")).alias("l1"),
+            F.when(F.col("l1").isNotNull(), F.col("l2")).alias("l2"),
+            F.when(F.col("l1").isNotNull(), 3)
+            .otherwise(2)
+            .alias("level"),
+        )
+    )
+    return flat.groupBy("level", "l1").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count_distinct("l2").alias("n_mid"),
+        F.max("node").alias("max_node"),
+    )
+
+
+Q302_SQL = """
+WITH c AS (SELECT DISTINCT c_custkey % 340 AS node FROM customer),
+edges AS (
+  SELECT node, node // 4 AS parent FROM c WHERE node <> node // 4
+),
+flat AS (
+  SELECT e.node,
+         COALESCE(p.parent, e.parent) AS l1,
+         CASE WHEN p.parent IS NOT NULL THEN e.parent END AS l2,
+         CASE WHEN p.parent IS NOT NULL THEN 3 ELSE 2 END AS level
+  FROM edges e LEFT JOIN edges p ON p.node = e.parent
+)
+SELECT level, l1, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(DISTINCT l2) AS BIGINT) AS n_mid,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM flat GROUP BY 1, 2
+"""
+
+QUERIES["q302_hierarchy_flatten"] = q302_hierarchy_flatten
+ORACLES["q302_hierarchy_flatten"] = Q302_SQL
+
+
+def q303_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity + degree-assortativity moments:
+    reciprocity = edges whose reverse also exists (one left-semi
+    self-join), ppm; assortativity inputs = N-scaled integer moments
+    of (out-degree of src, in-degree of dst) over edges — the
+    correlation a consumer derives downstream, exact (the q97/q240
+    moment discipline). The two numbers that summarize whether a
+    graph is social (reciprocal, assortative) or web-like."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 80).alias("src"),
+        (F.col("l_suppkey") % 80).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    ends = e.join(outd, "src").join(ind, "dst")
+    moments = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("od").alias("sx"),
+        F.sum("idg").alias("sy"),
+        F.sum(F.expr("od * idg")).alias("sxy"),
+        F.sum(F.expr("od * od")).alias("sxx"),
+        F.sum(F.expr("idg * idg")).alias("syy"),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .crossJoin(moments)
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr("n_reciprocal * 1000000 div n_edges").alias(
+                "reciprocity_ppm"
+            ),
+            F.expr("m * sxy - sx * sy").alias("cov_scaled"),
+            F.expr("m * sxx - sx * sx").alias("varx_scaled"),
+            F.expr("m * syy - sy * sy").alias("vary_scaled"),
+        )
+    )
+
+
+Q303_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey % 80 AS src, l_suppkey % 80 AS dst
+  FROM lineitem WHERE l_partkey % 80 <> l_suppkey % 80
+),
+recip AS (
+  SELECT a.src, a.dst FROM e a
+  WHERE EXISTS (SELECT 1 FROM e b
+                WHERE b.src = a.dst AND b.dst = a.src)
+),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS idg FROM e GROUP BY 1),
+ends AS (
+  SELECT o.od, i.idg FROM e
+  JOIN outd o ON o.src = e.src
+  JOIN ind i ON i.dst = e.dst
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(od) AS BIGINT) AS sx,
+         CAST(sum(idg) AS BIGINT) AS sy,
+         CAST(sum(od * idg) AS BIGINT) AS sxy,
+         CAST(sum(od * od) AS BIGINT) AS sxx,
+         CAST(sum(idg * idg) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM recip) AS n_reciprocal,
+       (SELECT CAST(count(*) AS BIGINT) FROM recip) * 1000000
+         // (SELECT count(*) FROM e) AS reciprocity_ppm,
+       m.m * m.sxy - m.sx * m.sy AS cov_scaled,
+       m.m * m.sxx - m.sx * m.sx AS varx_scaled,
+       m.m * m.syy - m.sy * m.sy AS vary_scaled
+FROM m
+"""
+
+QUERIES["q303_graph_reciprocity"] = q303_graph_reciprocity
+ORACLES["q303_graph_reciprocity"] = Q303_SQL

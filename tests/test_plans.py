@@ -677,6 +677,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q298_uptime_report",
         "q299_distributed_topk_audit",
         "q300_health_scorecard",
+        # q301 excluded: the centered-MA window runs over the MONTHLY
+        # aggregate (one row per month — q175 bounded contract).
+        "q302_hierarchy_flatten",
+        "q303_graph_reciprocity",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
