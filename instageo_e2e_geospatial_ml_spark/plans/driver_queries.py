@@ -14275,3 +14275,186 @@ FROM m
 
 QUERIES["q303_graph_reciprocity"] = q303_graph_reciprocity
 ORACLES["q303_graph_reciprocity"] = Q303_SQL
+
+
+def q304_groupby_ndv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column NDV estimation audit (the GROUP BY twin of q252's
+    join audit): the independence-assumption estimate — the PRODUCT
+    of single-column NDVs, what a CBO without multi-column stats
+    assumes for a composite GROUP BY — against the actual composite
+    distinct count, with the correlation factor in ppm. The number
+    that explains why composite-key aggregations come out 100x
+    smaller than planned."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+    )
+    singles = o.agg(
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("yr").alias("nd_yr"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    actual = o.distinct().agg(F.count(F.lit(1)).alias("nd_actual"))
+    return singles.crossJoin(actual).select(
+        "n_rows",
+        "nd_prio",
+        "nd_status",
+        "nd_yr",
+        F.expr("nd_prio * nd_status * nd_yr").alias("nd_independent"),
+        "nd_actual",
+        F.expr(
+            "nd_actual * 1000000 div (nd_prio * nd_status * nd_yr)"
+        ).alias("correlation_ppm"),
+    )
+
+
+Q304_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderstatus,
+         date_part('year', CAST(o_orderdate AS TIMESTAMP)) AS yr
+  FROM orders
+),
+singles AS (
+  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         CAST(count(DISTINCT yr) AS BIGINT) AS nd_yr,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM o
+),
+actual AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd_actual
+  FROM (SELECT DISTINCT * FROM o)
+)
+SELECT n_rows, nd_prio, nd_status, nd_yr,
+       nd_prio * nd_status * nd_yr AS nd_independent,
+       nd_actual,
+       nd_actual * 1000000 // (nd_prio * nd_status * nd_yr)
+         AS correlation_ppm
+FROM singles CROSS JOIN actual
+"""
+
+QUERIES["q304_groupby_ndv_audit"] = q304_groupby_ndv_audit
+ORACLES["q304_groupby_ndv_audit"] = Q304_SQL
+
+
+def q305_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit: the corpus vocabulary hashed
+    into 2^8 / 2^12 / 2^16 buckets (one Expand scan over the three
+    widths), colliding PAIRS per width via Σ C(n,2) over bucket
+    loads — the exact cost of the hashing trick at each width, the
+    table you consult before fixing a feature dimension."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).distinct()
+    widths = spark.createDataFrame(
+        [(8,), (12,), (16,)], "bits long"
+    )
+    b = toks.crossJoin(F.broadcast(widths)).select(
+        "bits",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            % F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT))")
+        ).alias("bucket"),
+    )
+    loads = b.groupBy("bits", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return loads.groupBy("bits").agg(
+        F.sum("n").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("n_colliding_pairs"),
+        F.max("n").alias("max_load"),
+    )
+
+
+Q305_SQL = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+b AS (
+  SELECT k.bits,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)
+           % (CAST(1 AS BIGINT) << CAST(k.bits AS INT)) AS bucket
+  FROM toks, (VALUES (8), (12), (16)) k(bits)
+),
+loads AS (
+  SELECT bits, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+)
+SELECT bits, CAST(sum(n) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_colliding_pairs,
+       CAST(max(n) AS BIGINT) AS max_load
+FROM loads GROUP BY 1
+"""
+
+QUERIES["q305_hash_collision_audit"] = q305_hash_collision_audit
+ORACLES["q305_hash_collision_audit"] = Q305_SQL
+
+
+def q306_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user (the
+    gaps-and-islands classic in its most-asked form): distinct active
+    days, island id = day − row_number (constant within a
+    consecutive run), max run length + its start. One window + one
+    two-level aggregate; users with streaks >= 3 reported."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 300).alias("u"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("dn"),
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("dn")
+    isl = ev.withColumn(
+        "grp", F.col("dn") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("u", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_day"),
+    )
+    wr = Window.partitionBy("u").orderBy(
+        F.col("len").desc(), F.col("start_day").asc()
+    )
+    best = runs.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") == 1
+    )
+    return best.filter(F.col("len") >= 3).select(
+        "u", F.col("len").alias("streak_days"), "start_day"
+    )
+
+
+Q306_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id % 300 AS u,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn
+  FROM events WHERE event_type = 'purchase'
+),
+isl AS (
+  SELECT u, d, dn,
+         dn - row_number() OVER (PARTITION BY u ORDER BY dn) AS grp
+  FROM ev
+),
+runs AS (
+  SELECT u, grp, CAST(count(*) AS BIGINT) AS len,
+         min(d) AS start_day
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT u, len, start_day,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY len DESC, start_day ASC) AS r
+  FROM runs
+)
+SELECT u, len AS streak_days, start_day
+FROM best WHERE r = 1 AND len >= 3
+"""
+
+QUERIES["q306_longest_streak"] = q306_longest_streak
+ORACLES["q306_longest_streak"] = Q306_SQL

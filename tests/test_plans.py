@@ -681,6 +681,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # aggregate (one row per month — q175 bounded contract).
         "q302_hierarchy_flatten",
         "q303_graph_reciprocity",
+        "q304_groupby_ndv_audit",
+        "q305_hash_collision_audit",
+        "q306_longest_streak",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
@@ -744,3 +747,30 @@ def test_q239_bucketed_join_no_shuffle(spark):
         assert "Exchange hashpartitioning(o_orderkey" not in static
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sargability_decides_pushdown(spark):
+    """The predicate-rewrite rule made visible: a range form
+    (ts >= lit AND ts < lit) pushes to the parquet scan; the
+    semantically identical function form (year(ts) = 1996) cannot —
+    the reason ingestion queries are written sargable."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    sarg = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    nosarg = o.filter(F.year("o_orderdate") == 1996)
+    p1 = _formatted(sarg)
+    p2 = _formatted(nosarg)
+    import re
+
+    m1 = re.search(r"PushedFilters: \[([^\]]*)\]", p1)
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", p2)
+    assert m1 and ("GreaterThan" in m1.group(1)
+                   or "LessThan" in m1.group(1)), p1[:400]
+    # the function form only pushes the null guard — no range/equality
+    # comparison ever reaches the scan
+    assert m2 is not None
+    assert "GreaterThan" not in m2.group(1), m2.group(0)
+    assert "LessThan" not in m2.group(1), m2.group(0)
+    assert "EqualTo" not in m2.group(1), m2.group(0)
