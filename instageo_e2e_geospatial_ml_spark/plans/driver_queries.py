@@ -14458,3 +14458,237 @@ FROM best WHERE r = 1 AND len >= 3
 
 QUERIES["q306_longest_streak"] = q306_longest_streak
 ORACLES["q306_longest_streak"] = Q306_SQL
+
+
+def q307_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature engineering: per (series, day) training rows
+    with lag-1 / lag-7 values and the trailing 7-day sum — the
+    make-lags step of every demand model — built from three windows
+    over ONE series-keyed sort (Spark plans them in a single
+    exchange). Emitted as per-series digests (row count, feature
+    sums, md5 of the canonical feature lines) so the oracle pins
+    every cell."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("dn"),
+        F.floor(F.col("value")).cast("long").alias("v"),
+    ).groupBy("series", "dn").agg(F.sum("v").alias("v"))
+    w = Window.partitionBy("series").orderBy("dn")
+    w7 = w.rowsBetween(-6, 0)
+    feats = ev.select(
+        "series",
+        "dn",
+        "v",
+        F.lag("v", 1).over(w).alias("lag1"),
+        F.lag("v", 7).over(w).alias("lag7"),
+        F.sum("v").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("lag7").isNotNull() & (F.col("n7") == 7))
+    line = F.concat_ws(
+        ":", "dn", "v", "lag1", "lag7", "sum7"
+    )
+    return feats.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+        F.sum("lag1").alias("sum_lag1"),
+        F.sum("lag7").alias("sum_lag7"),
+        F.sum("sum7").alias("sum_sum7"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(line)), "|"))
+        .alias("feature_digest"),
+    )
+
+
+Q307_SQL = """
+WITH ev AS (
+  SELECT event_type AS series,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+feats AS (
+  SELECT series, dn, v,
+         lag(v, 1) OVER w AS lag1,
+         lag(v, 7) OVER w AS lag7,
+         sum(v) OVER (PARTITION BY series ORDER BY dn
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7,
+         count(*) OVER (PARTITION BY series ORDER BY dn
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+  FROM ev
+  WINDOW w AS (PARTITION BY series ORDER BY dn)
+),
+kept AS (
+  SELECT *, CAST(dn AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':'
+         || CAST(lag1 AS VARCHAR) || ':' || CAST(lag7 AS VARCHAR)
+         || ':' || CAST(sum7 AS VARCHAR) AS line
+  FROM feats WHERE lag7 IS NOT NULL AND n7 = 7
+)
+SELECT series, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(lag1) AS BIGINT) AS sum_lag1,
+       CAST(sum(lag7) AS BIGINT) AS sum_lag7,
+       CAST(sum(sum7) AS BIGINT) AS sum_sum7,
+       md5(string_agg(line, '|' ORDER BY line)) AS feature_digest
+FROM kept GROUP BY 1
+"""
+
+QUERIES["q307_lag_features"] = q307_lag_features
+ORACLES["q307_lag_features"] = Q307_SQL
+
+
+def q308_homoglyph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph / spoofing audit (the IDN-confusable defense): every
+    vocabulary word mapped to its confusable SKELETON (0->o, 1->l,
+    5->s, vv->w via translate + replace — the Unicode-TR39 idea on
+    the corpus alphabet), then skeleton groups holding DIFFERENT raw
+    words reported — the paypa1/paypal detector. A deterministic
+    digit-substitution channel plants spoofs so the audit has real
+    signal."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    # plant spoofed variants of frequent words: o->0 when md5 parity
+    spoofed = toks.filter(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast(
+            "long"
+        ) % 3 == 0
+    ).select(F.translate(F.col("w"), "ol", "01").alias("w"))
+    vocab = (
+        toks.unionByName(spoofed)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sk = vocab.select(
+        "w",
+        "freq",
+        F.translate(F.col("w"), "01s5", "olss").alias("skeleton"),
+    )
+    g = sk.groupBy("skeleton").agg(
+        F.count(F.lit(1)).alias("n_forms"),
+        F.sum("freq").alias("total_freq"),
+        F.max("w").alias("form_a"),
+        F.min("w").alias("form_b"),
+    )
+    return g.filter(F.col("n_forms") >= 2)
+
+
+Q308_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+spoofed AS (
+  SELECT translate(w, 'ol', '01') AS w FROM toks
+  WHERE CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT) % 3 = 0
+),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT w FROM toks UNION ALL SELECT w FROM spoofed)
+  GROUP BY 1
+),
+sk AS (
+  SELECT w, freq, translate(w, '01s5', 'olss') AS skeleton FROM vocab
+),
+g AS (
+  SELECT skeleton, CAST(count(*) AS BIGINT) AS n_forms,
+         CAST(sum(freq) AS BIGINT) AS total_freq,
+         max(w) AS form_a, min(w) AS form_b
+  FROM sk GROUP BY 1
+)
+SELECT * FROM g WHERE n_forms >= 2
+"""
+
+QUERIES["q308_homoglyph_audit"] = q308_homoglyph_audit
+ORACLES["q308_homoglyph_audit"] = Q308_SQL
+
+
+def q309_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. TOIS'10) between two rankers
+    at p = 1/2 — the label-free ranking comparison (q242's NDCG needs
+    relevance; RBO needs only the two lists): for each depth d <= 8,
+    overlap@d joins the two rank lists, the geometric weights are
+    EXACT powers of two, and the per-depth agreement A_d = overlap/d
+    quantizes to ppm before weighting — every step integer,
+    identical in both engines. Rankers: revenue vs quantity over
+    part buckets."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        (F.col("l_partkey") % 100).alias("pk")
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    wa = Window.orderBy(F.col("rev").desc(), F.col("pk").asc())
+    wb = Window.orderBy(F.col("qty").desc(), F.col("pk").asc())
+    ranked = li.select(
+        "pk",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    ).filter((F.col("ra") <= 8) | (F.col("rb") <= 8))
+    depths = spark.createDataFrame([(d,) for d in range(1, 9)], "d long")
+    ov = (
+        ranked.crossJoin(F.broadcast(depths))
+        .filter((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    full = depths.join(ov, "d", "left").select(
+        "d",
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        F.expr(
+            "coalesce(overlap, 0) * 1000000 div d"
+        ).alias("agree_ppm"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(8 - d AS INT))")
+        .alias("wt"),
+    )
+    return full.agg(
+        F.sum(F.expr("agree_ppm * wt")).alias("rbo_num_scaled"),
+        F.sum("wt").alias("wt_sum"),
+        F.expr(
+            "sum(agree_ppm * wt) div sum(wt)"
+        ).alias("rbo_ppm"),
+        F.max(F.when(F.col("d") == 8, F.col("overlap"))).alias(
+            "overlap_at_8"
+        ),
+    )
+
+
+Q309_SQL = """
+WITH li AS (
+  SELECT l_partkey % 100 AS pk,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS rev,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT pk,
+         row_number() OVER (ORDER BY rev DESC, pk ASC) AS ra,
+         row_number() OVER (ORDER BY qty DESC, pk ASC) AS rb
+  FROM li
+),
+ov AS (
+  SELECT d.d, CAST(count(*) AS BIGINT) AS overlap
+  FROM ranked r JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+    ON r.ra <= d.d AND r.rb <= d.d
+  GROUP BY 1
+),
+fl AS (
+  SELECT d.d, COALESCE(ov.overlap, 0) AS overlap,
+         COALESCE(ov.overlap, 0) * 1000000 // d.d AS agree_ppm,
+         CAST(1 AS BIGINT) << CAST(8 - d.d AS INT) AS wt
+  FROM (SELECT unnest(generate_series(1, 8)) AS d) d
+  LEFT JOIN ov ON ov.d = d.d
+)
+SELECT CAST(sum(agree_ppm * wt) AS BIGINT) AS rbo_num_scaled,
+       CAST(sum(wt) AS BIGINT) AS wt_sum,
+       CAST(sum(agree_ppm * wt) // sum(wt) AS BIGINT) AS rbo_ppm,
+       CAST(max(CASE WHEN d = 8 THEN overlap END) AS BIGINT)
+         AS overlap_at_8
+FROM fl
+"""
+
+QUERIES["q309_rbo_overlap"] = q309_rbo_overlap
+ORACLES["q309_rbo_overlap"] = Q309_SQL
