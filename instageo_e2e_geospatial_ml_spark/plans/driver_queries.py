@@ -14692,3 +14692,202 @@ FROM fl
 
 QUERIES["q309_rbo_overlap"] = q309_rbo_overlap
 ORACLES["q309_rbo_overlap"] = Q309_SQL
+
+
+def q310_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge (the FP&A revenue decomposition):
+    between 1997 and 1998 per part bucket, ΔRev splits exactly into
+    volume effect (Δqty · old unit price) + price effect (Δprice ·
+    new qty) — unit prices kept as exact rationals by clearing
+    denominators: every term is scaled by q97·q98 (the two quantity
+    totals), so the identity REV-BRIDGE: rev98·q97·q98 − rev97·q97·
+    q98 = vol_effect + price_effect holds in pure int64 and is
+    emitted alongside for the oracle to verify. Units are whole
+    dollars: the scaled terms grow as qty²·rev, so callers size units
+    to keep max(qty)²·max(rev) under 2^63 (dollars hold through
+    sf0.1; coarser buckets or unit rescale beyond — the documented
+    integer-discipline bound, same as q175's)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select(
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_partkey") % 25).alias("pk"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias(
+            "dollars"
+        ),
+    )
+    y = base.groupBy("yr", "pk").agg(
+        F.sum("q").alias("qty"), F.sum("dollars").alias("rev")
+    )
+    a = y.filter(F.col("yr") == 1997).select(
+        "pk", F.col("qty").alias("q97"), F.col("rev").alias("r97")
+    )
+    b = y.filter(F.col("yr") == 1998).select(
+        "pk", F.col("qty").alias("q98"), F.col("rev").alias("r98")
+    )
+    j = a.join(b, "pk")
+    return j.select(
+        "pk",
+        "q97",
+        "q98",
+        F.expr("(r98 - r97)").alias("delta_rev_dollars"),
+        # scaled by q97*q98: vol = (q98-q97)*r97*q98 ; price =
+        # (r98*q97 - r97*q98)*q98 ... derived so vol+price =
+        # (r98-r97)*q97*q98 exactly:
+        F.expr("(q98 - q97) * r97 * q98").alias("vol_effect_scaled"),
+        F.expr("(r98 * q97 - r97 * q98) * q98").alias(
+            "price_effect_scaled"
+        ),
+        F.expr(
+            "(q98 - q97) * r97 * q98 + (r98 * q97 - r97 * q98) * q98"
+            " - (r98 - r97) * q97 * q98"
+        ).alias("bridge_residual"),
+    )
+
+
+Q310_SQL = """
+WITH base AS (
+  SELECT date_part('year', CAST(l_shipdate AS TIMESTAMP)) AS yr,
+         l_partkey % 25 AS pk,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice) AS BIGINT) AS dollars
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+y AS (
+  SELECT yr, pk, CAST(sum(q) AS BIGINT) AS qty,
+         CAST(sum(dollars) AS BIGINT) AS rev
+  FROM base GROUP BY 1, 2
+)
+SELECT a.pk, a.qty AS q97, b.qty AS q98,
+       b.rev - a.rev AS delta_rev_dollars,
+       (b.qty - a.qty) * a.rev * b.qty AS vol_effect_scaled,
+       (b.rev * a.qty - a.rev * b.qty) * b.qty AS price_effect_scaled,
+       (b.qty - a.qty) * a.rev * b.qty
+         + (b.rev * a.qty - a.rev * b.qty) * b.qty
+         - (b.rev - a.rev) * a.qty * b.qty AS bridge_residual
+FROM y a JOIN y b ON b.pk = a.pk AND b.yr = 1998
+WHERE a.yr = 1997
+"""
+
+QUERIES["q310_price_volume_mix"] = q310_price_volume_mix
+ORACLES["q310_price_volume_mix"] = Q310_SQL
+
+
+def q311_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity battery (the q279 idea for the string
+    surface): lpad/rpad/reverse/repeat/instr/split_part/levenshtein
+    composed over customer names and digested per segment — one
+    canonical line per row, md5-folded, so ANY padding/indexing/
+    edit-distance divergence between engines breaks the hash."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_name").alias("s"),
+    )
+    line = F.concat_ws(
+        "|",
+        F.lpad(F.col("s"), 25, "*"),
+        F.rpad(F.col("s"), 25, "."),
+        F.reverse(F.col("s")),
+        F.expr("repeat(substring(s, 1, 3), 2)"),
+        F.instr(F.col("s"), "er").cast("string"),
+        F.expr("split_part(s, '#', 1)"),
+        F.levenshtein(F.col("s"), F.lit("Customer#000000001")).cast(
+            "string"
+        ),
+    )
+    return c.select("c_mktsegment", line.alias("line")).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("line")), "\n")
+        ).alias("battery_digest"),
+    )
+
+
+Q311_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         lpad(c_name, 25, '*') || '|' || rpad(c_name, 25, '.')
+         || '|' || reverse(c_name)
+         || '|' || repeat(substring(c_name, 1, 3), 2)
+         || '|' || CAST(instr(c_name, 'er') AS VARCHAR)
+         || '|' || split_part(c_name, '#', 1)
+         || '|' || CAST(levenshtein(c_name, 'Customer#000000001')
+                        AS VARCHAR) AS line
+  FROM customer
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       md5(string_agg(line, chr(10) ORDER BY line)) AS battery_digest
+FROM c GROUP BY 1
+"""
+
+QUERIES["q311_string_battery"] = q311_string_battery
+ORACLES["q311_string_battery"] = Q311_SQL
+
+
+def q312_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: for the top-30 corpus terms, rank·frequency
+    should be near-constant — emitted as each term's rank·freq
+    normalized against the rank-1 product in ppm, plus the spread
+    (max/min ppm) — the corpus-statistics sanity check that catches
+    tokenizer regressions (a broken splitter flattens the curve)."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    top = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 30
+    )
+    c1 = top.filter(F.col("r") == 1).select(
+        F.col("n").alias("n1")
+    )
+    scored = top.crossJoin(F.broadcast(c1)).select(
+        "r",
+        "w",
+        "n",
+        F.expr("r * n * 1000000 div n1").alias("rank_freq_ppm"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("rank_freq_ppm").alias("min_ppm"),
+        F.max("rank_freq_ppm").alias("max_ppm"),
+        F.expr("sum(rank_freq_ppm) div count(*)").alias("mean_ppm"),
+        F.expr("max(rank_freq_ppm) * 1000 div min(rank_freq_ppm)")
+        .alias("spread_milli"),
+    )
+
+
+Q312_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+top AS (
+  SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS r
+  FROM tf QUALIFY r <= 30
+),
+scored AS (
+  SELECT r, w, n,
+         r * n * 1000000 // (SELECT n FROM top WHERE r = 1)
+           AS rank_freq_ppm
+  FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(min(rank_freq_ppm) AS BIGINT) AS min_ppm,
+       CAST(max(rank_freq_ppm) AS BIGINT) AS max_ppm,
+       CAST(sum(rank_freq_ppm) // count(*) AS BIGINT) AS mean_ppm,
+       CAST(max(rank_freq_ppm) * 1000 // min(rank_freq_ppm) AS BIGINT)
+         AS spread_milli
+FROM scored
+"""
+
+QUERIES["q312_zipf_audit"] = q312_zipf_audit
+ORACLES["q312_zipf_audit"] = Q312_SQL

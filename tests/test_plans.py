@@ -688,6 +688,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q308_homoglyph_audit",
         # q309 excluded: the two rank windows run over the 100-row
         # part-bucket aggregate (q175 bounded contract).
+        "q310_price_volume_mix",
+        "q311_string_battery",
+        # q312 excluded: the top-30 rank window runs over the term-
+        # frequency aggregate (q175 bounded contract).
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
