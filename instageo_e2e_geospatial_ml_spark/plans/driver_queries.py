@@ -14891,3 +14891,238 @@ FROM scored
 
 QUERIES["q312_zipf_audit"] = q312_zipf_audit
 ORACLES["q312_zipf_audit"] = Q312_SQL
+
+
+def q313_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Haar wavelet pyramid (the q68/JP2 DWT idea as pure
+    aggregations): per series, 16 day-buckets fold level by level —
+    each level is ONE groupBy(series, b div 2) producing the detail
+    (signed pairwise difference) and the smooth (pairwise sum) — and
+    the per-level detail ENERGIES Σd² localize where a series'
+    variance lives in time (the change-frequency fingerprint).
+    Unnormalized lifting keeps every coefficient an exact integer;
+    missing buckets densify to 0 through a sequence grid."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ) % 16
+        ).cast("long").alias("b"),
+        F.floor(F.col("value")).cast("long").alias("v"),
+    ).groupBy("series", "b").agg(F.sum("v").alias("v"))
+    grid = ev.select("series").distinct().select(
+        "series",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    )
+    lvl = grid.join(ev, ["series", "b"], "left").select(
+        "series", "b", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    energies = []
+    for k in range(1, 5):
+        nxt = lvl.groupBy(
+            "series", F.expr("b div 2").alias("b")
+        ).agg(
+            F.sum(
+                F.when(F.col("b") % 2 == 0, F.col("v")).otherwise(
+                    -F.col("v")
+                )
+            ).alias("d"),
+            F.sum("v").alias("v"),
+        )
+        energies.append(
+            nxt.groupBy("series").agg(
+                F.sum(F.expr("d * d")).alias(f"e{k}")
+            )
+        )
+        lvl = nxt.select("series", "b", "v")
+    out = energies[0]
+    for e in energies[1:]:
+        out = out.join(e, "series")
+    total = lvl.groupBy("series").agg(F.sum("v").alias("dc_sum"))
+    return out.join(total, "series")
+
+
+Q313_SQL = """
+WITH ev AS (
+  SELECT event_type AS series,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 16 AS b,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.series, g.g AS b
+  FROM (SELECT DISTINCT series FROM ev) s,
+       (SELECT unnest(generate_series(0, 15)) AS g) g
+),
+l0 AS (
+  SELECT g.series, g.b, COALESCE(ev.v, 0) AS v
+  FROM grid g LEFT JOIN ev ON ev.series = g.series AND ev.b = g.b
+),
+l1 AS (SELECT series, b // 2 AS b,
+              CAST(sum(CASE WHEN b % 2 = 0 THEN v ELSE -v END)
+                AS BIGINT) AS d,
+              CAST(sum(v) AS BIGINT) AS v
+       FROM l0 GROUP BY 1, 2),
+l2 AS (SELECT series, b // 2 AS b,
+              CAST(sum(CASE WHEN b % 2 = 0 THEN v ELSE -v END)
+                AS BIGINT) AS d,
+              CAST(sum(v) AS BIGINT) AS v
+       FROM l1 GROUP BY 1, 2),
+l3 AS (SELECT series, b // 2 AS b,
+              CAST(sum(CASE WHEN b % 2 = 0 THEN v ELSE -v END)
+                AS BIGINT) AS d,
+              CAST(sum(v) AS BIGINT) AS v
+       FROM l2 GROUP BY 1, 2),
+l4 AS (SELECT series, b // 2 AS b,
+              CAST(sum(CASE WHEN b % 2 = 0 THEN v ELSE -v END)
+                AS BIGINT) AS d,
+              CAST(sum(v) AS BIGINT) AS v
+       FROM l3 GROUP BY 1, 2)
+SELECT e1.series,
+       e1.e1, e2.e2, e3.e3, e4.e4, t.dc_sum
+FROM (SELECT series, CAST(sum(d * d) AS BIGINT) AS e1 FROM l1 GROUP BY 1) e1
+JOIN (SELECT series, CAST(sum(d * d) AS BIGINT) AS e2 FROM l2 GROUP BY 1) e2
+  ON e2.series = e1.series
+JOIN (SELECT series, CAST(sum(d * d) AS BIGINT) AS e3 FROM l3 GROUP BY 1) e3
+  ON e3.series = e1.series
+JOIN (SELECT series, CAST(sum(d * d) AS BIGINT) AS e4 FROM l4 GROUP BY 1) e4
+  ON e4.series = e1.series
+JOIN (SELECT series, CAST(sum(v) AS BIGINT) AS dc_sum FROM l4 GROUP BY 1) t
+  ON t.series = e1.series
+"""
+
+QUERIES["q313_haar_energy"] = q313_haar_energy
+ORACLES["q313_haar_energy"] = Q313_SQL
+
+
+def q314_suppression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out suppression audit (the GDPR/CCPA compliance sweep): a
+    deterministic suppression list (user_id % 97 == 13) checked
+    against every user-bearing table in one pass — rows still
+    referencing suppressed subjects per table, as long-format
+    (table, n_rows, n_subjects) — the report a privacy office files;
+    zero rows is the goal state after the delete job runs."""
+    sup = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid")
+    ).filter(F.col("uid") % 97 == 13).distinct()
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("uid"))
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2000).alias("uid")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 2000).alias("uid")
+    )
+
+    def audit(df, name):
+        hit = df.join(F.broadcast(sup), "uid", "left_semi")
+        return hit.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("uid").alias("n_subjects"),
+        )
+
+    return (
+        audit(ev, "events")
+        .unionByName(audit(docs, "documents"))
+        .unionByName(audit(c, "customer"))
+    )
+
+
+Q314_SQL = """
+WITH sup AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 97 = 13
+)
+SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects
+FROM events WHERE user_id IN (SELECT uid FROM sup)
+UNION ALL
+SELECT 'documents', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT doc_id % 2000) AS BIGINT)
+FROM documents WHERE doc_id % 2000 IN (SELECT uid FROM sup)
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT c_custkey % 2000) AS BIGINT)
+FROM customer WHERE c_custkey % 2000 IN (SELECT uid FROM sup)
+"""
+
+QUERIES["q314_suppression_audit"] = q314_suppression_audit
+ORACLES["q314_suppression_audit"] = Q314_SQL
+
+
+def q315_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-style optimal sample allocation across strata: budget
+    1000 samples split proportionally to each stratum's integer
+    dispersion weight n·Σx² − (Σx)² (the square of N_h·S_h up to the
+    shared 1/n — monotone in the Neyman weight, the documented
+    float-free proxy), made exact and sum-preserving by the q114
+    largest-remainder operator. The stratified-sampling DESIGN step
+    before q43's executor."""
+    from ..operators.stats import largest_remainder
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("v"),
+    )
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    ).select(
+        "c_mktsegment",
+        "n",
+        F.expr("n * ss - s * s").alias("weight"),
+    )
+    alloc = largest_remainder(
+        m.select(
+            F.lit("all").alias("grp"),
+            F.col("c_mktsegment").alias("stratum"),
+            "weight",
+            F.lit(1000).alias("budget"),
+        ),
+        group_col="grp",
+        weight_col="weight",
+        total_col="budget",
+        id_col="stratum",
+    )
+    return alloc.join(
+        m.select(F.col("c_mktsegment").alias("stratum"), "n"), "stratum"
+    ).select("stratum", "n", "weight", "share")
+
+
+def _q315_sql() -> str:
+    from ..operators.stats import largest_remainder_sql
+
+    weights = """
+SELECT 'all' AS grp, c_mktsegment AS stratum,
+       n * ss - s * s AS weight, 1000 AS budget, n
+FROM (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(c_acctbal / 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(sum(CAST(floor(c_acctbal / 100) AS BIGINT)
+              * CAST(floor(c_acctbal / 100) AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM customer GROUP BY 1
+)
+"""
+    lr = largest_remainder_sql(
+        f"SELECT grp, stratum, weight, budget FROM ({weights})",
+        group_col="grp",
+        weight_col="weight",
+        total_col="budget",
+        id_col="stratum",
+    )
+    return f"""
+WITH w AS ({weights}),
+alloc AS ({lr})
+SELECT alloc.stratum, w.n, alloc.weight, CAST(alloc.share AS BIGINT)
+  AS share
+FROM alloc JOIN w ON w.stratum = alloc.stratum
+"""
+
+
+Q315_SQL = _q315_sql()
+
+QUERIES["q315_neyman_allocation"] = q315_neyman_allocation
+ORACLES["q315_neyman_allocation"] = Q315_SQL

@@ -692,6 +692,10 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q311_string_battery",
         # q312 excluded: the top-30 rank window runs over the term-
         # frequency aggregate (q175 bounded contract).
+        "q313_haar_energy",
+        "q314_suppression_audit",
+        # q315 excluded: largest_remainder's single-group apportionment
+        # window runs over the 5-stratum table (q114/q175 contract).
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
