@@ -15126,3 +15126,140 @@ Q315_SQL = _q315_sql()
 
 QUERIES["q315_neyman_allocation"] = q315_neyman_allocation
 ORACLES["q315_neyman_allocation"] = Q315_SQL
+
+
+def q316_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo '95 —
+    the THIRD blocking family next to q83's q-gram count filter and
+    q272's symmetric deletes): candidates are rows within ±2
+    positions in normalized-key order (two lead() joins on one sorted
+    window — the shuffle is one sort, never a self-join), refined by
+    exact levenshtein <= 2. The normalized key drops the digits that
+    make near-duplicate names sort apart; a deterministic suffix
+    channel plants the near-dups."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.col("c_name"), F.lit("x")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+    )
+    keyed = c.select(
+        "id",
+        "name",
+        F.regexp_replace(F.lower(F.col("name")), r"[^a-z]", "").alias(
+            "skey"
+        ),
+    )
+    w = Window.orderBy(F.col("skey").asc(), F.col("id").asc())
+    ordered = keyed.withColumn("pos", F.row_number().over(w))
+    pairs = None
+    for d in (1, 2):
+        nxt = ordered.select(
+            (F.col("pos") - d).alias("pos"),
+            F.col("id").alias("id_b"),
+            F.col("name").alias("name_b"),
+        )
+        cand = ordered.join(nxt, "pos").select(
+            "id", "name", "id_b", "name_b"
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    hits = pairs.filter(
+        F.levenshtein(F.col("name"), F.col("name_b")) <= 2
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("id").alias("n_left"),
+        F.min(F.levenshtein(F.col("name"), F.col("name_b"))).alias(
+            "min_dist"
+        ),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", "id", "id_b"))
+                ),
+                "|",
+            )
+        ).alias("pair_digest"),
+    )
+
+
+Q316_SQL = """
+WITH c AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 13 = 0 THEN c_name || 'x'
+              ELSE c_name END AS name
+  FROM customer
+),
+keyed AS (
+  SELECT id, name,
+         regexp_replace(lower(name), '[^a-z]', '', 'g') AS skey
+  FROM c
+),
+ordered AS (
+  SELECT id, name,
+         row_number() OVER (ORDER BY skey ASC, id ASC) AS pos
+  FROM keyed
+),
+cand AS (
+  SELECT a.id, a.name, b.id AS id_b, b.name AS name_b
+  FROM ordered a JOIN ordered b ON b.pos = a.pos + 1
+  UNION ALL
+  SELECT a.id, a.name, b.id, b.name
+  FROM ordered a JOIN ordered b ON b.pos = a.pos + 2
+),
+hits AS (
+  SELECT * FROM cand WHERE levenshtein(name, name_b) <= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_left,
+       CAST(min(levenshtein(name, name_b)) AS BIGINT) AS min_dist,
+       md5(string_agg(CAST(id AS VARCHAR) || ':'
+             || CAST(id_b AS VARCHAR), '|'
+           ORDER BY CAST(id AS VARCHAR) || ':'
+             || CAST(id_b AS VARCHAR))) AS pair_digest
+FROM hits
+"""
+
+QUERIES["q316_sorted_neighborhood"] = q316_sorted_neighborhood
+ORACLES["q316_sorted_neighborhood"] = Q316_SQL
+
+
+def q317_reach_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach/frequency curve (the campaign-measurement staple): per
+    exposure count k = 1..8, how many unique users saw the 'view'
+    event at least k times and the cumulative impression mass they
+    account for — one per-user count, one explode-free
+    threshold-table join (8 literal rows), two aggregates."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    per_u = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).alias("n_exp")
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 9)], "k long")
+    j = per_u.crossJoin(F.broadcast(ks)).filter(
+        F.col("n_exp") >= F.col("k")
+    )
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("reach"),
+        F.sum("n_exp").alias("impressions_covered"),
+    )
+
+
+Q317_SQL = """
+WITH per_u AS (
+  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n_exp
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT k.k, CAST(count(*) AS BIGINT) AS reach,
+       CAST(sum(n_exp) AS BIGINT) AS impressions_covered
+FROM per_u, (SELECT unnest(generate_series(1, 8)) AS k) k
+WHERE n_exp >= k.k
+GROUP BY 1
+"""
+
+QUERIES["q317_reach_frequency"] = q317_reach_frequency
+ORACLES["q317_reach_frequency"] = Q317_SQL

@@ -696,6 +696,11 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q314_suppression_audit",
         # q315 excluded: largest_remainder's single-group apportionment
         # window runs over the 5-stratum table (q114/q175 contract).
+        # q316 excluded: the sorted-neighborhood position window IS the
+        # algorithm (one global sort over the entity table — SNM's
+        # defining cost, documented; at scale the key prefix becomes
+        # the partition, the standard SNM sharding).
+        "q317_reach_frequency",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
