@@ -15263,3 +15263,148 @@ GROUP BY 1
 
 QUERIES["q317_reach_frequency"] = q317_reach_frequency
 ORACLES["q317_reach_frequency"] = Q317_SQL
+
+
+def q318_wls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted least-squares trend per segment (q97's OLS with
+    reliability weights — the heteroscedastic fit): weight = order
+    count per (segment, month), slope over months in the exact
+    N-scaled moment form
+
+        num = Σw·Σwxy − Σwx·Σwy      den = Σw·Σwx² − (Σwx)²
+
+    emitted with slope_ppm = num·1e6 div den — every moment an int64
+    (x = month index, y = avg order value in dollars, w counts)."""
+    o = _t(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (F.col("o_custkey") % 5).alias("seg"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 23940)
+        .alias("x"),
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.expr(
+            "sum(CAST(floor(o_totalprice) AS BIGINT)) div count(*)"
+        ).alias("y"),
+    )
+    m = cell.groupBy("seg").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.expr("w * x")).alias("swx"),
+        F.sum(F.expr("w * y")).alias("swy"),
+        F.sum(F.expr("w * x * y")).alias("swxy"),
+        F.sum(F.expr("w * x * x")).alias("swxx"),
+    )
+    return m.select(
+        "seg",
+        "sw",
+        F.expr("sw * swxy - swx * swy").alias("num"),
+        F.expr("sw * swxx - swx * swx").alias("den"),
+        F.expr(
+            "CASE WHEN sw * swxx - swx * swx > 0 THEN"
+            " (sw * swxy - swx * swy) * 1000000"
+            " div (sw * swxx - swx * swx) END"
+        ).alias("slope_ppm"),
+    )
+
+
+Q318_SQL = """
+WITH cell AS (
+  SELECT o_custkey % 5 AS seg,
+         date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+           + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+           - 23940 AS x,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // count(*)
+           AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT seg, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * x) AS BIGINT) AS swx,
+         CAST(sum(w * y) AS BIGINT) AS swy,
+         CAST(sum(w * x * y) AS BIGINT) AS swxy,
+         CAST(sum(w * x * x) AS BIGINT) AS swxx
+  FROM cell GROUP BY 1
+)
+SELECT seg, sw,
+       sw * swxy - swx * swy AS num,
+       sw * swxx - swx * swx AS den,
+       CASE WHEN sw * swxx - swx * swx > 0 THEN
+         (sw * swxy - swx * swy) * 1000000
+           // (sw * swxx - swx * swx) END AS slope_ppm
+FROM m
+"""
+
+QUERIES["q318_wls_trend"] = q318_wls_trend
+ORACLES["q318_wls_trend"] = Q318_SQL
+
+
+def q319_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (the Fano factor / variance-to-mean ratio that
+    separates CONTENT words — bursty, clustered in few docs — from
+    FUNCTION words spread evenly): for the 15 most frequent terms,
+    VMR over per-doc counts (zeros included via the doc total) in
+    exact N-scaled integers, ppm output. The Katz/Church corpus
+    statistic behind stopword induction."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    percell = toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = percell.groupBy("w").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("ss"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    wtop = Window.orderBy(F.col("s").desc(), F.col("w").asc())
+    top = tot.withColumn("r", F.row_number().over(wtop)).filter(
+        F.col("r") <= 15
+    )
+    # VMR with zero-cells: over N docs, mean = s/N; var·N² =
+    # N·ss − s² (ss already counts only nonzero cells; zeros add 0)
+    return top.select(
+        "w",
+        "df",
+        "s",
+        F.expr(
+            f"(CAST({n_docs} AS BIGINT) * ss - s * s) * 1000000"
+            f" div (s * {n_docs})"
+        ).alias("vmr_ppm"),
+    )
+
+
+def _q319_sql(sf_dir: str = "") -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+percell AS (
+  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+tot AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS df
+  FROM percell GROUP BY 1
+),
+top AS (
+  SELECT w, df, s, ss,
+         row_number() OVER (ORDER BY s DESC, w ASC) AS r
+  FROM tot QUALIFY r <= 15
+)
+SELECT w, df, s,
+       (nd.n * ss - s * s) * 1000000 // (s * nd.n) AS vmr_ppm
+FROM top CROSS JOIN nd
+"""
+
+
+Q319_SQL = _q319_sql()
+
+QUERIES["q319_term_burstiness"] = q319_term_burstiness
+ORACLES["q319_term_burstiness"] = Q319_SQL

@@ -701,6 +701,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         # defining cost, documented; at scale the key prefix becomes
         # the partition, the standard SNM sharding).
         "q317_reach_frequency",
+        "q318_wls_trend",
+        # q319 excluded: the top-15 rank window runs over the term-
+        # frequency aggregate (q175 bounded contract).
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
