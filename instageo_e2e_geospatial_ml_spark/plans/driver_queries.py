@@ -15408,3 +15408,118 @@ Q319_SQL = _q319_sql()
 
 QUERIES["q319_term_burstiness"] = q319_term_burstiness
 ORACLES["q319_term_burstiness"] = Q319_SQL
+
+
+def q320_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline AS a funnel (the capper that
+    composes the LLM-prep family into its deployment shape): raw ->
+    language gate (top-2 langs) -> length/quality gate (20 <= words,
+    mean word length <= 12 by cross-multiply) -> exact dedup on
+    normalized text -> per-source cap (20 docs, lowest ids win) —
+    one row per stage with surviving docs and token mass, the
+    attrition report every data-curation run ships with its output.
+    Every stage reuses an oracle-pinned idiom (q13/q58/q11/q57)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "wc"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast(
+            "long"
+        ).alias("chars"),
+    )
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(2)
+        .select("lang")
+    )
+    s1 = docs.join(F.broadcast(langs), "lang", "left_semi")
+    s2 = s1.filter(
+        (F.col("wc") >= 20) & (F.col("chars") <= 12 * F.col("wc"))
+    )
+    s3 = s2.withColumn(
+        "norm_md5",
+        F.md5(F.lower(F.trim(F.col("text")))),
+    ).withColumn(
+        "rn_dup",
+        F.row_number().over(
+            Window.partitionBy("norm_md5").orderBy(F.col("doc_id").asc())
+        ),
+    ).filter(F.col("rn_dup") == 1)
+    s4 = s3.withColumn(
+        "rn_src",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+        ),
+    ).filter(F.col("rn_src") <= 20)
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc").alias("n_tokens"),
+        )
+
+    return (
+        stage(docs, "0_raw")
+        .unionByName(stage(s1, "1_lang"))
+        .unionByName(stage(s2, "2_quality"))
+        .unionByName(stage(s3, "3_dedup"))
+        .unionByName(stage(s4, "4_source_cap"))
+    )
+
+
+Q320_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS wc,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+           AS chars
+  FROM documents
+),
+langs AS (
+  SELECT lang FROM (
+    SELECT lang, count(*) AS n FROM docs GROUP BY 1
+    ORDER BY n DESC, lang ASC LIMIT 2
+  )
+),
+s1 AS (SELECT * FROM docs WHERE lang IN (SELECT lang FROM langs)),
+s2 AS (SELECT * FROM s1 WHERE wc >= 20 AND chars <= 12 * wc),
+s3 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id ASC) AS rn_dup
+    FROM s2
+  ) WHERE rn_dup = 1
+),
+s4 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY doc_id ASC) AS rn_src
+    FROM s3
+  ) WHERE rn_src <= 20
+)
+SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wc) AS BIGINT) AS n_tokens FROM docs
+UNION ALL
+SELECT '1_lang', CAST(count(*) AS BIGINT), CAST(sum(wc) AS BIGINT)
+FROM s1
+UNION ALL
+SELECT '2_quality', CAST(count(*) AS BIGINT), CAST(sum(wc) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT '3_dedup', CAST(count(*) AS BIGINT), CAST(sum(wc) AS BIGINT)
+FROM s3
+UNION ALL
+SELECT '4_source_cap', CAST(count(*) AS BIGINT), CAST(sum(wc) AS BIGINT)
+FROM s4
+"""
+
+QUERIES["q320_curation_funnel"] = q320_curation_funnel
+ORACLES["q320_curation_funnel"] = Q320_SQL

@@ -704,6 +704,7 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q318_wls_trend",
         # q319 excluded: the top-15 rank window runs over the term-
         # frequency aggregate (q175 bounded contract).
+        "q320_curation_funnel",
     ]
     for name in jvm_queries:
         plan = _plan(dq.QUERIES[name](spark, SF))
