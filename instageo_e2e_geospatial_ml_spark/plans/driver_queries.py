@@ -25,7 +25,7 @@ from ..functions.text import (
     token_count,
 )
 from ..grid import sql_cell_expr
-from ..operators.asof import asof_pick
+from ..operators.asof import asof_pick_keyed
 from ..operators.dates import expand_temporal_steps
 from ..operators.dedup import exact_dedup, minhash_lsh_dedup, simhash
 from ..operators.density import density_filter
@@ -181,7 +181,13 @@ WHERE l_orderkey % 100 = 0
 
 def q05_asof_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: per (obs, step) pick min-value event within ±2 days (ties: ts,
-    id); no candidate → null. Events double as obs and granule sides."""
+    id); no candidate → null. Events double as obs and granule sides.
+
+    Candidates are 'every granule sharing k' (50 distinct k values), so a
+    materialized obs×granule pair table is quadratic in the event count —
+    asof_pick_keyed instead time-buckets the granules and probes only the
+    3 buckets covering ±tolerance per step (guide §3: pre-filter the big
+    join side), then picks rank-1 with a map-side-combining min(struct)."""
     ev = _t(spark, sf_dir, "events")
     obs = ev.filter(F.col("event_id") % 20 == 0).select(
         F.col("event_id").alias("obs_id"),
@@ -197,12 +203,7 @@ def q05_asof_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("value").alias("cloud_cover"),
     )
-    candidates = obs.select("obs_id", "k").join(
-        granules.select("granule_id", "k"), "k"
-    ).select("obs_id", "granule_id")
-    picked = asof_pick(
-        steps.drop("k"), candidates, granules.drop("k"), tolerance_days=2
-    )
+    picked = asof_pick_keyed(steps, granules, tolerance_days=2, key="k")
     return picked.select(
         "obs_id",
         F.col("step").cast("long").alias("step"),
@@ -1112,7 +1113,9 @@ def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens per document (pure regexp, JVM-side)."""
     from ..functions.text import BPE_TOKEN_REGEX, bpe_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    from ..functions.text import spread_input
+
+    docs = spread_input(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_ws_tokens"),
@@ -1300,7 +1303,11 @@ def q36_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull the integer field out of the JSON
     props column and aggregate per event type (the mean is derived from
     the EXACT integer sum so it is order-independent)."""
-    ev = _t(spark, sf_dir, "events")
+    from ..functions.text import spread_input
+
+    # project to the two needed columns BEFORE the spread (guide §2.3),
+    # then parse JSON across the cluster, not in the one scan task
+    ev = spread_input(_t(spark, sf_dir, "events").select("event_type", "props"))
     k = F.get_json_object("props", "$.k").cast("long")
     agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1546,7 +1553,9 @@ def q30_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scrubbed text digest + how many rows changed."""
     from ..functions.text import scrub_pii
 
-    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import spread_input
+
+    d = spread_input(_t(spark, sf_dir, "documents"))
     # inject deterministic PII shapes into a third of the docs
     injected = d.select(
         "doc_id",
