@@ -129,9 +129,12 @@ def bigram_surprisal_scores(
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
-    scored = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    # bucket per DISTINCT bigram first (|c12| rows), then ONE join back to
+    # the occurrence stream — the occurrence table crosses a single
+    # exchange instead of two (guide §2.4: the c1 lookup now joins the
+    # much smaller distinct-bigram table, not every occurrence)
+    pair_buckets = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .withColumn(
             "bucket",
@@ -142,7 +145,9 @@ def bigram_surprisal_scores(
                 )
             ).cast("long"),
         )
+        .select("w1", "w2", "bucket")
     )
+    scored = big.join(pair_buckets, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("bucket").alias("surprisal_sum"),

@@ -219,6 +219,43 @@ def repetition_scores(
     )
 
 
+def ranged_row_number(df, order_cols, out_col: str = "_rn", n_buckets: int | None = None):
+    """Global row_number() by `order_cols` WITHOUT a single-task global
+    sort — the pack_token_shards two-phase machinery in reusable form:
+    (1) range-repartition into `n_buckets` contiguous key ranges, (2) ONE
+    tiny per-bucket count job (≤ n_buckets rows to the driver), (3)
+    broadcast the cumulative bucket offsets back and number rows with a
+    window PARTITIONED by bucket, so every task sorts ≤ N/n_buckets rows.
+    Identical values to `row_number() over (order by order_cols)` whenever
+    the ordering is total (ties may land in either of two adjacent buckets
+    otherwise — pass a tie-breaking id column to make it total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sess = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_buckets, *cols)
+        .withColumn("_b", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["_n"]
+    off_df = sess.createDataFrame(offsets or [(0, 0)], "_b int, _off long")
+    w = Window.partitionBy("_b").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_b")
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_b", "_off")
+    )
+
+
 def pack_token_shards(
     docs,
     budget_tokens: int,

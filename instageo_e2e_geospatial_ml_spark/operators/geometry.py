@@ -588,7 +588,7 @@ def wkt_to_metrics(
     )
     n = F.size("pts")
     idx = F.sequence(F.lit(1), n - 1)
-    shoe = F.aggregate(
+    shoelace_sum = F.aggregate(
         idx,
         F.lit(0).cast("long"),
         lambda acc, i: acc
@@ -604,7 +604,7 @@ def wkt_to_metrics(
     return parsed.select(
         "poly_id",
         n.cast("long").alias("n_pts"),
-        shoe.alias("area2"),
+        shoelace_sum.alias("area2"),
         F.array_min(xs).alias("min_x"),
         F.array_max(xs).alias("max_x"),
         F.array_min(ys).alias("min_y"),

@@ -226,7 +226,13 @@ def pip_join(
     buckets = bucket_polygons(cat, res)
     if broadcast_catalog:
         buckets = F.broadcast(buckets)
-    pts = obs.withColumn("cell", cell_of(x, y, res))
+    # spread a few-row-group local scan before the broadcast join: the
+    # candidate join + convex refine is per-point compute that a 1-6 task
+    # scan would serialize (guide §2.5 input skew; no-op when the fact
+    # side is already well-partitioned — the cluster case)
+    from ..functions.text import spread_input
+
+    pts = spread_input(obs).withColumn("cell", cell_of(x, y, res))
     j = pts.join(buckets, "cell", "inner")
     # cheap bbox pre-filter always applies (prunes before the exact refine)
     j = j.filter(

@@ -339,6 +339,38 @@ def test_q48_no_partitionless_window(spark):
     assert (got["shard_id"] == want).all()
 
 
+def test_ranged_row_number_matches_global_window(spark):
+    """The two-phase row number (q316's position machinery) must equal the
+    global-window row_number for a total ordering, including across range-
+    bucket boundaries, and must not plan a partition-less window."""
+    import pandas as pd
+
+    from instageo_e2e_geospatial_ml_spark.functions.text import ranged_row_number
+
+    rows = [(i, f"k{(i * 7) % 50:03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, skey string")
+    out = ranged_row_number(df, ["skey", "id"], out_col="pos", n_buckets=8)
+    got = out.toPandas().sort_values(["skey", "id"]).reset_index(drop=True)
+    # reference: global rank by (skey, id)
+    want = (
+        pd.DataFrame(rows, columns=["id", "skey"])
+        .sort_values(["skey", "id"])
+        .reset_index(drop=True)
+    )
+    want["pos"] = range(1, len(want) + 1)
+    assert (got["pos"].to_numpy() == want["pos"].to_numpy()).all()
+    # ±1 neighbor pairs are preserved across bucket boundaries: every pos
+    # from 1..n appears exactly once, so each consecutive pair exists
+    assert sorted(got["pos"]) == list(range(1, 501))
+    plan = _plan(out)
+    for line in plan.splitlines():
+        s = line.strip()
+        if "windowspecdefinition(" not in s:
+            continue
+        first_arg = s.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, s
+
+
 def test_registrable_domain_psl_table_wins(spark):
     """PSL-table mode (VERDICT r6 #4): broadcast longest-match beats the
     heuristic where they disagree (gov.uk, three-part k12.ak.us), agrees
@@ -696,10 +728,9 @@ def test_round7_operator_family_plans_stay_jvm(spark):
         "q314_suppression_audit",
         # q315 excluded: largest_remainder's single-group apportionment
         # window runs over the 5-stratum table (q114/q175 contract).
-        # q316 excluded: the sorted-neighborhood position window IS the
-        # algorithm (one global sort over the entity table — SNM's
-        # defining cost, documented; at scale the key prefix becomes
-        # the partition, the standard SNM sharding).
+        # q316 REINSTATED (round 8): positions now come from the
+        # range-partitioned two-phase row number — no global window left.
+        "q316_sorted_neighborhood",
         "q317_reach_frequency",
         "q318_wls_trend",
         # q319 excluded: the top-15 rank window runs over the term-
