@@ -601,15 +601,13 @@ def build_vocab_encode(
     Returns (vocab_df, encoded_df): vocab (tok, cnt, tok_id), encoded
     (id, pos, tok_id) with pos the 1-based token position.
 
-    Plan: token count (one shuffle), the id ranking is a window over
-    the VOCABULARY (count-filtered — vocabulary-sized, not
-    corpus-sized; a web-scale vocab would use the q109 two-phase rank,
-    noted here, but after min_count filtering vocabularies are ~10^5-6
-    rows and one task sorting them is the honest plan), then a
+    Plan: token count (one shuffle); the id ranking is the range-
+    partitioned two-phase row number (ranged_row_number — per-bucket
+    window + broadcast offsets), so a web-scale vocabulary (10^7-8
+    distinct tokens) never funnels through one sort task (round-8
+    conversion of the documented vocab-rank watch item); then a
     token-keyed join back to the exploded corpus (AQE broadcasts the
     vocab side when it fits)."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
@@ -618,8 +616,9 @@ def build_vocab_encode(
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     kept = counts.filter(F.col("cnt") >= min_count)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    vocab = kept.withColumn("tok_id", F.row_number().over(w).cast("long"))
+    vocab = ranged_row_number(
+        kept, [F.col("cnt").desc(), F.col("tok").asc()], out_col="tok_id"
+    )
     encoded = (
         toks.join(vocab.select("tok", "tok_id"), "tok", "left")
         .select(

@@ -14850,9 +14850,14 @@ def q312_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # top-30 as orderBy().limit() -> TakeOrderedAndProject (a partial
+    # per-partition top-k, never a global sort); the rank window then
+    # runs over the <= 30 surviving rows only (VERDICT r7 #4)
     w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
-    top = tf.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= 30
+    top = (
+        tf.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(30)
+        .withColumn("r", F.row_number().over(w))
     )
     c1 = top.filter(F.col("r") == 1).select(
         F.col("n").alias("n1")
@@ -15376,9 +15381,12 @@ def q319_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("c * c")).alias("ss"),
         F.count(F.lit(1)).alias("df"),
     )
+    # top-15 via TakeOrderedAndProject; rank window over <= 15 rows only
     wtop = Window.orderBy(F.col("s").desc(), F.col("w").asc())
-    top = tot.withColumn("r", F.row_number().over(wtop)).filter(
-        F.col("r") <= 15
+    top = (
+        tot.orderBy(F.col("s").desc(), F.col("w").asc())
+        .limit(15)
+        .withColumn("r", F.row_number().over(wtop))
     )
     # VMR with zero-cells: over N docs, mean = s/N; var·N² =
     # N·ss − s² (ss already counts only nonzero cells; zeros add 0)
