@@ -6,6 +6,9 @@ names, and an order-insensitive value hash (stringified rows, doubles
 repr'd exactly — both engines must produce bit-identical values).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       CHECK_ORACLE_JSON=BENCH/ORACLE_r8.json python scripts/check_oracle.py …
+           additionally archives {query: {rows, hash_ok, secs}} for the whole
+           run — the per-round full-registry oracle artifact (VERDICT r7 #2).
 """
 
 from __future__ import annotations
@@ -48,6 +51,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    archive = {}
+    import os as _os
+
+    json_out = _os.environ.get("CHECK_ORACLE_JSON")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -58,6 +65,8 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 print(f"{name:24s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
+                archive[name] = {"rows": len(srows), "hash_ok": None,
+                                 "secs": round(time.time() - t0, 2)}
                 continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -73,6 +82,8 @@ def main() -> int:
                 f"{name:24s} {status} rows {len(srows)}/{len(orows)} cols_ok={ok_c} "
                 f"hash_ok={ok_h} {time.time()-t0:5.1f}s"
             )
+            archive[name] = {"rows": len(srows), "hash_ok": bool(ok_n and ok_c and ok_h),
+                             "secs": round(time.time() - t0, 2)}
             if not ok_c:
                 print(f"   spark cols: {sorted(scols)}\n   duckdb cols: {sorted(ocols)}")
             if ok_c and ok_n and not ok_h:
@@ -88,6 +99,14 @@ def main() -> int:
         except Exception as e:
             n_fail += 1
             print(f"{name:24s} ERROR {type(e).__name__}: {str(e)[:300]}")
+            archive[name] = {"rows": None, "hash_ok": False, "secs": None}
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "n_fail": n_fail,
+                        "queries": archive}, fh, indent=1)
+        print(f"archived {len(archive)} query results -> {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 

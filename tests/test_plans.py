@@ -339,6 +339,18 @@ def test_q48_no_partitionless_window(spark):
     assert (got["shard_id"] == want).all()
 
 
+def test_plans_md_sweep_covers_whole_registry():
+    """BENCH/PLANS.md (the scale-hygiene sweep artifact) must carry one
+    row per registry query — a registry entry can never land unaudited
+    again (VERDICT r7 #3)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH", "PLANS.md")
+    md = open(path).read()
+    missing = [n for n in dq.QUERIES if f"| {n} " not in md]
+    assert missing == [], missing
+
+
 def test_ranged_row_number_matches_global_window(spark):
     """The two-phase row number (q316's position machinery) must equal the
     global-window row_number for a total ordering, including across range-
