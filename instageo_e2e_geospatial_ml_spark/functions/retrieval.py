@@ -129,12 +129,13 @@ def bigram_surprisal_scores(
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
-    # bucket per DISTINCT bigram first (|c12| rows), then ONE join back to
-    # the occurrence stream — the occurrence table crosses a single
-    # exchange instead of two (guide §2.4: the c1 lookup now joins the
-    # much smaller distinct-bigram table, not every occurrence)
-    pair_buckets = (
-        c12.join(c1, "w1")
+    # (round 8: a bucket-per-distinct-bigram restructure — score the c12
+    # table, join the occurrence stream once — was MEASURED AND REVERTED:
+    # interleaved same-session A/B showed it neutral-to-worse; only the
+    # spread_input above survived, which is where the win was.)
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .withColumn(
             "bucket",
@@ -145,9 +146,7 @@ def bigram_surprisal_scores(
                 )
             ).cast("long"),
         )
-        .select("w1", "w2", "bucket")
     )
-    scored = big.join(pair_buckets, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("bucket").alias("surprisal_sum"),
