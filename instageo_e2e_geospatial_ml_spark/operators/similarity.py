@@ -366,6 +366,8 @@ def _np_bucket_groups(it, pid: str, pvec: str, w_mat, probe_map):
     (batch, probed-bucket) group of a corpus batch iterator."""
     import numpy as np
 
+    if not probe_map:  # empty query side: nothing can ever match
+        return
     for pdf in it:
         if len(pdf) == 0:
             continue
@@ -517,6 +519,9 @@ def ivf_topk(
         def kernel(it):
             q_ids, qm, cm, probe_map = bc.value
             acc: dict[int, list] = {}
+            if cm.shape[0] == 0 or not probe_map:
+                yield _emit_topk(acc, q_ids, qid, pid, k)
+                return
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -652,6 +657,8 @@ def train_centroids(
         # per-(cluster, dim) integer sums combined in-task, so the round's
         # shuffle carries k×dim×partitions summary rows, never the corpus.
         c_rows = sorted(cents.collect(), key=lambda r: r[0])
+        if not c_rows:  # empty corpus: no seeds, nothing to iterate
+            return cents
         c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
         cm = np.array([r[1] for r in c_rows], dtype=np.int64)
         norms = (cm * cm).sum(axis=1)

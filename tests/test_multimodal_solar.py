@@ -140,6 +140,30 @@ def test_brute_force_topk_query_cap(spark):
         brute_force_topk(q, p, k=2, max_queries=3)
 
 
+def test_fused_ann_paths_empty_query_side(spark):
+    """The round-8 fused kernels (driver-side probe lists + one corpus
+    pass) must return an empty result — not crash — when the query side
+    is empty (no probe buckets/lists exist)."""
+    from pyspark.sql import functions as F
+
+    from instageo_e2e_geospatial_ml_spark.operators.similarity import (
+        ivf_topk,
+        label_centroids,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    assert lsh_topk(q, p, k=3, n_bits=4).count() == 0
+    cen = label_centroids(
+        e.withColumn("label", F.col("vec_id") % 4), assemble=True
+    )
+    assert ivf_topk(q, p, cen, k=3, nprobe=2).count() == 0
+
+
 def test_dedup_clusters_components(spark):
     from instageo_e2e_geospatial_ml_spark.operators.dedup import dedup_clusters
 
